@@ -1,0 +1,7 @@
+from lucene_spark.analysis.analyzers import (  # noqa: F401
+    Analyzer,
+    ENGLISH_STOP_WORDS,
+    get_analyzer,
+    register_analyzer,
+    tokenize_pandas,
+)

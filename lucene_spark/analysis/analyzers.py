@@ -1,0 +1,109 @@
+"""Analysis chain — tokenizer + filters as vectorized pandas operations.
+
+Role analogue: lucene/core .../analysis/Analyzer.java (TokenStream =
+Tokenizer + TokenFilter chain), StandardTokenizer/StandardAnalyzer
+(analysis/standard/StandardAnalyzer.java:85-90: StandardTokenizer →
+LowerCaseFilter → StopFilter), and the SPI analyzer registry
+(analysis/TokenizerFactory.java).
+
+Design (Spark-first): an Analyzer here is *configuration*; the hot path is
+`tokenize_pandas`, a pure pandas/regex function applied inside a
+`pandas_udf` over Arrow batches — no per-row Python authored by us. The
+stop filter and max-token-length filter are additionally expressible as
+JVM-side DataFrame filters after explode (see index/builder.py), keeping
+the heaviest filtering inside whole-stage codegen.
+
+Semantics pinned to the reference:
+- default English stop set (33 words) — analysis/en/EnglishAnalyzer.java:43-52
+- tokens longer than maxTokenLength (255) are DROPPED —
+  StandardAnalyzer.java:37 (DEFAULT_MAX_TOKEN_LENGTH)
+- doclen (the BM25 norm input) = token count AFTER stop/length filtering,
+  overlap-free — BM25Similarity.java:142-143 with discountOverlaps=true
+- the code analyzer splits camelCase / snake_case deterministically
+  (north star: "code-aware tokenization"); the standard analyzer keeps
+  `_`-joined runs whole (UAX#29 ExtendNumLet behavior of StandardTokenizer)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+# analysis/en/EnglishAnalyzer.java:43-52
+ENGLISH_STOP_WORDS: frozenset[str] = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+DEFAULT_MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
+
+_CAMEL_1 = re.compile(r"([a-z0-9])([A-Z])")
+_CAMEL_2 = re.compile(r"([A-Z]+)([A-Z][a-z])")
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    name: str
+    token_pattern: str = r"[A-Za-z0-9_]+"
+    lowercase: bool = True
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+    split_camel: bool = False
+
+    def tokenize_series(self, content: pd.Series) -> pd.Series:
+        """Series[str] -> Series[list[str]] — the full chain, vectorized."""
+        return tokenize_pandas(content, self)
+
+
+def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
+    s = content.fillna("")
+    if a.split_camel:
+        # deterministic camelCase boundaries: fooBar -> foo Bar, HTTPServer -> HTTP Server
+        s = s.str.replace(_CAMEL_1, r"\1 \2", regex=True)
+        s = s.str.replace(_CAMEL_2, r"\1 \2", regex=True)
+    if a.lowercase:
+        s = s.str.lower()
+    toks = s.str.findall(a.token_pattern)
+    # stop + length filters; stopwords are lowercase so filter after lowering
+    stop = a.stopwords
+    maxlen = a.max_token_length
+    if stop or maxlen:
+        toks = toks.map(lambda ts: [t for t in ts if len(t) <= maxlen and t not in stop])
+    return toks
+
+
+_REGISTRY: dict[str, Analyzer] = {}
+
+
+def register_analyzer(a: Analyzer) -> Analyzer:
+    _REGISTRY[a.name] = a
+    return a
+
+
+def get_analyzer(name: str) -> Analyzer:
+    return _REGISTRY[name]
+
+
+# StandardAnalyzer analogue: word runs (underscore-joined, per UAX#29
+# ExtendNumLet), lowercase, English stops.
+register_analyzer(
+    Analyzer(name="standard", token_pattern=r"[A-Za-z0-9_]+", stopwords=ENGLISH_STOP_WORDS)
+)
+
+# Code analyzer (north star "code-aware"): camelCase/snake_case split into
+# sub-identifiers; no stopword removal (code keywords are signal).
+register_analyzer(
+    Analyzer(name="code", token_pattern=r"[A-Za-z0-9]+", split_camel=True)
+)
+
+# Whitespace analyzer: exact split on runs of whitespace; used where an
+# external SQL oracle must reproduce tokenization exactly.
+register_analyzer(
+    Analyzer(name="whitespace", token_pattern=r"\S+", lowercase=False, stopwords=frozenset(), max_token_length=1 << 20)
+)
+
+# Simple analyzer: letter/digit runs + lowercase, no stops (Lucene
+# SimpleAnalyzer ~ analysis/core/SimpleAnalyzer.java but keeping digits).
+register_analyzer(Analyzer(name="simple", token_pattern=r"[a-z0-9]+"))

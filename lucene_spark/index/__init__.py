@@ -1,0 +1,3 @@
+from lucene_spark.index.builder import IndexBuilder, IndexConfig  # noqa: F401
+from lucene_spark.index.reader import IndexReader  # noqa: F401
+from lucene_spark.index.check import check_index  # noqa: F401

@@ -1,0 +1,399 @@
+"""Distributed index build — the write path.
+
+Role analogue (SURVEY.md §2.3 / §3.1):
+- DocumentsWriterPerThread (index/DocumentsWriterPerThread.java:46): each
+  Spark input partition independently inverts its documents into a private
+  "segment" — per-partition posting lists — with NO shuffle of token data.
+  This is Lucene's DWPT design point restated for Spark: ingest is
+  embarrassingly parallel; only small per-term stats are shuffled later.
+- flush/sort (index/FreqProxTermsWriter.java:96-101): within a partition,
+  postings are sorted by (term, doc) and encoded term-at-a-time.
+- postings format (codecs/lucene84/Lucene84PostingsFormat.java:184-208):
+  docIDs as VByte(delta), tfs as VByte, plus per-128-doc block-max
+  metadata (skip + impacts — Lucene84SkipWriter.java:219-236).
+- segment merge (index/SegmentMerger.java:103-147, MultiTermsEnum): the
+  global term dictionary is a `groupBy(term)` over tiny per-(term,part)
+  stat rows — Spark's sort/hash shuffle IS the k-way merge; posting arrays
+  themselves are NEVER concatenated across partitions (doc_id embeds
+  part_id in its high bits, so per-partition lists are already globally
+  ordered fragments).
+- commit (index/IndexWriter.java:167-175 two-phase commit / segments_N):
+  per-group lineage manifests + a final index manifest; a rerun skips
+  groups whose manifest matches the source fingerprint (resumable build).
+
+Skew handling (north rule "salted repartition of hot terms"): a hot term's
+postings never converge on one reducer — they stay as per-(term, partition)
+rows, and rows longer than `max_postings_per_slice` are split into ordered
+slices. The only term-keyed shuffle (stats aggregation) is a sum with
+map-side partial aggregation, which Spark handles skew-free.
+
+Scale notes (100 TB design point):
+- partition size is the RAM budget analogue of Lucene's 16 MB DWPT buffer
+  (IndexWriterConfig.java:82): choose `partitions` so one partition's
+  postings fit an executor (e.g. 256 MB of content per partition).
+- `num_groups` bounds the blast radius of a failed/resumed run — each
+  group is an independent job + manifest (Lucene: independent flushes).
+- postings are written partitioned by a term hash bucket → query-time scans
+  prune to the buckets of the queried terms (partition pruning), and
+  Parquet term-filter pushdown prunes row groups within a bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.codec.blocks import BLOCK_SIZE, build_block_meta
+from lucene_spark.codec.vbyte import vbyte_encode, delta_encode
+
+PART_ID_SHIFT = 40  # doc_id = part_id << 40 | local_id  (SURVEY.md §1.4)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    content_col: str = "content"
+    analyzer: str = "code"
+    partitions: int = 8               # per group; the DWPT-count analogue
+    num_groups: int = 1               # independent resumable build units
+    num_buckets: int = 16             # postings term-hash partition count
+    block_size: int = BLOCK_SIZE
+    max_postings_per_slice: int = 1 << 20   # hot-term slice cap (postings/row)
+    termdict_partitions: int = 4      # sorted term-dictionary output files
+    carry_cols: tuple[str, ...] = ()  # extra source cols copied into docstats
+
+
+def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
+    key_fields = [T.StructField(f.name, f.dataType, True) for f in src_schema.fields
+                  if f.name in cfg.key_cols + cfg.carry_cols]
+    arr = T.ArrayType(T.LongType())
+    return T.StructType(
+        [T.StructField("kind", T.StringType(), False)]
+        + key_fields
+        + [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("doclen", T.LongType(), True),
+            T.StructField("sha256", T.StringType(), True),
+            T.StructField("term", T.StringType(), True),
+            T.StructField("part_id", T.IntegerType(), True),
+            T.StructField("slice", T.IntegerType(), True),
+            T.StructField("local_df", T.LongType(), True),
+            T.StructField("local_cf", T.LongType(), True),
+            T.StructField("doc_blob", T.BinaryType(), True),
+            T.StructField("tf_blob", T.BinaryType(), True),
+            T.StructField("dl_blob", T.BinaryType(), True),
+            T.StructField("block_last", arr, True),
+            T.StructField("block_max_tf", arr, True),
+            T.StructField("block_min_dl", arr, True),
+        ]
+    )
+
+
+def _invert_partition(
+    batches: Iterator[pd.DataFrame],
+    cfg: IndexConfig,
+    group_id: int,
+    partitions_per_group: int,
+    key_and_carry: list[str],
+) -> Iterator[pd.DataFrame]:
+    """Per-partition segment build (DWPT + flush analogue). Runs once per
+    Spark partition inside mapInPandas; all math is vectorized
+    pandas/numpy — no per-row Python in the hot path."""
+    from pyspark import TaskContext
+
+    analyzer = get_analyzer(cfg.analyzer)
+    tc = TaskContext.get()
+    local_pid = tc.partitionId() if tc is not None else 0
+    part_id = group_id * partitions_per_group + local_pid
+
+    local_id = 0
+    term_chunks: list[np.ndarray] = []
+    doc_chunks: list[np.ndarray] = []
+    tf_chunks: list[np.ndarray] = []
+    dl_chunks: list[np.ndarray] = []
+    doc_rows: list[pd.DataFrame] = []
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        toks = analyzer.tokenize_series(pdf[cfg.content_col])
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        doclens = counts
+        ids = np.arange(local_id, local_id + n, dtype=np.int64)
+
+        # docstats rows for this batch
+        drow = pdf[key_and_carry].copy()
+        drow["doc_id"] = (np.int64(part_id) << PART_ID_SHIFT) | ids
+        drow["doclen"] = doclens
+        drow["sha256"] = pdf["__sha256"].to_numpy()
+        doc_rows.append(drow)
+
+        # invert: explode (term, local_doc) and count tf via pandas groupby
+        if counts.sum():
+            import itertools
+
+            flat_terms = np.array(
+                list(itertools.chain.from_iterable(toks.tolist())), dtype=object
+            )
+            flat_docs = np.repeat(ids, counts)
+            tdf = pd.DataFrame({"t": flat_terms, "d": flat_docs})
+            agg = tdf.groupby(["t", "d"], sort=False).size().reset_index(name="tf")
+            agg_d = agg["d"].to_numpy(dtype=np.int64)
+            term_chunks.append(agg["t"].to_numpy())
+            doc_chunks.append(agg_d)
+            tf_chunks.append(agg["tf"].to_numpy(dtype=np.int64))
+            # exact doclen carried per posting (lossy-norm-free norms)
+            dl_chunks.append(doclens[agg_d - int(ids[0])])
+        local_id += n
+
+    # ---- flush: sort by (term, doc) and encode term-at-a-time ----
+    out_frames: list[pd.DataFrame] = []
+    if term_chunks:
+        terms = np.concatenate(term_chunks)
+        docs = np.concatenate(doc_chunks)
+        tfs = np.concatenate(tf_chunks)
+        dls = np.concatenate(dl_chunks)
+        order = np.lexsort((docs, terms))
+        terms, docs, tfs, dls = terms[order], docs[order], tfs[order], dls[order]
+        docs = (np.int64(part_id) << PART_ID_SHIFT) | docs
+
+        uniq, starts = np.unique(terms, return_index=True)
+        bounds = np.append(starts, terms.size)
+        cap = cfg.max_postings_per_slice
+        recs: dict[str, list] = {k: [] for k in (
+            "term", "slice", "local_df", "local_cf", "doc_blob", "tf_blob",
+            "dl_blob", "block_last", "block_max_tf", "block_min_dl")}
+        for i in range(uniq.size):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            s = 0
+            for off in range(lo, hi, cap):
+                end = min(off + cap, hi)
+                d, t, l = docs[off:end], tfs[off:end], dls[off:end]
+                bl, bmt, bmd = build_block_meta(d, t, l, cfg.block_size)
+                recs["term"].append(uniq[i])
+                recs["slice"].append(s)
+                recs["local_df"].append(end - off)
+                recs["local_cf"].append(int(t.sum()))
+                recs["doc_blob"].append(vbyte_encode(delta_encode(d)))
+                recs["tf_blob"].append(vbyte_encode(t))
+                recs["dl_blob"].append(vbyte_encode(l))
+                recs["block_last"].append(bl.tolist())
+                recs["block_max_tf"].append(bmt.tolist())
+                recs["block_min_dl"].append(bmd.tolist())
+                s += 1
+        pf = pd.DataFrame(recs)
+        pf["kind"] = "posting"
+        pf["part_id"] = np.int32(part_id)
+        out_frames.append(pf)
+
+    if doc_rows:
+        df_doc = pd.concat(doc_rows, ignore_index=True)
+        df_doc["kind"] = "docstat"
+        out_frames.append(df_doc)
+
+    all_cols = ["kind"] + key_and_carry + [
+        "doc_id", "doclen", "sha256", "term", "part_id", "slice", "local_df",
+        "local_cf", "doc_blob", "tf_blob", "dl_blob", "block_last",
+        "block_max_tf", "block_min_dl"]
+    for f in out_frames:
+        for c in all_cols:
+            if c not in f.columns:
+                f[c] = None
+        yield f[all_cols]
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or IndexConfig()
+
+    # -- lineage helpers ---------------------------------------------------
+    def _manifest_path(self, index_dir: str, group: int) -> str:
+        return os.path.join(index_dir, "parts", f"group-{group:05d}.json")
+
+    def _source_fingerprint(self, source: DataFrame) -> str:
+        """Cheap deterministic fingerprint of the source snapshot: schema +
+        count (an Iceberg snapshot id would be used when available)."""
+        cnt = source.count()
+        return hashlib.sha256(f"{source.schema.json()}|{cnt}".encode()).hexdigest()[:16]
+
+    # -- build -------------------------------------------------------------
+    def build(self, source: DataFrame, index_dir: str, overwrite: bool = False) -> dict:
+        """Build (or resume) the full index under `index_dir`.
+
+        Layout:
+          raw/group=G/            per-group segment output (postings+docstats union)
+          postings/bucket=B/      query-facing postings, term-hash partitioned
+          termdict/               sorted global term dictionary
+          docstats/               per-doc sidecar (doclen, sha256, keys)
+          fieldstats/             single-row collection stats
+          parts/group-*.json      per-group lineage manifests (resume)
+          manifest.json           final commit (the segments_N analogue)
+        """
+        cfg = self.cfg
+        t0 = time.time()
+        if overwrite and os.path.isdir(index_dir):
+            import shutil
+
+            shutil.rmtree(index_dir)
+        os.makedirs(os.path.join(index_dir, "parts"), exist_ok=True)
+        fp = self._source_fingerprint(source)
+
+        key_and_carry = [c for c in source.columns if c in cfg.key_cols + cfg.carry_cols]
+        src = source.select(
+            *key_and_carry,
+            F.col(cfg.content_col),
+            F.sha2(F.col(cfg.content_col), 256).alias("__sha256"),  # JVM-side invariant hash
+        )
+        schema = _raw_schema(src.schema, cfg)
+
+        built_groups = []
+        for g in range(cfg.num_groups):
+            mpath = self._manifest_path(index_dir, g)
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    m = json.load(fh)
+                if m.get("source_fingerprint") == fp and m.get("status") == "done":
+                    built_groups.append(m)
+                    continue  # resume: group already built for this snapshot
+            m = self._build_group(src, index_dir, g, fp, schema, key_and_carry)
+            built_groups.append(m)
+
+        # ---- merge stage: global termdict + docstats + fieldstats ----
+        raw = self.spark.read.parquet(os.path.join(index_dir, "raw"))
+
+        postings = (
+            raw.filter(F.col("kind") == "posting")
+            .select("term", "part_id", "slice", "local_df", "local_cf",
+                    "doc_blob", "tf_blob", "dl_blob",
+                    "block_last", "block_max_tf", "block_min_dl")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        (
+            postings.repartition(cfg.num_buckets, "bucket")
+            .sortWithinPartitions("term", "part_id", "slice")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
+
+        # global term dictionary: the MultiTermsEnum merge collapses to a
+        # tiny stats aggregation (map-side combined; skew-immune)
+        termdict = (
+            postings.groupBy("term")
+            .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        (
+            termdict.repartitionByRange(cfg.termdict_partitions, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "termdict"))
+        )
+
+        docstats = raw.filter(F.col("kind") == "docstat").select(
+            *key_and_carry, "doc_id", "doclen", "sha256"
+        )
+        docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
+        docstats = self.spark.read.parquet(os.path.join(index_dir, "docstats"))
+
+        fieldstats = docstats.agg(
+            F.count("*").alias("doc_count"),
+            F.sum("doclen").alias("sum_doclen"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        fieldstats.write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats"))
+
+        fs = fieldstats.collect()[0].asDict()
+        manifest = {
+            "version": 1,
+            "source_fingerprint": fp,
+            "config": {
+                "analyzer": cfg.analyzer,
+                "key_cols": list(cfg.key_cols),
+                "content_col": cfg.content_col,
+                "num_buckets": cfg.num_buckets,
+                "block_size": cfg.block_size,
+                "partitions": cfg.partitions,
+                "num_groups": cfg.num_groups,
+                "carry_cols": list(cfg.carry_cols),
+            },
+            "doc_count": fs.get("doc_count"),
+            "sum_doclen": fs.get("sum_doclen"),
+            "groups": built_groups,
+            "build_seconds": round(time.time() - t0, 3),
+            "status": "done",
+        }
+        # two-phase publish: write tmp then atomic rename (commit() analogue,
+        # index/IndexWriter.java:3341-3355 / SegmentInfos.finishCommit)
+        tmp = os.path.join(index_dir, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+        return manifest
+
+    def _build_group(
+        self,
+        src: DataFrame,
+        index_dir: str,
+        group: int,
+        fp: str,
+        schema: T.StructType,
+        key_and_carry: list[str],
+    ) -> dict:
+        cfg = self.cfg
+        t0 = time.time()
+        part = src
+        if cfg.num_groups > 1:
+            gcol = F.pmod(F.xxhash64(*[F.col(c) for c in cfg.key_cols]), F.lit(cfg.num_groups))
+            part = src.filter(gcol == group)
+        # deterministic placement: hash-repartition on keys, then fix the
+        # row order inside every partition (doc_id reproducibility —
+        # SURVEY.md §7.3 item 3)
+        part = part.repartition(cfg.partitions, *[F.col(c) for c in cfg.key_cols]) \
+                   .sortWithinPartitions(*cfg.key_cols)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            return _invert_partition(batches, cfg, group, cfg.partitions, key_and_carry)
+
+        raw = part.mapInPandas(fn, schema=schema)
+        out = os.path.join(index_dir, "raw", f"group={group}")
+        raw.write.mode("overwrite").parquet(out)
+
+        # per-group metrics from the written data (lineage record)
+        rd = self.spark.read.parquet(out)
+        agg = rd.groupBy("kind").agg(
+            F.count("*").alias("rows"),
+            F.sum("local_cf").alias("postings"),
+            F.sum("doclen").alias("tokens"),
+            F.max("local_df").alias("max_local_df"),
+        ).collect()
+        stats = {r["kind"]: r.asDict() for r in agg}
+        m = {
+            "group": group,
+            "source_fingerprint": fp,
+            "status": "done",
+            "docs": stats.get("docstat", {}).get("rows", 0),
+            "terms_rows": stats.get("posting", {}).get("rows", 0),
+            "postings": int(stats.get("posting", {}).get("postings") or 0),
+            "tokens": int(stats.get("docstat", {}).get("tokens") or 0),
+            "max_local_df": int(stats.get("posting", {}).get("max_local_df") or 0),
+            "seconds": round(time.time() - t0, 3),
+        }
+        mpath = self._manifest_path(index_dir, group)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh, indent=2)
+        os.replace(tmp, mpath)
+        return m

@@ -1,0 +1,146 @@
+"""Deduplication operators for large-scale corpus/training-data pipelines.
+
+Exact dedup, MinHash+LSH, SimHash and n-gram Jaccard near-dup — the
+operations a 100 TB text pipeline runs before anything else. All hashing
+is computed JVM-side (xxhash64/sha2/shingles via built-in functions) or in
+vectorized numpy; the only shuffles are the final hash/band groupBys.
+
+Scale notes:
+- exact dedup: one groupBy on a 64/256-bit digest — skew-free (digests
+  are uniform), map-side combine applies.
+- MinHash LSH: signatures via posexplode + groupBy(doc) min-agg, then
+  band-bucket join; candidate pairs are bounded by bucket sizes, and giant
+  buckets (boilerplate docs) are capped explicitly — the documented guard
+  against quadratic blowup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def exact_duplicates(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Exact dedup by content digest: groups with >1 member.
+    Returns (digest, n_dups, keys array<key>)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("digest"), F.col(key_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(key_col)).alias("keys"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Keep the lowest-key row per exact-content group (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(key_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc — JVM-side: split + transform over a
+    sequence (no UDF). Returns (key, shingle)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select(F.col(key_col).alias("key"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """MinHash signature per key: h_i(s) = xxhash64(shingle, seed=i); the
+    signature is the per-seed minimum — computed as one explode over seeds
+    + groupBy(key) min, all JVM-side. Returns (key, sig array<long>)."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    h = (
+        sh.select("key", "shingle", F.explode(seeds).alias("seed"))
+        .select("key", "seed", F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"))
+        .groupBy("key", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
+        .select("key", F.transform("sm", lambda s: s["mh"]).alias("sig"))
+    )
+    return h
+
+
+def minhash_lsh_pairs(
+    sig: DataFrame, bands: int = 16, rows_per_band: int = 4, max_bucket: int = 50
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    Buckets larger than max_bucket are dropped (boilerplate guard — at
+    100 TB a license-header bucket would otherwise go quadratic).
+    Returns distinct (key_a, key_b) with key_a < key_b."""
+    band_hashes = F.array(*[
+        F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                      for r in range(rows_per_band)]), F.lit(b))
+        for b in range(bands)
+    ])
+    buckets = sig.select("key", F.posexplode(band_hashes).alias("band", "bh"))
+    sized = buckets.groupBy("band", "bh").agg(
+        F.count("*").alias("sz"), F.sort_array(F.collect_list("key")).alias("ks")
+    ).filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+    pairs = sized.select(
+        F.explode(
+            F.filter(
+                F.flatten(F.transform("ks", lambda a: F.transform("ks", lambda b: F.struct(a.alias("key_a"), b.alias("key_b"))))),
+                lambda s: s["key_a"] < s["key_b"],
+            )
+        ).alias("p")
+    ).select("p.key_a", "p.key_b").distinct()
+    return pairs
+
+
+def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification pass):
+    |A∩B| / |A∪B| via two joins + counts. Returns pairs ≥ threshold."""
+    sizes = sh.groupBy("key").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("key").alias("key_a"), "shingle")
+    b = sh.select(F.col("key").alias("key_b"), F.col("shingle").alias("shingle"))
+    inter = (
+        pairs.join(a, "key_a").join(b, ["key_b", "shingle"])
+        .groupBy("key_a", "key_b").agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("sz", "sz_a"), "key_a")
+        .join(sizes.withColumnRenamed("key", "key_b").withColumnRenamed("sz", "sz_b"), "key_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per doc via a vectorized pandas UDF: sum ±1 per
+    bit over token hashes, sign → bit. Returns (key, simhash long)."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def h64(tok: str) -> int:  # deterministic across processes
+            return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.array([h64(tok) for tok in toks], dtype=np.uint64)
+            bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            v = (2 * bits_m - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for bpos in np.flatnonzero(v > 0):
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(key_col).alias("key"), _simhash(F.col(text_col)).alias("simhash"))

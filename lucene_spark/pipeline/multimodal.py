@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The decode step is STUBBED (no codec libraries in this environment) behind
+`decode_image_stub` — a deterministic fake that produces a stable feature
+vector from the bytes — while the Spark-side plumbing (schema, Arrow batch
+shape, mapInPandas signature, partitioning) is real and tested. Swap the
+stub for a real decoder (PIL/torchaudio/decord) without touching the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),          # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),        # opaque bytes
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+FEATURE_DIM = 16
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'decoder': bytes -> FEATURE_DIM float32 feature.
+    A real implementation raises NotImplementedError without the codec lib;
+    this fake keeps the distributed plumbing testable."""
+    if payload is None:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint8).astype(np.float32)
+    return (raw[:FEATURE_DIM] - 128.0) / 128.0
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches: the real shape of
+    a decode/resize/embed stage (batched, columnar, no driver involvement).
+    Returns (media_id, kind, feature array<float>)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": feats,
+            })
+
+    return df.mapInPandas(run, "media_id long, kind string, feature array<float>")
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (JVM-side sequence explode); the actual frame decode would run in a
+    downstream mapInPandas like extract_features."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn("ts_ms", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))))
+        .select("media_id", "mime", "ts_ms")
+    )
+
+
+def make_fake_media(spark, n: int = 64):
+    """Deterministic synthetic media table for tests."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes(hashlib.sha256(f"media-{i}".encode()).digest() * 4)
+        rows.append((i, kind, f"x/{kind}", payload, 64, 64, 5000 if kind == "video" else None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

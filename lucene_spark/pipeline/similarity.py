@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; dot products via JVM-side
+  F.zip_with + F.aggregate (no Python), top-k via orderBy().limit()
+  (TakeOrderedAndProject — no full sort).
+- LSH-bucketed variant (random hyperplane signs): the scale path — at
+  100 TB the bucket join prunes the candidate set to ~N/2^bits per probe;
+  exactness traded for a bounded candidate scan, mirroring Lucene's HNSW
+  role (lucene/CHANGES.txt:13-15 Lucene90 vectors) without a graph.
+- batched matrix scoring via mapInPandas (Arrow → numpy GEMM) for
+  many-query workloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame, vec_col: str, key_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one query vector.
+    Returns (key, cosine) ordered desc, tie-break key asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(query_vec))
+    cos = _dot(F.col(vec_col), q) / (F.greatest(_norm(F.col(vec_col)), F.lit(1e-30)) * F.lit(qn))
+    return (
+        df.select(F.col(key_col).alias("key"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, key_col: str, planes: np.ndarray) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit b = (v · plane_b) > 0. Computed
+    JVM-side as a sum over literal plane arrays. Returns (key, bucket)."""
+    bits = []
+    for b in range(planes.shape[0]):
+        p = F.array(*[F.lit(float(x)) for x in planes[b]])
+        bits.append(F.when(_dot(F.col(vec_col), p) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for x in bits[1:]:
+        bucket = bucket + x
+    return df.select(F.col(key_col).alias("key"), F.col(vec_col), bucket.alias("bucket"))
+
+
+def cosine_topk_lsh(
+    df: DataFrame, vec_col: str, key_col: str, query_vec: list[float],
+    k: int = 10, bits: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    (Multi-probe = union over neighboring buckets; single-probe here.)"""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, bits, seed)
+    qbucket = int(sum((1 << b) for b in range(bits) if float(planes[b] @ np.asarray(query_vec)) > 0))
+    bucketed = lsh_bucket(df, vec_col, key_col, planes).filter(F.col("bucket") == qbucket)
+    return cosine_topk_bruteforce(bucketed, vec_col, "key", query_vec, k)
+
+
+def pairwise_topk_gemm(
+    df: DataFrame, vec_col: str, key_col: str, queries: np.ndarray, k: int = 10
+) -> DataFrame:
+    """Many-queries scoring: each Arrow batch → numpy GEMM (batch × Q),
+    per-partition top-k per query, global merge. queries: (Q, dim).
+    Returns (query_id, key, cosine) with exactly k rows per query."""
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    qT = qn.T.copy()
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = m @ qT  # (batch, Q)
+            nq = sims.shape[1]
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            keys = pdf[key_col].to_numpy()
+            out = pd.DataFrame({
+                "query_id": np.repeat(np.arange(nq), kk),
+                "key": keys[top.T.ravel()],
+                "cosine": np.take_along_axis(sims, top, axis=0).T.ravel(),
+            })
+            yield out
+
+    cand = df.select(key_col, vec_col).mapInPandas(score, "query_id int, key long, cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("key").asc())
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,99 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — the per-document scoring passes of a training-
+data pipeline. Everything is built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword-ratio
+# language heuristic (deterministic, dependency-free)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "por", "que"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap len(text.split()) analogue)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper-bound token estimate: word-piece boundaries at
+    non-alphanumerics plus length/4 continuation pieces for long words."""
+    words = F.split(F.lower(text), r"[^a-z0-9]+")
+    pieces = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.when(F.length(w) == 0, 0).otherwise(
+            F.greatest(F.ceil(F.length(w) / 4).cast("int"), F.lit(1))),
+    )
+    return pieces
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a combined
+    [0,1] score (the Gopher/C4-style rule family, public heuristics)."""
+    t = F.col(text_col)
+    words = F.split(F.lower(t), r"\s+")
+    n_tok = token_count(t)
+    stop_arr = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    out = (
+        df.withColumn("n_chars_q", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn("mean_word_len", (alpha / F.greatest(n_tok, F.lit(1))).cast("double"))
+        .withColumn("punct_ratio", (punct / F.greatest(F.length(t), F.lit(1))).cast("double"))
+        .withColumn("stopword_hits", n_stop)
+    )
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.0)
+        .otherwise(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+            + F.least(F.col("stopword_hits") / F.lit(4.0), F.lit(1.0)) * 0.3
+        )
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def detect_language(df: DataFrame, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: count marker hits per language, take
+    the argmax ('und' when nothing matches). Pure JVM expressions."""
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ms]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ms in _LANG_MARKERS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "detected_lang",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, key_col: str, ngram: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: min/max xxhash64 over character
+    n-gram windows (winnowing-style, public technique) + full digest.
+    Returns (key, fp_min, fp_max, digest)."""
+    # dynamic-start substr needs SQL expr (F.substring takes literal start)
+    win_hashes = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {ngram} + 1, 1)), "
+        f"i -> xxhash64(substr(lower({text_col}), i, {ngram})))"
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.array_min(win_hashes).alias("fp_min"),
+        F.array_max(win_hashes).alias("fp_max"),
+        F.sha2(F.col(text_col), 256).alias("digest"),
+    )

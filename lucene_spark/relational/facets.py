@@ -1,0 +1,90 @@
+"""Facets / grouping / stats — Lucene facet module + Solr JSON Facets.
+
+Role analogue (SURVEY.md §2.7):
+- facet counts (lucene/facet/ FacetsCollector, sortedset/, range/):
+  matches.groupBy(dim).count()
+- Solr JSON Facet aggregations (solr/core/.../search/facet/: SumAgg,
+  AvgAgg, MinMaxAgg, HLLAgg, PercentileAgg, StdAgg, VarianceAgg):
+  Spark built-ins incl. approx_count_distinct (HLL) and percentile_approx;
+  the distributed partial/merge protocol (FacetFieldMerger.java) is
+  Spark's native two-phase aggregation.
+- DrillDownQuery/DrillSideways: N groupBys sharing one cached base filter.
+- range facets (facet/range/LongRangeFacetCounts): width_bucket-style expr.
+
+All facet inputs are "the matching doc set" — here a DataFrame of matches
+(e.g. searcher.matches(query) joined to docstats/corpus columns), so facet
+math stays 100% JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def facet_counts(matches: DataFrame, dim: str, top_n: int = 10) -> DataFrame:
+    """Field facet: count per category, ordered by count desc then value
+    (Solr's default bucket sort)."""
+    return (
+        matches.groupBy(dim)
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.col("count").desc(), F.col(dim).asc())
+        .limit(top_n)
+    )
+
+
+def range_facets(matches: DataFrame, col: str, start: float, end: float, gap: float) -> DataFrame:
+    """Numeric range facet (facet/range/LongRangeFacetCounts): fixed-width
+    buckets; bucket id computed JVM-side, no UDF."""
+    bucket = F.floor((F.col(col) - F.lit(start)) / F.lit(gap)).cast("long")
+    return (
+        matches.filter((F.col(col) >= start) & (F.col(col) < end))
+        .withColumn("bucket_lo", F.lit(start) + bucket * F.lit(gap))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("count"))
+        .orderBy("bucket_lo")
+    )
+
+
+def stats_facet(matches: DataFrame, col: str) -> DataFrame:
+    """Solr StatsComponent / JSON facet aggs over one field."""
+    c = F.col(col)
+    return matches.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+        F.var_samp(c).alias("variance"),
+        F.approx_count_distinct(c).alias("unique_hll"),       # HLLAgg
+        F.percentile_approx(c, [0.5, 0.95, 0.99]).alias("percentiles"),  # PercentileAgg
+    )
+
+
+def pivot_facets(matches: DataFrame, dims: list[str]) -> DataFrame:
+    """Pivot facets (handler/component/PivotFacetProcessor.java):
+    hierarchical multi-field counts via rollup."""
+    return (
+        matches.rollup(*dims)
+        .agg(F.count("*").alias("count"))
+        .orderBy(*[F.col(d).asc_nulls_first() for d in dims])
+    )
+
+
+def drill_sideways(base_matches: DataFrame, dims: list[str], top_n: int = 10) -> dict[str, DataFrame]:
+    """DrillSideways: one facet table per dimension over the shared base
+    match set; caller should .cache() base_matches (the filterCache role,
+    solr/search/SolrIndexSearcher.java:94)."""
+    return {d: facet_counts(base_matches, d, top_n) for d in dims}
+
+
+def group_top_docs(matches: DataFrame, group_col: str, order: list[Column], n_per_group: int) -> DataFrame:
+    """Two-pass grouping (grouping/FirstPassGroupingCollector.java →
+    second pass): top docs per group, one window shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        matches.withColumn("group_rank", F.row_number().over(w))
+        .filter(F.col("group_rank") <= n_per_group)
+    )

@@ -1,0 +1,286 @@
+"""Vectorized per-partition query evaluation kernel (numpy).
+
+This runs inside `applyInPandas` grouped by partition — the analogue of
+Lucene's per-LeafReaderContext scorer tree execution
+(search/IndexSearcher.java:310-356). Everything here is numpy array math
+over decoded posting lists; no per-row Python.
+
+Implemented scorer semantics:
+- conjunction: cost-ordered leapfrog — legs intersected smallest-df first
+  (search/ConjunctionDISI.java:225-229) via np.intersect1d on sorted ids
+- disjunction: union with per-doc float score sums accumulated in double
+  and cast to float32 (search/DisjunctionSumScorer.java)
+- MUST_NOT: sorted-set difference (ReqExclScorer)
+- FILTER: intersection without score contribution (BooleanClause.FILTER)
+- DisjunctionMax: max + tie·Σ(rest) (search/DisjunctionMaxQuery.java)
+- constant-score: fixed boost (search/ConstantScoreQuery.java)
+- synonym: postings of the set merged per doc with tf summed, scored as a
+  single pseudo-term (search/SynonymQuery.java:52)
+- block-max pruning for single-term top-k: blocks whose upper-bound score
+  is strictly below the current kth-best are skipped — admissible, hence
+  result-identical to exhaustive scoring (contract of index/Impacts.java:43-45);
+  ties are NOT pruned (strict <) so the (score desc, doc_id asc) tie-break
+  of TopScoreDocCollector.java:90-93 is preserved exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_spark.search import plan as P
+from lucene_spark.search.similarity import BM25Similarity
+
+
+@dataclass
+class TermPostings:
+    docs: np.ndarray      # int64 sorted
+    tfs: np.ndarray       # int64
+    dls: np.ndarray       # int64 exact doclens
+    block_last: np.ndarray
+    block_max_tf: np.ndarray
+    block_min_dl: np.ndarray
+
+
+@dataclass
+class EvalContext:
+    postings: dict[str, TermPostings]     # terms present in this partition
+    weights: dict[tuple[str, float], np.float32]  # (term, boost) -> weight
+    syn_weights: dict[tuple[tuple[str, ...], float], np.float32]
+    avgdl: np.float32
+    sim: BM25Similarity
+    k: int = 10
+
+
+_EMPTY_I = np.empty(0, dtype=np.int64)
+_EMPTY_F = np.empty(0, dtype=np.float32)
+
+
+def _empty() -> tuple[np.ndarray, np.ndarray]:
+    return _EMPTY_I, _EMPTY_F
+
+
+def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Return (sorted doc_ids, float32 scores). Scores are zeros when
+    need_scores=False (filter context)."""
+    if isinstance(node, P.TermNode):
+        return _eval_term(node, ctx, need_scores)
+    if isinstance(node, P.SynonymNode):
+        return _eval_synonym(node, ctx, need_scores)
+    if isinstance(node, P.TermInSetNode):
+        docs = _union_docs([ctx.postings[t].docs for t in node.terms if t in ctx.postings])
+        return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
+    if isinstance(node, P.ConstantScoreNode):
+        docs, _ = eval_node(node.child, ctx, need_scores=False)
+        return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
+    if isinstance(node, P.MatchNoneNode):
+        return _empty()
+    if isinstance(node, P.BooleanNode):
+        return _eval_boolean(node, ctx, need_scores)
+    if isinstance(node, P.DisjunctionMaxNode):
+        return _eval_dismax(node, ctx, need_scores)
+    raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
+
+
+def _eval_term(node: P.TermNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    tp = ctx.postings.get(node.term)
+    if tp is None:
+        return _empty()
+    if not need_scores:
+        return tp.docs, np.zeros(tp.docs.size, dtype=np.float32)
+    w = ctx.weights[(node.term, node.boost)]
+    scores = ctx.sim.score(tp.tfs, tp.dls, w, ctx.avgdl)
+    return tp.docs, scores
+
+
+def score_term_topk_blockmax(node: P.TermNode, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+    """Single-term top-k with block-max skipping (ImpactsDISI analogue,
+    search/ImpactsDISI.java:99-131). Two-phase:
+      1. score the highest-upper-bound blocks covering ≥k postings →
+         partition-local floor = kth best actual score
+         (the minCompetitiveScore of TopScoreDocCollector.java:84-98)
+      2. additionally score every other block whose upper bound is NOT
+         strictly below the floor
+    Result-identical to exhaustive scoring (strict < keeps ties alive)."""
+    tp = ctx.postings.get(node.term)
+    if tp is None:
+        return _empty()
+    k = ctx.k
+    n = tp.docs.size
+    if n <= max(4 * k, 512) or tp.block_last.size <= 4:
+        return _eval_term(node, ctx, True)
+    w = ctx.weights[(node.term, node.boost)]
+    bmax = ctx.sim.max_score(tp.block_max_tf, tp.block_min_dl, w, ctx.avgdl)
+    nb = bmax.size
+    bs = (n + nb - 1) // nb  # block size (last block short)
+    order = np.argsort(-bmax, kind="stable")
+    take = min(nb, max(1, (k + bs - 1) // bs))
+    phase1 = order[:take]
+    sel = _block_mask(phase1, nb, bs, n)
+    s1 = ctx.sim.score(tp.tfs[sel], tp.dls[sel], w, ctx.avgdl)
+    if s1.size >= k:
+        floor = np.partition(s1, s1.size - k)[s1.size - k]
+    else:
+        floor = -np.inf
+    rest = order[take:]
+    rest = rest[bmax[rest] >= floor]  # strict-< pruning: keep ties
+    if rest.size:
+        sel2 = _block_mask(rest, nb, bs, n)
+        docs = np.concatenate([tp.docs[sel], tp.docs[sel2]])
+        scores = np.concatenate([s1, ctx.sim.score(tp.tfs[sel2], tp.dls[sel2], w, ctx.avgdl)])
+        o = np.argsort(docs, kind="stable")
+        return docs[o], scores[o]
+    return tp.docs[sel], s1
+
+
+def _block_mask(blocks: np.ndarray, nb: int, bs: int, n: int) -> np.ndarray:
+    sel = np.zeros(n, dtype=bool)
+    for b in blocks:  # few blocks; ranges are vectorized writes
+        sel[b * bs : min((b + 1) * bs, n)] = True
+    return sel
+
+
+def _eval_synonym(node: P.SynonymNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    parts = [ctx.postings[t] for t in node.terms if t in ctx.postings]
+    if not parts:
+        return _empty()
+    docs = np.concatenate([p.docs for p in parts])
+    tfs = np.concatenate([p.tfs for p in parts])
+    dls = np.concatenate([p.dls for p in parts])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    tf_sum = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(tf_sum, inv, tfs)
+    dl_u = np.zeros(uniq.size, dtype=np.int64)
+    dl_u[inv] = dls  # same doc ⇒ same doclen
+    if not need_scores:
+        return uniq, np.zeros(uniq.size, dtype=np.float32)
+    w = ctx.syn_weights[(node.terms, node.boost)]
+    return uniq, ctx.sim.score(tf_sum, dl_u, w, ctx.avgdl)
+
+
+def _union_docs(doc_lists: list[np.ndarray]) -> np.ndarray:
+    if not doc_lists:
+        return _EMPTY_I
+    if len(doc_lists) == 1:
+        return doc_lists[0]
+    return np.unique(np.concatenate(doc_lists))
+
+
+def _eval_boolean(node: P.BooleanNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    musts = [c.node for c in node.clauses if c.occur is P.Occur.MUST]
+    shoulds = [c.node for c in node.clauses if c.occur is P.Occur.SHOULD]
+    filters = [c.node for c in node.clauses if c.occur is P.Occur.FILTER]
+    must_nots = [c.node for c in node.clauses if c.occur is P.Occur.MUST_NOT]
+    msm = node.minimum_should_match
+
+    base: np.ndarray | None = None
+    acc: np.ndarray | None = None  # float64 accumulator aligned with base
+
+    # conjunction, cost-ordered: cheapest (fewest docs) leg first
+    if musts or filters:
+        legs = [(m, True) for m in musts] + [(f, False) for f in filters]
+        evaled = [(eval_node(n, ctx, need_scores and scored), scored) for n, scored in legs]
+        evaled.sort(key=lambda e: e[0][0].size)
+        (docs0, sc0), scored0 = evaled[0]
+        base = docs0
+        acc = sc0.astype(np.float64) if (need_scores and scored0) else np.zeros(docs0.size)
+        for (docs_i, sc_i), scored_i in evaled[1:]:
+            base, ia, ib = np.intersect1d(base, docs_i, assume_unique=True, return_indices=True)
+            acc = acc[ia]
+            if need_scores and scored_i:
+                acc = acc + sc_i[ib].astype(np.float64)
+            if base.size == 0:
+                return _empty()
+
+    if base is None:
+        # pure disjunction: union + score sum + msm count
+        if not shoulds:
+            return _empty()
+        all_docs, all_scores, counts = [], [], None
+        evaled = [eval_node(s, ctx, need_scores) for s in shoulds]
+        all_docs = [d for d, _ in evaled]
+        if not any(d.size for d in all_docs):
+            return _empty()
+        cat = np.concatenate(all_docs)
+        uniq, inv = np.unique(cat, return_inverse=True)
+        acc_u = np.zeros(uniq.size, dtype=np.float64)
+        cnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        if need_scores:
+            cat_s = np.concatenate([s for _, s in evaled]).astype(np.float64)
+            np.add.at(acc_u, inv, cat_s)
+        base, acc = uniq, acc_u
+        if msm > 1:
+            keep = cnt >= msm
+            base, acc = base[keep], acc[keep]
+    elif shoulds:
+        # optional scoring clauses over the conjunction (+ msm if set)
+        cnt = np.zeros(base.size, dtype=np.int64)
+        for s in shoulds:
+            docs_s, sc_s = eval_node(s, ctx, need_scores)
+            pos = np.searchsorted(docs_s, base)
+            pos_c = np.clip(pos, 0, max(docs_s.size - 1, 0))
+            hit = (pos < docs_s.size) & (docs_s.size > 0)
+            if docs_s.size:
+                hit &= docs_s[pos_c] == base
+            cnt += hit.astype(np.int64)
+            if need_scores and docs_s.size:
+                acc = acc + np.where(hit, sc_s[pos_c].astype(np.float64), 0.0)
+        if msm > 0:
+            keep = cnt >= msm
+            base, acc = base[keep], acc[keep]
+
+    # exclusions
+    for mn in must_nots:
+        docs_n, _ = eval_node(mn, ctx, need_scores=False)
+        if docs_n.size and base.size:
+            pos = np.searchsorted(docs_n, base)
+            pos_c = np.clip(pos, 0, docs_n.size - 1)
+            excl = (pos < docs_n.size) & (docs_n[pos_c] == base)
+            base, acc = base[~excl], acc[~excl]
+
+    scores = (acc * np.float64(node.boost)).astype(np.float32) if need_scores else np.zeros(base.size, dtype=np.float32)
+    return base, scores
+
+
+def _eval_dismax(node: P.DisjunctionMaxNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    evaled = [eval_node(c, ctx, need_scores) for c in node.children]
+    docs_all = [d for d, _ in evaled if d.size]
+    if not docs_all:
+        return _empty()
+    cat = np.concatenate(docs_all)
+    uniq, inv_full = np.unique(cat, return_inverse=True)
+    if not need_scores:
+        return uniq, np.zeros(uniq.size, dtype=np.float32)
+    mx = np.full(uniq.size, -np.inf)
+    sm = np.zeros(uniq.size, dtype=np.float64)
+    off = 0
+    for d, s in evaled:
+        if not d.size:
+            continue
+        idx = inv_full[off : off + d.size]
+        off += d.size
+        sf = s.astype(np.float64)
+        np.maximum.at(mx, idx, sf)
+        np.add.at(sm, idx, sf)
+    tie = np.float64(node.tie_breaker)
+    total = mx + tie * (sm - mx)
+    return uniq, (total * np.float64(node.boost)).astype(np.float32)
+
+
+def topk_local(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Partition-local top-k with the exact Lucene tie-break
+    (score desc, doc_id asc — TopScoreDocCollector.java:90-93)."""
+    n = docs.size
+    if n == 0:
+        return docs, scores
+    if n > k:
+        # kth-best score via argpartition, keep everything >= it so ties
+        # survive into the exact lexsort below
+        cut = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        keep = np.flatnonzero(scores >= cut)
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores.astype(np.float64)))
+    order = order[:k]
+    return docs[order], scores[order]

@@ -1,0 +1,199 @@
+"""Query plan tree + logical rewrite.
+
+Role analogue: search/Query.java subclasses (TermQuery, BooleanQuery with
+Occur MUST/SHOULD/FILTER/MUST_NOT — search/BooleanClause.java:90-98) and
+the rewrite fixpoint in IndexSearcher.rewrite / BooleanQuery.rewrite
+(search/BooleanQuery.java:236+): 1-clause unwrap, duplicate dedup,
+MUST ∧ MUST_NOT on same subquery → MatchNoDocs, nested flattening.
+
+Catalyst performs this class of simplification for SQL predicates but not
+for our query algebra (it lives above the relational layer), so this is a
+small driver-side rewriter (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field, replace
+
+
+class Occur(enum.Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    FILTER = "FILTER"      # matches like MUST but does not contribute score
+    MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class Node:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermNode(Node):
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class TermInSetNode(Node):
+    """search/TermInSetQuery.java — constant-score disjunction over a term set."""
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class SynonymNode(Node):
+    """search/SynonymQuery.java:52 — terms scored as one (tf summed, df = max)."""
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class PrefixNode(Node):
+    """search/PrefixQuery.java — expanded against the term dictionary at plan
+    time (MultiTermQuery rewrite, search/MultiTermQuery.java:55)."""
+    prefix: str = ""
+
+
+@dataclass(frozen=True)
+class RegexpNode(Node):
+    """search/RegexpQuery.java / WildcardQuery — dictionary-expanded."""
+    pattern: str = ""
+
+
+@dataclass(frozen=True)
+class FuzzyNode(Node):
+    """search/FuzzyQuery.java — Levenshtein ≤ max_edits dictionary expansion."""
+    term: str = ""
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class TermRangeNode(Node):
+    """search/TermRangeQuery.java — lexicographic range over the sorted dict."""
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class MatchAllNode(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoneNode(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreNode(Node):
+    """search/ConstantScoreQuery.java — wrap, fixed score = boost."""
+    child: Node | None = None
+
+
+@dataclass(frozen=True)
+class Clause:
+    occur: Occur
+    node: Node
+
+
+@dataclass(frozen=True)
+class BooleanNode(Node):
+    clauses: tuple[Clause, ...] = ()
+    minimum_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxNode(Node):
+    """search/DisjunctionMaxQuery.java — max over clauses + tie·Σ(others)."""
+    children: tuple[Node, ...] = ()
+    tie_breaker: float = 0.0
+
+
+MAX_CLAUSE_COUNT = 1024  # IndexSearcher.java:83 maxClauseCount guard
+
+
+def AND(*nodes: Node) -> BooleanNode:
+    return BooleanNode(clauses=tuple(Clause(Occur.MUST, n) for n in nodes))
+
+
+def OR(*nodes: Node) -> BooleanNode:
+    return BooleanNode(clauses=tuple(Clause(Occur.SHOULD, n) for n in nodes))
+
+
+def rewrite(node: Node) -> Node:
+    """BooleanQuery.rewrite-style simplification to fixpoint."""
+    prev = None
+    cur = node
+    while cur != prev:
+        prev = cur
+        cur = _rewrite_once(cur)
+    return cur
+
+
+def _rewrite_once(node: Node) -> Node:
+    if isinstance(node, ConstantScoreNode) and node.child is not None:
+        child = _rewrite_once(node.child)
+        if isinstance(child, MatchNoneNode):
+            return MatchNoneNode(boost=node.boost)
+        return replace(node, child=child)
+    if not isinstance(node, BooleanNode):
+        return node
+    clauses = [Clause(c.occur, _rewrite_once(c.node)) for c in node.clauses]
+
+    # flatten nested pure-SHOULD disjunctions / pure-MUST conjunctions
+    flat: list[Clause] = []
+    for c in clauses:
+        if isinstance(c.node, BooleanNode) and c.node.boost == 1.0 and c.node.minimum_should_match == 0:
+            inner = c.node.clauses
+            if c.occur is Occur.SHOULD and all(i.occur is Occur.SHOULD for i in inner):
+                flat.extend(inner)
+                continue
+            if c.occur is Occur.MUST and all(i.occur is Occur.MUST for i in inner):
+                flat.extend(inner)
+                continue
+        flat.append(c)
+    clauses = flat
+
+    # dedup FILTER / MUST_NOT duplicates (BooleanQuery.rewrite dedup)
+    seen: set[tuple[Occur, Node]] = set()
+    dedup: list[Clause] = []
+    for c in clauses:
+        key = (c.occur, c.node)
+        if c.occur in (Occur.FILTER, Occur.MUST_NOT) and key in seen:
+            continue
+        seen.add(key)
+        dedup.append(c)
+    clauses = dedup
+
+    # MUST x ∧ MUST_NOT x → MatchNone
+    must_set = {c.node for c in clauses if c.occur in (Occur.MUST, Occur.FILTER)}
+    if any(c.node in must_set for c in clauses if c.occur is Occur.MUST_NOT):
+        return MatchNoneNode()
+
+    # drop MatchNone SHOULDs; MatchNone MUST → MatchNone
+    kept: list[Clause] = []
+    for c in clauses:
+        if isinstance(c.node, MatchNoneNode):
+            if c.occur in (Occur.MUST, Occur.FILTER):
+                return MatchNoneNode()
+            continue  # SHOULD/MUST_NOT MatchNone is a no-op
+        kept.append(c)
+    clauses = kept
+
+    if not clauses:
+        return MatchNoneNode()
+    # single positive clause unwrap (keeps semantics when no minimum_should_match)
+    if (
+        len(clauses) == 1
+        and node.minimum_should_match <= 1
+        and clauses[0].occur in (Occur.MUST, Occur.SHOULD)
+        and node.boost == 1.0
+    ):
+        return clauses[0].node
+    if len(clauses) == 1 and clauses[0].occur in (Occur.FILTER,) and node.boost == 1.0:
+        return ConstantScoreNode(child=clauses[0].node, boost=0.0)
+    # pure-negative query matches nothing (Lucene requires a positive clause)
+    if all(c.occur is Occur.MUST_NOT for c in clauses):
+        return MatchNoneNode()
+    return replace(node, clauses=tuple(clauses))

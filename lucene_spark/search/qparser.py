@@ -1,0 +1,242 @@
+"""Classic query parser (subset) — string → plan tree.
+
+Role analogue: lucene/queryparser classic grammar (QueryParser.jj,
+QueryParserBase.java). Supported subset: bare terms, AND/OR/NOT (and
+&&/||/!), +term / -term, parentheses, boost `term^2`, prefix `term*`,
+wildcard `te?m`/`t*m`, fuzzy `term~1`, range `[a TO b]` / `{a TO b}`,
+term sets via `IN(a,b,c)` (engine extension).
+
+Parity notes:
+- the DEFAULT OPERATOR IS OR: `a b` parses as `a OR b`
+  (queryparser/classic/QueryParserBase.java:59-64)
+- query text runs through the same analyzer as the index
+- NOT binds tighter than AND/OR; AND binds tighter than OR
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.analysis import Analyzer
+from lucene_spark.search.plan import (
+    AND,
+    BooleanNode,
+    Clause,
+    FuzzyNode,
+    MatchNoneNode,
+    Node,
+    Occur,
+    PrefixNode,
+    RegexpNode,
+    TermInSetNode,
+    TermNode,
+    TermRangeNode,
+    rewrite,
+)
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<and>AND\b|&&)
+      | (?P<or>OR\b|\|\|)
+      | (?P<not>NOT\b|!)
+      | (?P<plus>\+)
+      | (?P<minus>-)
+      | (?P<range>[\[{][^\]}]+\s+TO\s+[^\]}]+[\]}])
+      | (?P<inset>IN\([^)]*\))
+      | (?P<quoted>"[^"]*")
+      | (?P<atom>[^\s()!+\-"][^\s()"]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.tokens: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if not m or m.end() == pos:
+                break
+            pos = m.end()
+            for kind, val in m.groupdict().items():
+                if val is not None:
+                    self.tokens.append((kind, val))
+                    break
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def next(self) -> tuple[str, str] | None:
+        t = self.peek()
+        if t is not None:
+            self.i += 1
+        return t
+
+
+def _analyze_one(text: str, analyzer: Analyzer) -> list[str]:
+    import pandas as pd
+
+    return list(analyzer.tokenize_series(pd.Series([text])).iloc[0])
+
+
+def parse_query(text: str, analyzer: Analyzer) -> Node:
+    """Parse classic syntax into a rewritten plan tree."""
+    lx = _Lexer(text)
+    node = _parse_or(lx, analyzer)
+    return rewrite(node if node is not None else MatchNoneNode())
+
+
+def _parse_or(lx: _Lexer, an: Analyzer) -> Node | None:
+    left = _parse_and(lx, an)
+    clauses: list[Clause] = []
+    while True:
+        t = lx.peek()
+        if t is None or t[0] == "rparen":
+            break
+        if t[0] == "or":
+            lx.next()
+            right = _parse_and(lx, an)
+        else:
+            # juxtaposition — default operator OR (QueryParserBase.java:59-64)
+            right = _parse_and(lx, an)
+        if right is None:
+            break
+        if not clauses:
+            if left is None:
+                left = right
+                continue
+            clauses = _as_clauses(left, Occur.SHOULD)
+        clauses.extend(_as_clauses(right, Occur.SHOULD))
+    if clauses:
+        return BooleanNode(clauses=tuple(clauses))
+    return left
+
+
+def _as_clauses(node: Node, occur: Occur) -> list[Clause]:
+    if isinstance(node, BooleanNode) and node.boost == 1.0 and all(
+        c.occur in (Occur.MUST_NOT,) for c in node.clauses
+    ):
+        # bare negation at this level keeps its MUST_NOT clauses
+        return list(node.clauses)
+    return [Clause(occur, node)]
+
+
+def _parse_and(lx: _Lexer, an: Analyzer) -> Node | None:
+    left = _parse_unary(lx, an)
+    clauses: list[Clause] = []
+    while True:
+        t = lx.peek()
+        if t is None or t[0] != "and":
+            break
+        lx.next()
+        right = _parse_unary(lx, an)
+        if right is None:
+            break
+        if not clauses:
+            if left is None:
+                left = right
+                continue
+            clauses = _as_clauses(left, Occur.MUST)
+        clauses.extend(_as_clauses(right, Occur.MUST))
+    if clauses:
+        # promote bare SHOULDs that came from _as_clauses of negations
+        fixed = [Clause(Occur.MUST, c.node) if c.occur is Occur.SHOULD else c for c in clauses]
+        return BooleanNode(clauses=tuple(fixed))
+    return left
+
+
+def _parse_unary(lx: _Lexer, an: Analyzer) -> Node | None:
+    t = lx.peek()
+    if t is None:
+        return None
+    kind, _ = t
+    if kind in ("not", "minus"):
+        lx.next()
+        child = _parse_unary(lx, an)
+        if child is None:
+            return None
+        return BooleanNode(clauses=(Clause(Occur.MUST_NOT, child),))
+    if kind == "plus":
+        lx.next()
+        child = _parse_unary(lx, an)
+        if child is None:
+            return None
+        return BooleanNode(clauses=(Clause(Occur.MUST, child),))
+    return _parse_primary(lx, an)
+
+
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
+
+
+def _parse_primary(lx: _Lexer, an: Analyzer) -> Node | None:
+    t = lx.next()
+    if t is None:
+        return None
+    kind, val = t
+    if kind == "lparen":
+        inner = _parse_or(lx, an)
+        nxt = lx.peek()
+        if nxt is not None and nxt[0] == "rparen":
+            lx.next()
+        node = inner if inner is not None else MatchNoneNode()
+        nxt = lx.peek()
+        return node
+    if kind == "rparen":
+        return None
+    if kind == "range":
+        inc_lo = val[0] == "["
+        inc_hi = val[-1] == "]"
+        lo, hi = re.split(r"\s+TO\s+", val[1:-1].strip())
+        lo_t = None if lo == "*" else (_analyze_one(lo, an) or [lo])[0]
+        hi_t = None if hi == "*" else (_analyze_one(hi, an) or [hi])[0]
+        return TermRangeNode(lower=lo_t, upper=hi_t, include_lower=inc_lo, include_upper=inc_hi)
+    if kind == "inset":
+        raw = [s.strip() for s in val[3:-1].split(",") if s.strip()]
+        terms: list[str] = []
+        for r in raw:
+            terms.extend(_analyze_one(r, an) or [])
+        return TermInSetNode(terms=tuple(sorted(set(terms))))
+    if kind == "quoted":
+        # v0: quoted text = conjunction of its analyzed terms (positions
+        # deferred; documented divergence from PhraseQuery)
+        toks = _analyze_one(val[1:-1], an)
+        if not toks:
+            return MatchNoneNode()
+        return AND(*[TermNode(term=tk) for tk in toks])
+    # atom: boost / fuzzy / wildcard / prefix / plain term
+    boost = 1.0
+    m = _BOOST_RE.match(val)
+    if m:
+        val, boost = m.group(1), float(m.group(2))
+    m = _FUZZY_RE.match(val)
+    if m and "~" in val:
+        base = m.group(1)
+        edits = int(m.group(2)) if m.group(2) else 2
+        toks = _analyze_one(base, an)
+        term = toks[0] if toks else base.lower()
+        return FuzzyNode(term=term, max_edits=edits, boost=boost)
+    if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
+        base = val[:-1]
+        toks = _analyze_one(base, an) if base else []
+        prefix = toks[0] if toks else base.lower()
+        return PrefixNode(prefix=prefix, boost=boost)
+    if "*" in val or "?" in val:
+        # wildcard → anchored regex over the dictionary (WildcardQuery.java)
+        pat = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch.lower()) for ch in val
+        )
+        return RegexpNode(pattern=pat, boost=boost)
+    toks = _analyze_one(val, an)
+    if not toks:
+        return MatchNoneNode()
+    if len(toks) == 1:
+        return TermNode(term=toks[0], boost=boost)
+    # analyzer split one atom into several terms (e.g. camelCase) → OR them,
+    # matching classic QP's default-OR for multi-token text
+    inner = tuple(Clause(Occur.SHOULD, TermNode(term=tk)) for tk in toks)
+    return BooleanNode(clauses=inner, boost=boost)

@@ -1,0 +1,237 @@
+"""Distributed top-k search — the IndexSearcher analogue.
+
+Query lifecycle (mirrors SURVEY.md §3.2):
+1. parse (driver)            — qparser.parse_query (QueryParserBase.java:112-116)
+2. rewrite (driver)          — plan.rewrite (BooleanQuery.rewrite)
+3. dictionary expansion      — Prefix/Wildcard/Fuzzy/Range resolved against
+   the sorted term dictionary into constant-score term sets
+   (MultiTermQuery rewrite, search/MultiTermQuery.java:55,83; clause cap
+   1024 per IndexSearcher.java:83)
+4. weight creation (driver)  — df/cf lookups from termdict; BM25 weights
+   precomputed (Similarity.scorer, BM25Similarity.java:202-216)
+5. per-partition execution   — bucket-pruned postings scan → one
+   applyInPandas group per index partition runs the vectorized kernel and
+   emits ≤k local candidates (the LeafSlice loop of IndexSearcher.java:310-356;
+   per-partition top-k = partition-local minCompetitiveScore pruning)
+6. reduce                    — global orderBy(score desc, doc_id asc).limit(k)
+   = TopDocs.merge (search/TopDocs.java:202-227; our doc_id embeds
+   (partition, local) so the tie order equals Lucene's shard/doc order)
+
+Scale notes: step 5's shuffle moves only (terms × partitions) posting rows
+— partition-pruned by term bucket at the scan; step 6 sorts ≤ k×P tiny
+rows. Nothing driver-side ever touches per-document data except the final
+k winners (the GET_TOP_IDS / GET_FIELDS split of Solr distributed search,
+handler/component/QueryComponent.java:554-562).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.codec.vbyte import vbyte_decode, delta_decode
+from lucene_spark.index.reader import IndexReader
+from lucene_spark.search import plan as P
+from lucene_spark.search.kernel import (
+    EvalContext,
+    TermPostings,
+    eval_node,
+    score_term_topk_blockmax,
+    topk_local,
+)
+from lucene_spark.search.qparser import parse_query
+from lucene_spark.search.similarity import SIMILARITIES
+
+
+class IndexSearcher:
+    def __init__(self, reader: IndexReader, similarity: str = "bm25"):
+        self.reader = reader
+        self.sim = SIMILARITIES[similarity]
+        self.analyzer = get_analyzer(reader.analyzer_name)
+
+    # ------------------------------------------------------------------ API
+    def parse(self, query: str) -> P.Node:
+        return parse_query(query, self.analyzer)
+
+    def search(self, query: str | P.Node, k: int = 10) -> DataFrame:
+        """Top-k → DataFrame(doc_id long, score float) ordered by
+        (score desc, doc_id asc), exactly k rows or fewer."""
+        node = self._plan(query)
+        if isinstance(node, P.MatchNoneNode):
+            return self._empty_result()
+        cand = self._candidates(node, k)
+        return cand.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def search_after(self, query: str | P.Node, k: int, after_score: float, after_doc: int) -> DataFrame:
+        """Deep paging — searchAfter cursor semantics
+        (search/IndexSearcher.java:470-510): strictly worse than the cursor
+        in (score desc, doc_id asc) order."""
+        node = self._plan(query)
+        if isinstance(node, P.MatchNoneNode):
+            return self._empty_result()
+        cand = self._candidates(node, k, after=(after_score, after_doc))
+        cond = (F.col("score") < F.lit(float(after_score))) | (
+            (F.col("score") == F.lit(float(after_score))) & (F.col("doc_id") > F.lit(int(after_doc)))
+        )
+        return cand.filter(cond).orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def count(self, query: str | P.Node) -> int:
+        """Exact hit count (TotalHitCountCollector analogue)."""
+        node = self._plan(query)
+        if isinstance(node, P.MatchNoneNode):
+            return 0
+        df = self._matches(node, need_scores=False)
+        return df.count()
+
+    def matches(self, query: str | P.Node, with_scores: bool = True) -> DataFrame:
+        """ALL matching (doc_id, score) rows — the exhaustive collector path
+        (windowed BooleanScorer analogue). Used by facets/grouping and by
+        the correctness oracle comparisons."""
+        node = self._plan(query)
+        if isinstance(node, P.MatchNoneNode):
+            return self._empty_result()
+        return self._matches(node, need_scores=with_scores)
+
+    def hydrate(self, topk: DataFrame) -> DataFrame:
+        """Join winners back to the docstats sidecar (stored-fields
+        hydration; the k-row side is broadcast)."""
+        return topk.join(F.broadcast(self.reader.docstats()), "doc_id", "left")
+
+    # ------------------------------------------------------------ planning
+    def _plan(self, query: str | P.Node) -> P.Node:
+        node = self.parse(query) if isinstance(query, str) else query
+        node = P.rewrite(node)
+        node = self._expand(node)
+        return P.rewrite(node)
+
+    def _expand(self, node: P.Node) -> P.Node:
+        """Dictionary expansion of multi-term queries → constant-score term
+        sets (CONSTANT_SCORE_REWRITE default of MultiTermQuery)."""
+        r = self.reader
+        if isinstance(node, P.PrefixNode):
+            terms = r.expand_prefix(node.prefix, P.MAX_CLAUSE_COUNT)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+        if isinstance(node, P.RegexpNode):
+            terms = r.expand_regexp(node.pattern, P.MAX_CLAUSE_COUNT)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+        if isinstance(node, P.FuzzyNode):
+            terms = r.expand_fuzzy(node.term, node.max_edits)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+        if isinstance(node, P.TermRangeNode):
+            terms = r.expand_range(node.lower, node.upper, node.include_lower, node.include_upper,
+                                   P.MAX_CLAUSE_COUNT)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+        if isinstance(node, P.BooleanNode):
+            return replace(node, clauses=tuple(
+                P.Clause(c.occur, self._expand(c.node)) for c in node.clauses))
+        if isinstance(node, P.DisjunctionMaxNode):
+            return replace(node, children=tuple(self._expand(c) for c in node.children))
+        if isinstance(node, P.ConstantScoreNode) and node.child is not None:
+            return replace(node, child=self._expand(node.child))
+        return node
+
+    def _collect_terms(self, node: P.Node, out: set[str]) -> None:
+        if isinstance(node, P.TermNode):
+            out.add(node.term)
+        elif isinstance(node, (P.TermInSetNode, P.SynonymNode)):
+            out.update(node.terms)
+        elif isinstance(node, P.BooleanNode):
+            for c in node.clauses:
+                self._collect_terms(c.node, out)
+        elif isinstance(node, P.DisjunctionMaxNode):
+            for c in node.children:
+                self._collect_terms(c, out)
+        elif isinstance(node, P.ConstantScoreNode) and node.child is not None:
+            self._collect_terms(node.child, out)
+
+    def _weights(self, node: P.Node, stats: dict[str, tuple[int, int]]):
+        """Precompute per-(term, boost) BM25 weights and synonym pseudo-term
+        weights driver-side (Similarity.scorer creation)."""
+        weights: dict[tuple[str, float], np.float32] = {}
+        syn: dict[tuple[tuple[str, ...], float], np.float32] = {}
+        N = self.reader.doc_count
+
+        def walk(n: P.Node):
+            if isinstance(n, P.TermNode):
+                df = stats.get(n.term, (0, 0))[0]
+                if df:
+                    weights[(n.term, n.boost)] = self.sim.weight(df, N, n.boost)
+            elif isinstance(n, P.SynonymNode):
+                # SynonymQuery blends stats: df = max over terms (docFreq of
+                # the pseudo-term is bounded by max; Lucene uses max df)
+                df = max((stats.get(t, (0, 0))[0] for t in n.terms), default=0)
+                if df:
+                    syn[(n.terms, n.boost)] = self.sim.weight(df, N, n.boost)
+            elif isinstance(n, P.BooleanNode):
+                for c in n.clauses:
+                    walk(c.node)
+            elif isinstance(n, P.DisjunctionMaxNode):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, P.ConstantScoreNode) and n.child is not None:
+                walk(n.child)
+
+        walk(node)
+        return weights, syn
+
+    # ----------------------------------------------------------- execution
+    def _empty_result(self) -> DataFrame:
+        return self.reader.spark.createDataFrame([], "doc_id long, score float")
+
+    def _run_kernel(self, node: P.Node, k: int | None, need_scores: bool,
+                    after: tuple[float, int] | None = None) -> DataFrame:
+        terms: set[str] = set()
+        self._collect_terms(node, terms)
+        if not terms:
+            return self._empty_result()
+        stats = self.reader.term_stats(sorted(terms))
+        live = [t for t in terms if t in stats]
+        if not live:
+            return self._empty_result()
+        weights, syn_weights = self._weights(node, stats)
+        avgdl = self.sim.avgdl(self.reader.sum_doclen, self.reader.doc_count) \
+            if hasattr(self.sim, "avgdl") else np.float32(self.reader.sum_doclen / max(self.reader.doc_count, 1))
+        sim = self.sim
+        kk = k
+
+        post = self.reader.postings_for_terms(live)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            # assemble per-term postings (slices concatenated in order)
+            pdf = pdf.sort_values(["term", "slice"])
+            postings: dict[str, TermPostings] = {}
+            for term, grp in pdf.groupby("term", sort=False):
+                docs = np.concatenate([delta_decode(vbyte_decode(b)) for b in grp["doc_blob"]])
+                tfs = np.concatenate([vbyte_decode(b) for b in grp["tf_blob"]])
+                dls = np.concatenate([vbyte_decode(b) for b in grp["dl_blob"]])
+                bl = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_last"]])
+                bmt = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_max_tf"]])
+                bmd = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_min_dl"]])
+                postings[term] = TermPostings(docs, tfs, dls, bl, bmt, bmd)
+            ctx = EvalContext(postings=postings, weights=weights, syn_weights=syn_weights,
+                              avgdl=avgdl, sim=sim, k=kk or 10)
+            if kk is not None and isinstance(node, P.TermNode):
+                docs, scores = score_term_topk_blockmax(node, ctx)
+            else:
+                docs, scores = eval_node(node, ctx, need_scores=need_scores)
+            if kk is not None:
+                if after is not None and docs.size:
+                    a_s, a_d = np.float32(after[0]), np.int64(after[1])
+                    keep = (scores < a_s) | ((scores == a_s) & (docs > a_d))
+                    docs, scores = docs[keep], scores[keep]
+                docs, scores = topk_local(docs, scores, kk)
+            return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                 "score": scores.astype(np.float32)})
+
+        return post.groupBy("part_id").applyInPandas(run, "doc_id long, score float")
+
+    def _candidates(self, node: P.Node, k: int, after: tuple[float, int] | None = None) -> DataFrame:
+        return self._run_kernel(node, k, need_scores=True, after=after)
+
+    def _matches(self, node: P.Node, need_scores: bool) -> DataFrame:
+        return self._run_kernel(node, None, need_scores=need_scores)

@@ -1,0 +1,111 @@
+"""Similarity functions — vectorized numpy scoring kernels.
+
+Role analogue: search/similarities/Similarity.java SimScorer contract —
+`score(freq, norm) -> float` — specialized here to vectorized
+`(tf: ndarray, doclen: ndarray) -> float32 ndarray`.
+
+BM25 parity contract (the north-star gate), from
+search/similarities/BM25Similarity.java:
+- idf  = ln(1 + (docCount − df + 0.5)/(df + 0.5))        (:104-107, double→float)
+- avgdl = sumTotalTermFreq / docCount                     (:114-117, double→float)
+- LOSSY-NORM-FREE EXACT VARIANT: doclen is the exact post-filter token
+  count (int64), NOT SmallFloat-quantized (:129-135 is deliberately skipped
+  per BASELINE.json north_star "lossy-norm-free exact variant")
+- score = weight − weight/(1 + tf · normInverse), float32, where
+  normInverse = 1/(k1·((1−b) + b·doclen/avgdl)) and weight = boost·idf
+  (:246-258 — note Lucene dropped the classic (k1+1) numerator factor)
+- defaults k1=1.2, b=0.75 (:100-102)
+- multi-clause scores are per-clause float32 values accumulated in double
+  and cast back to float32 (search/DisjunctionSumScorer.java /
+  BlockMaxConjunctionScorer score() accumulate in double)
+
+All kernels are pure functions usable on the driver (planning), inside
+Arrow UDF workers (scoring), and in the oracle (tests) — a single source
+of truth for parity.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BM25Similarity:
+    k1: float = 1.2
+    b: float = 0.75
+
+    def idf(self, df: int, doc_count: int) -> np.float32:
+        # BM25Similarity.java:104-107 — Math.log in double, cast to float
+        return np.float32(math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)))
+
+    def avgdl(self, sum_total_term_freq: int, doc_count: int) -> np.float32:
+        # BM25Similarity.java:114-117
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+        return np.float32(np.float32(boost) * self.idf(df, doc_count))
+
+    def norm_inverse(self, doclen: np.ndarray, avgdl: np.float32) -> np.ndarray:
+        """float32 1/(k1*((1-b) + b*dl/avgdl)) — the exact-doclen analogue of
+        the 256-entry norm cache at BM25Similarity.java:202-216."""
+        dl = doclen.astype(np.float32)
+        k1 = np.float32(self.k1)
+        b = np.float32(self.b)
+        one = np.float32(1.0)
+        return one / (k1 * ((one - b) + b * dl / np.float32(avgdl)))
+
+    def score(self, tf: np.ndarray, doclen: np.ndarray, weight: np.float32, avgdl: np.float32) -> np.ndarray:
+        """BM25Similarity.java:246-258: w − w/(1 + tf·normInverse), float32."""
+        ni = self.norm_inverse(np.asarray(doclen), avgdl)
+        tff = np.asarray(tf).astype(np.float32)
+        one = np.float32(1.0)
+        return weight - weight / (one + tff * ni)
+
+    def max_score(self, max_tf: np.ndarray, min_doclen: np.ndarray, weight: np.float32, avgdl: np.float32) -> np.ndarray:
+        """Admissible per-block upper bound: score at (max_tf, min_doclen).
+        Monotone ↑ in tf, ↓ in doclen ⇒ bound ≥ every true score in the
+        block (contract of index/Impacts.java:43-45)."""
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+@dataclass(frozen=True)
+class ClassicSimilarity:
+    """TF-IDF classic: sqrt(tf) · idf² · (1/sqrt(dl)) —
+    search/similarities/ClassicSimilarity.java / TFIDFSimilarity.java."""
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+        idf = np.float32(math.log((doc_count + 1) / (df + 1)) + 1.0)
+        return np.float32(boost) * idf * idf
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        tff = np.sqrt(np.asarray(tf).astype(np.float32))
+        norm = np.float32(1.0) / np.sqrt(np.asarray(doclen).astype(np.float32))
+        return weight * tff * norm
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+@dataclass(frozen=True)
+class BooleanSimilarity:
+    """Constant 1·boost per matching clause —
+    search/similarities/BooleanSimilarity.java."""
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+        return np.float32(boost)
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        return np.full(np.asarray(tf).shape, weight, dtype=np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+SIMILARITIES = {
+    "bm25": BM25Similarity(),
+    "classic": ClassicSimilarity(),
+    "boolean": BooleanSimilarity(),
+}

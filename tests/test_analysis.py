@@ -1,0 +1,56 @@
+import pandas as pd
+
+from lucene_spark.analysis import ENGLISH_STOP_WORDS, get_analyzer
+from lucene_spark.oracle import oracle_tokenize
+
+
+def toks(name, text):
+    return list(get_analyzer(name).tokenize_series(pd.Series([text])).iloc[0])
+
+
+def test_standard_basic():
+    # StandardAnalyzer chain: tokenize → lowercase → stop
+    assert toks("standard", "The Quick Brown fox") == ["quick", "brown", "fox"]
+
+
+def test_standard_stopwords_full_set():
+    assert len(ENGLISH_STOP_WORDS) == 33  # EnglishAnalyzer.java:43-52
+    assert toks("standard", "the of and is it") == []
+
+
+def test_standard_keeps_snake_whole():
+    # UAX#29 ExtendNumLet: underscore joins words in StandardTokenizer
+    assert toks("standard", "snake_case_name") == ["snake_case_name"]
+
+
+def test_code_splits_camel_and_snake():
+    assert toks("code", "getIndexWriter") == ["get", "index", "writer"]
+    assert toks("code", "snake_case_name") == ["snake", "case", "name"]
+    assert toks("code", "HTTPServer") == ["http", "server"]
+    assert toks("code", "parseHTTPResponse2x") == ["parse", "http", "response2x"]
+
+
+def test_max_token_length_drop():
+    # StandardAnalyzer.java:37 — tokens longer than 255 chars are dropped
+    long_tok = "x" * 256
+    keep_tok = "y" * 255
+    assert toks("standard", f"hello {long_tok} {keep_tok}") == ["hello", keep_tok]
+
+
+def test_digits_and_empty():
+    assert toks("code", "abc123 42") == ["abc123", "42"]
+    assert toks("code", "") == []
+    assert toks("code", "+++///") == []
+
+
+def test_oracle_tokenizer_agrees_with_vectorized():
+    cases = [
+        "The Quick getIndexWriter snake_case_name HTTPServer 42",
+        "Licensed under the Apache License Version 2 0",
+        "x" * 256 + " ok",
+        "",
+        "if (foo_bar) { return baz; } // comment",
+    ]
+    for c in cases:
+        assert oracle_tokenize(c, "code") == toks("code", c), c
+        assert oracle_tokenize(c, "standard") == toks("standard", c), c

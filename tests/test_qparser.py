@@ -1,0 +1,83 @@
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.search import plan as P
+from lucene_spark.search.qparser import parse_query
+
+
+AN = get_analyzer("code")
+
+
+def parse(q):
+    return parse_query(q, AN)
+
+
+def test_single_term():
+    assert parse("index") == P.TermNode(term="index")
+
+
+def test_default_operator_is_or():
+    # QueryParserBase.java:59-64 — bare juxtaposition = OR
+    n = parse("score boost")
+    assert isinstance(n, P.BooleanNode)
+    assert all(c.occur is P.Occur.SHOULD for c in n.clauses)
+    assert {c.node.term for c in n.clauses} == {"score", "boost"}
+
+
+def test_and():
+    n = parse("index AND writer")
+    assert isinstance(n, P.BooleanNode)
+    assert all(c.occur is P.Occur.MUST for c in n.clauses)
+
+
+def test_nested():
+    n = parse("(index OR writer) AND merge")
+    assert isinstance(n, P.BooleanNode)
+    occurs = [c.occur for c in n.clauses]
+    assert occurs.count(P.Occur.MUST) == 2
+    inner = [c.node for c in n.clauses if isinstance(c.node, P.BooleanNode)]
+    assert len(inner) == 1
+    assert all(c.occur is P.Occur.SHOULD for c in inner[0].clauses)
+
+
+def test_not_and_minus():
+    for q in ("index AND NOT writer", "index AND -writer"):
+        n = parse(q)
+        assert isinstance(n, P.BooleanNode)
+        occurs = {c.occur for c in n.clauses}
+        assert P.Occur.MUST_NOT in occurs
+
+
+def test_boost_prefix_fuzzy_wildcard_range():
+    assert parse("writer^2") == P.TermNode(term="writer", boost=2.0)
+    assert parse("index*") == P.PrefixNode(prefix="index")
+    assert parse("term~1") == P.FuzzyNode(term="term", max_edits=1)
+    n = parse("quer?")
+    assert isinstance(n, P.RegexpNode)
+    r = parse("[index TO merge]")
+    assert r == P.TermRangeNode(lower="index", upper="merge")
+
+
+def test_camel_atom_splits_to_or():
+    n = parse("indexWriter")
+    assert isinstance(n, P.BooleanNode)
+    assert {c.node.term for c in n.clauses} == {"index", "writer"}
+
+
+def test_rewrite_simplifications():
+    # duplicate-clause AND x AND x keeps scoring duplicates (Lucene sums
+    # them); single clause unwraps
+    assert parse("(index)") == P.TermNode(term="index")
+    # MUST x ∧ MUST_NOT x → MatchNone
+    n = P.rewrite(P.BooleanNode(clauses=(
+        P.Clause(P.Occur.MUST, P.TermNode(term="a")),
+        P.Clause(P.Occur.MUST_NOT, P.TermNode(term="a")),
+    )))
+    assert isinstance(n, P.MatchNoneNode)
+    # pure negative → MatchNone
+    n = P.rewrite(P.BooleanNode(clauses=(P.Clause(P.Occur.MUST_NOT, P.TermNode(term="a")),)))
+    assert isinstance(n, P.MatchNoneNode)
+
+
+def test_stopword_only_query_standard():
+    std = get_analyzer("standard")
+    n = parse_query("the of and", std)
+    assert isinstance(n, P.MatchNoneNode)
