@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Workloads (BASELINE.md targets):
+- index-build throughput (docs/sec) over the deterministic synthetic
+  source-code corpus (BASELINE.json input shape), at two parallelism
+  levels: local[N/4] and local[N] → scaling efficiency
+  (the sandbox substitute for the N vs 4N executor criterion)
+- query top-k latency (BM25 term / AND / OR / block-max) over that index
+- relational, dedup and similarity headliners over the driver testdata
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(os.path.normpath(path))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = sf_of(SF_DIR)
+N_DOCS = max(2000, int(200_000 * SF))
+
+timings: dict[str, float] = {}
+
+
+def timed(name: str, fn):
+    t0 = time.time()
+    r = fn()
+    timings[name] = round(time.time() - t0, 3)
+    return r
+
+
+def make_session(cores: int):
+    from lucene_spark.session import get_spark
+
+    return get_spark(f"bench_c{cores}", master=f"local[{cores}]")
+
+
+def build_index(spark, corpus_path: str, cores: int) -> float:
+    """Returns docs/sec for a full from-scratch build at this parallelism."""
+    from lucene_spark.index.builder import IndexBuilder, IndexConfig
+
+    idx_dir = f"/tmp/bench_idx_c{cores}"
+    src = spark.read.parquet(corpus_path)
+    cfg = IndexConfig(partitions=cores * 2, num_buckets=32, analyzer="code",
+                      termdict_partitions=8)
+    t0 = time.time()
+    manifest = IndexBuilder(spark, cfg).build(src, idx_dir, overwrite=True)
+    dt = time.time() - t0
+    timings[f"build_c{cores}"] = round(dt, 3)
+    return manifest["doc_count"] / dt, idx_dir
+
+
+def main() -> None:
+    total0 = time.time()
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import corpus_df
+    from lucene_spark.index.reader import IndexReader
+    from lucene_spark.search.searcher import IndexSearcher
+
+    # ---- corpus (generated distributed, cached as parquet) ----
+    corpus_path = f"/tmp/bench_corpus_{N_DOCS}"
+    spark = make_session(CPUS)
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        timed("corpus_gen", lambda: corpus_df(spark, N_DOCS, SEED, CPUS * 2)
+              .write.mode("overwrite").parquet(corpus_path))
+
+    # ---- index build at N/4 cores (small session first) ----
+    spark.stop()
+    low = max(2, CPUS // 4)
+    spark_lo = make_session(low)
+    dps_lo, _ = build_index(spark_lo, corpus_path, low)
+    spark_lo.stop()
+
+    # ---- index build at N cores + query serving ----
+    spark = make_session(CPUS)
+    dps_hi, idx_dir = build_index(spark, corpus_path, CPUS)
+    eff = (dps_hi / dps_lo) / (CPUS / low)
+
+    searcher = IndexSearcher(IndexReader(spark, idx_dir))
+    qset = [
+        ("q_term", "index"),
+        ("q_and", "index AND writer AND merge"),
+        ("q_or", "index OR writer OR merge"),
+        ("q_hot_and_rare", "licensed AND uid42sing"),
+        ("q_prefix", "ind*"),
+    ]
+    for name, q in qset:
+        timed(name, lambda q=q: searcher.search(q, k=10).collect())
+    timed("q_count", lambda: searcher.count("index AND writer"))
+
+    # ---- relational headliners on driver testdata ----
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    timed("rel_q1", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.sum("l_extendedprice"),
+        F.avg("l_extendedprice"), F.count("*")).collect())
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    timed("rel_join", lambda: o.join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .groupBy("n_name").agg(F.sum("o_totalprice")).collect())
+
+    # ---- pipeline headliners ----
+    from lucene_spark.pipeline import dedup, similarity
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+    def run_dedup():
+        sh = dedup.shingles(docs, "text", "doc_id", n=3)
+        sig = dedup.minhash_signatures(sh, num_hashes=64)
+        pairs = dedup.minhash_lsh_pairs(sig, bands=16, rows_per_band=4)
+        return dedup.jaccard_verify(sh, pairs, threshold=0.5).count()
+
+    timed("dedup_minhash", run_dedup)
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    import numpy as np
+
+    qs = np.array([r[0] for r in emb.filter(F.col("vec_id") < 8)
+                   .orderBy("vec_id").select("embedding").collect()], dtype=np.float64)
+    timed("sim_gemm_top10", lambda: similarity.pairwise_topk_gemm(
+        emb, "embedding", "vec_id", qs, k=10).count())
+
+    total = round(time.time() - total0, 3)
+    out = {
+        "metric": "headline suite wall (index build@2 levels + topk queries + relational/dedup/similarity)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "corpus_docs": N_DOCS,
+        "build_docs_per_sec": {f"c{low}": round(dps_lo, 1), f"c{CPUS}": round(dps_hi, 1)},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

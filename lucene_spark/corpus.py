@@ -35,14 +35,17 @@ _IDENT_STEMS = [
 _LANGS = ["java", "py", "c", "go", "md"]
 
 
-def make_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
-    rng = np.random.default_rng(seed)
+def make_corpus_rows(ids, seed: int = 42) -> pd.DataFrame:
+    """Rows for an arbitrary set of doc indices — every row is a pure
+    function of (seed, i), so generation distributes trivially
+    (spark.range(n) → mapInPandas over id batches)."""
     zipf_vocab = [f"zw{i}" for i in range(2000)]
     zipf_p = 1.0 / np.arange(1, len(zipf_vocab) + 1) ** 1.1
     zipf_p /= zipf_p.sum()
 
     rows = []
-    for i in range(n_docs):
+    for i in ids:
+        i = int(i)
         r = np.random.default_rng(seed * 1_000_003 + i)  # per-row determinism
         repo = f"org/project-{int(r.zipf(1.5)) % 20}"
         path = f"src/main/File{i}.java"
@@ -68,6 +71,26 @@ def make_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
             parts.append(" ".join(r.choice(_IDENT_STEMS, n_fill)))
         rows.append((repo, path, commit, lang, " ".join(parts)))
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def make_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    return make_corpus_rows(range(n_docs), seed)
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed corpus generation: spark.range → mapInPandas — the
+    generator never materializes on the driver."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield make_corpus_rows(pdf["id"].to_numpy(), seed)
+
+    rng = spark.range(n_docs)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(
+        gen, "repo string, path string, commit string, lang string, content string"
+    )
 
 
 def make_query_set() -> list[tuple[int, str, int]]:

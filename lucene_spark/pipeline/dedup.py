@@ -98,6 +98,33 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def exact_jaccard_pairs(
+    df: DataFrame, text_col: str, key_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs: candidate pairs = docs sharing
+    ≥1 shingle (complete — any pair with jaccard > 0 shares a shingle),
+    then |A∩B|/|A∪B| over distinct shingle sets. All JVM-side; the shingle
+    self-join is the only shuffle. This is the small/medium-scale exact
+    path; at 100 TB run minhash_lsh_pairs first and jaccard_verify after.
+    Returns (key_a, key_b, jaccard) with key_a < key_b, jaccard ≥ threshold."""
+    sh = shingles(df, text_col, key_col, n)
+    sizes = sh.groupBy("key").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.withColumnRenamed("key", "key_a")
+        .join(sh.withColumnRenamed("key", "key_b"), "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("key").alias("key_a"), F.col("sz").alias("sz_a")), "key_a")
+        .join(sizes.select(F.col("key").alias("key_b"), F.col("sz").alias("sz_b")), "key_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
 def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (verification pass):
     |A∩B| / |A∪B| via two joins + counts. Returns pairs ≥ threshold."""

@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    # elements cast to double BEFORE multiplying: float32 intermediate
+    # products would diverge from any float64 oracle/reference
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _norm(a):
