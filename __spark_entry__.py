@@ -54,7 +54,7 @@ def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     if sf_dir in _IDX_CACHE:
         return _IDX_CACHE[sf_dir]
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("ext_id"), "text"
+        F.col("doc_id").alias("ext_id"), "text", "lang", "source", "n_chars"
     )
     idx_dir = os.path.join(
         "/tmp/lucene_spark_gate", os.path.basename(os.path.normpath(sf_dir))
@@ -62,6 +62,7 @@ def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     cfg = IndexConfig(
         key_cols=("ext_id",), content_col="text", analyzer="whitespace",
         partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1,
+        index_positions=True, carry_cols=("lang", "source", "n_chars"),
     )
     IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
     _IDX_CACHE[sf_dir] = IndexReader(spark, idx_dir)
@@ -215,6 +216,175 @@ def ft_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND pruned top-k (rows-only check: float32 scores; the
     pruned-vs-exhaustive equality is enforced in tests/test_parity.py)."""
     return _searcher(spark, sf_dir).search("merge OR scan", k=10)
+
+
+def ft_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase over positions (PhraseQuery / ExactPhraseMatcher)."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches('"table hash"', with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_PHRASE_SQL = r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(^|\s)table\s+hash(\s|$)')
+"""
+
+
+def ft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery: Levenshtein ≤ 1 dictionary expansion."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches("merg~1", with_scores=False).select("doc_id").distinct()
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_FUZZY_SQL = f"""
+WITH ft AS (SELECT DISTINCT term FROM ({_TOK2}) WHERE levenshtein(term, 'merg') <= 1)
+SELECT DISTINCT doc_id FROM ({_TOK2}) WHERE term IN (SELECT term FROM ft)
+"""
+
+
+def ft_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WildcardQuery → anchored-regex dictionary expansion."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches("?ow", with_scores=False).select("doc_id").distinct()
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_WILDCARD_SQL = f"""
+SELECT DISTINCT doc_id FROM ({_TOK2}) WHERE regexp_full_match(term, '.ow')
+"""
+
+
+def ft_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermRangeQuery over the sorted dictionary."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches("[agg TO dup]", with_scores=False).select("doc_id").distinct()
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_RANGE_SQL = f"""
+SELECT DISTINCT doc_id FROM ({_TOK2}) WHERE term BETWEEN 'agg' AND 'dup'
+"""
+
+
+def ft_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisjunctionMaxQuery (tie=0): per-doc max over clause scores."""
+    from lucene_spark.search import plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.DisjunctionMaxNode(children=(P.TermNode(term="scan"), P.TermNode(term="dup")))
+    m = s.matches(node)
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+def _bm25_per_term_sql(terms: list[str]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ({_TOK2}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK2}) GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({inlist}) GROUP BY term),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (st.n - qdf.df + 0.5)/(qdf.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN qdf ON tf.term = qdf.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+)"""
+
+
+FT_DISMAX_SQL = f"""
+WITH {_bm25_per_term_sql(["scan", "dup"])}
+, agg AS (SELECT doc_id, round(max(s), 2) AS score_r FROM persc GROUP BY doc_id)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM agg QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SynonymQuery: terms scored as one pseudo-term (tf summed, df=max)."""
+    from lucene_spark.search import plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.SynonymNode(terms=("slow", "fast"))
+    m = s.matches(node)
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_SYNONYM_SQL = f"""
+WITH tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ({_TOK2}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK2}) GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+sdf AS (SELECT max(df) AS df FROM (
+    SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ('slow','fast') GROUP BY term)),
+tsum AS (SELECT doc_id, sum(tf) AS tf FROM tf WHERE term IN ('slow','fast') GROUP BY doc_id),
+sc AS (
+  SELECT tsum.doc_id,
+         ln(1 + (st.n - sdf.df + 0.5)/(sdf.df + 0.5))
+         * tsum.tf / (tsum.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tsum JOIN dl ON tsum.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN sdf
+), agg AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM agg QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester: prefix scan over the sorted dict, weight = df
+    (suggest/fst/ AnalyzingSuggester role; weight ordering)."""
+    td = _reader(spark, sf_dir).termdict()
+    out = td.filter(F.col("term").startswith("s")).select("term", "df")
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+FT_SUGGEST_SQL = f"""
+WITH td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK2}) GROUP BY term)
+SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+FROM td WHERE term LIKE 's%' QUALIFY rank <= 5 ORDER BY rank
+"""
+
+
+def ft_highfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighFreqTerms (misc/HighFreqTerms.java): top-df dictionary terms."""
+    td = _reader(spark, sf_dir).termdict()
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (td.select("term", "df", "cf")
+            .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10))
+
+
+FT_HIGHFREQ_SQL = f"""
+WITH td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+            FROM ({_TOK2}) GROUP BY term)
+SELECT term, df, cf, row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+FROM td QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopFieldCollector: matches sorted by a doc-values field
+    (n_chars desc, doc_id asc) instead of relevance."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches("table", with_scores=False).select("doc_id")
+    ds = s.reader.docstats().select("doc_id", "ext_id", "n_chars")
+    j = (m.join(F.broadcast(ds), "doc_id")
+         .select(F.col("ext_id").alias("doc_id"), "n_chars"))
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+FT_SORT_FIELD_SQL = f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({_TOK2}) WHERE term = 'table')
+SELECT d.doc_id, d.n_chars,
+       row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS rank
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+QUALIFY rank <= 10 ORDER BY rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -722,6 +892,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_topk_or_sql": ft_topk_or_sql,
         "ft_topk_and_sql": ft_topk_and_sql,
         "ft_blockmax_topk": ft_blockmax_topk,
+        "ft_phrase": ft_phrase,
+        "ft_fuzzy": ft_fuzzy,
+        "ft_wildcard": ft_wildcard,
+        "ft_range": ft_range,
+        "ft_dismax": ft_dismax,
+        "ft_synonym": ft_synonym,
+        "ft_suggest": ft_suggest,
+        "ft_highfreq": ft_highfreq,
+        "ft_sort_field": ft_sort_field,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -763,6 +942,15 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_or_sql": FT_TOPK_OR_SQL,
         "ft_topk_and_sql": FT_TOPK_AND_SQL,
         # ft_blockmax_topk: rows-only (float32 kernel scores)
+        "ft_phrase": FT_PHRASE_SQL,
+        "ft_fuzzy": FT_FUZZY_SQL,
+        "ft_wildcard": FT_WILDCARD_SQL,
+        "ft_range": FT_RANGE_SQL,
+        "ft_dismax": FT_DISMAX_SQL,
+        "ft_synonym": FT_SYNONYM_SQL,
+        "ft_suggest": FT_SUGGEST_SQL,
+        "ft_highfreq": FT_HIGHFREQ_SQL,
+        "ft_sort_field": FT_SORT_FIELD_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

@@ -56,6 +56,14 @@ class Analyzer:
         """Series[str] -> Series[list[str]] — the full chain, vectorized."""
         return tokenize_pandas(content, self)
 
+    def tokenize_with_positions(self, content: pd.Series) -> tuple[pd.Series, pd.Series]:
+        """(Series[list[str]], Series[list[int]]) — tokens plus their
+        positions in the PRE-filter token stream: dropped stopwords /
+        over-long tokens leave position gaps, exactly the accumulated
+        position-increment behavior of FilteringTokenFilter.java:49-63
+        (StopFilter keeps gaps; matters for phrase matching across stops)."""
+        return tokenize_pandas_positions(content, self)
+
 
 def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
     s = content.fillna("")
@@ -72,6 +80,29 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
     if stop or maxlen:
         toks = toks.map(lambda ts: [t for t in ts if len(t) <= maxlen and t not in stop])
     return toks
+
+
+def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Series, pd.Series]:
+    s = content.fillna("")
+    if a.split_camel:
+        s = s.str.replace(_CAMEL_1, r"\1 \2", regex=True)
+        s = s.str.replace(_CAMEL_2, r"\1 \2", regex=True)
+    if a.lowercase:
+        s = s.str.lower()
+    toks = s.str.findall(a.token_pattern)
+    stop = a.stopwords
+    maxlen = a.max_token_length
+
+    def filt(ts: list[str]) -> tuple[list[str], list[int]]:
+        out_t, out_p = [], []
+        for i, t in enumerate(ts):
+            if len(t) <= maxlen and t not in stop:
+                out_t.append(t)
+                out_p.append(i)
+        return out_t, out_p
+
+    pairs = toks.map(filt)
+    return pairs.map(lambda p: p[0]), pairs.map(lambda p: p[1])
 
 
 _REGISTRY: dict[str, Analyzer] = {}

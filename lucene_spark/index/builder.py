@@ -70,6 +70,9 @@ class IndexConfig:
     max_postings_per_slice: int = 1 << 20   # hot-term slice cap (postings/row)
     termdict_partitions: int = 4      # sorted term-dictionary output files
     carry_cols: tuple[str, ...] = ()  # extra source cols copied into docstats
+    index_positions: bool = False     # DOCS_AND_FREQS vs ..._AND_POSITIONS
+                                      # (index/IndexOptions.java:29-50); BM25
+                                      # needs freqs only, phrases need positions
 
 
 def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
@@ -91,6 +94,7 @@ def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
             T.StructField("doc_blob", T.BinaryType(), True),
             T.StructField("tf_blob", T.BinaryType(), True),
             T.StructField("dl_blob", T.BinaryType(), True),
+            T.StructField("pos_blob", T.BinaryType(), True),
             T.StructField("block_last", arr, True),
             T.StructField("block_max_tf", arr, True),
             T.StructField("block_min_dl", arr, True),
@@ -116,17 +120,22 @@ def _invert_partition(
     part_id = group_id * partitions_per_group + local_pid
 
     local_id = 0
+    with_pos = cfg.index_positions
     term_chunks: list[np.ndarray] = []
     doc_chunks: list[np.ndarray] = []
-    tf_chunks: list[np.ndarray] = []
-    dl_chunks: list[np.ndarray] = []
+    pos_chunks: list[np.ndarray] = []
+    dl_all: list[np.ndarray] = []
     doc_rows: list[pd.DataFrame] = []
 
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
-        toks = analyzer.tokenize_series(pdf[cfg.content_col])
+        if with_pos:
+            toks, poss = analyzer.tokenize_with_positions(pdf[cfg.content_col])
+        else:
+            toks = analyzer.tokenize_series(pdf[cfg.content_col])
+            poss = None
         counts = toks.map(len).to_numpy(dtype=np.int64)
         doclens = counts
         ids = np.arange(local_id, local_id + n, dtype=np.int64)
@@ -137,56 +146,99 @@ def _invert_partition(
         drow["doclen"] = doclens
         drow["sha256"] = pdf["__sha256"].to_numpy()
         doc_rows.append(drow)
+        dl_all.append(doclens)
 
-        # invert: explode (term, local_doc) and count tf via pandas groupby
         if counts.sum():
             import itertools
 
             flat_terms = np.array(
                 list(itertools.chain.from_iterable(toks.tolist())), dtype=object
             )
-            flat_docs = np.repeat(ids, counts)
-            tdf = pd.DataFrame({"t": flat_terms, "d": flat_docs})
-            agg = tdf.groupby(["t", "d"], sort=False).size().reset_index(name="tf")
-            agg_d = agg["d"].to_numpy(dtype=np.int64)
-            term_chunks.append(agg["t"].to_numpy())
-            doc_chunks.append(agg_d)
-            tf_chunks.append(agg["tf"].to_numpy(dtype=np.int64))
-            # exact doclen carried per posting (lossy-norm-free norms)
-            dl_chunks.append(doclens[agg_d - int(ids[0])])
+            term_chunks.append(flat_terms)
+            doc_chunks.append(np.repeat(ids, counts))
+            if with_pos:
+                pos_chunks.append(np.fromiter(
+                    itertools.chain.from_iterable(poss.tolist()),
+                    dtype=np.int64, count=int(counts.sum())))
         local_id += n
 
-    # ---- flush: sort by (term, doc) and encode term-at-a-time ----
+    # ---- flush: factorize terms → sort (term, doc, pos) triples → run-
+    # length tf + per-term encode (FreqProxTermsWriter.sortTerms analogue,
+    # index/FreqProxTermsWriter.java:96-101) — all vectorized numpy ----
     out_frames: list[pd.DataFrame] = []
     if term_chunks:
-        terms = np.concatenate(term_chunks)
-        docs = np.concatenate(doc_chunks)
-        tfs = np.concatenate(tf_chunks)
-        dls = np.concatenate(dl_chunks)
-        order = np.lexsort((docs, terms))
-        terms, docs, tfs, dls = terms[order], docs[order], tfs[order], dls[order]
-        docs = (np.int64(part_id) << PART_ID_SHIFT) | docs
+        terms_flat = np.concatenate(term_chunks)
+        docs_flat = np.concatenate(doc_chunks)
+        pos_flat = np.concatenate(pos_chunks) if with_pos else None
+        doclen_by_id = np.concatenate(dl_all)
 
-        uniq, starts = np.unique(terms, return_index=True)
-        bounds = np.append(starts, terms.size)
+        codes, uniq = pd.factorize(terms_flat, sort=False)
+        term_order = np.argsort(uniq)                 # lexicographic term rank
+        rank_of_code = np.empty(uniq.size, dtype=np.int64)
+        rank_of_code[term_order] = np.arange(uniq.size)
+        skey = rank_of_code[codes]
+        uniq_sorted = uniq[term_order]
+
+        if with_pos:
+            order = np.lexsort((pos_flat, docs_flat, skey))
+            pos_flat = pos_flat[order]
+        else:
+            order = np.lexsort((docs_flat, skey))
+        skey = skey[order]
+        docs_flat = docs_flat[order]
+
+        # run boundaries = (term, doc) groups; run length = tf
+        nflat = skey.size
+        newrun = np.empty(nflat, dtype=bool)
+        newrun[0] = True
+        np.logical_or(skey[1:] != skey[:-1], docs_flat[1:] != docs_flat[:-1],
+                      out=newrun[1:])
+        run_starts = np.flatnonzero(newrun)
+        run_ends = np.append(run_starts[1:], nflat)
+        tfs = run_ends - run_starts
+        run_term = skey[run_starts]
+        run_doc_local = docs_flat[run_starts]
+        dls = doclen_by_id[run_doc_local]
+        docs = (np.int64(part_id) << PART_ID_SHIFT) | run_doc_local
+
+        if with_pos:
+            # per-run delta encoding with absolute first position; decode
+            # splits by tf (Lucene .pos file: pos deltas per (term,doc),
+            # codecs/lucene84/Lucene84PostingsFormat.java:241-330)
+            pos_delta = np.diff(pos_flat, prepend=np.int64(0))
+            pos_delta[run_starts] = pos_flat[run_starts]
+
+        # per-term boundaries over runs
+        nruns = run_term.size
+        newterm = np.empty(nruns, dtype=bool)
+        newterm[0] = True
+        newterm[1:] = run_term[1:] != run_term[:-1]
+        t_starts = np.flatnonzero(newterm)
+        t_bounds = np.append(t_starts, nruns)
+        tf_cum = np.append(np.int64(0), np.cumsum(tfs))  # run -> flat offset
+
         cap = cfg.max_postings_per_slice
         recs: dict[str, list] = {k: [] for k in (
             "term", "slice", "local_df", "local_cf", "doc_blob", "tf_blob",
-            "dl_blob", "block_last", "block_max_tf", "block_min_dl")}
-        for i in range(uniq.size):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            "dl_blob", "pos_blob", "block_last", "block_max_tf", "block_min_dl")}
+        for i in range(t_starts.size):
+            lo, hi = int(t_bounds[i]), int(t_bounds[i + 1])
+            term_str = uniq_sorted[run_term[lo]]
             s = 0
             for off in range(lo, hi, cap):
                 end = min(off + cap, hi)
                 d, t, l = docs[off:end], tfs[off:end], dls[off:end]
                 bl, bmt, bmd = build_block_meta(d, t, l, cfg.block_size)
-                recs["term"].append(uniq[i])
+                recs["term"].append(term_str)
                 recs["slice"].append(s)
                 recs["local_df"].append(end - off)
                 recs["local_cf"].append(int(t.sum()))
                 recs["doc_blob"].append(vbyte_encode(delta_encode(d)))
                 recs["tf_blob"].append(vbyte_encode(t))
                 recs["dl_blob"].append(vbyte_encode(l))
+                recs["pos_blob"].append(
+                    vbyte_encode(pos_delta[tf_cum[off]:tf_cum[end]]) if with_pos else None
+                )
                 recs["block_last"].append(bl.tolist())
                 recs["block_max_tf"].append(bmt.tolist())
                 recs["block_min_dl"].append(bmd.tolist())
@@ -203,7 +255,7 @@ def _invert_partition(
 
     all_cols = ["kind"] + key_and_carry + [
         "doc_id", "doclen", "sha256", "term", "part_id", "slice", "local_df",
-        "local_cf", "doc_blob", "tf_blob", "dl_blob", "block_last",
+        "local_cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob", "block_last",
         "block_max_tf", "block_min_dl"]
     for f in out_frames:
         for c in all_cols:
@@ -223,9 +275,15 @@ class IndexBuilder:
 
     def _source_fingerprint(self, source: DataFrame) -> str:
         """Cheap deterministic fingerprint of the source snapshot: schema +
-        count (an Iceberg snapshot id would be used when available)."""
-        cnt = source.count()
-        return hashlib.sha256(f"{source.schema.json()}|{cnt}".encode()).hexdigest()[:16]
+        input file listing (an Iceberg snapshot id would be used when
+        available). File-backed sources need no Spark job; in-memory
+        sources fall back to a count."""
+        try:
+            files = sorted(source.inputFiles())
+        except Exception:
+            files = []
+        tag = "|".join(files) if files else f"count={source.count()}"
+        return hashlib.sha256(f"{source.schema.json()}|{tag}".encode()).hexdigest()[:16]
 
     # -- build -------------------------------------------------------------
     def build(self, source: DataFrame, index_dir: str, overwrite: bool = False) -> dict:
@@ -242,12 +300,20 @@ class IndexBuilder:
         """
         cfg = self.cfg
         t0 = time.time()
+        phases: dict[str, float] = {}
+
+        def mark(name: str, since: float) -> float:
+            now = time.time()
+            phases[name] = round(now - since, 3)
+            return now
+
         if overwrite and os.path.isdir(index_dir):
             import shutil
 
             shutil.rmtree(index_dir)
         os.makedirs(os.path.join(index_dir, "parts"), exist_ok=True)
         fp = self._source_fingerprint(source)
+        t = mark("fingerprint", t0)
 
         key_and_carry = [c for c in source.columns if c in cfg.key_cols + cfg.carry_cols]
         src = source.select(
@@ -268,56 +334,122 @@ class IndexBuilder:
                     continue  # resume: group already built for this snapshot
             m = self._build_group(src, index_dir, g, fp, schema, key_and_carry)
             built_groups.append(m)
+        t = mark("segments", t)
 
-        # ---- merge stage: global termdict + docstats + fieldstats ----
+        # ---- merge stage: the SegmentMerger analogue ----
+        # One postings shuffle redistributes per-partition segment rows into
+        # term-hash buckets (sorted by term within each bucket) — this is
+        # the merge that Lucene also pays (SegmentMerger/TieredMergePolicy
+        # rewrite segments repeatedly; we pay exactly one pass). Bucketed +
+        # term-sorted layout gives query-time partition pruning on the
+        # bucket dir plus Parquet row-group pruning on term. We deliberately
+        # do NOT write one file per (task, bucket) from the segment stage:
+        # dynamic-partition writes explode into tasks×buckets small files,
+        # which murders both the filesystem and every downstream listing.
         raw = self.spark.read.parquet(os.path.join(index_dir, "raw"))
 
-        postings = (
-            raw.filter(F.col("kind") == "posting")
-            .select("term", "part_id", "slice", "local_df", "local_cf",
-                    "doc_blob", "tf_blob", "dl_blob",
-                    "block_last", "block_max_tf", "block_min_dl")
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
-        )
-        (
-            postings.repartition(cfg.num_buckets, "bucket")
-            .sortWithinPartitions("term", "part_id", "slice")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(index_dir, "postings"))
-        )
-        postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
+        # The four merge outputs (bucketed postings, term dictionary,
+        # docstats sidecar, lineage/collection stats) are INDEPENDENT reads
+        # of raw/ — submitted concurrently from threads so the scheduler
+        # interleaves them (on a cluster these small jobs would otherwise
+        # serialize driver round-trips; the ConcurrentMergeScheduler role,
+        # index/ConcurrentMergeScheduler.java).
+        def job_postings():
+            postings = (
+                raw.filter(F.col("kind") == "posting")
+                .select("term", "part_id", "slice", "local_df", "local_cf",
+                        "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                        "block_last", "block_max_tf", "block_min_dl")
+                .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+            )
+            (
+                postings.repartition(cfg.num_buckets, "bucket")
+                .sortWithinPartitions("term", "part_id", "slice")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(index_dir, "postings"))
+            )
 
-        # global term dictionary: the MultiTermsEnum merge collapses to a
-        # tiny stats aggregation (map-side combined; skew-immune)
-        termdict = (
-            postings.groupBy("term")
-            .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
-        )
-        (
-            termdict.repartitionByRange(cfg.termdict_partitions, "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "termdict"))
-        )
+        def job_termdict():
+            # global term dictionary: the MultiTermsEnum merge collapses to
+            # a tiny stats aggregation (map-side combined; skew-immune)
+            termdict = (
+                raw.filter(F.col("kind") == "posting")
+                .groupBy("term")
+                .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
+                .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+            )
+            (
+                termdict.repartitionByRange(cfg.termdict_partitions, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(os.path.join(index_dir, "termdict"))
+            )
 
-        docstats = raw.filter(F.col("kind") == "docstat").select(
-            *key_and_carry, "doc_id", "doclen", "sha256"
-        )
-        docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
-        docstats = self.spark.read.parquet(os.path.join(index_dir, "docstats"))
+        def job_docstats():
+            docstats = raw.filter(F.col("kind") == "docstat").select(
+                *key_and_carry, "doc_id", "doclen", "sha256"
+            )
+            docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
 
-        fieldstats = docstats.agg(
-            F.count("*").alias("doc_count"),
-            F.sum("doclen").alias("sum_doclen"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-        fieldstats.write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats"))
+        def job_stats():
+            # one agg job → per-group lineage metrics + collection stats
+            return (
+                raw.groupBy("group", "kind")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum("local_cf").alias("postings"),
+                    F.sum("doclen").alias("tokens"),
+                    F.max("local_df").alias("max_local_df"),
+                    F.max("doc_id").alias("max_doc_id"),
+                )
+                .collect()
+            )
 
-        fs = fieldstats.collect()[0].asDict()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_post = ex.submit(job_postings)
+            f_dict = ex.submit(job_termdict)
+            f_doc = ex.submit(job_docstats)
+            f_stat = ex.submit(job_stats)
+            f_post.result()
+            f_dict.result()
+            f_doc.result()
+            stat_rows = f_stat.result()
+        t = mark("merge", t)
+        by_group: dict[int, dict[str, dict]] = {}
+        for r in stat_rows:
+            by_group.setdefault(int(r["group"]), {})[r["kind"]] = r.asDict()
+        fs = {
+            "doc_count": sum(g.get("docstat", {}).get("rows") or 0 for g in by_group.values()),
+            "sum_doclen": sum(g.get("docstat", {}).get("tokens") or 0 for g in by_group.values()),
+            "max_doc_id": max((g.get("docstat", {}).get("max_doc_id") or 0) for g in by_group.values()),
+        }
+        self.spark.createDataFrame(
+            [(fs["doc_count"], fs["sum_doclen"], fs["max_doc_id"])],
+            "doc_count long, sum_doclen long, max_doc_id long",
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats"))
+        t = mark("stats", t)
+
+        # merge metrics into the per-group lineage manifests
+        for m in built_groups:
+            g = by_group.get(int(m["group"]), {})
+            m.update(
+                docs=int(g.get("docstat", {}).get("rows") or 0),
+                terms_rows=int(g.get("posting", {}).get("rows") or 0),
+                postings=int(g.get("posting", {}).get("postings") or 0),
+                tokens=int(g.get("docstat", {}).get("tokens") or 0),
+                max_local_df=int(g.get("posting", {}).get("max_local_df") or 0),
+            )
+            mpath = self._manifest_path(index_dir, int(m["group"]))
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(m, fh, indent=2)
+            os.replace(tmp, mpath)
         manifest = {
-            "version": 1,
+            "version": 2,
+            "layout": 1,   # postings/ bucketed+term-sorted, docstats/ sidecar
             "source_fingerprint": fp,
             "config": {
                 "analyzer": cfg.analyzer,
@@ -328,10 +460,12 @@ class IndexBuilder:
                 "partitions": cfg.partitions,
                 "num_groups": cfg.num_groups,
                 "carry_cols": list(cfg.carry_cols),
+                "index_positions": cfg.index_positions,
             },
             "doc_count": fs.get("doc_count"),
             "sum_doclen": fs.get("sum_doclen"),
             "groups": built_groups,
+            "phases": phases,
             "build_seconds": round(time.time() - t0, 3),
             "status": "done",
         }
@@ -371,24 +505,13 @@ class IndexBuilder:
         out = os.path.join(index_dir, "raw", f"group={group}")
         raw.write.mode("overwrite").parquet(out)
 
-        # per-group metrics from the written data (lineage record)
-        rd = self.spark.read.parquet(out)
-        agg = rd.groupBy("kind").agg(
-            F.count("*").alias("rows"),
-            F.sum("local_cf").alias("postings"),
-            F.sum("doclen").alias("tokens"),
-            F.max("local_df").alias("max_local_df"),
-        ).collect()
-        stats = {r["kind"]: r.asDict() for r in agg}
+        # lineage record; detailed metrics are filled by the single global
+        # stats pass in build() (one job for all groups instead of one per
+        # group)
         m = {
             "group": group,
             "source_fingerprint": fp,
             "status": "done",
-            "docs": stats.get("docstat", {}).get("rows", 0),
-            "terms_rows": stats.get("posting", {}).get("rows", 0),
-            "postings": int(stats.get("posting", {}).get("postings") or 0),
-            "tokens": int(stats.get("docstat", {}).get("tokens") or 0),
-            "max_local_df": int(stats.get("posting", {}).get("max_local_df") or 0),
             "seconds": round(time.time() - t0, 3),
         }
         mpath = self._manifest_path(index_dir, group)

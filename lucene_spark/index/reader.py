@@ -27,18 +27,32 @@ class IndexReader:
         cfg = self.manifest["config"]
         self.analyzer_name: str = cfg["analyzer"]
         self.key_cols: list[str] = cfg["key_cols"]
+        self.carry_cols: list[str] = cfg.get("carry_cols", [])
         self.num_buckets: int = cfg["num_buckets"]
+        self.has_positions: bool = bool(cfg.get("index_positions", False))
+        self.layout: int = int(self.manifest.get("layout", 1))
         self.doc_count: int = int(self.manifest["doc_count"])
         self.sum_doclen: int = int(self.manifest["sum_doclen"])
 
     # ---- DataFrames ------------------------------------------------------
+    def _raw(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "raw"))
+
     def postings(self) -> DataFrame:
+        if self.layout >= 2:
+            cols = ["term", "part_id", "slice", "local_df", "local_cf",
+                    "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                    "block_last", "block_max_tf", "block_min_dl", "bucket"]
+            return self._raw().filter(F.col("kind") == "posting").select(*cols)
         return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
 
     def termdict(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "termdict"))
 
     def docstats(self) -> DataFrame:
+        if self.layout >= 2:
+            cols = [*self.key_cols, *self.carry_cols, "doc_id", "doclen", "sha256"]
+            return self._raw().filter(F.col("kind") == "docstat").select(*cols)
         return self.spark.read.parquet(os.path.join(self.index_dir, "docstats"))
 
     def fieldstats(self) -> DataFrame:

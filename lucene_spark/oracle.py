@@ -51,12 +51,32 @@ def oracle_tokenize(text: str, analyzer: str = "code") -> list[str]:
     raise ValueError(analyzer)
 
 
+def oracle_tokenize_all(text: str, analyzer: str = "code") -> list[str | None]:
+    """Pre-filter token stream with dropped tokens as None (position gaps)."""
+    if analyzer == "code":
+        text = _CAMEL_1.sub(r"\1 \2", text)
+        text = _CAMEL_2.sub(r"\1 \2", text)
+        toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+        return [t if len(t) <= 255 else None for t in toks]
+    if analyzer == "standard":
+        from lucene_spark.analysis import ENGLISH_STOP_WORDS
+
+        toks = re.findall(r"[A-Za-z0-9_]+", text.lower())
+        return [t if len(t) <= 255 and t not in ENGLISH_STOP_WORDS else None for t in toks]
+    if analyzer == "whitespace":
+        return list(text.split())
+    if analyzer == "simple":
+        return list(re.findall(r"[a-z0-9]+", text.lower()))
+    raise ValueError(analyzer)
+
+
 class OracleIndex:
     def __init__(self, analyzer: str = "code", k1: float = 1.2, b: float = 0.75):
         self.analyzer = analyzer
         self.k1 = k1
         self.b = b
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)  # term -> {doc: tf}
+        self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
         self.doclen: dict[int, int] = {}
 
     def add(self, doc_id: int, content: str) -> None:
@@ -64,6 +84,11 @@ class OracleIndex:
         self.doclen[doc_id] = len(toks)
         for t, tf in Counter(toks).items():
             self.postings[t][doc_id] = tf
+        # positions in the pre-stop-filter stream (gaps preserved), matching
+        # FilteringTokenFilter.java:49-63 accumulated position increments
+        for p, t in enumerate(oracle_tokenize_all(content, self.analyzer)):
+            if t is not None:
+                self.positions[t].setdefault(doc_id, []).append(p)
 
     # ---- stats ----
     @property
@@ -114,6 +139,30 @@ class OracleIndex:
                     tf_sum[d] += tf
             return {d: self._score_one(w, tf, self.doclen[d]) if scored else np.float32(0)
                     for d, tf in tf_sum.items()}
+        if isinstance(node, P.PhraseNode):
+            # ExactPhraseMatcher semantics: freq = #positions p where
+            # term_j sits at p+j for all j; blended idf-sum weight
+            common: set[int] | None = None
+            for t in node.terms:
+                docs_t = set(self.positions.get(t, {}))
+                common = docs_t if common is None else (common & docs_t)
+                if not common:
+                    return {}
+            idf_sum = sum(
+                float(np.float32(math.log(
+                    1.0 + (self.doc_count - self.df(t) + 0.5) / (self.df(t) + 0.5))))
+                for t in node.terms)
+            w = np.float32(np.float32(node.boost) * np.float32(idf_sum))
+            out: dict[int, np.float32] = {}
+            for d in common:
+                cur = set(self.positions[node.terms[0]][d])
+                for j, t in enumerate(node.terms[1:], start=1):
+                    cur &= {p - j for p in self.positions[t][d]}
+                    if not cur:
+                        break
+                if cur:
+                    out[d] = self._score_one(w, len(cur), self.doclen[d]) if scored else np.float32(0)
+            return out
         if isinstance(node, P.ConstantScoreNode):
             child = self.eval(node.child, scored=False)
             return {d: np.float32(node.boost) for d in child}

@@ -41,6 +41,15 @@ class TermPostings:
     block_last: np.ndarray
     block_max_tf: np.ndarray
     block_min_dl: np.ndarray
+    pos: np.ndarray | None = None   # flat positions; posting i owns
+                                    # pos[tf_off[i]:tf_off[i+1]]
+    _tf_off: np.ndarray | None = None
+
+    @property
+    def tf_off(self) -> np.ndarray:
+        if self._tf_off is None:
+            self._tf_off = np.append(np.int64(0), np.cumsum(self.tfs))
+        return self._tf_off
 
 
 @dataclass
@@ -51,6 +60,7 @@ class EvalContext:
     avgdl: np.float32
     sim: BM25Similarity
     k: int = 10
+    phrase_weights: dict[tuple[tuple[str, ...], float], np.float32] | None = None
 
 
 _EMPTY_I = np.empty(0, dtype=np.int64)
@@ -80,7 +90,54 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_boolean(node, ctx, need_scores)
     if isinstance(node, P.DisjunctionMaxNode):
         return _eval_dismax(node, ctx, need_scores)
+    if isinstance(node, P.PhraseNode):
+        return _eval_phrase(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
+
+
+def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase matcher (search/ExactPhraseMatcher.java): docs where
+    all terms occur and ∃ position p with term_j at p+j for all j.
+    phrase freq = number of such p → scored like a pseudo-term with the
+    blended multi-term weight. Candidate intersection is vectorized; the
+    position verify loops only over the (few) candidate docs."""
+    parts = []
+    for t in node.terms:
+        tp = ctx.postings.get(t)
+        if tp is None or tp.pos is None:
+            return _empty()
+        parts.append(tp)
+    if not parts:
+        return _empty()
+
+    # leapfrog: intersect candidate docs cost-ordered (rarest first),
+    # tracking each leg's posting index for position lookup
+    order = np.argsort([p.docs.size for p in parts], kind="stable")
+    base = parts[order[0]].docs
+    for oi in order[1:]:
+        base = np.intersect1d(base, parts[oi].docs, assume_unique=True)
+        if base.size == 0:
+            return _empty()
+
+    idx = [np.searchsorted(p.docs, base) for p in parts]
+    freqs = np.zeros(base.size, dtype=np.int64)
+    for ci in range(base.size):
+        cur = parts[0].pos[parts[0].tf_off[idx[0][ci]]:parts[0].tf_off[idx[0][ci] + 1]]
+        for j in range(1, len(parts)):
+            pj = parts[j]
+            pos_j = pj.pos[pj.tf_off[idx[j][ci]]:pj.tf_off[idx[j][ci] + 1]]
+            cur = np.intersect1d(cur, pos_j - j, assume_unique=True)
+            if cur.size == 0:
+                break
+        freqs[ci] = cur.size
+
+    hit = freqs > 0
+    docs = base[hit]
+    if not need_scores:
+        return docs, np.zeros(docs.size, dtype=np.float32)
+    dls = parts[0].dls[idx[0][hit]]
+    w = (ctx.phrase_weights or {})[(node.terms, node.boost)]
+    return docs, ctx.sim.score(freqs[hit], dls, w, ctx.avgdl)
 
 
 def _eval_term(node: P.TermNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:

@@ -76,6 +76,17 @@ class TermRangeNode(Node):
 
 
 @dataclass(frozen=True)
+class PhraseNode(Node):
+    """search/PhraseQuery.java — terms at consecutive positions (slop=0,
+    ExactPhraseMatcher semantics: freq = number of phrase occurrences,
+    scored via the similarity with the BLENDED weight of all terms —
+    idf sum per BM25Similarity.java:191-199). Requires an index built with
+    index_positions=True (IndexOptions DOCS_AND_FREQS_AND_POSITIONS)."""
+    terms: tuple[str, ...] = ()
+    slop: int = 0           # parsed; only 0 (exact) is executable in v1
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 

@@ -26,6 +26,7 @@ from lucene_spark.search.plan import (
     MatchNoneNode,
     Node,
     Occur,
+    PhraseNode,
     PrefixNode,
     RegexpNode,
     TermInSetNode,
@@ -202,12 +203,22 @@ def _parse_primary(lx: _Lexer, an: Analyzer) -> Node | None:
             terms.extend(_analyze_one(r, an) or [])
         return TermInSetNode(terms=tuple(sorted(set(terms))))
     if kind == "quoted":
-        # v0: quoted text = conjunction of its analyzed terms (positions
-        # deferred; documented divergence from PhraseQuery)
+        # "..." → PhraseQuery (QueryParserBase.getFieldQuery with quoted=
+        # true); optional ~slop suffix parsed (slop>0 not executable yet).
+        # Single-term phrase rewrites to TermQuery (PhraseQuery rewrite).
+        slop = 0
+        nxt = lx.peek()
+        if nxt is not None and nxt[0] == "atom" and nxt[1].startswith("~"):
+            digits = nxt[1][1:]
+            if digits.isdigit():
+                slop = int(digits)
+                lx.next()
         toks = _analyze_one(val[1:-1], an)
         if not toks:
             return MatchNoneNode()
-        return AND(*[TermNode(term=tk) for tk in toks])
+        if len(toks) == 1:
+            return TermNode(term=toks[0])
+        return PhraseNode(terms=tuple(toks), slop=slop)
     # atom: boost / fuzzy / wildcard / prefix / plain term
     boost = 1.0
     m = _BOOST_RE.match(val)

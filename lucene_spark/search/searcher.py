@@ -138,7 +138,7 @@ class IndexSearcher:
     def _collect_terms(self, node: P.Node, out: set[str]) -> None:
         if isinstance(node, P.TermNode):
             out.add(node.term)
-        elif isinstance(node, (P.TermInSetNode, P.SynonymNode)):
+        elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode)):
             out.update(node.terms)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
@@ -149,11 +149,24 @@ class IndexSearcher:
         elif isinstance(node, P.ConstantScoreNode) and node.child is not None:
             self._collect_terms(node.child, out)
 
+    @staticmethod
+    def _has_phrase(node: P.Node) -> bool:
+        if isinstance(node, P.PhraseNode):
+            return True
+        if isinstance(node, P.BooleanNode):
+            return any(IndexSearcher._has_phrase(c.node) for c in node.clauses)
+        if isinstance(node, P.DisjunctionMaxNode):
+            return any(IndexSearcher._has_phrase(c) for c in node.children)
+        if isinstance(node, P.ConstantScoreNode) and node.child is not None:
+            return IndexSearcher._has_phrase(node.child)
+        return False
+
     def _weights(self, node: P.Node, stats: dict[str, tuple[int, int]]):
         """Precompute per-(term, boost) BM25 weights and synonym pseudo-term
         weights driver-side (Similarity.scorer creation)."""
         weights: dict[tuple[str, float], np.float32] = {}
         syn: dict[tuple[tuple[str, ...], float], np.float32] = {}
+        phrase: dict[tuple[tuple[str, ...], float], np.float32] = {}
         N = self.reader.doc_count
 
         def walk(n: P.Node):
@@ -161,6 +174,13 @@ class IndexSearcher:
                 df = stats.get(n.term, (0, 0))[0]
                 if df:
                     weights[(n.term, n.boost)] = self.sim.weight(df, N, n.boost)
+            elif isinstance(n, P.PhraseNode):
+                # multi-term blended weight: idf values summed in double,
+                # weight = boost · Σidf cast to float32
+                # (BM25Similarity.java:191-199 idfExplain for term array)
+                if all(stats.get(t, (0, 0))[0] for t in n.terms):
+                    idf_sum = sum(float(self.sim.idf(stats[t][0], N)) for t in n.terms)
+                    phrase[(n.terms, n.boost)] = np.float32(np.float32(n.boost) * np.float32(idf_sum))
             elif isinstance(n, P.SynonymNode):
                 # SynonymQuery blends stats: df = max over terms (docFreq of
                 # the pseudo-term is bounded by max; Lucene uses max df)
@@ -177,7 +197,7 @@ class IndexSearcher:
                 walk(n.child)
 
         walk(node)
-        return weights, syn
+        return weights, syn, phrase
 
     # ----------------------------------------------------------- execution
     def _empty_result(self) -> DataFrame:
@@ -193,11 +213,16 @@ class IndexSearcher:
         live = [t for t in terms if t in stats]
         if not live:
             return self._empty_result()
-        weights, syn_weights = self._weights(node, stats)
+        weights, syn_weights, phrase_weights = self._weights(node, stats)
         avgdl = self.sim.avgdl(self.reader.sum_doclen, self.reader.doc_count) \
             if hasattr(self.sim, "avgdl") else np.float32(self.reader.sum_doclen / max(self.reader.doc_count, 1))
         sim = self.sim
         kk = k
+        want_pos = self._has_phrase(node)
+        if want_pos and not self.reader.has_positions:
+            raise ValueError(
+                "phrase query requires an index built with index_positions=True "
+                "(IndexOptions DOCS_AND_FREQS_AND_POSITIONS)")
 
         post = self.reader.postings_for_terms(live)
 
@@ -212,9 +237,18 @@ class IndexSearcher:
                 bl = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_last"]])
                 bmt = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_max_tf"]])
                 bmd = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_min_dl"]])
-                postings[term] = TermPostings(docs, tfs, dls, bl, bmt, bmd)
+                pos = None
+                if want_pos:
+                    # per-posting delta blobs → absolute flat positions
+                    pos_delta = np.concatenate([vbyte_decode(b) for b in grp["pos_blob"]])
+                    starts = np.cumsum(tfs) - tfs
+                    cs = np.cumsum(pos_delta)
+                    base_corr = cs[starts] - pos_delta[starts]
+                    pos = cs - np.repeat(base_corr, tfs)
+                postings[term] = TermPostings(docs, tfs, dls, bl, bmt, bmd, pos=pos)
             ctx = EvalContext(postings=postings, weights=weights, syn_weights=syn_weights,
-                              avgdl=avgdl, sim=sim, k=kk or 10)
+                              avgdl=avgdl, sim=sim, k=kk or 10,
+                              phrase_weights=phrase_weights)
             if kk is not None and isinstance(node, P.TermNode):
                 docs, scores = score_term_topk_blockmax(node, ctx)
             else:

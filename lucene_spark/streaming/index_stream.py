@@ -1,0 +1,153 @@
+"""Incremental / streaming index maintenance.
+
+Role analogue: Solr TopicStream/DaemonStream (solr/solrj/.../io/stream/
+TopicStream.java — checkpointed `_version_` cursor, incremental pulls) and
+Lucene's near-real-time segment appends (new DWPT flushes become segments
+without rewriting old ones, index/IndexWriter.java commit loop).
+
+Spark-first restatement: the corpus directory is a Structured Streaming
+file source; each micro-batch becomes a NEW independent segment group
+(group id = stream batch id + offset), built with the exact same
+`_build_group` code path as the batch builder — then the cheap merge
+artifacts (term dictionary, collection stats, manifest) are recomputed
+over all groups. Postings of earlier groups are NEVER rewritten: doc_ids
+embed (group, partition, local), so new groups append disjoint id ranges
+exactly like Lucene segment bases. Exactly-once comes from the stream
+checkpoint (source offsets) + idempotent per-group manifests — a replayed
+batch overwrites its own group deterministically.
+
+At 100 TB the growing small-group population is the TieredMergePolicy
+trigger: a separate compaction job (same merge math over partition byte
+sizes, SURVEY.md §2.3) folds small groups together; serving never blocks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.index.builder import IndexBuilder, IndexConfig, _raw_schema
+
+GROUP_BASE = 1 << 20   # stream groups start here; batch groups sit below
+
+
+class StreamingIndexer:
+    def __init__(self, spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.cfg = cfg or IndexConfig()
+        self.builder = IndexBuilder(spark, self.cfg)
+
+    # ---- one micro-batch = one segment group ----------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = self.cfg
+        if not batch_df.take(1):
+            return
+        os.makedirs(os.path.join(self.index_dir, "parts"), exist_ok=True)
+        key_and_carry = [c for c in batch_df.columns
+                         if c in cfg.key_cols + cfg.carry_cols]
+        src = batch_df.select(
+            *key_and_carry,
+            F.col(cfg.content_col),
+            F.sha2(F.col(cfg.content_col), 256).alias("__sha256"),
+        )
+        schema = _raw_schema(src.schema, cfg)
+        group = GROUP_BASE + int(batch_id)
+        fp = f"stream-batch-{batch_id}"
+        self.builder._build_group(src, self.index_dir, group, fp, schema, key_and_carry)
+        self._remerge()
+
+    def _remerge(self) -> None:
+        """Recompute the cheap global artifacts (termdict, fieldstats,
+        manifest) over ALL groups; postings stay as written per group."""
+        cfg = self.cfg
+        idx = self.index_dir
+        raw = self.spark.read.parquet(os.path.join(idx, "raw"))
+
+        termdict = (
+            raw.filter(F.col("kind") == "posting")
+            .groupBy("term")
+            .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        (
+            termdict.repartitionByRange(cfg.termdict_partitions, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(idx, "termdict"))
+        )
+        key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
+        docstats = raw.filter(F.col("kind") == "docstat").select(
+            *[c for c in key_and_carry if c in raw.columns], "doc_id", "doclen", "sha256"
+        )
+        docstats.write.mode("overwrite").parquet(os.path.join(idx, "docstats"))
+
+        # postings view refresh (merge shuffle over ALL groups; a true
+        # incremental variant would only re-bucket the new group — noted
+        # as the compaction job's role)
+        postings = (
+            raw.filter(F.col("kind") == "posting")
+            .select("term", "part_id", "slice", "local_df", "local_cf",
+                    "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                    "block_last", "block_max_tf", "block_min_dl")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        (
+            postings.repartition(cfg.num_buckets, "bucket")
+            .sortWithinPartitions("term", "part_id", "slice")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(idx, "postings"))
+        )
+
+        fs = docstats.agg(
+            F.count("*").alias("doc_count"),
+            F.sum("doclen").alias("sum_doclen"),
+            F.max("doc_id").alias("max_doc_id"),
+        ).collect()[0].asDict()
+        self.spark.createDataFrame(
+            [(fs["doc_count"], fs["sum_doclen"], fs["max_doc_id"])],
+            "doc_count long, sum_doclen long, max_doc_id long",
+        ).write.mode("overwrite").parquet(os.path.join(idx, "fieldstats"))
+
+        manifest = {
+            "version": 2,
+            "layout": 1,
+            "source_fingerprint": "streaming",
+            "config": {
+                "analyzer": cfg.analyzer,
+                "key_cols": list(cfg.key_cols),
+                "content_col": cfg.content_col,
+                "num_buckets": cfg.num_buckets,
+                "block_size": cfg.block_size,
+                "partitions": cfg.partitions,
+                "num_groups": cfg.num_groups,
+                "carry_cols": list(cfg.carry_cols),
+                "index_positions": cfg.index_positions,
+            },
+            "doc_count": int(fs["doc_count"] or 0),
+            "sum_doclen": int(fs["sum_doclen"] or 0),
+            "status": "done",
+        }
+        tmp = os.path.join(idx, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, os.path.join(idx, "manifest.json"))
+
+    # ---- streaming drivers ----------------------------------------------
+    def start(self, source_dir: str, schema, checkpoint_dir: str,
+              available_now: bool = True):
+        """Watch a directory of parquet drops; each micro-batch appends a
+        segment group. available_now=True drains what exists then stops
+        (the unit-testable mode); False runs continuously."""
+        stream = self.spark.readStream.schema(schema).parquet(source_dir)
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,147 @@
+"""Phrase queries: positions codec roundtrip, analyzer position gaps,
+engine↔oracle rank/score parity on a positions-enabled index.
+
+Reference semantics under test:
+- ExactPhraseMatcher (search/ExactPhraseMatcher.java): freq = number of
+  positions p where term_j sits at p+j for all j
+- StopFilter position gaps (analysis/FilteringTokenFilter.java:49-63):
+  "a THE b" does NOT match phrase "a b"
+- blended weight = boost · Σ idf (BM25Similarity.java:191-199)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus_pdf, tmp_path_factory):
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+
+    d = str(tmp_path_factory.mktemp("pidx") / "index")
+    cfg = IndexConfig(partitions=4, num_groups=2, num_buckets=8,
+                      analyzer="code", index_positions=True)
+    src = spark.createDataFrame(corpus_pdf)
+    IndexBuilder(spark, cfg).build(src, d, overwrite=True)
+    return IndexReader(spark, d)
+
+
+@pytest.fixture(scope="module")
+def pos_searcher(pos_index):
+    from lucene_spark.search import IndexSearcher
+
+    return IndexSearcher(pos_index)
+
+
+@pytest.fixture(scope="module")
+def pos_oracle(pos_index, corpus_pdf):
+    from lucene_spark.oracle import OracleIndex
+
+    ds = pos_index.docstats().select("repo", "path", "commit", "doc_id").toPandas()
+    key = ds.set_index(["repo", "path", "commit"])["doc_id"]
+    ora = OracleIndex(analyzer="code")
+    for row in corpus_pdf.itertuples(index=False):
+        ora.add(int(key.loc[(row.repo, row.path, row.commit)]), row.content)
+    return ora
+
+
+PHRASE_QUERIES = [
+    '"licensed under the apache"',
+    '"apache license version"',
+    '"index writer"',
+    '"distributed with this work"',
+    '"notice file distributed"',
+    '"zzz never present"',
+    '"uid42sing"',                      # single-term phrase → TermQuery
+    '"index writer" OR merge',          # phrase inside boolean
+    'merge AND "licensed under"',
+]
+
+
+def test_phrase_parity(pos_searcher, pos_oracle):
+    for q in PHRASE_QUERIES:
+        node = pos_searcher.parse(q)
+        eng = [(r["doc_id"], r["score"]) for r in pos_searcher.search(node, k=10).collect()]
+        orc = [(d, s) for d, s in pos_oracle.search(node, k=10)]
+        assert [d for d, _ in eng] == [d for d, _ in orc], q
+        for (d1, s1), (d2, s2) in zip(eng, orc):
+            assert np.float32(s1) == np.float32(s2), (q, d1, s1, s2)
+
+
+def test_phrase_count_parity(pos_searcher, pos_oracle):
+    for q in ['"licensed under the apache"', '"index writer"']:
+        node = pos_searcher.parse(q)
+        assert pos_searcher.count(node) == pos_oracle.count(node), q
+
+
+def test_stop_gap_blocks_phrase(spark, tmp_path_factory):
+    """Standard analyzer drops 'the' leaving a position gap: the phrase
+    'quick fox' must NOT match 'quick the fox'."""
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    pdf = pd.DataFrame({
+        "repo": ["r", "r", "r"],
+        "path": ["a", "b", "c"],
+        "commit": ["1", "1", "1"],
+        "lang": ["en"] * 3,
+        "content": ["quick the fox", "quick fox jumps", "fox quick"],
+    })
+    d = str(tmp_path_factory.mktemp("gap") / "index")
+    cfg = IndexConfig(partitions=1, num_buckets=2, analyzer="standard",
+                      index_positions=True)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), d, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, d))
+    hits = s.search('"quick fox"', k=10).collect()
+    ds = s.hydrate(s.search('"quick fox"', k=10)).select("path").collect()
+    assert [r["path"] for r in ds] == ["b"]
+    assert len(hits) == 1
+
+
+def test_phrase_requires_positions(searcher):
+    """DOCS_AND_FREQS index → phrase query is a planning-time error."""
+    with pytest.raises(ValueError, match="index_positions"):
+        searcher.search('"licensed under"', k=5).collect()
+
+
+def test_tokenize_with_positions_gaps():
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("standard")
+    toks, poss = an.tokenize_with_positions(pd.Series(["quick the fox", ""]))
+    assert list(toks.iloc[0]) == ["quick", "fox"]
+    assert list(poss.iloc[0]) == [0, 2]          # gap at dropped stopword
+    assert list(toks.iloc[1]) == [] and list(poss.iloc[1]) == []
+
+    code = get_analyzer("code")
+    toks, poss = code.tokenize_with_positions(pd.Series(["fooBar baz_qux"]))
+    assert list(toks.iloc[0]) == ["foo", "bar", "baz", "qux"]
+    assert list(poss.iloc[0]) == [0, 1, 2, 3]
+
+
+def test_positions_codec_roundtrip():
+    """Build-side delta encode ↔ search-side reconstruct, via a tiny
+    single-partition invert."""
+    from lucene_spark.codec.vbyte import vbyte_decode
+    from lucene_spark.index.builder import IndexConfig, _invert_partition
+
+    pdf = pd.DataFrame({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["x"],
+        "content": ["w a w b w c w"],
+        "__sha256": ["h"],
+    })
+    cfg = IndexConfig(analyzer="whitespace", index_positions=True)
+    frames = list(_invert_partition(iter([pdf]), cfg, 0, 1, ["repo", "path", "commit"]))
+    post = pd.concat(frames)
+    row = post[(post["kind"] == "posting") & (post["term"] == "w")].iloc[0]
+    tfs = vbyte_decode(row["tf_blob"])
+    pos_delta = vbyte_decode(row["pos_blob"])
+    # reconstruct (same math as searcher)
+    starts = np.cumsum(tfs) - tfs
+    cs = np.cumsum(pos_delta)
+    base_corr = cs[starts] - pos_delta[starts]
+    pos = cs - np.repeat(base_corr, tfs)
+    assert list(pos) == [0, 2, 4, 6]
+    assert list(tfs) == [4]
