@@ -1,3 +1,4 @@
 from lucene_spark.index.builder import IndexBuilder, IndexConfig  # noqa: F401
 from lucene_spark.index.reader import IndexReader  # noqa: F401
 from lucene_spark.index.check import check_index  # noqa: F401
+from lucene_spark.index.compaction import compact, plan_compaction  # noqa: F401

@@ -1,0 +1,174 @@
+"""Segment-group compaction — the TieredMergePolicy analogue.
+
+Role analogue: index/TieredMergePolicy.java:74,85-92,399-414 — merges are
+budgeted per size tier (allowedSegCount = segsPerTier per tier, tiers are
+×tier_factor size levels above floor_bytes) and candidates are scored so
+small, similarly-sized segments merge first; maxMergeAtOnce caps a merge.
+index/SegmentMerger.java does the data movement.
+
+Spark restatement: a "segment" is a raw/group=G directory (one resumable
+build unit or one streaming micro-batch). Compaction:
+
+1. sizes all groups from the filesystem (the byte-size tier math carries
+   over unchanged),
+2. picks the candidate set: while the group count exceeds the tier
+   budget, take up to `max_merge_at_once` of the SMALLEST groups,
+3. rewrites just those groups' raw rows into one new group directory
+   (posting rows and docstats move VERBATIM — doc_ids are global, so no
+   posting re-encoding or docID remap is ever needed; this is cheaper
+   than Lucene's merge, which must remap per-segment ids),
+4. atomically swaps lineage manifests, then rebuilds the derived
+   artifacts (postings buckets, termdict, fieldstats).
+
+Serving never blocks: readers pinned to the old manifest keep working;
+the swap is the IndexWriter.commit() two-phase publish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from lucene_spark.index.builder import IndexBuilder, IndexConfig
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_compaction(
+    group_bytes: dict[int, int],
+    floor_bytes: int = 2 << 20,
+    tier_factor: int = 10,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+) -> list[int]:
+    """Pure policy math (unit-testable): which groups to merge now.
+    Mirrors TieredMergePolicy's allowed-count budget: counting each group
+    into its size tier (size < floor counts at floor), the index is
+    allowed segs_per_tier groups per tier; when over budget, merge the
+    smallest max_merge_at_once groups."""
+    if len(group_bytes) <= 1:
+        return []
+    import math
+
+    total = sum(max(b, floor_bytes) for b in group_bytes.values())
+    # allowed count: segs_per_tier at each tier from total down to floor
+    allowed = 0.0
+    level_size = float(floor_bytes)
+    remaining = float(total)
+    while remaining > 0:
+        seg_count_level = remaining / level_size
+        if seg_count_level < segs_per_tier:
+            allowed += math.ceil(seg_count_level)
+            break
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level_size
+        level_size *= tier_factor
+    if len(group_bytes) <= max(2, int(allowed)):
+        return []
+    smallest = sorted(group_bytes, key=lambda g: (group_bytes[g], g))
+    return smallest[:max_merge_at_once]
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    floor_bytes: int = 2 << 20,
+    tier_factor: int = 10,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+) -> dict:
+    """One compaction round. Returns {'merged': [...], 'into': G or None}."""
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    mcfg = manifest["config"]
+    cfg = cfg or IndexConfig(
+        key_cols=tuple(mcfg["key_cols"]), content_col=mcfg["content_col"],
+        analyzer=mcfg["analyzer"], num_buckets=mcfg["num_buckets"],
+        block_size=mcfg["block_size"], partitions=mcfg["partitions"],
+        carry_cols=tuple(mcfg.get("carry_cols", ())),
+        index_positions=mcfg.get("index_positions", False),
+        termdict_partitions=mcfg.get("termdict_partitions", 4)
+        if isinstance(mcfg.get("termdict_partitions", 4), int) else 4,
+    )
+    raw_dir = os.path.join(index_dir, "raw")
+    groups = {
+        int(d.split("=", 1)[1]): _dir_bytes(os.path.join(raw_dir, d))
+        for d in os.listdir(raw_dir) if d.startswith("group=")
+    }
+    victims = plan_compaction(groups, floor_bytes, tier_factor,
+                              segs_per_tier, max_merge_at_once)
+    if not victims:
+        return {"merged": [], "into": None}
+
+    new_group = max(groups) + 1
+    t0 = time.time()
+    src = spark.read.parquet(*[os.path.join(raw_dir, f"group={g}") for g in victims])
+    # rows move verbatim; coalesce bounds the output file count
+    out = os.path.join(raw_dir, f"group={new_group}")
+    src.coalesce(max(1, cfg.partitions // 4)).write.mode("overwrite").parquet(out)
+
+    # two-phase swap: new manifest first, then retire victims
+    mpath = os.path.join(index_dir, "parts", f"group-{new_group:05d}.json")
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump({"group": new_group, "status": "done",
+                   "merged_from": sorted(victims),
+                   "seconds": round(time.time() - t0, 3),
+                   "source_fingerprint": f"compaction-of-{sorted(victims)}"}, fh)
+    os.replace(mpath + ".tmp", mpath)
+    for g in victims:
+        shutil.rmtree(os.path.join(raw_dir, f"group={g}"), ignore_errors=True)
+        p = os.path.join(index_dir, "parts", f"group-{g:05d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    # rebuild derived artifacts (postings buckets / termdict / fieldstats)
+    _rebuild_derived(spark, index_dir, cfg, manifest)
+    return {"merged": sorted(victims), "into": new_group}
+
+
+def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, manifest: dict) -> None:
+    raw = spark.read.parquet(os.path.join(index_dir, "raw"))
+    postings = (
+        raw.filter(F.col("kind") == "posting")
+        .select("term", "part_id", "slice", "local_df", "local_cf",
+                "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                "block_last", "block_max_tf", "block_min_dl")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+    )
+    (
+        postings.repartition(cfg.num_buckets, "bucket")
+        .sortWithinPartitions("term", "part_id", "slice")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    termdict = (
+        raw.filter(F.col("kind") == "posting")
+        .groupBy("term")
+        .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+    )
+    (
+        termdict.repartitionByRange(4, "term").sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(os.path.join(index_dir, "termdict"))
+    )
+    key_and_carry = [c for c in (list(cfg.key_cols) + list(cfg.carry_cols)) if c in raw.columns]
+    docstats = raw.filter(F.col("kind") == "docstat").select(
+        *key_and_carry, "doc_id", "doclen", "sha256")
+    docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
+
+    manifest["compacted_at"] = time.time()
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))

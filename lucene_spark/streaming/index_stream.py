@@ -138,11 +138,15 @@ class StreamingIndexer:
 
     # ---- streaming drivers ----------------------------------------------
     def start(self, source_dir: str, schema, checkpoint_dir: str,
-              available_now: bool = True):
+              available_now: bool = True, max_files_per_trigger: int | None = None):
         """Watch a directory of parquet drops; each micro-batch appends a
         segment group. available_now=True drains what exists then stops
-        (the unit-testable mode); False runs continuously."""
-        stream = self.spark.readStream.schema(schema).parquet(source_dir)
+        (the unit-testable mode); False runs continuously.
+        max_files_per_trigger bounds batch size (group granularity)."""
+        reader = self.spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.parquet(source_dir)
         writer = (
             stream.writeStream
             .foreachBatch(self.process_batch)

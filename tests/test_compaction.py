@@ -1,0 +1,73 @@
+"""Compaction (TieredMergePolicy analogue): policy math + end-to-end
+merge of streaming segment groups with result-identical search."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def test_plan_compaction_policy():
+    from lucene_spark.index.compaction import plan_compaction
+
+    # under budget → no merge
+    assert plan_compaction({0: 1 << 20, 1: 1 << 20}) == []
+    # 15 tiny groups blow the 10-per-tier budget → merge 10 smallest
+    groups = {g: (g + 1) * 1000 for g in range(15)}
+    victims = plan_compaction(groups, floor_bytes=2 << 20, segs_per_tier=10,
+                              max_merge_at_once=10)
+    assert victims == list(range(10))
+    # merge-at-once cap respected
+    victims = plan_compaction(groups, floor_bytes=2 << 20, segs_per_tier=4,
+                              max_merge_at_once=5)
+    assert len(victims) == 5
+
+
+def test_compact_streaming_groups(spark, tmp_path):
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexConfig, IndexReader
+    from lucene_spark.index.compaction import compact
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.streaming import StreamingIndexer
+
+    src_dir = tmp_path / "drops"
+    src_dir.mkdir()
+    idx_dir = str(tmp_path / "cidx")
+    full = make_corpus(120, seed=13)
+    # 6 drops → 6 micro-batch segment groups
+    for i in range(6):
+        full.iloc[i * 20:(i + 1) * 20].to_parquet(src_dir / f"d{i}.parquet", index=False)
+    cfg = IndexConfig(partitions=2, num_buckets=4, analyzer="code")
+    ix = StreamingIndexer(spark, idx_dir, cfg)
+    schema = "repo string, path string, commit string, lang string, content string"
+    q = ix.start(str(src_dir), schema, str(tmp_path / "ck"), available_now=True,
+                 max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    r = IndexReader(spark, idx_dir)
+    before = IndexSearcher(r).search("index OR writer OR merge", k=20).collect()
+    n_groups_before = len([d for d in os.listdir(os.path.join(idx_dir, "raw"))
+                           if d.startswith("group=")])
+    assert n_groups_before >= 2
+
+    res = compact(spark, idx_dir, cfg, floor_bytes=2 << 20, segs_per_tier=1,
+                  max_merge_at_once=10)
+    assert res["merged"], "compaction should have merged the tiny groups"
+
+    n_groups_after = len([d for d in os.listdir(os.path.join(idx_dir, "raw"))
+                          if d.startswith("group=")])
+    assert n_groups_after < n_groups_before
+
+    r2 = IndexReader(spark, idx_dir)
+    assert r2.doc_count == 120
+    after = IndexSearcher(r2).search("index OR writer OR merge", k=20).collect()
+    assert [(x["doc_id"], x["score"]) for x in before] == \
+           [(x["doc_id"], x["score"]) for x in after]
+
+    # lineage records the merge provenance
+    import json
+    parts = sorted(os.listdir(os.path.join(idx_dir, "parts")))
+    merged_manifests = [json.load(open(os.path.join(idx_dir, "parts", p)))
+                        for p in parts]
+    assert any(m.get("merged_from") for m in merged_manifests)

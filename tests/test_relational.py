@@ -1,0 +1,217 @@
+"""Relational layer (facets / streaming-expression analogues) and
+pipeline operators (dedup / textstats / similarity / multimodal /
+highlighter) against hand-computed expectations on tiny inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        ("a", "x", 1.0), ("a", "y", 2.0), ("a", "y", 3.0),
+        ("b", "x", 4.0), ("b", "x", 5.0), ("c", "z", 6.0),
+    ]
+    return spark.createDataFrame(rows, "grp string, cat string, v double")
+
+
+def test_facet_counts(people):
+    from lucene_spark.relational.facets import facet_counts
+
+    got = [(r["grp"], r["count"]) for r in facet_counts(people, "grp").collect()]
+    assert got == [("a", 3), ("b", 2), ("c", 1)]
+
+
+def test_range_facets(people):
+    from lucene_spark.relational.facets import range_facets
+
+    got = {(r["bucket_lo"], r["count"]) for r in range_facets(people, "v", 0, 10, 2).collect()}
+    assert got == {(0.0, 1), (2.0, 2), (4.0, 2), (6.0, 1)}
+
+
+def test_stats_facet(people):
+    from lucene_spark.relational.facets import stats_facet
+
+    r = stats_facet(people, "v").collect()[0]
+    assert r["count"] == 6 and r["min"] == 1.0 and r["max"] == 6.0
+    assert r["sum"] == 21.0 and abs(r["mean"] - 3.5) < 1e-9
+
+
+def test_pivot_facets(people):
+    from lucene_spark.relational.facets import pivot_facets
+
+    rows = {(r["grp"], r["cat"]): r["count"] for r in pivot_facets(people, ["grp", "cat"]).collect()}
+    assert rows[(None, None)] == 6            # grand total
+    assert rows[("a", None)] == 3 and rows[("a", "y")] == 2
+
+
+def test_group_top_docs(people):
+    from lucene_spark.relational.facets import group_top_docs
+
+    out = group_top_docs(people, "grp", [F.col("v").desc()], 1)
+    got = {(r["grp"], r["v"]) for r in out.collect()}
+    assert got == {("a", 3.0), ("b", 5.0), ("c", 6.0)}
+
+
+def test_streams_suite(spark, people):
+    from lucene_spark.relational import streams as S
+
+    small = spark.createDataFrame([("a", 10), ("b", 20)], "grp string, w int")
+    j = S.hash_join_stream(people, small, ["grp"])
+    assert j.count() == 5 and "BroadcastHashJoin" in j._jdf.queryExecution().executedPlan().toString()
+
+    ru = S.rollup_stream(people, ["grp"], [F.sum("v").alias("s")])
+    assert {(r["grp"], r["s"]) for r in ru.collect()} == {("a", 6.0), ("b", 9.0), ("c", 6.0)}
+
+    hv = S.having_stream(ru, F.col("s") > 6.0)
+    assert [r["grp"] for r in hv.collect()] == ["b"]
+
+    comp = S.complement_stream(people.select("grp").distinct(), small.select("grp"))
+    assert [r["grp"] for r in comp.collect()] == ["c"]
+
+    ex = S.expand_component(people, "grp", F.col("v").asc(), 1)
+    assert {(r["grp"], r["v"]) for r in ex.collect()} == {("a", 1.0), ("b", 4.0), ("c", 6.0)}
+
+
+def test_dedup_exact_and_jaccard(spark):
+    from lucene_spark.pipeline import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),     # near dup
+        (3, "completely different content here entirely now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = dedup.exact_duplicates(df, "text", "doc_id").collect()
+    assert len(dups) == 1 and dups[0]["n_dups"] == 2 and dups[0]["keys"] == [0, 1]
+
+    kept = dedup.dedup_keep_first(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3]
+
+    # jaccard(0,2) = 4/10 = 0.4 (3 of 7 shingles touch the changed word)
+    pairs = dedup.exact_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.35)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
+    # every reported value equals a brute-force python computation
+    for r in pairs.collect():
+        a = _shingles(rows[r["key_a"]][1])
+        b = _shingles(rows[r["key_b"]][1])
+        assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-9
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    w = text.lower().split()
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    from lucene_spark.pipeline import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(i, base + f"tail{i}") for i in range(4)] + [
+        (10, "unrelated words that share nothing with the others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(df, "text", "doc_id", n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=32)
+    pairs = dedup.minhash_lsh_pairs(sig, bands=8, rows_per_band=4)
+    verified = dedup.jaccard_verify(sh, pairs, threshold=0.8)
+    got = {(r["key_a"], r["key_b"]) for r in verified.collect()}
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= got
+    assert not any(10 in p for p in got)
+
+
+def test_simhash_close_for_neardups(spark):
+    from lucene_spark.pipeline import dedup
+
+    rows = [(0, "a b c d e f g h"), (1, "a b c d e f g x"), (2, "q r s t u v w z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["key"]: r["simhash"] for r in dedup.simhash(df, "text", "doc_id").collect()}
+    ham01 = bin(out[0] ^ out[1]).count("1")
+    ham02 = bin(out[0] ^ out[2]).count("1")
+    assert ham01 < ham02
+
+
+def test_textstats(spark):
+    from lucene_spark.pipeline import textstats
+
+    df = spark.createDataFrame(
+        [(0, "the quick fox is in the barn"), (1, ""), (2, "word")],
+        "doc_id long, text string")
+    tc = {r["doc_id"]: r["n"] for r in
+          df.select("doc_id", textstats.token_count(F.col("text")).alias("n")).collect()}
+    assert tc == {0: 7, 1: 0, 2: 1}
+
+    q = textstats.quality_features(df, "text")
+    r0 = q.filter(F.col("doc_id") == 0).collect()[0]
+    assert r0["n_tokens"] == 7 and r0["stopword_hits"] == 3  # the, is, in
+    assert q.filter(F.col("doc_id") == 1).collect()[0]["quality_score"] == 0.0
+
+    lang = textstats.detect_language(
+        spark.createDataFrame(
+            [(0, "der hund ist nicht da"), (1, "the dog is here"), (2, "xyz abc")],
+            "doc_id long, text string"), "text")
+    got = {r["doc_id"]: r["detected_lang"] for r in lang.collect()}
+    assert got == {0: "de", 1: "en", 2: "und"}
+
+
+def test_similarity_bruteforce_and_lsh(spark):
+    from lucene_spark.pipeline import similarity
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[7]]
+
+    top = similarity.cosine_topk_bruteforce(df, "embedding", "vec_id", q, k=5).collect()
+    assert top[0]["key"] == 7 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    # verify order against numpy
+    vv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vv @ (np.asarray(q) / np.linalg.norm(q))
+    want = list(np.argsort(-sims)[:5])
+    assert [r["key"] for r in top] == want
+
+    gem = similarity.pairwise_topk_gemm(df, "embedding", "vec_id", vecs[:2].astype(np.float64), k=3)
+    rows2 = gem.collect()
+    by_q = {}
+    for r in rows2:
+        by_q.setdefault(r["query_id"], []).append(r["key"])
+    assert by_q[0][0] == 0 and by_q[1][0] == 1
+
+
+def test_multimodal_plumbing(spark):
+    from lucene_spark.pipeline import multimodal
+
+    media = multimodal.make_fake_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same payload → same feature
+    again = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {r["media_id"]: r["feature"] for r in again}
+
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 6 for r in per)  # 0..5000 ms inclusive
+
+
+def test_highlighter(spark):
+    from lucene_spark.search.highlight import highlight, highlight_regex
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta the index writer works")],
+        "doc_id long, text string")
+    out = highlight(df, "text", ["index", "writer"], analyzer="standard", window=5).collect()[0]
+    assert "<b>index</b>" in out["snippet"] and "<b>writer</b>" in out["snippet"]
+
+    out2 = highlight_regex(df, "text", ["index"]).collect()[0]
+    assert "<b>index</b>" in out2["snippet"]
