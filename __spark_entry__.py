@@ -366,6 +366,76 @@ FROM td QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_matchall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchAllDocsQuery: every doc, constant score, no postings scan."""
+    s = _searcher(spark, sf_dir)
+    from lucene_spark.search import plan as P
+
+    m = s.matches(P.MatchAllNode())
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_MATCHALL_SQL = "SELECT doc_id FROM documents"
+
+
+def ft_classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable similarity: classic TF-IDF scoring
+    (ClassicSimilarity.java: idf = ln((N+1)/(df+1))+1, score =
+    idf² · √tf / √dl), same index."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(_reader(spark, sf_dir), similarity="classic")
+    m = s.matches("merge")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_CLASSIC_SQL = f"""
+WITH tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ({_TOK2}) WHERE term = 'merge' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK2}) GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         pow(ln((st.n + 1)/(qd.df + 1)) + 1, 2) * sqrt(tf.tf) / sqrt(dl.dl) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable similarity: Dirichlet-smoothed language model
+    (LMDirichletSimilarity.java, mu=2000, p=(cf+1)/(sumttf+1),
+    negative scores clamped to 0)."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(_reader(spark, sf_dir), similarity="lmdirichlet")
+    m = s.matches("dup")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_LMD_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT sum(dl) AS sumttf FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS cf FROM tok WHERE term = 'dup'),
+sc AS (
+  SELECT tf.doc_id,
+         greatest(ln(1 + tf.tf / (2000.0 * ((qd.cf + 1)/(st.sumttf + 1))))
+                  + ln(2000.0 / (dl.dl + 2000.0)), 0) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def ft_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TopFieldCollector: matches sorted by a doc-values field
     (n_chars desc, doc_id asc) instead of relevance."""
@@ -901,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": ft_suggest,
         "ft_highfreq": ft_highfreq,
         "ft_sort_field": ft_sort_field,
+        "ft_matchall": ft_matchall,
+        "ft_classic_topk": ft_classic_topk,
+        "ft_lmd_topk": ft_lmd_topk,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -951,6 +1024,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest": FT_SUGGEST_SQL,
         "ft_highfreq": FT_HIGHFREQ_SQL,
         "ft_sort_field": FT_SORT_FIELD_SQL,
+        "ft_matchall": FT_MATCHALL_SQL,
+        "ft_classic_topk": FT_CLASSIC_SQL,
+        "ft_lmd_topk": FT_LMD_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

@@ -169,24 +169,36 @@ class IndexSearcher:
         phrase: dict[tuple[tuple[str, ...], float], np.float32] = {}
         N = self.reader.doc_count
 
+        sum_ttf = self.reader.sum_doclen
+
         def walk(n: P.Node):
             if isinstance(n, P.TermNode):
-                df = stats.get(n.term, (0, 0))[0]
+                df, cf = stats.get(n.term, (0, 0))
                 if df:
-                    weights[(n.term, n.boost)] = self.sim.weight(df, N, n.boost)
+                    weights[(n.term, n.boost)] = self.sim.weight(
+                        df, N, n.boost, cf=cf, sum_ttf=sum_ttf)
             elif isinstance(n, P.PhraseNode):
                 # multi-term blended weight: idf values summed in double,
                 # weight = boost · Σidf cast to float32
                 # (BM25Similarity.java:191-199 idfExplain for term array)
                 if all(stats.get(t, (0, 0))[0] for t in n.terms):
-                    idf_sum = sum(float(self.sim.idf(stats[t][0], N)) for t in n.terms)
-                    phrase[(n.terms, n.boost)] = np.float32(np.float32(n.boost) * np.float32(idf_sum))
+                    if hasattr(self.sim, "idf"):
+                        idf_sum = sum(float(self.sim.idf(stats[t][0], N)) for t in n.terms)
+                        phrase[(n.terms, n.boost)] = np.float32(np.float32(n.boost) * np.float32(idf_sum))
+                    else:
+                        # non-idf similarities: blend via min-df term weight
+                        dfm = min(stats[t][0] for t in n.terms)
+                        cfm = min(stats[t][1] for t in n.terms)
+                        phrase[(n.terms, n.boost)] = self.sim.weight(
+                            dfm, N, n.boost, cf=cfm, sum_ttf=sum_ttf)
             elif isinstance(n, P.SynonymNode):
                 # SynonymQuery blends stats: df = max over terms (docFreq of
                 # the pseudo-term is bounded by max; Lucene uses max df)
                 df = max((stats.get(t, (0, 0))[0] for t in n.terms), default=0)
+                cf = sum(stats.get(t, (0, 0))[1] for t in n.terms)
                 if df:
-                    syn[(n.terms, n.boost)] = self.sim.weight(df, N, n.boost)
+                    syn[(n.terms, n.boost)] = self.sim.weight(
+                        df, N, n.boost, cf=cf, sum_ttf=sum_ttf)
             elif isinstance(n, P.BooleanNode):
                 for c in n.clauses:
                     walk(c.node)
@@ -205,6 +217,12 @@ class IndexSearcher:
 
     def _run_kernel(self, node: P.Node, k: int | None, need_scores: bool,
                     after: tuple[float, int] | None = None) -> DataFrame:
+        if isinstance(node, P.MatchAllNode):
+            # MatchAllDocsQuery: every live doc at constant score = boost
+            # (search/MatchAllDocsQuery.java); served from the docstats
+            # sidecar — no postings touched
+            return self.reader.docstats().select(
+                "doc_id", F.lit(float(node.boost)).cast("float").alias("score"))
         terms: set[str] = set()
         self._collect_terms(node, terms)
         if not terms:
@@ -269,3 +287,44 @@ class IndexSearcher:
 
     def _matches(self, node: P.Node, need_scores: bool) -> DataFrame:
         return self._run_kernel(node, None, need_scores=need_scores)
+
+
+class FilterCache:
+    """Hot-filter caching — the LRUQueryCache / Solr filterCache role
+    (search/LRUQueryCache.java; solr/search/SolrIndexSearcher.java:94):
+    the matching doc-id set of a frequently-reused filter is persisted
+    (Spark storage-level cache of the tiny (doc_id) DataFrame) and
+    reused across queries; LRU eviction unpersists. Valid for the
+    reader's lifetime — the index snapshot is immutable (per-segment
+    cache keyed by reader identity, like Lucene's per-leaf caching)."""
+
+    def __init__(self, searcher: IndexSearcher, max_entries: int = 64):
+        self.searcher = searcher
+        self.max_entries = max_entries
+        self._cache: dict[str, DataFrame] = {}
+        self._order: list[str] = []
+        self.hits = 0
+        self.misses = 0
+
+    def matches(self, query: str | P.Node) -> DataFrame:
+        node = self.searcher._plan(query) if isinstance(query, str) else query
+        key = repr(node)
+        if key in self._cache:
+            self.hits += 1
+            self._order.remove(key)
+            self._order.append(key)
+            return self._cache[key]
+        self.misses += 1
+        df = self.searcher.matches(node, with_scores=False).select("doc_id").persist()
+        self._cache[key] = df
+        self._order.append(key)
+        if len(self._order) > self.max_entries:
+            evict = self._order.pop(0)
+            self._cache.pop(evict).unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._cache.values():
+            df.unpersist()
+        self._cache.clear()
+        self._order.clear()

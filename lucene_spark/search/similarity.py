@@ -45,7 +45,8 @@ class BM25Similarity:
         # BM25Similarity.java:114-117
         return np.float32(sum_total_term_freq / float(doc_count))
 
-    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0) -> np.float32:
         return np.float32(np.float32(boost) * self.idf(df, doc_count))
 
     def norm_inverse(self, doclen: np.ndarray, avgdl: np.float32) -> np.ndarray:
@@ -76,7 +77,8 @@ class ClassicSimilarity:
     """TF-IDF classic: sqrt(tf) · idf² · (1/sqrt(dl)) —
     search/similarities/ClassicSimilarity.java / TFIDFSimilarity.java."""
 
-    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0) -> np.float32:
         idf = np.float32(math.log((doc_count + 1) / (df + 1)) + 1.0)
         return np.float32(boost) * idf * idf
 
@@ -94,7 +96,8 @@ class BooleanSimilarity:
     """Constant 1·boost per matching clause —
     search/similarities/BooleanSimilarity.java."""
 
-    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0) -> np.float32:
         return np.float32(boost)
 
     def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
@@ -104,8 +107,36 @@ class BooleanSimilarity:
         return self.score(max_tf, min_doclen, weight, avgdl)
 
 
+@dataclass(frozen=True)
+class LMDirichletSimilarity:
+    """Dirichlet-smoothed language model —
+    search/similarities/LMDirichletSimilarity.java (mu=2000 default):
+    score = boost · max(0, ln(1 + tf/(mu·p)) + ln(mu/(dl + mu))),
+    p = (cf + 1)/(sumTotalTermFreq + 1) (LMSimilarity collection model;
+    negative scores clamped to 0 per the SimScorer non-negativity
+    contract)."""
+
+    mu: float = 2000.0
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        p = (cf + 1.0) / (sum_ttf + 1.0)
+        return (np.float32(boost), np.float64(p))
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, p = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        s = np.log(1.0 + tff / (self.mu * p)) + np.log(self.mu / (dl + self.mu))
+        return (np.float64(boost) * np.maximum(s, 0.0)).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
     "boolean": BooleanSimilarity(),
+    "lmdirichlet": LMDirichletSimilarity(),
 }
