@@ -60,16 +60,27 @@ class IndexReader:
 
     # ---- stats lookups (driver-side, small) ------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term -> (df, cf); missing terms are absent from the result."""
+        """term -> (df, cf); missing terms are absent from the result.
+        Results are memoized for the reader's lifetime (the index snapshot
+        is immutable — Lucene TermStates caching per reader), so repeated
+        queries over hot terms cost zero driver round-trips."""
         if not terms:
             return {}
-        rows = (
-            self.termdict()
-            .filter(F.col("term").isin(list(set(terms))))
-            .select("term", "df", "cf")
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        if not hasattr(self, "_stats_cache"):
+            self._stats_cache: dict[str, tuple[int, int] | None] = {}
+        todo = [t for t in set(terms) if t not in self._stats_cache]
+        if todo:
+            rows = (
+                self.termdict()
+                .filter(F.col("term").isin(todo))
+                .select("term", "df", "cf")
+                .collect()
+            )
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            for t in todo:
+                self._stats_cache[t] = found.get(t)
+        return {t: self._stats_cache[t] for t in terms
+                if self._stats_cache.get(t) is not None}
 
     def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
         """Sorted-dict prefix scan (the FST prefix→block role —
@@ -135,12 +146,9 @@ class IndexReader:
 
     def buckets_of(self, terms: list[str]) -> dict[str, int]:
         """term -> bucket, matching F.pmod(F.xxhash64(term), num_buckets)
-        used at build time (one tiny local job for the whole batch)."""
-        if not terms:
-            return {}
-        df = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        rows = df.select(
-            "term",
-            F.pmod(F.xxhash64("term"), F.lit(self.num_buckets)).cast("int").alias("b"),
-        ).collect()
-        return {r["term"]: int(r["b"]) for r in rows}
+        used at build time. Computed driver-side with a bit-exact
+        pure-Python XXH64 (codec/xxhash.py) — zero Spark jobs; JVM parity
+        is asserted in tests over the whole dictionary."""
+        from lucene_spark.codec.xxhash import bucket_of
+
+        return {t: bucket_of(t, self.num_buckets) for t in terms}

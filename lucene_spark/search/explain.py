@@ -1,0 +1,169 @@
+"""Score explanation — Lucene's Explanation tree restated.
+
+Role analogue: search/Explanation.java + Weight.explain; the test anchor
+is CheckHits.checkExplanations (test-framework/.../CheckHits.java:278-303):
+the explanation tree must re-derive the EXACT hit score.
+
+Implementation: driver-side recursive walk of the plan tree; per-term
+(tf, doclen) for the target doc are decoded from the bucket-pruned
+postings rows of the doc's own partition (a few rows collected — the
+doc_id's high bits name the partition, so the scan is partition- and
+bucket-pruned). All arithmetic reuses the exact float32 kernels in
+search/similarity.py, so `explanation["value"] == hit.score` bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.codec.vbyte import delta_decode, vbyte_decode
+from lucene_spark.search import plan as P
+
+
+def _doc_postings(searcher, terms: list[str], doc_id: int) -> dict[str, tuple[int, int, np.ndarray | None]]:
+    """term -> (tf, doclen, positions|None) for one doc; pruned collect."""
+    from pyspark.sql import functions as F
+
+    reader = searcher.reader
+    part = doc_id >> 40
+    rows = (
+        reader.postings_for_terms(terms)
+        .filter(F.col("part_id") == part)
+        .collect()
+    )
+    out: dict[str, tuple[int, int, np.ndarray | None]] = {}
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r["slice"])
+        docs = np.concatenate([delta_decode(vbyte_decode(r["doc_blob"])) for r in rs])
+        tfs = np.concatenate([vbyte_decode(r["tf_blob"]) for r in rs])
+        dls = np.concatenate([vbyte_decode(r["dl_blob"]) for r in rs])
+        i = np.searchsorted(docs, doc_id)
+        if i < docs.size and docs[i] == doc_id:
+            pos = None
+            if rs[0]["pos_blob"] is not None:
+                pos_delta = np.concatenate([vbyte_decode(r["pos_blob"]) for r in rs])
+                starts = np.cumsum(tfs) - tfs
+                cs = np.cumsum(pos_delta)
+                base = cs[starts] - pos_delta[starts]
+                flat = cs - np.repeat(base, tfs)
+                off = int(starts[i])
+                pos = flat[off:off + int(tfs[i])]
+            out[term] = (int(tfs[i]), int(dls[i]), pos)
+    return out
+
+
+def explain(searcher, query, doc_id: int) -> dict:
+    """Explanation tree {value, description, details[]} for one doc.
+    value == the score search() assigns this doc (float32-exact), or a
+    non-match node with value 0."""
+    node = searcher._plan(query) if isinstance(query, str) else searcher._plan(query)
+    terms: set[str] = set()
+    searcher._collect_terms(node, terms)
+    stats = searcher.reader.term_stats(sorted(terms))
+    weights, syn_w, phrase_w = searcher._weights(node, stats)
+    avgdl = searcher.sim.avgdl(searcher.reader.sum_doclen, searcher.reader.doc_count) \
+        if hasattr(searcher.sim, "avgdl") else np.float32(
+            searcher.reader.sum_doclen / max(searcher.reader.doc_count, 1))
+    doc = _doc_postings(searcher, [t for t in terms if t in stats], doc_id)
+    sim = searcher.sim
+
+    def leaf_term(n: P.TermNode) -> dict:
+        if n.term not in doc:
+            return {"value": 0.0, "match": False,
+                    "description": f"no occurrence of term '{n.term}' in doc {doc_id}"}
+        tf, dl, _ = doc[n.term]
+        w = weights[(n.term, n.boost)]
+        score = float(sim.score(np.array([tf]), np.array([dl]), w, avgdl)[0])
+        df, cf = stats[n.term]
+        return {
+            "value": score, "match": True,
+            "description": f"score(term='{n.term}'), {type(sim).__name__}",
+            "details": [
+                {"value": tf, "description": "tf, term frequency in doc"},
+                {"value": dl, "description": "dl, exact doc length (lossy-norm-free)"},
+                {"value": float(avgdl), "description": "avgdl = sumTotalTermFreq/docCount"},
+                {"value": df, "description": "df, docs containing the term"},
+                {"value": searcher.reader.doc_count, "description": "N, docCount"},
+                {"value": float(np.asarray(w).ravel()[0]) if not isinstance(w, tuple) else float(w[0]),
+                 "description": "weight (boost x idf for BM25)"},
+            ],
+        }
+
+    def walk(n: P.Node) -> dict:
+        if isinstance(n, P.TermNode):
+            return leaf_term(n)
+        if isinstance(n, P.MatchNoneNode):
+            return {"value": 0.0, "match": False, "description": "MatchNoDocs"}
+        if isinstance(n, P.MatchAllNode):
+            return {"value": float(n.boost), "match": True, "description": "MatchAllDocs"}
+        if isinstance(n, (P.TermInSetNode,)):
+            hit = any(t in doc for t in n.terms)
+            return {"value": float(n.boost) if hit else 0.0, "match": hit,
+                    "description": f"TermInSet({len(n.terms)} terms), constant score"}
+        if isinstance(n, P.ConstantScoreNode):
+            child = walk(n.child)
+            return {"value": float(n.boost) if child["match"] else 0.0,
+                    "match": child["match"],
+                    "description": "ConstantScore", "details": [child]}
+        if isinstance(n, P.SynonymNode):
+            tf_sum = sum(doc[t][0] for t in n.terms if t in doc)
+            if tf_sum == 0:
+                return {"value": 0.0, "match": False, "description": "Synonym: no term present"}
+            dl = next(doc[t][1] for t in n.terms if t in doc)
+            w = syn_w[(n.terms, n.boost)]
+            score = float(sim.score(np.array([tf_sum]), np.array([dl]), w, avgdl)[0])
+            return {"value": score, "match": True,
+                    "description": f"Synonym({','.join(n.terms)}): tf summed, df=max",
+                    "details": [{"value": tf_sum, "description": "summed tf"}]}
+        if isinstance(n, P.PhraseNode):
+            if not all(t in doc and doc[t][2] is not None for t in n.terms):
+                return {"value": 0.0, "match": False, "description": "Phrase: term missing"}
+            cur = set(doc[n.terms[0]][2].tolist())
+            for j, t in enumerate(n.terms[1:], start=1):
+                cur &= {p - j for p in doc[t][2].tolist()}
+            freq = len(cur)
+            if freq == 0:
+                return {"value": 0.0, "match": False, "description": "Phrase: no aligned positions"}
+            dl = doc[n.terms[0]][1]
+            w = phrase_w[(n.terms, n.boost)]
+            score = float(sim.score(np.array([freq]), np.array([dl]), w, avgdl)[0])
+            return {"value": score, "match": True,
+                    "description": f"Phrase(\"{' '.join(n.terms)}\"): freq={freq}, blended idf-sum weight"}
+        if isinstance(n, P.DisjunctionMaxNode):
+            kids = [walk(c) for c in n.children]
+            hits = [k for k in kids if k["match"]]
+            if not hits:
+                return {"value": 0.0, "match": False, "description": "DisMax: no clause", "details": kids}
+            mx = max(k["value"] for k in hits)
+            total = (mx + n.tie_breaker * (sum(k["value"] for k in hits) - mx)) * n.boost
+            return {"value": float(np.float32(total)), "match": True,
+                    "description": f"DisMax(tie={n.tie_breaker})", "details": kids}
+        if isinstance(n, P.BooleanNode):
+            musts = [(c, walk(c.node)) for c in n.clauses if c.occur is P.Occur.MUST]
+            shoulds = [(c, walk(c.node)) for c in n.clauses if c.occur is P.Occur.SHOULD]
+            filters = [(c, walk(c.node)) for c in n.clauses if c.occur is P.Occur.FILTER]
+            nots = [(c, walk(c.node)) for c in n.clauses if c.occur is P.Occur.MUST_NOT]
+            kids = [e for _, e in musts + shoulds + filters + nots]
+            if any(not e["match"] for _, e in musts + filters):
+                return {"value": 0.0, "match": False,
+                        "description": "Boolean: required clause missing", "details": kids}
+            if any(e["match"] for _, e in nots):
+                return {"value": 0.0, "match": False,
+                        "description": "Boolean: prohibited clause matched", "details": kids}
+            n_should = sum(1 for _, e in shoulds if e["match"])
+            need = n.minimum_should_match or (1 if not musts and not filters else 0)
+            if shoulds and n_should < need:
+                return {"value": 0.0, "match": False,
+                        "description": "Boolean: minimumShouldMatch unmet", "details": kids}
+            acc = sum(e["value"] for _, e in musts) + \
+                sum(e["value"] for _, e in shoulds if e["match"])
+            val = float(np.float32(np.float64(acc) * np.float64(n.boost)))
+            return {"value": val, "match": True,
+                    "description": "Boolean: sum of matching scoring clauses",
+                    "details": kids}
+        raise TypeError(n)
+
+    return walk(node)

@@ -97,6 +97,42 @@ class IndexSearcher:
             return self._empty_result()
         return self._matches(node, need_scores=with_scores)
 
+    def explain(self, query: str | P.Node, doc_id: int) -> dict:
+        """Explanation tree re-deriving the exact float32 score of one hit
+        (Weight.explain / CheckHits.checkExplanations contract)."""
+        from lucene_spark.search.explain import explain as _explain
+
+        return _explain(self, query, doc_id)
+
+    def more_like_this(self, text: str, k: int = 10, max_query_terms: int = 25,
+                       min_df: int = 2) -> DataFrame:
+        """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): rank
+        the input text's terms by tf·idf against collection stats, build an
+        OR query of the top `max_query_terms`, search it."""
+        import pandas as pd
+
+        toks = list(self.analyzer.tokenize_series(pd.Series([text])).iloc[0])
+        if not toks:
+            return self._empty_result()
+        from collections import Counter
+
+        tf = Counter(toks)
+        stats = self.reader.term_stats(sorted(tf))
+        N = self.reader.doc_count
+        scored = []
+        for t, f in tf.items():
+            df = stats.get(t, (0, 0))[0]
+            if df >= min_df:
+                idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+                scored.append((f * idf, t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        top_terms = [t for _, t in scored[:max_query_terms]]
+        if not top_terms:
+            return self._empty_result()
+        node = P.BooleanNode(clauses=tuple(
+            P.Clause(P.Occur.SHOULD, P.TermNode(term=t)) for t in top_terms))
+        return self.search(node, k=k)
+
     def hydrate(self, topk: DataFrame) -> DataFrame:
         """Join winners back to the docstats sidecar (stored-fields
         hydration; the k-row side is broadcast)."""

@@ -1,0 +1,60 @@
+"""Explanation trees re-derive exact hit scores (CheckHits.checkExplanations
+contract, test-framework/.../CheckHits.java:278-303) + MoreLikeThis."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+QUERIES = [
+    "index",
+    "index AND writer",
+    "index OR writer OR merge",
+    "index AND NOT cache",
+    "writer^2 OR reader",
+    "+query +term",
+    "licensed apache version",
+]
+
+
+def test_explain_matches_scores(searcher):
+    for q in QUERIES:
+        hits = searcher.search(q, k=5).collect()
+        assert hits, q
+        for h in hits:
+            exp = searcher.explain(q, h["doc_id"])
+            assert exp["match"], (q, h)
+            assert np.float32(exp["value"]) == np.float32(h["score"]), (q, h, exp["value"])
+
+
+def test_explain_non_match(searcher, reader):
+    all_ids = [r["doc_id"] for r in reader.docstats().select("doc_id").collect()]
+    hit_ids = {r["doc_id"] for r in searcher.matches("uid42sing").collect()}
+    miss = next(d for d in all_ids if d not in hit_ids)
+    exp = searcher.explain("uid42sing", miss)
+    assert not exp["match"] and exp["value"] == 0.0
+
+
+def test_explain_phrase(spark, corpus_pdf, tmp_path_factory):
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("exp") / "idx")
+    cfg = IndexConfig(partitions=2, num_buckets=4, analyzer="code", index_positions=True)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(corpus_pdf), d, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, d))
+    q = '"licensed under the apache"'
+    hits = s.search(q, k=3).collect()
+    assert hits
+    for h in hits:
+        exp = s.explain(q, h["doc_id"])
+        assert np.float32(exp["value"]) == np.float32(h["score"])
+
+
+def test_more_like_this(searcher, corpus_pdf):
+    text = corpus_pdf.iloc[5]["content"]
+    out = searcher.more_like_this(text, k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -75,6 +75,37 @@ def test_lmdirichlet_properties(reader):
     assert np.all(np.diff(sc2) <= 1e-9)      # monotone ↓ in doclen
 
 
+def test_xxhash64_matches_spark(spark, reader):
+    """Driver-side XXH64 is bit-exact vs the JVM over the whole term
+    dictionary + adversarial strings (length boundaries, unicode)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.codec.xxhash import bucket_of, xxhash64
+
+    td = reader.termdict().select("term", F.xxhash64("term").alias("h")).collect()
+    assert td and all(xxhash64(r["term"]) == r["h"] for r in td)
+
+    edge = ["", "a", "ab", "abc", "abcd", "x" * 7, "x" * 8, "x" * 9,
+            "x" * 31, "x" * 32, "x" * 33, "x" * 64, "日本語", "naïve"]
+    df = spark.createDataFrame([(s,) for s in edge], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert xxhash64(r["s"]) == r["h"], r["s"]
+
+    # bucket twin equals the build-time bucket assignment
+    got = {r["term"]: r["b"] for r in
+           reader.termdict().select(
+               "term", F.pmod(F.xxhash64("term"), F.lit(reader.num_buckets))
+               .cast("int").alias("b")).collect()}
+    for t, b in got.items():
+        assert bucket_of(t, reader.num_buckets) == b
+
+
+def test_term_stats_cache(reader):
+    s1 = reader.term_stats(["index", "writer", "nonexistentzz"])
+    s2 = reader.term_stats(["index", "writer", "nonexistentzz"])
+    assert s1 == s2 and "nonexistentzz" not in s1 and s1["index"][0] > 0
+
+
 def test_suggest(reader):
     from lucene_spark.search.suggest import suggest, suggest_fuzzy
 
