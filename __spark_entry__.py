@@ -366,6 +366,29 @@ FROM td QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_facet_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-layer: fulltext match set → facet counts over a doc-values
+    column (FacetsCollector over a query's DocSet — the Solr
+    `q=...&facet.field=lang` shape)."""
+    from lucene_spark.relational.facets import facet_counts
+
+    s = _searcher(spark, sf_dir)
+    m = s.matches("table AND hash", with_scores=False).select("doc_id")
+    ds = s.reader.docstats().select("doc_id", "lang")
+    return facet_counts(m.join(F.broadcast(ds), "doc_id"), "lang", top_n=10)
+
+
+FT_FACET_COMBO_SQL = f"""
+WITH m AS (
+  SELECT doc_id FROM ({_TOK2}) WHERE term IN ('table','hash')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+SELECT d.lang, count(*)::BIGINT AS count
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+GROUP BY d.lang ORDER BY count DESC, lang ASC LIMIT 10
+"""
+
+
 def ft_matchall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatchAllDocsQuery: every doc, constant score, no postings scan."""
     s = _searcher(spark, sf_dir)
@@ -972,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_highfreq": ft_highfreq,
         "ft_sort_field": ft_sort_field,
         "ft_matchall": ft_matchall,
+        "ft_facet_combo": ft_facet_combo,
         "ft_classic_topk": ft_classic_topk,
         "ft_lmd_topk": ft_lmd_topk,
         # relational / facets / streams
@@ -1025,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_highfreq": FT_HIGHFREQ_SQL,
         "ft_sort_field": FT_SORT_FIELD_SQL,
         "ft_matchall": FT_MATCHALL_SQL,
+        "ft_facet_combo": FT_FACET_COMBO_SQL,
         "ft_classic_topk": FT_CLASSIC_SQL,
         "ft_lmd_topk": FT_LMD_SQL,
         "rel_q1": REL_Q1_SQL,

@@ -69,6 +69,16 @@ def warmup(spark, cores: int) -> None:
     ).groupBy("id").count().count()
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(busy_ticks, steal_ticks) from /proc/stat — the host occasionally
+    steals up to ~30% of our CPU (shared hypervisor), which makes single
+    runs vary ~2x; each level reports its own steal fraction."""
+    f = open("/proc/stat").readline().split()
+    v = list(map(int, f[1:9]))
+    busy = v[0] + v[1] + v[2]
+    return busy, v[7]
+
+
 def build_index_level(cores: int) -> dict:
     """One full from-scratch build at this parallelism; runs inside a
     DEDICATED subprocess — two SparkSessions with different masters in one
@@ -84,13 +94,16 @@ def build_index_level(cores: int) -> dict:
     cfg = IndexConfig(partitions=BUILD_PARTITIONS, num_buckets=32,
                       analyzer="code", termdict_partitions=8)
     warmup(spark, cores)
+    b0, s0 = _cpu_ticks()
     t0 = time.time()
     manifest = IndexBuilder(spark, cfg).build(src, idx_dir, overwrite=True)
     dt = time.time() - t0
+    b1, s1 = _cpu_ticks()
+    steal = (s1 - s0) / max(1, (b1 - b0) + (s1 - s0))
     spark.stop()
     return {"cores": cores, "seconds": round(dt, 3),
             "docs_per_sec": manifest["doc_count"] / dt, "idx_dir": idx_dir,
-            "phases": manifest["phases"]}
+            "steal_frac": round(steal, 3), "phases": manifest["phases"]}
 
 
 def run_level_subprocess(cores: int) -> dict:
@@ -130,11 +143,26 @@ def main() -> None:
     # otherwise pollute the cluster-size criterion) ----
     low = max(1, CPUS // 16)
     high = low * 4
-    r_lo = run_level_subprocess(low)
-    r_hi = run_level_subprocess(high)
+    # best-of-N per level: the shared hypervisor steals CPU in bursts
+    # (historical steal ~30% of user time on this box), so a single trial
+    # is a coin flip; alternating trials + best-of decorrelates the noise
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+    runs_lo, runs_hi = [], []
+    def clean(runs):   # a low-steal trial is already trustworthy
+        return any(r["steal_frac"] < 0.05 for r in runs)
+
+    for t in range(trials):
+        if not clean(runs_lo):
+            runs_lo.append(run_level_subprocess(low))
+        if not clean(runs_hi):
+            runs_hi.append(run_level_subprocess(high))
+    r_lo = max(runs_lo, key=lambda r: r["docs_per_sec"])
+    r_hi = max(runs_hi, key=lambda r: r["docs_per_sec"])
     dps_lo, dps_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     idx_dir = r_hi["idx_dir"]
     eff = (dps_hi / dps_lo) / (high / low)
+    timings[f"build_c{low}"] = r_lo["seconds"]
+    timings[f"build_c{high}"] = r_hi["seconds"]
 
     warmup(spark, CPUS)  # query latency ≠ python-worker cold start
     searcher = IndexSearcher(IndexReader(spark, idx_dir))
@@ -194,6 +222,10 @@ def main() -> None:
         "build_docs_per_sec": {f"c{low}": round(dps_lo, 1), f"c{high}": round(dps_hi, 1)},
         "scaling_pair": [low, high],
         "scaling_efficiency": round(eff, 3),
+        "scaling_trials": {
+            f"c{low}": [{"s": r["seconds"], "steal": r["steal_frac"]} for r in runs_lo],
+            f"c{high}": [{"s": r["seconds"], "steal": r["steal_frac"]} for r in runs_hi],
+        },
     }
     print(json.dumps(out))
     spark.stop()

@@ -151,7 +151,10 @@ def _eval_term(node: P.TermNode, ctx: EvalContext, need_scores: bool) -> tuple[n
     return tp.docs, scores
 
 
-def score_term_topk_blockmax(node: P.TermNode, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+def score_term_topk_blockmax(
+    node: P.TermNode, ctx: EvalContext,
+    phase1_only: bool = False, initial_floor: float = -np.inf,
+) -> tuple[np.ndarray, np.ndarray]:
     """Single-term top-k with block-max skipping (ImpactsDISI analogue,
     search/ImpactsDISI.java:99-131). Two-phase:
       1. score the highest-upper-bound blocks covering ≥k postings →
@@ -159,7 +162,14 @@ def score_term_topk_blockmax(node: P.TermNode, ctx: EvalContext) -> tuple[np.nda
          (the minCompetitiveScore of TopScoreDocCollector.java:84-98)
       2. additionally score every other block whose upper bound is NOT
          strictly below the floor
-    Result-identical to exhaustive scoring (strict < keeps ties alive)."""
+    Result-identical to exhaustive scoring (strict < keeps ties alive).
+
+    phase1_only: return just phase 1's candidates (the cheap sampling
+    pass of a two-pass global-floor search). initial_floor: a floor from
+    OUTSIDE this partition — the MaxScoreAccumulator role
+    (search/MaxScoreAccumulator.java:24): any true score of a real doc
+    elsewhere is an admissible floor here, so cross-partition pruning
+    stays result-identical."""
     tp = ctx.postings.get(node.term)
     if tp is None:
         return _empty()
@@ -176,10 +186,13 @@ def score_term_topk_blockmax(node: P.TermNode, ctx: EvalContext) -> tuple[np.nda
     phase1 = order[:take]
     sel = _block_mask(phase1, nb, bs, n)
     s1 = ctx.sim.score(tp.tfs[sel], tp.dls[sel], w, ctx.avgdl)
+    if phase1_only:
+        return tp.docs[sel], s1
     if s1.size >= k:
         floor = np.partition(s1, s1.size - k)[s1.size - k]
     else:
         floor = -np.inf
+    floor = max(floor, initial_floor)
     rest = order[take:]
     rest = rest[bmax[rest] >= floor]  # strict-< pruning: keep ties
     if rest.size:

@@ -58,13 +58,28 @@ class IndexSearcher:
     def parse(self, query: str) -> P.Node:
         return parse_query(query, self.analyzer)
 
-    def search(self, query: str | P.Node, k: int = 10) -> DataFrame:
+    def search(self, query: str | P.Node, k: int = 10, two_pass: bool = False) -> DataFrame:
         """Top-k → DataFrame(doc_id long, score float) ordered by
-        (score desc, doc_id asc), exactly k rows or fewer."""
+        (score desc, doc_id asc), exactly k rows or fewer.
+
+        two_pass=True (term queries): first a cheap pass scores only the
+        best-upper-bound blocks per partition, and the global kth-best of
+        those REAL scores is broadcast as the pruning floor for the full
+        pass — the batch analogue of MaxScoreAccumulator sharing
+        minCompetitiveScore across slices (IndexSearcher.java:490-491).
+        Result-identical (any real doc score with ≥k docs above it is an
+        admissible floor); pays one extra tiny job, saves block scoring
+        when partitions are many and posting lists long."""
         node = self._plan(query)
         if isinstance(node, P.MatchNoneNode):
             return self._empty_result()
-        cand = self._candidates(node, k)
+        floor = float("-inf")
+        if two_pass and isinstance(node, P.TermNode):
+            pre = self._run_kernel(node, k, need_scores=True, phase1_only=True)
+            rows = pre.orderBy(F.col("score").desc()).limit(k).collect()
+            if len(rows) == k:
+                floor = float(rows[-1]["score"])
+        cand = self._run_kernel(node, k, need_scores=True, initial_floor=floor)
         return cand.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def search_after(self, query: str | P.Node, k: int, after_score: float, after_doc: int) -> DataFrame:
@@ -252,7 +267,9 @@ class IndexSearcher:
         return self.reader.spark.createDataFrame([], "doc_id long, score float")
 
     def _run_kernel(self, node: P.Node, k: int | None, need_scores: bool,
-                    after: tuple[float, int] | None = None) -> DataFrame:
+                    after: tuple[float, int] | None = None,
+                    phase1_only: bool = False,
+                    initial_floor: float = float("-inf")) -> DataFrame:
         if isinstance(node, P.MatchAllNode):
             # MatchAllDocsQuery: every live doc at constant score = boost
             # (search/MatchAllDocsQuery.java); served from the docstats
@@ -304,7 +321,8 @@ class IndexSearcher:
                               avgdl=avgdl, sim=sim, k=kk or 10,
                               phrase_weights=phrase_weights)
             if kk is not None and isinstance(node, P.TermNode):
-                docs, scores = score_term_topk_blockmax(node, ctx)
+                docs, scores = score_term_topk_blockmax(
+                    node, ctx, phase1_only=phase1_only, initial_floor=initial_floor)
             else:
                 docs, scores = eval_node(node, ctx, need_scores=need_scores)
             if kk is not None:

@@ -204,6 +204,47 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] == 6 for r in per)  # 0..5000 ms inclusive
 
 
+def test_function_queries(spark):
+    from lucene_spark.relational.functions import FUNCTIONS
+
+    df = spark.createDataFrame([(1, 2.0), (2, 8.0), (3, 0.0)], "id long, x double")
+    out = df.select(
+        "id",
+        FUNCTIONS["linear"](F.col("x"), 2, 1).alias("lin"),
+        FUNCTIONS["recip"](F.col("x"), 1, 10, 2).alias("rec"),
+        FUNCTIONS["map"](F.col("x"), 0, 3, 99, -1).alias("mapped"),
+        FUNCTIONS["sum"](F.col("x"), F.lit(1.0), F.lit(2.0)).alias("s"),
+        FUNCTIONS["product"](F.col("x"), F.lit(3.0)).alias("p"),
+        FUNCTIONS["if"](F.col("x") > 1, F.lit("big"), F.lit("small")).alias("c"),
+        FUNCTIONS["def"](F.col("x"), F.lit(7.0)).alias("d"),
+        FUNCTIONS["strdist"](F.lit("kitten"), F.lit("sitten")).alias("sd"),
+    ).collect()
+    r = {row["id"]: row for row in out}
+    assert r[1]["lin"] == 5.0 and abs(r[1]["rec"] - 10 / 4) < 1e-9
+    assert r[1]["mapped"] == 99.0 and r[2]["mapped"] == -1.0
+    assert r[1]["s"] == 5.0 and r[2]["p"] == 24.0
+    assert r[1]["c"] == "big" and r[3]["c"] == "small"
+    assert r[3]["d"] == 7.0 and r[2]["d"] == 8.0
+    assert abs(r[1]["sd"] - (1 - 1 / 6)) < 1e-9
+
+    sc = FUNCTIONS["scale"](df, F.col("x"), 0, 1)
+    vals = {row["id"]: row["sc"] for row in df.select("id", sc.alias("sc")).collect()}
+    assert vals[3] == 0.0 and vals[2] == 1.0 and abs(vals[1] - 0.25) < 1e-9
+
+
+def test_sql_views(spark, reader):
+    from lucene_spark.relational.sql import register_index_views
+
+    views = register_index_views(reader)
+    assert set(views) == {"termdict", "docstats", "postings", "fieldstats"}
+    top = spark.sql("SELECT term, df FROM termdict ORDER BY df DESC, term LIMIT 3").collect()
+    assert len(top) == 3 and top[0]["df"] >= top[-1]["df"]
+    n = spark.sql("SELECT count(*) AS n FROM docstats").collect()[0]["n"]
+    assert n == reader.doc_count
+    fs = spark.sql("SELECT doc_count FROM fieldstats").collect()[0]["doc_count"]
+    assert fs == reader.doc_count
+
+
 def test_highlighter(spark):
     from lucene_spark.search.highlight import highlight, highlight_regex
 
