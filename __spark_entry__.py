@@ -643,6 +643,29 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def rel_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain broadcast joins (supplier→nation→region) + agg — the
+    FetchStream enrich pattern over the full snowflake."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+REL_SUPPLIER_REGION_SQL = """
+SELECT r_name, count(*)::BIGINT AS n_suppliers, round(sum(s_acctbal), 2) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IntersectStream: BUILDING-segment customers who have orders."""
     c = _t(spark, sf_dir, "customer")
@@ -1007,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_facet": rel_range_facet,
         "rel_stats_facet": rel_stats_facet,
         "rel_pivot_rollup": rel_pivot_rollup,
+        "rel_supplier_region": rel_supplier_region,
         "rel_intersect": rel_intersect,
         "rel_complement": rel_complement,
         "rel_unique": rel_unique,
@@ -1060,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_facet": REL_RANGE_FACET_SQL,
         "rel_stats_facet": REL_STATS_FACET_SQL,
         "rel_pivot_rollup": REL_PIVOT_ROLLUP_SQL,
+        "rel_supplier_region": REL_SUPPLIER_REGION_SQL,
         "rel_intersect": REL_INTERSECT_SQL,
         "rel_complement": REL_COMPLEMENT_SQL,
         "rel_unique": REL_UNIQUE_SQL,
