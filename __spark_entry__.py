@@ -977,6 +977,34 @@ FROM r QUALIFY rank <= 5
 """
 
 
+def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs variant)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_neardup_exact(e, "embedding", "vec_id", 0.44)
+    return out.select("key_a", "key_b", F.round("cosine", 5).alias("cosine_r"))
+
+
+SIM_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+       round(list_dot_product(a.e, b.e)
+             / (greatest(sqrt(list_dot_product(a.e, a.e)), 1e-30)
+                * greatest(sqrt(list_dot_product(b.e, b.e)), 1e-30)), 5) AS cosine_r
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (greatest(sqrt(list_dot_product(a.e, a.e)), 1e-30)
+         * greatest(sqrt(list_dot_product(b.e, b.e)), 1e-30)) >= 0.44
+"""
+
+
+def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: multi-table sign-LSH blocking + exact verify
+    (rows-only: LSH recall is probabilistic)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(e, "embedding", "vec_id", 0.44,
+                                            bits=6, tables=4)
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas feature extract
     (rows-only: decode is a deterministic stub; schema/batching real)."""
@@ -1047,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": tx_fingerprint,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_gemm_topk": sim_gemm_topk,
+        "sim_neardup": sim_neardup,
+        "sim_neardup_lsh": sim_neardup_lsh,
         "mm_features": mm_features,
     }
 
@@ -1098,4 +1128,5 @@ def oracle_sql() -> dict[str, str]:
         "tx_langid": TX_LANGID_SQL,
         "sim_cosine_topk": SIM_COSINE_SQL,
         "sim_gemm_topk": SIM_GEMM_SQL,
+        "sim_neardup": SIM_NEARDUP_SQL,
     }

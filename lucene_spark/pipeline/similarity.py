@@ -110,3 +110,63 @@ def pairwise_topk_gemm(
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("key").asc())
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def embedding_neardup_exact(
+    df: DataFrame, vec_col: str, key_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs variant.
+    O(n²) cross join with JVM-side double dot products: the verification /
+    small-partition path (complete by construction). At 100 TB use
+    embedding_neardup_lsh to generate candidates and this math to verify.
+    Returns (key_a, key_b, cosine) with key_a < key_b, cosine ≥ threshold."""
+    a = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.greatest(_norm(F.col("va")), F.lit(1e-30))
+        * F.greatest(_norm(F.col("vb")), F.lit(1e-30))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "cosine")
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame, vec_col: str, key_col: str, threshold: float,
+    bits: int = 8, tables: int = 4, seed: int = 42, dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup — the SCALE path: multi-table sign-LSH
+    blocking (union of per-table bucket joins bounds candidates to
+    ~n²/2^bits per table) followed by exact cosine verification. Recall
+    is probabilistic in the LSH stage (raise `tables` to push it up);
+    precision is exact (every output pair is verified)."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    cand = None
+    for t in range(tables):
+        planes = random_hyperplanes(dim, bits, seed + 1000 * t)
+        bk = lsh_bucket(df, vec_col, key_col, planes)
+        a = bk.select(F.col("key").alias("key_a"), F.col("bucket"))
+        b = bk.select(F.col("key").alias("key_b"), F.col("bucket"))
+        p = a.join(b, "bucket").filter(F.col("key_a") < F.col("key_b")) \
+             .select("key_a", "key_b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    va = df.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.greatest(_norm(F.col("va")), F.lit(1e-30))
+        * F.greatest(_norm(F.col("vb")), F.lit(1e-30))
+    )
+    return (
+        cand.join(va, "key_a").join(vb, "key_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "cosine")
+    )

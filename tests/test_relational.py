@@ -188,6 +188,33 @@ def test_similarity_bruteforce_and_lsh(spark):
     assert by_q[0][0] == 0 and by_q[1][0] == 1
 
 
+def test_embedding_neardup(spark):
+    from lucene_spark.pipeline import similarity
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((10, 16))
+    # three true near-dups of vector 0
+    vecs = np.vstack([base, base[0] + 0.05 * rng.standard_normal((3, 16))])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = similarity.embedding_neardup_exact(df, "embedding", "vec_id", 0.95)
+    got = {(r["key_a"], r["key_b"]) for r in exact.collect()}
+    assert {(0, 10), (0, 11), (0, 12)} <= got
+    # verify values vs numpy
+    vn = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    vn /= np.linalg.norm(vn, axis=1, keepdims=True)
+    for r in exact.collect():
+        want = float(vn[r["key_a"]] @ vn[r["key_b"]])
+        assert abs(r["cosine"] - want) < 1e-6
+
+    lsh = similarity.embedding_neardup_lsh(df, "embedding", "vec_id", 0.95,
+                                           bits=4, tables=6)
+    got_lsh = {(r["key_a"], r["key_b"]) for r in lsh.collect()}
+    assert got_lsh <= got           # precision exact (verified)
+    assert len(got_lsh) >= 3        # high-cosine pairs collide w.h.p.
+
+
 def test_multimodal_plumbing(spark):
     from lucene_spark.pipeline import multimodal
 
