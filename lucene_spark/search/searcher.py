@@ -53,6 +53,34 @@ class IndexSearcher:
         self.reader = reader
         self.sim = SIMILARITIES[similarity]
         self.analyzer = get_analyzer(reader.analyzer_name)
+        self._deleted: np.ndarray = np.empty(0, dtype=np.int64)
+
+    # ------------------------------------------------------------- deletes
+    def with_deletes(self, doc_ids) -> "IndexSearcher":
+        """Tombstone deletes — the LiveDocs analogue
+        (codecs/LiveDocsFormat.java): the sorted deleted-id set is
+        broadcast into the scoring kernel, which masks postings before
+        evaluation, so top-k/count/facets are exact over live docs.
+        Collection/term statistics deliberately still include deleted
+        docs — exactly Lucene's semantics until a merge rewrites the
+        segment (deletes are applied at merge; our compaction job is the
+        place to fold them in permanently). Returns a new searcher."""
+        s = IndexSearcher(self.reader)
+        s.sim = self.sim
+        s._deleted = np.unique(np.concatenate(
+            [self._deleted, np.asarray(list(doc_ids), dtype=np.int64)]))
+        return s
+
+    def delete_by_keys(self, keys_df: DataFrame) -> "IndexSearcher":
+        """Resolve external keys (the reader's key columns) to doc_ids via
+        the docstats sidecar, then tombstone them."""
+        cols = self.reader.key_cols
+        rows = (
+            self.reader.docstats()
+            .join(F.broadcast(keys_df.select(*cols)), list(cols))
+            .select("doc_id").collect()
+        )
+        return self.with_deletes([r["doc_id"] for r in rows])
 
     # ------------------------------------------------------------------ API
     def parse(self, query: str) -> P.Node:
@@ -274,8 +302,11 @@ class IndexSearcher:
             # MatchAllDocsQuery: every live doc at constant score = boost
             # (search/MatchAllDocsQuery.java); served from the docstats
             # sidecar — no postings touched
-            return self.reader.docstats().select(
+            out = self.reader.docstats().select(
                 "doc_id", F.lit(float(node.boost)).cast("float").alias("score"))
+            if self._deleted.size:
+                out = out.filter(~F.col("doc_id").isin([int(d) for d in self._deleted]))
+            return out
         terms: set[str] = set()
         self._collect_terms(node, terms)
         if not terms:
@@ -296,6 +327,8 @@ class IndexSearcher:
                 "(IndexOptions DOCS_AND_FREQS_AND_POSITIONS)")
 
         post = self.reader.postings_for_terms(live)
+        deleted = self._deleted
+        self_block_size = int(self.reader.manifest["config"].get("block_size", 128))
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             # assemble per-term postings (slices concatenated in order)
@@ -316,6 +349,25 @@ class IndexSearcher:
                     cs = np.cumsum(pos_delta)
                     base_corr = cs[starts] - pos_delta[starts]
                     pos = cs - np.repeat(base_corr, tfs)
+                if deleted.size:
+                    # liveDocs mask (LiveDocsFormat role): drop tombstoned
+                    # postings before evaluation; block metadata stays a
+                    # valid (slightly loose) upper bound
+                    idx = np.searchsorted(deleted, docs)
+                    idx_c = np.clip(idx, 0, deleted.size - 1)
+                    dead = deleted[idx_c] == docs
+                    if dead.any():
+                        keep = ~dead
+                        if pos is not None:
+                            pos = pos[np.repeat(keep, tfs)]
+                        docs, dls = docs[keep], dls[keep]
+                        tfs = tfs[keep]
+                        # block meta must realign with the masked arrays
+                        # or block-max pruning would map wrong ranges
+                        from lucene_spark.codec.blocks import build_block_meta
+
+                        bl, bmt, bmd = build_block_meta(
+                            docs, tfs, dls, self_block_size)
                 postings[term] = TermPostings(docs, tfs, dls, bl, bmt, bmd, pos=pos)
             ctx = EvalContext(postings=postings, weights=weights, syn_weights=syn_weights,
                               avgdl=avgdl, sim=sim, k=kk or 10,
