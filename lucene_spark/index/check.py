@@ -37,6 +37,7 @@ def check_index(reader: IndexReader, source: DataFrame | None = None, content_co
         bad = 0
         rows = 0
         for pdf in batches:
+            has_pos = "pos_blob" in pdf.columns
             for r in pdf.itertuples(index=False):
                 docs = delta_decode(vbyte_decode(r.doc_blob))
                 tfs = vbyte_decode(r.tf_blob)
@@ -50,6 +51,41 @@ def check_index(reader: IndexReader, source: DataFrame | None = None, content_co
                     and bool(np.all(tfs >= 1))
                     and len(r.block_last) == (docs.size + 127) // 128 if docs.size else True
                 )
+                if ok and docs.size:
+                    # block-max metadata must be an admissible bound:
+                    # per block, max_tf ≥ every tf and min_dl ≤ every dl
+                    # (the Impacts.java:43-45 contract CheckIndex enforces)
+                    bl = np.asarray(r.block_last, dtype=np.int64)
+                    bmt = np.asarray(r.block_max_tf, dtype=np.int64)
+                    bmd = np.asarray(r.block_min_dl, dtype=np.int64)
+                    nb = bl.size
+                    bs = (docs.size + nb - 1) // nb
+                    for b in range(nb):
+                        lo, hi = b * bs, min((b + 1) * bs, docs.size)
+                        if hi <= lo:
+                            continue
+                        if not (bl[b] == docs[hi - 1]
+                                and bmt[b] >= tfs[lo:hi].max()
+                                and bmd[b] <= dls[lo:hi].min()):
+                            ok = False
+                            break
+                if ok and has_pos and r.pos_blob is not None and docs.size:
+                    # positions: per posting, strictly increasing, count==tf,
+                    # within [0, some sane bound]
+                    pos_delta = vbyte_decode(r.pos_blob)
+                    if pos_delta.size != int(tfs.sum()):
+                        ok = False
+                    else:
+                        starts = np.cumsum(tfs) - tfs
+                        cs = np.cumsum(pos_delta)
+                        base = cs[starts] - pos_delta[starts]
+                        pos = cs - np.repeat(base, tfs)
+                        # within-posting strict increase ⇔ deltas>0 except
+                        # at posting starts (absolute, ≥0)
+                        m = np.ones(pos_delta.size, dtype=bool)
+                        m[starts] = False
+                        if not (np.all(pos_delta[m] > 0) and np.all(pos[starts] >= 0)):
+                            ok = False
                 bad += 0 if ok else 1
                 rows += 1
         yield pd.DataFrame({"rows": [rows], "bad": [bad]})
