@@ -719,6 +719,9 @@ GROUP BY event_type HAVING count(*) > 100
 
 def rel_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimeSeriesStream: hourly event counts + mean value."""
+    # date_format renders in the session TZ; pin UTC so the comparison
+    # against DuckDB's naive timestamps is environment-independent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"))

@@ -146,7 +146,7 @@ def main() -> None:
     # best-of-N per level: the shared hypervisor steals CPU in bursts
     # (historical steal ~30% of user time on this box), so a single trial
     # is a coin flip; alternating trials + best-of decorrelates the noise
-    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     runs_lo, runs_hi = [], []
     def clean(runs):   # a low-steal trial is already trustworthy
         return any(r["steal_frac"] < 0.05 for r in runs)
@@ -166,6 +166,9 @@ def main() -> None:
 
     warmup(spark, CPUS)  # query latency ≠ python-worker cold start
     searcher = IndexSearcher(IndexReader(spark, idx_dir))
+    searcher.search("reader", k=5).collect()  # warm rounds, like the
+    # reference's micro-standard.alg warm searches: parquet footers,
+    # stats cache, codegen all hot before the timed set
     qset = [
         ("q_term", "index"),
         ("q_and", "index AND writer AND merge"),
