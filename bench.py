@@ -180,6 +180,15 @@ def main() -> None:
         timed(name, lambda q=q: searcher.search(q, k=10).collect())
     timed("q_count", lambda: searcher.count("index AND writer"))
 
+    # batched serving: the whole reference-shaped query set in ONE job —
+    # per-query amortized latency is the throughput headline (the
+    # reference amortizes across threads; Spark amortizes across a batch)
+    from lucene_spark.corpus import make_query_set
+
+    batch = {f"q{i}": q for i, q, _ in make_query_set()}
+    timed("q_batch_all", lambda: searcher.search_many(batch, k=10).collect())
+    timings["q_batch_per_query"] = round(timings["q_batch_all"] / len(batch), 4)
+
     # ---- relational headliners on driver testdata ----
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     timed("rel_q1", lambda: li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -75,6 +75,43 @@ def test_lmdirichlet_properties(reader):
     assert np.all(np.diff(sc2) <= 1e-9)      # monotone ↓ in doclen
 
 
+def test_search_many_matches_individual(searcher):
+    """Batched multi-query results equal per-query search() exactly."""
+    qs = {
+        "a": "index",
+        "b": "index AND writer",
+        "c": "index OR writer OR merge",
+        "d": "writer^2 OR reader",
+        "e": "nonexistentzzz",
+        "f": "search -cache",
+    }
+    batch = searcher.search_many(qs, k=7).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in searcher.search(q, k=7).collect()]
+        assert by_q.get(qid, []) == want, qid
+
+
+def test_search_many_with_matchall_and_phrase(spark, corpus_pdf, tmp_path_factory):
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher, plan as P
+
+    d = str(tmp_path_factory.mktemp("sm") / "idx")
+    cfg = IndexConfig(partitions=2, num_buckets=4, analyzer="code", index_positions=True)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(corpus_pdf), d, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, d))
+    qs = {"all": P.MatchAllNode(), "ph": '"licensed under the apache"', "t": "merge"}
+    batch = s.search_many(qs, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = {(r["doc_id"], r["score"]) for r in s.search(q, k=5).collect()}
+        assert set(by_q[qid]) == want, qid
+
+
 def test_two_pass_global_floor_result_identical(searcher):
     """MaxScoreAccumulator analogue: the broadcast global floor must not
     change results (admissible pruning), only skip work."""
