@@ -219,7 +219,16 @@ def _parse_primary(lx: _Lexer, an: Analyzer) -> Node | None:
         if len(toks) == 1:
             return TermNode(term=toks[0])
         return PhraseNode(terms=tuple(toks), slop=slop)
-    # atom: boost / fuzzy / wildcard / prefix / plain term
+    # atom: field prefix / boost / fuzzy / wildcard / prefix / plain term
+    # `field:term` (classic QP field override): this engine indexes ONE
+    # field, so a recognized field prefix is stripped and the bare term
+    # searched — previously `content:foo` silently analyzed ':' away and
+    # OR'd ["content","foo"], which is wrong. Unknown fields behave the
+    # same (single-field semantics, documented divergence from multi-field
+    # Lucene).
+    m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", val)
+    if m:
+        val = m.group(2)
     boost = 1.0
     m = _BOOST_RE.match(val)
     if m:

@@ -81,3 +81,19 @@ def test_stopword_only_query_standard():
     std = get_analyzer("standard")
     n = parse_query("the of and", std)
     assert isinstance(n, P.MatchNoneNode)
+
+
+def test_field_prefix_stripped():
+    """`field:term` targets the single indexed field: prefix stripped,
+    bare term analyzed (was silently OR'ing ['field','term'])."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search import plan as P
+    from lucene_spark.search.qparser import parse_query
+
+    an = get_analyzer("code")
+    n = parse_query("content:index", an)
+    assert isinstance(n, P.TermNode) and n.term == "index"
+    n = parse_query("body:ind*", an)
+    assert isinstance(n, P.PrefixNode) and n.prefix == "ind"
+    n = parse_query("f:term~1", an)
+    assert isinstance(n, P.FuzzyNode) and n.term == "term"
