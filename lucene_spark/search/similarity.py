@@ -134,9 +134,43 @@ class LMDirichletSimilarity:
         return self.score(max_tf, min_doclen, weight, avgdl)
 
 
+@dataclass(frozen=True)
+class DFRInL2Similarity:
+    """Divergence-from-randomness, the standard In/L/H2 combination —
+    search/similarities/DFRSimilarity.java with BasicModelIn (inverse
+    document frequency model), AfterEffectL (Laplace), NormalizationH2
+    (term frequency density; c=1), per the published DFR framework
+    (Amati & van Rijsbergen):
+
+        tfn   = tf · log2(1 + c·avgdl/dl)              (H2)
+        info  = tfn · log2((N+1)/(df+0.5))             (In)
+        score = boost · info / (tfn + 1)               (L)
+    """
+
+    c: float = 1.0
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        import math as _m
+
+        info_per_tfn = _m.log2((doc_count + 1) / (df + 0.5))
+        return (np.float32(boost), np.float64(info_per_tfn))
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, info = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        tfn = tff * np.log2(1.0 + self.c * float(avgdl) / dl)
+        return (np.float64(boost) * info * tfn / (tfn + 1.0)).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
     "boolean": BooleanSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
+    "dfr_inl2": DFRInL2Similarity(),
 }

@@ -162,3 +162,24 @@ def test_suggest(reader):
 
     fz = suggest_fuzzy(reader, "indx", n=5, max_edits=1).collect()
     assert any(r["term"].startswith("index") for r in fz)
+
+
+def test_dfr_inl2_properties(reader):
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.search.similarity import DFRInL2Similarity
+
+    s = IndexSearcher(reader, similarity="dfr_inl2")
+    rows = s.search("index", k=5).collect()
+    assert rows and all(r["score"] > 0 for r in rows)
+
+    sim = DFRInL2Similarity()
+    w = sim.weight(10, 1000)
+    tf = np.array([1, 2, 4, 8]); dl = np.full(4, 100)
+    sc = sim.score(tf, dl, w, np.float32(100.0))
+    assert np.all(np.diff(sc) > 0)                      # ↑ in tf
+    sc2 = sim.score(np.full(4, 3), np.array([50, 100, 200, 400]), w, np.float32(100.0))
+    assert np.all(np.diff(sc2) < 0)                     # ↓ in doclen
+    # rarer term ⇒ higher score at same tf/dl
+    w_rare = sim.weight(2, 1000)
+    assert sim.score(np.array([3]), np.array([100]), w_rare, np.float32(100.0))[0] > \
+           sim.score(np.array([3]), np.array([100]), w, np.float32(100.0))[0]
