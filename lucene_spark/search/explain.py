@@ -147,6 +147,10 @@ def explain(searcher, query, doc_id: int) -> dict:
             filters = [(c, walk(c.node)) for c in n.clauses if c.occur is P.Occur.FILTER]
             nots = [(c, walk(c.node)) for c in n.clauses if c.occur is P.Occur.MUST_NOT]
             kids = [e for _, e in musts + shoulds + filters + nots]
+            if n.minimum_should_match > len(shoulds):
+                return {"value": 0.0, "match": False,
+                        "description": "Boolean: minShouldMatch exceeds optional clauses (MatchNoDocs)",
+                        "details": kids}
             if any(not e["match"] for _, e in musts + filters):
                 return {"value": 0.0, "match": False,
                         "description": "Boolean: required clause missing", "details": kids}

@@ -243,6 +243,10 @@ def _eval_boolean(node: P.BooleanNode, ctx: EvalContext, need_scores: bool) -> t
     filters = [c.node for c in node.clauses if c.occur is P.Occur.FILTER]
     must_nots = [c.node for c in node.clauses if c.occur is P.Occur.MUST_NOT]
     msm = node.minimum_should_match
+    if msm > len(shoulds):
+        # Lucene rewrites minShouldMatch > optional-clause count to
+        # MatchNoDocsQuery (BooleanQuery.rewrite)
+        return _empty()
 
     base: np.ndarray | None = None
     acc: np.ndarray | None = None  # float64 accumulator aligned with base

@@ -109,8 +109,12 @@ def node_strategy(sample, depth=2):
 
     sub = node_strategy(sample, depth - 1)
     occur = st.sampled_from([P.Occur.MUST, P.Occur.SHOULD, P.Occur.FILTER, P.Occur.MUST_NOT])
-    boolean = st.lists(st.tuples(occur, sub), min_size=1, max_size=4).map(
-        lambda cs: P.BooleanNode(clauses=tuple(P.Clause(o, n) for o, n in cs)))
+    boolean = st.tuples(
+        st.lists(st.tuples(occur, sub), min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=2),
+    ).map(lambda t: P.BooleanNode(
+        clauses=tuple(P.Clause(o, n) for o, n in t[0]),
+        minimum_should_match=t[1]))
     dismax = st.lists(sub, min_size=1, max_size=3).map(
         lambda ns: P.DisjunctionMaxNode(children=tuple(ns), tie_breaker=0.3))
     const = sub.map(lambda n: P.ConstantScoreNode(child=n, boost=1.5))
