@@ -231,6 +231,26 @@ WHERE regexp_matches(text, '(^|\s)table\s+hash(\s|$)')
 """
 
 
+def ft_phrase_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase (SloppyPhraseMatcher analogue): '"table hash"~2' —
+    docs where adjusted positions span ≤ 2 (includes swapped order)."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches('"table hash"~2', with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_PHRASE_SLOPPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'table' AND b.term = 'hash'
+  AND abs((b.pos - 1) - a.pos) <= 2
+"""
+
+
 def ft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery: Levenshtein ≤ 1 dictionary expansion."""
     s = _searcher(spark, sf_dir)
@@ -1040,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_topk_and_sql": ft_topk_and_sql,
         "ft_blockmax_topk": ft_blockmax_topk,
         "ft_phrase": ft_phrase,
+        "ft_phrase_sloppy": ft_phrase_sloppy,
         "ft_fuzzy": ft_fuzzy,
         "ft_wildcard": ft_wildcard,
         "ft_range": ft_range,
@@ -1097,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_and_sql": FT_TOPK_AND_SQL,
         # ft_blockmax_topk: rows-only (float32 kernel scores)
         "ft_phrase": FT_PHRASE_SQL,
+        "ft_phrase_sloppy": FT_PHRASE_SLOPPY_SQL,
         "ft_fuzzy": FT_FUZZY_SQL,
         "ft_wildcard": FT_WILDCARD_SQL,
         "ft_range": FT_RANGE_SQL,

@@ -118,6 +118,28 @@ class OracleIndex:
         norm_inv = one / (k1 * ((one - b) + b * np.float32(dl) / self.avgdl))
         return np.float32(w - w / (one + np.float32(tf) * norm_inv))
 
+    @staticmethod
+    def _sloppy_freq(adj_lists: list[list[int]], slop: int) -> float:
+        """Plain-python twin of the documented sloppy semantics (no code
+        shared with kernel.sloppy_phrase_freq): enumerate windows by
+        repeatedly advancing the list holding the current minimum; count
+        a window when span ≤ slop and it reuses no element of the last
+        counted window; weight 1/(1+span)."""
+        k = len(adj_lists)
+        ptrs = [0] * k
+        last = [-1] * k
+        freq = 0.0
+        while True:
+            vals = [adj_lists[i][ptrs[i]] for i in range(k)]
+            width = max(vals) - min(vals)
+            if width <= slop and all(ptrs[i] > last[i] for i in range(k)):
+                freq += 1.0 / (1.0 + width)
+                last = list(ptrs)
+            imin = min(range(k), key=lambda i: (vals[i], i))
+            ptrs[imin] += 1
+            if ptrs[imin] >= len(adj_lists[imin]):
+                return freq
+
     # ---- boolean evaluation: doc -> float32 score ----
     def eval(self, node: P.Node, scored: bool = True) -> dict[int, np.float32]:
         if isinstance(node, P.TermNode):
@@ -140,8 +162,11 @@ class OracleIndex:
             return {d: self._score_one(w, tf, self.doclen[d]) if scored else np.float32(0)
                     for d, tf in tf_sum.items()}
         if isinstance(node, P.PhraseNode):
-            # ExactPhraseMatcher semantics: freq = #positions p where
-            # term_j sits at p+j for all j; blended idf-sum weight
+            # slop=0: ExactPhraseMatcher — freq = #positions p where
+            # term_j sits at p+j for all j. slop>0 (distinct terms):
+            # sloppy min-window semantics — independent reimplementation
+            # of the documented algorithm (greedy non-overlapping
+            # smallest-range matches, weight 1/(1+span)).
             common: set[int] | None = None
             for t in node.terms:
                 docs_t = set(self.positions.get(t, {}))
@@ -153,15 +178,22 @@ class OracleIndex:
                     1.0 + (self.doc_count - self.df(t) + 0.5) / (self.df(t) + 0.5))))
                 for t in node.terms)
             w = np.float32(np.float32(node.boost) * np.float32(idf_sum))
+            sloppy = node.slop > 0 and len(set(node.terms)) == len(node.terms)
             out: dict[int, np.float32] = {}
             for d in common:
-                cur = set(self.positions[node.terms[0]][d])
-                for j, t in enumerate(node.terms[1:], start=1):
-                    cur &= {p - j for p in self.positions[t][d]}
-                    if not cur:
-                        break
-                if cur:
-                    out[d] = self._score_one(w, len(cur), self.doclen[d]) if scored else np.float32(0)
+                if sloppy:
+                    freq = self._sloppy_freq(
+                        [sorted(p - j for p in self.positions[t][d])
+                         for j, t in enumerate(node.terms)], node.slop)
+                else:
+                    cur = set(self.positions[node.terms[0]][d])
+                    for j, t in enumerate(node.terms[1:], start=1):
+                        cur &= {p - j for p in self.positions[t][d]}
+                        if not cur:
+                            break
+                    freq = float(len(cur))
+                if freq > 0:
+                    out[d] = self._score_one(w, freq, self.doclen[d]) if scored else np.float32(0)
             return out
         if isinstance(node, P.ConstantScoreNode):
             child = self.eval(node.child, scored=False)

@@ -121,17 +121,23 @@ def explain(searcher, query, doc_id: int) -> dict:
         if isinstance(n, P.PhraseNode):
             if not all(t in doc and doc[t][2] is not None for t in n.terms):
                 return {"value": 0.0, "match": False, "description": "Phrase: term missing"}
-            cur = set(doc[n.terms[0]][2].tolist())
-            for j, t in enumerate(n.terms[1:], start=1):
-                cur &= {p - j for p in doc[t][2].tolist()}
-            freq = len(cur)
+            if n.slop > 0 and len(set(n.terms)) == len(n.terms):
+                from lucene_spark.search.kernel import sloppy_phrase_freq
+
+                adj = [np.sort(doc[t][2] - j) for j, t in enumerate(n.terms)]
+                freq = sloppy_phrase_freq(adj, n.slop)
+            else:
+                cur = set(doc[n.terms[0]][2].tolist())
+                for j, t in enumerate(n.terms[1:], start=1):
+                    cur &= {p - j for p in doc[t][2].tolist()}
+                freq = float(len(cur))
             if freq == 0:
                 return {"value": 0.0, "match": False, "description": "Phrase: no aligned positions"}
             dl = doc[n.terms[0]][1]
             w = phrase_w[(n.terms, n.boost)]
             score = float(sim.score(np.array([freq]), np.array([dl]), w, avgdl)[0])
             return {"value": score, "match": True,
-                    "description": f"Phrase(\"{' '.join(n.terms)}\"): freq={freq}, blended idf-sum weight"}
+                    "description": f"Phrase(\"{' '.join(n.terms)}\"~{n.slop}): freq={freq:g}, blended idf-sum weight"}
         if isinstance(n, P.DisjunctionMaxNode):
             kids = [walk(c) for c in n.children]
             hits = [k for k in kids if k["match"]]

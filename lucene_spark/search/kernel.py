@@ -95,12 +95,55 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
 
 
+def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int) -> float:
+    """Sloppy phrase frequency over one doc's ADJUSTED position lists
+    (list j holds p - j for each position p of term_j, sorted).
+
+    Semantics (documented; the SloppyPhraseMatcher analogue,
+    search/SloppyPhraseMatcher.java): a match is a choice of one adjusted
+    position per term with span = max - min ≤ slop; matches are
+    enumerated greedily left-to-right by a smallest-range sweep (advance
+    the minimum pointer each step) and counted only when non-overlapping
+    with the previously counted match (no term occurrence reused —
+    Lucene's matches also never share positions). Each counted match
+    contributes sloppyFreq = 1/(1 + span) (PhraseScorer sloppyFreq).
+    slop=0 degenerates to the exact matcher: every exact occurrence is a
+    zero-span window contributing 1."""
+    import heapq
+
+    k = len(adj_lists)
+    ptrs = [0] * k
+    heap = [(int(adj_lists[i][0]), i) for i in range(k)]
+    heapq.heapify(heap)
+    cur_max = max(h[0] for h in heap)
+    last_counted = [-1] * k
+    freq = 0.0
+    while True:
+        mn, i = heap[0]
+        width = cur_max - mn
+        if width <= slop and all(ptrs[j] > last_counted[j] for j in range(k)):
+            freq += 1.0 / (1.0 + width)
+            for j in range(k):
+                last_counted[j] = ptrs[j]
+        heapq.heappop(heap)
+        ptrs[i] += 1
+        if ptrs[i] >= adj_lists[i].size:
+            return freq
+        v = int(adj_lists[i][ptrs[i]])
+        heapq.heappush(heap, (v, i))
+        if v > cur_max:
+            cur_max = v
+
+
 def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
-    """Exact phrase matcher (search/ExactPhraseMatcher.java): docs where
-    all terms occur and ∃ position p with term_j at p+j for all j.
-    phrase freq = number of such p → scored like a pseudo-term with the
-    blended multi-term weight. Candidate intersection is vectorized; the
-    position verify loops only over the (few) candidate docs."""
+    """Phrase matcher. slop=0: exact (search/ExactPhraseMatcher.java) —
+    docs where all terms occur and ∃ position p with term_j at p+j for
+    all j; freq = number of such p. slop>0: sloppy window matching (see
+    sloppy_phrase_freq; phrases with REPEATED terms fall back to exact —
+    position-reuse bookkeeping for repeats is out of scope, documented).
+    Scored like a pseudo-term with the blended multi-term weight.
+    Candidate intersection is vectorized; the position verify loops only
+    over the (few) candidate docs."""
     parts = []
     for t in node.terms:
         tp = ctx.postings.get(t)
@@ -120,16 +163,24 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
             return _empty()
 
     idx = [np.searchsorted(p.docs, base) for p in parts]
-    freqs = np.zeros(base.size, dtype=np.int64)
+    sloppy = node.slop > 0 and len(set(node.terms)) == len(node.terms)
+    freqs = np.zeros(base.size, dtype=np.float64)
     for ci in range(base.size):
-        cur = parts[0].pos[parts[0].tf_off[idx[0][ci]]:parts[0].tf_off[idx[0][ci] + 1]]
-        for j in range(1, len(parts)):
-            pj = parts[j]
-            pos_j = pj.pos[pj.tf_off[idx[j][ci]]:pj.tf_off[idx[j][ci] + 1]]
-            cur = np.intersect1d(cur, pos_j - j, assume_unique=True)
-            if cur.size == 0:
-                break
-        freqs[ci] = cur.size
+        if sloppy:
+            adj = [
+                parts[j].pos[parts[j].tf_off[idx[j][ci]]:parts[j].tf_off[idx[j][ci] + 1]] - j
+                for j in range(len(parts))
+            ]
+            freqs[ci] = sloppy_phrase_freq(adj, node.slop)
+        else:
+            cur = parts[0].pos[parts[0].tf_off[idx[0][ci]]:parts[0].tf_off[idx[0][ci] + 1]]
+            for j in range(1, len(parts)):
+                pj = parts[j]
+                pos_j = pj.pos[pj.tf_off[idx[j][ci]]:pj.tf_off[idx[j][ci] + 1]]
+                cur = np.intersect1d(cur, pos_j - j, assume_unique=True)
+                if cur.size == 0:
+                    break
+            freqs[ci] = cur.size
 
     hit = freqs > 0
     docs = base[hit]

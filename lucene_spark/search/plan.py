@@ -77,13 +77,16 @@ class TermRangeNode(Node):
 
 @dataclass(frozen=True)
 class PhraseNode(Node):
-    """search/PhraseQuery.java — terms at consecutive positions (slop=0,
-    ExactPhraseMatcher semantics: freq = number of phrase occurrences,
-    scored via the similarity with the BLENDED weight of all terms —
-    idf sum per BM25Similarity.java:191-199). Requires an index built with
+    """search/PhraseQuery.java — slop=0: terms at consecutive positions
+    (ExactPhraseMatcher: freq = number of phrase occurrences); slop>0:
+    sloppy min-window matching (kernel.sloppy_phrase_freq — greedy
+    non-overlapping smallest-range windows with span ≤ slop, sloppyFreq
+    weight 1/(1+span); phrases with repeated terms fall back to exact).
+    Scored via the similarity with the BLENDED weight of all terms —
+    idf sum per BM25Similarity.java:191-199. Requires an index built with
     index_positions=True (IndexOptions DOCS_AND_FREQS_AND_POSITIONS)."""
     terms: tuple[str, ...] = ()
-    slop: int = 0           # parsed; only 0 (exact) is executable in v1
+    slop: int = 0
 
 
 @dataclass(frozen=True)

@@ -204,7 +204,7 @@ def _parse_primary(lx: _Lexer, an: Analyzer) -> Node | None:
         return TermInSetNode(terms=tuple(sorted(set(terms))))
     if kind == "quoted":
         # "..." → PhraseQuery (QueryParserBase.getFieldQuery with quoted=
-        # true); optional ~slop suffix parsed (slop>0 not executable yet).
+        # true); optional ~slop suffix → sloppy matching.
         # Single-term phrase rewrites to TermQuery (PhraseQuery rewrite).
         slop = 0
         nxt = lx.peek()

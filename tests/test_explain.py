@@ -58,3 +58,19 @@ def test_more_like_this(searcher, corpus_pdf):
     assert len(rows) == 5
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_explain_sloppy_phrase(spark, corpus_pdf, tmp_path_factory):
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    d = str(tmp_path_factory.mktemp("expslop") / "idx")
+    cfg = IndexConfig(partitions=2, num_buckets=4, analyzer="code", index_positions=True)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(corpus_pdf), d, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, d))
+    q = '"under licensed"~2'
+    hits = s.search(q, k=3).collect()
+    assert hits
+    for h in hits:
+        exp = s.explain(q, h["doc_id"])
+        assert np.float32(exp["value"]) == np.float32(h["score"])

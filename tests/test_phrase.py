@@ -145,3 +145,77 @@ def test_positions_codec_roundtrip():
     pos = cs - np.repeat(base_corr, tfs)
     assert list(pos) == [0, 2, 4, 6]
     assert list(tfs) == [4]
+
+
+def test_sloppy_phrase_hand_cases(spark, tmp_path_factory):
+    """Documented sloppy semantics on hand-built docs."""
+    import pandas as pd
+
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    docs = [
+        ("d0", "a b"),          # exact
+        ("d1", "a x b"),        # one gap  → span 1
+        ("d2", "b a"),          # swapped  → span 2
+        ("d3", "a x x x b"),    # span 3
+        ("d4", "b x x a"),      # swapped far → span 4
+        ("d5", "a c d"),        # no b
+    ]
+    pdf = pd.DataFrame({
+        "repo": ["r"] * len(docs), "path": [d[0] for d in docs],
+        "commit": ["1"] * len(docs), "lang": ["x"] * len(docs),
+        "content": [d[1] for d in docs],
+    })
+    d = str(tmp_path_factory.mktemp("slop") / "idx")
+    cfg = IndexConfig(partitions=1, num_buckets=2, analyzer="whitespace",
+                      index_positions=True)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), d, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, d))
+
+    def paths(q):
+        return sorted(r["path"] for r in s.hydrate(s.search(q, k=10)).collect())
+
+    assert paths('"a b"') == ["d0"]
+    assert paths('"a b"~1') == ["d0", "d1"]
+    assert paths('"a b"~2') == ["d0", "d1", "d2"]
+    assert paths('"a b"~3') == ["d0", "d1", "d2", "d3"]
+    assert paths('"a b"~4') == ["d0", "d1", "d2", "d3", "d4"]
+    # tighter matches score higher at equal stats (sloppyFreq 1/(1+span))
+    rows = {r["path"]: r["score"] for r in s.hydrate(s.search('"a b"~4', k=10)).collect()}
+    assert rows["d0"] > rows["d1"] > rows["d2"] > rows["d3"] > rows["d4"]
+
+
+def test_sloppy_phrase_engine_oracle_parity(pos_searcher, pos_oracle):
+    for q in ['"licensed under"~2', '"apache version"~1', '"under licensed"~2',
+              '"notice distributed"~3', '"index merge"~5']:
+        node = pos_searcher.parse(q)
+        eng = [(r["doc_id"], r["score"]) for r in pos_searcher.search(node, k=10).collect()]
+        orc = [(d, s) for d, s in pos_oracle.search(node, k=10)]
+        assert [d for d, _ in eng] == [d for d, _ in orc], q
+        import numpy as np
+
+        for (d1, s1), (d2, s2) in zip(eng, orc):
+            assert np.float32(s1) == np.float32(s2), (q, d1)
+
+
+def test_sloppy_freq_kernel_vs_oracle_random():
+    """The two independent implementations of the documented window
+    algorithm agree on random position lists."""
+    import numpy as np
+
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.search.kernel import sloppy_phrase_freq
+
+    rng = np.random.default_rng(17)
+    for _ in range(300):
+        k = int(rng.integers(2, 4))
+        lists = []
+        for j in range(k):
+            n = int(rng.integers(1, 8))
+            vals = np.unique(rng.integers(0, 30, size=n)).astype(np.int64)
+            lists.append(vals)
+        slop = int(rng.integers(0, 6))
+        a = sloppy_phrase_freq(lists, slop)
+        b = OracleIndex._sloppy_freq([list(map(int, l)) for l in lists], slop)
+        assert abs(a - b) < 1e-12, (lists, slop, a, b)
