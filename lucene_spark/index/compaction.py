@@ -35,6 +35,54 @@ from pyspark.sql import SparkSession, functions as F
 
 from lucene_spark.index.builder import IndexBuilder, IndexConfig
 
+# Compacted groups get ids from a range disjoint from both batch groups
+# (small ints) and streaming micro-batch groups (GROUP_BASE = 1<<20 +
+# batch_id, streaming/index_stream.py): a compacted id can therefore never
+# be clobbered by the next micro-batch's overwrite-mode group write.
+COMPACT_BASE = 1 << 30
+
+
+def _recover_incomplete_merges(index_dir: str) -> None:
+    """Crash recovery for the two-phase swap: if a merged group manifest
+    exists whose `merged_from` victims are still on disk, the previous
+    compaction died between writing the merged copy and retiring the
+    victims — both copies of those rows exist and every derived rebuild
+    would double-count postings. If ALL victims survive, roll BACK (drop
+    the merged copy — victims are intact). If only SOME survive the crash
+    hit mid-retirement: the merged copy is then the only complete copy, so
+    roll FORWARD (finish deleting the remaining victims)."""
+    parts_dir = os.path.join(index_dir, "parts")
+    raw_dir = os.path.join(index_dir, "raw")
+    if not os.path.isdir(parts_dir):
+        return
+    for name in os.listdir(parts_dir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(parts_dir, name)) as fh:
+                m = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        victims = m.get("merged_from")
+        if not victims:
+            continue
+        alive = [g for g in victims
+                 if os.path.isdir(os.path.join(raw_dir, f"group={g}"))]
+        if not alive:
+            continue  # merge fully committed
+        if len(alive) == len(victims):
+            # roll back: drop the merged copy, keep the intact victims
+            g = int(m["group"])
+            shutil.rmtree(os.path.join(raw_dir, f"group={g}"), ignore_errors=True)
+            os.remove(os.path.join(parts_dir, name))
+        else:
+            # roll forward: some victims already retired — finish the job
+            for g in alive:
+                shutil.rmtree(os.path.join(raw_dir, f"group={g}"), ignore_errors=True)
+                p = os.path.join(parts_dir, f"group-{g:05d}.json")
+                if os.path.exists(p):
+                    os.remove(p)
+
 
 def _dir_bytes(path: str) -> int:
     total = 0
@@ -101,6 +149,7 @@ def compact(
         termdict_partitions=mcfg.get("termdict_partitions", 4)
         if isinstance(mcfg.get("termdict_partitions", 4), int) else 4,
     )
+    _recover_incomplete_merges(index_dir)
     raw_dir = os.path.join(index_dir, "raw")
     groups = {
         int(d.split("=", 1)[1]): _dir_bytes(os.path.join(raw_dir, d))
@@ -111,7 +160,11 @@ def compact(
     if not victims:
         return {"merged": [], "into": None}
 
-    new_group = max(groups) + 1
+    # allocate from the dedicated compaction range — never max(groups)+1,
+    # which would collide with the NEXT streaming micro-batch's group id
+    # (GROUP_BASE + batch_id) and be silently clobbered by its overwrite
+    new_group = max((g for g in groups if g >= COMPACT_BASE),
+                    default=COMPACT_BASE - 1) + 1
     t0 = time.time()
     src = spark.read.parquet(*[os.path.join(raw_dir, f"group={g}") for g in victims])
     # rows move verbatim; coalesce bounds the output file count

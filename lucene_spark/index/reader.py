@@ -40,10 +40,17 @@ class IndexReader:
 
     def postings(self) -> DataFrame:
         if self.layout >= 2:
+            # raw/ has no bucket column (it only exists in the derived
+            # postings/ dir) — compute it on the fly, matching the build-
+            # time pmod(xxhash64(term), num_buckets) exactly
             cols = ["term", "part_id", "slice", "local_df", "local_cf",
                     "doc_blob", "tf_blob", "dl_blob", "pos_blob",
-                    "block_last", "block_max_tf", "block_min_dl", "bucket"]
-            return self._raw().filter(F.col("kind") == "posting").select(*cols)
+                    "block_last", "block_max_tf", "block_min_dl"]
+            return (
+                self._raw().filter(F.col("kind") == "posting").select(*cols)
+                .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                             F.lit(self.num_buckets)).cast("int"))
+            )
         return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
 
     def termdict(self) -> DataFrame:

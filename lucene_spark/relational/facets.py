@@ -36,9 +36,12 @@ def range_facets(matches: DataFrame, col: str, start: float, end: float, gap: fl
     """Numeric range facet (facet/range/LongRangeFacetCounts): fixed-width
     buckets; bucket id computed JVM-side, no UDF."""
     bucket = F.floor((F.col(col) - F.lit(start)) / F.lit(gap)).cast("long")
+    # bucket_lo is double regardless of the input column's type: int inputs
+    # with int start/gap would otherwise emit BIGINT bounds while range
+    # facet consumers (and the SQL twin) expect numeric-range endpoints
     return (
         matches.filter((F.col(col) >= start) & (F.col(col) < end))
-        .withColumn("bucket_lo", F.lit(start) + bucket * F.lit(gap))
+        .withColumn("bucket_lo", (F.lit(start) + bucket * F.lit(gap)).cast("double"))
         .groupBy("bucket_lo")
         .agg(F.count("*").alias("count"))
         .orderBy("bucket_lo")

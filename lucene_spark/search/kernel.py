@@ -356,7 +356,11 @@ def _eval_boolean(node: P.BooleanNode, ctx: EvalContext, need_scores: bool) -> t
             keep = cnt >= msm
             base, acc = base[keep], acc[keep]
 
-    # exclusions
+    # exclusions; a query with only MUST_NOT clauses matches nothing
+    # (Lucene requires a positive clause — normally rewritten away by
+    # plan.rewrite, but the kernel is a public surface: guard it)
+    if base is None:
+        return _empty()
     for mn in must_nots:
         docs_n, _ = eval_node(mn, ctx, need_scores=False)
         if docs_n.size and base.size:

@@ -127,6 +127,16 @@ class IndexSearcher:
         )
         return self.with_deletes([r["doc_id"] for r in rows])
 
+    def _mask_deleted(self, df: DataFrame) -> DataFrame:
+        """Filter tombstoned docs from a (doc_id, ...) DataFrame via an
+        anti-join against the deletes set — NOT a driver-side isin list,
+        which would inline millions of literals into the plan at scale."""
+        if not self._deleted.size:
+            return df
+        dels = self.reader.spark.createDataFrame(
+            [(int(d),) for d in self._deleted], "doc_id long")
+        return df.join(F.broadcast(dels), "doc_id", "left_anti")
+
     # ------------------------------------------------------------------ API
     def parse(self, query: str) -> P.Node:
         return parse_query(query, self.analyzer)
@@ -235,9 +245,7 @@ class IndexSearcher:
             cand = post.groupBy("part_id").applyInPandas(run, out_schema)
         if has_matchall:
             ma = [q for q, n in plans.items() if isinstance(n, P.MatchAllNode)]
-            base = self.reader.docstats().select("doc_id")
-            if deleted.size:
-                base = base.filter(~F.col("doc_id").isin([int(d) for d in deleted]))
+            base = self._mask_deleted(self.reader.docstats().select("doc_id"))
             for qid in ma:
                 boost = float(plans[qid].boost)
                 m = base.select(F.lit(qid).alias("query_id"), "doc_id",
@@ -447,9 +455,7 @@ class IndexSearcher:
             # sidecar — no postings touched
             out = self.reader.docstats().select(
                 "doc_id", F.lit(float(node.boost)).cast("float").alias("score"))
-            if self._deleted.size:
-                out = out.filter(~F.col("doc_id").isin([int(d) for d in self._deleted]))
-            return out
+            return self._mask_deleted(out)
         terms: set[str] = set()
         self._collect_terms(node, terms)
         if not terms:

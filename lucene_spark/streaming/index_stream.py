@@ -56,6 +56,17 @@ class StreamingIndexer:
         schema = _raw_schema(src.schema, cfg)
         group = GROUP_BASE + int(batch_id)
         fp = f"stream-batch-{batch_id}"
+        # a replayed batch may legally overwrite ITS OWN group (same
+        # fingerprint, idempotent); a group manifest with a different
+        # fingerprint means something else owns the id — never clobber it
+        mpath = self.builder._manifest_path(self.index_dir, group)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                existing = json.load(fh)
+            if existing.get("source_fingerprint") not in (None, fp):
+                raise RuntimeError(
+                    f"stream group {group} already owned by "
+                    f"{existing.get('source_fingerprint')!r}; refusing to overwrite")
         self.builder._build_group(src, self.index_dir, group, fp, schema, key_and_carry)
         self._remerge()
 

@@ -55,12 +55,19 @@ def _flatten(query_id: str, node: P.Node) -> _StoredQuery:
     must_nots: list[str] = []
     phrases: list[tuple[str, ...]] = []
 
-    def leaf_terms(n: P.Node, into: list[str]) -> None:
+    def leaf_terms(n: P.Node, into: list[str], negated: bool = False) -> None:
         if isinstance(n, P.TermNode):
             into.append(n.term)
         elif isinstance(n, P.TermInSetNode):
             into.extend(n.terms)
         elif isinstance(n, P.PhraseNode):
+            if negated:
+                # a negated phrase cannot be expressed as term requirements:
+                # its terms would land in must_nots (docs containing them
+                # rejected) while the phrase post-filter demands presence —
+                # the query would never match anything. Reject loudly,
+                # consistent with the other v1 restrictions.
+                raise ValueError("monitor v1 does not support negated phrases")
             phrases.append(n.terms)
             into.extend(n.terms)      # phrase terms are conjunctive requirements
         else:
@@ -75,7 +82,7 @@ def _flatten(query_id: str, node: P.Node) -> _StoredQuery:
             elif c.occur is P.Occur.SHOULD:
                 leaf_terms(c.node, shoulds)
             else:
-                leaf_terms(c.node, must_nots)
+                leaf_terms(c.node, must_nots, negated=True)
     else:
         raise ValueError(f"monitor v1 supports flat boolean queries; got {node!r}")
     return _StoredQuery(query_id, tuple(musts), tuple(shoulds), tuple(must_nots),
@@ -105,7 +112,12 @@ class Monitor:
         return self.spark.createDataFrame(rows, "query_id string, term string, occur string")
 
     def _requirements(self) -> DataFrame:
-        rows = [(q.query_id, len(set(q.musts)), 1 if q.shoulds else 0)
+        # mirrors the kernel/parser rule: SHOULD clauses are OPTIONAL when
+        # the query also has MUST/FILTER clauses (minimum_should_match=0),
+        # required (msm=1) only for pure disjunctions — percolating
+        # '+foo bar' must agree with searching the same string
+        rows = [(q.query_id, len(set(q.musts)),
+                 1 if (q.shoulds and not q.musts) else 0)
                 for q in self._queries]
         return self.spark.createDataFrame(
             rows, "query_id string, need_must int, need_should int")
