@@ -26,7 +26,7 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from lucene_spark.index.builder import IndexBuilder, IndexConfig
+from lucene_spark.index.builder import FieldSpec, IndexBuilder, IndexConfig
 from lucene_spark.index.reader import IndexReader
 from lucene_spark.search.searcher import IndexSearcher
 from lucene_spark.search.sqlbm25 import bm25_topk_oracle_sql, bm25_topk_sql
@@ -71,6 +71,36 @@ def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return IndexSearcher(_reader(spark, sf_dir))
+
+
+_IDX_MF_CACHE: dict[str, IndexReader] = {}
+
+
+def _reader_mf(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Multi-field gate index: two named fields with independent analyzers
+    and IndexOptions — `text` (whitespace, positions) and `lang`
+    (whitespace keyword) — exercising the (field, term) postings/termdict
+    keying, per-field analyzers, and per-field BM25 collection stats
+    (document/Field.java multi-field model; PerFieldAnalyzerWrapper)."""
+    if sf_dir in _IDX_MF_CACHE:
+        return _IDX_MF_CACHE[sf_dir]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "text", "lang"
+    )
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_mf", os.path.basename(os.path.normpath(sf_dir))
+    )
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="text", analyzer="whitespace",
+        partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1,
+        fields=(
+            FieldSpec(name="text", analyzer="whitespace", index_positions=True),
+            FieldSpec(name="lang", analyzer="whitespace"),
+        ),
+    )
+    IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+    _IDX_MF_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return _IDX_MF_CACHE[sf_dir]
 
 
 def _to_ext(df: DataFrame, reader: IndexReader) -> DataFrame:
@@ -473,6 +503,71 @@ sc AS (
          greatest(ln(1 + tf.tf / (2000.0 * ((qd.cf + 1)/(st.sumttf + 1))))
                   + ln(2000.0 / (dl.dl + 2000.0)), 0) AS s
   FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_field_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-qualified TermQuery with BM25 scored from the FIELD's own
+    collection stats (idf uses per-field docCount — BM25Similarity.java:
+    159-163; avgdl = per-field sumTTF/docCount): `lang:en` on the
+    multi-field index. Every lang value is one token so dl=1, avgdl=1 and
+    the oracle reduces to idf/2.2 per matching doc."""
+    s = IndexSearcher(_reader_mf(spark, sf_dir))
+    m = s.matches("lang:en")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_FIELD_TERM_SQL = """
+WITH lstat AS (
+  SELECT count(*)::DOUBLE AS nl,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS dfe
+  FROM documents
+),
+sc AS (
+  SELECT d.doc_id,
+         round(ln(1 + (l.nl - l.dfe + 0.5)/(l.dfe + 0.5)) / 2.2, 2) AS score_r
+  FROM documents d CROSS JOIN lstat l WHERE d.lang = 'en'
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_field_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-field BooleanQuery: `text:table AND lang:en` — clause scores
+    from DIFFERENT fields' stats summed (BooleanWeight sum over scoring
+    clauses), classic-parser field override kept end-to-end."""
+    s = IndexSearcher(_reader_mf(spark, sf_dir))
+    m = s.matches("text:table AND lang:en")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_FIELD_BOOL_SQL = f"""
+WITH tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ({_TOK2}) WHERE term = 'table' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK2}) GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+lstat AS (
+  SELECT count(*)::DOUBLE AS nl,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS dfe
+  FROM documents
+),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+         + ln(1 + (l.nl - l.dfe + 0.5)/(l.dfe + 0.5)) / 2.2 AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN documents d ON tf.doc_id = d.doc_id
+          CROSS JOIN st CROSS JOIN qd CROSS JOIN lstat l
+  WHERE d.lang = 'en'
 ), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
 SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
 FROM r QUALIFY rank <= 10 ORDER BY rank
@@ -1068,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_synonym": ft_synonym,
         "ft_suggest": ft_suggest,
         "ft_highfreq": ft_highfreq,
+        "ft_field_term": ft_field_term,
+        "ft_field_bool": ft_field_bool,
         "ft_sort_field": ft_sort_field,
         "ft_matchall": ft_matchall,
         "ft_facet_combo": ft_facet_combo,
@@ -1126,6 +1223,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_synonym": FT_SYNONYM_SQL,
         "ft_suggest": FT_SUGGEST_SQL,
         "ft_highfreq": FT_HIGHFREQ_SQL,
+        "ft_field_term": FT_FIELD_TERM_SQL,
+        "ft_field_bool": FT_FIELD_BOOL_SQL,
         "ft_sort_field": FT_SORT_FIELD_SQL,
         "ft_matchall": FT_MATCHALL_SQL,
         "ft_facet_combo": FT_FACET_COMBO_SQL,

@@ -59,6 +59,20 @@ PART_ID_SHIFT = 40  # doc_id = part_id << 40 | local_id  (SURVEY.md §1.4)
 
 
 @dataclass(frozen=True)
+class FieldSpec:
+    """Per-field indexing instructions — the FieldType/IndexableField role
+    (document/FieldType.java, index/IndexableField.java): which source
+    column feeds the field, which analyzer chain runs
+    (PerFieldAnalyzerWrapper role), and the IndexOptions depth
+    (index/IndexOptions.java:29-50 — positions only when needed).
+    Unset values inherit the IndexConfig defaults."""
+    name: str
+    source_col: str | None = None      # defaults to name
+    analyzer: str | None = None        # defaults to cfg.analyzer
+    index_positions: bool | None = None  # defaults to cfg.index_positions
+
+
+@dataclass(frozen=True)
 class IndexConfig:
     key_cols: tuple[str, ...] = ("repo", "path", "commit")
     content_col: str = "content"
@@ -73,6 +87,29 @@ class IndexConfig:
     index_positions: bool = False     # DOCS_AND_FREQS vs ..._AND_POSITIONS
                                       # (index/IndexOptions.java:29-50); BM25
                                       # needs freqs only, phrases need positions
+    fields: tuple[FieldSpec, ...] = ()  # multi-field schema; () = single
+                                        # field named content_col (v1 layout)
+
+    def field_specs(self) -> tuple[FieldSpec, ...]:
+        """Resolved per-field specs; the FIRST field is the default search
+        field (classic QP default-field role). Empty `fields` collapses to
+        one field named after content_col — the single-field fast path."""
+        specs = self.fields or (FieldSpec(name=self.content_col,
+                                          source_col=self.content_col),)
+        return tuple(
+            FieldSpec(
+                name=f.name,
+                source_col=f.source_col or f.name,
+                analyzer=f.analyzer or self.analyzer,
+                index_positions=self.index_positions if f.index_positions is None
+                else f.index_positions,
+            )
+            for f in specs
+        )
+
+    @property
+    def default_field(self) -> str:
+        return self.field_specs()[0].name
 
 
 def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
@@ -86,6 +123,7 @@ def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
             T.StructField("doc_id", T.LongType(), True),
             T.StructField("doclen", T.LongType(), True),
             T.StructField("sha256", T.StringType(), True),
+            T.StructField("field", T.StringType(), True),
             T.StructField("term", T.StringType(), True),
             T.StructField("part_id", T.IntegerType(), True),
             T.StructField("slice", T.IntegerType(), True),
@@ -102,6 +140,98 @@ def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
     )
 
 
+def _flush_field(
+    term_chunks: list[np.ndarray],
+    doc_chunks: list[np.ndarray],
+    pos_chunks: list[np.ndarray],
+    dl_chunks: list[np.ndarray],
+    part_id: int,
+    cfg: IndexConfig,
+    with_pos: bool,
+) -> pd.DataFrame:
+    """Flush one field's accumulated token stream into encoded posting
+    records: factorize terms → sort (term, doc, pos) triples → run-length
+    tf + per-term encode (FreqProxTermsWriter.sortTerms analogue,
+    index/FreqProxTermsWriter.java:96-101) — all vectorized numpy."""
+    terms_flat = np.concatenate(term_chunks)
+    docs_flat = np.concatenate(doc_chunks)
+    pos_flat = np.concatenate(pos_chunks) if with_pos else None
+    doclen_by_id = np.concatenate(dl_chunks)
+
+    codes, uniq = pd.factorize(terms_flat, sort=False)
+    term_order = np.argsort(uniq)                 # lexicographic term rank
+    rank_of_code = np.empty(uniq.size, dtype=np.int64)
+    rank_of_code[term_order] = np.arange(uniq.size)
+    skey = rank_of_code[codes]
+    uniq_sorted = uniq[term_order]
+
+    if with_pos:
+        order = np.lexsort((pos_flat, docs_flat, skey))
+        pos_flat = pos_flat[order]
+    else:
+        order = np.lexsort((docs_flat, skey))
+    skey = skey[order]
+    docs_flat = docs_flat[order]
+
+    # run boundaries = (term, doc) groups; run length = tf
+    nflat = skey.size
+    newrun = np.empty(nflat, dtype=bool)
+    newrun[0] = True
+    np.logical_or(skey[1:] != skey[:-1], docs_flat[1:] != docs_flat[:-1],
+                  out=newrun[1:])
+    run_starts = np.flatnonzero(newrun)
+    run_ends = np.append(run_starts[1:], nflat)
+    tfs = run_ends - run_starts
+    run_term = skey[run_starts]
+    run_doc_local = docs_flat[run_starts]
+    dls = doclen_by_id[run_doc_local]
+    docs = (np.int64(part_id) << PART_ID_SHIFT) | run_doc_local
+
+    if with_pos:
+        # per-run delta encoding with absolute first position; decode
+        # splits by tf (Lucene .pos file: pos deltas per (term,doc),
+        # codecs/lucene84/Lucene84PostingsFormat.java:241-330)
+        pos_delta = np.diff(pos_flat, prepend=np.int64(0))
+        pos_delta[run_starts] = pos_flat[run_starts]
+
+    # per-term boundaries over runs
+    nruns = run_term.size
+    newterm = np.empty(nruns, dtype=bool)
+    newterm[0] = True
+    newterm[1:] = run_term[1:] != run_term[:-1]
+    t_starts = np.flatnonzero(newterm)
+    t_bounds = np.append(t_starts, nruns)
+    tf_cum = np.append(np.int64(0), np.cumsum(tfs))  # run -> flat offset
+
+    cap = cfg.max_postings_per_slice
+    recs: dict[str, list] = {k: [] for k in (
+        "term", "slice", "local_df", "local_cf", "doc_blob", "tf_blob",
+        "dl_blob", "pos_blob", "block_last", "block_max_tf", "block_min_dl")}
+    for i in range(t_starts.size):
+        lo, hi = int(t_bounds[i]), int(t_bounds[i + 1])
+        term_str = uniq_sorted[run_term[lo]]
+        s = 0
+        for off in range(lo, hi, cap):
+            end = min(off + cap, hi)
+            d, t, l = docs[off:end], tfs[off:end], dls[off:end]
+            bl, bmt, bmd = build_block_meta(d, t, l, cfg.block_size)
+            recs["term"].append(term_str)
+            recs["slice"].append(s)
+            recs["local_df"].append(end - off)
+            recs["local_cf"].append(int(t.sum()))
+            recs["doc_blob"].append(vbyte_encode(delta_encode(d)))
+            recs["tf_blob"].append(vbyte_encode(t))
+            recs["dl_blob"].append(vbyte_encode(l))
+            recs["pos_blob"].append(
+                vbyte_encode(pos_delta[tf_cum[off]:tf_cum[end]]) if with_pos else None
+            )
+            recs["block_last"].append(bl.tolist())
+            recs["block_max_tf"].append(bmt.tolist())
+            recs["block_min_dl"].append(bmd.tolist())
+            s += 1
+    return pd.DataFrame(recs)
+
+
 def _invert_partition(
     batches: Iterator[pd.DataFrame],
     cfg: IndexConfig,
@@ -111,152 +241,97 @@ def _invert_partition(
 ) -> Iterator[pd.DataFrame]:
     """Per-partition segment build (DWPT + flush analogue). Runs once per
     Spark partition inside mapInPandas; all math is vectorized
-    pandas/numpy — no per-row Python in the hot path."""
+    pandas/numpy — no per-row Python in the hot path. Each configured
+    field is inverted independently with its own analyzer/IndexOptions
+    (IndexingChain.processField per-field loop, index/IndexingChain.java)."""
     from pyspark import TaskContext
 
-    analyzer = get_analyzer(cfg.analyzer)
+    specs = cfg.field_specs()
+    analyzers = {f.name: get_analyzer(f.analyzer) for f in specs}
     tc = TaskContext.get()
     local_pid = tc.partitionId() if tc is not None else 0
     part_id = group_id * partitions_per_group + local_pid
 
     local_id = 0
-    with_pos = cfg.index_positions
-    term_chunks: list[np.ndarray] = []
-    doc_chunks: list[np.ndarray] = []
-    pos_chunks: list[np.ndarray] = []
-    dl_all: list[np.ndarray] = []
+    acc: dict[str, dict[str, list]] = {
+        f.name: {"terms": [], "docs": [], "pos": [], "dls": []} for f in specs
+    }
     doc_rows: list[pd.DataFrame] = []
 
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
-        if with_pos:
-            toks, poss = analyzer.tokenize_with_positions(pdf[cfg.content_col])
-        else:
-            toks = analyzer.tokenize_series(pdf[cfg.content_col])
-            poss = None
-        counts = toks.map(len).to_numpy(dtype=np.int64)
-        doclens = counts
         ids = np.arange(local_id, local_id + n, dtype=np.int64)
+        doclen_total = np.zeros(n, dtype=np.int64)
+        for spec in specs:
+            analyzer = analyzers[spec.name]
+            with_pos = spec.index_positions
+            if with_pos:
+                toks, poss = analyzer.tokenize_with_positions(pdf[spec.source_col])
+            else:
+                toks = analyzer.tokenize_series(pdf[spec.source_col])
+                poss = None
+            counts = toks.map(len).to_numpy(dtype=np.int64)
+            doclen_total += counts
+            a = acc[spec.name]
+            a["dls"].append(counts)
+            if counts.sum():
+                import itertools
 
-        # docstats rows for this batch
+                flat_terms = np.array(
+                    list(itertools.chain.from_iterable(toks.tolist())), dtype=object
+                )
+                a["terms"].append(flat_terms)
+                a["docs"].append(np.repeat(ids, counts))
+                if with_pos:
+                    a["pos"].append(np.fromiter(
+                        itertools.chain.from_iterable(poss.tolist()),
+                        dtype=np.int64, count=int(counts.sum())))
+
+        # docstats rows for this batch; doclen = total indexed tokens
+        # across fields (per-field lengths live in the posting dl blobs)
         drow = pdf[key_and_carry].copy()
         drow["doc_id"] = (np.int64(part_id) << PART_ID_SHIFT) | ids
-        drow["doclen"] = doclens
+        drow["doclen"] = doclen_total
         drow["sha256"] = pdf["__sha256"].to_numpy()
         doc_rows.append(drow)
-        dl_all.append(doclens)
-
-        if counts.sum():
-            import itertools
-
-            flat_terms = np.array(
-                list(itertools.chain.from_iterable(toks.tolist())), dtype=object
-            )
-            term_chunks.append(flat_terms)
-            doc_chunks.append(np.repeat(ids, counts))
-            if with_pos:
-                pos_chunks.append(np.fromiter(
-                    itertools.chain.from_iterable(poss.tolist()),
-                    dtype=np.int64, count=int(counts.sum())))
         local_id += n
 
-    # ---- flush: factorize terms → sort (term, doc, pos) triples → run-
-    # length tf + per-term encode (FreqProxTermsWriter.sortTerms analogue,
-    # index/FreqProxTermsWriter.java:96-101) — all vectorized numpy ----
     out_frames: list[pd.DataFrame] = []
-    if term_chunks:
-        terms_flat = np.concatenate(term_chunks)
-        docs_flat = np.concatenate(doc_chunks)
-        pos_flat = np.concatenate(pos_chunks) if with_pos else None
-        doclen_by_id = np.concatenate(dl_all)
+    fstat_rows: list[tuple[str, int, int]] = []   # (field, docs_with_field, sum_tf)
+    for spec in specs:
+        a = acc[spec.name]
+        if a["dls"]:
+            field_dls = np.concatenate(a["dls"])
+            # per-field collection stats: docCount = docs with ≥1 term for
+            # the field (Terms.getDocCount), sumTotalTermFreq = Σ tf —
+            # search/CollectionStatistics.java:51-55
+            fstat_rows.append((spec.name,
+                               int(np.count_nonzero(field_dls)),
+                               int(field_dls.sum())))
+        if a["terms"]:
+            pf = _flush_field(a["terms"], a["docs"], a["pos"], a["dls"],
+                              part_id, cfg, spec.index_positions)
+            pf["kind"] = "posting"
+            pf["field"] = spec.name
+            pf["part_id"] = np.int32(part_id)
+            out_frames.append(pf)
 
-        codes, uniq = pd.factorize(terms_flat, sort=False)
-        term_order = np.argsort(uniq)                 # lexicographic term rank
-        rank_of_code = np.empty(uniq.size, dtype=np.int64)
-        rank_of_code[term_order] = np.arange(uniq.size)
-        skey = rank_of_code[codes]
-        uniq_sorted = uniq[term_order]
-
-        if with_pos:
-            order = np.lexsort((pos_flat, docs_flat, skey))
-            pos_flat = pos_flat[order]
-        else:
-            order = np.lexsort((docs_flat, skey))
-        skey = skey[order]
-        docs_flat = docs_flat[order]
-
-        # run boundaries = (term, doc) groups; run length = tf
-        nflat = skey.size
-        newrun = np.empty(nflat, dtype=bool)
-        newrun[0] = True
-        np.logical_or(skey[1:] != skey[:-1], docs_flat[1:] != docs_flat[:-1],
-                      out=newrun[1:])
-        run_starts = np.flatnonzero(newrun)
-        run_ends = np.append(run_starts[1:], nflat)
-        tfs = run_ends - run_starts
-        run_term = skey[run_starts]
-        run_doc_local = docs_flat[run_starts]
-        dls = doclen_by_id[run_doc_local]
-        docs = (np.int64(part_id) << PART_ID_SHIFT) | run_doc_local
-
-        if with_pos:
-            # per-run delta encoding with absolute first position; decode
-            # splits by tf (Lucene .pos file: pos deltas per (term,doc),
-            # codecs/lucene84/Lucene84PostingsFormat.java:241-330)
-            pos_delta = np.diff(pos_flat, prepend=np.int64(0))
-            pos_delta[run_starts] = pos_flat[run_starts]
-
-        # per-term boundaries over runs
-        nruns = run_term.size
-        newterm = np.empty(nruns, dtype=bool)
-        newterm[0] = True
-        newterm[1:] = run_term[1:] != run_term[:-1]
-        t_starts = np.flatnonzero(newterm)
-        t_bounds = np.append(t_starts, nruns)
-        tf_cum = np.append(np.int64(0), np.cumsum(tfs))  # run -> flat offset
-
-        cap = cfg.max_postings_per_slice
-        recs: dict[str, list] = {k: [] for k in (
-            "term", "slice", "local_df", "local_cf", "doc_blob", "tf_blob",
-            "dl_blob", "pos_blob", "block_last", "block_max_tf", "block_min_dl")}
-        for i in range(t_starts.size):
-            lo, hi = int(t_bounds[i]), int(t_bounds[i + 1])
-            term_str = uniq_sorted[run_term[lo]]
-            s = 0
-            for off in range(lo, hi, cap):
-                end = min(off + cap, hi)
-                d, t, l = docs[off:end], tfs[off:end], dls[off:end]
-                bl, bmt, bmd = build_block_meta(d, t, l, cfg.block_size)
-                recs["term"].append(term_str)
-                recs["slice"].append(s)
-                recs["local_df"].append(end - off)
-                recs["local_cf"].append(int(t.sum()))
-                recs["doc_blob"].append(vbyte_encode(delta_encode(d)))
-                recs["tf_blob"].append(vbyte_encode(t))
-                recs["dl_blob"].append(vbyte_encode(l))
-                recs["pos_blob"].append(
-                    vbyte_encode(pos_delta[tf_cum[off]:tf_cum[end]]) if with_pos else None
-                )
-                recs["block_last"].append(bl.tolist())
-                recs["block_max_tf"].append(bmt.tolist())
-                recs["block_min_dl"].append(bmd.tolist())
-                s += 1
-        pf = pd.DataFrame(recs)
-        pf["kind"] = "posting"
-        pf["part_id"] = np.int32(part_id)
-        out_frames.append(pf)
-
+    if fstat_rows:
+        fs = pd.DataFrame(fstat_rows, columns=["field", "local_df", "local_cf"])
+        fs["kind"] = "fieldstat"
+        fs["part_id"] = np.int32(part_id)
+        out_frames.append(fs)
     if doc_rows:
         df_doc = pd.concat(doc_rows, ignore_index=True)
         df_doc["kind"] = "docstat"
         out_frames.append(df_doc)
 
     all_cols = ["kind"] + key_and_carry + [
-        "doc_id", "doclen", "sha256", "term", "part_id", "slice", "local_df",
-        "local_cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob", "block_last",
-        "block_max_tf", "block_min_dl"]
+        "doc_id", "doclen", "sha256", "field", "term", "part_id", "slice",
+        "local_df", "local_cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+        "block_last", "block_max_tf", "block_min_dl"]
     for f in out_frames:
         for c in all_cols:
             if c not in f.columns:
@@ -316,9 +391,10 @@ class IndexBuilder:
         t = mark("fingerprint", t0)
 
         key_and_carry = [c for c in source.columns if c in cfg.key_cols + cfg.carry_cols]
+        field_srcs = [s.source_col for s in cfg.field_specs()]
+        cols = list(dict.fromkeys(key_and_carry + field_srcs))  # each col once
         src = source.select(
-            *key_and_carry,
-            F.col(cfg.content_col),
+            *cols,
             F.sha2(F.col(cfg.content_col), 256).alias("__sha256"),  # JVM-side invariant hash
         )
         schema = _raw_schema(src.schema, cfg)
@@ -357,14 +433,14 @@ class IndexBuilder:
         def job_postings():
             postings = (
                 raw.filter(F.col("kind") == "posting")
-                .select("term", "part_id", "slice", "local_df", "local_cf",
+                .select("field", "term", "part_id", "slice", "local_df", "local_cf",
                         "doc_blob", "tf_blob", "dl_blob", "pos_blob",
                         "block_last", "block_max_tf", "block_min_dl")
                 .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
             )
             (
                 postings.repartition(cfg.num_buckets, "bucket")
-                .sortWithinPartitions("term", "part_id", "slice")
+                .sortWithinPartitions("term", "field", "part_id", "slice")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(os.path.join(index_dir, "postings"))
@@ -372,16 +448,17 @@ class IndexBuilder:
 
         def job_termdict():
             # global term dictionary: the MultiTermsEnum merge collapses to
-            # a tiny stats aggregation (map-side combined; skew-immune)
+            # a tiny stats aggregation (map-side combined; skew-immune);
+            # terms are (field, term) pairs — index/Term.java
             termdict = (
                 raw.filter(F.col("kind") == "posting")
-                .groupBy("term")
+                .groupBy("field", "term")
                 .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
                 .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
             )
             (
-                termdict.repartitionByRange(cfg.termdict_partitions, "term")
-                .sortWithinPartitions("term")
+                termdict.repartitionByRange(cfg.termdict_partitions, "field", "term")
+                .sortWithinPartitions("field", "term")
                 .write.mode("overwrite")
                 .parquet(os.path.join(index_dir, "termdict"))
             )
@@ -393,11 +470,13 @@ class IndexBuilder:
             docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
 
         def job_stats():
-            # one agg job → per-group lineage metrics + collection stats
+            # one agg job → per-group lineage metrics + per-field collection
+            # stats (fieldstat rows aggregate by field; other kinds by kind)
             return (
-                raw.groupBy("group", "kind")
+                raw.groupBy("group", "kind", "field")
                 .agg(
                     F.count("*").alias("rows"),
+                    F.sum("local_df").alias("sum_local_df"),
                     F.sum("local_cf").alias("postings"),
                     F.sum("doclen").alias("tokens"),
                     F.max("local_df").alias("max_local_df"),
@@ -419,16 +498,34 @@ class IndexBuilder:
             stat_rows = f_stat.result()
         t = mark("merge", t)
         by_group: dict[int, dict[str, dict]] = {}
+        field_stats: dict[str, dict[str, int]] = {}
         for r in stat_rows:
-            by_group.setdefault(int(r["group"]), {})[r["kind"]] = r.asDict()
+            kind = r["kind"]
+            if kind == "fieldstat":
+                # per-field CollectionStatistics: docCount / sumTotalTermFreq
+                # (search/CollectionStatistics.java:51-55), summed over
+                # partitions (docs never span partitions)
+                fsd = field_stats.setdefault(r["field"], {"doc_count": 0, "sum_ttf": 0})
+                fsd["doc_count"] += int(r["sum_local_df"] or 0)
+                fsd["sum_ttf"] += int(r["postings"] or 0)
+                continue
+            d = by_group.setdefault(int(r["group"]), {}).setdefault(
+                kind, {"rows": 0, "postings": 0, "tokens": 0,
+                       "max_local_df": 0, "max_doc_id": 0})
+            d["rows"] += int(r["rows"] or 0)
+            d["postings"] += int(r["postings"] or 0)
+            d["tokens"] += int(r["tokens"] or 0)
+            d["max_local_df"] = max(d["max_local_df"], int(r["max_local_df"] or 0))
+            d["max_doc_id"] = max(d["max_doc_id"], int(r["max_doc_id"] or 0))
         fs = {
             "doc_count": sum(g.get("docstat", {}).get("rows") or 0 for g in by_group.values()),
             "sum_doclen": sum(g.get("docstat", {}).get("tokens") or 0 for g in by_group.values()),
             "max_doc_id": max((g.get("docstat", {}).get("max_doc_id") or 0) for g in by_group.values()),
         }
         self.spark.createDataFrame(
-            [(fs["doc_count"], fs["sum_doclen"], fs["max_doc_id"])],
-            "doc_count long, sum_doclen long, max_doc_id long",
+            [(f, v["doc_count"], v["sum_ttf"]) for f, v in sorted(field_stats.items())]
+            or [(cfg.default_field, 0, 0)],
+            "field string, doc_count long, sum_ttf long",
         ).write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats"))
         t = mark("stats", t)
 
@@ -448,7 +545,7 @@ class IndexBuilder:
                 json.dump(m, fh, indent=2)
             os.replace(tmp, mpath)
         manifest = {
-            "version": 2,
+            "version": 3,
             "layout": 1,   # postings/ bucketed+term-sorted, docstats/ sidecar
             "source_fingerprint": fp,
             "config": {
@@ -461,9 +558,16 @@ class IndexBuilder:
                 "num_groups": cfg.num_groups,
                 "carry_cols": list(cfg.carry_cols),
                 "index_positions": cfg.index_positions,
+                "fields": [
+                    {"name": s.name, "source_col": s.source_col,
+                     "analyzer": s.analyzer, "index_positions": s.index_positions}
+                    for s in cfg.field_specs()
+                ],
+                "default_field": cfg.default_field,
             },
             "doc_count": fs.get("doc_count"),
             "sum_doclen": fs.get("sum_doclen"),
+            "field_stats": field_stats,
             "groups": built_groups,
             "phases": phases,
             "build_seconds": round(time.time() - t0, 3),

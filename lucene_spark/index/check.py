@@ -95,12 +95,12 @@ def check_index(reader: IndexReader, source: DataFrame | None = None, content_co
     ).collect()[0]
     assert rep["bad"] == 0, f"{rep['bad']} corrupt posting rows"
 
-    # 2. termdict consistency
-    agg = post.groupBy("term").agg(
+    # 2. termdict consistency (terms are (field, term) pairs)
+    agg = post.groupBy("field", "term").agg(
         F.sum("local_df").alias("df2"), F.sum("local_cf").alias("cf2")
     )
     mism = (
-        td.join(agg, "term", "full")
+        td.join(agg, ["field", "term"], "full")
         .filter((F.col("df") != F.col("df2")) | (F.col("cf") != F.col("cf2"))
                 | F.col("df").isNull() | F.col("df2").isNull())
         .count()

@@ -33,7 +33,7 @@ import time
 
 from pyspark.sql import SparkSession, functions as F
 
-from lucene_spark.index.builder import IndexBuilder, IndexConfig
+from lucene_spark.index.builder import FieldSpec, IndexBuilder, IndexConfig
 
 # Compacted groups get ids from a range disjoint from both batch groups
 # (small ints) and streaming micro-batch groups (GROUP_BASE = 1<<20 +
@@ -148,6 +148,7 @@ def compact(
         index_positions=mcfg.get("index_positions", False),
         termdict_partitions=mcfg.get("termdict_partitions", 4)
         if isinstance(mcfg.get("termdict_partitions", 4), int) else 4,
+        fields=tuple(FieldSpec(**f) for f in mcfg.get("fields", [])),
     )
     _recover_incomplete_merges(index_dir)
     raw_dir = os.path.join(index_dir, "raw")
@@ -194,25 +195,26 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
     raw = spark.read.parquet(os.path.join(index_dir, "raw"))
     postings = (
         raw.filter(F.col("kind") == "posting")
-        .select("term", "part_id", "slice", "local_df", "local_cf",
+        .select("field", "term", "part_id", "slice", "local_df", "local_cf",
                 "doc_blob", "tf_blob", "dl_blob", "pos_blob",
                 "block_last", "block_max_tf", "block_min_dl")
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
     )
     (
         postings.repartition(cfg.num_buckets, "bucket")
-        .sortWithinPartitions("term", "part_id", "slice")
+        .sortWithinPartitions("term", "field", "part_id", "slice")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(os.path.join(index_dir, "postings"))
     )
     termdict = (
         raw.filter(F.col("kind") == "posting")
-        .groupBy("term")
+        .groupBy("field", "term")
         .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
     )
     (
-        termdict.repartitionByRange(4, "term").sortWithinPartitions("term")
+        termdict.repartitionByRange(4, "field", "term")
+        .sortWithinPartitions("field", "term")
         .write.mode("overwrite").parquet(os.path.join(index_dir, "termdict"))
     )
     key_and_carry = [c for c in (list(cfg.key_cols) + list(cfg.carry_cols)) if c in raw.columns]

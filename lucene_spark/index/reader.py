@@ -29,10 +29,36 @@ class IndexReader:
         self.key_cols: list[str] = cfg["key_cols"]
         self.carry_cols: list[str] = cfg.get("carry_cols", [])
         self.num_buckets: int = cfg["num_buckets"]
-        self.has_positions: bool = bool(cfg.get("index_positions", False))
         self.layout: int = int(self.manifest.get("layout", 1))
         self.doc_count: int = int(self.manifest["doc_count"])
         self.sum_doclen: int = int(self.manifest["sum_doclen"])
+        # ---- per-field schema (manifest v3); v2 manifests synthesize a
+        # single field named after content_col ----
+        self.fields: list[dict] = cfg.get("fields") or [{
+            "name": cfg["content_col"], "source_col": cfg["content_col"],
+            "analyzer": cfg["analyzer"],
+            "index_positions": bool(cfg.get("index_positions", False)),
+        }]
+        self.default_field: str = cfg.get("default_field", self.fields[0]["name"])
+        self.field_by_name: dict[str, dict] = {f["name"]: f for f in self.fields}
+        # per-field CollectionStatistics (docCount, sumTotalTermFreq) —
+        # search/CollectionStatistics.java:51-55; falls back to the global
+        # maxDoc/sum_doclen pair for v2 manifests
+        self.field_stats: dict[str, dict] = self.manifest.get("field_stats") or {
+            self.default_field: {"doc_count": self.doc_count,
+                                 "sum_ttf": self.sum_doclen}}
+
+    def field_positions(self, field: str) -> bool:
+        f = self.field_by_name.get(field)
+        return bool(f and f.get("index_positions"))
+
+    def field_analyzer_name(self, field: str) -> str:
+        f = self.field_by_name.get(field)
+        return f["analyzer"] if f else self.analyzer_name
+
+    @property
+    def has_positions(self) -> bool:
+        return self.field_positions(self.default_field)
 
     # ---- DataFrames ------------------------------------------------------
     def _raw(self) -> DataFrame:
@@ -43,7 +69,7 @@ class IndexReader:
             # raw/ has no bucket column (it only exists in the derived
             # postings/ dir) — compute it on the fly, matching the build-
             # time pmod(xxhash64(term), num_buckets) exactly
-            cols = ["term", "part_id", "slice", "local_df", "local_cf",
+            cols = ["field", "term", "part_id", "slice", "local_df", "local_cf",
                     "doc_blob", "tf_blob", "dl_blob", "pos_blob",
                     "block_last", "block_max_tf", "block_min_dl"]
             return (
@@ -66,55 +92,72 @@ class IndexReader:
         return self.spark.read.parquet(os.path.join(self.index_dir, "fieldstats"))
 
     # ---- stats lookups (driver-side, small) ------------------------------
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term -> (df, cf); missing terms are absent from the result.
-        Results are memoized for the reader's lifetime (the index snapshot
-        is immutable — Lucene TermStates caching per reader), so repeated
+    def _field_dict(self, field: str | None) -> DataFrame:
+        td = self.termdict()
+        return td.filter(F.col("field") == (field or self.default_field))
+
+    def _norm_terms(self, terms) -> list[tuple[str, str]]:
+        """Accept bare term strings (→ default field) or (field, term)
+        pairs — the library-facing convenience; internals use pairs."""
+        return [(self.default_field, t) if isinstance(t, str) else tuple(t)
+                for t in terms]
+
+    def term_stats(self, terms) -> dict[tuple[str, str], tuple[int, int]]:
+        """(field, term) -> (df, cf); missing terms are absent from the
+        result; bare strings target the default field. Results are
+        memoized for the reader's lifetime (the index snapshot is
+        immutable — Lucene TermStates caching per reader), so repeated
         queries over hot terms cost zero driver round-trips."""
+        terms = self._norm_terms(terms)
         if not terms:
             return {}
         if not hasattr(self, "_stats_cache"):
-            self._stats_cache: dict[str, tuple[int, int] | None] = {}
-        todo = [t for t in set(terms) if t not in self._stats_cache]
+            self._stats_cache: dict[tuple[str, str], tuple[int, int] | None] = {}
+        todo = sorted({t for t in terms if t not in self._stats_cache})
         if todo:
+            fields = sorted({f for f, _ in todo})
+            names = sorted({t for _, t in todo})
             rows = (
                 self.termdict()
-                .filter(F.col("term").isin(todo))
-                .select("term", "df", "cf")
+                .filter(F.col("field").isin(fields) & F.col("term").isin(names))
+                .select("field", "term", "df", "cf")
                 .collect()
             )
-            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            found = {(r["field"], r["term"]): (int(r["df"]), int(r["cf"])) for r in rows}
             for t in todo:
                 self._stats_cache[t] = found.get(t)
         return {t: self._stats_cache[t] for t in terms
                 if self._stats_cache.get(t) is not None}
 
-    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+    def expand_prefix(self, prefix: str, max_terms: int = 1024,
+                      field: str | None = None) -> list[str]:
         """Sorted-dict prefix scan (the FST prefix→block role —
         BlockTreeTermsWriter.java:204-210); Parquet min/max row-group stats
-        prune the scan because termdict is written term-sorted."""
+        prune the scan because termdict is written (field, term)-sorted."""
         rows = (
-            self.termdict()
+            self._field_dict(field)
             .filter(F.col("term").startswith(prefix))
             .select("term").orderBy("term").limit(max_terms).collect()
         )
         return [r["term"] for r in rows]
 
-    def expand_regexp(self, pattern: str, max_terms: int = 1024) -> list[str]:
+    def expand_regexp(self, pattern: str, max_terms: int = 1024,
+                      field: str | None = None) -> list[str]:
         rows = (
-            self.termdict()
+            self._field_dict(field)
             .filter(F.col("term").rlike(f"^(?:{pattern})$"))
             .select("term").orderBy("term").limit(max_terms).collect()
         )
         return [r["term"] for r in rows]
 
-    def expand_fuzzy(self, term: str, max_edits: int = 2, max_terms: int = 50) -> list[str]:
+    def expand_fuzzy(self, term: str, max_edits: int = 2, max_terms: int = 50,
+                     field: str | None = None) -> list[str]:
         """FuzzyQuery expansion: Levenshtein ≤ max_edits over the dictionary
         (search/FuzzyQuery.java). Uses Spark's levenshtein with a cheap
         length pre-filter; top terms by df like TopTermsRewrite."""
         tlen = len(term)
         rows = (
-            self.termdict()
+            self._field_dict(field)
             .filter(F.length("term").between(tlen - max_edits, tlen + max_edits))
             .withColumn("ed", F.levenshtein(F.col("term"), F.lit(term)))
             .filter(F.col("ed") <= max_edits)
@@ -127,9 +170,9 @@ class IndexReader:
     def expand_range(
         self, lower: str | None, upper: str | None,
         include_lower: bool = True, include_upper: bool = True,
-        max_terms: int = 1024,
+        max_terms: int = 1024, field: str | None = None,
     ) -> list[str]:
-        td = self.termdict()
+        td = self._field_dict(field)
         c = F.col("term")
         if lower is not None:
             td = td.filter(c >= lower if include_lower else c > lower)
@@ -137,19 +180,33 @@ class IndexReader:
             td = td.filter(c <= upper if include_upper else c < upper)
         return [r["term"] for r in td.select("term").orderBy("term").limit(max_terms).collect()]
 
-    def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        """Bucket-pruned postings scan for a query's term set."""
+    def postings_for_terms(self, terms) -> DataFrame:
+        """Bucket-pruned postings scan for a query's (field, term) set;
+        bare strings target the default field."""
         from pyspark.sql.functions import col
 
+        terms = self._norm_terms(terms)
         if not terms:
             return self.postings().limit(0)
-        uniq = sorted(set(terms))
-        buckets = sorted(set(self.buckets_of(uniq).values()))
-        return (
+        pairs = sorted(set(terms))
+        names = sorted({t for _, t in pairs})
+        buckets = sorted(set(self.buckets_of(names).values()))
+        post = (
             self.postings()
             .filter(col("bucket").isin(buckets))   # partition pruning
-            .filter(col("term").isin(uniq))        # row-group pruning + filter
+            .filter(col("term").isin(names))       # row-group pruning + filter
         )
+        by_field: dict[str, list[str]] = {}
+        for f, t in pairs:
+            by_field.setdefault(f, []).append(t)
+        if len(by_field) == 1:
+            fld, _ = next(iter(by_field.items()))
+            return post.filter(col("field") == fld)
+        cond = None
+        for fld, ts in sorted(by_field.items()):
+            c = (col("field") == fld) & col("term").isin(sorted(ts))
+            cond = c if cond is None else (cond | c)
+        return post.filter(cond)
 
     def buckets_of(self, terms: list[str]) -> dict[str, int]:
         """term -> bucket, matching F.pmod(F.xxhash64(term), num_buckets)

@@ -95,7 +95,7 @@ def index_stat_columns(reader):
         "sumtotaltermfreq": F.lit(reader.sum_doclen),
         # per-term df/idf come from joining termdict; provide the frame
         "termdict": reader.termdict().select(
-            "term", "df", "cf",
+            "field", "term", "df", "cf",
             (F.lit(float(math.log(N + 1))) - F.log(F.col("df") + 0.5)).alias("idf_ish"),
         ),
     }

@@ -20,8 +20,8 @@ from lucene_spark.codec.vbyte import delta_decode, vbyte_decode
 from lucene_spark.search import plan as P
 
 
-def _doc_postings(searcher, terms: list[str], doc_id: int) -> dict[str, tuple[int, int, np.ndarray | None]]:
-    """term -> (tf, doclen, positions|None) for one doc; pruned collect."""
+def _doc_postings(searcher, terms: list[tuple[str, str]], doc_id: int) -> dict[tuple[str, str], tuple[int, int, np.ndarray | None]]:
+    """(field, term) -> (tf, doclen, positions|None) for one doc; pruned collect."""
     from pyspark.sql import functions as F
 
     reader = searcher.reader
@@ -31,10 +31,10 @@ def _doc_postings(searcher, terms: list[str], doc_id: int) -> dict[str, tuple[in
         .filter(F.col("part_id") == part)
         .collect()
     )
-    out: dict[str, tuple[int, int, np.ndarray | None]] = {}
-    by_term: dict[str, list] = {}
+    out: dict[tuple[str, str], tuple[int, int, np.ndarray | None]] = {}
+    by_term: dict[tuple[str, str], list] = {}
     for r in rows:
-        by_term.setdefault(r["term"], []).append(r)
+        by_term.setdefault((r["field"], r["term"]), []).append(r)
     for term, rs in by_term.items():
         rs.sort(key=lambda r: r["slice"])
         docs = np.concatenate([delta_decode(vbyte_decode(r["doc_blob"])) for r in rs])
@@ -60,33 +60,32 @@ def explain(searcher, query, doc_id: int) -> dict:
     value == the score search() assigns this doc (float32-exact), or a
     non-match node with value 0."""
     node = searcher._plan(query) if isinstance(query, str) else searcher._plan(query)
-    terms: set[str] = set()
+    terms: set[tuple[str, str]] = set()
     searcher._collect_terms(node, terms)
     stats = searcher.reader.term_stats(sorted(terms))
     weights, syn_w, phrase_w = searcher._weights(node, stats)
-    avgdl = searcher.sim.avgdl(searcher.reader.sum_doclen, searcher.reader.doc_count) \
-        if hasattr(searcher.sim, "avgdl") else np.float32(
-            searcher.reader.sum_doclen / max(searcher.reader.doc_count, 1))
+    avgdl_map = searcher._avgdl_map({f for f, _ in terms})
     doc = _doc_postings(searcher, [t for t in terms if t in stats], doc_id)
     sim = searcher.sim
 
     def leaf_term(n: P.TermNode) -> dict:
-        if n.term not in doc:
+        if (n.field, n.term) not in doc:
             return {"value": 0.0, "match": False,
                     "description": f"no occurrence of term '{n.term}' in doc {doc_id}"}
-        tf, dl, _ = doc[n.term]
-        w = weights[(n.term, n.boost)]
+        tf, dl, _ = doc[(n.field, n.term)]
+        w = weights[((n.field, n.term), n.boost)]
+        avgdl = avgdl_map[n.field]
         score = float(sim.score(np.array([tf]), np.array([dl]), w, avgdl)[0])
-        df, cf = stats[n.term]
+        df, cf = stats[(n.field, n.term)]
         return {
             "value": score, "match": True,
             "description": f"score(term='{n.term}'), {type(sim).__name__}",
             "details": [
                 {"value": tf, "description": "tf, term frequency in doc"},
                 {"value": dl, "description": "dl, exact doc length (lossy-norm-free)"},
-                {"value": float(avgdl), "description": "avgdl = sumTotalTermFreq/docCount"},
+                {"value": float(avgdl), "description": "avgdl = sumTotalTermFreq/docCount (per field)"},
                 {"value": df, "description": "df, docs containing the term"},
-                {"value": searcher.reader.doc_count, "description": "N, docCount"},
+                {"value": searcher._field_N(n.field)[0], "description": "N, per-field docCount"},
                 {"value": float(np.asarray(w).ravel()[0]) if not isinstance(w, tuple) else float(w[0]),
                  "description": "weight (boost x idf for BM25)"},
             ],
@@ -100,7 +99,7 @@ def explain(searcher, query, doc_id: int) -> dict:
         if isinstance(n, P.MatchAllNode):
             return {"value": float(n.boost), "match": True, "description": "MatchAllDocs"}
         if isinstance(n, (P.TermInSetNode,)):
-            hit = any(t in doc for t in n.terms)
+            hit = any((n.field, t) in doc for t in n.terms)
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": f"TermInSet({len(n.terms)} terms), constant score"}
         if isinstance(n, P.ConstantScoreNode):
@@ -109,33 +108,34 @@ def explain(searcher, query, doc_id: int) -> dict:
                     "match": child["match"],
                     "description": "ConstantScore", "details": [child]}
         if isinstance(n, P.SynonymNode):
-            tf_sum = sum(doc[t][0] for t in n.terms if t in doc)
+            tf_sum = sum(doc[(n.field, t)][0] for t in n.terms if (n.field, t) in doc)
             if tf_sum == 0:
                 return {"value": 0.0, "match": False, "description": "Synonym: no term present"}
-            dl = next(doc[t][1] for t in n.terms if t in doc)
-            w = syn_w[(n.terms, n.boost)]
-            score = float(sim.score(np.array([tf_sum]), np.array([dl]), w, avgdl)[0])
+            dl = next(doc[(n.field, t)][1] for t in n.terms if (n.field, t) in doc)
+            w = syn_w[((n.field, n.terms), n.boost)]
+            score = float(sim.score(np.array([tf_sum]), np.array([dl]), w, avgdl_map[n.field])[0])
             return {"value": score, "match": True,
                     "description": f"Synonym({','.join(n.terms)}): tf summed, df=max",
                     "details": [{"value": tf_sum, "description": "summed tf"}]}
         if isinstance(n, P.PhraseNode):
-            if not all(t in doc and doc[t][2] is not None for t in n.terms):
+            if not all((n.field, t) in doc and doc[(n.field, t)][2] is not None
+                       for t in n.terms):
                 return {"value": 0.0, "match": False, "description": "Phrase: term missing"}
             if n.slop > 0 and len(set(n.terms)) == len(n.terms):
                 from lucene_spark.search.kernel import sloppy_phrase_freq
 
-                adj = [np.sort(doc[t][2] - j) for j, t in enumerate(n.terms)]
+                adj = [np.sort(doc[(n.field, t)][2] - j) for j, t in enumerate(n.terms)]
                 freq = sloppy_phrase_freq(adj, n.slop)
             else:
-                cur = set(doc[n.terms[0]][2].tolist())
+                cur = set(doc[(n.field, n.terms[0])][2].tolist())
                 for j, t in enumerate(n.terms[1:], start=1):
-                    cur &= {p - j for p in doc[t][2].tolist()}
+                    cur &= {p - j for p in doc[(n.field, t)][2].tolist()}
                 freq = float(len(cur))
             if freq == 0:
                 return {"value": 0.0, "match": False, "description": "Phrase: no aligned positions"}
-            dl = doc[n.terms[0]][1]
-            w = phrase_w[(n.terms, n.boost)]
-            score = float(sim.score(np.array([freq]), np.array([dl]), w, avgdl)[0])
+            dl = doc[(n.field, n.terms[0])][1]
+            w = phrase_w[((n.field, n.terms), n.boost)]
+            score = float(sim.score(np.array([freq]), np.array([dl]), w, avgdl_map[n.field])[0])
             return {"value": score, "match": True,
                     "description": f"Phrase(\"{' '.join(n.terms)}\"~{n.slop}): freq={freq:g}, blended idf-sum weight"}
         if isinstance(n, P.DisjunctionMaxNode):

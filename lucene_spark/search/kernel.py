@@ -54,13 +54,16 @@ class TermPostings:
 
 @dataclass
 class EvalContext:
-    postings: dict[str, TermPostings]     # terms present in this partition
-    weights: dict[tuple[str, float], np.float32]  # (term, boost) -> weight
-    syn_weights: dict[tuple[tuple[str, ...], float], np.float32]
-    avgdl: np.float32
+    # all keys are (field, term) pairs — Lucene's Term identity
+    # (index/Term.java); avgdl is per field (BM25Similarity.java:114-117
+    # computes it from the FIELD's CollectionStatistics)
+    postings: dict[tuple[str, str], TermPostings]   # terms in this partition
+    weights: dict[tuple[tuple[str, str], float], np.float32]
+    syn_weights: dict[tuple[tuple[str, tuple[str, ...]], float], np.float32]
+    avgdl: dict[str, np.float32]
     sim: BM25Similarity
     k: int = 10
-    phrase_weights: dict[tuple[tuple[str, ...], float], np.float32] | None = None
+    phrase_weights: dict[tuple[tuple[str, tuple[str, ...]], float], np.float32] | None = None
 
 
 _EMPTY_I = np.empty(0, dtype=np.int64)
@@ -79,7 +82,8 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
     if isinstance(node, P.SynonymNode):
         return _eval_synonym(node, ctx, need_scores)
     if isinstance(node, P.TermInSetNode):
-        docs = _union_docs([ctx.postings[t].docs for t in node.terms if t in ctx.postings])
+        docs = _union_docs([ctx.postings[(node.field, t)].docs for t in node.terms
+                            if (node.field, t) in ctx.postings])
         return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
     if isinstance(node, P.ConstantScoreNode):
         docs, _ = eval_node(node.child, ctx, need_scores=False)
@@ -146,7 +150,7 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
     over the (few) candidate docs."""
     parts = []
     for t in node.terms:
-        tp = ctx.postings.get(t)
+        tp = ctx.postings.get((node.field, t))
         if tp is None or tp.pos is None:
             return _empty()
         parts.append(tp)
@@ -187,18 +191,18 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
     if not need_scores:
         return docs, np.zeros(docs.size, dtype=np.float32)
     dls = parts[0].dls[idx[0][hit]]
-    w = (ctx.phrase_weights or {})[(node.terms, node.boost)]
-    return docs, ctx.sim.score(freqs[hit], dls, w, ctx.avgdl)
+    w = (ctx.phrase_weights or {})[((node.field, node.terms), node.boost)]
+    return docs, ctx.sim.score(freqs[hit], dls, w, ctx.avgdl[node.field])
 
 
 def _eval_term(node: P.TermNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
-    tp = ctx.postings.get(node.term)
+    tp = ctx.postings.get((node.field, node.term))
     if tp is None:
         return _empty()
     if not need_scores:
         return tp.docs, np.zeros(tp.docs.size, dtype=np.float32)
-    w = ctx.weights[(node.term, node.boost)]
-    scores = ctx.sim.score(tp.tfs, tp.dls, w, ctx.avgdl)
+    w = ctx.weights[((node.field, node.term), node.boost)]
+    scores = ctx.sim.score(tp.tfs, tp.dls, w, ctx.avgdl[node.field])
     return tp.docs, scores
 
 
@@ -221,22 +225,23 @@ def score_term_topk_blockmax(
     (search/MaxScoreAccumulator.java:24): any true score of a real doc
     elsewhere is an admissible floor here, so cross-partition pruning
     stays result-identical."""
-    tp = ctx.postings.get(node.term)
+    tp = ctx.postings.get((node.field, node.term))
     if tp is None:
         return _empty()
     k = ctx.k
     n = tp.docs.size
     if n <= max(4 * k, 512) or tp.block_last.size <= 4:
         return _eval_term(node, ctx, True)
-    w = ctx.weights[(node.term, node.boost)]
-    bmax = ctx.sim.max_score(tp.block_max_tf, tp.block_min_dl, w, ctx.avgdl)
+    w = ctx.weights[((node.field, node.term), node.boost)]
+    avgdl = ctx.avgdl[node.field]
+    bmax = ctx.sim.max_score(tp.block_max_tf, tp.block_min_dl, w, avgdl)
     nb = bmax.size
     bs = (n + nb - 1) // nb  # block size (last block short)
     order = np.argsort(-bmax, kind="stable")
     take = min(nb, max(1, (k + bs - 1) // bs))
     phase1 = order[:take]
     sel = _block_mask(phase1, nb, bs, n)
-    s1 = ctx.sim.score(tp.tfs[sel], tp.dls[sel], w, ctx.avgdl)
+    s1 = ctx.sim.score(tp.tfs[sel], tp.dls[sel], w, avgdl)
     if phase1_only:
         return tp.docs[sel], s1
     if s1.size >= k:
@@ -249,7 +254,7 @@ def score_term_topk_blockmax(
     if rest.size:
         sel2 = _block_mask(rest, nb, bs, n)
         docs = np.concatenate([tp.docs[sel], tp.docs[sel2]])
-        scores = np.concatenate([s1, ctx.sim.score(tp.tfs[sel2], tp.dls[sel2], w, ctx.avgdl)])
+        scores = np.concatenate([s1, ctx.sim.score(tp.tfs[sel2], tp.dls[sel2], w, avgdl)])
         o = np.argsort(docs, kind="stable")
         return docs[o], scores[o]
     return tp.docs[sel], s1
@@ -263,7 +268,8 @@ def _block_mask(blocks: np.ndarray, nb: int, bs: int, n: int) -> np.ndarray:
 
 
 def _eval_synonym(node: P.SynonymNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
-    parts = [ctx.postings[t] for t in node.terms if t in ctx.postings]
+    parts = [ctx.postings[(node.field, t)] for t in node.terms
+             if (node.field, t) in ctx.postings]
     if not parts:
         return _empty()
     docs = np.concatenate([p.docs for p in parts])
@@ -276,8 +282,8 @@ def _eval_synonym(node: P.SynonymNode, ctx: EvalContext, need_scores: bool) -> t
     dl_u[inv] = dls  # same doc ⇒ same doclen
     if not need_scores:
         return uniq, np.zeros(uniq.size, dtype=np.float32)
-    w = ctx.syn_weights[(node.terms, node.boost)]
-    return uniq, ctx.sim.score(tf_sum, dl_u, w, ctx.avgdl)
+    w = ctx.syn_weights[((node.field, node.terms), node.boost)]
+    return uniq, ctx.sim.score(tf_sum, dl_u, w, ctx.avgdl[node.field])
 
 
 def _union_docs(doc_lists: list[np.ndarray]) -> np.ndarray:

@@ -30,44 +30,53 @@ class Node:
 
 
 @dataclass(frozen=True)
-class TermNode(Node):
+class FieldedNode(Node):
+    """Base for queries targeting a named document field — Lucene's Term is
+    a (field, text) pair (index/Term.java); field='' means 'the default
+    field', resolved by the searcher against the index config (classic QP
+    default-field behavior, queryparser/classic/QueryParserBase.java)."""
+    field: str = ""
+
+
+@dataclass(frozen=True)
+class TermNode(FieldedNode):
     term: str = ""
 
 
 @dataclass(frozen=True)
-class TermInSetNode(Node):
+class TermInSetNode(FieldedNode):
     """search/TermInSetQuery.java — constant-score disjunction over a term set."""
     terms: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
-class SynonymNode(Node):
+class SynonymNode(FieldedNode):
     """search/SynonymQuery.java:52 — terms scored as one (tf summed, df = max)."""
     terms: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
-class PrefixNode(Node):
+class PrefixNode(FieldedNode):
     """search/PrefixQuery.java — expanded against the term dictionary at plan
     time (MultiTermQuery rewrite, search/MultiTermQuery.java:55)."""
     prefix: str = ""
 
 
 @dataclass(frozen=True)
-class RegexpNode(Node):
+class RegexpNode(FieldedNode):
     """search/RegexpQuery.java / WildcardQuery — dictionary-expanded."""
     pattern: str = ""
 
 
 @dataclass(frozen=True)
-class FuzzyNode(Node):
+class FuzzyNode(FieldedNode):
     """search/FuzzyQuery.java — Levenshtein ≤ max_edits dictionary expansion."""
     term: str = ""
     max_edits: int = 2
 
 
 @dataclass(frozen=True)
-class TermRangeNode(Node):
+class TermRangeNode(FieldedNode):
     """search/TermRangeQuery.java — lexicographic range over the sorted dict."""
     lower: str | None = None
     upper: str | None = None
@@ -76,7 +85,7 @@ class TermRangeNode(Node):
 
 
 @dataclass(frozen=True)
-class PhraseNode(Node):
+class PhraseNode(FieldedNode):
     """search/PhraseQuery.java — slop=0: terms at consecutive positions
     (ExactPhraseMatcher: freq = number of phrase occurrences); slop>0:
     sloppy min-window matching (kernel.sloppy_phrase_freq — greedy
@@ -125,6 +134,28 @@ class DisjunctionMaxNode(Node):
 
 
 MAX_CLAUSE_COUNT = 1024  # IndexSearcher.java:83 maxClauseCount guard
+
+
+def apply_field(node: Node, fld: str, only_default: bool = False) -> Node:
+    """Set the target field on every fielded leaf of a subtree — the
+    classic parser's `field:(a AND b)` group override and the searcher's
+    default-field resolution (only_default=True rewrites only leaves whose
+    field is still '' — an explicit inner `other:term` override wins,
+    matching QueryParserBase field scoping)."""
+    if isinstance(node, FieldedNode):
+        if only_default and node.field:
+            return node
+        return replace(node, field=fld)
+    if isinstance(node, BooleanNode):
+        return replace(node, clauses=tuple(
+            Clause(c.occur, apply_field(c.node, fld, only_default))
+            for c in node.clauses))
+    if isinstance(node, DisjunctionMaxNode):
+        return replace(node, children=tuple(
+            apply_field(c, fld, only_default) for c in node.children))
+    if isinstance(node, ConstantScoreNode) and node.child is not None:
+        return replace(node, child=apply_field(node.child, fld, only_default))
+    return node
 
 
 def AND(*nodes: Node) -> BooleanNode:

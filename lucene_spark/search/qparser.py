@@ -4,7 +4,12 @@ Role analogue: lucene/queryparser classic grammar (QueryParser.jj,
 QueryParserBase.java). Supported subset: bare terms, AND/OR/NOT (and
 &&/||/!), +term / -term, parentheses, boost `term^2`, prefix `term*`,
 wildcard `te?m`/`t*m`, fuzzy `term~1`, range `[a TO b]` / `{a TO b}`,
-term sets via `IN(a,b,c)` (engine extension).
+term sets via `IN(a,b,c)` (engine extension), and FIELD-QUALIFIED queries:
+`field:term`, `field:"a phrase"`, `field:(a AND b)` — the classic parser's
+field override (QueryParserBase.java:112-116); the field name stays on the
+produced leaf nodes (field='' = default field, resolved by the searcher)
+and query text is analyzed with THAT field's analyzer when a
+`field_analyzers` registry is supplied (PerFieldAnalyzerWrapper role).
 
 Parity notes:
 - the DEFAULT OPERATOR IS OR: `a b` parses as `a OR b`
@@ -84,15 +89,16 @@ def _analyze_one(text: str, analyzer: Analyzer) -> list[str]:
     return list(analyzer.tokenize_series(pd.Series([text])).iloc[0])
 
 
-def parse_query(text: str, analyzer: Analyzer) -> Node:
+def parse_query(text: str, analyzer: Analyzer,
+                field_analyzers: dict[str, Analyzer] | None = None) -> Node:
     """Parse classic syntax into a rewritten plan tree."""
     lx = _Lexer(text)
-    node = _parse_or(lx, analyzer)
+    node = _parse_or(lx, analyzer, field_analyzers or {})
     return rewrite(node if node is not None else MatchNoneNode())
 
 
-def _parse_or(lx: _Lexer, an: Analyzer) -> Node | None:
-    left = _parse_and(lx, an)
+def _parse_or(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
+    left = _parse_and(lx, an, fa)
     clauses: list[Clause] = []
     while True:
         t = lx.peek()
@@ -100,10 +106,10 @@ def _parse_or(lx: _Lexer, an: Analyzer) -> Node | None:
             break
         if t[0] == "or":
             lx.next()
-            right = _parse_and(lx, an)
+            right = _parse_and(lx, an, fa)
         else:
             # juxtaposition — default operator OR (QueryParserBase.java:59-64)
-            right = _parse_and(lx, an)
+            right = _parse_and(lx, an, fa)
         if right is None:
             break
         if not clauses:
@@ -126,15 +132,15 @@ def _as_clauses(node: Node, occur: Occur) -> list[Clause]:
     return [Clause(occur, node)]
 
 
-def _parse_and(lx: _Lexer, an: Analyzer) -> Node | None:
-    left = _parse_unary(lx, an)
+def _parse_and(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
+    left = _parse_unary(lx, an, fa)
     clauses: list[Clause] = []
     while True:
         t = lx.peek()
         if t is None or t[0] != "and":
             break
         lx.next()
-        right = _parse_unary(lx, an)
+        right = _parse_unary(lx, an, fa)
         if right is None:
             break
         if not clauses:
@@ -150,42 +156,63 @@ def _parse_and(lx: _Lexer, an: Analyzer) -> Node | None:
     return left
 
 
-def _parse_unary(lx: _Lexer, an: Analyzer) -> Node | None:
+def _parse_unary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
     t = lx.peek()
     if t is None:
         return None
     kind, _ = t
     if kind in ("not", "minus"):
         lx.next()
-        child = _parse_unary(lx, an)
+        child = _parse_unary(lx, an, fa)
         if child is None:
             return None
         return BooleanNode(clauses=(Clause(Occur.MUST_NOT, child),))
     if kind == "plus":
         lx.next()
-        child = _parse_unary(lx, an)
+        child = _parse_unary(lx, an, fa)
         if child is None:
             return None
         return BooleanNode(clauses=(Clause(Occur.MUST, child),))
-    return _parse_primary(lx, an)
+    return _parse_primary(lx, an, fa)
 
 
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
 
 
-def _parse_primary(lx: _Lexer, an: Analyzer) -> Node | None:
+def _parse_quoted(lx: _Lexer, val: str, an: Analyzer, fld: str = "") -> Node:
+    """"..." → PhraseQuery (QueryParserBase.getFieldQuery with quoted=true);
+    optional ~slop suffix → sloppy matching. Single-term phrase rewrites to
+    TermQuery (PhraseQuery rewrite)."""
+    slop = 0
+    nxt = lx.peek()
+    if nxt is not None and nxt[0] == "atom" and nxt[1].startswith("~"):
+        digits = nxt[1][1:]
+        if digits.isdigit():
+            slop = int(digits)
+            lx.next()
+    toks = _analyze_one(val[1:-1], an)
+    if not toks:
+        return MatchNoneNode()
+    if len(toks) == 1:
+        return TermNode(term=toks[0], field=fld)
+    return PhraseNode(terms=tuple(toks), slop=slop, field=fld)
+
+
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$")
+
+
+def _parse_primary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
     t = lx.next()
     if t is None:
         return None
     kind, val = t
     if kind == "lparen":
-        inner = _parse_or(lx, an)
+        inner = _parse_or(lx, an, fa)
         nxt = lx.peek()
         if nxt is not None and nxt[0] == "rparen":
             lx.next()
         node = inner if inner is not None else MatchNoneNode()
-        nxt = lx.peek()
         return node
     if kind == "rparen":
         return None
@@ -203,32 +230,37 @@ def _parse_primary(lx: _Lexer, an: Analyzer) -> Node | None:
             terms.extend(_analyze_one(r, an) or [])
         return TermInSetNode(terms=tuple(sorted(set(terms))))
     if kind == "quoted":
-        # "..." → PhraseQuery (QueryParserBase.getFieldQuery with quoted=
-        # true); optional ~slop suffix → sloppy matching.
-        # Single-term phrase rewrites to TermQuery (PhraseQuery rewrite).
-        slop = 0
-        nxt = lx.peek()
-        if nxt is not None and nxt[0] == "atom" and nxt[1].startswith("~"):
-            digits = nxt[1][1:]
-            if digits.isdigit():
-                slop = int(digits)
-                lx.next()
-        toks = _analyze_one(val[1:-1], an)
-        if not toks:
-            return MatchNoneNode()
-        if len(toks) == 1:
-            return TermNode(term=toks[0])
-        return PhraseNode(terms=tuple(toks), slop=slop)
-    # atom: field prefix / boost / fuzzy / wildcard / prefix / plain term
-    # `field:term` (classic QP field override): this engine indexes ONE
-    # field, so a recognized field prefix is stripped and the bare term
-    # searched — previously `content:foo` silently analyzed ':' away and
-    # OR'd ["content","foo"], which is wrong. Unknown fields behave the
-    # same (single-field semantics, documented divergence from multi-field
-    # Lucene).
-    m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", val)
+        return _parse_quoted(lx, val, an)
+    # atom: field override / boost / fuzzy / wildcard / prefix / plain term.
+    # `field:term` (classic QP field override, QueryParserBase.java:112-116):
+    # the field name is kept on the leaf node and the term analyzed with
+    # that field's analyzer; `field:"phrase"` and `field:(group)` scope the
+    # following quoted/parenthesized expression to the field.
+    fld = ""
+    m = _FIELD_RE.match(val)
     if m:
-        val = m.group(2)
+        fld, rest = m.group(1), m.group(2)
+        if rest == "":
+            nxt = lx.peek()
+            if nxt is not None and nxt[0] == "quoted":
+                lx.next()
+                return _parse_quoted(lx, nxt[1], fa.get(fld, an), fld)
+            if nxt is not None and nxt[0] == "lparen":
+                lx.next()
+                inner = _parse_or(lx, fa.get(fld, an), fa)
+                nn = lx.peek()
+                if nn is not None and nn[0] == "rparen":
+                    lx.next()
+                if inner is None:
+                    return MatchNoneNode()
+                # scope every still-unfielded leaf of the group to fld
+                # (explicit inner overrides win — QP field scoping)
+                from lucene_spark.search.plan import apply_field
+
+                return apply_field(inner, fld, only_default=True)
+            return MatchNoneNode()
+        val = rest
+    a = fa.get(fld, an) if fld else an
     boost = 1.0
     m = _BOOST_RE.match(val)
     if m:
@@ -237,26 +269,26 @@ def _parse_primary(lx: _Lexer, an: Analyzer) -> Node | None:
     if m and "~" in val:
         base = m.group(1)
         edits = int(m.group(2)) if m.group(2) else 2
-        toks = _analyze_one(base, an)
+        toks = _analyze_one(base, a)
         term = toks[0] if toks else base.lower()
-        return FuzzyNode(term=term, max_edits=edits, boost=boost)
+        return FuzzyNode(term=term, max_edits=edits, boost=boost, field=fld)
     if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
         base = val[:-1]
-        toks = _analyze_one(base, an) if base else []
+        toks = _analyze_one(base, a) if base else []
         prefix = toks[0] if toks else base.lower()
-        return PrefixNode(prefix=prefix, boost=boost)
+        return PrefixNode(prefix=prefix, boost=boost, field=fld)
     if "*" in val or "?" in val:
         # wildcard → anchored regex over the dictionary (WildcardQuery.java)
         pat = "".join(
             ".*" if ch == "*" else "." if ch == "?" else re.escape(ch.lower()) for ch in val
         )
-        return RegexpNode(pattern=pat, boost=boost)
-    toks = _analyze_one(val, an)
+        return RegexpNode(pattern=pat, boost=boost, field=fld)
+    toks = _analyze_one(val, a)
     if not toks:
         return MatchNoneNode()
     if len(toks) == 1:
-        return TermNode(term=toks[0], boost=boost)
+        return TermNode(term=toks[0], boost=boost, field=fld)
     # analyzer split one atom into several terms (e.g. camelCase) → OR them,
     # matching classic QP's default-OR for multi-token text
-    inner = tuple(Clause(Occur.SHOULD, TermNode(term=tk)) for tk in toks)
+    inner = tuple(Clause(Occur.SHOULD, TermNode(term=tk, field=fld)) for tk in toks)
     return BooleanNode(clauses=inner, boost=boost)

@@ -51,13 +51,13 @@ from lucene_spark.search.similarity import SIMILARITIES
 
 
 def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
-                       block_size: int) -> dict[str, TermPostings]:
-    """Decode a partition's (bucket-pruned) posting rows into per-term
-    TermPostings: slices concatenated in order, optional positions
+                       block_size: int) -> dict[tuple[str, str], TermPostings]:
+    """Decode a partition's (bucket-pruned) posting rows into per-(field,
+    term) TermPostings: slices concatenated in order, optional positions
     reconstructed, tombstoned docs masked with block metadata realigned."""
-    pdf = pdf.sort_values(["term", "slice"])
-    postings: dict[str, TermPostings] = {}
-    for term, grp in pdf.groupby("term", sort=False):
+    pdf = pdf.sort_values(["field", "term", "slice"])
+    postings: dict[tuple[str, str], TermPostings] = {}
+    for (field, term), grp in pdf.groupby(["field", "term"], sort=False):
         docs = np.concatenate([delta_decode(vbyte_decode(b)) for b in grp["doc_blob"]])
         tfs = np.concatenate([vbyte_decode(b) for b in grp["tf_blob"]])
         dls = np.concatenate([vbyte_decode(b) for b in grp["dl_blob"]])
@@ -65,7 +65,7 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
         bmt = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_max_tf"]])
         bmd = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_min_dl"]])
         pos = None
-        if want_pos:
+        if want_pos and not any(b is None for b in grp["pos_blob"]):
             # per-posting delta blobs -> absolute flat positions
             pos_delta = np.concatenate([vbyte_decode(b) for b in grp["pos_blob"]])
             starts = np.cumsum(tfs) - tfs
@@ -89,7 +89,7 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
                 from lucene_spark.codec.blocks import build_block_meta
 
                 bl, bmt, bmd = build_block_meta(docs, tfs, dls, block_size)
-        postings[term] = TermPostings(docs, tfs, dls, bl, bmt, bmd, pos=pos)
+        postings[(field, term)] = TermPostings(docs, tfs, dls, bl, bmt, bmd, pos=pos)
     return postings
 
 
@@ -97,7 +97,12 @@ class IndexSearcher:
     def __init__(self, reader: IndexReader, similarity: str = "bm25"):
         self.reader = reader
         self.sim = SIMILARITIES[similarity]
-        self.analyzer = get_analyzer(reader.analyzer_name)
+        # per-field analyzer resolution (PerFieldAnalyzerWrapper role):
+        # query text for field F runs through F's configured chain
+        self.field_analyzers = {
+            f["name"]: get_analyzer(f["analyzer"]) for f in reader.fields}
+        self.analyzer = self.field_analyzers.get(
+            reader.default_field, get_analyzer(reader.analyzer_name))
         self._deleted: np.ndarray = np.empty(0, dtype=np.int64)
 
     # ------------------------------------------------------------- deletes
@@ -139,7 +144,8 @@ class IndexSearcher:
 
     # ------------------------------------------------------------------ API
     def parse(self, query: str) -> P.Node:
-        return parse_query(query, self.analyzer)
+        return parse_query(query, self.analyzer,
+                           field_analyzers=self.field_analyzers)
 
     def search(self, query: str | P.Node, k: int = 10, two_pass: bool = False) -> DataFrame:
         """Top-k → DataFrame(doc_id long, score float) ordered by
@@ -187,7 +193,7 @@ class IndexSearcher:
             return self.reader.spark.createDataFrame(
                 [], "query_id string, doc_id long, score float, rank int")
 
-        all_terms: set[str] = set()
+        all_terms: set[tuple[str, str]] = set()
         for n in plans.values():
             self._collect_terms(n, all_terms)
         stats = self.reader.term_stats(sorted(all_terms))
@@ -200,14 +206,10 @@ class IndexSearcher:
             weights.update(w)
             syn_w.update(s)
             phrase_w.update(p)
-        avgdl = self.sim.avgdl(self.reader.sum_doclen, self.reader.doc_count) \
-            if hasattr(self.sim, "avgdl") else np.float32(
-                self.reader.sum_doclen / max(self.reader.doc_count, 1))
+        avgdl = self._avgdl_map({f for f, _ in all_terms})
         sim = self.sim
         kk = k
-        want_pos = any(self._has_phrase(n) for n in plans.values())
-        if want_pos and not self.reader.has_positions:
-            raise ValueError("phrase query requires index_positions=True")
+        want_pos = any(self._check_positions(n) for n in plans.values())
         deleted = self._deleted
         block_size = int(self.reader.manifest["config"].get("block_size", 128))
         has_matchall = any(isinstance(n, P.MatchAllNode) for n in plans.values())
@@ -311,11 +313,12 @@ class IndexSearcher:
         from collections import Counter
 
         tf = Counter(toks)
-        stats = self.reader.term_stats(sorted(tf))
-        N = self.reader.doc_count
+        fld = self.reader.default_field
+        stats = self.reader.term_stats(sorted((fld, t) for t in tf))
+        N, _ = self._field_N(fld)
         scored = []
         for t, f in tf.items():
-            df = stats.get(t, (0, 0))[0]
+            df = stats.get((fld, t), (0, 0))[0]
             if df >= min_df:
                 idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
                 scored.append((f * idf, t))
@@ -335,27 +338,35 @@ class IndexSearcher:
     # ------------------------------------------------------------ planning
     def _plan(self, query: str | P.Node) -> P.Node:
         node = self.parse(query) if isinstance(query, str) else query
+        # resolve the default field on every unfielded leaf (classic QP
+        # default-field behavior; explicit field: overrides survive)
+        node = P.apply_field(node, self.reader.default_field, only_default=True)
         node = P.rewrite(node)
         node = self._expand(node)
         return P.rewrite(node)
 
     def _expand(self, node: P.Node) -> P.Node:
         """Dictionary expansion of multi-term queries → constant-score term
-        sets (CONSTANT_SCORE_REWRITE default of MultiTermQuery)."""
+        sets (CONSTANT_SCORE_REWRITE default of MultiTermQuery); expansion
+        runs against the node's field slice of the dictionary."""
         r = self.reader
         if isinstance(node, P.PrefixNode):
-            terms = r.expand_prefix(node.prefix, P.MAX_CLAUSE_COUNT)
-            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+            terms = r.expand_prefix(node.prefix, P.MAX_CLAUSE_COUNT, field=node.field)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost,
+                                   field=node.field) if terms else P.MatchNoneNode()
         if isinstance(node, P.RegexpNode):
-            terms = r.expand_regexp(node.pattern, P.MAX_CLAUSE_COUNT)
-            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+            terms = r.expand_regexp(node.pattern, P.MAX_CLAUSE_COUNT, field=node.field)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost,
+                                   field=node.field) if terms else P.MatchNoneNode()
         if isinstance(node, P.FuzzyNode):
-            terms = r.expand_fuzzy(node.term, node.max_edits)
-            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+            terms = r.expand_fuzzy(node.term, node.max_edits, field=node.field)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost,
+                                   field=node.field) if terms else P.MatchNoneNode()
         if isinstance(node, P.TermRangeNode):
             terms = r.expand_range(node.lower, node.upper, node.include_lower, node.include_upper,
-                                   P.MAX_CLAUSE_COUNT)
-            return P.TermInSetNode(terms=tuple(terms), boost=node.boost) if terms else P.MatchNoneNode()
+                                   P.MAX_CLAUSE_COUNT, field=node.field)
+            return P.TermInSetNode(terms=tuple(terms), boost=node.boost,
+                                   field=node.field) if terms else P.MatchNoneNode()
         if isinstance(node, P.BooleanNode):
             return replace(node, clauses=tuple(
                 P.Clause(c.occur, self._expand(c.node)) for c in node.clauses))
@@ -365,11 +376,11 @@ class IndexSearcher:
             return replace(node, child=self._expand(node.child))
         return node
 
-    def _collect_terms(self, node: P.Node, out: set[str]) -> None:
+    def _collect_terms(self, node: P.Node, out: set[tuple[str, str]]) -> None:
         if isinstance(node, P.TermNode):
-            out.add(node.term)
+            out.add((node.field, node.term))
         elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode)):
-            out.update(node.terms)
+            out.update((node.field, t) for t in node.terms)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 self._collect_terms(c.node, out)
@@ -380,54 +391,90 @@ class IndexSearcher:
             self._collect_terms(node.child, out)
 
     @staticmethod
-    def _has_phrase(node: P.Node) -> bool:
+    def _phrase_fields(node: P.Node, out: set[str]) -> None:
+        """Fields that need positions decoded for this query."""
         if isinstance(node, P.PhraseNode):
-            return True
-        if isinstance(node, P.BooleanNode):
-            return any(IndexSearcher._has_phrase(c.node) for c in node.clauses)
-        if isinstance(node, P.DisjunctionMaxNode):
-            return any(IndexSearcher._has_phrase(c) for c in node.children)
-        if isinstance(node, P.ConstantScoreNode) and node.child is not None:
-            return IndexSearcher._has_phrase(node.child)
-        return False
+            out.add(node.field)
+        elif isinstance(node, P.BooleanNode):
+            for c in node.clauses:
+                IndexSearcher._phrase_fields(c.node, out)
+        elif isinstance(node, P.DisjunctionMaxNode):
+            for c in node.children:
+                IndexSearcher._phrase_fields(c, out)
+        elif isinstance(node, P.ConstantScoreNode) and node.child is not None:
+            IndexSearcher._phrase_fields(node.child, out)
 
-    def _weights(self, node: P.Node, stats: dict[str, tuple[int, int]]):
-        """Precompute per-(term, boost) BM25 weights and synonym pseudo-term
-        weights driver-side (Similarity.scorer creation)."""
-        weights: dict[tuple[str, float], np.float32] = {}
-        syn: dict[tuple[tuple[str, ...], float], np.float32] = {}
-        phrase: dict[tuple[tuple[str, ...], float], np.float32] = {}
-        N = self.reader.doc_count
+    def _check_positions(self, node: P.Node) -> bool:
+        """True when the query carries phrase nodes; raises if any phrase
+        targets a field indexed without positions."""
+        pf: set[str] = set()
+        self._phrase_fields(node, pf)
+        for f in pf:
+            if not self.reader.field_positions(f):
+                raise ValueError(
+                    f"phrase query on field {f!r} requires an index built with "
+                    "index_positions=True (IndexOptions DOCS_AND_FREQS_AND_POSITIONS)")
+        return bool(pf)
 
-        sum_ttf = self.reader.sum_doclen
+    def _avgdl_map(self, fields: set[str]) -> dict[str, np.float32]:
+        """Per-field avgdl = sumTotalTermFreq / docCount from the field's
+        CollectionStatistics (BM25Similarity.java:114-117)."""
+        out: dict[str, np.float32] = {}
+        for f in fields:
+            st = self.reader.field_stats.get(f, {})
+            dc = max(int(st.get("doc_count", 0)), 1)
+            sttf = int(st.get("sum_ttf", 0))
+            out[f] = self.sim.avgdl(sttf, dc) if hasattr(self.sim, "avgdl") \
+                else np.float32(sttf / dc)
+        return out
+
+    def _field_N(self, field: str) -> tuple[int, int]:
+        """(docCount, sumTotalTermFreq) of a field — the per-field
+        CollectionStatistics BM25 uses for idf/avgdl
+        (BM25Similarity.java:159-163: idf uses docCount, not maxDoc)."""
+        st = self.reader.field_stats.get(field, {})
+        return max(int(st.get("doc_count", 0)), 1), int(st.get("sum_ttf", 0))
+
+    def _weights(self, node: P.Node, stats: dict[tuple[str, str], tuple[int, int]]):
+        """Precompute per-((field, term), boost) similarity weights and
+        synonym/phrase pseudo-term weights driver-side (Similarity.scorer
+        creation); each uses ITS field's collection stats."""
+        weights: dict[tuple[tuple[str, str], float], np.float32] = {}
+        syn: dict[tuple[tuple[str, tuple[str, ...]], float], np.float32] = {}
+        phrase: dict[tuple[tuple[str, tuple[str, ...]], float], np.float32] = {}
 
         def walk(n: P.Node):
             if isinstance(n, P.TermNode):
-                df, cf = stats.get(n.term, (0, 0))
+                df, cf = stats.get((n.field, n.term), (0, 0))
                 if df:
-                    weights[(n.term, n.boost)] = self.sim.weight(
+                    N, sum_ttf = self._field_N(n.field)
+                    weights[((n.field, n.term), n.boost)] = self.sim.weight(
                         df, N, n.boost, cf=cf, sum_ttf=sum_ttf)
             elif isinstance(n, P.PhraseNode):
                 # multi-term blended weight: idf values summed in double,
                 # weight = boost · Σidf cast to float32
                 # (BM25Similarity.java:191-199 idfExplain for term array)
-                if all(stats.get(t, (0, 0))[0] for t in n.terms):
+                if all(stats.get((n.field, t), (0, 0))[0] for t in n.terms):
+                    N, sum_ttf = self._field_N(n.field)
                     if hasattr(self.sim, "idf"):
-                        idf_sum = sum(float(self.sim.idf(stats[t][0], N)) for t in n.terms)
-                        phrase[(n.terms, n.boost)] = np.float32(np.float32(n.boost) * np.float32(idf_sum))
+                        idf_sum = sum(float(self.sim.idf(stats[(n.field, t)][0], N))
+                                      for t in n.terms)
+                        phrase[((n.field, n.terms), n.boost)] = np.float32(
+                            np.float32(n.boost) * np.float32(idf_sum))
                     else:
                         # non-idf similarities: blend via min-df term weight
-                        dfm = min(stats[t][0] for t in n.terms)
-                        cfm = min(stats[t][1] for t in n.terms)
-                        phrase[(n.terms, n.boost)] = self.sim.weight(
+                        dfm = min(stats[(n.field, t)][0] for t in n.terms)
+                        cfm = min(stats[(n.field, t)][1] for t in n.terms)
+                        phrase[((n.field, n.terms), n.boost)] = self.sim.weight(
                             dfm, N, n.boost, cf=cfm, sum_ttf=sum_ttf)
             elif isinstance(n, P.SynonymNode):
                 # SynonymQuery blends stats: df = max over terms (docFreq of
                 # the pseudo-term is bounded by max; Lucene uses max df)
-                df = max((stats.get(t, (0, 0))[0] for t in n.terms), default=0)
-                cf = sum(stats.get(t, (0, 0))[1] for t in n.terms)
+                df = max((stats.get((n.field, t), (0, 0))[0] for t in n.terms), default=0)
+                cf = sum(stats.get((n.field, t), (0, 0))[1] for t in n.terms)
                 if df:
-                    syn[(n.terms, n.boost)] = self.sim.weight(
+                    N, sum_ttf = self._field_N(n.field)
+                    syn[((n.field, n.terms), n.boost)] = self.sim.weight(
                         df, N, n.boost, cf=cf, sum_ttf=sum_ttf)
             elif isinstance(n, P.BooleanNode):
                 for c in n.clauses:
@@ -456,7 +503,7 @@ class IndexSearcher:
             out = self.reader.docstats().select(
                 "doc_id", F.lit(float(node.boost)).cast("float").alias("score"))
             return self._mask_deleted(out)
-        terms: set[str] = set()
+        terms: set[tuple[str, str]] = set()
         self._collect_terms(node, terms)
         if not terms:
             return self._empty_result()
@@ -465,15 +512,10 @@ class IndexSearcher:
         if not live:
             return self._empty_result()
         weights, syn_weights, phrase_weights = self._weights(node, stats)
-        avgdl = self.sim.avgdl(self.reader.sum_doclen, self.reader.doc_count) \
-            if hasattr(self.sim, "avgdl") else np.float32(self.reader.sum_doclen / max(self.reader.doc_count, 1))
+        avgdl = self._avgdl_map({f for f, _ in terms})
         sim = self.sim
         kk = k
-        want_pos = self._has_phrase(node)
-        if want_pos and not self.reader.has_positions:
-            raise ValueError(
-                "phrase query requires an index built with index_positions=True "
-                "(IndexOptions DOCS_AND_FREQS_AND_POSITIONS)")
+        want_pos = self._check_positions(node)
 
         post = self.reader.postings_for_terms(live)
         deleted = self._deleted

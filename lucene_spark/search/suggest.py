@@ -15,10 +15,12 @@ from pyspark.sql import DataFrame, functions as F
 from lucene_spark.index.reader import IndexReader
 
 
-def suggest(reader: IndexReader, prefix: str, n: int = 10) -> DataFrame:
+def suggest(reader: IndexReader, prefix: str, n: int = 10,
+            field: str | None = None) -> DataFrame:
     """Top-n completions for a prefix, ordered by (df desc, term asc)."""
     return (
         reader.termdict()
+        .filter(F.col("field") == (field or reader.default_field))
         .filter(F.col("term").startswith(prefix))
         .select("term", "df")
         .orderBy(F.col("df").desc(), F.col("term").asc())
@@ -26,12 +28,14 @@ def suggest(reader: IndexReader, prefix: str, n: int = 10) -> DataFrame:
     )
 
 
-def suggest_fuzzy(reader: IndexReader, text: str, n: int = 10, max_edits: int = 1) -> DataFrame:
+def suggest_fuzzy(reader: IndexReader, text: str, n: int = 10, max_edits: int = 1,
+                  field: str | None = None) -> DataFrame:
     """FuzzySuggester: completions within Levenshtein ≤ max_edits of the
     typed text (cheap length pre-filter keeps the dictionary scan tight)."""
     tlen = len(text)
     return (
         reader.termdict()
+        .filter(F.col("field") == (field or reader.default_field))
         .filter(F.length("term").between(tlen - max_edits, tlen + max_edits + 2))
         .withColumn("ed", F.levenshtein(F.substring(F.col("term"), 1, tlen), F.lit(text)))
         .filter(F.col("ed") <= max_edits)

@@ -48,9 +48,10 @@ class StreamingIndexer:
         os.makedirs(os.path.join(self.index_dir, "parts"), exist_ok=True)
         key_and_carry = [c for c in batch_df.columns
                          if c in cfg.key_cols + cfg.carry_cols]
+        field_srcs = [s.source_col for s in cfg.field_specs()]
+        cols = list(dict.fromkeys(key_and_carry + field_srcs))
         src = batch_df.select(
-            *key_and_carry,
-            F.col(cfg.content_col),
+            *cols,
             F.sha2(F.col(cfg.content_col), 256).alias("__sha256"),
         )
         schema = _raw_schema(src.schema, cfg)
@@ -79,13 +80,13 @@ class StreamingIndexer:
 
         termdict = (
             raw.filter(F.col("kind") == "posting")
-            .groupBy("term")
+            .groupBy("field", "term")
             .agg(F.sum("local_df").alias("df"), F.sum("local_cf").alias("cf"))
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
         )
         (
-            termdict.repartitionByRange(cfg.termdict_partitions, "term")
-            .sortWithinPartitions("term")
+            termdict.repartitionByRange(cfg.termdict_partitions, "field", "term")
+            .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
             .parquet(os.path.join(idx, "termdict"))
         )
@@ -100,14 +101,14 @@ class StreamingIndexer:
         # as the compaction job's role)
         postings = (
             raw.filter(F.col("kind") == "posting")
-            .select("term", "part_id", "slice", "local_df", "local_cf",
+            .select("field", "term", "part_id", "slice", "local_df", "local_cf",
                     "doc_blob", "tf_blob", "dl_blob", "pos_blob",
                     "block_last", "block_max_tf", "block_min_dl")
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
         )
         (
             postings.repartition(cfg.num_buckets, "bucket")
-            .sortWithinPartitions("term", "part_id", "slice")
+            .sortWithinPartitions("term", "field", "part_id", "slice")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(idx, "postings"))
@@ -118,13 +119,25 @@ class StreamingIndexer:
             F.sum("doclen").alias("sum_doclen"),
             F.max("doc_id").alias("max_doc_id"),
         ).collect()[0].asDict()
+        fstat_rows = (
+            raw.filter(F.col("kind") == "fieldstat")
+            .groupBy("field")
+            .agg(F.sum("local_df").alias("doc_count"),
+                 F.sum("local_cf").alias("sum_ttf"))
+            .collect()
+        )
+        field_stats = {r["field"]: {"doc_count": int(r["doc_count"] or 0),
+                                    "sum_ttf": int(r["sum_ttf"] or 0)}
+                       for r in fstat_rows}
         self.spark.createDataFrame(
-            [(fs["doc_count"], fs["sum_doclen"], fs["max_doc_id"])],
-            "doc_count long, sum_doclen long, max_doc_id long",
+            [(f, v["doc_count"], v["sum_ttf"])
+             for f, v in sorted(field_stats.items())]
+            or [(cfg.default_field, 0, 0)],
+            "field string, doc_count long, sum_ttf long",
         ).write.mode("overwrite").parquet(os.path.join(idx, "fieldstats"))
 
         manifest = {
-            "version": 2,
+            "version": 3,
             "layout": 1,
             "source_fingerprint": "streaming",
             "config": {
@@ -137,9 +150,16 @@ class StreamingIndexer:
                 "num_groups": cfg.num_groups,
                 "carry_cols": list(cfg.carry_cols),
                 "index_positions": cfg.index_positions,
+                "fields": [
+                    {"name": s.name, "source_col": s.source_col,
+                     "analyzer": s.analyzer, "index_positions": s.index_positions}
+                    for s in cfg.field_specs()
+                ],
+                "default_field": cfg.default_field,
             },
             "doc_count": int(fs["doc_count"] or 0),
             "sum_doclen": int(fs["sum_doclen"] or 0),
+            "field_stats": field_stats,
             "status": "done",
         }
         tmp = os.path.join(idx, "manifest.json.tmp")

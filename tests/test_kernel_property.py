@@ -71,11 +71,11 @@ def make_ctx(world, node, k=10):
 
     def wwalk(n):
         if isinstance(n, P.TermNode) and ora.df(n.term):
-            weights[(n.term, n.boost)] = sim.weight(ora.df(n.term), N, n.boost)
+            weights[((n.field, n.term), n.boost)] = sim.weight(ora.df(n.term), N, n.boost)
         elif isinstance(n, P.SynonymNode):
             df = max((ora.df(t) for t in n.terms), default=0)
             if df:
-                syn[(n.terms, n.boost)] = sim.weight(df, N, n.boost)
+                syn[((n.field, n.terms), n.boost)] = sim.weight(df, N, n.boost)
         elif isinstance(n, P.BooleanNode):
             for c in n.clauses:
                 wwalk(c.node)
@@ -87,8 +87,10 @@ def make_ctx(world, node, k=10):
 
     wwalk(node)
     avgdl = sim.avgdl(sum_ttf, N)
-    return EvalContext(postings={t: postings[t] for t in terms if t in postings},
-                       weights=weights, syn_weights=syn, avgdl=avgdl, sim=sim, k=k)
+    # nodes default to field='' — register postings/avgdl under that key
+    return EvalContext(postings={("", t): postings[t] for t in terms if t in postings},
+                       weights=weights, syn_weights=syn, avgdl={"": avgdl},
+                       sim=sim, k=k)
 
 
 def term_strategy(sample):

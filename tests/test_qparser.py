@@ -83,17 +83,41 @@ def test_stopword_only_query_standard():
     assert isinstance(n, P.MatchNoneNode)
 
 
-def test_field_prefix_stripped():
-    """`field:term` targets the single indexed field: prefix stripped,
-    bare term analyzed (was silently OR'ing ['field','term'])."""
-    from lucene_spark.analysis import get_analyzer
-    from lucene_spark.search import plan as P
-    from lucene_spark.search.qparser import parse_query
-
+def test_field_prefix_kept():
+    """`field:term` keeps the field on the leaf node (classic QP field
+    override, QueryParserBase.java:112-116); the searcher later resolves
+    '' to the default field and unknown fields match nothing."""
     an = get_analyzer("code")
     n = parse_query("content:index", an)
-    assert isinstance(n, P.TermNode) and n.term == "index"
+    assert isinstance(n, P.TermNode) and n.term == "index" and n.field == "content"
     n = parse_query("body:ind*", an)
-    assert isinstance(n, P.PrefixNode) and n.prefix == "ind"
+    assert isinstance(n, P.PrefixNode) and n.prefix == "ind" and n.field == "body"
     n = parse_query("f:term~1", an)
-    assert isinstance(n, P.FuzzyNode) and n.term == "term"
+    assert isinstance(n, P.FuzzyNode) and n.term == "term" and n.field == "f"
+
+
+def test_field_phrase_and_group():
+    an = get_analyzer("code")
+    n = parse_query('title:"index writer"', an)
+    assert isinstance(n, P.PhraseNode) and n.field == "title" \
+        and n.terms == ("index", "writer")
+    n = parse_query("title:(index AND writer)", an)
+    assert isinstance(n, P.BooleanNode)
+    assert all(c.node.field == "title" for c in n.clauses)
+    # explicit inner override wins over the group field
+    n = parse_query("title:(index body:writer)", an)
+    fields = {c.node.field for c in n.clauses}
+    assert fields == {"title", "body"}
+
+
+def test_field_analyzer_resolution():
+    # per-field analyzer: 'raw' keeps case, default 'code' lowercases
+    from lucene_spark.analysis import Analyzer
+
+    raw = Analyzer(name="rawtest", token_pattern=r"\S+", lowercase=False)
+    n = parse_query("raw:FooBar", get_analyzer("code"),
+                    field_analyzers={"raw": raw})
+    assert isinstance(n, P.TermNode) and n.term == "FooBar" and n.field == "raw"
+    n = parse_query("FooBar", get_analyzer("code"),
+                    field_analyzers={"raw": raw})
+    assert {c.node.term for c in n.clauses} == {"foo", "bar"}

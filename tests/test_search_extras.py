@@ -147,9 +147,10 @@ def test_xxhash64_matches_spark(spark, reader):
 
 
 def test_term_stats_cache(reader):
+    fld = reader.default_field
     s1 = reader.term_stats(["index", "writer", "nonexistentzz"])
     s2 = reader.term_stats(["index", "writer", "nonexistentzz"])
-    assert s1 == s2 and "nonexistentzz" not in s1 and s1["index"][0] > 0
+    assert s1 == s2 and (fld, "nonexistentzz") not in s1 and s1[(fld, "index")][0] > 0
 
 
 def test_suggest(reader):
