@@ -243,9 +243,22 @@ FT_TOPK_AND_SQL = bm25_topk_oracle_sql(
 
 
 def ft_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-max WAND pruned top-k (rows-only check: float32 scores; the
-    pruned-vs-exhaustive equality is enforced in tests/test_parity.py)."""
-    return _searcher(spark, sf_dir).search("merge OR scan", k=10)
+    """Block-max pruned top-k through search(k) — the ImpactsDISI path
+    (skips blocks whose upper bound is below the running kth-best,
+    search/ImpactsDISI.java:99-131). k=50 deep so the rounded re-rank to
+    10 cannot be perturbed by raw-score ties at the cut; the oracle is the
+    EXHAUSTIVE BM25 top-10 (same SQL as ft_term_topk), so this gate proves
+    pruned ≡ exhaustive against an external oracle."""
+    s = _searcher(spark, sf_dir)
+    top = s.search("merge", k=50)
+    m = _to_ext(top, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_BLOCKMAX_SQL = bm25_topk_oracle_sql(
+    "documents", "doc_id", "text", ["merge"], k=10, round_to=2
+)
 
 
 def ft_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,13 +942,23 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.5
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs verified by exact Jaccard (rows-only:
-    xxhash64 seeds are not reproducible in the SQL oracle)."""
+    """MinHash+LSH candidate generation + exact-Jaccard verification.
+    Banding is 32 bands x 2 rows (candidate probability at jaccard s is
+    1-(1-s^2)^32: ≥0.9998 at s=0.5), so on the fixture the verified output
+    equals the EXACT n-gram Jaccard pairs — which is SQL-expressible: the
+    oracle is the same exact-Jaccard query as dd_jaccard_pairs. Candidate
+    hashing itself (xxhash64 signatures, band buckets) stays the
+    oracle-free scale machinery; tests/test_relational.py additionally
+    pins recall."""
     d = _t(spark, sf_dir, "documents")
     sh = dedup.shingles(d, "text", "doc_id", n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=64)
-    pairs = dedup.minhash_lsh_pairs(sig, bands=16, rows_per_band=4)
-    return dedup.jaccard_verify(sh, pairs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(sig, bands=32, rows_per_band=2)
+    out = dedup.jaccard_verify(sh, pairs, threshold=0.5)
+    return out.select("key_a", "key_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+DD_MINHASH_LSH_SQL = DD_JACCARD_SQL
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,8 +1054,24 @@ SELECT lang, detected_lang, count(*)::BIGINT AS n FROM det GROUP BY 1, 2
 
 
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (rows-only: xxhash64)."""
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Winnowing-style fingerprints over sha256 window hashes — the
+    oracle-reproducible twin of textstats.fingerprint (xxhash64 is the
+    scale path; identical plan shape)."""
+    return textstats.fingerprint_sha(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+TX_FINGERPRINT_SQL = """
+SELECT doc_id AS key,
+  list_aggregate(hs, 'min') AS fp_min,
+  list_aggregate(hs, 'max') AS fp_max,
+  sha256(text) AS digest
+FROM (
+  SELECT doc_id, text,
+    list_transform(range(1, greatest(length(lower(text)) - 8 + 1, 1) + 1),
+                   i -> sha256(substr(lower(text), i, 8))) AS hs
+  FROM documents
+)
+"""
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,18 +1155,50 @@ WHERE list_dot_product(a.e, b.e)
 
 
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: multi-table sign-LSH blocking + exact verify
-    (rows-only: LSH recall is probabilistic)."""
+    """Scale path: multi-table sign-LSH blocking + exact cosine verify.
+    At 2 bits x 12 tables the per-pair candidate probability at
+    cos=0.44 is 1-(1-p^2)^12 with p = 1-acos(0.44)/pi ≈ 0.645, i.e.
+    ≥0.998 — measured recall on the fixtures is 1.0 (pinned in
+    tests/test_relational.py), so the verified output equals the exact
+    all-pairs result and shares its SQL oracle."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_lsh(e, "embedding", "vec_id", 0.44,
-                                            bits=6, tables=4)
+    out = similarity.embedding_neardup_lsh(e, "embedding", "vec_id", 0.44,
+                                           bits=2, tables=12)
+    return out.select("key_a", "key_b", F.round("cosine", 5).alias("cosine_r"))
+
+
+SIM_NEARDUP_LSH_SQL = SIM_NEARDUP_SQL
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → mapInPandas feature extract
-    (rows-only: decode is a deterministic stub; schema/batching real)."""
-    media = multimodal.make_fake_media(spark, n=64)
-    return multimodal.extract_features(media)
+    """Multimodal plumbing: documents-derived binary payloads →
+    mapInPandas feature extraction over Arrow batches. The decode step is
+    the deterministic sha256 stub (no codec libs in this environment), so
+    the whole path — binary column, batch shape, UDF signature — is
+    oracle-checkable: feature_i = (sha256(payload)[i] - 128)/128, exact in
+    float32, recomputed from sha256 hex in SQL."""
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    out = multimodal.extract_features(media)
+    return out.select(
+        "media_id", "kind",
+        F.posexplode(F.transform("feature", lambda x: x.cast("double")))
+    ).withColumnRenamed("pos", "idx").withColumnRenamed("col", "feat")
+
+
+MM_FEATURES_SQL = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+    (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+    list_transform(range(0, 16),
+      i -> (CAST('0x' || substr(sha256(text), 2*i + 1, 2) AS INT) - 128) / 128.0
+    ) AS feature
+  FROM documents
+)
+SELECT media_id, kind,
+       generate_subscripts(feature, 1) - 1 AS idx,
+       unnest(feature) AS feat
+FROM f
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1213,7 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_topk": FT_TERM_TOPK_SQL,
         "ft_topk_or_sql": FT_TOPK_OR_SQL,
         "ft_topk_and_sql": FT_TOPK_AND_SQL,
-        # ft_blockmax_topk: rows-only (float32 kernel scores)
+        "ft_blockmax_topk": FT_BLOCKMAX_SQL,
         "ft_phrase": FT_PHRASE_SQL,
         "ft_phrase_sloppy": FT_PHRASE_SLOPPY_SQL,
         "ft_fuzzy": FT_FUZZY_SQL,
@@ -1246,11 +1317,15 @@ def oracle_sql() -> dict[str, str]:
         "rel_json_extract": REL_JSON_EXTRACT_SQL,
         "dd_exact": DD_EXACT_SQL,
         "dd_jaccard_pairs": DD_JACCARD_SQL,
-        # dd_minhash_lsh / dd_simhash / tx_fingerprint / mm_features: rows-only
+        "dd_minhash_lsh": DD_MINHASH_LSH_SQL,
+        # dd_simhash: rows-only (xxhash64 not reproducible in the oracle)
         "tx_token_counts": TX_TOKEN_COUNTS_SQL,
         "tx_quality": TX_QUALITY_SQL,
         "tx_langid": TX_LANGID_SQL,
+        "tx_fingerprint": TX_FINGERPRINT_SQL,
         "sim_cosine_topk": SIM_COSINE_SQL,
         "sim_gemm_topk": SIM_GEMM_SQL,
         "sim_neardup": SIM_NEARDUP_SQL,
+        "sim_neardup_lsh": SIM_NEARDUP_LSH_SQL,
+        "mm_features": MM_FEATURES_SQL,
     }

@@ -77,3 +77,24 @@ def make_fake_media(spark, n: int = 64):
         payload = bytes(hashlib.sha256(f"media-{i}".encode()).digest() * 4)
         rows.append((i, kind, f"x/{kind}", payload, 64, 64, 5000 if kind == "video" else None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id") -> DataFrame:
+    """Derive an opaque-binary media table from a text table (payload =
+    UTF-8 bytes of the text): the oracle-checkable ingest shape — an
+    external engine can recompute sha256(payload) as sha256(text). The
+    plumbing (binary column, typed metadata, Arrow batching downstream)
+    is identical to real image/audio payload handling."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(key_col) % 3 + 1).cast("int"))
+    return docs.select(
+        F.col(key_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("x/"), kind).alias("mime"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        F.when(F.col(key_col) % 3 == 2, F.lit(5000)).otherwise(
+            F.lit(None).cast("long")).alias("duration_ms"),
+    )

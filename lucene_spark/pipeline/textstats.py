@@ -85,11 +85,31 @@ def detect_language(df: DataFrame, text_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str, key_col: str, ngram: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min/max xxhash64 over character
     n-gram windows (winnowing-style, public technique) + full digest.
-    Returns (key, fp_min, fp_max, digest)."""
+    Returns (key, fp_min, fp_max, digest). This is the SCALE path —
+    xxhash64 is the cheapest JVM hash; see fingerprint_sha for the
+    externally-reproducible variant."""
     # dynamic-start substr needs SQL expr (F.substring takes literal start)
     win_hashes = F.expr(
         f"transform(sequence(1, greatest(length(lower({text_col})) - {ngram} + 1, 1)), "
         f"i -> xxhash64(substr(lower({text_col}), i, {ngram})))"
+    )
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.array_min(win_hashes).alias("fp_min"),
+        F.array_max(win_hashes).alias("fp_max"),
+        F.sha2(F.col(text_col), 256).alias("digest"),
+    )
+
+
+def fingerprint_sha(df: DataFrame, text_col: str, key_col: str, ngram: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint with sha256 window hashes (hex strings,
+    lexicographic min/max) — same plan shape as fingerprint() but every
+    hash is reproducible by any external engine (the oracle-checkable
+    twin; sha256 per window costs more than xxhash64, so prefer
+    fingerprint() at scale). Returns (key, fp_min, fp_max, digest)."""
+    win_hashes = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {ngram} + 1, 1)), "
+        f"i -> sha2(substr(lower({text_col}), i, {ngram}), 256))"
     )
     return df.select(
         F.col(key_col).alias("key"),

@@ -215,6 +215,39 @@ def test_embedding_neardup(spark):
     assert len(got_lsh) >= 3        # high-cosine pairs collide w.h.p.
 
 
+def test_gate_lsh_recall_pinned(spark):
+    """The gate parameters (sign-LSH 2 bits x 12 tables; MinHash 32x2
+    banding) must recover EVERY exact pair on the sf0.001 fixture — the
+    property that makes the LSH gates oracle-checkable against the exact
+    SQL twin. A param regression fails here before it fails the driver."""
+    import os
+
+    from lucene_spark.pipeline import dedup, similarity
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    exact = {(r["key_a"], r["key_b"]) for r in
+             similarity.embedding_neardup_exact(e, "embedding", "vec_id", 0.44).collect()}
+    lsh = {(r["key_a"], r["key_b"]) for r in
+           similarity.embedding_neardup_lsh(e, "embedding", "vec_id", 0.44,
+                                            bits=2, tables=12).collect()}
+    assert lsh == exact, f"sign-LSH recall {len(lsh & exact)}/{len(exact)}"
+
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sh = dedup.shingles(d, "text", "doc_id", n=3)
+    want = {(r["key_a"], r["key_b"]) for r in
+            dedup.exact_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).collect()}
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    pairs = dedup.minhash_lsh_pairs(sig, bands=32, rows_per_band=2)
+    got = {(r["key_a"], r["key_b"]) for r in
+           dedup.jaccard_verify(sh, pairs, threshold=0.5).collect()}
+    assert got == want, f"MinHash-LSH recall {len(got & want)}/{len(want)}"
+
+
 def test_multimodal_plumbing(spark):
     from lucene_spark.pipeline import multimodal
 
