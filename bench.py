@@ -94,6 +94,17 @@ def build_index_level(cores: int) -> dict:
     cfg = IndexConfig(partitions=BUILD_PARTITIONS, num_buckets=32,
                       analyzer="code", termdict_partitions=8)
     warmup(spark, cores)
+    # warm the BUILD plan shapes too: a miniature untimed build runs every
+    # job of the real one (invert mapInPandas, bucketed postings write,
+    # termdict agg, docstats, stats) so one-time JVM/whole-stage-codegen
+    # compilation (~6-9 s, identical at every core count — i.e. pure
+    # fixed cost that would otherwise pollute the two-cluster-size
+    # scaling ratio) is excluded. This mirrors the reference benchmark's
+    # warm rounds (micro-standard.alg: round 0 discarded, rec/s reported
+    # per warm round); at the 100 TB design point JVM warmup is amortized
+    # to zero.
+    IndexBuilder(spark, cfg).build(
+        src.limit(2000), f"/tmp/bench_warm_idx_c{cores}", overwrite=True)
     b0, s0 = _cpu_ticks()
     t0 = time.time()
     manifest = IndexBuilder(spark, cfg).build(src, idx_dir, overwrite=True)
@@ -207,13 +218,24 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
 
-    def run_dedup():
-        sh = dedup.shingles(docs, "text", "doc_id", n=3)
-        sig = dedup.minhash_signatures(sh, num_hashes=64)
-        pairs = dedup.minhash_lsh_pairs(sig, bands=16, rows_per_band=4)
-        return dedup.jaccard_verify(sh, pairs, threshold=0.5).count()
+    docs = docs.repartition(CPUS)  # single input file → spread the scan
 
+    def run_dedup():
+        # shingles feed signatures AND the verify self-join — persist so
+        # the (JVM-side) shingle transform runs once, not three times
+        sh = dedup.shingles(docs, "text", "doc_id", n=3).persist()
+        sig = dedup.minhash_signatures(sh, num_hashes=64)
+        pairs = dedup.minhash_lsh_pairs(sig, bands=32, rows_per_band=2)
+        n = dedup.jaccard_verify(sh, pairs, threshold=0.5).count()
+        sh.unpersist()
+        return n
+
+    run_dedup()  # warm: the 64-hash array + 64-min-agg plans cost ~6 s of
+    # one-time whole-stage-codegen compilation — steady state is what the
+    # per-round comparison tracks (same policy as the query warm-up above)
     timed("dedup_minhash", run_dedup)
+    dedup.simhash(docs, "text", "doc_id").count()
+    timed("dedup_simhash", lambda: dedup.simhash(docs, "text", "doc_id").count())
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     import numpy as np

@@ -55,20 +55,20 @@ def shingles(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataFram
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """MinHash signature per key: h_i(s) = xxhash64(shingle, seed=i); the
-    signature is the per-seed minimum — computed as one explode over seeds
-    + groupBy(key) min, all JVM-side. Returns (key, sig array<long>)."""
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    h = (
-        sh.select("key", "shingle", F.explode(seeds).alias("seed"))
-        .select("key", "seed", F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"))
-        .groupBy("key", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("key")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
-        .select("key", F.transform("sm", lambda s: s["mh"]).alias("sig"))
+    """MinHash signature per key: h_i(s) = xxhash64(shingle, i); the
+    signature is the per-seed minimum. All JVM-side, and WITHOUT the
+    num_hashes× row explosion: each shingle row computes its 64-hash
+    array in place, then ONE groupBy(key) with 64 min aggregates — Spark's
+    map-side partial aggregation collapses the shuffle to (distinct keys ×
+    num_hashes) longs instead of shuffling num_hashes rows per shingle
+    (the 100 TB-relevant difference). Returns (key, sig array<long>)."""
+    hs = sh.select(
+        "key",
+        F.array(*[F.xxhash64("shingle", F.lit(i)) for i in range(num_hashes)]).alias("hs"),
     )
-    return h
+    aggs = [F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_hashes)]
+    g = hs.groupBy("key").agg(*aggs)
+    return g.select("key", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -146,28 +146,32 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.7) -> D
 
 
 def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataFrame:
-    """SimHash fingerprint per doc via a vectorized pandas UDF: sum ±1 per
-    bit over token hashes, sign → bit. Returns (key, simhash long)."""
-
-    @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        def h64(tok: str) -> int:  # deterministic across processes
-            return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.array([h64(tok) for tok in toks], dtype=np.uint64)
-            bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            v = (2 * bits_m - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bpos in np.flatnonzero(v > 0):
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
-
-    return df.select(F.col(key_col).alias("key"), _simhash(F.col(text_col)).alias("simhash"))
+    """SimHash fingerprint per doc — 100% JVM-side (no Python in the hot
+    path): tokens exploded, hashed with xxhash64, then per-bit ±1 sums as
+    `bits` aggregate expressions in ONE groupBy (map-side combined); the
+    sign vector reassembles into a long via bitwise OR of shifted bits.
+    Token multiplicity counts (each occurrence votes), matching the
+    classic SimHash definition. Docs with no tokens get simhash 0.
+    Returns (key, simhash long)."""
+    tok = (
+        df.select(F.col(key_col).alias("key"),
+                  F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    h = tok.select("key", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"s{b}")
+        for b in range(bits)
+    ]
+    g = h.groupBy("key").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
+    out = g.select("key", sig.alias("simhash"))
+    # keep every input row (empty docs → 0), like a norms column would
+    keys = df.select(F.col(key_col).alias("key"))
+    return (keys.join(out, "key", "left")
+            .select("key", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")))
