@@ -294,6 +294,126 @@ WHERE a.term = 'table' AND b.term = 'hash'
 """
 
 
+_IDX_STEM_CACHE: dict[str, IndexReader] = {}
+
+
+def _reader_stem(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Stemmed gate index: whitespace + lowercase + Porter over documents.
+    The fixture vocabulary is fixed, so the oracle can carry the full
+    term→stem map as a literal table; the stemmer itself is validated
+    against Lucene's 23k-word porterTestData golden pairs in
+    tests/test_stem.py (zero mismatches) — the mapping below is therefore
+    externally anchored, not self-referential."""
+    if sf_dir in _IDX_STEM_CACHE:
+        return _IDX_STEM_CACHE[sf_dir]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "text")
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_stem", os.path.basename(os.path.normpath(sf_dir)))
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="text", analyzer="whitespace_porter",
+        partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1)
+    IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+    _IDX_STEM_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return _IDX_STEM_CACHE[sf_dir]
+
+
+# Porter stems of the (fixed) fixture vocabulary — matches
+# lucene_spark.analysis.stem.porter_stem, which reproduces Lucene's
+# porterTestData golden outputs exactly (tests/test_stem.py)
+_STEM_MAP_SQL = """stems(term, stem) AS (VALUES
+  ('a','a'), ('agg','agg'), ('batch','batch'), ('big','big'),
+  ('column','column'), ('customer','custom'), ('data','data'), ('dup','dup'),
+  ('fast','fast'), ('filter','filter'), ('group','group'), ('hash','hash'),
+  ('join','join'), ('key','kei'), ('line','line'), ('merge','merg'),
+  ('order','order'), ('part','part'), ('query','queri'), ('row','row'),
+  ('scan','scan'), ('slow','slow'), ('small','small'), ('sort','sort'),
+  ('spark','spark'), ('stream','stream'), ('table','tabl'), ('the','the'),
+  ('value','valu'), ('vector','vector'), ('window','window'))"""
+
+
+def ft_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed retrieval (PorterStemFilter.java:51 chained after the
+    tokenizer): the query 'merges' analyzes to stem 'merg' and matches
+    docs containing 'merge'; BM25 stats computed over the STEMMED term
+    space."""
+    s = IndexSearcher(_reader_stem(spark, sf_dir))
+    m = s.matches("merges")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_STEMMED_SQL = f"""
+WITH {_STEM_MAP_SQL},
+tok0 AS ({_TOK2}),
+tok AS (
+  SELECT t.doc_id, coalesce(s.stem, lower(t.term)) AS term
+  FROM (SELECT doc_id, lower(term) AS term FROM tok0) t
+  LEFT JOIN stems s ON t.term = s.term
+),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'merg' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_interval_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered interval query (Intervals.unordered + maxgaps,
+    queries/intervals/IntervalQuery.java:59): docs where 'table' and
+    'hash' occur within gaps ≤ 3 in either order."""
+    from lucene_spark.search import plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.IntervalNode(terms=("table", "hash"), max_gaps=3, ordered=False)
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_NEAR_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'table' AND b.term = 'hash'
+  AND abs(a.pos - b.pos) <= 4
+"""
+
+
+def ft_interval_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered interval query (Intervals.ordered + maxgaps): 'table'
+    strictly before 'hash' with gaps ≤ 5."""
+    from lucene_spark.search import plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.IntervalNode(terms=("table", "hash"), max_gaps=5, ordered=True)
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_ORDERED_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'table' AND b.term = 'hash'
+  AND b.pos > a.pos AND b.pos - a.pos <= 6
+"""
+
+
 def ft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery: Levenshtein ≤ 1 dictionary expansion."""
     s = _searcher(spark, sf_dir)
@@ -581,6 +701,104 @@ sc AS (
           JOIN documents d ON tf.doc_id = d.doc_id
           CROSS JOIN st CROSS JOIN qd CROSS JOIN lstat l
   WHERE d.lang = 'en'
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def _sim_topk(spark: SparkSession, sf_dir: str, similarity: str, term: str) -> DataFrame:
+    s = IndexSearcher(_reader(spark, sf_dir), similarity=similarity)
+    m = s.matches(term)
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+def ft_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer (LMJelinekMercerSimilarity.java:62-67, λ=0.1)."""
+    return _sim_topk(spark, sf_dir, "lmjelinekmercer", "scan")
+
+
+FT_LMJM_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'scan' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT sum(dl) AS sumttf FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS cf FROM tok WHERE term = 'scan'),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (0.9 * tf.tf / dl.dl) / (0.1 * ((qd.cf + 1)/(st.sumttf + 1)))) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_dfi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFI chi-squared (DFISimilarity.java:58-68)."""
+    return _sim_topk(spark, sf_dir, "dfi", "table")
+
+
+FT_DFI_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'table' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT sum(dl) AS sumttf FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS cf FROM tok WHERE term = 'table'),
+sc AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.tf <= (qd.cf + 1) * dl.dl / (st.sumttf + 1) THEN 0
+              ELSE ln(pow(tf.tf - (qd.cf + 1) * dl.dl / (st.sumttf + 1), 2)
+                      / ((qd.cf + 1) * dl.dl / (st.sumttf + 1)) + 1) / ln(2)
+         END AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_ib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB log-logistic × DF lambda × H2 norm (IBSimilarity.java;
+    DistributionLL.java:34; LambdaDF.java:33; NormalizationH2.java:58)."""
+    return _sim_topk(spark, sf_dir, "ib_ll", "join")
+
+
+FT_IB_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'join' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln((tf.tf * ln(1 + st.avgdl / dl.dl) / ln(2) + (qd.df + 1)/(st.n + 1))
+            / ((qd.df + 1)/(st.n + 1))) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_f2exp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axiomatic F2EXP (AxiomaticF2EXP.java: idf^k=0.35, s=0.5)."""
+    return _sim_topk(spark, sf_dir, "axiomatic_f2exp", "group")
+
+
+FT_F2EXP_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'group' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         pow((st.n + 1) / qd.df, 0.35)
+         * tf.tf / (tf.tf + 0.5 + 0.5 * dl.dl / st.avgdl) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
 ), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
 SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
 FROM r QUALIFY rank <= 10 ORDER BY rank
@@ -1227,6 +1445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_blockmax_topk": ft_blockmax_topk,
         "ft_phrase": ft_phrase,
         "ft_phrase_sloppy": ft_phrase_sloppy,
+        "ft_stemmed_topk": ft_stemmed_topk,
+        "ft_interval_near": ft_interval_near,
+        "ft_interval_ordered": ft_interval_ordered,
         "ft_fuzzy": ft_fuzzy,
         "ft_wildcard": ft_wildcard,
         "ft_range": ft_range,
@@ -1241,6 +1462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_combo": ft_facet_combo,
         "ft_classic_topk": ft_classic_topk,
         "ft_lmd_topk": ft_lmd_topk,
+        "ft_lmjm_topk": ft_lmjm_topk,
+        "ft_dfi_topk": ft_dfi_topk,
+        "ft_ib_topk": ft_ib_topk,
+        "ft_f2exp_topk": ft_f2exp_topk,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -1287,6 +1512,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_blockmax_topk": FT_BLOCKMAX_SQL,
         "ft_phrase": FT_PHRASE_SQL,
         "ft_phrase_sloppy": FT_PHRASE_SLOPPY_SQL,
+        "ft_stemmed_topk": FT_STEMMED_SQL,
+        "ft_interval_near": FT_INTERVAL_NEAR_SQL,
+        "ft_interval_ordered": FT_INTERVAL_ORDERED_SQL,
         "ft_fuzzy": FT_FUZZY_SQL,
         "ft_wildcard": FT_WILDCARD_SQL,
         "ft_range": FT_RANGE_SQL,
@@ -1301,6 +1529,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_facet_combo": FT_FACET_COMBO_SQL,
         "ft_classic_topk": FT_CLASSIC_SQL,
         "ft_lmd_topk": FT_LMD_SQL,
+        "ft_lmjm_topk": FT_LMJM_SQL,
+        "ft_dfi_topk": FT_DFI_SQL,
+        "ft_ib_topk": FT_IB_SQL,
+        "ft_f2exp_topk": FT_F2EXP_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

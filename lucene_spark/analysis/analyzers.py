@@ -51,6 +51,10 @@ class Analyzer:
     stopwords: frozenset[str] = field(default_factory=frozenset)
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     split_camel: bool = False
+    stemmer: str | None = None   # "porter" → PorterStemFilter analogue
+                                 # (analysis/en/PorterStemFilter.java:51);
+                                 # applied AFTER stop/length filtering, as
+                                 # Lucene chains it after StopFilter
 
     def tokenize_series(self, content: pd.Series) -> pd.Series:
         """Series[str] -> Series[list[str]] — the full chain, vectorized."""
@@ -63,6 +67,19 @@ class Analyzer:
         position-increment behavior of FilteringTokenFilter.java:49-63
         (StopFilter keeps gaps; matters for phrase matching across stops)."""
         return tokenize_pandas_positions(content, self)
+
+
+def _stem_lists(toks: pd.Series) -> pd.Series:
+    """Porter-stem token lists; the batch's UNIQUE tokens are stemmed once
+    and mapped back (per-token cost = one dict lookup — vocabulary-bounded
+    like Lucene's per-instance stem reuse)."""
+    import itertools
+
+    from lucene_spark.analysis.stem import porter_stem
+
+    vocab = set(itertools.chain.from_iterable(toks))
+    table = {t: porter_stem(t) for t in vocab}
+    return toks.map(lambda ts: [table[t] for t in ts])
 
 
 def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
@@ -79,6 +96,8 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
     maxlen = a.max_token_length
     if stop or maxlen:
         toks = toks.map(lambda ts: [t for t in ts if len(t) <= maxlen and t not in stop])
+    if a.stemmer == "porter":
+        toks = _stem_lists(toks)
     return toks
 
 
@@ -102,7 +121,10 @@ def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Serie
         return out_t, out_p
 
     pairs = toks.map(filt)
-    return pairs.map(lambda p: p[0]), pairs.map(lambda p: p[1])
+    out_t = pairs.map(lambda p: p[0])
+    if a.stemmer == "porter":
+        out_t = _stem_lists(out_t)
+    return out_t, pairs.map(lambda p: p[1])
 
 
 _REGISTRY: dict[str, Analyzer] = {}
@@ -138,3 +160,20 @@ register_analyzer(
 # Simple analyzer: letter/digit runs + lowercase, no stops (Lucene
 # SimpleAnalyzer ~ analysis/core/SimpleAnalyzer.java but keeping digits).
 register_analyzer(Analyzer(name="simple", token_pattern=r"[a-z0-9]+"))
+
+# English analyzer: standard chain + Porter stemming — the
+# EnglishAnalyzer role (analysis/en/EnglishAnalyzer.java: stops +
+# PorterStemFilter; possessive stripping approximated by the tokenizer
+# dropping apostrophes). `run` matches `running` on this chain.
+register_analyzer(
+    Analyzer(name="english", token_pattern=r"[A-Za-z0-9_]+",
+             stopwords=ENGLISH_STOP_WORDS, stemmer="porter")
+)
+
+# Whitespace + lowercase + Porter: the SQL-oracle-friendly stemming chain
+# (split is string_split_regex-reproducible; the stem map for a fixed
+# vocabulary can be embedded in an oracle as a literal mapping).
+register_analyzer(
+    Analyzer(name="whitespace_porter", token_pattern=r"\S+", lowercase=True,
+             stopwords=frozenset(), max_token_length=1 << 20, stemmer="porter")
+)

@@ -1,0 +1,180 @@
+"""Porter stemmer — the classic 1980 algorithm (public; M.F. Porter,
+"An algorithm for suffix stripping", Program 14(3):130-137).
+
+Role analogue: lucene/analysis/common/.../en/PorterStemFilter.java:51 and
+PorterStemmer.java (which implements the same published algorithm).
+Implemented from the published rule tables; validated in tests against
+DuckDB's Snowball 'porter' stemmer over the fixture vocabulary (both
+implement the same spec, so outputs agree).
+
+Hot-path shape: analyzers stem each batch's UNIQUE tokens once
+(pd.factorize → stem uniques → take), so the per-token Python cost is
+bounded by vocabulary size per Arrow batch, not token count — the same
+reason Lucene caches stems per-field-instance is why this stays cheap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in [C](VC)^m[V]."""
+    m = 0
+    i = 0
+    n = len(stem)
+    # skip initial consonants
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        # in vowel run
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+@functools.lru_cache(maxsize=1 << 16)
+def porter_stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # ---- step 1a ----
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # ---- step 1b ----
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w = w + "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w = w + "e"
+
+    # ---- step 1c ----
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # ---- step 2 ----
+    step2 = (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+        ("logi", "log"),
+    )
+    for suf, rep in step2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # ---- step 3 ----
+    step3 = (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    )
+    for suf, rep in step3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # ---- step 4 ----
+    step4 = (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    )
+    # longest match first (suffix list ordered by the algorithm's table;
+    # check longer suffixes before their tails)
+    for suf in sorted(step4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not (stem and stem[-1] in "st"):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # ---- step 5a ----
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+
+    # ---- step 5b ----
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+def stem_tokens_unique(tokens) -> list[str]:
+    """Stem a flat token array by factorizing to unique values first —
+    per-token Python cost bounded by batch vocabulary, not token count."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(tokens, dtype=object)
+    codes, uniq = pd.factorize(arr, sort=False)
+    stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
+    return stemmed[codes]

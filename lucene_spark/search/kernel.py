@@ -96,7 +96,84 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_dismax(node, ctx, need_scores)
     if isinstance(node, P.PhraseNode):
         return _eval_phrase(node, ctx, need_scores)
+    if isinstance(node, P.IntervalNode):
+        return _eval_interval(node, ctx)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
+
+
+def interval_match(pos_lists: list[np.ndarray], max_gaps: int, ordered: bool) -> bool:
+    """Does any interval over one position per term satisfy
+    gaps = (max − min + 1) − k ≤ max_gaps?  (IntervalQuery.java:59;
+    Intervals.maxgaps semantics.)
+
+    ordered: for every start position of term 0, greedily take the
+    EARLIEST strictly-later position of each next term — that yields the
+    minimal-width ordered interval anchored at that start (the
+    OrderedIntervalsSource minimization), so checking each anchor is
+    exhaustive. unordered: smallest-range sweep — repeatedly test the
+    current window [min, max] over one pointer per list and advance the
+    minimum pointer; this enumerates all minimal unordered windows
+    (UnorderedIntervalsSource; overlapping positions permitted)."""
+    k = len(pos_lists)
+    if ordered:
+        for p0 in pos_lists[0]:
+            p = int(p0)
+            ok = True
+            for j in range(1, k):
+                nxt = pos_lists[j]
+                i = int(np.searchsorted(nxt, p, side="right"))
+                if i == nxt.size:
+                    ok = False
+                    break
+                p = int(nxt[i])
+            if ok and (p - int(p0) + 1) - k <= max_gaps:
+                return True
+        return False
+    import heapq
+
+    ptrs = [0] * k
+    heap = [(int(pos_lists[i][0]), i) for i in range(k)]
+    heapq.heapify(heap)
+    cur_max = max(v for v, _ in heap)
+    while True:
+        mn, i = heap[0]
+        if (cur_max - mn + 1) - k <= max_gaps:
+            return True
+        ptrs[i] += 1
+        if ptrs[i] >= pos_lists[i].size:
+            return False
+        v = int(pos_lists[i][ptrs[i]])
+        heapq.heapreplace(heap, (v, i))
+        if v > cur_max:
+            cur_max = v
+
+
+def _eval_interval(node: P.IntervalNode, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+    """Interval query eval: vectorized candidate intersection, then the
+    per-candidate position check (few candidate docs, like phrases).
+    Constant score = boost."""
+    parts = []
+    for t in node.terms:
+        tp = ctx.postings.get((node.field, t))
+        if tp is None or tp.pos is None:
+            return _empty()
+        parts.append(tp)
+    order = np.argsort([p.docs.size for p in parts], kind="stable")
+    base = parts[order[0]].docs
+    for oi in order[1:]:
+        base = np.intersect1d(base, parts[oi].docs, assume_unique=True)
+        if base.size == 0:
+            return _empty()
+    idx = [np.searchsorted(p.docs, base) for p in parts]
+    hit = np.zeros(base.size, dtype=bool)
+    for ci in range(base.size):
+        pls = [
+            parts[j].pos[parts[j].tf_off[idx[j][ci]]:parts[j].tf_off[idx[j][ci] + 1]]
+            for j in range(len(parts))
+        ]
+        hit[ci] = interval_match(pls, node.max_gaps, node.ordered)
+    docs = base[hit]
+    return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
 
 
 def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int) -> float:

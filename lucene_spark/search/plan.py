@@ -99,6 +99,23 @@ class PhraseNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class IntervalNode(FieldedNode):
+    """Interval/proximity query (subset of queries/intervals/
+    IntervalQuery.java:59): docs containing a minimal interval that covers
+    one position of every term, with gaps = width − #terms ≤ max_gaps
+    (Intervals.maxgaps over Intervals.ordered / Intervals.unordered).
+    ordered=True requires strictly increasing positions in term order
+    (Intervals.ordered); unordered allows any arrangement including
+    overlapping positions (Intervals.unordered semantics — the
+    no-overlaps variant is out of scope). Matching only — scored as a
+    constant-score query (boost); Lucene's IntervalScoreFunction shaping
+    is out of scope, documented."""
+    terms: tuple[str, ...] = ()
+    max_gaps: int = 0
+    ordered: bool = False
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 

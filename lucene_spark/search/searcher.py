@@ -379,7 +379,8 @@ class IndexSearcher:
     def _collect_terms(self, node: P.Node, out: set[tuple[str, str]]) -> None:
         if isinstance(node, P.TermNode):
             out.add((node.field, node.term))
-        elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode)):
+        elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode,
+                               P.IntervalNode)):
             out.update((node.field, t) for t in node.terms)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
@@ -393,7 +394,7 @@ class IndexSearcher:
     @staticmethod
     def _phrase_fields(node: P.Node, out: set[str]) -> None:
         """Fields that need positions decoded for this query."""
-        if isinstance(node, P.PhraseNode):
+        if isinstance(node, (P.PhraseNode, P.IntervalNode)):
             out.add(node.field)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:

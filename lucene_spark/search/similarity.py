@@ -167,10 +167,126 @@ class DFRInL2Similarity:
         return self.score(max_tf, min_doclen, weight, avgdl)
 
 
+@dataclass(frozen=True)
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer smoothed language model —
+    search/similarities/LMJelinekMercerSimilarity.java:62-67:
+    score = boost · ln(1 + ((1−λ)·tf/dl) / (λ·p)),
+    p = (cf+1)/(sumTotalTermFreq+1) (LMSimilarity.DefaultCollectionModel).
+    λ default 0.1 (optimal for short queries per the cited paper)."""
+
+    lam: float = 0.1
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        p = (cf + 1.0) / (sum_ttf + 1.0)
+        return (np.float32(boost), np.float64(p))
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, p = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        s = np.log(1.0 + ((1.0 - self.lam) * tff / dl) / (self.lam * p))
+        return (np.float64(boost) * s).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+@dataclass(frozen=True)
+class DFISimilarity:
+    """Divergence-from-independence —
+    search/similarities/DFISimilarity.java:58-68:
+    expected = (cf+1)·dl/(sumTTF+1); freq ≤ expected → 0; else
+    score = boost · log2(measure + 1) with the chi-squared measure
+    (IndependenceChiSquared.java:34: (freq−expected)²/expected)."""
+
+    measure: str = "chisquared"
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        return (np.float32(boost), np.float64(cf), np.float64(sum_ttf))
+
+    def _measure(self, freq, expected):
+        if self.measure == "chisquared":
+            return (freq - expected) ** 2 / expected
+        if self.measure == "standardized":   # IndependenceStandardized.java:34
+            return (freq - expected) / np.sqrt(expected)
+        return (freq - expected) / expected  # saturated (IndependenceSaturated.java:33)
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, cf, sum_ttf = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        expected = (cf + 1.0) * dl / (sum_ttf + 1.0)
+        m = self._measure(tff, expected)
+        s = np.where(tff <= expected, 0.0, np.log2(np.maximum(m, 0.0) + 1.0))
+        return (np.float64(boost) * s).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+@dataclass(frozen=True)
+class IBLLSimilarity:
+    """Information-based, log-logistic distribution × DF lambda × H2
+    normalization — search/similarities/IBSimilarity.java with
+    DistributionLL.java:34 (−ln(λ/(tfn+λ))), LambdaDF.java:33
+    (λ = (df+1)/(N+1)), NormalizationH2.java:58
+    (tfn = tf·log2(1 + c·avgdl/dl), c=1)."""
+
+    c: float = 1.0
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        lam = (df + 1.0) / (doc_count + 1.0)
+        return (np.float32(boost), np.float64(lam))
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, lam = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        tfn = tff * np.log2(1.0 + self.c * float(avgdl) / dl)
+        s = -np.log(lam / (tfn + lam))
+        return (np.float64(boost) * s).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+@dataclass(frozen=True)
+class AxiomaticF2EXP:
+    """Axiomatic F2EXP — search/similarities/AxiomaticF2EXP.java:
+    score = boost · ((N+1)/df)^k · tf/(tf + s + s·dl/avgdl),
+    defaults s=0.5, k=0.35 (tf/ln components are 1, gamma 0)."""
+
+    s: float = 0.5
+    k: float = 0.35
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        idf = ((doc_count + 1.0) / df) ** self.k
+        return (np.float32(boost), np.float64(idf))
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, idf = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        tfln = tff / (tff + self.s + self.s * dl / float(avgdl))
+        return (np.float64(boost) * idf * tfln).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
     "boolean": BooleanSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
     "dfr_inl2": DFRInL2Similarity(),
+    "lmjelinekmercer": LMJelinekMercerSimilarity(),
+    "dfi": DFISimilarity(),
+    "ib_ll": IBLLSimilarity(),
+    "axiomatic_f2exp": AxiomaticF2EXP(),
 }

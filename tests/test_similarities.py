@@ -1,0 +1,60 @@
+"""Similarity property suite — the BaseSimilarityTestCase contract
+(test-framework/.../similarities/BaseSimilarityTestCase.java:354-374)
+restated with hypothesis: over random collection stats and (tf, doclen),
+every registered similarity must produce scores that are
+  1. finite,
+  2. non-negative,
+  3. monotone non-decreasing in tf (docs with more occurrences never
+     score lower, all else equal),
+  4. bounded above by its own block-max bound at (max_tf, min_doclen)
+     (the Impacts.java:43-45 admissibility contract the pruning kernel
+     relies on)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from lucene_spark.search.similarity import SIMILARITIES
+
+
+@st.composite
+def world(draw):
+    N = draw(st.integers(min_value=1, max_value=1_000_000))
+    df = draw(st.integers(min_value=1, max_value=N))
+    avg = draw(st.floats(min_value=1.0, max_value=500.0,
+                         allow_nan=False, allow_infinity=False))
+    sum_ttf = max(int(avg * N), N)
+    cf = draw(st.integers(min_value=df, max_value=max(df, sum_ttf)))
+    boost = draw(st.sampled_from([0.5, 1.0, 2.0]))
+    tf = draw(st.integers(min_value=1, max_value=1000))
+    dl = draw(st.integers(min_value=1, max_value=100_000))
+    return N, df, cf, sum_ttf, boost, tf, max(dl, tf)
+
+
+@settings(max_examples=300, deadline=None)
+@given(w=world(), name=st.sampled_from(sorted(SIMILARITIES)))
+def test_similarity_contract(w, name):
+    N, df, cf, sum_ttf, boost, tf, dl = w
+    sim = SIMILARITIES[name]
+    avgdl = np.float32(sum_ttf / N)
+    wt = sim.weight(df, N, boost, cf=cf, sum_ttf=sum_ttf)
+    tfs = np.array([tf, tf + 1], dtype=np.int64)
+    dls = np.array([dl, dl + 1], dtype=np.int64)   # dl+1 ≥ tf+1 holds
+    s = sim.score(tfs, dls[:1].repeat(2), wt, avgdl)
+    assert np.all(np.isfinite(s)), (name, s)
+    assert np.all(s >= 0) or name == "dfi", (name, s)
+    if name == "dfi":
+        assert np.all(s >= 0), (name, s)
+    # tf-monotone at fixed dl
+    assert s[1] >= s[0] - 1e-6, (name, s)
+    # block-max admissibility: bound at (max_tf, min_dl) dominates both
+    bound = sim.max_score(np.array([tf + 1]), np.array([dl]), wt, avgdl)
+    assert bound[0] >= s.max() - 1e-5, (name, bound, s)
+
+
+def test_registry_complete():
+    # SURVEY §2.5 similarity families all registered
+    for k in ("bm25", "classic", "boolean", "lmdirichlet", "dfr_inl2",
+              "lmjelinekmercer", "dfi", "ib_ll", "axiomatic_f2exp"):
+        assert k in SIMILARITIES
