@@ -367,6 +367,45 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_multiphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:53): '(big|fast)
+    scan' — slot 1 admits two alternative terms, exact adjacency."""
+    from lucene_spark.search import plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.MultiPhraseNode(positions=(("big", "fast"), ("scan",)))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_MULTIPHRASE_SQL = r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(^|\s)(big|fast)\s+scan(\s|$)')
+"""
+
+
+def ft_phrase_repeat_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase with a REPEATED term — '"table table"~4': two
+    DISTINCT occurrences of 'table' whose adjusted span ≤ 4 (the
+    SloppyPhraseMatcher repeats case; one occurrence can't fill both
+    slots)."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches('"table table"~4', with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_PHRASE_REPEAT_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'table' AND b.term = 'table' AND a.pos <> b.pos
+  AND abs((b.pos - 1) - a.pos) <= 4
+"""
+
+
 def ft_interval_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered interval query (Intervals.unordered + maxgaps,
     queries/intervals/IntervalQuery.java:59): docs where 'table' and
@@ -799,6 +838,42 @@ sc AS (
          pow((st.n + 1) / qd.df, 0.35)
          * tf.tf / (tf.tf + 0.5 + 0.5 * dl.dl / st.avgdl) AS s
   FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_feature_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureQuery (document/FeatureField.java:105): BM25 text score for
+    'merge' + a saturation-function static signal over the n_chars column
+    (pivot=200) — the additive SHOULD-clause combination, computed as a
+    broadcast join + column expression."""
+    from lucene_spark.search.features import rescore_with_feature
+
+    s = _searcher(spark, sf_dir)
+    m = s.matches("merge")
+    feats = s.reader.docstats().select("doc_id", "n_chars")
+    boosted = rescore_with_feature(m, feats, "n_chars",
+                                   fn="saturation", weight=1.0, pivot=200.0)
+    boosted = _to_ext(boosted, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(boosted, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_FEATURE_SQL = f"""
+WITH tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ({_TOK2}) WHERE term = 'merge' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK2}) GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+         + (1 - 200.0 / (d.n_chars + 200.0)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN documents d ON tf.doc_id = d.doc_id
+          CROSS JOIN st CROSS JOIN qd
 ), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
 SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
 FROM r QUALIFY rank <= 10 ORDER BY rank
@@ -1388,6 +1463,35 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_NEARDUP_LSH_SQL = SIM_NEARDUP_SQL
 
 
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN join: exact top-3 corpus neighbors for EVERY query row (20
+    queries) via the chunked-broadcast GEMM path; ranks recomputed over
+    rounded cosines for a deterministic cross-engine comparison."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = similarity.knn_join(q, e, "embedding", "vec_id", k=3)
+    out = out.select("query_key", "key", F.round("cosine", 5).alias("cosine_r"))
+    w = Window.partitionBy("query_key").orderBy(
+        F.col("cosine_r").desc(), F.col("key").asc())
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+SIM_KNN_JOIN_SQL = """
+WITH q AS (SELECT vec_id AS query_key, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+s AS (
+  SELECT q.query_key, e.vec_id AS key,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+         / (greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-30)
+            * greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-30)) AS cos
+  FROM embeddings e, q
+), r AS (SELECT query_key, key, round(cos, 5) AS cosine_r FROM s)
+SELECT query_key, key, cosine_r,
+       row_number() OVER (PARTITION BY query_key ORDER BY cosine_r DESC, key ASC) AS rank
+FROM r QUALIFY rank <= 3
+"""
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents-derived binary payloads →
     mapInPandas feature extraction over Arrow batches. The decode step is
@@ -1446,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": ft_phrase,
         "ft_phrase_sloppy": ft_phrase_sloppy,
         "ft_stemmed_topk": ft_stemmed_topk,
+        "ft_multiphrase": ft_multiphrase,
+        "ft_phrase_repeat_sloppy": ft_phrase_repeat_sloppy,
         "ft_interval_near": ft_interval_near,
         "ft_interval_ordered": ft_interval_ordered,
         "ft_fuzzy": ft_fuzzy,
@@ -1457,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_highfreq": ft_highfreq,
         "ft_field_term": ft_field_term,
         "ft_field_bool": ft_field_bool,
+        "ft_feature_boost": ft_feature_boost,
         "ft_sort_field": ft_sort_field,
         "ft_matchall": ft_matchall,
         "ft_facet_combo": ft_facet_combo,
@@ -1494,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_gemm_topk": sim_gemm_topk,
         "sim_neardup": sim_neardup,
         "sim_neardup_lsh": sim_neardup_lsh,
+        "sim_knn_join": sim_knn_join,
         "mm_features": mm_features,
     }
 
@@ -1513,6 +1621,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase": FT_PHRASE_SQL,
         "ft_phrase_sloppy": FT_PHRASE_SLOPPY_SQL,
         "ft_stemmed_topk": FT_STEMMED_SQL,
+        "ft_multiphrase": FT_MULTIPHRASE_SQL,
+        "ft_phrase_repeat_sloppy": FT_PHRASE_REPEAT_SQL,
         "ft_interval_near": FT_INTERVAL_NEAR_SQL,
         "ft_interval_ordered": FT_INTERVAL_ORDERED_SQL,
         "ft_fuzzy": FT_FUZZY_SQL,
@@ -1524,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_highfreq": FT_HIGHFREQ_SQL,
         "ft_field_term": FT_FIELD_TERM_SQL,
         "ft_field_bool": FT_FIELD_BOOL_SQL,
+        "ft_feature_boost": FT_FEATURE_SQL,
         "ft_sort_field": FT_SORT_FIELD_SQL,
         "ft_matchall": FT_MATCHALL_SQL,
         "ft_facet_combo": FT_FACET_COMBO_SQL,
@@ -1559,5 +1670,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_gemm_topk": SIM_GEMM_SQL,
         "sim_neardup": SIM_NEARDUP_SQL,
         "sim_neardup_lsh": SIM_NEARDUP_LSH_SQL,
+        "sim_knn_join": SIM_KNN_JOIN_SQL,
         "mm_features": MM_FEATURES_SQL,
     }

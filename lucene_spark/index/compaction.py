@@ -31,7 +31,9 @@ import os
 import shutil
 import time
 
-from pyspark.sql import SparkSession, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_spark.index.builder import FieldSpec, IndexBuilder, IndexConfig
 
@@ -127,6 +129,97 @@ def plan_compaction(
     return smallest[:max_merge_at_once]
 
 
+def _rewrite_with_deletes(src: DataFrame, deleted: np.ndarray, block_size: int):
+    """Rewrite victim-group raw rows dropping tombstoned docs — the
+    merge-applies-deletes semantic (index/FreqProxTermsWriter.java:51-79):
+    postings decoded, masked, re-encoded with fresh block metadata; empty
+    posting rows dropped; per-(field, partition) collection stats
+    recomputed from the surviving postings so df/cf/docCount/sumTTF
+    recover; docstat rows of deleted docs removed."""
+    from lucene_spark.codec.blocks import build_block_meta
+    from lucene_spark.codec.vbyte import delta_decode, delta_encode, vbyte_decode, vbyte_encode
+
+    dels = np.asarray(sorted(int(d) for d in deleted), dtype=np.int64)
+    schema = src.schema
+    cols = [f.name for f in schema.fields]
+
+    def _is_deleted(doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(dels, doc_ids)
+        idx_c = np.clip(idx, 0, dels.size - 1)
+        return (idx < dels.size) & (dels[idx_c] == doc_ids) if dels.size else \
+            np.zeros(doc_ids.size, dtype=bool)
+
+    def rewrite_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        fstats: dict[str, tuple[set, int]] = {}
+        part_id = int(pdf["part_id"].iloc[0])
+        for r in pdf.itertuples(index=False):
+            docs = delta_decode(vbyte_decode(r.doc_blob))
+            tfs = vbyte_decode(r.tf_blob)
+            dls = vbyte_decode(r.dl_blob)
+            dead = _is_deleted(docs)
+            pos_delta = vbyte_decode(r.pos_blob) if r.pos_blob is not None else None
+            if dead.any():
+                keep = ~dead
+                if pos_delta is not None:
+                    # re-absolutize positions then re-delta over survivors
+                    starts = np.cumsum(tfs) - tfs
+                    cs = np.cumsum(pos_delta)
+                    base = cs[starts] - pos_delta[starts]
+                    pos_abs = cs - np.repeat(base, tfs)
+                    pos_abs = pos_abs[np.repeat(keep, tfs)]
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if docs.size == 0:
+                    continue
+                if pos_delta is not None:
+                    run_starts = np.cumsum(tfs) - tfs
+                    pos_delta = np.diff(pos_abs, prepend=np.int64(0))
+                    pos_delta[run_starts] = pos_abs[run_starts]
+            d = dict(zip(cols, r))
+            bl, bmt, bmd = build_block_meta(docs, tfs, dls, block_size)
+            d.update(
+                local_df=int(docs.size), local_cf=int(tfs.sum()),
+                doc_blob=vbyte_encode(delta_encode(docs)),
+                tf_blob=vbyte_encode(tfs), dl_blob=vbyte_encode(dls),
+                pos_blob=vbyte_encode(pos_delta) if pos_delta is not None else None,
+                block_last=bl.tolist(), block_max_tf=bmt.tolist(),
+                block_min_dl=bmd.tolist(),
+            )
+            out_rows.append(d)
+            live_docs, ttf = fstats.get(r.field, (set(), 0))
+            live_docs.update(docs.tolist())
+            fstats[r.field] = (live_docs, ttf + int(tfs.sum()))
+        frames = [pd.DataFrame(out_rows, columns=cols)] if out_rows else []
+        if fstats:
+            fr = pd.DataFrame([
+                {"kind": "fieldstat", "field": f, "part_id": np.int32(part_id),
+                 "local_df": len(docs), "local_cf": ttf}
+                for f, (docs, ttf) in sorted(fstats.items())
+            ])
+            for c in cols:
+                if c not in fr.columns:
+                    fr[c] = None
+            frames.append(fr[cols])
+        if not frames:
+            # object dtype so Arrow maps empty columns onto array/binary
+            # fields (an empty float64 column cannot convert to list<long>)
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.concat(frames, ignore_index=True)
+
+    def filter_docstats(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf[~pd.Series(_is_deleted(pdf["doc_id"].to_numpy(np.int64)),
+                                     index=pdf.index)]
+            yield pdf
+
+    posts = (src.filter(F.col("kind") == "posting")
+             .groupBy("part_id").applyInPandas(rewrite_postings, schema))
+    docs = src.filter(F.col("kind") == "docstat").mapInPandas(filter_docstats, schema)
+    # old fieldstat rows intentionally dropped — regenerated above
+    return posts.unionByName(docs)
+
+
 def compact(
     spark: SparkSession,
     index_dir: str,
@@ -135,8 +228,15 @@ def compact(
     tier_factor: int = 10,
     segs_per_tier: int = 10,
     max_merge_at_once: int = 10,
+    deletes=None,
 ) -> dict:
-    """One compaction round. Returns {'merged': [...], 'into': G or None}."""
+    """One compaction round. Returns {'merged': [...], 'into': G or None}.
+
+    deletes: optional iterable/DataFrame of tombstoned doc_ids — applied
+    to the groups being merged (and ONLY those: Lucene's merge-applies-
+    deletes semantics, index/FreqProxTermsWriter.java:51-79 — stats and
+    scan cost recover for rewritten segments; untouched groups keep their
+    tombstones until their own merge)."""
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     mcfg = manifest["config"]
@@ -168,7 +268,18 @@ def compact(
                     default=COMPACT_BASE - 1) + 1
     t0 = time.time()
     src = spark.read.parquet(*[os.path.join(raw_dir, f"group={g}") for g in victims])
-    # rows move verbatim; coalesce bounds the output file count
+    n_deleted = 0
+    if deletes is not None:
+        if isinstance(deletes, DataFrame):
+            dels = [r[0] for r in deletes.select(deletes.columns[0]).collect()]
+        else:
+            dels = list(deletes)
+        if dels:
+            n_deleted = len(dels)
+            src = _rewrite_with_deletes(src, np.asarray(dels, dtype=np.int64),
+                                        int(mcfg.get("block_size", 128)))
+    # rows move verbatim (or rewritten sans tombstones); coalesce bounds
+    # the output file count
     out = os.path.join(raw_dir, f"group={new_group}")
     src.coalesce(max(1, cfg.partitions // 4)).write.mode("overwrite").parquet(out)
 
@@ -177,6 +288,7 @@ def compact(
     with open(mpath + ".tmp", "w") as fh:
         json.dump({"group": new_group, "status": "done",
                    "merged_from": sorted(victims),
+                   "deletes_applied": n_deleted,
                    "seconds": round(time.time() - t0, 3),
                    "source_fingerprint": f"compaction-of-{sorted(victims)}"}, fh)
     os.replace(mpath + ".tmp", mpath)
@@ -222,6 +334,27 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
         *key_and_carry, "doc_id", "doclen", "sha256")
     docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
 
+    # recompute collection stats — after a delete-folding merge the global
+    # doc_count/sum_doclen and per-field stats must reflect live docs
+    gs = (raw.filter(F.col("kind") == "docstat")
+          .agg(F.count("*").alias("n"), F.sum("doclen").alias("s")).collect()[0])
+    fs_rows = (raw.filter(F.col("kind") == "fieldstat")
+               .groupBy("field")
+               .agg(F.sum("local_df").alias("doc_count"),
+                    F.sum("local_cf").alias("sum_ttf")).collect())
+    field_stats = {r["field"]: {"doc_count": int(r["doc_count"] or 0),
+                                "sum_ttf": int(r["sum_ttf"] or 0)}
+                   for r in fs_rows}
+    spark.createDataFrame(
+        [(f, v["doc_count"], v["sum_ttf"]) for f, v in sorted(field_stats.items())]
+        or [(cfg.default_field, 0, 0)],
+        "field string, doc_count long, sum_ttf long",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats"))
+
+    manifest["doc_count"] = int(gs["n"] or 0)
+    manifest["sum_doclen"] = int(gs["s"] or 0)
+    if field_stats:
+        manifest["field_stats"] = field_stats
     manifest["compacted_at"] = time.time()
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as fh:

@@ -119,12 +119,15 @@ class OracleIndex:
         return np.float32(w - w / (one + np.float32(tf) * norm_inv))
 
     @staticmethod
-    def _sloppy_freq(adj_lists: list[list[int]], slop: int) -> float:
+    def _sloppy_freq(adj_lists: list[list[int]], slop: int,
+                     offsets: list[int] | None = None) -> float:
         """Plain-python twin of the documented sloppy semantics (no code
         shared with kernel.sloppy_phrase_freq): enumerate windows by
         repeatedly advancing the list holding the current minimum; count
         a window when span ≤ slop and it reuses no element of the last
-        counted window; weight 1/(1+span)."""
+        counted window; weight 1/(1+span). With offsets (repeated-term
+        phrases), a window also requires pairwise-distinct raw positions
+        (adj + offset)."""
         k = len(adj_lists)
         ptrs = [0] * k
         last = [-1] * k
@@ -133,8 +136,13 @@ class OracleIndex:
             vals = [adj_lists[i][ptrs[i]] for i in range(k)]
             width = max(vals) - min(vals)
             if width <= slop and all(ptrs[i] > last[i] for i in range(k)):
-                freq += 1.0 / (1.0 + width)
-                last = list(ptrs)
+                distinct = True
+                if offsets is not None:
+                    raws = {vals[i] + offsets[i] for i in range(k)}
+                    distinct = len(raws) == k
+                if distinct:
+                    freq += 1.0 / (1.0 + width)
+                    last = list(ptrs)
             imin = min(range(k), key=lambda i: (vals[i], i))
             ptrs[imin] += 1
             if ptrs[imin] >= len(adj_lists[imin]):
@@ -178,13 +186,16 @@ class OracleIndex:
                     1.0 + (self.doc_count - self.df(t) + 0.5) / (self.df(t) + 0.5))))
                 for t in node.terms)
             w = np.float32(np.float32(node.boost) * np.float32(idf_sum))
-            sloppy = node.slop > 0 and len(set(node.terms)) == len(node.terms)
+            sloppy = node.slop > 0
+            repeats = len(set(node.terms)) != len(node.terms)
+            offsets = list(range(len(node.terms))) if repeats else None
             out: dict[int, np.float32] = {}
             for d in common:
                 if sloppy:
                     freq = self._sloppy_freq(
                         [sorted(p - j for p in self.positions[t][d])
-                         for j, t in enumerate(node.terms)], node.slop)
+                         for j, t in enumerate(node.terms)], node.slop,
+                        offsets=offsets)
                 else:
                     cur = set(self.positions[node.terms[0]][d])
                     for j, t in enumerate(node.terms[1:], start=1):

@@ -135,6 +135,74 @@ def embedding_neardup_exact(
     )
 
 
+def knn_join(
+    queries_df: DataFrame, corpus_df: DataFrame, vec_col: str, key_col: str,
+    k: int = 10, query_chunk: int = 4096,
+) -> DataFrame:
+    """EXACT k-nearest-neighbors join: for EVERY row of queries_df, its
+    top-k corpus rows by cosine — the training-data primitive behind
+    hard-negative mining and dedup-by-neighbor (the role KnnStream
+    gestures at, solr/solrj/.../io/stream/KnnStream.java).
+
+    Physical strategy = block-nested-loop with a broadcast query block:
+    query vectors are collected chunk-by-chunk (bounded driver memory:
+    query_chunk × dim floats) and each chunk runs the Arrow→numpy GEMM
+    kernel over the distributed corpus. Corpus is never collected; cost is
+    ceil(Q/chunk) corpus scans — cache corpus_df for multi-chunk runs. For
+    query sides too big to stream through the driver, use knn_join_lsh
+    (fully distributed blocking). Returns (query_key, key, cosine), k rows
+    per query, ties broken by corpus key asc."""
+    qrows = queries_df.select(key_col, vec_col).collect()
+    out = None
+    for lo in range(0, len(qrows), query_chunk):
+        chunk = qrows[lo:lo + query_chunk]
+        qk = [int(r[0]) for r in chunk]
+        qm = np.array([r[1] for r in chunk], dtype=np.float64)
+        part = pairwise_topk_gemm(corpus_df, vec_col, key_col, qm, k=k)
+        mapping = F.array(*[F.lit(x) for x in qk])
+        part = part.select(
+            F.element_at(mapping, F.col("query_id") + 1).alias("query_key"),
+            "key", "cosine")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def knn_join_lsh(
+    queries_df: DataFrame, corpus_df: DataFrame, vec_col: str, key_col: str,
+    k: int = 10, bits: int = 4, tables: int = 8, seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate KNN join — the fully distributed scale path: both sides
+    sign-LSH-bucketed per table, candidates = bucket-equijoin union across
+    tables, exact cosine on candidates only, windowed top-k per query.
+    Recall is probabilistic (raise `tables`); precision of returned
+    cosines is exact. No driver-side collection of either side."""
+    if dim is None:
+        dim = len(corpus_df.select(vec_col).head()[0])
+    cand = None
+    for t in range(tables):
+        planes = random_hyperplanes(dim, bits, seed + 1000 * t)
+        qb = lsh_bucket(queries_df, vec_col, key_col, planes) \
+            .select(F.col("key").alias("query_key"), "bucket")
+        cb = lsh_bucket(corpus_df, vec_col, key_col, planes) \
+            .select(F.col("key").alias("key"), "bucket")
+        p = qb.join(cb, "bucket").select("query_key", "key")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    qv = queries_df.select(F.col(key_col).alias("query_key"), F.col(vec_col).alias("va"))
+    cv = corpus_df.select(F.col(key_col).alias("key"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.greatest(_norm(F.col("va")), F.lit(1e-30))
+        * F.greatest(_norm(F.col("vb")), F.lit(1e-30))
+    )
+    scored = (cand.join(qv, "query_key").join(cv, "key")
+              .withColumn("cosine", cos).select("query_key", "key", "cosine"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_key").orderBy(F.col("cosine").desc(), F.col("key").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def embedding_neardup_lsh(
     df: DataFrame, vec_col: str, key_col: str, threshold: float,
     bits: int = 8, tables: int = 4, seed: int = 42, dim: int | None = None,

@@ -1,0 +1,62 @@
+"""Static ranking signals — FeatureField / FeatureQuery restated.
+
+Role analogue: lucene/core/.../document/FeatureField.java:105 and
+FeatureQuery.java: a per-document feature value (pagerank, recency,
+url_length...) contributes a monotone score that combines additively with
+the text score inside a BooleanQuery. Lucene smuggles the value into a
+pseudo-term's term frequency; in Spark the feature is simply a column, so
+a feature query is a broadcast join + column expression — Catalyst keeps
+it in whole-stage codegen.
+
+Score functions (FeatureField.java):
+- log:        weight · ln(a + S)                (LogFunction, :309)
+- saturation: weight · (1 − pivot/(S + pivot))  (SaturationFunction, :385)
+              = weight · S/(S + pivot)
+- sigmoid:    weight · S^a/(S^a + pivot^a)      (SigmoidFunction)
+
+Divergence note (documented): Lucene quantizes S through the float16-ish
+term-frequency encoding (decodeFeatureValue); we keep the exact column
+value — the lossy-norm-free philosophy of this engine applied to features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def feature_score(col: Column, fn: str = "log", weight: float = 1.0,
+                  scaling: float = 1.0, pivot: float = 1.0, a: float = 2.0) -> Column:
+    """Column expression computing the feature contribution (float)."""
+    s = col.cast("double")
+    if fn == "log":
+        out = F.lit(float(weight)) * F.log(F.lit(float(scaling)) + s)
+    elif fn == "saturation":
+        out = F.lit(float(weight)) * (F.lit(1.0) - F.lit(float(pivot)) / (s + F.lit(float(pivot))))
+    elif fn == "sigmoid":
+        sp = F.pow(s, F.lit(float(a)))
+        out = F.lit(float(weight)) * sp / (sp + F.lit(float(pivot) ** float(a)))
+    else:
+        raise ValueError(f"unknown feature function {fn!r}")
+    return out.cast("float")
+
+
+def rescore_with_feature(
+    hits: DataFrame, features: DataFrame, feature_col: str,
+    fn: str = "log", weight: float = 1.0, scaling: float = 1.0,
+    pivot: float = 1.0, a: float = 2.0, join_key: str = "doc_id",
+) -> DataFrame:
+    """Combine a (doc_id, score) hit set with a per-doc feature column:
+    new score = text score + featureFn(value) — exactly the BooleanQuery
+    SHOULD-clause combination FeatureQuery is designed for. The features
+    side is broadcast (it is a projection of the docstats/corpus table
+    restricted to the hit keys at scale — or the whole small signals dim).
+    Returns the input columns with `score` replaced by the boosted one."""
+    feat = features.select(
+        F.col(join_key),
+        feature_score(F.col(feature_col), fn, weight, scaling, pivot, a).alias("__fs"))
+    return (
+        hits.join(F.broadcast(feat), join_key, "left")
+        .withColumn("score",
+                    (F.col("score") + F.coalesce(F.col("__fs"), F.lit(0.0))).cast("float"))
+        .drop("__fs")
+    )

@@ -98,7 +98,71 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_phrase(node, ctx, need_scores)
     if isinstance(node, P.IntervalNode):
         return _eval_interval(node, ctx)
+    if isinstance(node, P.MultiPhraseNode):
+        return _eval_multiphrase(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
+
+
+def _eval_multiphrase(node: P.MultiPhraseNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery matcher (search/MultiPhraseQuery.java:53): slot j
+    matches at position p when ANY of its alternative terms occurs at p —
+    slot position lists are unions of the alternatives' lists; the
+    exact/sloppy phrase machinery then applies unchanged. Scored as a
+    pseudo-term with the blended idf-sum weight over all alternatives."""
+    slots: list[list[TermPostings]] = []
+    for alts in node.positions:
+        tps = [ctx.postings.get((node.field, t)) for t in alts]
+        tps = [tp for tp in tps if tp is not None and tp.pos is not None]
+        if not tps:
+            return _empty()
+        slots.append(tps)
+
+    slot_docs = [_union_docs([tp.docs for tp in tps]) for tps in slots]
+    order = np.argsort([d.size for d in slot_docs], kind="stable")
+    base = slot_docs[order[0]]
+    for oi in order[1:]:
+        base = np.intersect1d(base, slot_docs[oi], assume_unique=True)
+        if base.size == 0:
+            return _empty()
+
+    k = len(slots)
+    freqs = np.zeros(base.size, dtype=np.float64)
+    dls = np.zeros(base.size, dtype=np.int64)
+    offsets = list(range(k))
+    for ci in range(base.size):
+        doc = base[ci]
+        adj = []
+        ok = True
+        for j, tps in enumerate(slots):
+            ps = []
+            for tp in tps:
+                i = int(np.searchsorted(tp.docs, doc))
+                if i < tp.docs.size and tp.docs[i] == doc:
+                    ps.append(tp.pos[tp.tf_off[i]:tp.tf_off[i + 1]])
+                    dls[ci] = tp.dls[i]
+            if not ps:
+                ok = False
+                break
+            adj.append(np.unique(np.concatenate(ps)) - j)
+        if not ok:
+            continue
+        if node.slop > 0:
+            freqs[ci] = sloppy_phrase_freq(adj, node.slop, offsets=offsets)
+        else:
+            cur = adj[0]
+            for a in adj[1:]:
+                cur = np.intersect1d(cur, a, assume_unique=True)
+                if cur.size == 0:
+                    break
+            else:
+                freqs[ci] = cur.size
+
+    hit = freqs > 0
+    docs = base[hit]
+    if not need_scores:
+        return docs, np.zeros(docs.size, dtype=np.float32)
+    w = (ctx.phrase_weights or {})[((node.field, node.positions), node.boost)]
+    return docs, ctx.sim.score(freqs[hit], dls[hit], w, ctx.avgdl[node.field])
 
 
 def interval_match(pos_lists: list[np.ndarray], max_gaps: int, ordered: bool) -> bool:
@@ -176,7 +240,8 @@ def _eval_interval(node: P.IntervalNode, ctx: EvalContext) -> tuple[np.ndarray, 
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
 
 
-def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int) -> float:
+def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int,
+                       offsets: list[int] | None = None) -> float:
     """Sloppy phrase frequency over one doc's ADJUSTED position lists
     (list j holds p - j for each position p of term_j, sorted).
 
@@ -189,7 +254,15 @@ def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int) -> float:
     Lucene's matches also never share positions). Each counted match
     contributes sloppyFreq = 1/(1 + span) (PhraseScorer sloppyFreq).
     slop=0 degenerates to the exact matcher: every exact occurrence is a
-    zero-span window contributing 1."""
+    zero-span window contributing 1.
+
+    offsets: the query position j of each list — supplied for phrases with
+    REPEATED terms (SloppyPhraseMatcher's hasRepeats handling, the bulk of
+    its 681 LoC): a window only counts if the RAW positions (adj + offset)
+    are pairwise distinct, so one token occurrence can never satisfy two
+    query slots of the same term within a match (documented deviation:
+    across separate counted matches, cross-list reuse of a raw position is
+    not tracked — within-list reuse is prevented by the pointer advance)."""
     import heapq
 
     k = len(adj_lists)
@@ -203,9 +276,14 @@ def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int) -> float:
         mn, i = heap[0]
         width = cur_max - mn
         if width <= slop and all(ptrs[j] > last_counted[j] for j in range(k)):
-            freq += 1.0 / (1.0 + width)
-            for j in range(k):
-                last_counted[j] = ptrs[j]
+            distinct = True
+            if offsets is not None:
+                raws = {int(adj_lists[j][ptrs[j]]) + offsets[j] for j in range(k)}
+                distinct = len(raws) == k
+            if distinct:
+                freq += 1.0 / (1.0 + width)
+                for j in range(k):
+                    last_counted[j] = ptrs[j]
         heapq.heappop(heap)
         ptrs[i] += 1
         if ptrs[i] >= adj_lists[i].size:
@@ -244,7 +322,9 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
             return _empty()
 
     idx = [np.searchsorted(p.docs, base) for p in parts]
-    sloppy = node.slop > 0 and len(set(node.terms)) == len(node.terms)
+    sloppy = node.slop > 0
+    repeats = len(set(node.terms)) != len(node.terms)
+    offsets = list(range(len(parts))) if repeats else None
     freqs = np.zeros(base.size, dtype=np.float64)
     for ci in range(base.size):
         if sloppy:
@@ -252,7 +332,7 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
                 parts[j].pos[parts[j].tf_off[idx[j][ci]]:parts[j].tf_off[idx[j][ci] + 1]] - j
                 for j in range(len(parts))
             ]
-            freqs[ci] = sloppy_phrase_freq(adj, node.slop)
+            freqs[ci] = sloppy_phrase_freq(adj, node.slop, offsets=offsets)
         else:
             cur = parts[0].pos[parts[0].tf_off[idx[0][ci]]:parts[0].tf_off[idx[0][ci] + 1]]
             for j in range(1, len(parts)):

@@ -99,6 +99,19 @@ class PhraseNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class MultiPhraseNode(FieldedNode):
+    """search/MultiPhraseQuery.java:53 — a phrase where each position
+    admits a SET of alternative terms (synonym-expanded phrases:
+    "(big|large) table"). Matching: slot j's positions are the union of
+    its alternatives' position lists; then the exact/sloppy phrase
+    machinery applies unchanged. Scored like PhraseQuery with the blended
+    idf-sum weight over ALL alternative terms (MultiPhraseWeight uses the
+    combined term stats)."""
+    positions: tuple[tuple[str, ...], ...] = ()
+    slop: int = 0
+
+
+@dataclass(frozen=True)
 class IntervalNode(FieldedNode):
     """Interval/proximity query (subset of queries/intervals/
     IntervalQuery.java:59): docs containing a minimal interval that covers

@@ -382,6 +382,8 @@ class IndexSearcher:
         elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode,
                                P.IntervalNode)):
             out.update((node.field, t) for t in node.terms)
+        elif isinstance(node, P.MultiPhraseNode):
+            out.update((node.field, t) for alts in node.positions for t in alts)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 self._collect_terms(c.node, out)
@@ -394,7 +396,7 @@ class IndexSearcher:
     @staticmethod
     def _phrase_fields(node: P.Node, out: set[str]) -> None:
         """Fields that need positions decoded for this query."""
-        if isinstance(node, (P.PhraseNode, P.IntervalNode)):
+        if isinstance(node, (P.PhraseNode, P.IntervalNode, P.MultiPhraseNode)):
             out.add(node.field)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
@@ -468,6 +470,25 @@ class IndexSearcher:
                         cfm = min(stats[(n.field, t)][1] for t in n.terms)
                         phrase[((n.field, n.terms), n.boost)] = self.sim.weight(
                             dfm, N, n.boost, cf=cfm, sum_ttf=sum_ttf)
+            elif isinstance(n, P.MultiPhraseNode):
+                # MultiPhraseWeight: idf summed over every alternative term
+                # present in the dictionary; every slot must be satisfiable
+                flat = [t for alts in n.positions for t in alts]
+                slot_ok = all(
+                    any(stats.get((n.field, t), (0, 0))[0] for t in alts)
+                    for alts in n.positions)
+                if slot_ok and hasattr(self.sim, "idf"):
+                    N, _ = self._field_N(n.field)
+                    idf_sum = sum(float(self.sim.idf(stats[(n.field, t)][0], N))
+                                  for t in flat if (n.field, t) in stats)
+                    phrase[((n.field, n.positions), n.boost)] = np.float32(
+                        np.float32(n.boost) * np.float32(idf_sum))
+                elif slot_ok:
+                    N, sum_ttf = self._field_N(n.field)
+                    dfs = [stats[(n.field, t)][0] for t in flat if (n.field, t) in stats]
+                    cfs = [stats[(n.field, t)][1] for t in flat if (n.field, t) in stats]
+                    phrase[((n.field, n.positions), n.boost)] = self.sim.weight(
+                        min(dfs), N, n.boost, cf=min(cfs), sum_ttf=sum_ttf)
             elif isinstance(n, P.SynonymNode):
                 # SynonymQuery blends stats: df = max over terms (docFreq of
                 # the pseudo-term is bounded by max; Lucene uses max df)

@@ -59,3 +59,67 @@ def test_deletes_with_blockmax(searcher):
         key=lambda x: (-x[1], x[0]))[:10]
     assert [(r["doc_id"], r["score"]) for r in pruned] == exhaustive
     assert top[0]["doc_id"] not in {r["doc_id"] for r in pruned}
+
+
+def test_deletes_folded_at_compaction(spark, tmp_path):
+    """Merge applies deletes (index/FreqProxTermsWriter.java:51-79): after
+    compacting ALL groups with a tombstone set, the index equals a fresh
+    build of the live subset — stats (doc_count, sum_doclen, field_stats,
+    termdict df/cf) and search results both."""
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader, check_index
+    from lucene_spark.index.compaction import compact
+    from lucene_spark.search import IndexSearcher
+
+    pdf = make_corpus(150, seed=11)
+    src = spark.createDataFrame(pdf)
+    idx = str(tmp_path) + "/full"
+    cfg = IndexConfig(partitions=2, num_groups=3, num_buckets=4,
+                      index_positions=True)
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+
+    # choose victims: every doc matching 'merge'
+    dead = [r["doc_id"] for r in s.matches("merge", with_scores=False).collect()]
+    assert dead
+    dead_keys = {(r["repo"], r["path"], r["commit"])
+                 for r in s.hydrate(s.matches("merge", with_scores=False)).collect()}
+
+    # fold ALL groups into one, applying the tombstones
+    res = compact(spark, idx, segs_per_tier=1, max_merge_at_once=10,
+                  deletes=dead)
+    assert res["merged"], res
+
+    # reference: fresh build of the live subset (single group)
+    live_pdf = pdf[~pdf.apply(
+        lambda r: (r["repo"], r["path"], r["commit"]) in dead_keys, axis=1)]
+    idx2 = str(tmp_path) + "/live"
+    cfg2 = IndexConfig(partitions=2, num_groups=1, num_buckets=4,
+                       index_positions=True)
+    IndexBuilder(spark, cfg2).build(
+        spark.createDataFrame(live_pdf), idx2, overwrite=True)
+
+    r1 = IndexReader(spark, idx)
+    r2 = IndexReader(spark, idx2)
+    assert r1.doc_count == r2.doc_count == len(live_pdf)
+    assert r1.sum_doclen == r2.sum_doclen
+    assert r1.field_stats == r2.field_stats
+
+    # termdict identical (df/cf per term)
+    td1 = {(r["field"], r["term"]): (r["df"], r["cf"])
+           for r in r1.termdict().collect()}
+    td2 = {(r["field"], r["term"]): (r["df"], r["cf"])
+           for r in r2.termdict().collect()}
+    assert td1 == td2
+
+    # the compacted index passes CheckIndex and never returns dead docs
+    check_index(r1)
+    s1 = IndexSearcher(r1)
+    assert s1.count("merge") == 0
+    # scores now reflect post-merge stats: identical result SETS for a
+    # probe query between compacted and fresh-live indexes
+    a = {r["doc_id"] for r in s1.matches("index", with_scores=False).collect()}
+    s2 = IndexSearcher(r2)
+    b = {r["doc_id"] for r in s2.matches("index", with_scores=False).collect()}
+    # doc_ids differ between builds (different partitioning); compare counts
+    assert len(a) == len(b)

@@ -219,3 +219,89 @@ def test_sloppy_freq_kernel_vs_oracle_random():
         a = sloppy_phrase_freq(lists, slop)
         b = OracleIndex._sloppy_freq([list(map(int, l)) for l in lists], slop)
         assert abs(a - b) < 1e-12, (lists, slop, a, b)
+
+
+def test_sloppy_repeated_terms(spark, tmp_path_factory):
+    """Repeated-term sloppy phrases (the SloppyPhraseMatcher repeats case):
+    one token occurrence can never fill two query slots of the same term."""
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    rows = [
+        ("r", "p0", "c", "alpha beta alpha"),    # matches "alpha alpha"~2
+        ("r", "p1", "c", "alpha beta gamma"),    # single alpha -> no match
+        ("r", "p2", "c", "alpha alpha beta"),    # adjacent repeat: exact too
+        ("r", "p3", "c", "beta gamma delta"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string")
+    idx = str(tmp_path_factory.mktemp("rep")) + "/idx"
+    cfg = IndexConfig(partitions=1, num_buckets=2, index_positions=True,
+                      analyzer="whitespace")
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+
+    def paths(q):
+        hits = s.hydrate(s.matches(q, with_scores=False))
+        return {r["path"] for r in hits.collect()}
+
+    assert paths('"alpha alpha"~2') == {"p0", "p2"}
+    assert paths('"alpha alpha"') == {"p2"}          # exact adjacency
+    assert paths('"alpha beta alpha"~1') == {"p0"}
+
+
+def test_sloppy_repeats_engine_oracle_parity(pos_searcher, pos_oracle):
+    """3-way style: engine kernel vs the independent python oracle on
+    repeated-term sloppy phrases over the random corpus."""
+    import numpy as np
+
+    for q in ['"index index"~3', '"the the"~4', '"writer index writer"~5']:
+        node = pos_searcher.parse(q)
+        got = {r["doc_id"]: r["score"]
+               for r in pos_searcher.matches(node).collect()}
+        want = pos_oracle.eval(pos_searcher._plan(q))
+        assert set(got) == set(want), q
+        for d, sc in got.items():
+            assert np.float32(sc) == np.float32(want[d]), (q, d)
+
+
+def test_multiphrase(spark, tmp_path_factory):
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:53): per-slot
+    alternative terms; exact and sloppy; single-alternative degenerates to
+    PhraseQuery with identical scores."""
+    import numpy as np
+
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import plan as P
+
+    rows = [
+        ("r", "p0", "c", "big table scan now"),
+        ("r", "p1", "c", "large table scan now"),
+        ("r", "p2", "c", "small table scan now"),
+        ("r", "p3", "c", "big index scan now"),
+        ("r", "p4", "c", "table big scan now"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string")
+    idx = str(tmp_path_factory.mktemp("mp")) + "/idx"
+    cfg = IndexConfig(partitions=1, num_buckets=2, index_positions=True,
+                      analyzer="whitespace")
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+
+    node = P.MultiPhraseNode(positions=(("big", "large"), ("table",)))
+    hits = s.hydrate(s.matches(node, with_scores=False))
+    assert {r["path"] for r in hits.collect()} == {"p0", "p1"}
+
+    # sloppy multiphrase: "(big|large) scan"~1 also catches the gap doc
+    node2 = P.MultiPhraseNode(positions=(("big", "large"), ("scan",)), slop=1)
+    hits2 = s.hydrate(s.matches(node2, with_scores=False))
+    assert {r["path"] for r in hits2.collect()} == {"p0", "p1", "p3", "p4"}
+
+    # degenerate single-alternative == PhraseNode, score-identical
+    mp = s.matches(P.MultiPhraseNode(positions=(("table",), ("scan",)))).collect()
+    ph = s.matches(P.PhraseNode(terms=("table", "scan"))).collect()
+    a = {r["doc_id"]: np.float32(r["score"]) for r in mp}
+    b = {r["doc_id"]: np.float32(r["score"]) for r in ph}
+    assert a == b and a

@@ -248,6 +248,53 @@ def test_gate_lsh_recall_pinned(spark):
     assert got == want, f"MinHash-LSH recall {len(got & want)}/{len(want)}"
 
 
+def test_knn_join(spark):
+    """knn_join: exact parity vs numpy; knn_join_lsh: measured recall vs
+    the exact result (the training-data KNN primitive)."""
+    import os
+
+    import pytest
+
+    from lucene_spark.pipeline import similarity
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    q = e.filter("vec_id < 10")
+    got = similarity.knn_join(q, e, "embedding", "vec_id", k=5).collect()
+    # numpy oracle
+    rows = e.select("vec_id", "embedding").collect()
+    keys = np.array([r[0] for r in rows])
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    want = {}
+    for r in rows:
+        if r[0] >= 10:
+            continue
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-30)
+        sims = m @ qv
+        order = sorted(zip(-sims, keys))[:5]
+        want[r[0]] = [int(k) for _, k in order]
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: -r["cosine"]):
+        got_by_q.setdefault(r["query_key"], []).append(r["key"])
+    assert set(got_by_q) == set(want)
+    for qk in want:
+        assert set(got_by_q[qk]) == set(want[qk]), qk
+
+    # LSH path recall over the same queries
+    lsh = similarity.knn_join_lsh(q, e, "embedding", "vec_id", k=5,
+                                  bits=2, tables=8).collect()
+    lsh_by_q = {}
+    for r in lsh:
+        lsh_by_q.setdefault(r["query_key"], set()).add(r["key"])
+    hits = sum(len(lsh_by_q.get(qk, set()) & set(want[qk])) for qk in want)
+    recall = hits / (5 * len(want))
+    assert recall >= 0.9, f"knn_join_lsh recall {recall:.2f}"
+
+
 def test_multimodal_plumbing(spark):
     from lucene_spark.pipeline import multimodal
 
