@@ -367,6 +367,63 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+_IDX_SHINGLE_CACHE: dict[str, IndexReader] = {}
+
+
+def _reader_shingle(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Shingle gate index: whitespace + bigram shingles (ShingleFilter
+    analogue) over documents."""
+    if sf_dir in _IDX_SHINGLE_CACHE:
+        return _IDX_SHINGLE_CACHE[sf_dir]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "text")
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_shingle", os.path.basename(os.path.normpath(sf_dir)))
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="text", analyzer="whitespace_shingle2",
+        partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1)
+    IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+    _IDX_SHINGLE_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return _IDX_SHINGLE_CACHE[sf_dir]
+
+
+def ft_shingle_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShingleFilter (analysis/shingle/ShingleFilter.java): bigram tokens
+    indexed alongside unigrams; top-10 bigrams by document frequency
+    straight from the term dictionary."""
+    td = _reader_shingle(spark, sf_dir).termdict()
+    out = td.filter(F.col("term").contains(" ")).select("term", "df", "cf")
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+FT_SHINGLE_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS term
+  FROM w
+),
+td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+       FROM bg GROUP BY term)
+SELECT term, df, cf, row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+FROM td QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_synonym_qtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (SynonymGraphFilter.java:78 applied at
+    query time): a searcher with {'slow': (slow, fast)} rewrites the plain
+    query 'slow' into a SynonymQuery scored as one pseudo-term — same
+    oracle as the explicit SynonymNode gate."""
+    s = IndexSearcher(_reader(spark, sf_dir),
+                      synonyms={"slow": ("slow", "fast")})
+    m = s.matches("slow")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
 def ft_multiphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiPhraseQuery (search/MultiPhraseQuery.java:53): '(big|fast)
     scan' — slot 1 admits two alternative terms, exact adjacency."""
@@ -1559,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_range": ft_range,
         "ft_dismax": ft_dismax,
         "ft_synonym": ft_synonym,
+        "ft_synonym_qtime": ft_synonym_qtime,
+        "ft_shingle_topdf": ft_shingle_topdf,
         "ft_suggest": ft_suggest,
         "ft_highfreq": ft_highfreq,
         "ft_field_term": ft_field_term,
@@ -1630,6 +1689,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_range": FT_RANGE_SQL,
         "ft_dismax": FT_DISMAX_SQL,
         "ft_synonym": FT_SYNONYM_SQL,
+        "ft_synonym_qtime": FT_SYNONYM_SQL,
+        "ft_shingle_topdf": FT_SHINGLE_SQL,
         "ft_suggest": FT_SUGGEST_SQL,
         "ft_highfreq": FT_HIGHFREQ_SQL,
         "ft_field_term": FT_FIELD_TERM_SQL,

@@ -55,6 +55,15 @@ class Analyzer:
                                  # (analysis/en/PorterStemFilter.java:51);
                                  # applied AFTER stop/length filtering, as
                                  # Lucene chains it after StopFilter
+    shingle_size: int = 0        # >1 → ShingleFilter analogue (analysis/
+                                 # shingle/ShingleFilter.java): word
+                                 # n-grams (space-joined) emitted ALONGSIDE
+                                 # unigrams, positioned at their first
+                                 # member. Divergence note: emitted
+                                 # shingles count toward doclen (Lucene's
+                                 # discountOverlaps would exclude them
+                                 # from norms) — documented, mirrored by
+                                 # the SQL oracles
 
     def tokenize_series(self, content: pd.Series) -> pd.Series:
         """Series[str] -> Series[list[str]] — the full chain, vectorized."""
@@ -98,6 +107,10 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
         toks = toks.map(lambda ts: [t for t in ts if len(t) <= maxlen and t not in stop])
     if a.stemmer == "porter":
         toks = _stem_lists(toks)
+    if a.shingle_size > 1:
+        n = a.shingle_size
+        toks = toks.map(lambda ts: ts + [
+            " ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)])
     return toks
 
 
@@ -122,9 +135,23 @@ def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Serie
 
     pairs = toks.map(filt)
     out_t = pairs.map(lambda p: p[0])
+    out_p = pairs.map(lambda p: p[1])
     if a.stemmer == "porter":
         out_t = _stem_lists(out_t)
-    return out_t, pairs.map(lambda p: p[1])
+    if a.shingle_size > 1:
+        n = a.shingle_size
+        both = pd.Series(list(zip(out_t, out_p)), index=out_t.index)
+
+        def sh(tp):
+            ts, ps = tp
+            grams = [" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)]
+            gpos = [ps[i] for i in range(len(ts) - n + 1)]  # first member's pos
+            return ts + grams, list(ps) + gpos
+
+        both = both.map(sh)
+        out_t = both.map(lambda p: p[0])
+        out_p = both.map(lambda p: p[1])
+    return out_t, out_p
 
 
 _REGISTRY: dict[str, Analyzer] = {}
@@ -168,6 +195,13 @@ register_analyzer(Analyzer(name="simple", token_pattern=r"[a-z0-9]+"))
 register_analyzer(
     Analyzer(name="english", token_pattern=r"[A-Za-z0-9_]+",
              stopwords=ENGLISH_STOP_WORDS, stemmer="porter")
+)
+
+# Whitespace + bigram shingles (ShingleFilter role): unigrams + space-
+# joined word pairs, exactly reproducible by an external SQL engine.
+register_analyzer(
+    Analyzer(name="whitespace_shingle2", token_pattern=r"\S+", lowercase=False,
+             stopwords=frozenset(), max_token_length=1 << 20, shingle_size=2)
 )
 
 # Whitespace + lowercase + Porter: the SQL-oracle-friendly stemming chain

@@ -64,6 +64,15 @@ class EvalContext:
     sim: BM25Similarity
     k: int = 10
     phrase_weights: dict[tuple[tuple[str, tuple[str, ...]], float], np.float32] | None = None
+    # per-field similarity overrides — the PerFieldSimilarityWrapper role
+    # (search/similarities/PerFieldSimilarityWrapper.java); a field absent
+    # here scores with the default `sim`
+    field_sims: dict[str, BM25Similarity] | None = None
+
+
+def _sim_of(ctx: "EvalContext", field: str):
+    fs = ctx.field_sims
+    return fs[field] if fs and field in fs else ctx.sim
 
 
 _EMPTY_I = np.empty(0, dtype=np.int64)
@@ -162,7 +171,7 @@ def _eval_multiphrase(node: P.MultiPhraseNode, ctx: EvalContext, need_scores: bo
     if not need_scores:
         return docs, np.zeros(docs.size, dtype=np.float32)
     w = (ctx.phrase_weights or {})[((node.field, node.positions), node.boost)]
-    return docs, ctx.sim.score(freqs[hit], dls[hit], w, ctx.avgdl[node.field])
+    return docs, _sim_of(ctx, node.field).score(freqs[hit], dls[hit], w, ctx.avgdl[node.field])
 
 
 def interval_match(pos_lists: list[np.ndarray], max_gaps: int, ordered: bool) -> bool:
@@ -349,7 +358,7 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
         return docs, np.zeros(docs.size, dtype=np.float32)
     dls = parts[0].dls[idx[0][hit]]
     w = (ctx.phrase_weights or {})[((node.field, node.terms), node.boost)]
-    return docs, ctx.sim.score(freqs[hit], dls, w, ctx.avgdl[node.field])
+    return docs, _sim_of(ctx, node.field).score(freqs[hit], dls, w, ctx.avgdl[node.field])
 
 
 def _eval_term(node: P.TermNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
@@ -359,7 +368,7 @@ def _eval_term(node: P.TermNode, ctx: EvalContext, need_scores: bool) -> tuple[n
     if not need_scores:
         return tp.docs, np.zeros(tp.docs.size, dtype=np.float32)
     w = ctx.weights[((node.field, node.term), node.boost)]
-    scores = ctx.sim.score(tp.tfs, tp.dls, w, ctx.avgdl[node.field])
+    scores = _sim_of(ctx, node.field).score(tp.tfs, tp.dls, w, ctx.avgdl[node.field])
     return tp.docs, scores
 
 
@@ -391,14 +400,15 @@ def score_term_topk_blockmax(
         return _eval_term(node, ctx, True)
     w = ctx.weights[((node.field, node.term), node.boost)]
     avgdl = ctx.avgdl[node.field]
-    bmax = ctx.sim.max_score(tp.block_max_tf, tp.block_min_dl, w, avgdl)
+    sim = _sim_of(ctx, node.field)
+    bmax = sim.max_score(tp.block_max_tf, tp.block_min_dl, w, avgdl)
     nb = bmax.size
     bs = (n + nb - 1) // nb  # block size (last block short)
     order = np.argsort(-bmax, kind="stable")
     take = min(nb, max(1, (k + bs - 1) // bs))
     phase1 = order[:take]
     sel = _block_mask(phase1, nb, bs, n)
-    s1 = ctx.sim.score(tp.tfs[sel], tp.dls[sel], w, avgdl)
+    s1 = sim.score(tp.tfs[sel], tp.dls[sel], w, avgdl)
     if phase1_only:
         return tp.docs[sel], s1
     if s1.size >= k:
@@ -411,7 +421,7 @@ def score_term_topk_blockmax(
     if rest.size:
         sel2 = _block_mask(rest, nb, bs, n)
         docs = np.concatenate([tp.docs[sel], tp.docs[sel2]])
-        scores = np.concatenate([s1, ctx.sim.score(tp.tfs[sel2], tp.dls[sel2], w, avgdl)])
+        scores = np.concatenate([s1, sim.score(tp.tfs[sel2], tp.dls[sel2], w, avgdl)])
         o = np.argsort(docs, kind="stable")
         return docs[o], scores[o]
     return tp.docs[sel], s1
@@ -440,7 +450,7 @@ def _eval_synonym(node: P.SynonymNode, ctx: EvalContext, need_scores: bool) -> t
     if not need_scores:
         return uniq, np.zeros(uniq.size, dtype=np.float32)
     w = ctx.syn_weights[((node.field, node.terms), node.boost)]
-    return uniq, ctx.sim.score(tf_sum, dl_u, w, ctx.avgdl[node.field])
+    return uniq, _sim_of(ctx, node.field).score(tf_sum, dl_u, w, ctx.avgdl[node.field])
 
 
 def _union_docs(doc_lists: list[np.ndarray]) -> np.ndarray:

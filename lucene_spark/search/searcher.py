@@ -94,9 +94,25 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
 
 
 class IndexSearcher:
-    def __init__(self, reader: IndexReader, similarity: str = "bm25"):
+    def __init__(self, reader: IndexReader, similarity="bm25",
+                 synonyms: dict[str, tuple[str, ...]] | None = None):
+        """similarity: a registry name, or a {field: name} dict for
+        per-field similarities (PerFieldSimilarityWrapper.java role) —
+        fields absent from the dict use 'bm25'.
+
+        synonyms: query-time synonym map (term → its synonym set,
+        itself included) — the SynonymGraphFilter-at-query-time pattern
+        Lucene recommends (analysis/synonym/SynonymGraphFilter.java:78):
+        a TermNode whose term is in the map rewrites to a SynonymNode so
+        the set scores as ONE pseudo-term (SynonymQuery semantics)."""
         self.reader = reader
-        self.sim = SIMILARITIES[similarity]
+        if isinstance(similarity, dict):
+            self.field_sims = {f: SIMILARITIES[n] for f, n in similarity.items()}
+            self.sim = self.field_sims.get(reader.default_field, SIMILARITIES["bm25"])
+        else:
+            self.field_sims = {}
+            self.sim = SIMILARITIES[similarity]
+        self.synonyms = {k: tuple(v) for k, v in (synonyms or {}).items()}
         # per-field analyzer resolution (PerFieldAnalyzerWrapper role):
         # query text for field F runs through F's configured chain
         self.field_analyzers = {
@@ -104,6 +120,9 @@ class IndexSearcher:
         self.analyzer = self.field_analyzers.get(
             reader.default_field, get_analyzer(reader.analyzer_name))
         self._deleted: np.ndarray = np.empty(0, dtype=np.int64)
+
+    def _sim_for(self, field: str):
+        return self.field_sims.get(field, self.sim)
 
     # ------------------------------------------------------------- deletes
     def with_deletes(self, doc_ids) -> "IndexSearcher":
@@ -117,6 +136,8 @@ class IndexSearcher:
         place to fold them in permanently). Returns a new searcher."""
         s = IndexSearcher(self.reader)
         s.sim = self.sim
+        s.field_sims = self.field_sims
+        s.synonyms = self.synonyms
         s._deleted = np.unique(np.concatenate(
             [self._deleted, np.asarray(list(doc_ids), dtype=np.int64)]))
         return s
@@ -208,6 +229,7 @@ class IndexSearcher:
             phrase_w.update(p)
         avgdl = self._avgdl_map({f for f, _ in all_terms})
         sim = self.sim
+        field_sims = self.field_sims
         kk = k
         want_pos = any(self._check_positions(n) for n in plans.values())
         deleted = self._deleted
@@ -225,7 +247,8 @@ class IndexSearcher:
                 postings = _assemble_postings(pdf, want_pos, deleted, block_size)
                 ctx = EvalContext(postings=postings, weights=weights,
                                   syn_weights=syn_w, avgdl=avgdl, sim=sim,
-                                  k=kk, phrase_weights=phrase_w)
+                                  k=kk, phrase_weights=phrase_w,
+                                  field_sims=field_sims)
                 frames = []
                 for qid, node in kernel_plans.items():
                     if isinstance(node, P.TermNode):
@@ -341,9 +364,29 @@ class IndexSearcher:
         # resolve the default field on every unfielded leaf (classic QP
         # default-field behavior; explicit field: overrides survive)
         node = P.apply_field(node, self.reader.default_field, only_default=True)
+        if self.synonyms:
+            node = self._apply_synonyms(node)
         node = P.rewrite(node)
         node = self._expand(node)
         return P.rewrite(node)
+
+    def _apply_synonyms(self, node: P.Node) -> P.Node:
+        """Query-time synonym expansion: TermNode → SynonymNode when the
+        term has a registered synonym set (scored as one pseudo-term —
+        search/SynonymQuery.java:52)."""
+        if isinstance(node, P.TermNode) and node.term in self.synonyms:
+            group = self.synonyms[node.term]
+            terms = tuple(sorted(set(group) | {node.term}))
+            return P.SynonymNode(terms=terms, boost=node.boost, field=node.field)
+        if isinstance(node, P.BooleanNode):
+            return replace(node, clauses=tuple(
+                P.Clause(c.occur, self._apply_synonyms(c.node)) for c in node.clauses))
+        if isinstance(node, P.DisjunctionMaxNode):
+            return replace(node, children=tuple(
+                self._apply_synonyms(c) for c in node.children))
+        if isinstance(node, P.ConstantScoreNode) and node.child is not None:
+            return replace(node, child=self._apply_synonyms(node.child))
+        return node
 
     def _expand(self, node: P.Node) -> P.Node:
         """Dictionary expansion of multi-term queries → constant-score term
@@ -427,7 +470,8 @@ class IndexSearcher:
             st = self.reader.field_stats.get(f, {})
             dc = max(int(st.get("doc_count", 0)), 1)
             sttf = int(st.get("sum_ttf", 0))
-            out[f] = self.sim.avgdl(sttf, dc) if hasattr(self.sim, "avgdl") \
+            sim = self._sim_for(f)
+            out[f] = sim.avgdl(sttf, dc) if hasattr(sim, "avgdl") \
                 else np.float32(sttf / dc)
         return out
 
@@ -451,7 +495,7 @@ class IndexSearcher:
                 df, cf = stats.get((n.field, n.term), (0, 0))
                 if df:
                     N, sum_ttf = self._field_N(n.field)
-                    weights[((n.field, n.term), n.boost)] = self.sim.weight(
+                    weights[((n.field, n.term), n.boost)] = self._sim_for(n.field).weight(
                         df, N, n.boost, cf=cf, sum_ttf=sum_ttf)
             elif isinstance(n, P.PhraseNode):
                 # multi-term blended weight: idf values summed in double,
@@ -459,8 +503,9 @@ class IndexSearcher:
                 # (BM25Similarity.java:191-199 idfExplain for term array)
                 if all(stats.get((n.field, t), (0, 0))[0] for t in n.terms):
                     N, sum_ttf = self._field_N(n.field)
-                    if hasattr(self.sim, "idf"):
-                        idf_sum = sum(float(self.sim.idf(stats[(n.field, t)][0], N))
+                    fsim = self._sim_for(n.field)
+                    if hasattr(fsim, "idf"):
+                        idf_sum = sum(float(fsim.idf(stats[(n.field, t)][0], N))
                                       for t in n.terms)
                         phrase[((n.field, n.terms), n.boost)] = np.float32(
                             np.float32(n.boost) * np.float32(idf_sum))
@@ -468,7 +513,7 @@ class IndexSearcher:
                         # non-idf similarities: blend via min-df term weight
                         dfm = min(stats[(n.field, t)][0] for t in n.terms)
                         cfm = min(stats[(n.field, t)][1] for t in n.terms)
-                        phrase[((n.field, n.terms), n.boost)] = self.sim.weight(
+                        phrase[((n.field, n.terms), n.boost)] = fsim.weight(
                             dfm, N, n.boost, cf=cfm, sum_ttf=sum_ttf)
             elif isinstance(n, P.MultiPhraseNode):
                 # MultiPhraseWeight: idf summed over every alternative term
@@ -477,9 +522,10 @@ class IndexSearcher:
                 slot_ok = all(
                     any(stats.get((n.field, t), (0, 0))[0] for t in alts)
                     for alts in n.positions)
-                if slot_ok and hasattr(self.sim, "idf"):
+                fsim = self._sim_for(n.field)
+                if slot_ok and hasattr(fsim, "idf"):
                     N, _ = self._field_N(n.field)
-                    idf_sum = sum(float(self.sim.idf(stats[(n.field, t)][0], N))
+                    idf_sum = sum(float(fsim.idf(stats[(n.field, t)][0], N))
                                   for t in flat if (n.field, t) in stats)
                     phrase[((n.field, n.positions), n.boost)] = np.float32(
                         np.float32(n.boost) * np.float32(idf_sum))
@@ -487,7 +533,7 @@ class IndexSearcher:
                     N, sum_ttf = self._field_N(n.field)
                     dfs = [stats[(n.field, t)][0] for t in flat if (n.field, t) in stats]
                     cfs = [stats[(n.field, t)][1] for t in flat if (n.field, t) in stats]
-                    phrase[((n.field, n.positions), n.boost)] = self.sim.weight(
+                    phrase[((n.field, n.positions), n.boost)] = fsim.weight(
                         min(dfs), N, n.boost, cf=min(cfs), sum_ttf=sum_ttf)
             elif isinstance(n, P.SynonymNode):
                 # SynonymQuery blends stats: df = max over terms (docFreq of
@@ -496,7 +542,7 @@ class IndexSearcher:
                 cf = sum(stats.get((n.field, t), (0, 0))[1] for t in n.terms)
                 if df:
                     N, sum_ttf = self._field_N(n.field)
-                    syn[((n.field, n.terms), n.boost)] = self.sim.weight(
+                    syn[((n.field, n.terms), n.boost)] = self._sim_for(n.field).weight(
                         df, N, n.boost, cf=cf, sum_ttf=sum_ttf)
             elif isinstance(n, P.BooleanNode):
                 for c in n.clauses:
@@ -536,6 +582,7 @@ class IndexSearcher:
         weights, syn_weights, phrase_weights = self._weights(node, stats)
         avgdl = self._avgdl_map({f for f, _ in terms})
         sim = self.sim
+        field_sims = self.field_sims
         kk = k
         want_pos = self._check_positions(node)
 
@@ -547,7 +594,8 @@ class IndexSearcher:
             postings = _assemble_postings(pdf, want_pos, deleted, self_block_size)
             ctx = EvalContext(postings=postings, weights=weights, syn_weights=syn_weights,
                               avgdl=avgdl, sim=sim, k=kk or 10,
-                              phrase_weights=phrase_weights)
+                              phrase_weights=phrase_weights,
+                              field_sims=field_sims)
             if kk is not None and isinstance(node, P.TermNode):
                 docs, scores = score_term_topk_blockmax(
                     node, ctx, phase1_only=phase1_only, initial_floor=initial_floor)

@@ -54,3 +54,45 @@ def test_oracle_tokenizer_agrees_with_vectorized():
     for c in cases:
         assert oracle_tokenize(c, "code") == toks("code", c), c
         assert oracle_tokenize(c, "standard") == toks("standard", c), c
+
+
+def test_shingle_filter():
+    """ShingleFilter analogue: bigrams alongside unigrams, positioned at
+    their first member."""
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("whitespace_shingle2")
+    toks = an.tokenize_series(pd.Series(["a b c"]))
+    assert list(toks.iloc[0]) == ["a", "b", "c", "a b", "b c"]
+    t, p = an.tokenize_with_positions(pd.Series(["a b c"]))
+    assert list(t.iloc[0]) == ["a", "b", "c", "a b", "b c"]
+    assert list(p.iloc[0]) == [0, 1, 2, 0, 1]
+    # short input: no shingles
+    assert list(an.tokenize_series(pd.Series(["solo"])).iloc[0]) == ["solo"]
+
+
+def test_query_time_synonyms(spark, tmp_path_factory):
+    """Searcher-level synonym map: plain term query scores as SynonymQuery
+    (tf summed, df=max) — identical to an explicit SynonymNode."""
+    import numpy as np
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import plan as P
+
+    idx = str(tmp_path_factory.mktemp("syn")) + "/idx"
+    src = spark.createDataFrame(make_corpus(80, seed=5))
+    IndexBuilder(spark, IndexConfig(partitions=2, num_buckets=4)).build(
+        src, idx, overwrite=True)
+    r = IndexReader(spark, idx)
+    s_syn = IndexSearcher(r, synonyms={"index": ("index", "writer")})
+    s_plain = IndexSearcher(r)
+    got = {x["doc_id"]: np.float32(x["score"])
+           for x in s_syn.matches("index").collect()}
+    want = {x["doc_id"]: np.float32(x["score"])
+            for x in s_plain.matches(
+                P.SynonymNode(terms=("index", "writer"))).collect()}
+    assert got == want and got

@@ -58,3 +58,38 @@ def test_registry_complete():
     for k in ("bm25", "classic", "boolean", "lmdirichlet", "dfr_inl2",
               "lmjelinekmercer", "dfi", "ib_ll", "axiomatic_f2exp"):
         assert k in SIMILARITIES
+
+
+def test_per_field_similarity(spark, tmp_path_factory):
+    """PerFieldSimilarityWrapper role: each field scores with its own
+    similarity in one mixed-field query."""
+    import numpy as np
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.index.builder import FieldSpec
+    from lucene_spark.search import IndexSearcher
+
+    idx = str(tmp_path_factory.mktemp("pfs")) + "/idx"
+    src = spark.createDataFrame(make_corpus(60, seed=9))
+    cfg = IndexConfig(
+        key_cols=("repo", "path", "commit"), content_col="content",
+        partitions=2, num_buckets=4,
+        fields=(FieldSpec(name="content", analyzer="code"),
+                FieldSpec(name="path", analyzer="code")),
+    )
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    r = IndexReader(spark, idx)
+
+    s = IndexSearcher(r, similarity={"content": "bm25", "path": "boolean"})
+    # path clause scores constant 1.0 (boolean sim); content clause BM25
+    path_only = s.matches("path:src").collect()
+    assert path_only and all(np.float32(x["score"]) == np.float32(1.0)
+                             for x in path_only)
+    both = {x["doc_id"]: x["score"] for x in s.matches("index AND path:src").collect()}
+    bm25_only = {x["doc_id"]: x["score"]
+                 for x in IndexSearcher(r).matches("index").collect()}
+    for d, sc in both.items():
+        # sum of float32 clause scores accumulated in double → float32
+        want = np.float32(np.float64(np.float32(bm25_only[d])) + 1.0)
+        assert np.float32(sc) == want
