@@ -668,6 +668,151 @@ GROUP BY d.lang ORDER BY count DESC, lang ASC LIMIT 10
 """
 
 
+def ft_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoostQuery (search/BoostQuery.java): 'merge^2 OR scan' — the boost
+    multiplies the term weight (w = boost · idf) before scoring; clause
+    scores sum."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches("merge^2 OR scan")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_BOOST_SQL = f"""
+WITH {_bm25_per_term_sql(["merge", "scan"])}
+, agg AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN term = 'merge' THEN 2 * s ELSE s END), 2) AS score_r
+  FROM persc GROUP BY doc_id)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM agg QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchAfter deep paging (search/IndexSearcher.java:470-510): page 2
+    of the 'merge' ranking via the (score, doc_id) cursor of page 1; ranks
+    11..20 of the oracle's full ranking."""
+    s = _searcher(spark, sf_dir)
+    page1 = s.search("merge", k=20)
+    cur = page1.collect()[-1]
+    page2 = s.search_after("merge", 20, float(cur["score"]), int(cur["doc_id"]))
+    # 40-deep raw buffer from two cursor pages, then the deterministic
+    # rounded re-rank — deep float32 ties cannot perturb ranks 11..20
+    both = page1.unionByName(page2)
+    m = _to_ext(both, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return (m.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank").between(11, 20))
+            .select("doc_id", "score_r", "rank"))
+
+
+FT_SEARCH_AFTER_SQL = bm25_topk_oracle_sql(
+    "documents", "doc_id", "text", ["merge"], k=20, round_to=2
+).replace("rank <= 20", "rank BETWEEN 11 AND 20")
+
+
+def ft_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis (queries/mlt/MoreLikeThis.java): the input text's
+    terms ranked by tf·idf against collection stats become an OR query.
+    Every input term here occurs once and has df ≥ min_df, so the selected
+    set is exactly the four input terms and the oracle is the 4-term
+    BM25 disjunction (k=100-deep raw buffer, rounded re-rank to 10)."""
+    s = _searcher(spark, sf_dir)
+    top = s.more_like_this("table hash merge scan", k=100)
+    m = _to_ext(top, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_MLT_SQL = bm25_topk_oracle_sql(
+    "documents", "doc_id", "text", ["table", "hash", "merge", "scan"],
+    k=10, mode="or", round_to=2,
+)
+
+
+def st_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator / monitor (lucene/monitor/Monitor.java): three stored
+    queries matched against the whole documents table in ONE broadcast-
+    join plan — (doc_id, query_id) pairs."""
+    from lucene_spark.streaming.monitor import percolate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = percolate(spark, [
+        ("q_and", "table AND hash"),
+        ("q_phrase", '"table hash"'),
+        ("q_or_not", "scan -fast"),
+    ], docs, "doc_id", "text")
+    return out.select("doc_id", "query_id")
+
+
+ST_PERCOLATE_SQL = f"""
+WITH t AS ({_TOK2})
+SELECT doc_id, 'q_and' AS query_id FROM t WHERE term IN ('table','hash')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+UNION ALL
+SELECT doc_id, 'q_phrase' AS query_id FROM documents
+WHERE regexp_matches(text, '(^|\\s)table\\s+hash(\\s|$)')
+UNION ALL
+SELECT DISTINCT doc_id, 'q_or_not' AS query_id FROM t
+WHERE term = 'scan'
+  AND doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'fast')
+"""
+
+
+def ft_explain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight.explain (CheckHits.checkExplanations contract): the
+    explanation tree's root value re-derives each hit's exact score —
+    checked here against the EXTERNAL oracle, not just the kernel: the
+    emitted scores come from explain(), the oracle recomputes BM25."""
+    s = _searcher(spark, sf_dir)
+    top = s.search("table AND value", k=5).collect()
+    rows = []
+    for r in top:
+        ex = s.explain("table AND value", int(r["doc_id"]))
+        rows.append((int(r["doc_id"]), round(float(ex["value"]), 2)))
+    df = spark.createDataFrame(rows, "doc_id long, score_r double")
+    m = _to_ext(df, s.reader)
+    return _ranked(m, "score_r", "doc_id", 5).select("doc_id", "score_r", "rank")
+
+
+FT_EXPLAIN_SQL = f"""
+WITH {_bm25_per_term_sql(["table", "value"])}
+, agg AS (
+  SELECT doc_id, round(sum(s), 2) AS score_r FROM persc
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM agg QUALIFY rank <= 5 ORDER BY rank
+"""
+
+
+def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CsvStream / external-source ingestion (solr/solrj/.../io/stream/
+    CsvStream.java → spark.read.csv): documents projected to CSV on disk,
+    read back through the CSV source with an explicit schema, aggregated —
+    the oracle computes the same aggregate from the parquet table."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = os.path.join(tempfile.gettempdir(), "lucene_spark_gate_csv",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    docs.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(
+        "doc_id long, lang string, n_chars long").csv(path)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("lang"))
+
+
+REL_CSV_SQL = """
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def ft_matchall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatchAllDocsQuery: every doc, constant score, no postings scan."""
     s = _searcher(spark, sf_dir)
@@ -1312,8 +1457,45 @@ DD_MINHASH_LSH_SQL = DD_JACCARD_SQL
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: blake2b not available in SQL)."""
-    return dedup.simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """SimHash fingerprints — the sha256-hash twin (dedup.simhash_sha),
+    bit-for-bit reproducible by the SQL oracle; dedup.simhash (xxhash64)
+    is the identical-shaped scale path."""
+    return dedup.simhash_sha(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ({'lo' if b < 32 else 'hi'} >> {b if b < 32 else b - 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64))
+    bits = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN " +
+        ("(-9223372036854775807 - 1)" if b == 63 else f"{1 << b}") +
+        " ELSE 0 END"
+        for b in range(64))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+), tok2 AS (
+  SELECT doc_id, tok FROM tok WHERE tok <> ''
+), h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(sha256(tok), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(sha256(tok), 9, 8) AS BIGINT) AS lo
+  FROM tok2
+), s AS (
+  SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s
+)
+SELECT d.doc_id AS key, coalesce(sig.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+"""
+
+
+DD_SIMHASH_SQL = _simhash_sql()
 
 
 def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1624,6 +1806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_bool": ft_field_bool,
         "ft_feature_boost": ft_feature_boost,
         "ft_sort_field": ft_sort_field,
+        "ft_boost": ft_boost,
+        "ft_mlt": ft_mlt,
+        "ft_search_after": ft_search_after,
+        "ft_explain_topk": ft_explain_topk,
         "ft_matchall": ft_matchall,
         "ft_facet_combo": ft_facet_combo,
         "ft_classic_topk": ft_classic_topk,
@@ -1647,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_unique": rel_unique,
         "rel_timeseries": rel_timeseries,
         "rel_json_extract": rel_json_extract,
+        "rel_csv_roundtrip": rel_csv_roundtrip,
+        "st_percolate": st_percolate,
         # training-data pipeline
         "dd_exact": dd_exact,
         "dd_jaccard_pairs": dd_jaccard_pairs,
@@ -1697,6 +1885,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_field_bool": FT_FIELD_BOOL_SQL,
         "ft_feature_boost": FT_FEATURE_SQL,
         "ft_sort_field": FT_SORT_FIELD_SQL,
+        "ft_boost": FT_BOOST_SQL,
+        "ft_mlt": FT_MLT_SQL,
+        "ft_search_after": FT_SEARCH_AFTER_SQL,
+        "ft_explain_topk": FT_EXPLAIN_SQL,
         "ft_matchall": FT_MATCHALL_SQL,
         "ft_facet_combo": FT_FACET_COMBO_SQL,
         "ft_classic_topk": FT_CLASSIC_SQL,
@@ -1719,10 +1911,12 @@ def oracle_sql() -> dict[str, str]:
         "rel_unique": REL_UNIQUE_SQL,
         "rel_timeseries": REL_TIMESERIES_SQL,
         "rel_json_extract": REL_JSON_EXTRACT_SQL,
+        "rel_csv_roundtrip": REL_CSV_SQL,
+        "st_percolate": ST_PERCOLATE_SQL,
         "dd_exact": DD_EXACT_SQL,
         "dd_jaccard_pairs": DD_JACCARD_SQL,
         "dd_minhash_lsh": DD_MINHASH_LSH_SQL,
-        # dd_simhash: rows-only (xxhash64 not reproducible in the oracle)
+        "dd_simhash": DD_SIMHASH_SQL,
         "tx_token_counts": TX_TOKEN_COUNTS_SQL,
         "tx_quality": TX_QUALITY_SQL,
         "tx_langid": TX_LANGID_SQL,

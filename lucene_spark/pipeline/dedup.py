@@ -175,3 +175,40 @@ def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataF
     keys = df.select(F.col(key_col).alias("key"))
     return (keys.join(out, "key", "left")
             .select("key", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")))
+
+
+def simhash_sha(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """SimHash with sha256-derived token hashes — the externally
+    reproducible twin of simhash() (xxhash64 is the scale path; identical
+    plan shape). Token hash = first 64 bits of sha256(token) hex, split
+    into two 32-bit halves so every engine can parse it without unsigned
+    64-bit arithmetic: bits 0..31 from hex[9:16] (lo), 32..63 from
+    hex[1:8] (hi). Same ±1 bit-vote + sign assembly, all JVM-side."""
+    tok = (
+        df.select(F.col(key_col).alias("key"),
+                  F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    hexh = F.sha2(F.col("tok"), 256)
+    h = tok.select(
+        "key",
+        F.conv(F.substring(hexh, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hexh, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = []
+    for b in range(64):
+        src = F.col("lo") if b < 32 else F.col("hi")
+        sh = b if b < 32 else b - 32
+        aggs.append(F.sum(
+            F.when(F.shiftright(src, sh).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}"))
+    g = h.groupBy("key").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
+    out = g.select("key", sig.alias("simhash"))
+    keys = df.select(F.col(key_col).alias("key"))
+    return (keys.join(out, "key", "left")
+            .select("key", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")))
