@@ -1585,6 +1585,91 @@ SELECT lang, detected_lang, count(*)::BIGINT AS n FROM det GROUP BY 1, 2
 """
 
 
+def ft_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vectors (codecs/TermVectorsWriter.java role): per-doc (term,
+    tf) entries from the same vectorized analyzer chain the build uses —
+    compared flat against the SQL tokenizer."""
+    from lucene_spark.index.termvectors import term_vectors
+
+    tv = term_vectors(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                      analyzer="whitespace")
+    return tv.select(F.col("key").alias("doc_id"), "term",
+                     F.col("tf").cast("long").alias("tf"))
+
+
+FT_TERMVECTORS_SQL = f"""
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK2}) GROUP BY doc_id, term
+"""
+
+
+def tx_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes text classification from corpus stats (lucene/
+    classification SimpleNaiveBayesClassifier): train on (text, lang),
+    re-classify the corpus, emit the confusion matrix. Per-class scores
+    rounded to 4dp before the argmax on BOTH sides so float summation
+    order can never flip a near-tie differently across engines."""
+    from lucene_spark.pipeline.classify import train_naive_bayes, _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    model = train_naive_bayes(d, "text", "lang", "doc_id")
+    tok = _tokens(d, "text", "doc_id")
+    classes = model["classes"]
+    cond = model["cond"]
+    scored = (
+        tok.crossJoin(F.broadcast(classes.select("label", "logfloor")))
+        .join(F.broadcast(cond), ["label", "term"], "left")
+        .withColumn("lp", F.coalesce(F.col("logp"), F.col("logfloor")))
+        .groupBy("key", "label").agg(F.sum("lp").alias("loglik"))
+        .join(F.broadcast(classes.select("label", "logprior")), "label")
+        .withColumn("score", F.round(F.col("loglik") + F.col("logprior"), 4))
+    )
+    w = Window.partitionBy("key").orderBy(F.col("score").desc(), F.col("label").asc())
+    pred = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("key").alias("doc_id"), F.col("label").alias("predicted")))
+    return (pred.join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "predicted").agg(F.count("*").alias("n")))
+
+
+TX_CLASSIFY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+lab AS (SELECT doc_id, lang AS label FROM documents),
+tl AS (SELECT t.doc_id, t.term, l.label FROM tok2 t JOIN lab l ON t.doc_id = l.doc_id),
+v AS (SELECT count(DISTINCT term)::DOUBLE AS vs FROM tok2),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+cls AS (SELECT label, count(*)::DOUBLE AS docs FROM lab GROUP BY label),
+ctok AS (SELECT label, count(*)::DOUBLE AS tokens FROM tl GROUP BY label),
+classes AS (
+  SELECT c.label, ln(c.docs / nd.n) AS logprior,
+         ln(1.0 / (ct.tokens + v.vs)) AS logfloor,
+         ct.tokens + v.vs AS denom
+  FROM cls c JOIN ctok ct ON c.label = ct.label CROSS JOIN nd CROSS JOIN v
+),
+cond AS (
+  SELECT g.label, g.term, ln((g.cnt + 1.0) / cl.denom) AS logp
+  FROM (SELECT label, term, count(*)::DOUBLE AS cnt FROM tl GROUP BY label, term) g
+  JOIN classes cl ON g.label = cl.label
+),
+scored AS (
+  SELECT t.doc_id, c.label,
+         round(sum(coalesce(cd.logp, c.logfloor)) + any_value(c.logprior), 4) AS score
+  FROM tok2 t CROSS JOIN classes c
+  LEFT JOIN cond cd ON cd.label = c.label AND cd.term = t.term
+  GROUP BY t.doc_id, c.label
+),
+pred AS (
+  SELECT doc_id, label AS predicted,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT d.lang, p.predicted, count(*)::BIGINT AS n
+FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+WHERE p.rn = 1 GROUP BY d.lang, p.predicted
+"""
+
+
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints over sha256 window hashes — the
     oracle-reproducible twin of textstats.fingerprint (xxhash64 is the
@@ -1844,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": tx_quality,
         "tx_langid": tx_langid,
         "tx_fingerprint": tx_fingerprint,
+        "tx_classify": tx_classify,
+        "ft_termvectors": ft_termvectors,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_gemm_topk": sim_gemm_topk,
         "sim_neardup": sim_neardup,
@@ -1921,6 +2008,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_quality": TX_QUALITY_SQL,
         "tx_langid": TX_LANGID_SQL,
         "tx_fingerprint": TX_FINGERPRINT_SQL,
+        "tx_classify": TX_CLASSIFY_SQL,
+        "ft_termvectors": FT_TERMVECTORS_SQL,
         "sim_cosine_topk": SIM_COSINE_SQL,
         "sim_gemm_topk": SIM_GEMM_SQL,
         "sim_neardup": SIM_NEARDUP_SQL,

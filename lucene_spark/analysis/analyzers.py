@@ -188,6 +188,38 @@ register_analyzer(
 # SimpleAnalyzer ~ analysis/core/SimpleAnalyzer.java but keeping digits).
 register_analyzer(Analyzer(name="simple", token_pattern=r"[a-z0-9]+"))
 
+# Language analyzers (the analysis/{de,fr,es}/ *Analyzer role): language
+# stop sets over the standard chain. Stop lists are the common public
+# function-word sets; snowball stemmers for non-English languages are a
+# registry extension point (divergence documented — Lucene ships
+# GermanLightStemFilter etc., we ship the chain shape + stops).
+GERMAN_STOP_WORDS = frozenset(
+    """der die das den dem des ein eine einer eines einem einen und oder
+    aber doch wenn dann dass weil wie was wer wo ist sind war waren sein
+    hat haben wird werden nicht kein keine mit von zu im in am an auf
+    für aus bei nach über unter auch noch nur schon sich es ich du er
+    sie wir ihr man""".split()
+)
+FRENCH_STOP_WORDS = frozenset(
+    """le la les un une des du de au aux et ou mais donc or ni car que
+    qui quoi dont où si ne pas plus moins très est sont était été être
+    avoir a ont dans sur sous avec sans pour par ce cette ces cet il
+    elle ils elles nous vous je tu on se sa son ses leur leurs""".split()
+)
+SPANISH_STOP_WORDS = frozenset(
+    """el la los las un una unos unas y o pero si no que quien cuyo
+    donde como cuando es son era eran ser estar fue han ha con sin para
+    por en de del al este esta estos estas ese esa esos esas lo le les
+    se su sus nos os yo tu él ella ellos ellas nosotros""".split()
+)
+
+register_analyzer(Analyzer(name="german", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=GERMAN_STOP_WORDS))
+register_analyzer(Analyzer(name="french", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=FRENCH_STOP_WORDS))
+register_analyzer(Analyzer(name="spanish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=SPANISH_STOP_WORDS))
+
 # English analyzer: standard chain + Porter stemming — the
 # EnglishAnalyzer role (analysis/en/EnglishAnalyzer.java: stops +
 # PorterStemFilter; possessive stripping approximated by the tokenizer

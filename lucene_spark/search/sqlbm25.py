@@ -91,6 +91,30 @@ def bm25_topk_sql(
     )
 
 
+def choose_bm25_backend(reader, terms: list[str], scan_threshold: float = 0.2,
+                        field: str | None = None) -> str:
+    """Cost-based physical-plan choice — the IndexOrDocValuesQuery role
+    (search/IndexOrDocValuesQuery.java:51): two physical strategies exist
+    for the same BM25 semantics — the bucket-pruned postings kernel
+    (cheap when query terms are selective: it touches Σdf posting entries
+    across the pruned buckets) and the declarative corpus-scan plan in
+    this module (cheap when the query matches most of the corpus: one
+    streaming pass, no per-term row lookups, and Catalyst fuses it with
+    downstream relational work).
+
+    Decision mirrors Lucene's estimateCost comparison: prefer the
+    postings path while Σdf / (N · |terms|) stays under `scan_threshold`.
+    Caveat (documented): the kernel scores in float32 (Lucene parity),
+    the scan path in float64 — rank-stable on real data, not bit-equal;
+    use one backend when bit-stability across calls matters. The scan
+    path also requires the corpus table and a tokenizer the scan can
+    reproduce (whitespace)."""
+    stats = reader.term_stats([(field or reader.default_field, t) for t in terms])
+    n = max(reader.doc_count, 1)
+    total_df = sum(df for df, _ in stats.values())
+    return "scan" if total_df > scan_threshold * n * max(len(terms), 1) else "postings"
+
+
 def bm25_topk_oracle_sql(
     table: str,
     id_col: str,

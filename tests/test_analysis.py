@@ -96,3 +96,19 @@ def test_query_time_synonyms(spark, tmp_path_factory):
             for x in s_plain.matches(
                 P.SynonymNode(terms=("index", "writer"))).collect()}
     assert got == want and got
+
+
+def test_language_analyzers():
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    de = get_analyzer("german")
+    out = list(de.tokenize_series(pd.Series(["Der Hund und die Katze"])).iloc[0])
+    assert out == ["hund", "katze"]
+    fr = get_analyzer("french")
+    out = list(fr.tokenize_series(pd.Series(["le chat est sur la table"])).iloc[0])
+    assert out == ["chat", "table"]
+    es = get_analyzer("spanish")
+    out = list(es.tokenize_series(pd.Series(["el perro y el gato"])).iloc[0])
+    assert out == ["perro", "gato"]

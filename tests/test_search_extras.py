@@ -184,3 +184,15 @@ def test_dfr_inl2_properties(reader):
     w_rare = sim.weight(2, 1000)
     assert sim.score(np.array([3]), np.array([100]), w_rare, np.float32(100.0))[0] > \
            sim.score(np.array([3]), np.array([100]), w, np.float32(100.0))[0]
+
+
+def test_cost_based_backend_choice(reader):
+    """IndexOrDocValuesQuery-style plan choice: rare terms -> postings
+    kernel; corpus-dominating terms -> declarative scan."""
+    from lucene_spark.search.sqlbm25 import choose_bm25_backend
+
+    # 'the' appears in ~every doc of the code corpus (license headers)
+    assert choose_bm25_backend(reader, ["the"]) == "scan"
+    # a uid term appears in exactly one doc
+    td = reader.termdict().filter("term like 'uid%'").select("term").head()
+    assert choose_bm25_backend(reader, [td["term"]]) == "postings"
