@@ -1787,6 +1787,26 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_NEARDUP_LSH_SQL = SIM_NEARDUP_SQL
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (FAISS-style inverted lists; the coarse-quantizer scale
+    path next to sign-LSH): k-means assignment + probe. Probing ALL lists
+    degenerates to exact brute force, so the full IVF plumbing
+    (sampling, spherical k-means, GEMM assignment, probe filter, in-list
+    scoring) is verified against the exact cosine oracle; partial-probe
+    recall is measured in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    assigned, cent = similarity.ivf_build(e, "embedding", "vec_id",
+                                          n_clusters=8, seed=7)
+    out = similarity.ivf_topk(assigned, cent, "embedding", "vec_id", q,
+                              k=500, nprobe=8)
+    out = out.select("key", F.round(F.col("cosine"), 5).alias("cosine_r"))
+    return _ranked(out, "cosine_r", "key", 10).select("key", "cosine_r", "rank")
+
+
+SIM_IVF_SQL = SIM_COSINE_SQL
+
+
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN join: exact top-3 corpus neighbors for EVERY query row (20
     queries) via the chunked-broadcast GEMM path; ranks recomputed over
@@ -1935,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_gemm_topk": sim_gemm_topk,
         "sim_neardup": sim_neardup,
         "sim_neardup_lsh": sim_neardup_lsh,
+        "sim_ivf_topk": sim_ivf_topk,
         "sim_knn_join": sim_knn_join,
         "mm_features": mm_features,
     }
@@ -2014,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_gemm_topk": SIM_GEMM_SQL,
         "sim_neardup": SIM_NEARDUP_SQL,
         "sim_neardup_lsh": SIM_NEARDUP_LSH_SQL,
+        "sim_ivf_topk": SIM_IVF_SQL,
         "sim_knn_join": SIM_KNN_JOIN_SQL,
         "mm_features": MM_FEATURES_SQL,
     }

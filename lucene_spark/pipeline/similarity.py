@@ -135,6 +135,64 @@ def embedding_neardup_exact(
     )
 
 
+def ivf_build(
+    df: DataFrame, vec_col: str, key_col: str, n_clusters: int = 16,
+    sample: int = 4096, iters: int = 10, seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF (inverted-file) coarse quantizer — the other standard ANN
+    scale path next to sign-LSH (and Lucene's HNSW role): spherical
+    k-means centroids trained on a driver-side sample (quantizer training
+    is sample-based at any scale — FAISS trains IVF lists the same way),
+    then every vector assigned to its nearest centroid by one mapInPandas
+    GEMM pass (distributed, no shuffle). Returns (df + 'cluster' column,
+    normalized centroids (n_clusters, dim))."""
+    rows = df.select(vec_col).limit(sample).collect()
+    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    k = min(n_clusters, m.shape[0])
+    cent = m[rng.choice(m.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    centT = cent.T.copy()
+
+    def assign_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-30)
+            pdf = pdf[[key_col, vec_col]].copy()
+            pdf["cluster"] = np.argmax(vm @ centT, axis=1).astype(np.int32)
+            yield pdf
+
+    assigned = df.select(key_col, vec_col).mapInPandas(
+        assign_fn, f"{key_col} long, {vec_col} array<float>, cluster int")
+    return assigned, cent
+
+
+def ivf_topk(
+    assigned: DataFrame, centroids: np.ndarray, vec_col: str, key_col: str,
+    query_vec: list[float], k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: score the query against the centroids driver-side, scan
+    only the `nprobe` nearest inverted lists (a partition-prunable filter
+    when `assigned` is written partitioned by cluster), exact cosine
+    within. nprobe = n_clusters degenerates to the exact brute-force
+    result; recall at smaller nprobe is measured in tests."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    order = np.argsort(-(centroids @ qn))
+    probe = [int(c) for c in order[:nprobe]]
+    cand = assigned.filter(F.col("cluster").isin(probe))
+    return cosine_topk_bruteforce(cand, vec_col, key_col, query_vec, k)
+
+
 def knn_join(
     queries_df: DataFrame, corpus_df: DataFrame, vec_col: str, key_col: str,
     k: int = 10, query_chunk: int = 4096,

@@ -61,7 +61,8 @@ class StreamingIndexer:
         # fingerprint, idempotent); a group manifest with a different
         # fingerprint means something else owns the id — never clobber it
         mpath = self.builder._manifest_path(self.index_dir, group)
-        if os.path.exists(mpath):
+        replayed = os.path.exists(mpath)
+        if replayed:
             with open(mpath) as fh:
                 existing = json.load(fh)
             if existing.get("source_fingerprint") not in (None, fp):
@@ -69,11 +70,97 @@ class StreamingIndexer:
                     f"stream group {group} already owned by "
                     f"{existing.get('source_fingerprint')!r}; refusing to overwrite")
         self.builder._build_group(src, self.index_dir, group, fp, schema, key_and_carry)
-        self._remerge()
+        if replayed:
+            # a replayed batch may already have appended (possibly
+            # partially) its derived artifacts — appending again would
+            # duplicate rows, so rebuild everything cleanly (rare path;
+            # exactly-once for the common case stays cheap). The group
+            # part-manifest is written at the END of the group build and
+            # BEFORE publishing, so any crash inside publish leaves it
+            # behind and routes the replay here.
+            self._remerge()
+        else:
+            self._publish_incremental(group)
+
+    def _published_groups(self) -> set[int]:
+        mpath = os.path.join(self.index_dir, "manifest.json")
+        if not os.path.exists(mpath):
+            return set()
+        with open(mpath) as fh:
+            return set(json.load(fh).get("published_groups", []))
+
+    def _publish_incremental(self, group: int) -> None:
+        """Append-only publish of ONE new segment group — the
+        near-real-time segment-append path (Lucene: a DWPT flush adds a
+        segment; nothing old is rewritten). Per batch this moves only the
+        NEW group's postings/docstats (O(batch)), instead of re-bucketing
+        the whole index (O(total)) — the difference between a usable and
+        an unusable streaming indexer at scale. Global stats artifacts
+        (termdict, fieldstats, manifest) are recomputed from column-pruned
+        aggregations over raw/ (no blob columns read). Compaction remains
+        the place where the growing group population gets re-merged."""
+        cfg = self.cfg
+        idx = self.index_dir
+        raw_g = self.spark.read.parquet(os.path.join(idx, "raw", f"group={group}"))
+
+        postings = (
+            raw_g.filter(F.col("kind") == "posting")
+            .select("field", "term", "part_id", "slice", "local_df", "local_cf",
+                    "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                    "block_last", "block_max_tf", "block_min_dl")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        (
+            postings.repartition(cfg.num_buckets, "bucket")
+            .sortWithinPartitions("term", "field", "part_id", "slice")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(idx, "postings"))
+        )
+        key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
+        docstats = raw_g.filter(F.col("kind") == "docstat").select(
+            *[c for c in key_and_carry if c in raw_g.columns],
+            "doc_id", "doclen", "sha256")
+        docstats.write.mode("append").parquet(os.path.join(idx, "docstats"))
+
+        self._write_stats_and_manifest(published_add=group)
 
     def _remerge(self) -> None:
-        """Recompute the cheap global artifacts (termdict, fieldstats,
-        manifest) over ALL groups; postings stay as written per group."""
+        """FULL rebuild of the derived artifacts over ALL groups — the
+        recovery / replay path (the common per-batch path is
+        _publish_incremental)."""
+        cfg = self.cfg
+        idx = self.index_dir
+        raw = self.spark.read.parquet(os.path.join(idx, "raw"))
+
+        key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
+        docstats = raw.filter(F.col("kind") == "docstat").select(
+            *[c for c in key_and_carry if c in raw.columns], "doc_id", "doclen", "sha256"
+        )
+        docstats.write.mode("overwrite").parquet(os.path.join(idx, "docstats"))
+
+        postings = (
+            raw.filter(F.col("kind") == "posting")
+            .select("field", "term", "part_id", "slice", "local_df", "local_cf",
+                    "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                    "block_last", "block_max_tf", "block_min_dl")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        (
+            postings.repartition(cfg.num_buckets, "bucket")
+            .sortWithinPartitions("term", "field", "part_id", "slice")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(idx, "postings"))
+        )
+        self._write_stats_and_manifest()
+
+    def _write_stats_and_manifest(self, published_add: int | None = None) -> None:
+        """Recompute the SMALL global artifacts (termdict, fieldstats,
+        manifest) from column-pruned aggregations over raw/ — the blob
+        columns are never read, so this stays cheap as the index grows;
+        the manifest records every group whose postings/docstats are
+        already published (replay guard)."""
         cfg = self.cfg
         idx = self.index_dir
         raw = self.spark.read.parquet(os.path.join(idx, "raw"))
@@ -90,35 +177,14 @@ class StreamingIndexer:
             .write.mode("overwrite")
             .parquet(os.path.join(idx, "termdict"))
         )
-        key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
-        docstats = raw.filter(F.col("kind") == "docstat").select(
-            *[c for c in key_and_carry if c in raw.columns], "doc_id", "doclen", "sha256"
-        )
-        docstats.write.mode("overwrite").parquet(os.path.join(idx, "docstats"))
 
-        # postings view refresh (merge shuffle over ALL groups; a true
-        # incremental variant would only re-bucket the new group — noted
-        # as the compaction job's role)
-        postings = (
-            raw.filter(F.col("kind") == "posting")
-            .select("field", "term", "part_id", "slice", "local_df", "local_cf",
-                    "doc_blob", "tf_blob", "dl_blob", "pos_blob",
-                    "block_last", "block_max_tf", "block_min_dl")
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        fs = (
+            raw.filter(F.col("kind") == "docstat")
+            .agg(F.count("*").alias("doc_count"),
+                 F.sum("doclen").alias("sum_doclen"),
+                 F.max("doc_id").alias("max_doc_id"))
+            .collect()[0].asDict()
         )
-        (
-            postings.repartition(cfg.num_buckets, "bucket")
-            .sortWithinPartitions("term", "field", "part_id", "slice")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(idx, "postings"))
-        )
-
-        fs = docstats.agg(
-            F.count("*").alias("doc_count"),
-            F.sum("doclen").alias("sum_doclen"),
-            F.max("doc_id").alias("max_doc_id"),
-        ).collect()[0].asDict()
         fstat_rows = (
             raw.filter(F.col("kind") == "fieldstat")
             .groupBy("field")
@@ -135,6 +201,14 @@ class StreamingIndexer:
             or [(cfg.default_field, 0, 0)],
             "field string, doc_count long, sum_ttf long",
         ).write.mode("overwrite").parquet(os.path.join(idx, "fieldstats"))
+
+        # every on-disk group is published after a full remerge; on the
+        # incremental path the new group joins the prior set
+        raw_dir = os.path.join(idx, "raw")
+        groups = sorted(int(d.split("=", 1)[1]) for d in os.listdir(raw_dir)
+                        if d.startswith("group="))
+        published = groups if published_add is None else sorted(
+            self._published_groups() | {published_add})
 
         manifest = {
             "version": 3,
@@ -160,6 +234,7 @@ class StreamingIndexer:
             "doc_count": int(fs["doc_count"] or 0),
             "sum_doclen": int(fs["sum_doclen"] or 0),
             "field_stats": field_stats,
+            "published_groups": published,
             "status": "done",
         }
         tmp = os.path.join(idx, "manifest.json.tmp")

@@ -363,3 +363,34 @@ def test_highlighter(spark):
 
     out2 = highlight_regex(df, "text", ["index"]).collect()[0]
     assert "<b>index</b>" in out2["snippet"]
+
+
+def test_ivf_ann(spark):
+    """IVF quantizer: nprobe=all equals exact brute force; partial probes
+    reach measured recall."""
+    import os
+
+    import pytest
+
+    from lucene_spark.pipeline import similarity
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    q = list(e.filter("vec_id = 0").select("embedding").head()[0])
+    assigned, cent = similarity.ivf_build(e, "embedding", "vec_id",
+                                          n_clusters=8, seed=7)
+    assigned = assigned.persist()
+    exact = [r["key"] for r in
+             similarity.cosine_topk_bruteforce(e, "embedding", "vec_id", q, k=10).collect()]
+    allprobe = [r["key"] for r in
+                similarity.ivf_topk(assigned, cent, "embedding", "vec_id", q,
+                                    k=10, nprobe=8).collect()]
+    assert allprobe == exact
+    part = {r["key"] for r in
+            similarity.ivf_topk(assigned, cent, "embedding", "vec_id", q,
+                                k=10, nprobe=3).collect()}
+    recall = len(part & set(exact)) / 10
+    assert recall >= 0.6, recall
+    assigned.unpersist()

@@ -121,3 +121,49 @@ def test_streaming_indexer_incremental(spark, tmp_path):
     # doc ids from multiple groups present overall
     parts = {int(row["doc_id"]) >> 40 for row in s.matches("index").collect()}
     assert len(parts) > 1
+
+
+def test_incremental_publish_equals_full_remerge(spark, tmp_path):
+    """The append-only per-batch publish must produce an index identical
+    (termdict, doc stats, search results) to a full derived-artifact
+    rebuild over the same raw groups."""
+    import numpy as np
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.streaming import StreamingIndexer
+
+    src_dir = tmp_path / "drops"
+    src_dir.mkdir()
+    idx_dir = str(tmp_path / "sidx")
+    full = make_corpus(80, seed=21)
+    full.iloc[:40].to_parquet(src_dir / "d0.parquet", index=False)
+    full.iloc[40:].to_parquet(src_dir / "d1.parquet", index=False)
+
+    cfg = IndexConfig(partitions=2, num_buckets=4, analyzer="code")
+    ix = StreamingIndexer(spark, idx_dir, cfg)
+    schema = "repo string, path string, commit string, lang string, content string"
+    q = ix.start(str(src_dir), schema, str(tmp_path / "ck"), available_now=True,
+                 max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    r1 = IndexReader(spark, idx_dir)
+    assert len(r1.manifest.get("published_groups", [])) == 2
+    s1 = IndexSearcher(r1)
+    inc_hits = [(h["doc_id"], np.float32(h["score"]))
+                for h in s1.search("index OR writer", k=10).collect()]
+    inc_td = {(x["field"], x["term"]): (x["df"], x["cf"])
+              for x in r1.termdict().collect()}
+    inc_docs = r1.docstats().count()
+
+    # force the full-rebuild path over the same raw groups
+    ix._remerge()
+    r2 = IndexReader(spark, idx_dir)
+    s2 = IndexSearcher(r2)
+    assert [(h["doc_id"], np.float32(h["score"]))
+            for h in s2.search("index OR writer", k=10).collect()] == inc_hits
+    assert {(x["field"], x["term"]): (x["df"], x["cf"])
+            for x in r2.termdict().collect()} == inc_td
+    assert r2.docstats().count() == inc_docs == 80
+    assert r1.doc_count == r2.doc_count == 80
