@@ -138,6 +138,47 @@ def explain(searcher, query, doc_id: int) -> dict:
             score = float(sim.score(np.array([freq]), np.array([dl]), w, avgdl_map[n.field])[0])
             return {"value": score, "match": True,
                     "description": f"Phrase(\"{' '.join(n.terms)}\"~{n.slop}): freq={freq:g}, blended idf-sum weight"}
+        if isinstance(n, P.IntervalNode):
+            if not all((n.field, t) in doc and doc[(n.field, t)][2] is not None
+                       for t in n.terms):
+                return {"value": 0.0, "match": False, "description": "Interval: term missing"}
+            from lucene_spark.search.kernel import interval_match
+
+            pls = [np.sort(doc[(n.field, t)][2]) for t in n.terms]
+            hit = interval_match(pls, n.max_gaps, n.ordered)
+            kind = "ordered" if n.ordered else "unordered"
+            return {"value": float(n.boost) if hit else 0.0, "match": hit,
+                    "description": f"Interval({kind}, maxgaps={n.max_gaps}), constant score"}
+        if isinstance(n, P.MultiPhraseNode):
+            ok = all(any((n.field, t) in doc and doc[(n.field, t)][2] is not None
+                         for t in alts) for alts in n.positions)
+            if not ok:
+                return {"value": 0.0, "match": False,
+                        "description": "MultiPhrase: slot unmatched"}
+            adj = []
+            for j, alts in enumerate(n.positions):
+                ps = np.concatenate([doc[(n.field, t)][2] for t in alts
+                                     if (n.field, t) in doc and doc[(n.field, t)][2] is not None])
+                adj.append(np.unique(ps) - j)
+            if n.slop > 0:
+                from lucene_spark.search.kernel import sloppy_phrase_freq
+
+                freq = sloppy_phrase_freq(adj, n.slop, offsets=list(range(len(adj))))
+            else:
+                cur = adj[0]
+                for a in adj[1:]:
+                    cur = np.intersect1d(cur, a, assume_unique=True)
+                freq = float(cur.size)
+            if freq == 0:
+                return {"value": 0.0, "match": False,
+                        "description": "MultiPhrase: no aligned positions"}
+            first = next(t for t in n.positions[0] if (n.field, t) in doc)
+            dl = doc[(n.field, first)][1]
+            w = phrase_w[((n.field, n.positions), n.boost)]
+            score = float(sim.score(np.array([freq]), np.array([dl]), w,
+                                    avgdl_map[n.field])[0])
+            return {"value": score, "match": True,
+                    "description": f"MultiPhrase(~{n.slop}): freq={freq:g}, blended idf-sum weight"}
         if isinstance(n, P.DisjunctionMaxNode):
             kids = [walk(c) for c in n.children]
             hits = [k for k in kids if k["match"]]

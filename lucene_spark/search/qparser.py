@@ -51,6 +51,7 @@ _TOKEN_RE = re.compile(
       | (?P<minus>-)
       | (?P<range>[\[{][^\]}]+\s+TO\s+[^\]}]+[\]}])
       | (?P<inset>IN\([^)]*\))
+      | (?P<near>O?NEAR\([^)]*\))
       | (?P<quoted>"[^"]*")
       | (?P<atom>[^\s()!+\-"][^\s()"]*)
     )""",
@@ -229,6 +230,25 @@ def _parse_primary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> No
         for r in raw:
             terms.extend(_analyze_one(r, an) or [])
         return TermInSetNode(terms=tuple(sorted(set(terms))))
+    if kind == "near":
+        # NEAR(a, b[, maxgaps]) / ONEAR(...) — interval-query surface
+        # (queries/intervals Intervals.unordered / Intervals.ordered with
+        # maxgaps; engine extension syntax, there is no classic-QP form)
+        ordered = val.startswith("O")
+        body = val[val.index("(") + 1:-1]
+        parts = [x.strip() for x in body.split(",") if x.strip()]
+        max_gaps = 0
+        if parts and parts[-1].lstrip("-").isdigit():
+            max_gaps = int(parts[-1])
+            parts = parts[:-1]
+        terms: list[str] = []
+        for x in parts:
+            terms.extend(_analyze_one(x, an) or [])
+        if len(terms) < 2:
+            return MatchNoneNode()
+        from lucene_spark.search.plan import IntervalNode
+
+        return IntervalNode(terms=tuple(terms), max_gaps=max_gaps, ordered=ordered)
     if kind == "quoted":
         return _parse_quoted(lx, val, an)
     # atom: field override / boost / fuzzy / wildcard / prefix / plain term.

@@ -120,6 +120,47 @@ def main() -> None:
         ],
     ))
 
+    # 6. multi-field postings scan: field AND term both pushed
+    mf = gate._reader_mf(spark, sf_dir)
+    p = plan_of(mf.postings_for_terms([("text", "table"), ("lang", "en")]))
+    pushed = p.split("PushedFilters:", 1)[1][:400] if "PushedFilters:" in p else ""
+    sections.append((
+        "multi-field postings scan", p,
+        [
+            ("bucket partition pruning", "PartitionFilters:" in p and "bucket" in p),
+            ("term filter pushed", "term" in pushed),
+            ("field filter pushed", "field" in pushed),
+        ],
+    ))
+
+    # 7. percolator: ONE broadcast join + aggregation per batch
+    from lucene_spark.streaming.monitor import percolate
+
+    docs = gate._t(spark, sf_dir, "documents")
+    p = plan_of(percolate(spark, [("q1", "table AND hash"), ("q2", "scan")],
+                          docs, "doc_id", "text"))
+    sections.append((
+        "percolator match plan", p,
+        [
+            ("query-term table broadcast (BroadcastHashJoin)", "BroadcastHashJoin" in p),
+            ("partial aggregation of clause counts", "partial_" in p),
+        ],
+    ))
+
+    # 8. naive-bayes classifier: model tables broadcast, partial aggs
+    from lucene_spark.pipeline.classify import predict_naive_bayes, train_naive_bayes
+
+    model = train_naive_bayes(docs, "text", "lang", "doc_id")
+    p = plan_of(predict_naive_bayes(model, docs, "text", "doc_id"))
+    sections.append((
+        "naive-bayes predict plan", p,
+        [
+            ("cond/model tables broadcast", "BroadcastHashJoin" in p
+             or "BroadcastNestedLoopJoin" in p),
+            ("partial aggregation of log-liks", "partial_sum" in p),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",

@@ -74,3 +74,32 @@ def test_explain_sloppy_phrase(spark, corpus_pdf, tmp_path_factory):
     for h in hits:
         exp = s.explain(q, h["doc_id"])
         assert np.float32(exp["value"]) == np.float32(h["score"])
+
+
+def test_explain_interval_and_multiphrase(spark, tmp_path_factory):
+    import numpy as np
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher, plan as P
+
+    idx = str(tmp_path_factory.mktemp("exiv")) + "/idx"
+    src = spark.createDataFrame(make_corpus(60, seed=13))
+    cfg = IndexConfig(partitions=1, num_buckets=2, index_positions=True)
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+
+    node = P.IntervalNode(terms=("index", "writer"), max_gaps=4)
+    hits = s.matches(node).collect()
+    assert hits
+    ex = s.explain(node, int(hits[0]["doc_id"]))
+    assert ex["match"] and np.float32(ex["value"]) == np.float32(hits[0]["score"])
+
+    mp = P.MultiPhraseNode(positions=(("index", "merge"), ("writer",)))
+    mh = s.matches(mp).collect()
+    if mh:
+        ex2 = s.explain(mp, int(mh[0]["doc_id"]))
+        assert ex2["match"] and np.float32(ex2["value"]) == np.float32(mh[0]["score"])
+    # non-match explains as 0
+    miss = s.explain(node, 999999)
+    assert not miss["match"] and miss["value"] == 0.0

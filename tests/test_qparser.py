@@ -121,3 +121,16 @@ def test_field_analyzer_resolution():
     n = parse_query("FooBar", get_analyzer("code"),
                     field_analyzers={"raw": raw})
     assert {c.node.term for c in n.clauses} == {"foo", "bar"}
+
+
+def test_near_syntax():
+    n = parse("NEAR(index, writer, 3)")
+    assert isinstance(n, P.IntervalNode) and not n.ordered and n.max_gaps == 3 \
+        and n.terms == ("index", "writer")
+    n = parse("ONEAR(index, writer)")
+    assert isinstance(n, P.IntervalNode) and n.ordered and n.max_gaps == 0
+    n = parse("merge AND NEAR(index, writer, 2)")
+    assert isinstance(n, P.BooleanNode)
+    kinds = {type(c.node) for c in n.clauses}
+    assert P.IntervalNode in kinds and P.TermNode in kinds
+    assert isinstance(parse("NEAR(solo)"), P.MatchNoneNode)
