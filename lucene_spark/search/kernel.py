@@ -43,6 +43,11 @@ class TermPostings:
     block_min_dl: np.ndarray
     pos: np.ndarray | None = None   # flat positions; posting i owns
                                     # pos[tf_off[i]:tf_off[i+1]]
+    # start index of each metadata block in the posting arrays (len nb+1,
+    # last entry = n). Blocks are NOT uniform: every encoded slice ends
+    # with a short tail block, and a partition may concatenate several
+    # slices — pruning must use these exact boundaries, not n/nb math.
+    block_off: np.ndarray | None = None
     _tf_off: np.ndarray | None = None
 
     @property
@@ -50,6 +55,16 @@ class TermPostings:
         if self._tf_off is None:
             self._tf_off = np.append(np.int64(0), np.cumsum(self.tfs))
         return self._tf_off
+
+    def block_offsets(self, block_size: int) -> np.ndarray:
+        """Explicit offsets if provided; otherwise the single-slice layout
+        (full `block_size` blocks + short tail)."""
+        if self.block_off is not None:
+            return self.block_off
+        nb = self.block_last.size
+        off = np.minimum(np.arange(nb + 1, dtype=np.int64) * block_size,
+                         self.docs.size)
+        return off
 
 
 @dataclass
@@ -68,6 +83,8 @@ class EvalContext:
     # (search/similarities/PerFieldSimilarityWrapper.java); a field absent
     # here scores with the default `sim`
     field_sims: dict[str, BM25Similarity] | None = None
+    block_size: int = 128     # codec block size (fallback for postings
+                              # built without explicit block_off)
 
 
 def _sim_of(ctx: "EvalContext", field: str):
@@ -403,11 +420,19 @@ def score_term_topk_blockmax(
     sim = _sim_of(ctx, node.field)
     bmax = sim.max_score(tp.block_max_tf, tp.block_min_dl, w, avgdl)
     nb = bmax.size
-    bs = (n + nb - 1) // nb  # block size (last block short)
+    # EXACT block boundaries: blocks are block_size-full except each
+    # slice's tail, so boundaries come from metadata offsets — a uniform
+    # n/nb approximation would misalign the mask against the bounds and
+    # could prune competitive docs
+    off = tp.block_offsets(ctx.block_size)
+    sizes = np.diff(off)
     order = np.argsort(-bmax, kind="stable")
-    take = min(nb, max(1, (k + bs - 1) // bs))
+    # phase 1: highest-bound blocks until ≥k postings are covered
+    csum = np.cumsum(sizes[order])
+    take = int(np.searchsorted(csum, k) + 1)
+    take = min(nb, max(1, take))
     phase1 = order[:take]
-    sel = _block_mask(phase1, nb, bs, n)
+    sel = _block_mask(phase1, off, n)
     s1 = sim.score(tp.tfs[sel], tp.dls[sel], w, avgdl)
     if phase1_only:
         return tp.docs[sel], s1
@@ -419,7 +444,7 @@ def score_term_topk_blockmax(
     rest = order[take:]
     rest = rest[bmax[rest] >= floor]  # strict-< pruning: keep ties
     if rest.size:
-        sel2 = _block_mask(rest, nb, bs, n)
+        sel2 = _block_mask(rest, off, n)
         docs = np.concatenate([tp.docs[sel], tp.docs[sel2]])
         scores = np.concatenate([s1, sim.score(tp.tfs[sel2], tp.dls[sel2], w, avgdl)])
         o = np.argsort(docs, kind="stable")
@@ -427,10 +452,10 @@ def score_term_topk_blockmax(
     return tp.docs[sel], s1
 
 
-def _block_mask(blocks: np.ndarray, nb: int, bs: int, n: int) -> np.ndarray:
+def _block_mask(blocks: np.ndarray, off: np.ndarray, n: int) -> np.ndarray:
     sel = np.zeros(n, dtype=bool)
     for b in blocks:  # few blocks; ranges are vectorized writes
-        sel[b * bs : min((b + 1) * bs, n)] = True
+        sel[off[b]:off[b + 1]] = True
     return sel
 
 

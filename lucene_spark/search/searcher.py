@@ -64,6 +64,16 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
         bl = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_last"]])
         bmt = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_max_tf"]])
         bmd = np.concatenate([np.asarray(x, dtype=np.int64) for x in grp["block_min_dl"]])
+        # exact block boundaries across concatenated slices: every slice
+        # contributes full block_size blocks plus a short tail — pruning
+        # must know the true ranges (kernel TermPostings.block_off)
+        sizes = []
+        for ldf, blocks in zip(grp["local_df"], grp["block_last"]):
+            nb_r = len(blocks)
+            if nb_r:
+                sizes.extend([block_size] * (nb_r - 1))
+                sizes.append(int(ldf) - block_size * (nb_r - 1))
+        block_off = np.append(np.int64(0), np.cumsum(np.asarray(sizes, dtype=np.int64)))
         pos = None
         if want_pos and not any(b is None for b in grp["pos_blob"]):
             # per-posting delta blobs -> absolute flat positions
@@ -89,7 +99,9 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
                 from lucene_spark.codec.blocks import build_block_meta
 
                 bl, bmt, bmd = build_block_meta(docs, tfs, dls, block_size)
-        postings[(field, term)] = TermPostings(docs, tfs, dls, bl, bmt, bmd, pos=pos)
+                block_off = None   # rebuilt meta is single-slice layout
+        postings[(field, term)] = TermPostings(docs, tfs, dls, bl, bmt, bmd,
+                                               pos=pos, block_off=block_off)
     return postings
 
 
@@ -248,7 +260,7 @@ class IndexSearcher:
                 ctx = EvalContext(postings=postings, weights=weights,
                                   syn_weights=syn_w, avgdl=avgdl, sim=sim,
                                   k=kk, phrase_weights=phrase_w,
-                                  field_sims=field_sims)
+                                  field_sims=field_sims, block_size=block_size)
                 frames = []
                 for qid, node in kernel_plans.items():
                     if isinstance(node, P.TermNode):
@@ -595,7 +607,7 @@ class IndexSearcher:
             ctx = EvalContext(postings=postings, weights=weights, syn_weights=syn_weights,
                               avgdl=avgdl, sim=sim, k=kk or 10,
                               phrase_weights=phrase_weights,
-                              field_sims=field_sims)
+                              field_sims=field_sims, block_size=self_block_size)
             if kk is not None and isinstance(node, P.TermNode):
                 docs, scores = score_term_topk_blockmax(
                     node, ctx, phase1_only=phase1_only, initial_floor=initial_floor)

@@ -85,3 +85,75 @@ def test_hydrate_returns_keys(searcher):
     assert len(hyd) == 5
     for r in hyd:
         assert r["repo"] and r["path"] and r["doclen"] > 0
+
+
+def test_blockmax_pruning_misaligned_tail_blocks():
+    """Regression: block metadata has FULL 128-doc blocks plus a short
+    tail (and concatenated slices repeat that pattern), so the pruning
+    mask must use exact block offsets — a uniform ceil(n/nb) mapping
+    misaligns bounds against postings and can prune competitive docs.
+    Adversarial layout: low-score everywhere except a spike placed just
+    past the uniform-math boundary of the final block."""
+    import numpy as np
+
+    from lucene_spark.codec.blocks import BLOCK_SIZE, build_block_meta
+    from lucene_spark.search import plan as P
+    from lucene_spark.search.kernel import (
+        EvalContext, TermPostings, _eval_term, eval_node,
+        score_term_topk_blockmax, topk_local)
+    from lucene_spark.search.similarity import BM25Similarity
+
+    rng = np.random.default_rng(17)
+    sim = BM25Similarity()
+    for n in (513, 641, 700, 1000, 1025):
+        docs = np.arange(n, dtype=np.int64)
+        tfs = np.ones(n, dtype=np.int64)
+        dls = np.full(n, 500, dtype=np.int64)
+        # spike in the LAST true block (short tail): high tf, tiny dl
+        tail_start = (n - 1) // BLOCK_SIZE * BLOCK_SIZE
+        tfs[tail_start:] = 1
+        tfs[n - 1] = 50
+        dls[n - 1] = 50
+        # and random competitive docs sprinkled around block boundaries
+        for b in range(1, n // BLOCK_SIZE + 1):
+            i = min(b * BLOCK_SIZE - 1, n - 1)
+            tfs[i] = int(rng.integers(5, 30))
+        bl, bmt, bmd = build_block_meta(docs, tfs, dls, BLOCK_SIZE)
+        tp = TermPostings(docs, tfs, dls, bl, bmt, bmd)
+        node = P.TermNode(term="t")
+        w = sim.weight(100, 10_000)
+        ctx = EvalContext(postings={("", "t"): tp},
+                          weights={(("", "t"), 1.0): w},
+                          syn_weights={}, avgdl={"": np.float32(500.0)},
+                          sim=sim, k=10, block_size=BLOCK_SIZE)
+        pruned = topk_local(*score_term_topk_blockmax(node, ctx), 10)
+        exact = topk_local(*_eval_term(node, ctx, True), 10)
+        assert [list(x) for x in pruned] == [list(x) for x in exact], n
+
+    # multi-slice layout: two slices, each with its own short tail —
+    # explicit block_off path
+    n1, n2 = 300, 413
+    docs = np.arange(n1 + n2, dtype=np.int64)
+    tfs = rng.integers(1, 4, size=n1 + n2).astype(np.int64)
+    dls = np.full(n1 + n2, 400, dtype=np.int64)
+    tfs[n1 - 1] = 80   # spike at slice-1 tail
+    dls[n1 - 1] = 40
+    b1 = build_block_meta(docs[:n1], tfs[:n1], dls[:n1], BLOCK_SIZE)
+    b2 = build_block_meta(docs[n1:], tfs[n1:], dls[n1:], BLOCK_SIZE)
+    bl = np.concatenate([b1[0], b2[0]])
+    bmt = np.concatenate([b1[1], b2[1]])
+    bmd = np.concatenate([b1[2], b2[2]])
+    sizes = []
+    for m in (n1, n2):
+        nb = (m + BLOCK_SIZE - 1) // BLOCK_SIZE
+        sizes.extend([BLOCK_SIZE] * (nb - 1) + [m - BLOCK_SIZE * (nb - 1)])
+    off = np.append(np.int64(0), np.cumsum(np.asarray(sizes, dtype=np.int64)))
+    tp = TermPostings(docs, tfs, dls, bl, bmt, bmd, block_off=off)
+    node = P.TermNode(term="t")
+    w = sim.weight(100, 10_000)
+    ctx = EvalContext(postings={("", "t"): tp}, weights={(("", "t"), 1.0): w},
+                      syn_weights={}, avgdl={"": np.float32(400.0)},
+                      sim=sim, k=10, block_size=BLOCK_SIZE)
+    a = topk_local(*score_term_topk_blockmax(node, ctx), 10)
+    b = topk_local(*_eval_term(node, ctx, True), 10)
+    assert [list(x) for x in a] == [list(x) for x in b]
