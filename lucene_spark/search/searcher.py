@@ -55,7 +55,7 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
     """Decode a partition's (bucket-pruned) posting rows into per-(field,
     term) TermPostings: slices concatenated in order, optional positions
     reconstructed, tombstoned docs masked with block metadata realigned."""
-    pdf = pdf.sort_values(["field", "term", "slice"])
+    pdf = pdf.sort_values(["field", "term", "part_id", "slice"])
     postings: dict[tuple[str, str], TermPostings] = {}
     for (field, term), grp in pdf.groupby(["field", "term"], sort=False):
         docs = np.concatenate([delta_decode(vbyte_decode(b)) for b in grp["doc_blob"]])
@@ -132,6 +132,13 @@ class IndexSearcher:
         self.analyzer = self.field_analyzers.get(
             reader.default_field, get_analyzer(reader.analyzer_name))
         self._deleted: np.ndarray = np.empty(0, dtype=np.int64)
+        # cost-based local top-k execution threshold (Σdf of query terms):
+        # below it, the candidate posting rows are collected and the SAME
+        # kernel runs driver-side — no shuffle, no window stage. 0
+        # disables. 2M postings ≈ tens of MB of blobs — trivial for the
+        # driver, and the numpy kernel clears it in milliseconds; truly
+        # hot terms (df ≫ millions at 100 TB) stay distributed.
+        self.local_topk_max_postings: int = 2_000_000
 
     def _sim_for(self, field: str):
         return self.field_sims.get(field, self.sim)
@@ -601,6 +608,40 @@ class IndexSearcher:
         post = self.reader.postings_for_terms(live)
         deleted = self._deleted
         self_block_size = int(self.reader.manifest["config"].get("block_size", 128))
+
+        # ---- cost-based local execution (IndexOrDocValuesQuery spirit):
+        # for SELECTIVE top-k queries (Σdf below the threshold) the whole
+        # candidate set is a handful of posting rows — collect them in one
+        # shuffle-free job and run the SAME kernel driver-side, skipping
+        # the applyInPandas repartition + window stages (cuts ~2 of 3
+        # stages off single-query latency). Result-identical: the kernel
+        # is partition-agnostic and the concatenated arrays keep global
+        # doc order (rows sorted by part inside _assemble_postings).
+        est_postings = sum(df for df, _ in stats.values())
+        if (kk is not None and not phase1_only
+                and initial_floor == float("-inf")
+                and est_postings <= self.local_topk_max_postings):
+            rows = post.collect()
+            if not rows:
+                return self._empty_result()
+            pdf = pd.DataFrame([r.asDict() for r in rows])
+            postings = _assemble_postings(pdf, want_pos, deleted, self_block_size)
+            ctx = EvalContext(postings=postings, weights=weights,
+                              syn_weights=syn_weights, avgdl=avgdl, sim=sim,
+                              k=kk, phrase_weights=phrase_weights,
+                              field_sims=field_sims, block_size=self_block_size)
+            if isinstance(node, P.TermNode):
+                docs, scores = score_term_topk_blockmax(node, ctx)
+            else:
+                docs, scores = eval_node(node, ctx, need_scores=need_scores)
+            if after is not None and docs.size:
+                a_s, a_d = np.float32(after[0]), np.int64(after[1])
+                keep = (scores < a_s) | ((scores == a_s) & (docs > a_d))
+                docs, scores = docs[keep], scores[keep]
+            docs, scores = topk_local(docs, scores, kk)
+            return self.reader.spark.createDataFrame(
+                [(int(d), float(s)) for d, s in zip(docs, scores)],
+                "doc_id long, score float")
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             postings = _assemble_postings(pdf, want_pos, deleted, self_block_size)

@@ -196,3 +196,19 @@ def test_cost_based_backend_choice(reader):
     # a uid term appears in exactly one doc
     td = reader.termdict().filter("term like 'uid%'").select("term").head()
     assert choose_bm25_backend(reader, [td["term"]]) == "postings"
+
+
+def test_local_fast_path_result_identical(searcher):
+    """Cost-based local top-k execution returns bit-identical results to
+    the distributed kernel for every query shape."""
+    queries = ["index", "index AND writer", "index OR writer OR merge",
+               "ind*", "writer^2 OR reader", "search -cache"]
+    for q in queries:
+        searcher.local_topk_max_postings = 1_000_000
+        a = [(r["doc_id"], np.float32(r["score"]))
+             for r in searcher.search(q, k=10).collect()]
+        searcher.local_topk_max_postings = 0   # force distributed
+        b = [(r["doc_id"], np.float32(r["score"]))
+             for r in searcher.search(q, k=10).collect()]
+        searcher.local_topk_max_postings = 100_000
+        assert a == b, q
