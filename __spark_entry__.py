@@ -788,6 +788,87 @@ FROM agg QUALIFY rank <= 5 ORDER BY rank
 """
 
 
+def rel_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child block join (lucene/join ToParentBlockJoinQuery with a
+    Max score mode): parents = orders, children = lineitems matching a
+    filter; parent score = max over matching children; top-10 parents."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    child = li.filter(F.col("l_discount") >= 0.05)
+    agg = (child.groupBy("l_orderkey")
+           .agg(F.round(F.max("l_extendedprice"), 2).alias("pscore"),
+                F.count("*").alias("n_children")))
+    j = o.join(agg, o.o_orderkey == agg.l_orderkey).select(
+        "o_orderkey", "pscore", "n_children")
+    return _ranked(j, "pscore", "o_orderkey", 10).select(
+        "o_orderkey", "pscore", "n_children", "rank")
+
+
+REL_PARENT_CHILD_SQL = """
+WITH agg AS (
+  SELECT l_orderkey, round(max(l_extendedprice), 2) AS pscore,
+         count(*)::BIGINT AS n_children
+  FROM lineitem WHERE l_discount >= 0.05 GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, a.pscore, a.n_children,
+       row_number() OVER (ORDER BY a.pscore DESC, o.o_orderkey ASC) AS rank
+FROM orders o JOIN agg a ON o.o_orderkey = a.l_orderkey
+QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java): completions
+    whose PREFIX is within Levenshtein ≤ 1 of the typo'd input 'tabla'."""
+    from lucene_spark.search.suggest import suggest_fuzzy
+
+    out = suggest_fuzzy(_reader(spark, sf_dir), "tabla", n=5, max_edits=1)
+    return out.select("term", "df", "ed")
+
+
+FT_SUGGEST_FUZZY_SQL = f"""
+WITH td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK2}) GROUP BY term),
+fz AS (
+  SELECT term, df, levenshtein(substr(term, 1, 5), 'tabla')::INT AS ed
+  FROM td WHERE length(term) BETWEEN 4 AND 8
+)
+SELECT term, df, ed FROM fz WHERE ed <= 1
+ORDER BY ed ASC, df DESC, term ASC LIMIT 5
+"""
+
+
+def rel_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillSideways (lucene/facet DrillSideways.java): several facet
+    dimensions computed over ONE shared base match set — here the docs
+    matching a text filter, faceted by lang and by source, emitted as
+    (dim, value, count) rows."""
+    from lucene_spark.relational.facets import drill_sideways
+
+    s = _searcher(spark, sf_dir)
+    m = s.matches("table", with_scores=False).select("doc_id")
+    ds = s.reader.docstats().select("doc_id", "lang", "source")
+    base = m.join(F.broadcast(ds), "doc_id")
+    tables = drill_sideways(base, ["lang", "source"], top_n=10)
+    out = None
+    for dim, t in sorted(tables.items()):
+        part = t.select(F.lit(dim).alias("dim"), F.col(dim).alias("value"), "count")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+REL_DRILL_SIDEWAYS_SQL = f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({_TOK2}) WHERE term = 'table'),
+b AS (SELECT d.lang, d.source FROM documents d JOIN m ON d.doc_id = m.doc_id)
+SELECT * FROM (
+  SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS count FROM b
+  GROUP BY lang ORDER BY count DESC, value ASC LIMIT 10)
+UNION ALL
+SELECT * FROM (
+  SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS count FROM b
+  GROUP BY source ORDER BY count DESC, value ASC LIMIT 10)
+"""
+
+
 def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CsvStream / external-source ingestion (solr/solrj/.../io/stream/
     CsvStream.java → spark.read.csv): documents projected to CSV on disk,
@@ -1938,6 +2019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_unique": rel_unique,
         "rel_timeseries": rel_timeseries,
         "rel_json_extract": rel_json_extract,
+        "rel_parent_child": rel_parent_child,
+        "rel_drill_sideways": rel_drill_sideways,
+        "ft_suggest_fuzzy": ft_suggest_fuzzy,
         "rel_csv_roundtrip": rel_csv_roundtrip,
         "st_percolate": st_percolate,
         # training-data pipeline
@@ -2019,6 +2103,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_unique": REL_UNIQUE_SQL,
         "rel_timeseries": REL_TIMESERIES_SQL,
         "rel_json_extract": REL_JSON_EXTRACT_SQL,
+        "rel_parent_child": REL_PARENT_CHILD_SQL,
+        "rel_drill_sideways": REL_DRILL_SIDEWAYS_SQL,
+        "ft_suggest_fuzzy": FT_SUGGEST_FUZZY_SQL,
         "rel_csv_roundtrip": REL_CSV_SQL,
         "st_percolate": ST_PERCOLATE_SQL,
         "dd_exact": DD_EXACT_SQL,
