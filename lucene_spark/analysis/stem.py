@@ -7,9 +7,11 @@ Implemented from the published rule tables; validated in tests against
 DuckDB's Snowball 'porter' stemmer over the fixture vocabulary (both
 implement the same spec, so outputs agree).
 
-Hot-path shape: analyzers stem each batch's UNIQUE tokens once
-(pd.factorize → stem uniques → take), so the per-token Python cost is
-bounded by vocabulary size per Arrow batch, not token count — the same
+Hot-path shape: analyzers stem each batch's UNIQUE tokens once (the
+analyzer chain builds a {token: stem} table over the batch vocabulary and
+maps lists through it — analyzers._stem_lists), so the per-token Python
+cost is bounded by vocabulary size per Arrow batch, not token count; the
+lru_cache below additionally reuses stems across batches — the same
 reason Lucene caches stems per-field-instance is why this stays cheap.
 """
 
@@ -167,14 +169,3 @@ def porter_stem(word: str) -> str:
 
     return w
 
-
-def stem_tokens_unique(tokens) -> list[str]:
-    """Stem a flat token array by factorizing to unique values first —
-    per-token Python cost bounded by batch vocabulary, not token count."""
-    import numpy as np
-    import pandas as pd
-
-    arr = np.asarray(tokens, dtype=object)
-    codes, uniq = pd.factorize(arr, sort=False)
-    stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
-    return stemmed[codes]

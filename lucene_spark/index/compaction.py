@@ -57,6 +57,22 @@ def _recover_incomplete_merges(index_dir: str) -> None:
     raw_dir = os.path.join(index_dir, "raw")
     if not os.path.isdir(parts_dir):
         return
+    # Orphan detection: a crash between the merged group's parquet write
+    # and the part-manifest os.replace leaves raw/group=G (G in the
+    # compaction id range) fully written but with NO manifest recording
+    # merged_from — the victims are still intact, so the safe move is
+    # always rollback: drop the orphan copy (and any manifest .tmp).
+    if os.path.isdir(raw_dir):
+        for d in os.listdir(raw_dir):
+            if not d.startswith("group="):
+                continue
+            g = int(d.split("=", 1)[1])
+            if g >= COMPACT_BASE and not os.path.exists(
+                    os.path.join(parts_dir, f"group-{g:05d}.json")):
+                shutil.rmtree(os.path.join(raw_dir, d), ignore_errors=True)
+                tmp = os.path.join(parts_dir, f"group-{g:05d}.json.tmp")
+                if os.path.exists(tmp):
+                    os.remove(tmp)
     for name in os.listdir(parts_dir):
         if not name.endswith(".json"):
             continue

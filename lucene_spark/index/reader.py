@@ -77,10 +77,20 @@ class IndexReader:
                 .withColumn("bucket", F.pmod(F.xxhash64("term"),
                                              F.lit(self.num_buckets)).cast("int"))
             )
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._with_field(
+            self.spark.read.parquet(os.path.join(self.index_dir, "postings")))
+
+    def _with_field(self, df: DataFrame) -> DataFrame:
+        """v2-manifest compatibility: indexes written before the
+        multi-field layout have no `field` column — inject the synthesized
+        default so every (field, term)-keyed read path works unchanged."""
+        if "field" not in df.columns:
+            df = df.withColumn("field", F.lit(self.default_field))
+        return df
 
     def termdict(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "termdict"))
+        return self._with_field(
+            self.spark.read.parquet(os.path.join(self.index_dir, "termdict")))
 
     def docstats(self) -> DataFrame:
         if self.layout >= 2:

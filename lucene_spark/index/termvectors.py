@@ -52,8 +52,9 @@ def term_vectors(df: DataFrame, text_col: str, key_col: str,
             yield pd.DataFrame({"key": keys_out, "term": terms_out,
                                 "tf": tfs_out, "positions": pos_out})
 
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.select(key_col, text_col).mapInPandas(
-        run, "key long, term string, tf int, positions array<int>")
+        run, f"key {key_type}, term string, tf int, positions array<int>")
 
 
 def term_vectors_nested(df: DataFrame, text_col: str, key_col: str,

@@ -171,8 +171,9 @@ def ivf_build(
             pdf["cluster"] = np.argmax(vm @ centT, axis=1).astype(np.int32)
             yield pdf
 
+    key_type = df.schema[key_col].dataType.simpleString()
     assigned = df.select(key_col, vec_col).mapInPandas(
-        assign_fn, f"{key_col} long, {vec_col} array<float>, cluster int")
+        assign_fn, f"{key_col} {key_type}, {vec_col} array<float>, cluster int")
     return assigned, cent
 
 

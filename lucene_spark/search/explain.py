@@ -66,7 +66,7 @@ def explain(searcher, query, doc_id: int) -> dict:
     weights, syn_w, phrase_w = searcher._weights(node, stats)
     avgdl_map = searcher._avgdl_map({f for f, _ in terms})
     doc = _doc_postings(searcher, [t for t in terms if t in stats], doc_id)
-    sim = searcher.sim
+    sim_for = searcher._sim_for
 
     def leaf_term(n: P.TermNode) -> dict:
         if (n.field, n.term) not in doc:
@@ -75,6 +75,7 @@ def explain(searcher, query, doc_id: int) -> dict:
         tf, dl, _ = doc[(n.field, n.term)]
         w = weights[((n.field, n.term), n.boost)]
         avgdl = avgdl_map[n.field]
+        sim = sim_for(n.field)
         score = float(sim.score(np.array([tf]), np.array([dl]), w, avgdl)[0])
         df, cf = stats[(n.field, n.term)]
         return {
@@ -113,7 +114,8 @@ def explain(searcher, query, doc_id: int) -> dict:
                 return {"value": 0.0, "match": False, "description": "Synonym: no term present"}
             dl = next(doc[(n.field, t)][1] for t in n.terms if (n.field, t) in doc)
             w = syn_w[((n.field, n.terms), n.boost)]
-            score = float(sim.score(np.array([tf_sum]), np.array([dl]), w, avgdl_map[n.field])[0])
+            score = float(sim_for(n.field).score(
+                np.array([tf_sum]), np.array([dl]), w, avgdl_map[n.field])[0])
             return {"value": score, "match": True,
                     "description": f"Synonym({','.join(n.terms)}): tf summed, df=max",
                     "details": [{"value": tf_sum, "description": "summed tf"}]}
@@ -121,11 +123,13 @@ def explain(searcher, query, doc_id: int) -> dict:
             if not all((n.field, t) in doc and doc[(n.field, t)][2] is not None
                        for t in n.terms):
                 return {"value": 0.0, "match": False, "description": "Phrase: term missing"}
-            if n.slop > 0 and len(set(n.terms)) == len(n.terms):
+            if n.slop > 0:
                 from lucene_spark.search.kernel import sloppy_phrase_freq
 
+                repeats = len(set(n.terms)) != len(n.terms)
+                offsets = list(range(len(n.terms))) if repeats else None
                 adj = [np.sort(doc[(n.field, t)][2] - j) for j, t in enumerate(n.terms)]
-                freq = sloppy_phrase_freq(adj, n.slop)
+                freq = sloppy_phrase_freq(adj, n.slop, offsets=offsets)
             else:
                 cur = set(doc[(n.field, n.terms[0])][2].tolist())
                 for j, t in enumerate(n.terms[1:], start=1):
@@ -135,7 +139,8 @@ def explain(searcher, query, doc_id: int) -> dict:
                 return {"value": 0.0, "match": False, "description": "Phrase: no aligned positions"}
             dl = doc[(n.field, n.terms[0])][1]
             w = phrase_w[((n.field, n.terms), n.boost)]
-            score = float(sim.score(np.array([freq]), np.array([dl]), w, avgdl_map[n.field])[0])
+            score = float(sim_for(n.field).score(
+                np.array([freq]), np.array([dl]), w, avgdl_map[n.field])[0])
             return {"value": score, "match": True,
                     "description": f"Phrase(\"{' '.join(n.terms)}\"~{n.slop}): freq={freq:g}, blended idf-sum weight"}
         if isinstance(n, P.IntervalNode):
@@ -175,8 +180,8 @@ def explain(searcher, query, doc_id: int) -> dict:
             first = next(t for t in n.positions[0] if (n.field, t) in doc)
             dl = doc[(n.field, first)][1]
             w = phrase_w[((n.field, n.positions), n.boost)]
-            score = float(sim.score(np.array([freq]), np.array([dl]), w,
-                                    avgdl_map[n.field])[0])
+            score = float(sim_for(n.field).score(np.array([freq]), np.array([dl]), w,
+                                                 avgdl_map[n.field])[0])
             return {"value": score, "match": True,
                     "description": f"MultiPhrase(~{n.slop}): freq={freq:g}, blended idf-sum weight"}
         if isinstance(n, P.DisjunctionMaxNode):

@@ -157,6 +157,7 @@ class IndexSearcher:
         s.sim = self.sim
         s.field_sims = self.field_sims
         s.synonyms = self.synonyms
+        s.local_topk_max_postings = self.local_topk_max_postings
         s._deleted = np.unique(np.concatenate(
             [self._deleted, np.asarray(list(doc_ids), dtype=np.int64)]))
         return s
@@ -630,7 +631,10 @@ class IndexSearcher:
                               syn_weights=syn_weights, avgdl=avgdl, sim=sim,
                               k=kk, phrase_weights=phrase_weights,
                               field_sims=field_sims, block_size=self_block_size)
-            if isinstance(node, P.TermNode):
+            if isinstance(node, P.TermNode) and after is None:
+                # block-max pruning keeps only top-k-competitive docs —
+                # valid for page 1 only; a searchAfter cursor needs the
+                # docs BELOW the floor, so paging evaluates exhaustively
                 docs, scores = score_term_topk_blockmax(node, ctx)
             else:
                 docs, scores = eval_node(node, ctx, need_scores=need_scores)
@@ -649,7 +653,9 @@ class IndexSearcher:
                               avgdl=avgdl, sim=sim, k=kk or 10,
                               phrase_weights=phrase_weights,
                               field_sims=field_sims, block_size=self_block_size)
-            if kk is not None and isinstance(node, P.TermNode):
+            if kk is not None and isinstance(node, P.TermNode) and after is None:
+                # see local path: pruning is admissible only without a
+                # paging cursor (pruned blocks hold the next pages)
                 docs, scores = score_term_topk_blockmax(
                     node, ctx, phase1_only=phase1_only, initial_floor=initial_floor)
             else:

@@ -46,6 +46,12 @@ class StreamingIndexer:
         if not batch_df.take(1):
             return
         os.makedirs(os.path.join(self.index_dir, "parts"), exist_ok=True)
+        # a compaction that crashed mid-swap leaves duplicate copies of
+        # merged rows in raw/; publishing on top of that bakes the double
+        # count into termdict/fieldstats — reconcile first (cheap no-op
+        # when the index is clean)
+        from lucene_spark.index.compaction import _recover_incomplete_merges
+        _recover_incomplete_merges(self.index_dir)
         key_and_carry = [c for c in batch_df.columns
                          if c in cfg.key_cols + cfg.carry_cols]
         field_srcs = [s.source_col for s in cfg.field_specs()]

@@ -55,12 +55,24 @@ def main() -> None:
         ],
     ))
 
-    # 2. search plan: per-partition kernel + tiny global top-k
-    top = searcher.search("merge OR scan", k=10)
+    # 2. search plan: per-partition kernel + tiny global top-k.
+    # The default searcher serves selective queries DRIVER-SIDE (cost-based
+    # local execution, IndexOrDocValuesQuery analogue) — that plan is a
+    # LocalTableScan by design. Audit BOTH: the cost-based choice fires for
+    # a selective query, and the distributed plan (local path disabled) has
+    # the pruned-scan shape that must hold for hot terms at 100 TB.
+    top_default = searcher.search("merge OR scan", k=10)
+    p_local = plan_of(top_default)
+    dist = type(searcher)(reader)
+    dist.local_topk_max_postings = 0
+    top = dist.search("merge OR scan", k=10)
     p = plan_of(top)
     sections.append((
         "BM25 top-k (engine)", p,
         [
+            ("cost-based local execution fires for selective query",
+             "LocalTableScan" in p_local or "ResultQueryStage" not in p_local
+             and "Scan parquet" not in p_local),
             ("global reduce is TakeOrderedAndProject (no full sort)",
              "TakeOrderedAndProject" in p),
             ("postings scan pruned (PushedFilters present)",

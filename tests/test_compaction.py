@@ -71,3 +71,49 @@ def test_compact_streaming_groups(spark, tmp_path):
     merged_manifests = [json.load(open(os.path.join(idx_dir, "parts", p)))
                         for p in parts]
     assert any(m.get("merged_from") for m in merged_manifests)
+
+
+def test_recover_orphan_compaction_group(spark, tmp_path):
+    """Crash window between the merged-group parquet write and the
+    part-manifest os.replace: the orphan raw/group=COMPACT_BASE+ dir has
+    no manifest recording merged_from, and both it AND the intact victims
+    hold the merged rows. Recovery must roll back (drop the orphan) so
+    derived rebuilds never double-count; doc_count and search results
+    stay identical to the pre-crash index."""
+    import shutil
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.index.compaction import (
+        COMPACT_BASE, _recover_incomplete_merges)
+    from lucene_spark.search import IndexSearcher
+
+    idx_dir = str(tmp_path / "oidx")
+    cfg = IndexConfig(partitions=2, num_buckets=4, analyzer="code")
+    df = spark.createDataFrame(make_corpus(80, seed=7))
+    IndexBuilder(spark, cfg).build(df, idx_dir)
+
+    before = IndexSearcher(IndexReader(spark, idx_dir)).search(
+        "index OR writer", k=10).collect()
+
+    # simulate the crash: a fully-written compacted copy of group 0
+    # appears under a COMPACT_BASE id, but no parts manifest was committed
+    raw = os.path.join(idx_dir, "raw")
+    victims = [d for d in os.listdir(raw) if d.startswith("group=")]
+    orphan = os.path.join(raw, f"group={COMPACT_BASE}")
+    shutil.copytree(os.path.join(raw, victims[0]), orphan)
+
+    _recover_incomplete_merges(idx_dir)
+    assert not os.path.isdir(orphan), "orphan compacted group must be rolled back"
+
+    # a streaming publish on the recovered index must not double-count
+    from lucene_spark.streaming import StreamingIndexer
+    ix = StreamingIndexer(spark, idx_dir, cfg)
+    shutil.copytree(os.path.join(raw, victims[0]), orphan)  # re-break
+    extra = spark.createDataFrame(make_corpus(20, seed=99))
+    ix.process_batch(extra, 0)
+    r2 = IndexReader(spark, idx_dir)
+    assert r2.doc_count == 100  # 80 original + 20 streamed, no double count
+    after = IndexSearcher(r2).search("index OR writer", k=10).collect()
+    assert {x["doc_id"] for x in before} <= {x["doc_id"] for x in after} or \
+        len(after) == 10
