@@ -733,6 +733,38 @@ FT_MLT_SQL = bm25_topk_oracle_sql(
 )
 
 
+def ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnifiedHighlighter role (lucene/highlighter/.../uhighlight/
+    UnifiedHighlighter.java): engine top-10 for `merge AND scan`, stored
+    text hydrated for exactly those k hits, snippet = first match ± 40
+    chars with matched terms tagged — all JVM regexp (highlight_regex),
+    reproducible in the oracle's RE2 with identical leftmost-greedy
+    semantics."""
+    from lucene_spark.search.highlight import highlight_regex
+
+    s = _searcher(spark, sf_dir)
+    m = _to_ext(s.matches("merge AND scan"), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    top = _ranked(m, "score_r", "doc_id", 10)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # k rows joined against the corpus: broadcast the tiny top-k side
+    hydrated = docs.join(F.broadcast(top), "doc_id")
+    out = highlight_regex(hydrated, "text", ["merge", "scan"], context_chars=40)
+    return out.select("doc_id", "rank", "snippet")
+
+
+FT_HIGHLIGHT_SQL = f"""
+WITH topk AS ({bm25_topk_oracle_sql("documents", "doc_id", "text",
+                                    ["merge", "scan"], k=10, mode="and",
+                                    round_to=2)})
+SELECT t.doc_id, t.rank,
+       regexp_replace(
+         regexp_extract(d.text, '(?i).{{0,40}}(?:merge|scan).{{0,40}}', 0),
+         '(?i)(merge|scan)', '<b>\\1</b>', 'g') AS snippet
+FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+"""
+
+
 def st_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolator / monitor (lucene/monitor/Monitor.java): three stored
     queries matched against the whole documents table in ONE broadcast-
@@ -1459,6 +1491,91 @@ FROM events GROUP BY event_type
 """
 
 
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic coordinates over customer: integer
+    multiply/mod then /100.0 — exact identical doubles in Spark and
+    DuckDB, no external data (LatLonPoint's data model: one (lat,lon)
+    point per doc, LatLonPoint.java:40)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+_GEO_PTS_SQL = """
+  SELECT c_custkey,
+         ((c_custkey*7919) % 18000)/100.0 - 90.0  AS lat,
+         ((c_custkey*104729) % 36000)/100.0 - 180.0 AS lon
+  FROM customer
+"""
+
+
+def rel_geo_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.newBoxQuery with a dateline-crossing box
+    (LatLonPoint.java:205; GeoUtils.java:158 splits min_lon>max_lon into
+    two longitude ranges). Pure range predicates — pushed to the scan."""
+    from lucene_spark.relational.geo import geo_box
+
+    return geo_box(_geo_points(spark, sf_dir), "lat", "lon",
+                   min_lat=-30.0, max_lat=30.0,
+                   min_lon=150.0, max_lon=-150.0)
+
+
+REL_GEO_BOX_SQL = f"""
+SELECT * FROM ({_GEO_PTS_SQL})
+WHERE lat >= -30.0 AND lat <= 30.0 AND (lon >= 150.0 OR lon <= -150.0)
+"""
+
+
+def rel_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.newDistanceQuery (LatLonPointDistanceQuery.java):
+    customers within 2000 km of (10.5, 20.25), haversine distance in km
+    rounded to 2dp (boundary margins verified ≫ cross-engine libm ulps)."""
+    from lucene_spark.relational.geo import geo_distance
+
+    out = geo_distance(_geo_points(spark, sf_dir), "lat", "lon",
+                       center_lat=10.5, center_lon=20.25,
+                       radius_m=2_000_000.0)
+    return out.select(
+        "c_custkey",
+        F.round(F.col("distance_m") / 1000.0, 2).alias("dist_km"))
+
+
+_GEO_HAVERSINE_KM = (
+    "2.0*6371.0087714*asin(sqrt(pow(sin(radians(lat-10.5)/2),2)"
+    " + cos(radians(10.5))*cos(radians(lat))*pow(sin(radians(lon-20.25)/2),2)))"
+)
+
+REL_GEO_DISTANCE_SQL = f"""
+SELECT c_custkey, round(dist_km, 2) AS dist_km FROM (
+  SELECT c_custkey, {_GEO_HAVERSINE_KM} AS dist_km FROM ({_GEO_PTS_SQL})
+) WHERE dist_km <= 2000.0
+"""
+
+
+def rel_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-20 by great-circle distance (LatLonPointSortField +
+    LatLonPointDistanceComparator nearest-first sort) — compiles to
+    TakeOrderedAndProject, never a global sort."""
+    from lucene_spark.relational.geo import geo_nearest
+
+    out = geo_nearest(_geo_points(spark, sf_dir), "lat", "lon",
+                      center_lat=10.5, center_lon=20.25, k=20,
+                      tie_col="c_custkey")
+    return out.select(
+        "c_custkey",
+        F.round(F.col("distance_m") / 1000.0, 2).alias("dist_km"))
+
+
+REL_GEO_NEAREST_SQL = f"""
+SELECT c_custkey, round(dist_km, 2) AS dist_km FROM (
+  SELECT c_custkey, {_GEO_HAVERSINE_KM} AS dist_km FROM ({_GEO_PTS_SQL})
+) ORDER BY dist_km, c_custkey LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 
@@ -1994,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_field": ft_sort_field,
         "ft_boost": ft_boost,
         "ft_mlt": ft_mlt,
+        "ft_highlight": ft_highlight,
         "ft_search_after": ft_search_after,
         "ft_explain_topk": ft_explain_topk,
         "ft_matchall": ft_matchall,
@@ -2019,6 +2137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_unique": rel_unique,
         "rel_timeseries": rel_timeseries,
         "rel_json_extract": rel_json_extract,
+        "rel_geo_box": rel_geo_box,
+        "rel_geo_distance": rel_geo_distance,
+        "rel_geo_nearest": rel_geo_nearest,
         "rel_parent_child": rel_parent_child,
         "rel_drill_sideways": rel_drill_sideways,
         "ft_suggest_fuzzy": ft_suggest_fuzzy,
@@ -2079,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_sort_field": FT_SORT_FIELD_SQL,
         "ft_boost": FT_BOOST_SQL,
         "ft_mlt": FT_MLT_SQL,
+        "ft_highlight": FT_HIGHLIGHT_SQL,
         "ft_search_after": FT_SEARCH_AFTER_SQL,
         "ft_explain_topk": FT_EXPLAIN_SQL,
         "ft_matchall": FT_MATCHALL_SQL,
@@ -2103,6 +2225,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_unique": REL_UNIQUE_SQL,
         "rel_timeseries": REL_TIMESERIES_SQL,
         "rel_json_extract": REL_JSON_EXTRACT_SQL,
+        "rel_geo_box": REL_GEO_BOX_SQL,
+        "rel_geo_distance": REL_GEO_DISTANCE_SQL,
+        "rel_geo_nearest": REL_GEO_NEAREST_SQL,
         "rel_parent_child": REL_PARENT_CHILD_SQL,
         "rel_drill_sideways": REL_DRILL_SIDEWAYS_SQL,
         "ft_suggest_fuzzy": FT_SUGGEST_FUZZY_SQL,

@@ -166,11 +166,15 @@ class IndexReader:
         (search/FuzzyQuery.java). Uses Spark's levenshtein with a cheap
         length pre-filter; top terms by df like TopTermsRewrite."""
         tlen = len(term)
+        # threshold form early-exits each comparison once the running
+        # distance exceeds max_edits (returns -1) — the banded-DP trick a
+        # Levenshtein automaton exploits, in one JVM expression
         rows = (
             self._field_dict(field)
             .filter(F.length("term").between(tlen - max_edits, tlen + max_edits))
-            .withColumn("ed", F.levenshtein(F.col("term"), F.lit(term)))
-            .filter(F.col("ed") <= max_edits)
+            .withColumn("ed", F.levenshtein(F.col("term"), F.lit(term),
+                                            int(max_edits)))
+            .filter((F.col("ed") >= 0) & (F.col("ed") <= max_edits))
             .orderBy(F.col("df").desc(), "term")
             .limit(max_terms)
             .collect()

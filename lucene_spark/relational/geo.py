@@ -1,0 +1,147 @@
+"""Geo point queries — LatLonPoint box/distance/nearest restated.
+
+Role analogue: lucene/core/src/java/org/apache/lucene/document/
+LatLonPoint.java:205 (newBoxQuery), LatLonPointDistanceQuery.java
+(newDistanceQuery), LatLonPointSortField.java + LatLonPointDistanceComparator.java
+(nearest-first sort), lucene/core/src/java/org/apache/lucene/geo/
+GeoUtils.java:158 (dateline-crossing boxes split into two disjuncts).
+
+Spark-first restatement: Lucene encodes points into a BKD tree and walks
+cells; a columnar engine gets the same pruning for free from parquet
+min/max row-group statistics ON the raw lat/lon DOUBLE columns — a
+box predicate expressed as plain range filters pushes down to the scan
+(PushedFilters: GreaterThanOrEqual(lat,...)...) and skips row groups,
+which IS the BKD cell-skip in parquet clothing. Partition the table by a
+coarse geohash-style cell prefix and the same predicate also prunes
+whole partitions. Distance queries wrap the haversine great-circle
+formula (SloppyMath.haversinMeters, util/SloppyMath.java:47) in JVM
+Column arithmetic — codegen'd, no Python — pre-filtered by the bounding
+box of the circle so the trig only runs on box survivors (exactly the
+two-phase box-then-distance shape of LatLonPointDistanceQuery).
+
+All functions return Columns/DataFrames built from pyspark.sql.functions
+only: no UDFs anywhere on this path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# mean earth radius in meters, as GeoUtils.EARTH_MEAN_RADIUS_METERS
+EARTH_MEAN_RADIUS_METERS = 6_371_008.7714
+
+
+def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (haversine; SloppyMath.java:47
+    computes the same quantity with trig approximations — we use exact
+    JVM trig, deterministic and codegen'd)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_MEAN_RADIUS_METERS) * F.asin(F.sqrt(h))
+
+
+def box_predicate(
+    lat: Column,
+    lon: Column,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> Column:
+    """LatLonPoint.newBoxQuery (LatLonPoint.java:205): points inside the
+    closed box. A dateline-crossing box (min_lon > max_lon) splits into
+    two longitude ranges, mirroring GeoUtils.java:158."""
+    lat_ok = (lat >= F.lit(float(min_lat))) & (lat <= F.lit(float(max_lat)))
+    if min_lon > max_lon:  # crosses the dateline
+        lon_ok = (lon >= F.lit(float(min_lon))) | (lon <= F.lit(float(max_lon)))
+    else:
+        lon_ok = (lon >= F.lit(float(min_lon))) & (lon <= F.lit(float(max_lon)))
+    return lat_ok & lon_ok
+
+
+def geo_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> DataFrame:
+    """Filter to points inside the box — plain range predicates that push
+    down to the parquet scan (row-group min/max skip = BKD cell skip)."""
+    return df.filter(box_predicate(
+        F.col(lat_col), F.col(lon_col), min_lat, max_lat, min_lon, max_lon))
+
+
+def _circle_bbox(center_lat: float, center_lon: float, radius_m: float):
+    """Bounding box of a circle (GeoUtils.pointInsideCircle's pre-check):
+    cheap range predicates that prune before any trig runs."""
+    # widened 5%: the exact max longitude deviation asin(sin(r/R)/cosφ)
+    # can slightly exceed (r/R)/cosφ — the box only PRUNES (the haversine
+    # filter is what decides), so conservative is the only requirement
+    dlat = 1.05 * math.degrees(radius_m / EARTH_MEAN_RADIUS_METERS)
+    # longitude span widens with latitude; clamp cos to avoid pole blowup
+    coslat = max(0.01, math.cos(math.radians(center_lat)))
+    dlon = 1.05 * math.degrees(radius_m / (EARTH_MEAN_RADIUS_METERS * coslat))
+    return (center_lat - dlat, center_lat + dlat,
+            center_lon - dlon, center_lon + dlon)
+
+
+def geo_distance(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    distance_col: str = "distance_m",
+) -> DataFrame:
+    """LatLonPoint.newDistanceQuery: points within radius_m of the
+    center, with the haversine distance attached. Two-phase like
+    LatLonPointDistanceQuery: pushed-down box filter first, exact
+    haversine only on survivors."""
+    min_lat, max_lat, min_lon, max_lon = _circle_bbox(
+        center_lat, center_lon, radius_m)
+    dist = haversine_meters(
+        F.col(lat_col), F.col(lon_col),
+        F.lit(float(center_lat)), F.lit(float(center_lon)))
+    boxed = df.filter(
+        (F.col(lat_col) >= F.lit(min_lat)) & (F.col(lat_col) <= F.lit(max_lat))
+        & (F.col(lon_col) >= F.lit(min_lon)) & (F.col(lon_col) <= F.lit(max_lon))
+    ) if abs(min_lon) <= 180 and abs(max_lon) <= 180 else df
+    return (
+        boxed.withColumn(distance_col, dist)
+        .filter(F.col(distance_col) <= F.lit(float(radius_m)))
+    )
+
+
+def geo_nearest(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    k: int,
+    distance_col: str = "distance_m",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Nearest-k by great-circle distance (LatLonPointSortField +
+    LatLonPointDistanceComparator): orderBy(distance).limit(k) compiles
+    to TakeOrderedAndProject — per-partition top-k, ≤k×P rows to the
+    driver, never a global sort."""
+    dist = haversine_meters(
+        F.col(lat_col), F.col(lon_col),
+        F.lit(float(center_lat)), F.lit(float(center_lon)))
+    out = df.withColumn(distance_col, dist)
+    order = [F.col(distance_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    return out.orderBy(*order).limit(k)
