@@ -765,6 +765,48 @@ FROM topk t JOIN documents d ON t.doc_id = d.doc_id
 """
 
 
+_IDX_STREAM_CACHE: dict[str, IndexReader] = {}
+
+
+def st_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming micro-batch indexing end-to-end (TopicStream/DaemonStream
+    role + Lucene NRT segment appends, streaming/index_stream.py): the
+    documents table split into two deterministic micro-batches, each
+    published incrementally as its own segment group (postings appended,
+    termdict/fieldstats/manifest recomputed). A BM25 top-k over the
+    combined index must equal the full-corpus oracle — proving the
+    incremental publish path yields EXACTLY the same searchable state as
+    a batch build (same stats, same scores)."""
+    import shutil
+
+    from lucene_spark.streaming import StreamingIndexer
+
+    if sf_dir not in _IDX_STREAM_CACHE:
+        idx_dir = os.path.join(
+            "/tmp/lucene_spark_gate_stream", os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        cfg = IndexConfig(
+            key_cols=("ext_id",), content_col="text", analyzer="whitespace",
+            partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1,
+        )
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("ext_id"), "text")
+        ix = StreamingIndexer(spark, idx_dir, cfg)
+        ix.process_batch(docs.filter(F.col("ext_id") % 2 == 0), 0)
+        ix.process_batch(docs.filter(F.col("ext_id") % 2 == 1), 1)
+        _IDX_STREAM_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    r = _IDX_STREAM_CACHE[sf_dir]
+    s = IndexSearcher(r)
+    m = _to_ext(s.matches("merge"), r).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+ST_STREAM_BUILD_SQL = bm25_topk_oracle_sql(
+    "documents", "doc_id", "text", ["merge"], k=10, round_to=2
+)
+
+
 def st_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolator / monitor (lucene/monitor/Monitor.java): three stored
     queries matched against the whole documents table in ONE broadcast-
@@ -2145,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest_fuzzy": ft_suggest_fuzzy,
         "rel_csv_roundtrip": rel_csv_roundtrip,
         "st_percolate": st_percolate,
+        "st_stream_build": st_stream_build,
         # training-data pipeline
         "dd_exact": dd_exact,
         "dd_jaccard_pairs": dd_jaccard_pairs,
@@ -2233,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest_fuzzy": FT_SUGGEST_FUZZY_SQL,
         "rel_csv_roundtrip": REL_CSV_SQL,
         "st_percolate": ST_PERCOLATE_SQL,
+        "st_stream_build": ST_STREAM_BUILD_SQL,
         "dd_exact": DD_EXACT_SQL,
         "dd_jaccard_pairs": DD_JACCARD_SQL,
         "dd_minhash_lsh": DD_MINHASH_LSH_SQL,

@@ -320,12 +320,61 @@ class IndexSearcher:
         return cand.filter(cond).orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def count(self, query: str | P.Node) -> int:
-        """Exact hit count (TotalHitCountCollector analogue)."""
+        """Exact hit count (TotalHitCountCollector analogue).
+
+        Lucene's IndexSearcher.count delegates to Weight.count, which
+        answers a TermQuery from docFreq and MatchAllDocsQuery from
+        maxDoc when the segment has no deletions (search/TermQuery.java
+        Weight#count, search/MatchAllDocsQuery.java) — no postings are
+        touched. Same here: termdict df / manifest doc_count are already
+        driver-side stats, so these counts cost zero Spark jobs."""
         node = self._plan(query)
         if isinstance(node, P.MatchNoneNode):
             return 0
+        if self._deleted.size == 0:
+            if isinstance(node, P.MatchAllNode):
+                return int(self.reader.doc_count)
+            if isinstance(node, P.TermNode):
+                stats = self.reader.term_stats([(node.field, node.term)])
+                return int(stats.get((node.field, node.term), (0, 0))[0])
+        lc = self._local_count(node)
+        if lc is not None:
+            return lc
         df = self._matches(node, need_scores=False)
         return df.count()
+
+    def _local_count(self, node: P.Node) -> int | None:
+        """Cost-based local count for selective boolean/phrase queries:
+        when Σdf fits the local-execution budget, one shuffle-free
+        postings collect + the driver-side kernel beats the distributed
+        applyInPandas → df.count() job chain (same admissibility argument
+        as the local top-k path; deletes are masked in
+        _assemble_postings). Returns None to fall back."""
+        terms: set[tuple[str, str]] = set()
+        self._collect_terms(node, terms)
+        if not terms:
+            return None
+        stats = self.reader.term_stats(sorted(terms))
+        live = [t for t in terms if t in stats]
+        if not live:
+            return 0
+        if sum(df for df, _ in stats.values()) > self.local_topk_max_postings:
+            return None
+        rows = self.reader.postings_for_terms(live).collect()
+        if not rows:
+            return 0
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        bs = int(self.reader.manifest["config"].get("block_size", 128))
+        postings = _assemble_postings(
+            pdf, self._check_positions(node), self._deleted, bs)
+        weights, syn_w, phrase_w = self._weights(node, stats)
+        ctx = EvalContext(postings=postings, weights=weights,
+                          syn_weights=syn_w,
+                          avgdl=self._avgdl_map({f for f, _ in terms}),
+                          sim=self.sim, k=1, phrase_weights=phrase_w,
+                          field_sims=self.field_sims, block_size=bs)
+        docs, _ = eval_node(node, ctx, need_scores=False)
+        return int(docs.size)
 
     def matches(self, query: str | P.Node, with_scores: bool = True) -> DataFrame:
         """ALL matching (doc_id, score) rows — the exhaustive collector path

@@ -212,3 +212,29 @@ def test_local_fast_path_result_identical(searcher):
              for r in searcher.search(q, k=10).collect()]
         searcher.local_topk_max_postings = 100_000
         assert a == b, q
+
+
+def test_count_stat_shortcut_matches_pipeline(searcher):
+    """IndexSearcher.count answers TermQuery/MatchAll from stats when no
+    deletes exist (Weight#count contract) — must equal the exhaustive
+    collector count for every shape, and the shortcut must be bypassed
+    under deletes."""
+    for q in ["index", "merge", "*:*", "zzz_absent_term"]:
+        fast = searcher.count(q)
+        slow = searcher.matches(q, with_scores=False).count()
+        assert fast == slow, q
+    # deletes disable the stat answer; masked path stays exact
+    victim = searcher.search("index", k=1).collect()[0]["doc_id"]
+    s2 = searcher.with_deletes([victim])
+    assert s2.count("index") == searcher.count("index") - 1
+
+
+def test_local_count_matches_distributed(searcher):
+    for q in ["index AND writer", "index OR writer OR merge",
+              "search -cache", "ind*"]:
+        searcher.local_topk_max_postings = 1_000_000
+        fast = searcher.count(q)
+        searcher.local_topk_max_postings = 0
+        slow = searcher.count(q)
+        searcher.local_topk_max_postings = 100_000
+        assert fast == slow, q
