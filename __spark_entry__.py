@@ -765,6 +765,35 @@ FROM topk t JOIN documents d ON t.doc_id = d.doc_id
 """
 
 
+def ft_checkindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckIndex (index/CheckIndex.java:80) as an oracle-verified gate:
+    runs EVERY invariant pass — decode-level postings checks (doc order,
+    df/cf consistency, block-max admissibility, position monotonicity),
+    termdict-vs-postings agreement, fieldstats, doc_id uniqueness, and
+    the end-to-end sha256(content) multiset invariant vs the source
+    table — then returns the summary stats, which must equal the
+    corpus-derived numbers DuckDB computes independently. check_index
+    RAISES on any violation, so a green row certifies the whole index
+    structure, not just the three numbers."""
+    from lucene_spark.index.check import check_index
+
+    r = _reader(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("text")
+    res = check_index(r, source=src, content_col="text")
+    return spark.createDataFrame(
+        [(int(res["docs"]), int(res["terms"]), int(res["sum_doclen"]),
+          bool(res["sha256_ok"]))],
+        "docs long, terms long, sum_doclen long, sha_ok boolean")
+
+
+FT_CHECKINDEX_SQL = f"""
+SELECT (SELECT count(*) FROM documents)::BIGINT AS docs,
+       (SELECT count(DISTINCT term) FROM ({_TOK2}))::BIGINT AS terms,
+       (SELECT count(*) FROM ({_TOK2}))::BIGINT AS sum_doclen,
+       TRUE AS sha_ok
+"""
+
+
 _IDX_STREAM_CACHE: dict[str, IndexReader] = {}
 
 
@@ -2188,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_csv_roundtrip": rel_csv_roundtrip,
         "st_percolate": st_percolate,
         "st_stream_build": st_stream_build,
+        "ft_checkindex": ft_checkindex,
         # training-data pipeline
         "dd_exact": dd_exact,
         "dd_jaccard_pairs": dd_jaccard_pairs,
@@ -2277,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_csv_roundtrip": REL_CSV_SQL,
         "st_percolate": ST_PERCOLATE_SQL,
         "st_stream_build": ST_STREAM_BUILD_SQL,
+        "ft_checkindex": FT_CHECKINDEX_SQL,
         "dd_exact": DD_EXACT_SQL,
         "dd_jaccard_pairs": DD_JACCARD_SQL,
         "dd_minhash_lsh": DD_MINHASH_LSH_SQL,

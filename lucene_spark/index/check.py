@@ -31,6 +31,7 @@ def check_index(reader: IndexReader, source: DataFrame | None = None, content_co
     post = reader.postings()
     td = reader.termdict()
     ds = reader.docstats()
+    block_size = int(reader.manifest["config"].get("block_size", 128))
 
     # 1. decode-level invariants, distributed via mapInPandas
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -49,17 +50,23 @@ def check_index(reader: IndexReader, source: DataFrame | None = None, content_co
                     and int(tfs.sum()) == r.local_cf
                     and (docs.size < 2 or bool(np.all(np.diff(docs) > 0)))
                     and bool(np.all(tfs >= 1))
-                    and len(r.block_last) == (docs.size + 127) // 128 if docs.size else True
+                    and len(r.block_last) ==
+                    (docs.size + block_size - 1) // block_size
+                    if docs.size else True
                 )
                 if ok and docs.size:
                     # block-max metadata must be an admissible bound:
                     # per block, max_tf ≥ every tf and min_dl ≤ every dl
-                    # (the Impacts.java:43-45 contract CheckIndex enforces)
+                    # (the Impacts.java:43-45 contract CheckIndex enforces).
+                    # Blocks are FIXED-size (block_size) with a short tail
+                    # — the same layout the kernel's pruning reconstructs
+                    # (codec/blocks.py); an equal-split reconstruction
+                    # here would misalign every boundary.
                     bl = np.asarray(r.block_last, dtype=np.int64)
                     bmt = np.asarray(r.block_max_tf, dtype=np.int64)
                     bmd = np.asarray(r.block_min_dl, dtype=np.int64)
                     nb = bl.size
-                    bs = (docs.size + nb - 1) // nb
+                    bs = block_size
                     for b in range(nb):
                         lo, hi = b * bs, min((b + 1) * bs, docs.size)
                         if hi <= lo:

@@ -64,10 +64,30 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+# writing-system detection for languages whitespace stopwords can't see:
+# a text dominated by one of these script ranges is classified by script
+# before the stopword profile runs (CJK/Cyrillic text has no whitespace-
+# delimited stopwords to count)
+_SCRIPT_RANGES: dict[str, str] = {
+    "ja": "[぀-ヿ]",   # Hiragana + Katakana (checked before Han:
+                               # Japanese text mixes kana WITH kanji)
+    "ko": "[가-힣]",   # Hangul syllables
+    "zh": "[一-鿿]",   # CJK Unified Ideographs
+    "ru": "[Ѐ-ӿ]",   # Cyrillic
+}
+_SCRIPT_MIN_RATIO = 0.25
+
+
 def detect_language(df: DataFrame, text_col: str) -> DataFrame:
-    """Stopword-profile language ID: count marker hits per language, take
-    the argmax ('und' when nothing matches). Pure JVM expressions."""
-    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    """Language ID, two tiers of the same cheap-heuristic family fastText
+    replaces at scale: (1) writing-system ratio — ≥25% of characters in
+    one script range decides CJK/Cyrillic immediately (kana checked
+    before Han so Japanese kanji+kana text is 'ja'); (2) stopword-profile
+    argmax for the Latin-script languages; 'und' when nothing matches.
+    Pure JVM expressions (regexp_count + array ops), no Python."""
+    t = F.col(text_col)
+    chars = F.greatest(F.length(t), F.lit(1))
+    words = F.array_distinct(F.split(F.lower(t), r"\s+"))
     scores = [
         F.struct(
             F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ms]))).alias("hits"),
@@ -76,10 +96,12 @@ def detect_language(df: DataFrame, text_col: str) -> DataFrame:
         for lang, ms in _LANG_MARKERS.items()
     ]
     best = F.array_max(F.array(*scores))
-    return df.withColumn(
-        "detected_lang",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
-    )
+    stopword_pick = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    pick = stopword_pick
+    for lang, rng in reversed(list(_SCRIPT_RANGES.items())):
+        ratio = F.regexp_count(t, F.lit(rng)) / chars
+        pick = F.when(ratio >= F.lit(_SCRIPT_MIN_RATIO), F.lit(lang)).otherwise(pick)
+    return df.withColumn("detected_lang", pick)
 
 
 def fingerprint(df: DataFrame, text_col: str, key_col: str, ngram: int = 8) -> DataFrame:

@@ -52,3 +52,24 @@ def test_quality_over_search_many(searcher, reader):
     s = summarize(per)
     assert s["mrr"] == 1.0 and s["mean_p_at_k"] == 1.0
     assert 0 < s["mean_recall_at_k"] <= 1.0
+
+
+def test_script_based_language_id(spark):
+    """CJK/Cyrillic text has no whitespace stopwords to count — the
+    script-ratio tier must classify it; kana beats Han for Japanese
+    kanji+kana mixtures; Latin text still goes through stopword argmax."""
+    from lucene_spark.pipeline.textstats import detect_language
+
+    rows = [
+        (1, "这是一个简单的中文测试句子用来检测语言"),
+        (2, "これは日本語のテストです漢字も含まれます"),
+        (3, "한국어 문장입니다 언어 감지 테스트"),
+        (4, "это простой русский текст для проверки языка"),
+        (5, "the quick brown fox is in the garden and it is fast"),
+        (6, "der hund ist nicht in der küche und das ist gut"),
+        (7, "12345 67890 !!!"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["detected_lang"]
+           for r in detect_language(df, "text").collect()}
+    assert got == {1: "zh", 2: "ja", 3: "ko", 4: "ru", 5: "en", 6: "de", 7: "und"}
