@@ -765,6 +765,49 @@ FROM topk t JOIN documents d ON t.doc_id = d.doc_id
 """
 
 
+def rel_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significantTerms stream (SignificantTermsStream.java:59; score
+    formula SignificantTermsQParserPlugin.java:212): terms
+    over-represented in the result set of `merge` vs the corpus.
+    Foreground counts come from term vectors of ONLY the matched docs;
+    background df from the termdict. Rank on the 4dp-rounded score
+    (deterministic ties → term asc)."""
+    from lucene_spark.search.significant import significant_terms
+
+    s = _searcher(spark, sf_dir)
+    matched = _to_ext(s.matches("merge", with_scores=False), s.reader)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = significant_terms(
+        s.reader, matched.select("doc_id"), docs, "doc_id", "text",
+        k=50, min_df=2, max_df_ratio=0.95)
+    scored = out.select(
+        "term", "fg", "df", F.round(F.col("score"), 4).alias("sig"))
+    w = Window.orderBy(F.col("sig").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10))
+
+
+REL_SIGNIFICANT_SQL = f"""
+WITH tok2 AS ({_TOK2}),
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'merge'),
+fg AS (
+  SELECT term, count(DISTINCT t.doc_id)::BIGINT AS fg
+  FROM tok2 t JOIN m USING (doc_id) GROUP BY term
+),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok2 GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+sc AS (
+  SELECT fg.term, fg.fg, bg.df,
+         round(ln(fg.fg) * (ln((n.n + 1) / (bg.df + 1)) + 1.0), 4) AS sig
+  FROM fg JOIN bg ON fg.term = bg.term CROSS JOIN n
+  WHERE bg.df >= 2 AND bg.df <= 0.95 * n.n
+)
+SELECT term, fg, df, sig,
+       row_number() OVER (ORDER BY sig DESC, term ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def ft_checkindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CheckIndex (index/CheckIndex.java:80) as an oracle-verified gate:
     runs EVERY invariant pass — decode-level postings checks (doc order,
@@ -2218,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_percolate": st_percolate,
         "st_stream_build": st_stream_build,
         "ft_checkindex": ft_checkindex,
+        "rel_significant_terms": rel_significant_terms,
         # training-data pipeline
         "dd_exact": dd_exact,
         "dd_jaccard_pairs": dd_jaccard_pairs,
@@ -2308,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "st_percolate": ST_PERCOLATE_SQL,
         "st_stream_build": ST_STREAM_BUILD_SQL,
         "ft_checkindex": FT_CHECKINDEX_SQL,
+        "rel_significant_terms": REL_SIGNIFICANT_SQL,
         "dd_exact": DD_EXACT_SQL,
         "dd_jaccard_pairs": DD_JACCARD_SQL,
         "dd_minhash_lsh": DD_MINHASH_LSH_SQL,

@@ -394,3 +394,34 @@ def test_ivf_ann(spark):
     recall = len(part & set(exact)) / 10
     assert recall >= 0.6, recall
     assigned.unpersist()
+
+
+def test_significant_terms_formula(spark, searcher, reader, corpus_pdf):
+    """Engine significant_terms must equal a brute-force pandas
+    recomputation of the Solr formula (SignificantTermsQParserPlugin
+    .java:212) over the same matched slice."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.significant import significant_terms
+
+    corpus = spark.createDataFrame(corpus_pdf)
+    key = corpus.columns[0]
+    # match a mid-frequency term through the engine
+    matched = searcher.matches("merge", with_scores=False)
+    ds = reader.docstats().select("doc_id", *[c for c in (key,) if c])
+    ext = matched.join(ds, "doc_id").select(key)
+    got = significant_terms(
+        reader, ext, corpus, key, "content", k=5, min_df=2,
+        max_df_ratio=0.9, analyzer="code").collect()
+    assert got, "expected at least one significant term"
+    n = reader.doc_count
+    td = {(r["term"]): r["df"]
+          for r in reader.termdict().select("term", "df").collect()}
+    for r in got:
+        expect = math.log(r["fg"]) * (math.log((n + 1) / (td[r["term"]] + 1)) + 1.0)
+        assert abs(r["score"] - expect) < 1e-9
+    # ordering: score desc then term asc
+    pairs = [(r["score"], r["term"]) for r in got]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
