@@ -854,8 +854,16 @@ def st_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.streaming import StreamingIndexer
 
     if sf_dir not in _IDX_STREAM_CACHE:
+        import hashlib
+
+        # dir keyed by the FULL path (hash suffix): two sf dirs sharing a
+        # basename must not clobber each other's on-disk index while the
+        # reader cache still points at it
+        tag = hashlib.sha1(
+            os.path.abspath(sf_dir).encode()).hexdigest()[:8]
         idx_dir = os.path.join(
-            "/tmp/lucene_spark_gate_stream", os.path.basename(os.path.normpath(sf_dir)))
+            "/tmp/lucene_spark_gate_stream",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
         shutil.rmtree(idx_dir, ignore_errors=True)
         cfg = IndexConfig(
             key_cols=("ext_id",), content_col="text", analyzer="whitespace",

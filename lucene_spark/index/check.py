@@ -50,9 +50,9 @@ def check_index(reader: IndexReader, source: DataFrame | None = None, content_co
                     and int(tfs.sum()) == r.local_cf
                     and (docs.size < 2 or bool(np.all(np.diff(docs) > 0)))
                     and bool(np.all(tfs >= 1))
+                    # (0 + bs - 1)//bs == 0, so the empty case needs no guard
                     and len(r.block_last) ==
                     (docs.size + block_size - 1) // block_size
-                    if docs.size else True
                 )
                 if ok and docs.size:
                     # block-max metadata must be an admissible bound:

@@ -84,15 +84,23 @@ def geo_box(
 def _circle_bbox(center_lat: float, center_lon: float, radius_m: float):
     """Bounding box of a circle (GeoUtils.pointInsideCircle's pre-check):
     cheap range predicates that prune before any trig runs."""
-    # widened 5%: the exact max longitude deviation asin(sin(r/R)/cosφ)
-    # can slightly exceed (r/R)/cosφ — the box only PRUNES (the haversine
-    # filter is what decides), so conservative is the only requirement
-    dlat = 1.05 * math.degrees(radius_m / EARTH_MEAN_RADIUS_METERS)
-    # longitude span widens with latitude; clamp cos to avoid pole blowup
-    coslat = max(0.01, math.cos(math.radians(center_lat)))
-    dlon = 1.05 * math.degrees(radius_m / (EARTH_MEAN_RADIUS_METERS * coslat))
-    return (center_lat - dlat, center_lat + dlat,
-            center_lon - dlon, center_lon + dlon)
+    # EXACT spherical-circle bounds (GeoUtils.Rectangle#fromPointDistance
+    # does the same math): latitude extent is the meridian arc r/R; the
+    # max longitude deviation of a circle NOT containing a pole is
+    # asin(sin(r/R)/cosφ) — strictly larger than the naive (r/R)/cosφ at
+    # high latitude, which silently drops a thin crescent of true hits.
+    # A circle whose latitude band touches a pole, or whose sin-ratio
+    # leaves asin's domain, spans ALL longitudes.
+    t = radius_m / EARTH_MEAN_RADIUS_METERS            # angular radius, rad
+    dlat = math.degrees(t)
+    min_lat, max_lat = center_lat - dlat, center_lat + dlat
+    if min_lat <= -90.0 or max_lat >= 90.0 or t >= math.pi:
+        return (max(-90.0, min_lat), min(90.0, max_lat), -180.0, 180.0)
+    x = math.sin(t) / math.cos(math.radians(center_lat))
+    if abs(x) >= 1.0:
+        return (min_lat, max_lat, -180.0, 180.0)
+    dlon = math.degrees(math.asin(x)) + 1e-7           # float-safety margin
+    return (min_lat, max_lat, center_lon - dlon, center_lon + dlon)
 
 
 def geo_distance(
@@ -113,10 +121,13 @@ def geo_distance(
     dist = haversine_meters(
         F.col(lat_col), F.col(lon_col),
         F.lit(float(center_lat)), F.lit(float(center_lon)))
-    boxed = df.filter(
-        (F.col(lat_col) >= F.lit(min_lat)) & (F.col(lat_col) <= F.lit(max_lat))
-        & (F.col(lon_col) >= F.lit(min_lon)) & (F.col(lon_col) <= F.lit(max_lon))
-    ) if abs(min_lon) <= 180 and abs(max_lon) <= 180 else df
+    cond = (F.col(lat_col) >= F.lit(min_lat)) & (F.col(lat_col) <= F.lit(max_lat))
+    if -180.0 <= min_lon and max_lon <= 180.0:
+        # lon range crossing the dateline would need a split predicate;
+        # the latitude band alone still prunes, and the haversine filter
+        # below is always the decider
+        cond = cond & (F.col(lon_col) >= F.lit(min_lon)) & (F.col(lon_col) <= F.lit(max_lon))
+    boxed = df.filter(cond)
     return (
         boxed.withColumn(distance_col, dist)
         .filter(F.col(distance_col) <= F.lit(float(radius_m)))

@@ -360,21 +360,31 @@ class IndexSearcher:
             return 0
         if sum(df for df, _ in stats.values()) > self.local_topk_max_postings:
             return None
+        ctx = self._local_ctx(node, stats, live, k=1)
+        if ctx is None:
+            return 0
+        docs, _ = eval_node(node, ctx, need_scores=False)
+        return int(docs.size)
+
+    def _local_ctx(self, node: P.Node, stats: dict, live: list,
+                   k: int) -> "EvalContext | None":
+        """One shuffle-free collect of the bucket-pruned posting rows and
+        a driver-side EvalContext — the shared engine of the local top-k
+        and local count paths (keep them in lockstep: delete masking,
+        block_size and weight wiring live only here). None = no rows."""
         rows = self.reader.postings_for_terms(live).collect()
         if not rows:
-            return 0
+            return None
         pdf = pd.DataFrame([r.asDict() for r in rows])
         bs = int(self.reader.manifest["config"].get("block_size", 128))
         postings = _assemble_postings(
             pdf, self._check_positions(node), self._deleted, bs)
         weights, syn_w, phrase_w = self._weights(node, stats)
-        ctx = EvalContext(postings=postings, weights=weights,
-                          syn_weights=syn_w,
-                          avgdl=self._avgdl_map({f for f, _ in terms}),
-                          sim=self.sim, k=1, phrase_weights=phrase_w,
-                          field_sims=self.field_sims, block_size=bs)
-        docs, _ = eval_node(node, ctx, need_scores=False)
-        return int(docs.size)
+        return EvalContext(postings=postings, weights=weights,
+                           syn_weights=syn_w,
+                           avgdl=self._avgdl_map({f for f, _ in stats}),
+                           sim=self.sim, k=k, phrase_weights=phrase_w,
+                           field_sims=self.field_sims, block_size=bs)
 
     def matches(self, query: str | P.Node, with_scores: bool = True) -> DataFrame:
         """ALL matching (doc_id, score) rows — the exhaustive collector path
@@ -671,15 +681,9 @@ class IndexSearcher:
         if (kk is not None and not phase1_only
                 and initial_floor == float("-inf")
                 and est_postings <= self.local_topk_max_postings):
-            rows = post.collect()
-            if not rows:
+            ctx = self._local_ctx(node, stats, live, k=kk)
+            if ctx is None:
                 return self._empty_result()
-            pdf = pd.DataFrame([r.asDict() for r in rows])
-            postings = _assemble_postings(pdf, want_pos, deleted, self_block_size)
-            ctx = EvalContext(postings=postings, weights=weights,
-                              syn_weights=syn_weights, avgdl=avgdl, sim=sim,
-                              k=kk, phrase_weights=phrase_weights,
-                              field_sims=field_sims, block_size=self_block_size)
             if isinstance(node, P.TermNode) and after is None:
                 # block-max pruning keeps only top-k-competitive docs —
                 # valid for page 1 only; a searchAfter cursor needs the

@@ -46,12 +46,6 @@ class StreamingIndexer:
         if not batch_df.take(1):
             return
         os.makedirs(os.path.join(self.index_dir, "parts"), exist_ok=True)
-        # a compaction that crashed mid-swap leaves duplicate copies of
-        # merged rows in raw/; publishing on top of that bakes the double
-        # count into termdict/fieldstats — reconcile first (cheap no-op
-        # when the index is clean)
-        from lucene_spark.index.compaction import _recover_incomplete_merges
-        _recover_incomplete_merges(self.index_dir)
         key_and_carry = [c for c in batch_df.columns
                          if c in cfg.key_cols + cfg.carry_cols]
         field_srcs = [s.source_col for s in cfg.field_specs()]
@@ -87,6 +81,31 @@ class StreamingIndexer:
             self._remerge()
         else:
             self._publish_incremental(group)
+
+    def _committed_group_paths(self) -> list[str]:
+        """raw/ group dirs that are safe for a derived rebuild to read.
+        A compaction group (id ≥ COMPACT_BASE) counts only once its part
+        manifest is committed: before that it is either an IN-FLIGHT
+        merge (its victims still carry the rows — reading both would
+        double-count) or an orphan from a crash mid-swap (same double-
+        count; compact() itself deletes those at its next entry). The
+        streaming side therefore never deletes anything — it just
+        refuses to read uncommitted copies, which also removes any race
+        against a concurrently running compact()."""
+        from lucene_spark.index.compaction import COMPACT_BASE
+
+        raw_dir = os.path.join(self.index_dir, "raw")
+        parts_dir = os.path.join(self.index_dir, "parts")
+        out = []
+        for d in sorted(os.listdir(raw_dir)):
+            if not d.startswith("group="):
+                continue
+            g = int(d.split("=", 1)[1])
+            if g >= COMPACT_BASE and not os.path.exists(
+                    os.path.join(parts_dir, f"group-{g:05d}.json")):
+                continue
+            out.append(os.path.join(raw_dir, d))
+        return out
 
     def _published_groups(self) -> set[int]:
         mpath = os.path.join(self.index_dir, "manifest.json")
@@ -137,7 +156,7 @@ class StreamingIndexer:
         _publish_incremental)."""
         cfg = self.cfg
         idx = self.index_dir
-        raw = self.spark.read.parquet(os.path.join(idx, "raw"))
+        raw = self.spark.read.parquet(*self._committed_group_paths())
 
         key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
         docstats = raw.filter(F.col("kind") == "docstat").select(
@@ -169,7 +188,8 @@ class StreamingIndexer:
         already published (replay guard)."""
         cfg = self.cfg
         idx = self.index_dir
-        raw = self.spark.read.parquet(os.path.join(idx, "raw"))
+        committed = self._committed_group_paths()
+        raw = self.spark.read.parquet(*committed)
 
         termdict = (
             raw.filter(F.col("kind") == "posting")
@@ -208,11 +228,10 @@ class StreamingIndexer:
             "field string, doc_count long, sum_ttf long",
         ).write.mode("overwrite").parquet(os.path.join(idx, "fieldstats"))
 
-        # every on-disk group is published after a full remerge; on the
-        # incremental path the new group joins the prior set
-        raw_dir = os.path.join(idx, "raw")
-        groups = sorted(int(d.split("=", 1)[1]) for d in os.listdir(raw_dir)
-                        if d.startswith("group="))
+        # every COMMITTED on-disk group is published after a full remerge;
+        # on the incremental path the new group joins the prior set
+        groups = sorted(int(os.path.basename(p).split("=", 1)[1])
+                        for p in committed)
         published = groups if published_add is None else sorted(
             self._published_groups() | {published_add})
 

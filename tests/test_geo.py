@@ -49,6 +49,39 @@ def test_distance_query_matches_exhaustive_haversine(spark):
     assert got == exact and got
 
 
+def test_distance_bbox_is_conservative_at_edges(spark):
+    """Regression: the circle bbox must use the EXACT max longitude
+    deviation asin(sin(r/R)/cosφ) — a linear approximation drops a thin
+    crescent of true hits at high latitude; a pole-containing circle
+    spans all longitudes."""
+    from lucene_spark.relational.geo import geo_distance, haversine_meters
+
+    # point in the crescent the linear bbox used to drop:
+    # dist(center=(48.85,2.35), p=(57.99,45.93)) ≈ 2,999,999 m ≤ 3,000 km
+    pts = spark.createDataFrame(
+        [(1, 57.99, 45.93), (2, 85.0, 180.0), (3, 0.0, 0.0)],
+        "id long, lat double, lon double")
+    got1 = {r.id for r in geo_distance(
+        pts, "lat", "lon", 48.85, 2.35, 3_000_000.0).collect()}
+    exact1 = {
+        r.id for r in pts.withColumn(
+            "d", haversine_meters(F.col("lat"), F.col("lon"),
+                                  F.lit(48.85), F.lit(2.35))
+        ).filter(F.col("d") <= 3_000_000.0).collect()}
+    assert got1 == exact1 and 1 in got1
+
+    # circle containing the north pole: (85,180) is ~35° from (60,0)
+    # over the top — inside a ~40° radius despite the 180° lon gap
+    got2 = {r.id for r in geo_distance(
+        pts, "lat", "lon", 60.0, 0.0, 4_445_000.0).collect()}
+    exact2 = {
+        r.id for r in pts.withColumn(
+            "d", haversine_meters(F.col("lat"), F.col("lon"),
+                                  F.lit(60.0), F.lit(0.0))
+        ).filter(F.col("d") <= 4_445_000.0).collect()}
+    assert got2 == exact2 and 2 in got2
+
+
 def test_distance_formula_sanity(spark):
     from lucene_spark.relational.geo import haversine_meters
 

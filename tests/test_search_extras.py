@@ -203,15 +203,18 @@ def test_local_fast_path_result_identical(searcher):
     the distributed kernel for every query shape."""
     queries = ["index", "index AND writer", "index OR writer OR merge",
                "ind*", "writer^2 OR reader", "search -cache"]
-    for q in queries:
-        searcher.local_topk_max_postings = 1_000_000
-        a = [(r["doc_id"], np.float32(r["score"]))
-             for r in searcher.search(q, k=10).collect()]
-        searcher.local_topk_max_postings = 0   # force distributed
-        b = [(r["doc_id"], np.float32(r["score"]))
-             for r in searcher.search(q, k=10).collect()]
-        searcher.local_topk_max_postings = 100_000
-        assert a == b, q
+    orig = searcher.local_topk_max_postings
+    try:
+        for q in queries:
+            searcher.local_topk_max_postings = 1_000_000
+            a = [(r["doc_id"], np.float32(r["score"]))
+                 for r in searcher.search(q, k=10).collect()]
+            searcher.local_topk_max_postings = 0   # force distributed
+            b = [(r["doc_id"], np.float32(r["score"]))
+                 for r in searcher.search(q, k=10).collect()]
+            assert a == b, q
+    finally:
+        searcher.local_topk_max_postings = orig
 
 
 def test_count_stat_shortcut_matches_pipeline(searcher):
@@ -230,11 +233,14 @@ def test_count_stat_shortcut_matches_pipeline(searcher):
 
 
 def test_local_count_matches_distributed(searcher):
-    for q in ["index AND writer", "index OR writer OR merge",
-              "search -cache", "ind*"]:
-        searcher.local_topk_max_postings = 1_000_000
-        fast = searcher.count(q)
-        searcher.local_topk_max_postings = 0
-        slow = searcher.count(q)
-        searcher.local_topk_max_postings = 100_000
-        assert fast == slow, q
+    orig = searcher.local_topk_max_postings
+    try:
+        for q in ["index AND writer", "index OR writer OR merge",
+                  "search -cache", "ind*"]:
+            searcher.local_topk_max_postings = 1_000_000
+            fast = searcher.count(q)
+            searcher.local_topk_max_postings = 0
+            slow = searcher.count(q)
+            assert fast == slow, q
+    finally:
+        searcher.local_topk_max_postings = orig
