@@ -765,6 +765,36 @@ FROM topk t JOIN documents d ON t.doc_id = d.doc_id
 """
 
 
+def rel_expr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled scoring expression (lucene/expressions
+    JavascriptCompiler.java role, Solr FunctionQParser syntax): one
+    expression string → one codegen'd Catalyst Column; top-15 orders by
+    the compiled score (rounded 4dp, deterministic ties)."""
+    from lucene_spark.relational.expressions import compile_expression
+
+    o = _t(spark, sf_dir, "orders")
+    score = compile_expression(
+        "sqrt(o_totalprice) + recip(o_orderkey, 0.001, 1000, 1000)"
+        " - 0.5 * ln(o_orderkey + 1)")
+    scored = o.select(
+        "o_orderkey", F.round(score, 4).alias("expr_score"))
+    w = Window.orderBy(F.col("expr_score").desc(), F.col("o_orderkey").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 15))
+
+
+REL_EXPR_SCORE_SQL = """
+SELECT o_orderkey, expr_score,
+       row_number() OVER (ORDER BY expr_score DESC, o_orderkey ASC) AS rank
+FROM (
+  SELECT o_orderkey,
+         round(sqrt(o_totalprice) + 1000.0/(o_orderkey*0.001 + 1000.0)
+               - 0.5*ln(o_orderkey + 1), 4) AS expr_score
+  FROM orders
+) QUALIFY rank <= 15 ORDER BY rank
+"""
+
+
 def rel_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significantTerms stream (SignificantTermsStream.java:59; score
     formula SignificantTermsQParserPlugin.java:212): terms
@@ -2270,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_stream_build": st_stream_build,
         "ft_checkindex": ft_checkindex,
         "rel_significant_terms": rel_significant_terms,
+        "rel_expr_score": rel_expr_score,
         # training-data pipeline
         "dd_exact": dd_exact,
         "dd_jaccard_pairs": dd_jaccard_pairs,
@@ -2361,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "st_stream_build": ST_STREAM_BUILD_SQL,
         "ft_checkindex": FT_CHECKINDEX_SQL,
         "rel_significant_terms": REL_SIGNIFICANT_SQL,
+        "rel_expr_score": REL_EXPR_SCORE_SQL,
         "dd_exact": DD_EXACT_SQL,
         "dd_jaccard_pairs": DD_JACCARD_SQL,
         "dd_minhash_lsh": DD_MINHASH_LSH_SQL,

@@ -117,6 +117,40 @@ def build_index_level(cores: int) -> dict:
             "steal_frac": round(steal, 3), "phases": manifest["phases"]}
 
 
+def query_throughput_level(cores: int, idx_dir: str) -> dict:
+    """Batched-serving throughput at one parallelism level over a
+    PREBUILT index — the serving-side half of the two-cluster-size
+    criterion (the build half is build_index_level). One warm pass,
+    then best-of-2 timed passes of a 100-query search_many batch."""
+    from lucene_spark.index.reader import IndexReader
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.corpus import make_query_set
+
+    spark = make_session(cores)
+    warmup(spark, cores)
+    searcher = IndexSearcher(IndexReader(spark, idx_dir))
+    base = [q for _, q, _ in make_query_set()]
+    # 12x the 25-query set: per-batch fixed cost (stats job, distinct
+    # expansions, final window) amortizes so the scaling ratio measures
+    # the per-partition kernel, which is what scales with executors
+    batch = {f"q{j}_{i}": q for j in range(12) for i, q in enumerate(base)}
+    searcher.search_many({"w": "reader"}, k=10).collect()  # warm plan
+    best = None
+    for _ in range(2):
+        b0, s0 = _cpu_ticks()
+        t0 = time.time()
+        searcher.search_many(batch, k=10).collect()
+        dt = time.time() - t0
+        b1, s1 = _cpu_ticks()
+        steal = (s1 - s0) / max(1, (b1 - b0) + (s1 - s0))
+        if best is None or dt < best["seconds"]:
+            best = {"cores": cores, "seconds": round(dt, 3),
+                    "qps": round(len(batch) / dt, 1),
+                    "steal_frac": round(steal, 3)}
+    spark.stop()
+    return best
+
+
 def run_level_subprocess(cores: int) -> dict:
     import subprocess
 
@@ -245,6 +279,25 @@ def main() -> None:
     timed("sim_gemm_top10", lambda: similarity.pairwise_topk_gemm(
         emb, "embedding", "vec_id", qs, k=10).count())
 
+    # serving-side scaling pair: the SAME 100-query batch over the SAME
+    # prebuilt index at N and 4N cores, each level its own JVM (mirrors
+    # the build pair; extends the north-rule evidence to query serving)
+    import subprocess
+    q_runs = {}
+    for cores in (low, high):
+        subprocess.run(["sync"], check=False)
+        time.sleep(2)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--query-level",
+             str(cores), idx_dir],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+        )
+        q_runs[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+    q_eff = (q_runs[high]["qps"] / q_runs[low]["qps"]) / (high / low)
+    timings[f"qbatch_c{low}"] = q_runs[low]["seconds"]
+    timings[f"qbatch_c{high}"] = q_runs[high]["seconds"]
+
     total = round(time.time() - total0, 3)
     out = {
         "metric": "headline suite wall (index build@2 levels + topk queries + relational/dedup/similarity)",
@@ -260,6 +313,12 @@ def main() -> None:
             f"c{low}": [{"s": r["seconds"], "steal": r["steal_frac"]} for r in runs_lo],
             f"c{high}": [{"s": r["seconds"], "steal": r["steal_frac"]} for r in runs_hi],
         },
+        "query_scaling_pair": [low, high],
+        "query_qps": {f"c{low}": q_runs[low]["qps"],
+                      f"c{high}": q_runs[high]["qps"]},
+        "query_scaling_efficiency": round(q_eff, 3),
+        "query_scaling_steal": {f"c{low}": q_runs[low]["steal_frac"],
+                                f"c{high}": q_runs[high]["steal_frac"]},
     }
     print(json.dumps(out))
     spark.stop()
@@ -268,5 +327,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--build-level":
         print(json.dumps(build_index_level(int(sys.argv[2]))))
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--query-level":
+        print(json.dumps(query_throughput_level(int(sys.argv[2]), sys.argv[3])))
     else:
         main()

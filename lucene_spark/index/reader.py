@@ -139,60 +139,84 @@ class IndexReader:
         return {t: self._stats_cache[t] for t in terms
                 if self._stats_cache.get(t) is not None}
 
+    def _expand_memo(self, key: tuple, compute) -> list[str]:
+        """Dictionary expansions are memoized for the reader's lifetime —
+        the index snapshot is immutable, so a repeated prefix/fuzzy/range
+        over the same dict is Lucene's cached-TermStates situation: pay
+        the scan once, serve repeats driver-side. Batched serving
+        (search_many) with recurring query shapes depends on this."""
+        if not hasattr(self, "_expand_cache"):
+            self._expand_cache: dict[tuple, list[str]] = {}
+        if key not in self._expand_cache:
+            self._expand_cache[key] = compute()
+        return self._expand_cache[key]
+
     def expand_prefix(self, prefix: str, max_terms: int = 1024,
                       field: str | None = None) -> list[str]:
         """Sorted-dict prefix scan (the FST prefix→block role —
         BlockTreeTermsWriter.java:204-210); Parquet min/max row-group stats
         prune the scan because termdict is written (field, term)-sorted."""
-        rows = (
-            self._field_dict(field)
-            .filter(F.col("term").startswith(prefix))
-            .select("term").orderBy("term").limit(max_terms).collect()
-        )
-        return [r["term"] for r in rows]
+        def compute():
+            rows = (
+                self._field_dict(field)
+                .filter(F.col("term").startswith(prefix))
+                .select("term").orderBy("term").limit(max_terms).collect()
+            )
+            return [r["term"] for r in rows]
+        return self._expand_memo(("prefix", prefix, max_terms, field), compute)
 
     def expand_regexp(self, pattern: str, max_terms: int = 1024,
                       field: str | None = None) -> list[str]:
-        rows = (
-            self._field_dict(field)
-            .filter(F.col("term").rlike(f"^(?:{pattern})$"))
-            .select("term").orderBy("term").limit(max_terms).collect()
-        )
-        return [r["term"] for r in rows]
+        def compute():
+            rows = (
+                self._field_dict(field)
+                .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+                .select("term").orderBy("term").limit(max_terms).collect()
+            )
+            return [r["term"] for r in rows]
+        return self._expand_memo(("regexp", pattern, max_terms, field), compute)
 
     def expand_fuzzy(self, term: str, max_edits: int = 2, max_terms: int = 50,
                      field: str | None = None) -> list[str]:
         """FuzzyQuery expansion: Levenshtein ≤ max_edits over the dictionary
         (search/FuzzyQuery.java). Uses Spark's levenshtein with a cheap
         length pre-filter; top terms by df like TopTermsRewrite."""
-        tlen = len(term)
-        # threshold form early-exits each comparison once the running
-        # distance exceeds max_edits (returns -1) — the banded-DP trick a
-        # Levenshtein automaton exploits, in one JVM expression
-        rows = (
-            self._field_dict(field)
-            .filter(F.length("term").between(tlen - max_edits, tlen + max_edits))
-            .withColumn("ed", F.levenshtein(F.col("term"), F.lit(term),
-                                            int(max_edits)))
-            .filter((F.col("ed") >= 0) & (F.col("ed") <= max_edits))
-            .orderBy(F.col("df").desc(), "term")
-            .limit(max_terms)
-            .collect()
-        )
-        return [r["term"] for r in rows]
+        def compute():
+            tlen = len(term)
+            # threshold form early-exits each comparison once the running
+            # distance exceeds max_edits (returns -1) — the banded-DP
+            # trick a Levenshtein automaton exploits, in one JVM expression
+            rows = (
+                self._field_dict(field)
+                .filter(F.length("term").between(tlen - max_edits, tlen + max_edits))
+                .withColumn("ed", F.levenshtein(F.col("term"), F.lit(term),
+                                                int(max_edits)))
+                .filter((F.col("ed") >= 0) & (F.col("ed") <= max_edits))
+                .orderBy(F.col("df").desc(), "term")
+                .limit(max_terms)
+                .collect()
+            )
+            return [r["term"] for r in rows]
+        return self._expand_memo(("fuzzy", term, max_edits, max_terms, field),
+                                 compute)
 
     def expand_range(
         self, lower: str | None, upper: str | None,
         include_lower: bool = True, include_upper: bool = True,
         max_terms: int = 1024, field: str | None = None,
     ) -> list[str]:
-        td = self._field_dict(field)
-        c = F.col("term")
-        if lower is not None:
-            td = td.filter(c >= lower if include_lower else c > lower)
-        if upper is not None:
-            td = td.filter(c <= upper if include_upper else c < upper)
-        return [r["term"] for r in td.select("term").orderBy("term").limit(max_terms).collect()]
+        def compute():
+            td = self._field_dict(field)
+            c = F.col("term")
+            if lower is not None:
+                td = td.filter(c >= lower if include_lower else c > lower)
+            if upper is not None:
+                td = td.filter(c <= upper if include_upper else c < upper)
+            return [r["term"] for r in
+                    td.select("term").orderBy("term").limit(max_terms).collect()]
+        return self._expand_memo(
+            ("range", lower, upper, include_lower, include_upper,
+             max_terms, field), compute)
 
     def postings_for_terms(self, terms) -> DataFrame:
         """Bucket-pruned postings scan for a query's (field, term) set;

@@ -20,14 +20,20 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def _linear(x: Column, a: float, b: float) -> Column:
+def _lit(x) -> Column:
+    """Accept a ready Column (e.g. from the expression compiler) or a
+    plain number (the direct-call API)."""
+    return x if isinstance(x, Column) else F.lit(float(x))
+
+
+def _linear(x: Column, a, b) -> Column:
     """LinearFloatFunction: a·x + b."""
-    return x * F.lit(float(a)) + F.lit(float(b))
+    return x * _lit(a) + _lit(b)
 
 
-def _recip(x: Column, m: float, a: float, b: float) -> Column:
+def _recip(x: Column, m, a, b) -> Column:
     """ReciprocalFloatFunction: a/(m·x + b) — the date-boost workhorse."""
-    return F.lit(float(a)) / (x * F.lit(float(m)) + F.lit(float(b)))
+    return _lit(a) / (x * _lit(m) + _lit(b))
 
 
 def _scale(df, x: Column, lo: float, hi: float) -> Column:
@@ -38,9 +44,9 @@ def _scale(df, x: Column, lo: float, hi: float) -> Column:
     return (x - F.lit(mn)) / F.lit(rng) * F.lit(float(hi - lo)) + F.lit(float(lo))
 
 
-def _rangemap(x: Column, lo: float, hi: float, target: float, default: float) -> Column:
+def _rangemap(x: Column, lo, hi, target, default) -> Column:
     """RangeMapFloatFunction: x∈[lo,hi] → target else default."""
-    return F.when(x.between(lo, hi), F.lit(float(target))).otherwise(F.lit(float(default)))
+    return F.when(x.between(lo, hi), _lit(target)).otherwise(_lit(default))
 
 
 def _if(cond: Column, a: Column, b: Column) -> Column:

@@ -226,8 +226,29 @@ class IndexSearcher:
         global windowed top-k. Queries with no matching terms simply
         produce no rows."""
         plans: dict[str, P.Node] = {}
+        # plan each DISTINCT query string once, and plan them CONCURRENTLY:
+        # planning can pay dictionary-expansion collect jobs (prefix/fuzzy/
+        # range), which are tiny but serial — a thread pool overlaps them
+        # (Spark's scheduler multiplexes concurrent driver jobs; Lucene's
+        # analogue is per-segment TermsEnum work under the query executor).
+        # The expansion cache in IndexReader additionally dedupes repeats
+        # across batches.
+        from concurrent.futures import ThreadPoolExecutor
+
+        plan_memo: dict[str, P.Node] = {}
+        distinct = list({q: None for q in queries.values()
+                         if isinstance(q, str)})
+        if len(distinct) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(distinct))) as ex:
+                for q, node in zip(distinct, ex.map(self._plan, distinct)):
+                    plan_memo[q] = node
         for qid, q in queries.items():
-            node = self._plan(q)
+            if isinstance(q, str) and q in plan_memo:
+                node = plan_memo[q]
+            else:
+                node = self._plan(q)
+                if isinstance(q, str):
+                    plan_memo[q] = node
             if not isinstance(node, P.MatchNoneNode):
                 plans[qid] = node
         if not plans:

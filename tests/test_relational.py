@@ -425,3 +425,39 @@ def test_significant_terms_formula(spark, searcher, reader, corpus_pdf):
     # ordering: score desc then term asc
     pairs = [(r["score"], r["term"]) for r in got]
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_expression_compiler(spark):
+    """JavascriptCompiler/FunctionQParser analogue: expression strings
+    compile to one Catalyst Column; precedence, unary minus, registry
+    functions, pyspark fallback, bindings and error paths all behave."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lucene_spark.relational.expressions import (
+        ExpressionError, compile_expression)
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 10.0), (2, 3.0, 100.0)], "id long, a double, b double")
+
+    def ev(src, **cols):
+        out = df.withColumn(
+            "r", compile_expression(src, {k: F.col(v) for k, v in cols.items()}))
+        return {r["id"]: r["r"] for r in out.collect()}
+
+    assert ev("a + b * 2") == {1: 22.0, 2: 203.0}          # precedence
+    assert ev("(a + b) * 2") == {1: 24.0, 2: 206.0}
+    assert ev("-a + 5") == {1: 3.0, 2: 2.0}                 # unary minus
+    assert ev("sum(a, b, 1)") == {1: 13.0, 2: 104.0}        # registry vararg
+    r = ev("recip(b, 1, 1000, 1000)")                       # date-boost fn
+    assert abs(r[1] - 1000 / 1010) < 1e-12
+    r = ev("ln(b)")                                         # registry ln
+    assert abs(r[1] - math.log(10.0)) < 1e-12
+    r = ev("exp(a)")                                        # pyspark fallback
+    assert abs(r[1] - math.exp(2.0)) < 1e-12
+    assert ev("x * 2", x="a") == {1: 4.0, 2: 6.0}           # bindings
+    for bad in ["a +", "foo(", "1 2", "nosuchfn(a)", "a @ b"]:
+        with pytest.raises(ExpressionError):
+            compile_expression(bad)
