@@ -30,7 +30,7 @@ from lucene_spark.index.builder import FieldSpec, IndexBuilder, IndexConfig
 from lucene_spark.index.reader import IndexReader
 from lucene_spark.search.searcher import IndexSearcher
 from lucene_spark.search.sqlbm25 import bm25_topk_oracle_sql, bm25_topk_sql
-from lucene_spark.pipeline import dedup, textstats, similarity, multimodal
+from lucene_spark.pipeline import ann, dedup, textstats, similarity, multimodal
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -1728,6 +1728,48 @@ SELECT c_custkey, round(dist_km, 2) AS dist_km FROM (
 """
 
 
+# Concave test ring (lat, lon) — the notch at (15, 20) exercises the
+# even-odd rule beyond what any convex/bbox test could.
+_GEO_POLY = [(0.0, 0.0), (45.0, 10.0), (15.0, 20.0), (45.0, 40.0), (0.0, 30.0)]
+
+
+def _poly_crossing_sql(verts: list[tuple[float, float]]) -> str:
+    """Crossing-number predicate as DuckDB SQL with edge terms written in
+    EXACTLY the arithmetic shape of geo.polygon_predicate, so both engines
+    execute identical IEEE float ops (no boundary divergence)."""
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        y1, x1 = verts[i]
+        y2, x2 = verts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1!r} > lat) != ({y2!r} > lat)) AND "
+            f"(lon < (({x2 - x1!r}) * (lat - ({y1!r})) / ({y2 - y1!r})) + ({x1!r})) "
+            f"THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def rel_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonShape polygon containment (LatLonShape.newPolygonQuery /
+    Polygon2D role) over a CONCAVE ring: pushed-down bbox prune + exact
+    codegen'd crossing-number test — no UDFs, no tessellation needed in
+    a columnar engine."""
+    from lucene_spark.relational.geo import geo_polygon
+
+    return geo_polygon(_geo_points(spark, sf_dir), "lat", "lon", _GEO_POLY)
+
+
+_PLY = _GEO_POLY
+REL_GEO_POLYGON_SQL = f"""
+SELECT * FROM ({_GEO_PTS_SQL})
+WHERE lat >= {min(v[0] for v in _PLY)!r} AND lat <= {max(v[0] for v in _PLY)!r}
+  AND lon >= {min(v[1] for v in _PLY)!r} AND lon <= {max(v[1] for v in _PLY)!r}
+  AND {_poly_crossing_sql(_PLY)}
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 
@@ -2157,6 +2199,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_IVF_SQL = SIM_COSINE_SQL
 
 
+def sim_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN (NSW, the LUCENE-9004/HNSW role — lucene/CHANGES.txt:
+    13-15): per-partition proximity graphs + broadcast-query beam search
+    + windowed shard merge. With ef >= shard size the beam search is
+    exhaustive over the chain-connected graph, so the full plumbing
+    (graph build, search, merge) is verified against the exact cosine
+    oracle; partial-ef recall is measured in tests (test_nsw_graph_ann)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = ann.nsw_topk(e.repartition(4, "vec_id"), "embedding", "vec_id",
+                       [list(q)], k=500, m_neighbors=8, ef=10 ** 6)
+    out = out.select("key", F.round(F.col("cosine"), 5).alias("cosine_r"))
+    return _ranked(out, "cosine_r", "key", 10).select("key", "cosine_r", "rank")
+
+
+SIM_NSW_SQL = SIM_COSINE_SQL
+
+
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN join: exact top-3 corpus neighbors for EVERY query row (20
     queries) via the chunked-broadcast GEMM path; ranks recomputed over
@@ -2292,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_geo_box": rel_geo_box,
         "rel_geo_distance": rel_geo_distance,
         "rel_geo_nearest": rel_geo_nearest,
+        "rel_geo_polygon": rel_geo_polygon,
         "rel_parent_child": rel_parent_child,
         "rel_drill_sideways": rel_drill_sideways,
         "ft_suggest_fuzzy": ft_suggest_fuzzy,
@@ -2317,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup": sim_neardup,
         "sim_neardup_lsh": sim_neardup_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_nsw_topk": sim_nsw_topk,
         "sim_knn_join": sim_knn_join,
         "mm_features": mm_features,
     }
@@ -2384,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_geo_box": REL_GEO_BOX_SQL,
         "rel_geo_distance": REL_GEO_DISTANCE_SQL,
         "rel_geo_nearest": REL_GEO_NEAREST_SQL,
+        "rel_geo_polygon": REL_GEO_POLYGON_SQL,
         "rel_parent_child": REL_PARENT_CHILD_SQL,
         "rel_drill_sideways": REL_DRILL_SIDEWAYS_SQL,
         "ft_suggest_fuzzy": FT_SUGGEST_FUZZY_SQL,
@@ -2408,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_neardup": SIM_NEARDUP_SQL,
         "sim_neardup_lsh": SIM_NEARDUP_LSH_SQL,
         "sim_ivf_topk": SIM_IVF_SQL,
+        "sim_nsw_topk": SIM_NSW_SQL,
         "sim_knn_join": SIM_KNN_JOIN_SQL,
         "mm_features": MM_FEATURES_SQL,
     }

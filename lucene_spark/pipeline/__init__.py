@@ -1,1 +1,1 @@
-from lucene_spark.pipeline import dedup, similarity, textstats  # noqa: F401
+from lucene_spark.pipeline import ann, dedup, similarity, textstats  # noqa: F401

@@ -134,6 +134,60 @@ def geo_distance(
     )
 
 
+def polygon_predicate(lat: Column, lon: Column,
+                      vertices: list[tuple[float, float]]) -> Column:
+    """Point-in-polygon via even-odd crossing number (the planar test
+    Lucene's tessellated LatLonShape/Polygon2D performs per triangle —
+    lucene/core/src/java/org/apache/lucene/geo/Polygon2D.java relies on
+    GeoUtils.lineCrossesLine-style orientation tests; here the classic
+    ray-cast over the original ring, unrolled into pure Column
+    arithmetic: one crossing term per edge, summed, parity tested).
+    `vertices` is a list of (lat, lon) pairs; the ring closes itself.
+    Boundary points follow ray-cast parity (simple polygons only; for
+    dateline-crossing rings split the polygon first, as Lucene requires
+    of its callers too — Polygon.java rejects lon outside [-180,180])."""
+    verts = list(vertices)
+    if len(verts) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    if verts[0] == verts[-1]:
+        verts = verts[:-1]
+    crossings: Column | None = None
+    n = len(verts)
+    for i in range(n):
+        y1, x1 = float(verts[i][0]), float(verts[i][1])
+        y2, x2 = float(verts[(i + 1) % n][0]), float(verts[(i + 1) % n][1])
+        if y1 == y2:
+            continue  # horizontal edge can never cross a horizontal ray
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        # x of edge∩ray; slope written exactly as the oracle SQL writes it
+        # so both engines run identical IEEE ops
+        xin = (F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1)) + F.lit(x1)
+        term = F.when(straddles & (lon < xin), F.lit(1)).otherwise(F.lit(0))
+        crossings = term if crossings is None else crossings + term
+    if crossings is None:
+        raise ValueError("degenerate polygon (all edges horizontal)")
+    return crossings % 2 == 1
+
+
+def geo_polygon(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    vertices: list[tuple[float, float]],
+) -> DataFrame:
+    """LatLonShape polygon containment (LatLonShape.java newPolygonQuery
+    role): a pushed-down bounding-box range filter does the BKD-style
+    coarse prune at the parquet scan, then the exact crossing-number test
+    runs codegen'd on box survivors — the same two-phase shape Lucene
+    gets from its tessellation tree. No UDFs."""
+    lats = [float(v[0]) for v in vertices]
+    lons = [float(v[1]) for v in vertices]
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    bbox = ((lat >= F.lit(min(lats))) & (lat <= F.lit(max(lats)))
+            & (lon >= F.lit(min(lons))) & (lon <= F.lit(max(lons))))
+    return df.filter(bbox & polygon_predicate(lat, lon, vertices))
+
+
 def geo_nearest(
     df: DataFrame,
     lat_col: str,

@@ -103,3 +103,43 @@ def test_nearest_is_take_ordered_not_global_sort(spark):
     assert ds == sorted(ds)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_polygon_concave_matches_numpy_raycast(spark):
+    """geo_polygon (LatLonShape newPolygonQuery role): concave ring vs an
+    independent numpy even-odd oracle; closed-ring input; validation."""
+    import numpy as np
+    import pytest
+
+    from lucene_spark.relational.geo import geo_polygon
+
+    poly = [(0.0, 0.0), (45.0, 10.0), (15.0, 20.0), (45.0, 40.0), (0.0, 30.0)]
+    pts = _pts(spark)
+    got = {r.id for r in geo_polygon(pts, "lat", "lon", poly).collect()}
+
+    rows = pts.collect()
+
+    def inside(py, px):
+        n = len(poly)
+        c = 0
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                c += 1
+        return c % 2 == 1
+
+    want = {r.id for r in rows if inside(r.lat, r.lon)}
+    assert got == want and want
+    # concavity actually exercised: some bbox points are excluded
+    bbox = {r.id for r in rows if 0 <= r.lat <= 45 and 0 <= r.lon <= 40}
+    assert want < bbox
+
+    # a closed ring (first == last vertex) is accepted and identical
+    closed = poly + [poly[0]]
+    assert {r.id for r in geo_polygon(pts, "lat", "lon", closed).collect()} == want
+
+    with pytest.raises(ValueError):
+        geo_polygon(pts, "lat", "lon", poly[:2])
+    with pytest.raises(ValueError):
+        geo_polygon(pts, "lat", "lon", [(0.0, 0.0), (0.0, 10.0), (0.0, 20.0)])

@@ -295,6 +295,54 @@ def test_knn_join(spark):
     assert recall >= 0.9, f"knn_join_lsh recall {recall:.2f}"
 
 
+def test_nsw_graph_ann(spark):
+    """NSW graph ANN (lucene/CHANGES.txt:13-15, LUCENE-9004 role):
+    full-ef beam search over the chain-connected shard graphs is
+    exhaustive, so the multi-shard merge must equal brute force exactly;
+    partial-ef recall is measured against the same oracle."""
+    import os
+
+    import pytest
+
+    from lucene_spark.pipeline import ann
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    rows = e.select("vec_id", "embedding").collect()
+    keys = np.array([r[0] for r in rows])
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    qm = [list(r[1]) for r in rows if r[0] < 3]
+
+    exact = {}
+    for qi in range(3):
+        qv = np.asarray(qm[qi], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-30)
+        sims = m @ qv
+        exact[qi] = [int(k) for _, k in sorted(zip(-sims, keys))[:10]]
+
+    got = ann.nsw_topk(e.repartition(4, "vec_id"), "embedding", "vec_id",
+                       qm, k=10, m_neighbors=8, ef=10 ** 6).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (-r["cosine"], r["key"])):
+        by_q.setdefault(r["query_id"], []).append(r["key"])
+    assert set(by_q) == {0, 1, 2}
+    for qi in exact:
+        assert set(by_q[qi]) == set(exact[qi]), qi
+
+    # partial-ef recall on a single shard (the approximate serving point)
+    approx = ann.nsw_topk(e.coalesce(1), "embedding", "vec_id", qm, k=10,
+                          m_neighbors=8, ef=32).collect()
+    ap_q = {}
+    for r in approx:
+        ap_q.setdefault(r["query_id"], set()).add(r["key"])
+    hits = sum(len(ap_q.get(qi, set()) & set(exact[qi])) for qi in exact)
+    recall = hits / 30
+    assert recall >= 0.8, f"nsw recall@10 {recall:.2f}"
+
+
 def test_multimodal_plumbing(spark):
     from lucene_spark.pipeline import multimodal
 
