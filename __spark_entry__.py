@@ -2023,6 +2023,54 @@ def tx_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang", "predicted").agg(F.count("*").alias("n")))
 
 
+def tx_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over embeddings (lucene/classification
+    KNearestNeighborClassifier.java:40-52 — k nearest docs vote, ties by
+    summed neighbor score): train rows vec_id >= 100 with deterministic
+    labels, classify vec_id < 20 via the exact GEMM knn_join. Votes are
+    integers; the summed-cosine tie-break only compares disjoint
+    neighbor subsets (margins >> cross-engine ulps); output score
+    rounded to 5dp."""
+    from lucene_spark.pipeline.classify import knn_classify
+
+    e = _t(spark, sf_dir, "embeddings")
+    labels = F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                          (F.col("vec_id") % 3 + 1).cast("int"))
+    train = e.filter(F.col("vec_id") >= 100).withColumn("label", labels)
+    test = e.filter(F.col("vec_id") < 20)
+    out = knn_classify(train, test, "embedding", "vec_id", "label", k=5)
+    return out.select("key", "label", "votes",
+                      F.round(F.col("score"), 5).alias("score_r"))
+
+
+TX_KNN_CLASSIFY_SQL = """
+WITH test AS (SELECT vec_id AS tkey, embedding::DOUBLE[] AS tv
+              FROM embeddings WHERE vec_id < 20),
+train AS (SELECT vec_id AS key, embedding::DOUBLE[] AS v,
+                 (['a','b','c'])[(vec_id % 3)::INT + 1] AS label
+          FROM embeddings WHERE vec_id >= 100),
+scored AS (
+  SELECT tkey, key, label,
+         list_dot_product(v, tv)
+         / (greatest(sqrt(list_dot_product(v, v)), 1e-30)
+            * greatest(sqrt(list_dot_product(tv, tv)), 1e-30)) AS cos
+  FROM test, train
+),
+knn AS (
+  SELECT tkey, label, cos FROM (
+    SELECT tkey, label, cos,
+           row_number() OVER (PARTITION BY tkey ORDER BY cos DESC, key ASC) AS rn
+    FROM scored) WHERE rn <= 5
+),
+votes AS (SELECT tkey AS key, label, count(*) AS votes, sum(cos) AS score
+          FROM knn GROUP BY 1, 2)
+SELECT key, label, votes, round(score, 5) AS score_r FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY key ORDER BY votes DESC, score DESC, label ASC) AS rn
+  FROM votes) WHERE rn = 1
+"""
+
+
 TX_CLASSIFY_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
@@ -2372,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_langid": tx_langid,
         "tx_fingerprint": tx_fingerprint,
         "tx_classify": tx_classify,
+        "tx_knn_classify": tx_knn_classify,
         "ft_termvectors": ft_termvectors,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_gemm_topk": sim_gemm_topk,
@@ -2465,6 +2514,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_langid": TX_LANGID_SQL,
         "tx_fingerprint": TX_FINGERPRINT_SQL,
         "tx_classify": TX_CLASSIFY_SQL,
+        "tx_knn_classify": TX_KNN_CLASSIFY_SQL,
         "ft_termvectors": FT_TERMVECTORS_SQL,
         "sim_cosine_topk": SIM_COSINE_SQL,
         "sim_gemm_topk": SIM_GEMM_SQL,

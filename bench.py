@@ -117,6 +117,27 @@ def build_index_level(cores: int) -> dict:
             "steal_frac": round(steal, 3), "phases": manifest["phases"]}
 
 
+def make_serving_batch(n: int = 300) -> dict[str, str]:
+    """n DISTINCT queries shaped like the reference benchmark's query
+    mixes (micro-standard.alg runs a query FILE of distinct queries, not
+    one query repeated): single terms, AND pairs, OR pairs and 3-term
+    defaults over the synthetic corpus vocabulary — zipf tail terms
+    (zw*) and hot keyword terms both represented."""
+    from lucene_spark.corpus import _KEYWORDS
+
+    batch: dict[str, str] = {}
+    i = 0
+    while len(batch) < n:
+        z1 = f"zw{(i * 7) % 600}"
+        z2 = f"zw{(i * 13 + 3) % 900}"
+        kw = _KEYWORDS[i % len(_KEYWORDS)]
+        q = [f"{z1}", f"{z1} AND {kw}", f"{z1} OR {z2}",
+             f"{kw} {z1} {z2}"][i % 4]
+        batch[f"q{i}"] = q
+        i += 1
+    return batch
+
+
 def query_throughput_level(cores: int, idx_dir: str) -> dict:
     """Batched-serving throughput at one parallelism level over a
     PREBUILT index — the serving-side half of the two-cluster-size
@@ -124,16 +145,20 @@ def query_throughput_level(cores: int, idx_dir: str) -> dict:
     then best-of-2 timed passes of a 100-query search_many batch."""
     from lucene_spark.index.reader import IndexReader
     from lucene_spark.search.searcher import IndexSearcher
-    from lucene_spark.corpus import make_query_set
 
     spark = make_session(cores)
     warmup(spark, cores)
     searcher = IndexSearcher(IndexReader(spark, idx_dir))
-    base = [q for _, q, _ in make_query_set()]
-    # 12x the 25-query set: per-batch fixed cost (stats job, distinct
-    # expansions, final window) amortizes so the scaling ratio measures
-    # the per-partition kernel, which is what scales with executors
-    batch = {f"q{j}_{i}": q for j in range(12) for i, q in enumerate(base)}
+    # 1200 DISTINCT queries (term/AND/OR mixes over the corpus's zipfian
+    # vocabulary, hot keywords and tail terms both represented): the
+    # engine dedups repeated query strings inside a batch (one kernel
+    # evaluation per distinct query), so replicating a 25-query set
+    # would measure 25 evaluations + a fanout join, not real per-query
+    # work. Distinct queries keep the measured work honest; the batch is
+    # large enough that the per-batch serial floor (~1.4 s: single-split
+    # postings scan, stats job, windowed merge scheduling) amortizes and
+    # the ratio measures the distributed scoring stage.
+    batch = make_serving_batch(1200)
     searcher.search_many({"w": "reader"}, k=10).collect()  # warm plan
     best = None
     for _ in range(2):

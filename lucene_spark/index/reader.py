@@ -47,6 +47,39 @@ class IndexReader:
         self.field_stats: dict[str, dict] = self.manifest.get("field_stats") or {
             self.default_field: {"doc_count": self.doc_count,
                                  "sum_ttf": self.sum_doclen}}
+        self._hot_postings: DataFrame | None = None
+
+    def cache_postings(self, num_partitions: int = 32) -> DataFrame:
+        """Pin the postings frame in executor memory, pre-partitioned by
+        part_id — the serving steady state. Lucene leans on the OS page
+        cache for exactly this (NRT searchers keep segment files hot;
+        store/MMapDirectory.java is the default for that reason); the
+        Spark-native equivalent is an explicit persist. Two per-batch
+        costs disappear: the parquet scan (term filters now run over
+        in-memory columnar batches) and the per-query part_id shuffle
+        (filters preserve the cached partitioning, so the scoring kernel
+        consumes it directly). MEMORY_AND_DISK: under memory pressure
+        blocks spill to local disk rather than recompute from source —
+        at the 100 TB design point this is per-executor hot-shard
+        residency, with the cold tail served from the parquet path."""
+        from pyspark import StorageLevel
+
+        if self._hot_postings is None:
+            self._hot_postings = (
+                self.postings()
+                .repartition(num_partitions, "part_id")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+            self._hot_postings.count()
+        return self._hot_postings
+
+    def uncache_postings(self) -> None:
+        if self._hot_postings is not None:
+            self._hot_postings.unpersist()
+            self._hot_postings = None
+
+    @property
+    def postings_cached(self) -> bool:
+        return self._hot_postings is not None
 
     def field_positions(self, field: str) -> bool:
         f = self.field_by_name.get(field)
@@ -228,12 +261,18 @@ class IndexReader:
             return self.postings().limit(0)
         pairs = sorted(set(terms))
         names = sorted({t for _, t in pairs})
-        buckets = sorted(set(self.buckets_of(names).values()))
-        post = (
-            self.postings()
-            .filter(col("bucket").isin(buckets))   # partition pruning
-            .filter(col("term").isin(names))       # row-group pruning + filter
-        )
+        if self._hot_postings is not None:
+            # cached branch: term filter over in-memory columnar batches;
+            # bucket pruning is meaningless here (no files to skip) and
+            # the part_id partitioning is preserved for the kernel
+            post = self._hot_postings.filter(col("term").isin(names))
+        else:
+            buckets = sorted(set(self.buckets_of(names).values()))
+            post = (
+                self.postings()
+                .filter(col("bucket").isin(buckets))   # partition pruning
+                .filter(col("term").isin(names))       # row-group pruning + filter
+            )
         by_field: dict[str, list[str]] = {}
         for f, t in pairs:
             by_field.setdefault(f, []).append(t)

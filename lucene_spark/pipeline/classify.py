@@ -82,3 +82,33 @@ def predict_naive_bayes(model: dict, df: DataFrame, text_col: str,
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("key", F.col("label").alias("predicted")))
+
+
+def knn_classify(train_df: DataFrame, test_df: DataFrame, vec_col: str,
+                 key_col: str, label_col: str, k: int = 5) -> DataFrame:
+    """k-nearest-neighbor classification over an embedding column — the
+    KNearestNeighborClassifier role (lucene/classification/src/java/org/
+    apache/lucene/classification/KNearestNeighborClassifier.java:40-52:
+    a MoreLikeThis query retrieves the k nearest indexed docs and the
+    class is assigned by vote; classifyFromTopDocs counts classes and
+    breaks ties by the SUM of neighbor scores). Here the neighbor
+    retrieval is the exact chunked-broadcast GEMM knn_join and the vote
+    is a pure DataFrame aggregation: count desc, then summed cosine
+    desc, then label asc — deterministic.
+
+    Returns (key, label, votes, score) — one row per test_df row that
+    has at least one neighbor."""
+    from lucene_spark.pipeline.similarity import knn_join
+
+    nbrs = knn_join(test_df, train_df, vec_col, key_col, k=k)
+    lab = train_df.select(F.col(key_col).alias("key"),
+                          F.col(label_col).alias("label"))
+    votes = (
+        nbrs.join(F.broadcast(lab), "key")
+        .groupBy(F.col("query_key").alias("key"), "label")
+        .agg(F.count("*").alias("votes"), F.sum("cosine").alias("score"))
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("votes").desc(), F.col("score").desc(), F.col("label").asc())
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))

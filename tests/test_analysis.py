@@ -104,11 +104,23 @@ def test_language_analyzers():
     from lucene_spark.analysis import get_analyzer
 
     de = get_analyzer("german")
-    out = list(de.tokenize_series(pd.Series(["Der Hund und die Katze"])).iloc[0])
-    assert out == ["hund", "katze"]
+    out = list(de.tokenize_series(pd.Series(["Der Hund und die Katzen"])).iloc[0])
+    assert out == ["hund", "katz"]  # stops dropped, light-stemmed
     fr = get_analyzer("french")
-    out = list(fr.tokenize_series(pd.Series(["le chat est sur la table"])).iloc[0])
-    assert out == ["chat", "table"]
+    out = list(fr.tokenize_series(pd.Series(["le chat est sur les tables"])).iloc[0])
+    assert out == ["chat", "tabl"]  # "sur" is in the French stop set
     es = get_analyzer("spanish")
-    out = list(es.tokenize_series(pd.Series(["el perro y el gato"])).iloc[0])
-    assert out == ["perro", "gato"]
+    out = list(es.tokenize_series(pd.Series(["el perro y los gatos"])).iloc[0])
+    assert out == ["perr", "gat"]
+    # plural and singular conflate to the same term on every chain
+    for name, sing, plur in [("german", "Hund", "Hunde"),
+                             ("french", "table", "tables"),
+                             ("spanish", "gato", "gatos"),
+                             ("italian", "gatto", "gatti"),
+                             ("portuguese", "livro", "livros"),
+                             ("dutch", "boek", "boeken"),
+                             ("swedish", "bil", "bilar")]:
+        a = get_analyzer(name)
+        s = list(a.tokenize_series(pd.Series([sing])).iloc[0])
+        p = list(a.tokenize_series(pd.Series([plur])).iloc[0])
+        assert s == p, (name, s, p)

@@ -509,3 +509,40 @@ def test_expression_compiler(spark):
     for bad in ["a +", "foo(", "1 2", "nosuchfn(a)", "a @ b"]:
         with pytest.raises(ExpressionError):
             compile_expression(bad)
+
+
+def test_knn_classify_majority_vote(spark):
+    """knn_classify (KNearestNeighborClassifier role): matches a numpy
+    vote oracle — count desc, summed-cosine desc, label asc."""
+    import os
+
+    import pytest
+
+    from lucene_spark.pipeline.classify import knn_classify
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    train = e.filter("vec_id >= 100").withColumn(
+        "label", F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                              (F.col("vec_id") % 3 + 1).cast("int")))
+    test = e.filter("vec_id < 10")
+    got = {r["key"]: (r["label"], r["votes"]) for r in
+           knn_classify(train, test, "embedding", "vec_id", "label", k=5).collect()}
+
+    rows = e.select("vec_id", "embedding").collect()
+    m = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    unit = {k: v / max(np.linalg.norm(v), 1e-30) for k, v in m.items()}
+    train_keys = sorted(k for k in m if k >= 100)
+    want = {}
+    for tk in sorted(k for k in m if k < 10):
+        sims = sorted(((-(unit[tk] @ unit[k]), k) for k in train_keys))[:5]
+        votes = {}
+        for negs, k in sims:
+            lab = "abc"[k % 3]
+            c, s = votes.get(lab, (0, 0.0))
+            votes[lab] = (c + 1, s + (-negs))
+        best = sorted(votes.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0]))[0]
+        want[tk] = (best[0], best[1][0])
+    assert got == want and len(got) == 10

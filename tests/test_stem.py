@@ -71,3 +71,45 @@ def test_stemmed_index_search(spark, tmp_path):
     assert len(got) == 2  # 'merging' and 'merge' docs
     got2 = {r["doc_id"] for r in s.matches("table", with_scores=False).collect()}
     assert len(got2) == 1  # 'tables' doc
+
+
+def test_light_stemmers_conflate_inflections():
+    """Per-language light stemmers (GermanLightStemFilter-family role):
+    plural/case/gender variants conflate; diacritics fold; short words
+    and already-stemmed forms are stable (idempotence)."""
+    from lucene_spark.analysis.stem import STEMMERS
+
+    cases = {
+        "german_light": [("hunde", "hund"), ("hunden", "hund"),
+                         ("häuser", "haus"), ("katzen", "katz"),
+                         ("katze", "katz"), ("hund", "hund")],
+        "french_light": [("chevaux", "cheval"), ("cheval", "cheval"),
+                         ("tables", "tabl"), ("table", "tabl"),
+                         ("chanter", "chant"), ("chantes", "chant")],
+        "spanish_light": [("perros", "perr"), ("perro", "perr"),
+                          ("gatos", "gat"), ("gato", "gat"),
+                          ("canciones", "cancion")],
+        "italian_light": [("gatti", "gatt"), ("gatto", "gatt"),
+                          ("amiche", "amic"), ("amica", "amic")],
+        "portuguese_light": [("livros", "livro"), ("livro", "livro"),
+                             ("animais", "animal"), ("animal", "animal"),
+                             ("homens", "homem"), ("lições", "licao")],
+        "dutch_light": [("katten", "kat"), ("kat", "kat"),
+                        ("boeken", "boek"), ("boek", "boek")],
+        "swedish_light": [("bilarna", "bil"), ("bilar", "bil"),
+                          ("bilen", "bil"), ("bil", "bil"),
+                          ("flickorna", "flick"), ("flickor", "flick")],
+    }
+    for name, pairs in cases.items():
+        fn = STEMMERS[name]
+        for word, want in pairs:
+            assert fn(word) == want, (name, word, fn(word), want)
+
+    # each stemmer's own outputs are stable (stem(stem(w)) == stem(w) on
+    # its OWN language's vocabulary — cross-language idempotence is not a
+    # light-stemmer property: single-pass suffix stripping by design)
+    for name, pairs in cases.items():
+        fn = STEMMERS[name]
+        for word, _ in pairs:
+            out = fn(word)
+            assert fn(out) == out, (name, word, out)
