@@ -2326,6 +2326,184 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# round-2 late additions: spellcheck, infix suggest, query-time join,
+# LTR rerank, DFR G/L/H2
+
+
+_TYPOS = ("tabel", "quary", "filtr", "mergee", "scann", "ordre", "ag")
+
+
+def ft_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker (suggest/spell/DirectSpellChecker.java): for a
+    batch of typo'd query terms, corrections within 2 edits sharing the
+    first char, ranked by LevenshteinDistance.getDistance =
+    1 − ed/min(|a|,|b|) (suggest/spell/LevenshteinDistance.java:74-80),
+    ties by df then term — the per-term loop SpellCheckComponent runs
+    over a query's misspelled tokens."""
+    from lucene_spark.search.spellcheck import suggest_similar
+
+    reader = _reader(spark, sf_dir)
+    outs = []
+    for typo in _TYPOS:
+        outs.append(
+            suggest_similar(reader, typo, n=3, max_edits=2, min_prefix=1)
+            .withColumn("typo", F.lit(typo))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("typo", "term", "df", "ed", "similarity")
+
+
+_TYPO_SQL_ROWS = ", ".join(f"('{t}')" for t in _TYPOS)
+
+FT_SPELLCHECK_SQL = f"""
+WITH td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK2}) GROUP BY term),
+ty(typo) AS (VALUES {_TYPO_SQL_ROWS}),
+c AS (
+  SELECT ty.typo, td.term, td.df, levenshtein(td.term, ty.typo)::INT AS ed
+  FROM td CROSS JOIN ty
+  WHERE length(td.term) BETWEEN length(ty.typo) - 2 AND length(ty.typo) + 2
+    AND substr(td.term, 1, 1) = substr(ty.typo, 1, 1) AND td.term <> ty.typo
+),
+s AS (
+  SELECT typo, term, df, ed,
+         round(1.0 - ed::DOUBLE / least(length(term), length(typo))::DOUBLE, 4) AS similarity
+  FROM c WHERE ed BETWEEN 1 AND 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY typo ORDER BY similarity DESC, df DESC, term ASC) AS rn
+  FROM s
+)
+SELECT typo, term, df, ed, similarity FROM r WHERE rn <= 3
+"""
+
+
+def ft_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester (suggest/analyzing/AnalyzingInfixSuggester.java):
+    completions containing 'er' anywhere, weight-ordered (df desc)."""
+    from lucene_spark.search.suggest import suggest_infix
+
+    return suggest_infix(_reader(spark, sf_dir), "er", n=10).select("term", "df")
+
+
+FT_SUGGEST_INFIX_SQL = f"""
+WITH td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK2}) GROUP BY term)
+SELECT term, df FROM td WHERE term LIKE '%er%'
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
+def ft_join_fromto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time join (join/JoinUtil.java createJoinQuery, ScoreMode.Max —
+    join/ScoreMode.java): docs whose `source` equals the `source` of any
+    doc matching 'merge', scored by the max from-side BM25 score for that
+    source value. round∘max = max∘round (monotone), so rounding the
+    aggregate matches the oracle's per-doc rounding order-free."""
+    from lucene_spark.search.joins import join_query
+
+    s = _searcher(spark, sf_dir)
+    j = join_query(s, "merge", "source", "source", score_mode="max")
+    out = _to_ext(j, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(out, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_JOIN_FROMTO_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+),
+fv AS (
+  SELECT d.source, round(max(sc.s), 2) AS score_r
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id GROUP BY d.source
+)
+SELECT d.doc_id, fv.score_r,
+       row_number() OVER (ORDER BY fv.score_r DESC, d.doc_id ASC) AS rank
+FROM documents d JOIN fv ON d.source = fv.source
+QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR rerank (solr/contrib/ltr LinearModel.java + LTRScoringQuery.java,
+    rq={!ltr reRankDocs=50}): top-50 BM25 hits for 'scan' rescored by
+    1.0·score_r + 0.5·ln(1 + n_chars) (OriginalScoreFeature +
+    FieldValueFeature), top-10 by the model score."""
+    from lucene_spark.search.ltr import LinearModel, rerank
+
+    s = _searcher(spark, sf_dir)
+    m = s.matches("scan")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    feats = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.log(F.lit(1.0) + F.col("n_chars")).alias("logchars"))
+    model = LinearModel({"score_r": 1.0, "logchars": 0.5})
+    out = rerank(m, feats, model, k=10, rerank_docs=50, score_col="score_r")
+    return out.select(
+        "doc_id", F.round(F.col("ltr_score"), 4).alias("ltr_r"),
+        F.col("ltr_rank").alias("rank")).orderBy("rank")
+
+
+FT_LTR_RERANK_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'scan' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+),
+r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc),
+w AS (SELECT doc_id, score_r,
+             row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS br FROM r),
+win AS (
+  SELECT w.doc_id, w.score_r, ln(1 + d.n_chars) AS logchars
+  FROM w JOIN documents d ON w.doc_id = d.doc_id WHERE w.br <= 50
+),
+sc2 AS (SELECT doc_id, round(1.0 * score_r + 0.5 * logchars, 4) AS ltr_r FROM win)
+SELECT doc_id, ltr_r,
+       row_number() OVER (ORDER BY ltr_r DESC, doc_id ASC) AS rank
+FROM sc2 QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_dfr_g_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR G/L/H2 (BasicModelG.java:36-50 + AfterEffectL + NormalizationH2)."""
+    return _sim_topk(spark, sf_dir, "dfr_gl2", "filter")
+
+
+FT_DFR_G_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'filter' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT sum(tf) + 1 AS f FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln((1 + qd.f/(st.n + qd.f)) / (qd.f/(st.n + qd.f))) / ln(2)
+           - (ln((1 + qd.f/(st.n + qd.f)) / (qd.f/(st.n + qd.f))) / ln(2)
+              - ln(qd.f/(st.n + qd.f) + 1) / ln(2))
+             / (1 + tf.tf * ln(1 + st.avgdl / dl.dl) / ln(2)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 
 
@@ -2382,6 +2560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dfi_topk": ft_dfi_topk,
         "ft_ib_topk": ft_ib_topk,
         "ft_f2exp_topk": ft_f2exp_topk,
+        "ft_dfr_g_topk": ft_dfr_g_topk,
+        "ft_spellcheck": ft_spellcheck,
+        "ft_suggest_infix": ft_suggest_infix,
+        "ft_join_fromto": ft_join_fromto,
+        "ft_ltr_rerank": ft_ltr_rerank,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -2478,6 +2661,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_dfi_topk": FT_DFI_SQL,
         "ft_ib_topk": FT_IB_SQL,
         "ft_f2exp_topk": FT_F2EXP_SQL,
+        "ft_dfr_g_topk": FT_DFR_G_SQL,
+        "ft_spellcheck": FT_SPELLCHECK_SQL,
+        "ft_suggest_infix": FT_SUGGEST_INFIX_SQL,
+        "ft_join_fromto": FT_JOIN_FROMTO_SQL,
+        "ft_ltr_rerank": FT_LTR_RERANK_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

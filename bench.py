@@ -304,9 +304,13 @@ def main() -> None:
     timed("sim_gemm_top10", lambda: similarity.pairwise_topk_gemm(
         emb, "embedding", "vec_id", qs, k=10).count())
 
-    # serving-side scaling pair: the SAME 100-query batch over the SAME
+    # serving-side scaling pair: the SAME 1200-query batch over the SAME
     # prebuilt index at N and 4N cores, each level its own JVM (mirrors
-    # the build pair; extends the north-rule evidence to query serving)
+    # the build pair; extends the north-rule evidence to query serving).
+    # The suite session must be DOWN first: an idle 32-core JVM holding
+    # the suite's cached state inflates the subprocess levels ~2x (GC +
+    # memory pressure, invisible to the steal counter).
+    spark.stop()
     import subprocess
     q_runs = {}
     for cores in (low, high):
@@ -346,7 +350,6 @@ def main() -> None:
                                 f"c{high}": q_runs[high]["steal_frac"]},
     }
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -279,12 +279,52 @@ class AxiomaticF2EXP:
         return self.score(max_tf, min_doclen, weight, avgdl)
 
 
+@dataclass(frozen=True)
+class DFRGL2Similarity:
+    """DFR G/L/H2 — BasicModelG (geometric Bose-Einstein limit) with the
+    Laplace after-effect and H2 normalization
+    (search/similarities/BasicModelG.java:36-50, AfterEffectL.java:33,
+    NormalizationH2.java:58):
+
+        F      = cf + 1;  N = docCount;  λ = F / (N + F)
+        A      = log2(λ + 1);  B = log2((1 + λ) / λ)
+        tfn    = tf · log2(1 + c·avgdl/dl)                 (H2, c=1)
+        score  = boost · (B − (B − A) / (1 + tfn))
+                 # BasicModelG.score with AfterEffectL's aeTimes1pTfn = 1:
+                 # the (A + B·tfn)/(1+tfn) rewrite that keeps the result
+                 # non-decreasing in tfn (B ≥ A).
+    """
+
+    c: float = 1.0
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        import math as _m
+
+        f = cf + 1.0
+        lam = f / (float(doc_count) + f)
+        a = _m.log2(lam + 1.0)
+        b = _m.log2((1.0 + lam) / lam)
+        return (np.float32(boost), np.float64(a), np.float64(b))
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, a, b = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        tfn = tff * np.log2(1.0 + self.c * float(avgdl) / dl)
+        return (np.float64(boost) * (b - (b - a) / (1.0 + tfn))).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
     "boolean": BooleanSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
     "dfr_inl2": DFRInL2Similarity(),
+    "dfr_gl2": DFRGL2Similarity(),
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
     "dfi": DFISimilarity(),
     "ib_ll": IBLLSimilarity(),

@@ -43,3 +43,21 @@ def suggest_fuzzy(reader: IndexReader, text: str, n: int = 10, max_edits: int = 
         .orderBy(F.col("ed").asc(), F.col("df").desc(), F.col("term").asc())
         .limit(n)
     )
+
+
+def suggest_infix(reader: IndexReader, fragment: str, n: int = 10,
+                  field: str | None = None) -> DataFrame:
+    """AnalyzingInfixSuggester (suggest/analyzing/AnalyzingInfixSuggester.java):
+    completions CONTAINING the fragment anywhere, ordered by weight
+    (df desc, term asc). Lucene maintains a dedicated edge-ngram sidecar
+    index for this; the Spark analogue is a contains-filter over the
+    sorted termdict — a full dictionary scan, but the dictionary is tiny
+    relative to postings and the predicate stays JVM-side."""
+    return (
+        reader.termdict()
+        .filter(F.col("field") == (field or reader.default_field))
+        .filter(F.col("term").contains(fragment))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(n)
+    )
