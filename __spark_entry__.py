@@ -2479,6 +2479,49 @@ FROM sc2 QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric doc-values updates (IndexWriter.updateNumericDocValue +
+    per-segment dv update gens, index/ReadersAndUpdates.java): two update
+    generations land on a signal field over the n_chars base — gen 1 sets
+    1000+id for id%7 docs, gen 2 overrides with 2000+id for id%21 docs —
+    then the read path resolves newest-gen-wins over the base. Top-10 by
+    resolved value. The whole stack is integer-valued, so no rounding."""
+    import shutil
+
+    from lucene_spark.index.docvalues import update_doc_values
+
+    r = _reader(spark, sf_dir)
+    shutil.rmtree(os.path.join(r.index_dir, "dv_updates", "field=sig"),
+                  ignore_errors=True)
+    ds = r.docstats().select("doc_id", "ext_id", "n_chars")
+    update_doc_values(
+        spark, r.index_dir, "sig",
+        ds.filter(F.col("ext_id") % 7 == 0)
+        .select("doc_id", (F.lit(1000.0) + F.col("ext_id")).alias("value")))
+    update_doc_values(
+        spark, r.index_dir, "sig",
+        ds.filter(F.col("ext_id") % 21 == 0)
+        .select("doc_id", (F.lit(2000.0) + F.col("ext_id")).alias("value")))
+    base = ds.select("doc_id", F.col("n_chars").cast("double").alias("sig"))
+    dv = r.doc_values("sig", base=base)
+    out = _to_ext(dv, r).select("doc_id", "value")
+    return _ranked(out, "value", "doc_id", 10).select("doc_id", "value", "rank")
+
+
+FT_DV_UPDATE_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 21 = 0 THEN 2000.0 + doc_id
+              WHEN doc_id % 7 = 0 THEN 1000.0 + doc_id
+              ELSE n_chars::DOUBLE END AS value
+  FROM documents
+)
+SELECT doc_id, value,
+       row_number() OVER (ORDER BY value DESC, doc_id ASC) AS rank
+FROM v QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def ft_dfr_g_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR G/L/H2 (BasicModelG.java:36-50 + AfterEffectL + NormalizationH2)."""
     return _sim_topk(spark, sf_dir, "dfr_gl2", "filter")
@@ -2565,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest_infix": ft_suggest_infix,
         "ft_join_fromto": ft_join_fromto,
         "ft_ltr_rerank": ft_ltr_rerank,
+        "ft_dv_update": ft_dv_update,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -2666,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest_infix": FT_SUGGEST_INFIX_SQL,
         "ft_join_fromto": FT_JOIN_FROMTO_SQL,
         "ft_ltr_rerank": FT_LTR_RERANK_SQL,
+        "ft_dv_update": FT_DV_UPDATE_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

@@ -134,6 +134,14 @@ class IndexReader:
     def fieldstats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "fieldstats"))
 
+    def doc_values(self, field: str, base: DataFrame | None = None) -> DataFrame:
+        """Numeric doc values for `field` with any committed updates
+        overlaid newest-gen-wins (IndexWriter.updateNumericDocValue /
+        per-segment dv update gens — see index/docvalues.py)."""
+        from lucene_spark.index.docvalues import doc_values
+
+        return doc_values(self, field, base=base)
+
     # ---- stats lookups (driver-side, small) ------------------------------
     def _field_dict(self, field: str | None) -> DataFrame:
         td = self.termdict()

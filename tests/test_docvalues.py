@@ -1,0 +1,135 @@
+"""Numeric doc-values updates: gen-stamped sidecar, newest-wins overlay,
+fold-at-merge (IndexWriter.updateNumericDocValue role)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+from lucene_spark.index.docvalues import (
+    doc_values, fold_doc_values, update_doc_values,
+)
+
+
+@pytest.fixture()
+def dv_index(spark, corpus_pdf, tmp_path):
+    d = str(tmp_path / "dvidx")
+    cfg = IndexConfig(partitions=2, num_groups=1, num_buckets=4,
+                      analyzer="code", carry_cols=("size_bytes",))
+    src = spark.createDataFrame(corpus_pdf).withColumn(
+        "size_bytes", F.length("content"))
+    IndexBuilder(spark, cfg).build(src, d, overwrite=True)
+    return d
+
+
+def test_dv_base_from_carry_col(spark, dv_index):
+    r = IndexReader(spark, dv_index)
+    base = {x["doc_id"]: x["size_bytes"]
+            for x in r.docstats().select("doc_id", "size_bytes").collect()}
+    got = {x["doc_id"]: x["value"] for x in r.doc_values("size_bytes").collect()}
+    assert got == {k: float(v) for k, v in base.items()}
+
+
+def test_dv_update_overlay_newest_wins(spark, dv_index):
+    r = IndexReader(spark, dv_index)
+    ids = sorted(x["doc_id"] for x in r.docstats().select("doc_id").collect())
+    a, b = ids[0], ids[1]
+    g1 = update_doc_values(spark, dv_index, "size_bytes",
+                           spark.createDataFrame([(a, 111.0), (b, 222.0)],
+                                                 ["doc_id", "value"]))
+    g2 = update_doc_values(spark, dv_index, "size_bytes",
+                           spark.createDataFrame([(b, 999.0)],
+                                                 ["doc_id", "value"]))
+    assert g2 == g1 + 1
+    got = {x["doc_id"]: x["value"] for x in r.doc_values("size_bytes").collect()}
+    assert got[a] == 111.0          # gen-1 update wins over base
+    assert got[b] == 999.0          # gen-2 wins over gen-1
+    base = {x["doc_id"]: float(x["size_bytes"])
+            for x in r.docstats().select("doc_id", "size_bytes").collect()}
+    for d in ids[2:5]:
+        assert got[d] == base[d]    # untouched docs keep the base value
+
+
+def test_dv_field_without_base(spark, dv_index):
+    """A field that exists ONLY as updates (pagerank-style signal attached
+    after indexing): base is null, updated docs carry values."""
+    r = IndexReader(spark, dv_index)
+    ids = sorted(x["doc_id"] for x in r.docstats().select("doc_id").collect())
+    update_doc_values(spark, dv_index, "pagerank",
+                      spark.createDataFrame([(ids[0], 0.5)], ["doc_id", "value"]))
+    got = {x["doc_id"]: x["value"] for x in r.doc_values("pagerank").collect()}
+    assert got[ids[0]] == 0.5 and got[ids[1]] is None
+
+
+def test_dv_fold(spark, dv_index):
+    r = IndexReader(spark, dv_index)
+    ids = sorted(x["doc_id"] for x in r.docstats().select("doc_id").collect())
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        update_doc_values(spark, dv_index, "size_bytes",
+                          spark.createDataFrame([(ids[i], v), (ids[0], v * 10)],
+                                                ["doc_id", "value"]))
+    before = sorted((x["doc_id"], x["value"])
+                    for x in r.doc_values("size_bytes").collect())
+    folded = fold_doc_values(spark, dv_index, "size_bytes")
+    assert folded == 3
+    after = sorted((x["doc_id"], x["value"])
+                   for x in doc_values(IndexReader(spark, dv_index),
+                                       "size_bytes").collect())
+    assert after == before          # fold is read-invisible
+    assert fold_doc_values(spark, dv_index, "size_bytes") == 0  # idempotent
+
+
+def test_dv_survives_compaction(spark, corpus_pdf, tmp_path):
+    """doc_ids are stable across compaction (groups move verbatim), so the
+    sidecar keeps applying — Lucene's dv-update gens surviving merges."""
+    from lucene_spark.index import compact
+
+    d = str(tmp_path / "dvc")
+    cfg = IndexConfig(partitions=4, num_groups=4, num_buckets=4,
+                      analyzer="code", carry_cols=("size_bytes",))
+    src = spark.createDataFrame(corpus_pdf).withColumn(
+        "size_bytes", F.length("content"))
+    IndexBuilder(spark, cfg).build(src, d, overwrite=True)
+    r = IndexReader(spark, d)
+    ids = sorted(x["doc_id"] for x in r.docstats().select("doc_id").collect())
+    update_doc_values(spark, d, "size_bytes",
+                      spark.createDataFrame([(ids[0], 777.0)], ["doc_id", "value"]))
+    before = sorted((x["doc_id"], x["value"])
+                    for x in r.doc_values("size_bytes").collect())
+    res = compact(spark, d, segs_per_tier=1)
+    assert res["merged"]
+    after = sorted((x["doc_id"], x["value"])
+                   for x in IndexReader(spark, d).doc_values("size_bytes").collect())
+    assert after == before
+
+
+def test_dv_feature_rescore_integration(spark, dv_index):
+    """doc_values feeds rescore_with_feature — the FeatureQuery whose
+    signal arrives as post-hoc updates."""
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.features import rescore_with_feature
+
+    r = IndexReader(spark, dv_index)
+    s = IndexSearcher(r)
+    hits = s.search("index", k=5)
+    ids = [x["doc_id"] for x in hits.collect()]
+    update_doc_values(spark, dv_index, "boost_sig",
+                      spark.createDataFrame([(ids[0], 100.0)], ["doc_id", "value"]))
+    dv = r.doc_values("boost_sig").withColumnRenamed("value", "boost_sig").fillna(0.0)
+    out = rescore_with_feature(hits, dv, "boost_sig", fn="log", weight=1.0,
+                               scaling=1.0).collect()
+    base = {x["doc_id"]: x["score"] for x in hits.collect()}
+    got = {x["doc_id"]: x["score"] for x in out}
+    import math
+    assert got[ids[0]] == pytest.approx(base[ids[0]] + math.log(1 + 100.0), rel=1e-5)
+    for d in ids[1:]:
+        assert got[d] == pytest.approx(base[d], rel=1e-6)
+
+
+def test_dv_bad_inputs(spark, dv_index):
+    with pytest.raises(ValueError, match="doc_id"):
+        update_doc_values(spark, dv_index, "x",
+                          spark.createDataFrame([(1.0,)], ["value"]))
