@@ -2546,6 +2546,103 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_sweetspot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java): Classic TF-IDF
+    with plateau length norm [100,400] (steepness 0.5) and baselined tf
+    (base=min=1 → baselineTf = 1 for tf≤1 else sqrt(tf))."""
+    return _sim_topk(spark, sf_dir, "sweetspot", "query")
+
+
+FT_SWEETSPOT_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'query' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         pow(ln((st.n + 1)/(qd.df + 1)) + 1.0, 2)
+           * (CASE WHEN tf.tf <= 1 THEN 1.0 ELSE sqrt(tf.tf) END)
+           * (1.0 / sqrt(0.5 * (abs(dl.dl - 100) + abs(dl.dl - 400) - 300) + 1.0)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_freetext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
+    next-word prediction after 'the' from the shingle index's n-gram
+    counts with stupid backoff (alpha=0.4) — the termdict IS the LM."""
+    from lucene_spark.search.suggest import suggest_free_text
+
+    out = suggest_free_text(_reader_shingle(spark, sf_dir), "the", n=10,
+                            alpha=0.4)
+    return out.select("term", F.round(F.col("score"), 6).alias("score_r"))
+
+
+FT_FREETEXT_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+u AS (SELECT unnest(ws) AS term FROM w),
+uc AS (SELECT term, count(*)::DOUBLE AS cf FROM u WHERE term <> '' GROUP BY term),
+tot AS (SELECT sum(cf) AS t FROM uc),
+ctx AS (SELECT cf AS c FROM uc WHERE term = 'the'),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS term
+  FROM w
+),
+bc AS (SELECT substr(term, 5) AS w2, count(*)::DOUBLE AS cf
+       FROM bg WHERE term LIKE 'the %' GROUP BY term),
+sc AS (
+  SELECT uc.term,
+         coalesce(bc.cf / ctx.c, 0.4 * uc.cf / tot.t) AS score
+  FROM uc CROSS JOIN tot CROSS JOIN ctx
+  LEFT JOIN bc ON uc.term = bc.w2
+)
+SELECT term, round(score, 6) AS score_r FROM sc
+ORDER BY score DESC, term ASC LIMIT 10
+"""
+
+
+def ft_simple_qp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleQueryParser dialect (queryparser/simple/SimpleQueryParser.java):
+    'merge + scan -batch' — `+` AND, `-` negation — over the gate index;
+    scores equal BM25(merge)+BM25(scan) minus batch docs."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.simpleparser import parse_simple
+
+    s = _searcher(spark, sf_dir)
+    node = parse_simple("merge + scan -batch", get_analyzer("whitespace"))
+    m = _to_ext(s.matches(node), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_SIMPLE_QP_SQL = f"""
+WITH tok AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+t1 AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+t2 AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'scan' GROUP BY doc_id),
+t3 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'batch'),
+d1 AS (SELECT count(*)::DOUBLE AS df FROM t1),
+d2 AS (SELECT count(*)::DOUBLE AS df FROM t2),
+sc AS (
+  SELECT t1.doc_id,
+         ln(1 + (st.n - d1.df + 0.5)/(d1.df + 0.5))
+           * t1.tf / (t1.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+       + ln(1 + (st.n - d2.df + 0.5)/(d2.df + 0.5))
+           * t2.tf / (t2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+  JOIN dl ON t1.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN d1 CROSS JOIN d2
+  WHERE t1.doc_id NOT IN (SELECT doc_id FROM t3)
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2609,6 +2706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_join_fromto": ft_join_fromto,
         "ft_ltr_rerank": ft_ltr_rerank,
         "ft_dv_update": ft_dv_update,
+        "ft_sweetspot_topk": ft_sweetspot_topk,
+        "ft_freetext_suggest": ft_freetext_suggest,
+        "ft_simple_qp": ft_simple_qp,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -2711,6 +2811,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_join_fromto": FT_JOIN_FROMTO_SQL,
         "ft_ltr_rerank": FT_LTR_RERANK_SQL,
         "ft_dv_update": FT_DV_UPDATE_SQL,
+        "ft_sweetspot_topk": FT_SWEETSPOT_SQL,
+        "ft_freetext_suggest": FT_FREETEXT_SQL,
+        "ft_simple_qp": FT_SIMPLE_QP_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

@@ -318,6 +318,62 @@ class DFRGL2Similarity:
         return self.score(max_tf, min_doclen, weight, avgdl)
 
 
+@dataclass(frozen=True)
+class SweetSpotSimilarity:
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java) — Classic
+    TF-IDF with a plateau length norm and a baselined tf:
+
+        lengthNorm(dl) = 1 / sqrt(steepness·(|dl−ln_min| + |dl−ln_max|
+                                             − (ln_max−ln_min)) + 1)
+            (flat 1.0 inside [ln_min, ln_max], hyperbolic falloff
+             outside — computeLengthNorm, SweetSpotSimilarity.java:120)
+        baselineTf(tf) = 0 if tf == 0
+                         base         if 0 < tf ≤ min
+                         sqrt(base² + tf − min)  otherwise
+            (baselineTf, SweetSpotSimilarity.java:163)
+        score = boost · idf² · baselineTf(tf) · lengthNorm(dl)
+
+    with Classic's idf = ln((docCount+1)/(df+1)) + 1. Defaults mirror
+    the reference's field-tuning idiom: a doclen sweet spot and a tf
+    floor. Unlike Lucene (which bakes lengthNorm into the lossy norm
+    byte at index time), the exact doclen sidecar lets us compute it
+    losslessly at query time."""
+
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0) -> np.float32:
+        idf = np.float32(math.log((doc_count + 1) / (df + 1)) + 1.0)
+        return np.float32(boost) * idf * idf
+
+    def _length_norm(self, dl: np.ndarray) -> np.ndarray:
+        lo, hi, s = float(self.ln_min), float(self.ln_max), float(self.steepness)
+        return (1.0 / np.sqrt(
+            s * (np.abs(dl - lo) + np.abs(dl - hi) - (hi - lo)) + 1.0))
+
+    def _baseline_tf(self, tf: np.ndarray) -> np.ndarray:
+        b, m = float(self.tf_base), float(self.tf_min)
+        out = np.sqrt(np.maximum(b * b + tf - m, 0.0))
+        out = np.where(tf <= m, b, out)
+        return np.where(tf == 0.0, 0.0, out)
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        return (np.float64(weight) * self._baseline_tf(tff)
+                * self._length_norm(dl)).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        # lengthNorm is NOT monotone in dl (plateau) — bound it by its
+        # maximum value 1.0 so the block bound stays admissible
+        tff = np.asarray(max_tf, dtype=np.float64)
+        return (np.float64(weight) * self._baseline_tf(tff)).astype(np.float32)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
@@ -325,6 +381,10 @@ SIMILARITIES = {
     "lmdirichlet": LMDirichletSimilarity(),
     "dfr_inl2": DFRInL2Similarity(),
     "dfr_gl2": DFRGL2Similarity(),
+    # doclen sweet spot tuned to the synthetic corpora's typical body
+    # (docs shorter/longer than the band are softly penalized)
+    "sweetspot": SweetSpotSimilarity(ln_min=100, ln_max=400, steepness=0.5,
+                                     tf_base=1.0, tf_min=1.0),
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
     "dfi": DFISimilarity(),
     "ib_ll": IBLLSimilarity(),

@@ -45,6 +45,53 @@ def suggest_fuzzy(reader: IndexReader, text: str, n: int = 10, max_edits: int = 
     )
 
 
+def suggest_free_text(reader: IndexReader, context: str, n: int = 10,
+                      alpha: float = 0.4, field: str | None = None) -> DataFrame:
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
+    next-word prediction from an n-gram language model with stupid
+    backoff (Brants et al. 2007, the paper the reference cites at
+    FreeTextSuggester.java:105): for context word c,
+
+        score(w) = cf("c w") / cf(c)          when the bigram was indexed
+                 = alpha · cf(w) / totTokens  backoff otherwise
+
+    Lucene builds a dedicated shingle index for the model; here a field
+    analyzed with the shingle chain IS the model — the term dictionary's
+    cf column carries exactly the n-gram counts the FST stores, so the
+    suggester is two pruned termdict reads and a join, no extra
+    artifact. Returns (term, score) ordered by (score desc, term asc);
+    higher-order estimates win over backoff for the same word (the
+    seen-set dedup in FreeTextSuggester.lookup)."""
+    f = field or reader.default_field
+    ctx_tokens = context.split()
+    if not ctx_tokens:
+        raise ValueError("context must contain at least one token")
+    ctx = ctx_tokens[-1]
+    td = reader.termdict().filter(F.col("field") == f)
+    uni = td.filter(~F.col("term").contains(" ")).select("term", "cf")
+    # two scalars: the context unigram count and the total token count —
+    # driver-side lookups against the pruned dictionary (the same stats
+    # collects every query plan does)
+    tot = uni.agg(F.sum("cf")).collect()[0][0] or 1
+    ctx_cf_rows = uni.filter(F.col("term") == ctx).collect()
+    ctx_cf = ctx_cf_rows[0]["cf"] if ctx_cf_rows else 0
+    backoff = uni.select(
+        "term",
+        (F.lit(float(alpha)) * F.col("cf") / F.lit(float(tot))).alias("__bo"))
+    if ctx_cf > 0:
+        big = (
+            td.filter(F.col("term").startswith(ctx + " "))
+            .select(
+                F.expr(f"substring(term, {len(ctx) + 2})").alias("term"),
+                (F.col("cf") / F.lit(float(ctx_cf))).alias("__hi"))
+        )
+        scored = backoff.join(big, "term", "left").select(
+            "term", F.coalesce(F.col("__hi"), F.col("__bo")).alias("score"))
+    else:
+        scored = backoff.select("term", F.col("__bo").alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(n)
+
+
 def suggest_infix(reader: IndexReader, fragment: str, n: int = 10,
                   field: str | None = None) -> DataFrame:
     """AnalyzingInfixSuggester (suggest/analyzing/AnalyzingInfixSuggester.java):
