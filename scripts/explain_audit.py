@@ -173,6 +173,61 @@ def main() -> None:
         ],
     ))
 
+    # 9. query-time join: from-side agg broadcast onto the to side
+    from lucene_spark.search.joins import join_query
+
+    p = plan_of(join_query(searcher, "merge", "source", "source",
+                           score_mode="max"))
+    sections.append((
+        "query-time join (JoinUtil role)", p,
+        [
+            ("join-value aggregate broadcast (BroadcastHashJoin)",
+             "BroadcastHashJoin" in p),
+            ("map-side partial max of from-side scores", "partial_max" in p),
+        ],
+    ))
+
+    # 10. LTR rerank: features broadcast; window confined to the
+    # reRankDocs slice (one tiny single-partition sort, not a corpus sort)
+    from lucene_spark.search.ltr import LinearModel, rerank
+
+    feats = gate._t(spark, sf_dir, "documents").select(
+        "doc_id", F.log(F.lit(1.0) + F.col("n_chars")).alias("logchars"))
+    hits = searcher.matches("scan")
+    p = plan_of(rerank(hits, feats, LinearModel({"score": 1.0, "logchars": 0.5}),
+                       k=10, rerank_docs=50))
+    sections.append((
+        "LTR rerank window", p,
+        [
+            ("feature table broadcast", "BroadcastHashJoin" in p),
+            ("model is a codegen'd expression (no python UDF)",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ],
+    ))
+
+    # 11. doc-values overlay: update stack broadcast over the base
+    from lucene_spark.index.docvalues import update_doc_values
+
+    import shutil as _sh
+    _sh.rmtree(os.path.join(reader.index_dir, "dv_updates", "field=__audit"),
+               ignore_errors=True)
+    update_doc_values(spark, reader.index_dir, "__audit",
+                      reader.docstats().select("doc_id").limit(5)
+                      .withColumn("value", F.lit(1.0)))
+    p = plan_of(reader.doc_values("__audit",
+                                  base=reader.docstats().select(
+                                      "doc_id", F.col("n_chars").cast("double")
+                                      .alias("__audit"))))
+    sections.append((
+        "doc-values update overlay", p,
+        [
+            ("update stack broadcast (BroadcastHashJoin)",
+             "BroadcastHashJoin" in p),
+            ("newest-gen-wins agg partial (partial_max_by)",
+             "partial_max_by" in p or "max_by" in p),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
