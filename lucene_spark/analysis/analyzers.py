@@ -164,6 +164,11 @@ _REGISTRY: dict[str, Analyzer] = {}
 
 
 def register_analyzer(a: Analyzer) -> Analyzer:
+    """Add an analyzer to the process-local registry. NOTE: analyzer
+    names are resolved INSIDE executor python workers (the tokenize
+    pandas UDF), so a custom analyzer must be registered at module
+    import time in code shipped to the workers (--py-files) — a
+    driver-only runtime registration raises KeyError in the workers."""
     _REGISTRY[a.name] = a
     return a
 
@@ -287,6 +292,13 @@ register_analyzer(
 # joined word pairs, exactly reproducible by an external SQL engine.
 register_analyzer(
     Analyzer(name="whitespace_shingle2", token_pattern=r"\S+", lowercase=False,
+             stopwords=frozenset(), max_token_length=1 << 20, shingle_size=2)
+)
+
+# Whitespace + lowercase + bigram shingles: the FreeTextSuggester model
+# chain (its n-gram LM lowercases before shingling).
+register_analyzer(
+    Analyzer(name="whitespace_lc_shingle2", token_pattern=r"\S+", lowercase=True,
              stopwords=frozenset(), max_token_length=1 << 20, shingle_size=2)
 )
 

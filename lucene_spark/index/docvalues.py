@@ -59,9 +59,17 @@ def update_doc_values(
     cols = updates.columns
     if "doc_id" not in cols:
         raise ValueError("updates must carry a doc_id column")
-    val_col = next((c for c in cols if c != "doc_id"), None)
-    if val_col is None:
-        raise ValueError("updates must carry a value column")
+    others = [c for c in cols if c != "doc_id"]
+    # unambiguous value selection: a column literally named `value`, or a
+    # two-column frame — never "whatever column happens to come first"
+    if "value" in others:
+        val_col = "value"
+    elif len(others) == 1:
+        val_col = others[0]
+    else:
+        raise ValueError(
+            f"ambiguous updates frame (columns {cols}): name the value "
+            "column 'value' or pass exactly (doc_id, <value>)")
     gen = (_gens(index_dir, field) or [0])[-1] + 1
     out = os.path.join(_field_dir(index_dir, field), f"gen={gen}")
     (
@@ -125,14 +133,20 @@ def fold_doc_values(spark: SparkSession, index_dir: str, field: str) -> int:
     if len(gens) <= 1:
         return 0
     d = _field_dir(index_dir, field)
+    # the temp snapshot is UNDERSCORE-prefixed: Spark's partition
+    # discovery ignores _-paths, so a crash that leaves it behind (or a
+    # live reader listing d mid-fold) never sees a conflicting directory;
+    # clear any such leftover BEFORE reading the stack
+    tmp = os.path.join(d, "_gen_folding.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
     resolved = (
         spark.read.option("basePath", d).parquet(d)
         .groupBy("doc_id").agg(F.max_by("value", "gen").alias("value"))
     )
-    tmp = os.path.join(d, "gen_folding.tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
     resolved.select("doc_id", "value").coalesce(1).write.parquet(tmp)
-    # commit: fold target becomes gen=<max+1); old gens retire after
+    # commit: fold target becomes gen=<max+1>; old gens retire after —
+    # a crash mid-retire still resolves correctly (the fold gen is
+    # newest, so max_by over the union equals the folded values)
     new_gen = gens[-1] + 1
     os.replace(tmp, os.path.join(d, f"gen={new_gen}"))
     for g in gens:

@@ -67,8 +67,11 @@ def join_query(
         )
     if broadcast_keys:
         keys = F.broadcast(keys)
+    # mask tombstones on the to side too — JoinUtil's toQuery only ever
+    # matches live docs (the from side is masked inside the kernel)
+    to_side = searcher._mask_deleted(ds.select("doc_id", to_field))
     return (
-        ds.select("doc_id", to_field)
+        to_side
         .join(keys, F.col(to_field) == F.col("__jv"))
         .select("doc_id", "score")
     )

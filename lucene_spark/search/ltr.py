@@ -94,22 +94,44 @@ def rerank(
     score_col: str = "score",
 ) -> DataFrame:
     """Rerank the top `rerank_docs` of `hits` (by (score desc, key asc) —
-    the engine's tie order) with `model`, returning the top `k` by
-    (ltr_score desc, key asc). `features` (keyed by `key`) is broadcast
-    onto the window; the model may also reference `score_col` itself
-    (OriginalScoreFeature). Columns the model references must exist after
-    the join."""
+    the engine's tie order) with `model`, then return the overall top `k`
+    with ReRankCollector semantics: reranked window first (ltr_score
+    desc, key asc), hits BELOW the window keep their base order after it
+    with their original score (Solr rq={!ltr reRankDocs=N} with rows>N).
+    `features` (keyed by `key`) is broadcast onto the window; missing
+    feature rows default to 0 (FieldValueFeature's default), never null.
+    The model may also reference `score_col` itself
+    (OriginalScoreFeature).
+
+    Scale shape: only the top rerank_docs+k rows are materialized — a
+    distributed TakeOrderedAndProject, never a full-corpus single-
+    partition window; the row_number windows below run over that ≤N+k-row
+    slice."""
+    n_slice = int(rerank_docs) + int(k)
+    slice_df = hits.orderBy(F.col(score_col).desc(), F.col(key).asc()).limit(n_slice)
     w = Window.orderBy(F.col(score_col).desc(), F.col(key).asc())
-    window = (
-        hits.withColumn("__base_rank", F.row_number().over(w))
-        .filter(F.col("__base_rank") <= int(rerank_docs))
-    )
+    ranked = slice_df.withColumn("__base_rank", F.row_number().over(w))
+    window = ranked.filter(F.col("__base_rank") <= int(rerank_docs))
+    tail = ranked.filter(F.col("__base_rank") > int(rerank_docs))
     if features is not None:
-        window = window.join(F.broadcast(features), key, "left")
-    scored = window.withColumn("ltr_score", model.expr())
-    w2 = Window.orderBy(F.col("ltr_score").desc(), F.col(key).asc())
+        feat_cols = [c for c in features.columns if c != key]
+        window = (window.join(F.broadcast(features), key, "left")
+                  .fillna(0.0, subset=feat_cols))
+    scored = window.withColumn("ltr_score", model.expr().cast("double"))
+    # window rows order by the model; tail rows keep base order below them
+    merged = scored.select(
+        key, "ltr_score", F.lit(0).alias("__tier"), "__base_rank",
+    ).unionByName(tail.select(
+        key, F.col(score_col).cast("double").alias("ltr_score"),
+        F.lit(1).alias("__tier"), "__base_rank",
+    ))
+    # tier 0 orders by (ltr_score desc, key asc) — the model contract;
+    # tier 1's ltr_score IS the base score, so the same sort key yields
+    # exactly the base order (score desc, key asc) below the window
+    w2 = Window.orderBy(F.col("__tier").asc(), F.col("ltr_score").desc(),
+                        F.col(key).asc())
     return (
-        scored.withColumn("ltr_rank", F.row_number().over(w2))
+        merged.withColumn("ltr_rank", F.row_number().over(w2))
         .filter(F.col("ltr_rank") <= int(k))
-        .drop("__base_rank")
+        .drop("__tier", "__base_rank")
     )

@@ -10,11 +10,14 @@ unmatched parens/quotes, dangling operators and stray punctuation all
 degrade to the nearest sensible query instead of erroring — garbage in,
 best-effort query out.
 
-Clauses combine LEFT-TO-RIGHT with the most recent explicit operator
-(`+`/`|`); bare whitespace applies the default operator (SHOULD/OR, the
-reference default — SimpleQueryParser.java:62). Output is the same plan
-tree the classic parser produces, so everything downstream (searcher,
-kernel, explain) is shared.
+Clauses combine LEFT-TO-RIGHT with the operator BETWEEN each pair, the
+reference's buildQueryTree behavior: `foo bar + baz` is
+((foo OR bar) AND baz) and `a + b | c` is ((a AND b) OR c) — the
+accumulated left side becomes one operand of the next operator. Bare
+whitespace applies the default operator (SHOULD/OR, the reference
+default — SimpleQueryParser.java:62). Output is the same plan tree the
+classic parser produces, so everything downstream (searcher, kernel,
+explain) is shared.
 """
 
 from __future__ import annotations
@@ -50,10 +53,7 @@ _SIMPLE_TOKEN = re.compile(
 )
 
 
-def _analyze(text: str, an: Analyzer) -> list[str]:
-    import pandas as pd
-
-    return list(an.tokenize_series(pd.Series([text])).iloc[0])
+from lucene_spark.search.qparser import _analyze_one as _analyze
 
 
 def parse_simple(text: str, analyzer: Analyzer,
@@ -114,17 +114,35 @@ def _leaf(val: str, an: Analyzer) -> Node | None:
     return BooleanNode(clauses=tuple(Clause(Occur.SHOULD, TermNode(term=t)) for t in terms))
 
 
+def _combine(left: Node | None, right: Node | None, occ: Occur,
+             negated: bool) -> Node | None:
+    """Left-fold one step: `left <occ> right`, with `right` optionally
+    negated. Consecutive same-operator operands flatten into one
+    BooleanNode (the reference accumulates them in one BooleanQuery);
+    an operator change nests the accumulated left side as a single
+    operand — yielding ((a OR b) AND c) for `a b + c`."""
+    if right is None:
+        return left
+    rc = Clause(Occur.MUST_NOT if negated else occ, right)
+    if left is None:
+        if negated:        # pure negation: matches nothing on its own,
+            return BooleanNode(clauses=(rc,))   # kernel guards this
+        return right
+    if (isinstance(left, BooleanNode) and left.boost == 1.0
+            and all(c.occur in (occ, Occur.MUST_NOT) for c in left.clauses)):
+        return BooleanNode(clauses=left.clauses + (rc,))
+    return BooleanNode(clauses=(Clause(occ, left), rc))
+
+
 def _parse(tokens: list[tuple[str, str]], i: int, an: Analyzer,
            default_occur: Occur) -> tuple[Node | None, int]:
-    clauses: list[Clause] = []
+    node: Node | None = None
     op_occur = default_occur        # operator applying to the NEXT clause
     negate_next = False
 
-    def push(node: Node | None):
-        nonlocal op_occur, negate_next
-        if node is not None:
-            occ = Occur.MUST_NOT if negate_next else op_occur
-            clauses.append(Clause(occ, node))
+    def push(rhs: Node | None):
+        nonlocal node, op_occur, negate_next
+        node = _combine(node, rhs, op_occur, negate_next)
         op_occur, negate_next = default_occur, False
 
     while i < len(tokens):
@@ -137,9 +155,6 @@ def _parse(tokens: list[tuple[str, str]], i: int, an: Analyzer,
             break               # end of group (or lenient stray ')')
         elif kind == "and":
             op_occur = Occur.MUST
-            # retroactively strengthen the left operand: a + b means BOTH
-            if clauses and clauses[-1].occur == Occur.SHOULD:
-                clauses[-1] = Clause(Occur.MUST, clauses[-1].node)
         elif kind == "or":
             op_occur = Occur.SHOULD
         elif kind == "minus":
@@ -148,8 +163,4 @@ def _parse(tokens: list[tuple[str, str]], i: int, an: Analyzer,
             if kind == "openquote":
                 val = val + '"'     # lenience: close the dangling quote
             push(_leaf(val, an))
-    if not clauses:
-        return None, i
-    if len(clauses) == 1 and clauses[0].occur in (Occur.SHOULD, Occur.MUST):
-        return clauses[0].node, i
-    return BooleanNode(clauses=tuple(clauses)), i
+    return node, i

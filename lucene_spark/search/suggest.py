@@ -63,18 +63,29 @@ def suggest_free_text(reader: IndexReader, context: str, n: int = 10,
     higher-order estimates win over backoff for the same word (the
     seen-set dedup in FreeTextSuggester.lookup)."""
     f = field or reader.default_field
-    ctx_tokens = context.split()
+    # the lookup key runs through the FIELD'S analyzer chain, exactly as
+    # FreeTextSuggester.lookup analyzes its key — a raw split would miss
+    # the dictionary whenever the chain lowercases/stems
+    from lucene_spark.analysis import get_analyzer
+    import pandas as pd
+
+    an = get_analyzer(reader.field_analyzer_name(f))
+    ctx_tokens = [t for t in an.tokenize_series(pd.Series([context])).iloc[0]
+                  if " " not in t]
     if not ctx_tokens:
-        raise ValueError("context must contain at least one token")
+        raise ValueError("context analyzed to zero tokens")
     ctx = ctx_tokens[-1]
     td = reader.termdict().filter(F.col("field") == f)
     uni = td.filter(~F.col("term").contains(" ")).select("term", "cf")
-    # two scalars: the context unigram count and the total token count —
-    # driver-side lookups against the pruned dictionary (the same stats
-    # collects every query plan does)
-    tot = uni.agg(F.sum("cf")).collect()[0][0] or 1
-    ctx_cf_rows = uni.filter(F.col("term") == ctx).collect()
-    ctx_cf = ctx_cf_rows[0]["cf"] if ctx_cf_rows else 0
+    # two scalars: the total token count (per-reader constant, memoized
+    # like term_stats) and the context unigram count (served by the
+    # reader's memoized term_stats — zero extra jobs on repeat lookups)
+    if not hasattr(reader, "_ft_tot_cache"):
+        reader._ft_tot_cache = {}
+    if f not in reader._ft_tot_cache:
+        reader._ft_tot_cache[f] = uni.agg(F.sum("cf")).collect()[0][0] or 1
+    tot = reader._ft_tot_cache[f]
+    ctx_cf = reader.term_stats([(f, ctx)]).get((f, ctx), (0, 0))[1]
     backoff = uni.select(
         "term",
         (F.lit(float(alpha)) * F.col("cf") / F.lit(float(tot))).alias("__bo"))

@@ -133,3 +133,40 @@ def test_dv_bad_inputs(spark, dv_index):
     with pytest.raises(ValueError, match="doc_id"):
         update_doc_values(spark, dv_index, "x",
                           spark.createDataFrame([(1.0,)], ["value"]))
+    # ambiguous multi-column frame without an explicit `value` column
+    with pytest.raises(ValueError, match="ambiguous"):
+        update_doc_values(spark, dv_index, "x",
+                          spark.createDataFrame([(1, 2.0, 3.0)],
+                                                ["doc_id", "ts", "v"]))
+    # but an explicit `value` column among extras is accepted
+    g = update_doc_values(spark, dv_index, "explicit_ok",
+                          spark.createDataFrame([(1, 2.0, 3.0)],
+                                                ["doc_id", "ts", "value"]))
+    assert g == 1
+
+
+def test_dv_fold_ignores_leftover_tmp(spark, dv_index):
+    """A crash-leftover _gen_folding.tmp (underscore-prefixed) must not
+    break sidecar reads or a re-run of the fold."""
+    import os
+
+    from lucene_spark.index import IndexReader
+
+    r = IndexReader(spark, dv_index)
+    ids = sorted(x["doc_id"] for x in r.docstats().select("doc_id").collect())
+    update_doc_values(spark, dv_index, "crashy",
+                      spark.createDataFrame([(ids[0], 1.0)], ["doc_id", "value"]))
+    update_doc_values(spark, dv_index, "crashy",
+                      spark.createDataFrame([(ids[0], 2.0)], ["doc_id", "value"]))
+    # simulate a crash mid-fold: stale tmp with junk parquet inside
+    d = os.path.join(dv_index, "dv_updates", "field=crashy")
+    spark.createDataFrame([(ids[0], 99.0)], ["doc_id", "value"]) \
+        .coalesce(1).write.parquet(os.path.join(d, "_gen_folding.tmp"))
+    got = {x["doc_id"]: x["value"]
+           for x in r.doc_values("crashy").collect() if x["value"] is not None}
+    assert got == {ids[0]: 2.0}          # reads ignore the _ dir
+    assert fold_doc_values(spark, dv_index, "crashy") == 2   # fold self-heals
+    got2 = {x["doc_id"]: x["value"]
+            for x in IndexReader(spark, dv_index).doc_values("crashy").collect()
+            if x["value"] is not None}
+    assert got2 == {ids[0]: 2.0}

@@ -45,6 +45,20 @@ def test_join_query_score_modes(searcher, reader, mode, agg):
         assert s == pytest.approx(exp, rel=1e-6), (d, mode)
 
 
+def test_join_query_masks_deletes(searcher, reader):
+    """Tombstoned docs never resurface on the to side (JoinUtil's toQuery
+    only matches live docs)."""
+    from lucene_spark.search.joins import join_query
+
+    base = {r["doc_id"] for r in
+            join_query(searcher, "merge", "repo", "repo").collect()}
+    victim = sorted(base)[0]
+    s2 = searcher.with_deletes([victim])
+    out = {r["doc_id"] for r in
+           join_query(s2, "merge", "repo", "repo").collect()}
+    assert victim not in out
+
+
 def test_join_query_rejects_uncarried_field(searcher):
     from lucene_spark.search.joins import join_query
 
@@ -76,6 +90,45 @@ def test_ltr_linear_rerank(searcher, reader, spark):
     got = [(r["ltr_score"], r["doc_id"]) for r in sorted(out, key=lambda r: r["ltr_rank"])]
     for (es, ed), (gs, gd) in zip(rescored, got):
         assert gd == ed and gs == pytest.approx(es, rel=1e-6)
+
+
+def test_ltr_tail_keeps_base_order(searcher, reader):
+    """ReRankCollector semantics: k > rerank_docs returns below-window
+    hits in base order with their original score."""
+    from lucene_spark.search.ltr import LinearModel, rerank
+
+    hits = searcher.matches("index")
+    n_hits = hits.count()
+    assert n_hits > 8
+    model = LinearModel({"score": -1.0})     # reverse the window
+    out = rerank(hits, None, model, k=n_hits, rerank_docs=5).collect()
+    out = sorted(out, key=lambda r: r["ltr_rank"])
+    base = sorted(hits.collect(), key=lambda r: (-r["score"], r["doc_id"]))
+    window_ids = {r["doc_id"] for r in base[:5]}
+    # first 5 rows are the (reversed) window; the rest are base order
+    assert {r["doc_id"] for r in out[:5]} == window_ids
+    assert [r["doc_id"] for r in out[:5]] == [r["doc_id"] for r in
+                                              sorted(base[:5], key=lambda r: (r["score"], r["doc_id"]))]
+    assert [r["doc_id"] for r in out[5:]] == [r["doc_id"] for r in base[5:]]
+    for got, exp in zip(out[5:], base[5:]):
+        assert got["ltr_score"] == pytest.approx(exp["score"], rel=1e-6)
+
+
+def test_ltr_missing_features_default_zero(searcher, reader, spark):
+    """A doc absent from the features frame scores with feature=0
+    (FieldValueFeature default), not null."""
+    from lucene_spark.search.ltr import LinearModel, rerank
+
+    hits = searcher.matches("index")
+    base = sorted(hits.collect(), key=lambda r: (-r["score"], r["doc_id"]))[:10]
+    # features for every window doc EXCEPT the top one
+    feats = spark.createDataFrame(
+        [(r["doc_id"], 5.0) for r in base[1:]], ["doc_id", "bonus"])
+    model = LinearModel({"score": 1.0, "bonus": 1.0})
+    out = {r["doc_id"]: r["ltr_score"]
+           for r in rerank(hits, feats, model, k=10, rerank_docs=10).collect()}
+    assert out[base[0]["doc_id"]] == pytest.approx(base[0]["score"], rel=1e-6)
+    assert out[base[1]["doc_id"]] == pytest.approx(base[1]["score"] + 5.0, rel=1e-6)
 
 
 def test_ltr_trees_model(spark):

@@ -55,6 +55,36 @@ def test_simple_grouping():
     assert any(isinstance(c.node, P.BooleanNode) for c in n.clauses)
 
 
+def test_simple_mixed_operators_group_left():
+    """`foo bar + baz` = ((foo OR bar) AND baz) — the reference's
+    left-to-right buildQueryTree, not a flat clause list."""
+    n = parse_simple("foo bar + baz", AN)
+    assert isinstance(n, P.BooleanNode) and len(n.clauses) == 2
+    assert all(c.occur == P.Occur.MUST for c in n.clauses)
+    left = n.clauses[0].node
+    assert isinstance(left, P.BooleanNode)
+    assert all(c.occur == P.Occur.SHOULD for c in left.clauses)
+
+    n2 = parse_simple("qq + ww | ee", AN)
+    assert isinstance(n2, P.BooleanNode) and len(n2.clauses) == 2
+    assert all(c.occur == P.Occur.SHOULD for c in n2.clauses)
+    inner = n2.clauses[0].node
+    assert isinstance(inner, P.BooleanNode)
+    assert all(c.occur == P.Occur.MUST for c in inner.clauses)
+
+
+def test_simple_same_operator_flattens():
+    n = parse_simple("qq + ww + ee", AN)
+    assert isinstance(n, P.BooleanNode) and len(n.clauses) == 3
+    assert all(c.occur == P.Occur.MUST for c in n.clauses)
+
+
+def test_simple_leading_negation_flattens():
+    n = parse_simple("-qq ww", AN)
+    assert isinstance(n, P.BooleanNode) and len(n.clauses) == 2
+    assert {c.occur for c in n.clauses} == {P.Occur.MUST_NOT, P.Occur.SHOULD}
+
+
 @pytest.mark.parametrize("garbage", [
     "", "   ", "(((", ")", '"unclosed', "+-|", "a )( b", '""', "-", "*",
     "((a | ) b", '( "x -', "~", "a~x",
@@ -120,6 +150,27 @@ def test_free_text_unseen_context_backoff(shingle_reader):
 
     out = suggest_free_text(shingle_reader, "zzznosuchword", n=5).collect()
     assert out and all(r["score"] > 0 for r in out)
+
+
+def test_free_text_context_analyzed(spark, corpus_pdf, tmp_path_factory):
+    """The lookup key runs through the field's analyzer: a lowercasing
+    shingle chain must map 'The' to the same model row as 'the'.
+
+    Uses the module-registered whitespace_lc_shingle2 chain — a runtime
+    register_analyzer() here would KeyError in executor workers (see the
+    register_analyzer docstring)."""
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search.suggest import suggest_free_text
+
+    d = str(tmp_path_factory.mktemp("ftlc") / "idx")
+    cfg = IndexConfig(partitions=2, num_groups=1, num_buckets=4,
+                      analyzer="whitespace_lc_shingle2")
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(corpus_pdf), d,
+                                   overwrite=True)
+    r = IndexReader(spark, d)
+    lo = [(x["term"], x["score"]) for x in suggest_free_text(r, "the", n=5).collect()]
+    hi = [(x["term"], x["score"]) for x in suggest_free_text(r, "The", n=5).collect()]
+    assert lo == hi and lo
 
 
 def test_free_text_empty_context(shingle_reader):
