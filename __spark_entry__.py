@@ -2643,6 +2643,57 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_surround_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surround span-algebra dialect (queryparser/surround/parser/
+    QueryParser.jj; query/DistanceQuery.java → SpanNearQuery):
+    '4W((big OR fast), scan) NOT batch' — ordered distance 4 with a
+    multi-term first slot (SpanOr role), minus docs containing 'batch'."""
+    from lucene_spark.search.surround import parse_surround
+
+    s = _searcher(spark, sf_dir)
+    node = parse_surround("4W((big OR fast), scan) NOT batch")
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_SURROUND_NEAR_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term IN ('big', 'fast') AND b.term = 'scan'
+  AND b.pos > a.pos AND b.pos - a.pos <= 4
+  AND a.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'batch')
+"""
+
+
+def ft_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhrase dialect (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java): '"(big fast) sc*"~2' — a grouped
+    first position and a wildcard second position, ordered, slop 2."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.complexphrase import parse_complex_phrase
+
+    s = _searcher(spark, sf_dir)
+    node = parse_complex_phrase('"(big fast) sc*"~2', get_analyzer("whitespace"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_COMPLEX_PHRASE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term IN ('big', 'fast') AND b.term LIKE 'sc%'
+  AND b.pos > a.pos AND b.pos - a.pos <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2709,6 +2760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sweetspot_topk": ft_sweetspot_topk,
         "ft_freetext_suggest": ft_freetext_suggest,
         "ft_simple_qp": ft_simple_qp,
+        "ft_surround_near": ft_surround_near,
+        "ft_complex_phrase": ft_complex_phrase,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -2814,6 +2867,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_sweetspot_topk": FT_SWEETSPOT_SQL,
         "ft_freetext_suggest": FT_FREETEXT_SQL,
         "ft_simple_qp": FT_SIMPLE_QP_SQL,
+        "ft_surround_near": FT_SURROUND_NEAR_SQL,
+        "ft_complex_phrase": FT_COMPLEX_PHRASE_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

@@ -154,6 +154,21 @@ def explain(searcher, query, doc_id: int) -> dict:
             kind = "ordered" if n.ordered else "unordered"
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": f"Interval({kind}, maxgaps={n.max_gaps}), constant score"}
+        if isinstance(n, P.IntervalSlotsNode):
+            from lucene_spark.search.kernel import interval_match, slot_terms
+
+            pls = []
+            for s in n.slots:
+                arrs = [doc[(n.field, t)][2] for t in slot_terms(s)
+                        if (n.field, t) in doc and doc[(n.field, t)][2] is not None]
+                if not arrs:
+                    return {"value": 0.0, "match": False,
+                            "description": "IntervalSlots: slot unmatched"}
+                pls.append(np.sort(np.concatenate(arrs)))
+            hit = interval_match(pls, n.max_gaps, n.ordered)
+            kind = "ordered" if n.ordered else "unordered"
+            return {"value": float(n.boost) if hit else 0.0, "match": hit,
+                    "description": f"IntervalSlots({kind}, maxgaps={n.max_gaps}), constant score"}
         if isinstance(n, P.MultiPhraseNode):
             ok = all(any((n.field, t) in doc and doc[(n.field, t)][2] is not None
                          for t in alts) for alts in n.positions)

@@ -124,6 +124,8 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_phrase(node, ctx, need_scores)
     if isinstance(node, P.IntervalNode):
         return _eval_interval(node, ctx)
+    if isinstance(node, P.IntervalSlotsNode):
+        return _eval_interval_slots(node, ctx)
     if isinstance(node, P.MultiPhraseNode):
         return _eval_multiphrase(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
@@ -261,6 +263,61 @@ def _eval_interval(node: P.IntervalNode, ctx: EvalContext) -> tuple[np.ndarray, 
             parts[j].pos[parts[j].tf_off[idx[j][ci]]:parts[j].tf_off[idx[j][ci] + 1]]
             for j in range(len(parts))
         ]
+        hit[ci] = interval_match(pls, node.max_gaps, node.ordered)
+    docs = base[hit]
+    return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
+
+
+def slot_terms(slot: P.Node) -> tuple[str, ...]:
+    """Concrete terms of one IntervalSlotsNode slot (post-expansion the
+    slots are TermNode or TermInSetNode; anything else means the planner
+    was bypassed)."""
+    if isinstance(slot, P.TermNode):
+        return (slot.term,)
+    if isinstance(slot, P.TermInSetNode):
+        return slot.terms
+    raise TypeError(
+        f"unexpanded interval slot (run the searcher's planner first): {slot!r}")
+
+
+def _eval_interval_slots(node: P.IntervalSlotsNode, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+    """Interval eval with per-slot alternative terms (the surround
+    parser's DistanceQuery-over-SpanOr shape): slot position lists are
+    the UNION of the slot's alternatives' lists — match-equivalent to
+    the cross product of single-term intervals, since a matching
+    interval picks exactly one position (hence one alternative) per
+    slot. Constant score = boost, like IntervalNode."""
+    slot_parts: list[list[TermPostings]] = []
+    for slot in node.slots:
+        parts = [ctx.postings[(node.field, t)] for t in slot_terms(slot)
+                 if (node.field, t) in ctx.postings]
+        if not parts:
+            return _empty()
+        if any(p.pos is None for p in parts):
+            return _empty()       # positions not indexed (checked upstream)
+        slot_parts.append(parts)
+    slot_docs = [_union_docs([p.docs for p in parts]) for parts in slot_parts]
+    order = np.argsort([d.size for d in slot_docs], kind="stable")
+    base = slot_docs[order[0]]
+    for oi in order[1:]:
+        base = np.intersect1d(base, slot_docs[oi], assume_unique=True)
+        if base.size == 0:
+            return _empty()
+    idxs = [[np.searchsorted(p.docs, base) for p in parts]
+            for parts in slot_parts]
+    hit = np.zeros(base.size, dtype=bool)
+    for ci in range(base.size):
+        pls: list[np.ndarray] = []
+        for parts, idx in zip(slot_parts, idxs):
+            arrs = []
+            for p, ix in zip(parts, idx):
+                j = int(ix[ci])
+                if j < p.docs.size and p.docs[j] == base[ci]:
+                    arrs.append(p.pos[p.tf_off[j]:p.tf_off[j + 1]])
+            if len(arrs) == 1:
+                pls.append(arrs[0])
+            else:
+                pls.append(np.sort(np.concatenate(arrs)))
         hit[ci] = interval_match(pls, node.max_gaps, node.ordered)
     docs = base[hit]
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)

@@ -129,6 +129,25 @@ class IntervalNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class IntervalSlotsNode(FieldedNode):
+    """Interval/proximity query whose SLOTS each admit a set of
+    alternative terms — the SpanNearQuery-with-SpanOr-clauses shape the
+    surround parser produces (queryparser/surround/query/DistanceQuery.java
+    → SpanNearQuery; truncated operands become SpanOr over dictionary
+    expansions, SrndTruncQuery.java). Before plan-time expansion each
+    slot is a fielded leaf (TermNode / PrefixNode / RegexpNode /
+    FuzzyNode / TermInSetNode); IndexSearcher._expand resolves multi-term
+    slots against the dictionary into TermInSetNode. Matching: one
+    position from ONE alternative per slot, gaps ≤ max_gaps (ordered /
+    unordered exactly as IntervalNode — merging each slot's position
+    lists is match-equivalent to the SpanOr cross product). Match-only:
+    constant score = boost (like IntervalNode)."""
+    slots: tuple[Node, ...] = ()
+    max_gaps: int = 0
+    ordered: bool = False
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 
@@ -172,6 +191,11 @@ def apply_field(node: Node, fld: str, only_default: bool = False) -> Node:
     default-field resolution (only_default=True rewrites only leaves whose
     field is still '' — an explicit inner `other:term` override wins,
     matching QueryParserBase field scoping)."""
+    if isinstance(node, IntervalSlotsNode):
+        if only_default and node.field:
+            return node
+        return replace(node, field=fld, slots=tuple(
+            apply_field(s, fld, only_default) for s in node.slots))
     if isinstance(node, FieldedNode):
         if only_default and node.field:
             return node

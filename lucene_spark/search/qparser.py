@@ -91,15 +91,23 @@ def _analyze_one(text: str, analyzer: Analyzer) -> list[str]:
 
 
 def parse_query(text: str, analyzer: Analyzer,
-                field_analyzers: dict[str, Analyzer] | None = None) -> Node:
-    """Parse classic syntax into a rewritten plan tree."""
+                field_analyzers: dict[str, Analyzer] | None = None,
+                phrase_factory=None) -> Node:
+    """Parse classic syntax into a rewritten plan tree.
+
+    phrase_factory: optional hook `(content, slop, field, analyzer) -> Node`
+    replacing the default quoted-phrase handling — the getFieldQuery
+    override point dialect parsers use (ComplexPhraseQueryParser
+    subclasses the classic parser exactly this way,
+    queryparser/complexPhrase/ComplexPhraseQueryParser.java:88-96)."""
     lx = _Lexer(text)
-    node = _parse_or(lx, analyzer, field_analyzers or {})
+    node = _parse_or(lx, analyzer, field_analyzers or {}, phrase_factory)
     return rewrite(node if node is not None else MatchNoneNode())
 
 
-def _parse_or(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
-    left = _parse_and(lx, an, fa)
+def _parse_or(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
+              pf=None) -> Node | None:
+    left = _parse_and(lx, an, fa, pf)
     clauses: list[Clause] = []
     while True:
         t = lx.peek()
@@ -107,10 +115,10 @@ def _parse_or(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | 
             break
         if t[0] == "or":
             lx.next()
-            right = _parse_and(lx, an, fa)
+            right = _parse_and(lx, an, fa, pf)
         else:
             # juxtaposition — default operator OR (QueryParserBase.java:59-64)
-            right = _parse_and(lx, an, fa)
+            right = _parse_and(lx, an, fa, pf)
         if right is None:
             break
         if not clauses:
@@ -133,15 +141,16 @@ def _as_clauses(node: Node, occur: Occur) -> list[Clause]:
     return [Clause(occur, node)]
 
 
-def _parse_and(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
-    left = _parse_unary(lx, an, fa)
+def _parse_and(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
+               pf=None) -> Node | None:
+    left = _parse_unary(lx, an, fa, pf)
     clauses: list[Clause] = []
     while True:
         t = lx.peek()
         if t is None or t[0] != "and":
             break
         lx.next()
-        right = _parse_unary(lx, an, fa)
+        right = _parse_unary(lx, an, fa, pf)
         if right is None:
             break
         if not clauses:
@@ -157,31 +166,33 @@ def _parse_and(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node |
     return left
 
 
-def _parse_unary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
+def _parse_unary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
+                 pf=None) -> Node | None:
     t = lx.peek()
     if t is None:
         return None
     kind, _ = t
     if kind in ("not", "minus"):
         lx.next()
-        child = _parse_unary(lx, an, fa)
+        child = _parse_unary(lx, an, fa, pf)
         if child is None:
             return None
         return BooleanNode(clauses=(Clause(Occur.MUST_NOT, child),))
     if kind == "plus":
         lx.next()
-        child = _parse_unary(lx, an, fa)
+        child = _parse_unary(lx, an, fa, pf)
         if child is None:
             return None
         return BooleanNode(clauses=(Clause(Occur.MUST, child),))
-    return _parse_primary(lx, an, fa)
+    return _parse_primary(lx, an, fa, pf)
 
 
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
 
 
-def _parse_quoted(lx: _Lexer, val: str, an: Analyzer, fld: str = "") -> Node:
+def _parse_quoted(lx: _Lexer, val: str, an: Analyzer, fld: str = "",
+                  pf=None) -> Node:
     """"..." → PhraseQuery (QueryParserBase.getFieldQuery with quoted=true);
     optional ~slop suffix → sloppy matching. Single-term phrase rewrites to
     TermQuery (PhraseQuery rewrite)."""
@@ -192,6 +203,8 @@ def _parse_quoted(lx: _Lexer, val: str, an: Analyzer, fld: str = "") -> Node:
         if digits.isdigit():
             slop = int(digits)
             lx.next()
+    if pf is not None:
+        return pf(val[1:-1], slop, fld, an)
     toks = _analyze_one(val[1:-1], an)
     if not toks:
         return MatchNoneNode()
@@ -203,13 +216,14 @@ def _parse_quoted(lx: _Lexer, val: str, an: Analyzer, fld: str = "") -> Node:
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$")
 
 
-def _parse_primary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> Node | None:
+def _parse_primary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
+                   pf=None) -> Node | None:
     t = lx.next()
     if t is None:
         return None
     kind, val = t
     if kind == "lparen":
-        inner = _parse_or(lx, an, fa)
+        inner = _parse_or(lx, an, fa, pf)
         nxt = lx.peek()
         if nxt is not None and nxt[0] == "rparen":
             lx.next()
@@ -250,7 +264,7 @@ def _parse_primary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> No
 
         return IntervalNode(terms=tuple(terms), max_gaps=max_gaps, ordered=ordered)
     if kind == "quoted":
-        return _parse_quoted(lx, val, an)
+        return _parse_quoted(lx, val, an, pf=pf)
     # atom: field override / boost / fuzzy / wildcard / prefix / plain term.
     # `field:term` (classic QP field override, QueryParserBase.java:112-116):
     # the field name is kept on the leaf node and the term analyzed with
@@ -264,10 +278,10 @@ def _parse_primary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {}) -> No
             nxt = lx.peek()
             if nxt is not None and nxt[0] == "quoted":
                 lx.next()
-                return _parse_quoted(lx, nxt[1], fa.get(fld, an), fld)
+                return _parse_quoted(lx, nxt[1], fa.get(fld, an), fld, pf=pf)
             if nxt is not None and nxt[0] == "lparen":
                 lx.next()
-                inner = _parse_or(lx, fa.get(fld, an), fa)
+                inner = _parse_or(lx, fa.get(fld, an), fa, pf)
                 nn = lx.peek()
                 if nn is not None and nn[0] == "rparen":
                     lx.next()

@@ -644,6 +644,20 @@ class IndexSearcher:
                                    P.MAX_CLAUSE_COUNT, field=node.field)
             return P.TermInSetNode(terms=tuple(terms), boost=node.boost,
                                    field=node.field) if terms else P.MatchNoneNode()
+        if isinstance(node, P.IntervalSlotsNode):
+            # expand each slot to a concrete term set; an empty slot
+            # kills the whole interval (a SpanNear clause matching
+            # nothing matches nothing)
+            slots: list[P.Node] = []
+            for s in node.slots:
+                es = self._expand(s)
+                if isinstance(es, P.MatchNoneNode):
+                    return P.MatchNoneNode()
+                if not isinstance(es, (P.TermNode, P.TermInSetNode)):
+                    raise ValueError(
+                        f"interval slot must expand to a term set, got {es!r}")
+                slots.append(es)
+            return replace(node, slots=tuple(slots))
         if isinstance(node, P.BooleanNode):
             return replace(node, clauses=tuple(
                 P.Clause(c.occur, self._expand(c.node)) for c in node.clauses))
@@ -661,6 +675,9 @@ class IndexSearcher:
             out.update((node.field, t) for t in node.terms)
         elif isinstance(node, P.MultiPhraseNode):
             out.update((node.field, t) for alts in node.positions for t in alts)
+        elif isinstance(node, P.IntervalSlotsNode):
+            from lucene_spark.search.kernel import slot_terms
+            out.update((node.field, t) for s in node.slots for t in slot_terms(s))
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 self._collect_terms(c.node, out)
@@ -673,7 +690,8 @@ class IndexSearcher:
     @staticmethod
     def _phrase_fields(node: P.Node, out: set[str]) -> None:
         """Fields that need positions decoded for this query."""
-        if isinstance(node, (P.PhraseNode, P.IntervalNode, P.MultiPhraseNode)):
+        if isinstance(node, (P.PhraseNode, P.IntervalNode, P.MultiPhraseNode,
+                             P.IntervalSlotsNode)):
             out.add(node.field)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
