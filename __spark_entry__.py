@@ -2694,6 +2694,41 @@ WHERE a.term IN ('big', 'fast') AND b.term LIKE 'sc%'
 """
 
 
+def ft_xml_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML query parser (queryparser/xml/CoreParser.java element set):
+    BooleanQuery wrapping an unordered SpanNear(SpanOrTerms, SpanTerm)
+    MUST clause and a mustNot TermQuery, fieldName inherited."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.xmlparser import parse_xml_query
+
+    s = _searcher(spark, sf_dir)
+    q = """<BooleanQuery fieldName="text">
+      <Clause occurs="must">
+        <SpanNear slop="2" inOrder="false">
+          <SpanOrTerms>big fast</SpanOrTerms>
+          <SpanTerm>scan</SpanTerm>
+        </SpanNear>
+      </Clause>
+      <Clause occurs="mustNot"><TermQuery>slow</TermQuery></Clause>
+    </BooleanQuery>"""
+    node = parse_xml_query(q, get_analyzer("whitespace"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_XML_QUERY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term IN ('big', 'fast') AND b.term = 'scan'
+  AND abs(a.pos - b.pos) <= 3
+  AND a.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2762,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_simple_qp": ft_simple_qp,
         "ft_surround_near": ft_surround_near,
         "ft_complex_phrase": ft_complex_phrase,
+        "ft_xml_query": ft_xml_query,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -2869,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_simple_qp": FT_SIMPLE_QP_SQL,
         "ft_surround_near": FT_SURROUND_NEAR_SQL,
         "ft_complex_phrase": FT_COMPLEX_PHRASE_SQL,
+        "ft_xml_query": FT_XML_QUERY_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,
