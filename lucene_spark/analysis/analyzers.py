@@ -279,6 +279,75 @@ register_analyzer(Analyzer(name="swedish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=SWEDISH_STOP_WORDS,
                            stemmer="swedish_light"))
 
+# Light-stemmed analyzers for the CLEF/UniNE language set (role:
+# {fi,ru,hu,no}/FinnishAnalyzer.java etc. — stop set + *LightStemFilter;
+# stemmers validated 0-mismatch vs the reference golden vocabularies).
+FINNISH_STOP_WORDS = frozenset(
+    """olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+    olisimme olisitte olisivat olit olin olimme olitte olivat ollut olleet
+    en et ei emme ette eivät minä minun minut minua minussa minusta minuun
+    minulla minulta minulle sinä sinun sinut sinua hän hänen hänet häntä
+    se sen sitä siinä siitä siihen sillä me te he ja jos koska kuin mutta
+    niin sekä sitten tai vaan vai vaikka kanssa mukaan myös että tämä
+    tämän tätä tässä tästä tähän nyt itse""".split()
+)
+RUSSIAN_STOP_WORDS = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к у же
+    вы за бы по только ее мне было вот от меня еще нет о из ему теперь
+    когда даже ну вдруг ли если уже или ни быть был него до вас нибудь
+    опять уж вам сказал ведь там потом себя ничего ей может они тут где
+    есть надо ней для мы тебя их чем была сам чтоб без будто человек чего
+    раз тоже себе под жизнь будет ж тогда кто этот""".split()
+)
+HUNGARIAN_STOP_WORDS = frozenset(
+    """a ahogy ahol aki akik akkor alatt által általában amely amelyek
+    ami amit amolyan amíg amikor át abban azok azon azt azzal azért aztán
+    azután azonban bár be belül benne cikk de e eddig egész egy egyes
+    egyetlen egyéb egyik egyre ekkor el elég ellen elõ elõször elõtt elsõ
+    én éppen ebben ehhez emilyen ennek erre ez ezt ezek ezen ezzel ezért
+    és fel felé hanem hiszen hogy hogyan igen így illetve ill ilyen
+    ilyenkor ison ismét itt jó jól jobban kell kellett keresztül ki kívül
+    között közül legalább lehet lehetett legyen lenne lenni lesz lett
+    maga magát majd már más másik meg még mellett mert mely melyek mi mit
+    míg miért milyen mikor minden mindent mindenki mindig mint mintha mivel
+    most nagy nagyobb nagyon ne néha nekem neki nem néhány nélkül nincs
+    olyan ott össze õ õk õket pedig persze rá s saját sem semmi sok sokat
+    sokkal számára szemben szerint szinte talán tehát teljes tovább
+    továbbá több úgy ugyanis új újabb újra után utána utolsó vagy vagyis
+    valaki valami valamint való vagyok van vannak volt voltam voltak
+    voltunk vissza vele viszont volna""".split()
+)
+NORWEGIAN_STOP_WORDS = frozenset(
+    """og i jeg det at en et den til er som på de med han av ikke ikkje
+    der så var meg seg men ett har om vi min mitt ha hadde hun nå over da
+    ved fra du ut sin dem oss opp man kan hans hvor eller hva skal selv
+    sjøl her alle vil bli ble blei bli som hvilken hvilke sånn inni mellom
+    vår hver hvem vors hvis både bare enn fordi før mange også slik vært
+    være båe begge siden dykk dykkar dei deira deires deim di då eg ein
+    eit eitt elles honom hjå ho hoe henne hennar hennes hoss hossen ikkje
+    ingi inkje korleis korso kva kvar kvarhelst kven kvi kvifor me medan
+    mi mine mykje no nokon noka nokor noko nokre si sia sidan so somt
+    somme um upp vere vort varte vart""".split()
+)
+
+register_analyzer(Analyzer(name="finnish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=FINNISH_STOP_WORDS,
+                           stemmer="finnish_light"))
+register_analyzer(Analyzer(name="russian",
+                           token_pattern=r"[А-Яа-яЁёA-Za-z0-9_]+",
+                           stopwords=RUSSIAN_STOP_WORDS,
+                           stemmer="russian_light"))
+register_analyzer(Analyzer(name="hungarian",
+                           token_pattern=r"[A-Za-zÀ-ÿŐőŰű0-9_]+",
+                           stopwords=HUNGARIAN_STOP_WORDS,
+                           stemmer="hungarian_light"))
+register_analyzer(Analyzer(name="norwegian", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=NORWEGIAN_STOP_WORDS,
+                           stemmer="norwegian_light"))
+register_analyzer(Analyzer(name="nynorsk", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=NORWEGIAN_STOP_WORDS,
+                           stemmer="nynorsk_light"))
+
 # English analyzer: standard chain + Porter stemming — the
 # EnglishAnalyzer role (analysis/en/EnglishAnalyzer.java: stops +
 # PorterStemFilter; possessive stripping approximated by the tokenizer

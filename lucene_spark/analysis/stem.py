@@ -176,129 +176,377 @@ def porter_stem(word: str) -> str:
 #
 # Role analogue: the per-language *LightStemFilter chain in
 # lucene/analysis/common/src/java/org/apache/lucene/analysis/{de,fr,es,
-# it,pt,nl,sv}/ (GermanLightStemFilter etc.), which implement the light
-# suffix-stripping family published by Jacques Savoy ("Light Stemming
-# Approaches for the French, Portuguese, German and Hungarian Languages",
-# ACM SAC 2006; "A stemming procedure and stopword list for general
-# French corpora", JASIS 50(10), 1999). Implemented here from the
-# published rule descriptions — plural/case/gender suffix removal plus
-# diacritic folding — NOT ports of the reference code; exact rule sets
-# are intentionally minimal ("light": conflate inflectional variants,
-# never derivational ones) and are pinned by tests/test_stem.py.
-
-
-def _fold(word: str, table: dict[str, str]) -> str:
-    for k, v in table.items():
-        if k in word:
-            word = word.replace(k, v)
-    return word
-
-
-_DE_FOLD = {"ä": "a", "ö": "o", "ü": "u", "ß": "ss"}
+# it,pt,sv,fi,ru,hu,no}/ — GermanLightStemmer.java, FrenchLightStemmer.java,
+# SpanishLightStemmer.java, ItalianLightStemmer.java,
+# PortugueseLightStemmer.java, SwedishLightStemmer.java,
+# FinnishLightStemmer.java, RussianLightStemmer.java,
+# HungarianLightStemmer.java, NorwegianLightStemmer.java. These implement
+# the published UniNE/CLEF light-stemming algorithms (Jacques Savoy,
+# "Light Stemming Approaches for the French, Portuguese, German and
+# Hungarian Languages", ACM SAC 2006; "Report on CLEF-2001/2003
+# experiments"; Dolamic & Savoy for Russian): suffix strip tables plus
+# diacritic folding. Each function below follows the published rule
+# order exactly and is validated against the reference's own golden
+# vocabulary data ({de,fr,es,it,pt,sv,fi,ru,hu}lighttestdata.zip and
+# no/nb_light.txt — tests/test_stem.py asserts 0 mismatches).
 
 
 @functools.lru_cache(maxsize=65536)
 def german_light_stem(word: str) -> str:
-    """Umlaut folding + iterative plural/case endings (-en/-er/-es/-em,
-    then -e/-n/-s/-r): Hunde/Hunden/Hund → hund, Häuser → haus."""
-    w = _fold(word, _DE_FOLD)
-    for _ in range(2):
-        if len(w) > 5 and w[-2:] in ("en", "er", "es", "em"):
-            w = w[:-2]
-        elif len(w) > 4 and w[-1] in "ensr":
-            w = w[:-1]
+    """GermanLightStemmer.java:64-151 — vowel folding, then two
+    plural/case strip steps (-ern / -e[mnrs] / -e / -s-after-stop-cons,
+    then -est / -e[rn] / -st)."""
+    s = []
+    for ch in word:
+        if ch in "äàáâ":
+            s.append("a")
+        elif ch in "öòóô":
+            s.append("o")
+        elif ch in "ïìíî":
+            s.append("i")
+        elif ch in "üùúû":
+            s.append("u")
         else:
-            break
-    return w
+            s.append(ch)
+    w = "".join(s)
+    st = "bdfghklmnt"
+    n = len(w)
+    if n > 5 and w.endswith("ern"):
+        n -= 3
+    elif n > 4 and w[n - 2] == "e" and w[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and w[n - 1] == "e":
+        n -= 1
+    elif n > 3 and w[n - 1] == "s" and w[n - 2] in st:
+        n -= 1
+    w = w[:n]
+    n = len(w)
+    if n > 5 and w.endswith("est"):
+        n -= 3
+    elif n > 4 and w[n - 2] == "e" and w[n - 1] in "rn":
+        n -= 2
+    elif n > 4 and w.endswith("st") and w[n - 3] in st:
+        n -= 2
+    return w[:n]
+
+
+_FR_FOLD = {"à": "a", "á": "a", "â": "a", "ô": "o", "è": "e", "é": "e",
+            "ê": "e", "ù": "u", "û": "u", "î": "i", "ç": "c"}
+
+
+def _fr_norm(s: list, l: int) -> str:
+    """FrenchLightStemmer.java norm() (:212-257): fold + adjacent-dup
+    collapse when len>4, then -ie, then final r/e/e and trailing
+    double-letter trim."""
+    s = s[:l]
+    if len(s) > 4:
+        for i, ch in enumerate(s):
+            s[i] = _FR_FOLD.get(ch, ch)
+        i = 1
+        while i < len(s):
+            if s[i] == s[i - 1] and s[i].isalpha():
+                del s[i]
+            else:
+                i += 1
+    l = len(s)
+    if l > 4 and s[l - 2] == "i" and s[l - 1] == "e":
+        l -= 2
+    if l > 4:
+        if s[l - 1] == "r":
+            l -= 1
+        if s[l - 1] == "e":
+            l -= 1
+        if s[l - 1] == "e":
+            l -= 1
+        if s[l - 1] == s[l - 2] and s[l - 1].isalpha():
+            l -= 1
+    return "".join(s[:l])
 
 
 @functools.lru_cache(maxsize=65536)
 def french_light_stem(word: str) -> str:
-    """Savoy's minimal French stemmer shape: -aux→al, then final
-    x/s/r/e/é stripping and final double-letter collapse, only on words
-    of length >= 6 (chevaux→cheval, tables→tabl, chanter→chant)."""
-    w = word
-    if len(w) >= 6 and w.endswith("x"):
-        if w.endswith("aux"):
-            w = w[:-3] + "al"
-        else:
-            w = w[:-1]
-    if len(w) >= 6 and w.endswith("s"):
-        w = w[:-1]
-    if len(w) >= 6 and w.endswith("r"):
-        w = w[:-1]
-    if len(w) >= 5 and w.endswith("e"):
-        w = w[:-1]
-    if len(w) >= 5 and w.endswith("é"):
-        w = w[:-1]
-    if len(w) >= 5 and w[-1] == w[-2]:
-        w = w[:-1]
-    return w
+    """FrenchLightStemmer.java:63-210 — the UniNE French rule table,
+    verbatim order (each branch either mutates in place and falls
+    through or returns through norm())."""
+    s = list(word)
+    l = len(s)
 
+    def ew(suf: str) -> bool:
+        k = len(suf)
+        return l >= k and s[l - k:l] == list(suf)
 
-_ES_FOLD = {"á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u"}
+    if l > 5 and s[l - 1] == "x":
+        if s[l - 3] == "a" and s[l - 2] == "u" and s[l - 4] != "e":
+            s[l - 2] = "l"
+        l -= 1
+    if l > 3 and s[l - 1] == "x":
+        l -= 1
+    if l > 3 and s[l - 1] == "s":
+        l -= 1
+    if l > 9 and ew("issement"):
+        l -= 6
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 8 and ew("issant"):
+        l -= 4
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 6 and ew("ement"):
+        l -= 4
+        if l > 3 and ew("ive"):
+            l -= 1
+            s[l - 1] = "f"
+        return _fr_norm(s, l)
+    if l > 11 and ew("ficatrice"):
+        l -= 5
+        s[l - 2] = "e"
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 10 and ew("ficateur"):
+        l -= 4
+        s[l - 2] = "e"
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 9 and ew("catrice"):
+        l -= 3
+        s[l - 4] = "q"
+        s[l - 3] = "u"
+        s[l - 2] = "e"
+        return _fr_norm(s, l)
+    if l > 8 and ew("cateur"):
+        l -= 2
+        s[l - 4] = "q"
+        s[l - 3] = "u"
+        s[l - 2] = "e"
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 8 and ew("atrice"):
+        l -= 4
+        s[l - 2] = "e"
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 7 and ew("ateur"):
+        l -= 3
+        s[l - 2] = "e"
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 6 and ew("trice"):
+        l -= 1
+        s[l - 3] = "e"
+        s[l - 2] = "u"
+        s[l - 1] = "r"
+    if l > 5 and ew("ième"):
+        return _fr_norm(s, l - 4)
+    if l > 7 and ew("teuse"):
+        l -= 2
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 6 and ew("teur"):
+        l -= 1
+        s[l - 1] = "r"
+        return _fr_norm(s, l)
+    if l > 5 and ew("euse"):
+        return _fr_norm(s, l - 2)
+    if l > 8 and ew("ère"):
+        l -= 1
+        s[l - 2] = "e"
+        return _fr_norm(s, l)
+    if l > 7 and ew("ive"):
+        l -= 1
+        s[l - 1] = "f"
+        return _fr_norm(s, l)
+    if l > 4 and (ew("folle") or ew("molle")):
+        l -= 2
+        s[l - 1] = "u"
+        return _fr_norm(s, l)
+    if l > 9 and ew("nnelle"):
+        return _fr_norm(s, l - 5)
+    if l > 9 and ew("nnel"):
+        return _fr_norm(s, l - 3)
+    if l > 4 and ew("ète"):
+        l -= 1
+        s[l - 2] = "e"
+    if l > 8 and ew("ique"):
+        l -= 4
+    if l > 8 and ew("esse"):
+        return _fr_norm(s, l - 3)
+    if l > 7 and ew("inage"):
+        return _fr_norm(s, l - 3)
+    if l > 9 and ew("isation"):
+        l -= 7
+        if l > 5 and ew("ual"):
+            s[l - 2] = "e"
+        return _fr_norm(s, l)
+    if l > 9 and ew("isateur"):
+        return _fr_norm(s, l - 7)
+    if l > 8 and ew("ation"):
+        return _fr_norm(s, l - 5)
+    if l > 8 and ew("ition"):
+        return _fr_norm(s, l - 5)
+    return _fr_norm(s, l)
 
 
 @functools.lru_cache(maxsize=65536)
 def spanish_light_stem(word: str) -> str:
-    """Accent folding + plural/gender endings: -os/-as/-es then -o/-a/-e
-    (perros/perro → perr, gatos/gato → gat, canciónes → cancion)."""
-    w = _fold(word, _ES_FOLD)
-    if len(w) >= 5 and w[-2:] in ("os", "as", "es"):
-        return w[:-2]
-    if len(w) >= 4 and w[-1] in "oae":
-        return w[:-1]
-    return w
-
-
-_IT_FOLD = {"à": "a", "è": "e", "é": "e", "ì": "i", "ò": "o", "ù": "u"}
+    """SpanishLightStemmer.java:60-114 (CLEF-2001): fold, then final
+    o/a/e, -es after e/s-e/c-e (ces→z) or vowel, words < 5 untouched."""
+    if len(word) < 5:
+        return word
+    s = []
+    for ch in word:
+        if ch in "àáâä":
+            s.append("a")
+        elif ch in "òóôö":
+            s.append("o")
+        elif ch in "èéêë":
+            s.append("e")
+        elif ch in "ùúûü":
+            s.append("u")
+        elif ch in "ìíîï":
+            s.append("i")
+        else:
+            s.append(ch)
+    l = len(s)
+    last = s[l - 1]
+    if last in "oae":
+        l -= 1
+    elif last == "s":
+        if s[l - 2] == "e" and s[l - 3] == "s" and s[l - 4] == "e":
+            l -= 2
+        elif s[l - 2] == "e" and s[l - 3] == "c":
+            s[l - 3] = "z"
+            l -= 2
+        elif s[l - 2] in "oae":
+            l -= 2
+    return "".join(s[:l])
 
 
 @functools.lru_cache(maxsize=65536)
 def italian_light_stem(word: str) -> str:
-    """Accent folding, -ie/-he bigram endings, then final vowel removal
-    (gatti/gatto → gatt, amiche → amic)."""
-    w = _fold(word, _IT_FOLD)
-    if len(w) > 5 and w[-2:] in ("ie", "he"):
-        return w[:-2]
-    if len(w) > 4 and w[-1] in "aeio":
-        return w[:-1]
-    return w
+    """ItalianLightStemmer.java:60-115 (CLEF-2001): fold, then final
+    vowel with i/h-digraph awareness, words < 6 untouched."""
+    if len(word) < 6:
+        return word
+    s = []
+    for ch in word:
+        if ch in "àáâä":
+            s.append("a")
+        elif ch in "òóôö":
+            s.append("o")
+        elif ch in "èéêë":
+            s.append("e")
+        elif ch in "ùúûü":
+            s.append("u")
+        elif ch in "ìíîï":
+            s.append("i")
+        else:
+            s.append(ch)
+    l = len(s)
+    last, prev = s[l - 1], s[l - 2]
+    if last == "e":
+        l -= 2 if prev in "ih" else 1
+    elif last == "i":
+        l -= 2 if prev in "hi" else 1
+    elif last == "a":
+        l -= 2 if prev == "i" else 1
+    elif last == "o":
+        l -= 2 if prev == "i" else 1
+    return "".join(s[:l])
 
 
-_PT_FOLD = {"á": "a", "â": "a", "ã": "a", "é": "e", "ê": "e", "í": "i",
-            "ó": "o", "ô": "o", "õ": "o", "ú": "u", "ç": "c"}
+_PT_FOLD = {"à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+            "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+            "è": "e", "é": "e", "ê": "e", "ë": "e",
+            "ù": "u", "ú": "u", "û": "u", "ü": "u",
+            "ì": "i", "í": "i", "î": "i", "ï": "i", "ç": "c"}
+
+
+def _pt_remove_suffix(s: list, l: int) -> int:
+    """PortugueseLightStemmer.java removeSuffix (:117-160)."""
+    def ew(suf: str) -> bool:
+        k = len(suf)
+        return l >= k and s[l - k:l] == list(suf)
+
+    if l > 4 and ew("es") and s[l - 3] in "rslz":
+        return l - 2
+    if l > 3 and ew("ns"):
+        s[l - 2] = "m"
+        return l - 1
+    if l > 4 and (ew("eis") or ew("éis")):
+        s[l - 3] = "e"
+        s[l - 2] = "l"
+        return l - 1
+    if l > 4 and ew("ais"):
+        s[l - 2] = "l"
+        return l - 1
+    if l > 4 and ew("óis"):
+        s[l - 3] = "o"
+        s[l - 2] = "l"
+        return l - 1
+    if l > 4 and ew("is"):
+        s[l - 1] = "l"
+        return l
+    if l > 3 and (ew("ões") or ew("ães")):
+        l -= 1
+        s[l - 2] = "ã"
+        s[l - 1] = "o"
+        return l
+    if l > 6 and ew("mente"):
+        return l - 5
+    if l > 3 and s[l - 1] == "s":
+        return l - 1
+    return l
+
+
+def _pt_norm_feminine(s: list, l: int) -> int:
+    """PortugueseLightStemmer.java normFeminine (:162-199)."""
+    def ew(suf: str) -> bool:
+        k = len(suf)
+        return l >= k and s[l - k:l] == list(suf)
+
+    if l > 7 and (ew("inha") or ew("iaca") or ew("eira")):
+        s[l - 1] = "o"
+        return l
+    if l > 6:
+        if ew("osa") or ew("ica") or ew("ida") or ew("ada") or ew("iva") or ew("ama"):
+            s[l - 1] = "o"
+            return l
+        if ew("ona"):
+            s[l - 3] = "ã"
+            s[l - 2] = "o"
+            return l - 1
+        if ew("ora"):
+            return l - 1
+        if ew("esa"):
+            s[l - 3] = "ê"
+            return l - 1
+        if ew("na"):
+            s[l - 1] = "o"
+            return l
+    return l
 
 
 @functools.lru_cache(maxsize=65536)
 def portuguese_light_stem(word: str) -> str:
-    """RSLP-S-style plural reduction (the published plural step of the
-    RSLP stemmer, Orengo & Huyck 2001) + diacritic folding:
-    ões/ães→ão-fold, ns→m, ais→al, eis→el, óis→ol, is→il, -s."""
-    w = word
-    if w.endswith("ões") or w.endswith("ães"):
-        w = w[:-3] + "ão"
-    elif w.endswith("ns"):
-        w = w[:-2] + "m"
-    elif len(w) > 5 and w.endswith("ais"):
-        w = w[:-2] + "l"
-    elif len(w) > 5 and w.endswith("eis"):
-        w = w[:-3] + "el"
-    elif w.endswith("óis"):
-        w = w[:-3] + "ol"
-    elif len(w) > 5 and w.endswith("is"):
-        w = w[:-2] + "il"
-    elif len(w) > 3 and w.endswith("es"):
-        w = w[:-2]
-    elif len(w) > 3 and w.endswith("s"):
-        w = w[:-1]
-    return _fold(w, _PT_FOLD)
+    """PortugueseLightStemmer.java:63-115 (UniNE): suffix removal →
+    feminine normalization → final vowel → fold LAST."""
+    if len(word) < 4:
+        return word
+    s = list(word)
+    l = _pt_remove_suffix(s, len(s))
+    if l > 3 and s[l - 1] == "a":
+        l = _pt_norm_feminine(s, l)
+    if l > 4 and s[l - 1] in "eao":
+        l -= 1
+    return "".join(_PT_FOLD.get(ch, ch) for ch in s[:l])
 
 
 @functools.lru_cache(maxsize=65536)
 def dutch_light_stem(word: str) -> str:
-    """Plural -en with final-consonant undoubling, plural/genitive -s,
-    diminutive -je (katten → kat, huizen → huiz, boekjes → boek)."""
+    """No light stemmer exists in the reference for Dutch (nl/ uses
+    Snowball); this is a documented engine approximation: plural -en
+    with final-consonant undoubling, plural/genitive -s, diminutive -je
+    (katten → kat, huizen → huiz, boekjes → boek)."""
     w = word
     if len(w) >= 5 and w.endswith("en"):
         w = w[:-2]
@@ -313,16 +561,348 @@ def dutch_light_stem(word: str) -> str:
 
 @functools.lru_cache(maxsize=65536)
 def swedish_light_stem(word: str) -> str:
-    """Definite/plural endings: -arna/-erna/-orna, then -ar/-er/-or/
-    -en/-et/-na, then single -a/-e/-n/-s (bilarna/bilar/bilen → bil)."""
+    """SwedishLightStemmer.java:63-101 (CLEF-2003): possessive -s, then
+    one longest-first ending strip."""
     w = word
-    if len(w) >= 6 and w[-4:] in ("arna", "erna", "orna"):
-        return w[:-4]
-    if len(w) >= 5 and w[-2:] in ("ar", "er", "or", "en", "et", "na"):
-        return w[:-2]
-    if len(w) >= 5 and w[-1] in "aens":
-        return w[:-1]
+    l = len(w)
+    if l > 4 and w[l - 1] == "s":
+        l -= 1
+    w = w[:l]
+
+    def ew(suf: str) -> bool:
+        return l >= len(suf) and w.endswith(suf)
+
+    if l > 7 and (ew("elser") or ew("heten")):
+        return w[:l - 5]
+    if l > 6 and (ew("arne") or ew("erna") or ew("ande") or ew("else")
+                  or ew("aste") or ew("orna") or ew("aren")):
+        return w[:l - 4]
+    if l > 5 and (ew("are") or ew("ast") or ew("het")):
+        return w[:l - 3]
+    if l > 4 and (ew("ar") or ew("er") or ew("or") or ew("en")
+                  or ew("at") or ew("te") or ew("et")):
+        return w[:l - 2]
+    if l > 3 and w[l - 1] in "taen":
+        return w[:l - 1]
     return w
+
+
+@functools.lru_cache(maxsize=65536)
+def norwegian_light_stem(word: str, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer.java:85-182 — hand-crafted light endings;
+    flags select Bokmål/Nynorsk-specific rules (BOKMAAL default, as
+    NorwegianLightStemFilter's default constructor)."""
+    bm, nn = bokmaal, nynorsk
+    w = word
+    l = len(w)
+    if l > 4 and w[l - 1] == "s":
+        l -= 1
+    w = w[:l]
+
+    def ew(suf: str) -> bool:
+        return l >= len(suf) and w.endswith(suf)
+
+    if l > 7 and ((ew("heter") and bm) or (ew("heten") and bm)
+                  or (ew("heita") and nn)):
+        return w[:l - 5]
+    if l > 8 and nn and (ew("heiter") or ew("leiken") or ew("leikar")):
+        return w[:l - 6]
+    if l > 5 and (ew("dom") or (ew("het") and bm)):
+        return w[:l - 3]
+    if l > 6 and nn and (ew("heit") or ew("semd") or ew("leik")):
+        return w[:l - 4]
+    if l > 7 and (ew("elser") or ew("elsen")):
+        return w[:l - 5]
+    if l > 6 and ((ew("ende") and bm) or (ew("ande") and nn) or ew("else")
+                  or (ew("este") and bm) or (ew("aste") and nn)
+                  or (ew("eren") and bm) or (ew("aren") and nn)):
+        return w[:l - 4]
+    if l > 5 and ((ew("ere") and bm) or (ew("are") and nn)
+                  or (ew("est") and bm) or (ew("ast") and nn)
+                  or ew("ene") or (ew("ane") and nn)):
+        return w[:l - 3]
+    if l > 4 and (ew("er") or ew("en") or ew("et") or (ew("ar") and nn)
+                  or (ew("st") and bm) or ew("te")):
+        return w[:l - 2]
+    if l > 3 and w[l - 1] in "aen":
+        return w[:l - 1]
+    return w
+
+
+def nynorsk_light_stem(word: str) -> str:
+    """Norwegian light stemming with the NYNORSK flag set."""
+    return norwegian_light_stem(word, bokmaal=False, nynorsk=True)
+
+
+@functools.lru_cache(maxsize=65536)
+def russian_light_stem(word: str) -> str:
+    """RussianLightStemmer.java:61-147 (Dolamic & Savoy): case-ending
+    removal (longest first) then ь/и/нн normalization."""
+    w = word
+    l = len(w)
+
+    def ew(*sufs: str) -> bool:
+        return any(l >= len(x) and w[:l].endswith(x) for x in sufs)
+
+    # removeCase
+    if l > 6 and ew("иями", "оями"):
+        l -= 4
+    elif l > 5 and ew("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+                      "ему", "ери", "ими", "ого", "ому", "ыми", "оев"):
+        l -= 3
+    elif l > 4 and ew("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию",
+                      "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей",
+                      "ём", "ев", "ий", "им", "ое", "ой", "ом", "ов", "ые",
+                      "ый", "ым", "ми"):
+        l -= 2
+    elif l > 3 and w[l - 1] in "аеиоуйыяь":
+        l -= 1
+    # normalize
+    if l > 3:
+        if w[l - 1] in "ьи":
+            l -= 1
+        elif w[l - 1] == "н" and w[l - 2] == "н":
+            l -= 1
+    return w[:l]
+
+
+def _fi_is_vowel(ch: str) -> bool:
+    return ch in "aeiouy"
+
+
+def _fi_step1(s: list, l: int) -> int:
+    def ew(suf: str) -> bool:
+        k = len(suf)
+        return l >= k and s[l - k:l] == list(suf)
+
+    if l > 8:
+        if ew("kin"):
+            return _fi_step1(s, l - 3)
+        if ew("ko"):
+            return _fi_step1(s, l - 2)
+    if l > 11:
+        if ew("dellinen"):
+            return l - 8
+        if ew("dellisuus"):
+            return l - 9
+    return l
+
+
+def _fi_step2(s: list, l: int) -> int:
+    def ew(suf: str) -> bool:
+        k = len(suf)
+        return l >= k and s[l - k:l] == list(suf)
+
+    if l > 5:
+        if ew("lla") or ew("tse") or ew("sti"):
+            return l - 3
+        if ew("ni"):
+            return l - 2
+        if ew("aa"):
+            return l - 1
+    return l
+
+
+def _fi_step3(s: list, l: int) -> int:
+    def ew(suf: str) -> bool:
+        k = len(suf)
+        return l >= k and s[l - k:l] == list(suf)
+
+    if l > 8:
+        if ew("nnen"):
+            s[l - 4] = "s"
+            return l - 3
+        if ew("ntena"):
+            s[l - 5] = "s"
+            return l - 4
+        if ew("tten"):
+            return l - 4
+        if ew("eiden"):
+            return l - 5
+    if l > 6:
+        if ew("neen") or ew("niin") or ew("seen") or ew("teen") or ew("inen"):
+            return l - 4
+        if s[l - 3] == "h" and _fi_is_vowel(s[l - 2]) and s[l - 1] == "n":
+            return l - 3
+        if ew("den"):
+            s[l - 3] = "s"
+            return l - 2
+        if ew("ksen"):
+            s[l - 4] = "s"
+            return l - 3
+        if (ew("ssa") or ew("sta") or ew("lla") or ew("lta") or ew("tta")
+                or ew("ksi") or ew("lle")):
+            return l - 3
+    if l > 5:
+        if ew("na") or ew("ne"):
+            return l - 2
+        if ew("nei"):
+            return l - 3
+    if l > 4:
+        if ew("ja") or ew("ta"):
+            return l - 2
+        if s[l - 1] == "a":
+            return l - 1
+        if s[l - 1] == "n" and _fi_is_vowel(s[l - 2]):
+            return l - 2
+        if s[l - 1] == "n":
+            return l - 1
+    return l
+
+
+def _fi_norm1(s: list, l: int) -> int:
+    def ew(suf: str) -> bool:
+        k = len(suf)
+        return l >= k and s[l - k:l] == list(suf)
+
+    if l > 5 and ew("hde"):
+        s[l - 3] = "k"
+        s[l - 2] = "s"
+        s[l - 1] = "i"
+    if l > 4 and (ew("ei") or ew("at")):
+        return l - 2
+    if l > 3 and s[l - 1] in "tsjeai":
+        return l - 1
+    return l
+
+
+def _fi_norm2(s: list, l: int) -> int:
+    if l > 8 and s[l - 1] in "eou":
+        l -= 1
+    if l > 4:
+        if s[l - 1] == "i":
+            l -= 1
+        if l > 4:
+            # collapse runs of repeated k/p/t
+            i = 1
+            while i < l:
+                if s[i] == s[i - 1] and s[i] in "kpt":
+                    del s[i]
+                    l -= 1
+                else:
+                    i += 1
+    return l
+
+
+@functools.lru_cache(maxsize=65536)
+def finnish_light_stem(word: str) -> str:
+    """FinnishLightStemmer.java:61-232 (CLEF-2003): ä/å/ö folding, then
+    step1 (clitics) → step2 → step3 (case endings) → norm1 → norm2."""
+    if len(word) < 4:
+        return word
+    s = []
+    for ch in word:
+        if ch in "äå":
+            s.append("a")
+        elif ch == "ö":
+            s.append("o")
+        else:
+            s.append(ch)
+    l = _fi_step1(s, len(s))
+    l = _fi_step2(s, l)
+    l = _fi_step3(s, l)
+    l = _fi_norm1(s, l)
+    l = _fi_norm2(s, l)
+    return "".join(s[:l])
+
+
+def _hu_is_vowel(ch: str) -> bool:
+    return ch in "aeiouy"
+
+
+def _hu_remove_case(s: list, l: int) -> int:
+    def ew(*sufs: str) -> bool:
+        return any(l >= len(x) and s[l - len(x):l] == list(x) for x in sufs)
+
+    if l > 6 and ew("kent"):
+        return l - 4
+    if l > 5:
+        if ew("nak", "nek", "val", "vel", "ert", "rol", "ban", "ben", "bol",
+              "nal", "nel", "hoz", "hez", "tol"):
+            return l - 3
+        if ew("al", "el") and not _hu_is_vowel(s[l - 3]) and s[l - 3] == s[l - 4]:
+            return l - 3
+    if l > 4:
+        if ew("at", "et", "ot", "va", "ve", "ra", "re", "ba", "be", "ul", "ig"):
+            return l - 2
+        if ew("on", "en") and not _hu_is_vowel(s[l - 3]):
+            return l - 2
+        if s[l - 1] in "tn":
+            return l - 1
+        if s[l - 1] in "ae" and s[l - 2] == s[l - 3] and not _hu_is_vowel(s[l - 2]):
+            return l - 2
+    return l
+
+
+def _hu_remove_possessive(s: list, l: int) -> int:
+    def ew(*sufs: str) -> bool:
+        return any(l >= len(x) and s[l - len(x):l] == list(x) for x in sufs)
+
+    if l > 6:
+        if not _hu_is_vowel(s[l - 5]) and ew("atok", "otok", "etek"):
+            return l - 4
+        if ew("itek", "itok"):
+            return l - 4
+    if l > 5:
+        if not _hu_is_vowel(s[l - 4]) and ew("unk", "tok", "tek"):
+            return l - 3
+        if _hu_is_vowel(s[l - 4]) and ew("juk"):
+            return l - 3
+        if ew("ink"):
+            return l - 3
+    if l > 4:
+        if not _hu_is_vowel(s[l - 3]) and ew("am", "em", "om", "ad", "ed",
+                                             "od", "uk"):
+            return l - 2
+        if _hu_is_vowel(s[l - 3]) and ew("nk", "ja", "je"):
+            return l - 2
+        if ew("im", "id", "ik"):
+            return l - 2
+    if l > 3:
+        if s[l - 1] in "ae":
+            if not _hu_is_vowel(s[l - 2]):
+                return l - 1
+        elif s[l - 1] in "md":
+            if _hu_is_vowel(s[l - 2]):
+                return l - 1
+        elif s[l - 1] == "i":
+            return l - 1
+    return l
+
+
+def _hu_remove_plural(s: list, l: int) -> int:
+    if l > 3 and s[l - 1] == "k":
+        if s[l - 2] in "aoe" and l > 4:
+            return l - 2
+        return l - 1
+    return l
+
+
+@functools.lru_cache(maxsize=65536)
+def hungarian_light_stem(word: str) -> str:
+    """HungarianLightStemmer.java:61-241 (UniNE): fold, removeCase,
+    removePossessive, removePlural, final-vowel normalize."""
+    s = []
+    for ch in word:
+        if ch == "á":
+            s.append("a")
+        elif ch in "ëé":
+            s.append("e")
+        elif ch == "í":
+            s.append("i")
+        elif ch in "óőõö":
+            s.append("o")
+        elif ch in "úűũûü":
+            s.append("u")
+        else:
+            s.append(ch)
+    l = _hu_remove_case(s, len(s))
+    l = _hu_remove_possessive(s, l)
+    l = _hu_remove_plural(s, l)
+    if l > 3 and s[l - 1] in "aeio":
+        l -= 1
+    return "".join(s[:l])
 
 
 # name → word-level stem function; Analyzer.stemmer selects from here
@@ -336,4 +916,9 @@ STEMMERS = {
     "portuguese_light": portuguese_light_stem,
     "dutch_light": dutch_light_stem,
     "swedish_light": swedish_light_stem,
+    "norwegian_light": norwegian_light_stem,
+    "nynorsk_light": nynorsk_light_stem,
+    "russian_light": russian_light_stem,
+    "finnish_light": finnish_light_stem,
+    "hungarian_light": hungarian_light_stem,
 }

@@ -113,13 +113,19 @@ def test_language_analyzers():
     out = list(es.tokenize_series(pd.Series(["el perro y los gatos"])).iloc[0])
     assert out == ["perr", "gat"]
     # plural and singular conflate to the same term on every chain
+    # (pairs long enough for each reference stemmer's length floor —
+    # SpanishLightStemmer skips <5 chars, ItalianLightStemmer <6)
     for name, sing, plur in [("german", "Hund", "Hunde"),
                              ("french", "table", "tables"),
-                             ("spanish", "gato", "gatos"),
-                             ("italian", "gatto", "gatti"),
+                             ("spanish", "perro", "perros"),
+                             ("italian", "ragazzo", "ragazzi"),
                              ("portuguese", "livro", "livros"),
                              ("dutch", "boek", "boeken"),
-                             ("swedish", "bil", "bilar")]:
+                             ("swedish", "bil", "bilar"),
+                             ("russian", "журнал", "журналы"),
+                             ("finnish", "kirjat", "kirjassa"),
+                             ("hungarian", "házak", "házban"),
+                             ("norwegian", "bilen", "bilene")]:
         a = get_analyzer(name)
         s = list(a.tokenize_series(pd.Series([sing])).iloc[0])
         p = list(a.tokenize_series(pd.Series([plur])).iloc[0])
