@@ -257,9 +257,9 @@ SWEDISH_STOP_WORDS = frozenset(
     vårt våra ert era vilkas""".split()
 )
 
-register_analyzer(Analyzer(name="german", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+register_analyzer(Analyzer(name="german", token_pattern=r"[A-Za-zÀ-ÿß0-9_]+",
                            stopwords=GERMAN_STOP_WORDS,
-                           stemmer="german_light"))
+                           stemmer="german_light_norm"))
 register_analyzer(Analyzer(name="french", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=FRENCH_STOP_WORDS,
                            stemmer="french_light"))

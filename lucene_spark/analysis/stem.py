@@ -905,11 +905,61 @@ def hungarian_light_stem(word: str) -> str:
     return "".join(s[:l])
 
 
+def german_normalize(word: str) -> str:
+    """GermanNormalizationFilter.java:40-105 — the 3-state FSM: ß→ss,
+    ä/ö/ü→a/o/u, and umlaut-e deletion ('ae'→'a', 'oe'→'o', 'ue'→'u'
+    when the u does not follow a vowel or q). GermanAnalyzer chains this
+    BEFORE the light stemmer (de/GermanAnalyzer.java)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in word:
+        if c in "ao":
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                pass          # delete the e of ae/oe/ue
+            else:
+                out.append(c)
+            state = V
+        elif c in "iqy":
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+@functools.lru_cache(maxsize=65536)
+def german_light_norm_stem(word: str) -> str:
+    """The GermanAnalyzer chain tail: GermanNormalizationFilter →
+    GermanLightStemFilter (straße/strasse both → strass)."""
+    return german_light_stem(german_normalize(word))
+
+
 # name → word-level stem function; Analyzer.stemmer selects from here
 # (the TokenFilterFactory SPI role — analysis/util/TokenFilterFactory.java)
 STEMMERS = {
     "porter": porter_stem,
     "german_light": german_light_stem,
+    "german_light_norm": german_light_norm_stem,
     "french_light": french_light_stem,
     "spanish_light": spanish_light_stem,
     "italian_light": italian_light_stem,

@@ -89,7 +89,19 @@ def _phrase_node(content: str, slop: int, fld: str, an: Analyzer,
             raise ComplexPhraseError(
                 "negation inside a complex phrase is not supported "
                 f"(SpanNot arm): {content!r}")
-        slots.append(_slotify(c.node, content))
+        if isinstance(c.node, P.MatchNoneNode):
+            # a zero-token atom (stopword under this analyzer) — dropped,
+            # exactly as the reference's inner parse drops stop tokens
+            continue
+        slot = _slotify(c.node, content)
+        if isinstance(slot, P.MatchNoneNode):
+            # a group that analyzed to nothing: the reference inserts a
+            # dummy never-matching SpanTerm (rewrite():316-321) — the
+            # whole phrase matches nothing
+            return P.MatchNoneNode()
+        slots.append(slot)
+    if not slots:
+        return P.MatchNoneNode()
     if len(slots) == 1:
         return slots[0]
     return P.IntervalSlotsNode(slots=tuple(slots), max_gaps=slop,
@@ -100,10 +112,13 @@ def _slotify(n: P.Node, content: str) -> P.Node:
     if isinstance(n, _SLOT_LEAVES):
         return n
     if isinstance(n, P.BooleanNode):
-        leaves = [c.node for c in n.clauses]
+        leaves = [c.node for c in n.clauses
+                  if not isinstance(c.node, P.MatchNoneNode)]   # stopwords
         if any(c.occur is P.Occur.MUST_NOT for c in n.clauses):
             raise ComplexPhraseError(
                 f"negation inside a phrase group is not supported: {content!r}")
+        if not leaves:
+            return P.MatchNoneNode()
         if all(isinstance(x, P.TermNode) for x in leaves):
             fields = {x.field for x in leaves}
             if len(fields) > 1:

@@ -241,31 +241,14 @@ def interval_match(pos_lists: list[np.ndarray], max_gaps: int, ordered: bool) ->
 
 
 def _eval_interval(node: P.IntervalNode, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
-    """Interval query eval: vectorized candidate intersection, then the
-    per-candidate position check (few candidate docs, like phrases).
-    Constant score = boost."""
-    parts = []
-    for t in node.terms:
-        tp = ctx.postings.get((node.field, t))
-        if tp is None or tp.pos is None:
-            return _empty()
-        parts.append(tp)
-    order = np.argsort([p.docs.size for p in parts], kind="stable")
-    base = parts[order[0]].docs
-    for oi in order[1:]:
-        base = np.intersect1d(base, parts[oi].docs, assume_unique=True)
-        if base.size == 0:
-            return _empty()
-    idx = [np.searchsorted(p.docs, base) for p in parts]
-    hit = np.zeros(base.size, dtype=bool)
-    for ci in range(base.size):
-        pls = [
-            parts[j].pos[parts[j].tf_off[idx[j][ci]]:parts[j].tf_off[idx[j][ci] + 1]]
-            for j in range(len(parts))
-        ]
-        hit[ci] = interval_match(pls, node.max_gaps, node.ordered)
-    docs = base[hit]
-    return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
+    """Interval query eval — the single-term-per-slot special case of
+    _eval_interval_slots (one shared candidate-intersection + position
+    matcher; constant score = boost)."""
+    slots = P.IntervalSlotsNode(
+        slots=tuple(P.TermNode(term=t, field=node.field) for t in node.terms),
+        max_gaps=node.max_gaps, ordered=node.ordered,
+        field=node.field, boost=node.boost)
+    return _eval_interval_slots(slots, ctx)
 
 
 def slot_terms(slot: P.Node) -> tuple[str, ...]:

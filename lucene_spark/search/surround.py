@@ -150,8 +150,9 @@ def _or(p: _P) -> Node | None:
     while p.peek() is not None and p.peek()[0] == "or":
         p.next()
         r = _and(p)
-        if r is not None:
-            cl.append(r)
+        if r is None:
+            raise SurroundSyntaxError("dangling OR operator")
+        cl.append(r)
     if len(cl) <= 1:
         return cl[0] if cl else None
     return BooleanNode(clauses=tuple(Clause(Occur.SHOULD, n) for n in cl))
@@ -163,8 +164,9 @@ def _and(p: _P) -> Node | None:
     while p.peek() is not None and p.peek()[0] == "and":
         p.next()
         r = _not(p)
-        if r is not None:
-            cl.append(r)
+        if r is None:
+            raise SurroundSyntaxError("dangling AND operator")
+        cl.append(r)
     if len(cl) <= 1:
         return cl[0] if cl else None
     return BooleanNode(clauses=tuple(Clause(Occur.MUST, n) for n in cl))
@@ -176,8 +178,9 @@ def _not(p: _P) -> Node | None:
     while p.peek() is not None and p.peek()[0] == "not":
         p.next()
         r = _dist(p)
-        if r is not None:
-            negs.append(r)
+        if r is None:
+            raise SurroundSyntaxError("dangling NOT operator")
+        negs.append(r)
     if not negs:
         return left
     if left is None:
@@ -293,16 +296,11 @@ def _arg_list(p: _P) -> list[Node]:
         if t[0] == "comma":
             p.next()
             continue
-        a = _or_arg(p)
+        # one argument = a full OR-level expression bounded by ',' / ')'
+        # (the reference's FieldsQueryList)
+        a = _or(p)
         if a is not None:
             args.append(a)
-
-
-def _or_arg(p: _P) -> Node | None:
-    """One argument inside a prefix-operator list: a full OR-level
-    expression bounded by ',' / ')' (the reference's FieldsQueryList)."""
-    node = _or(p)
-    return node
 
 
 def _with_boost(p: _P, node: Node) -> Node:

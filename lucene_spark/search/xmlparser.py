@@ -203,6 +203,11 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
         fields: set[str] = set()
         for kid in _children(e):
             node = _build(kid, ctx, inherited)
+            if isinstance(node, P.MatchNoneNode):
+                # a span clause matching nothing (e.g. SpanOrTerms whose
+                # text analyzed to zero terms) makes the whole SpanNear
+                # match nothing
+                return P.MatchNoneNode()
             if isinstance(node, (P.TermNode, P.TermInSetNode)):
                 slots.append(node)
                 if node.field:

@@ -136,3 +136,18 @@ def test_complexphrase_end_to_end(positioned):
                          lambda t: t.startswith("writ")], tk, 2)
     }
     assert got == want
+
+
+def test_stopwords_inside_phrase_dropped(an):
+    """A stopword atom inside a phrase is dropped, not an error (the
+    reference analyzes phrase contents, so stop tokens just vanish)."""
+    from lucene_spark.analysis import get_analyzer
+
+    en = get_analyzer("english")
+    n = parse_complex_phrase('"the merging dog*"', en)
+    assert isinstance(n, P.IntervalSlotsNode) and len(n.slots) == 2
+    assert n.slots[0].term == "merg"          # stemmed by the chain
+    # all-stopword phrase → matches nothing
+    assert isinstance(parse_complex_phrase('"the of"', en), P.MatchNoneNode)
+    # stopword-only group = dummy never-matching slot → whole phrase dead
+    assert isinstance(parse_complex_phrase('"(the of) dog"', en), P.MatchNoneNode)

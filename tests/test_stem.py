@@ -180,3 +180,22 @@ def test_new_language_analyzers_registered():
         toks = list(an.tokenize_series(pd.Series([text])).iloc[0])
         assert expect_in in toks, (name, toks)
         assert expect_out not in toks, (name, toks)
+
+
+def test_german_normalization_filter():
+    """GermanNormalizationFilter FSM (de/GermanNormalizationFilter.java):
+    ß→ss, umlaut folding, ae/oe/ue e-deletion with the vowel/q guard;
+    the 'german' analyzer chain conflates ß and ss spellings."""
+    from lucene_spark.analysis.stem import STEMMERS, german_normalize
+
+    assert german_normalize("straße") == "strasse"
+    assert german_normalize("häuser") == "hauser"
+    assert german_normalize("aerodynamisch") == "arodynamisch"
+    assert german_normalize("blaue") == "blaue"      # ue after vowel kept
+    assert german_normalize("quelle") == "quelle"    # ue after q kept
+    f = STEMMERS["german_light_norm"]
+    assert f("straße") == f("strasse") == "strass"
+    an = get_analyzer("german")
+    a = list(an.tokenize_series(pd.Series(["die Straße"])).iloc[0])
+    b = list(an.tokenize_series(pd.Series(["die Strasse"])).iloc[0])
+    assert a == b == ["strass"]

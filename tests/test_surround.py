@@ -214,3 +214,9 @@ def test_surround_boolean_end_to_end(positioned):
     toks = _tok_positions(searcher, src)
     want = {d for d, tk in toks.items() if "index" in tk and "writer" not in tk}
     assert got == want
+
+
+def test_dangling_operators_raise():
+    for bad in ("a OR", "a AND", "a NOT", "a W", "a N"):
+        with pytest.raises(SurroundSyntaxError):
+            parse_surround(bad)

@@ -133,3 +133,14 @@ def test_end_to_end(positioned, an):
                                ordered=True, field=fld)
     want = {r["doc_id"] for r in searcher.matches(want_node, with_scores=False).collect()}
     assert got == want and got
+
+
+def test_spannear_empty_clause_matches_nothing():
+    """SpanOrTerms that analyzes to zero terms (all stopwords) makes the
+    enclosing SpanNear match nothing instead of raising."""
+    from lucene_spark.analysis import get_analyzer
+
+    en = get_analyzer("english")
+    q = ('<SpanNear fieldName="t" slop="2" inOrder="false">'
+         '<SpanOrTerms>the of</SpanOrTerms><SpanTerm>scan</SpanTerm></SpanNear>')
+    assert isinstance(parse_xml_query(q, en), P.MatchNoneNode)
