@@ -2729,6 +2729,82 @@ WHERE a.term IN ('big', 'fast') AND b.term = 'scan'
 """
 
 
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap rule): flag
+    training docs sharing ≥1 distinct 8-gram with a benchmark slice
+    (docs with doc_id % 50 == 0). Broadcast semi-join of hashed
+    benchmark grams against the exploded corpus gram stream — the exact
+    100 TB shape (benchmark side is tiny)."""
+    from lucene_spark.pipeline.decontaminate import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = contaminated_docs(docs, bench, "text", "doc_id", n=8, min_hits=1)
+    return out.select(F.col("key").alias("doc_id"), "hits")
+
+
+DD_DECONTAMINATE_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 7, 0)),
+           i -> array_to_string(w[i:i+7], ' '))) AS grams
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents)
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS hits
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) c
+  JOIN bench USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, hits FROM hits WHERE hits >= 1 ORDER BY doc_id
+"""
+
+
+def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML stripping (HTMLStripCharFilter role): wrap each document in
+    deterministic HTML (tags + comment + script block + entities), strip
+    it back to text, and emit an md5 of the result — exercises
+    script-block removal, tag removal, entity decoding, and whitespace
+    collapse against an independent regex engine."""
+    from lucene_spark.pipeline.textstats import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="d"><p>'), F.col("text"),
+        F.lit('</p><!-- note --><script>var x = "<b>&amp;";</script>'
+              '&nbsp;tail&#39;s</div>'))
+    return docs.select(
+        "doc_id", F.md5(strip_html(html)).alias("h")).orderBy("doc_id")
+
+
+TX_HTML_STRIP_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<div class="d"><p>' || text ||
+         '</p><!-- note --><script>var x = "<b>&amp;";</script>' ||
+         '&nbsp;tail&#39;s</div>' AS html
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+s5 AS (SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&amp;', '&') AS t
+       FROM s4)
+SELECT doc_id, md5(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS h
+FROM s5 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2798,6 +2874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_surround_near": ft_surround_near,
         "ft_complex_phrase": ft_complex_phrase,
         "ft_xml_query": ft_xml_query,
+        "dd_decontaminate": dd_decontaminate,
+        "tx_html_strip": tx_html_strip,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -2906,6 +2984,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_surround_near": FT_SURROUND_NEAR_SQL,
         "ft_complex_phrase": FT_COMPLEX_PHRASE_SQL,
         "ft_xml_query": FT_XML_QUERY_SQL,
+        "dd_decontaminate": DD_DECONTAMINATE_SQL,
+        "tx_html_strip": TX_HTML_STRIP_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

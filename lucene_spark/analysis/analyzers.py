@@ -378,3 +378,15 @@ register_analyzer(
     Analyzer(name="whitespace_porter", token_pattern=r"\S+", lowercase=True,
              stopwords=frozenset(), max_token_length=1 << 20, stemmer="porter")
 )
+
+# URL/email-aware tokenizer — the UAX29URLEmailTokenizer role
+# (analysis/email/UAX29URLEmailTokenizer.java): URLs and e-mail
+# addresses are kept as single tokens instead of being split at
+# punctuation; everything else tokenizes like the standard chain.
+# Alternation order matters: URL | email | word-run.
+register_analyzer(Analyzer(
+    name="url_email",
+    token_pattern=(r"https?://[^\s<>\"')\]]+"
+                   r"|[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+                   r"|[a-z0-9_]+"),
+))

@@ -139,3 +139,25 @@ def fingerprint_sha(df: DataFrame, text_col: str, key_col: str, ngram: int = 8) 
         F.array_max(win_hashes).alias("fp_max"),
         F.sha2(F.col(text_col), 256).alias("digest"),
     )
+
+
+def strip_html(text: Column) -> Column:
+    """HTML → text (the HTMLStripCharFilter role,
+    lucene/analysis/common/.../charfilter/HTMLStripCharFilter.java —
+    that one is a generated scanner; this is a documented regex
+    approximation that covers the training-data cases: script/style
+    blocks, comments, tags, the common entities, whitespace collapse).
+    Deterministic and reproducible by any regex engine, so it is
+    oracle-checkable. Pure JVM expression — usable inside codegen."""
+    s = text
+    # script/style blocks including their content
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    # comments, then any remaining tag
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    # common entities; &amp; LAST so &amp;lt; decodes once, not twice
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

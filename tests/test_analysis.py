@@ -130,3 +130,45 @@ def test_language_analyzers():
         s = list(a.tokenize_series(pd.Series([sing])).iloc[0])
         p = list(a.tokenize_series(pd.Series([plur])).iloc[0])
         assert s == p, (name, s, p)
+
+
+def test_url_email_analyzer():
+    """UAX29URLEmailTokenizer role: URLs/emails survive as single tokens."""
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("url_email")
+    toks = list(an.tokenize_series(pd.Series(
+        ["Visit https://Example.com/a?b=1 or mail Bob.smith+x@Example.COM now!"]
+    )).iloc[0])
+    assert toks == ["visit", "https://example.com/a?b=1", "or", "mail",
+                    "bob.smith+x@example.com", "now"]
+
+
+def test_decontaminate_op(spark):
+    """contaminated_docs flags exactly the docs sharing an n-gram with the
+    benchmark; decontaminate() removes them."""
+    from lucene_spark.pipeline.decontaminate import (
+        contaminated_docs,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "a completely different sentence with no overlap at all"),
+        (3, "xx yy quick brown fox jumps over zz ww qq rr"),
+        (4, "short doc"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "did you see the quick brown fox jumps over things")],
+        "doc_id long, text string")
+    got = {(r["key"], r["hits"]) for r in
+           contaminated_docs(corpus, bench, "text", "doc_id", n=5).collect()}
+    # doc 1 shares 'the quick brown fox jumps' + 'quick brown fox jumps over'
+    # doc 3 shares 'quick brown fox jumps over'; docs 2/4 clean
+    assert got == {(1, 2), (3, 1)}
+    kept = {r["doc_id"] for r in
+            decontaminate(corpus, bench, "text", "doc_id", n=5).collect()}
+    assert kept == {2, 4}
