@@ -2729,6 +2729,35 @@ WHERE a.term IN ('big', 'fast') AND b.term = 'scan'
 """
 
 
+def ft_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirstQuery via the XML dialect (search/spans/SpanFirstQuery.java,
+    xml/builders/SpanFirstBuilder.java): an ordered SpanNear('big','scan')
+    whose whole span must end within the first 15 positions."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.xmlparser import parse_xml_query
+
+    s = _searcher(spark, sf_dir)
+    q = ('<SpanFirst end="15"><SpanNear slop="3" inOrder="true" '
+         'fieldName="text"><SpanTerm>big</SpanTerm><SpanTerm>scan</SpanTerm>'
+         '</SpanNear></SpanFirst>')
+    node = parse_xml_query(q, get_analyzer("whitespace"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_SPAN_FIRST_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'big' AND b.term = 'scan'
+  AND b.pos > a.pos AND b.pos - a.pos <= 4
+  AND b.pos <= 15   -- engine positions are 0-based: span end < 15 ⇒ pos ≤ 15
+"""
+
+
 def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap rule): flag
     training docs sharing ≥1 distinct 8-gram with a benchmark slice
@@ -2874,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_surround_near": ft_surround_near,
         "ft_complex_phrase": ft_complex_phrase,
         "ft_xml_query": ft_xml_query,
+        "ft_span_first": ft_span_first,
         "dd_decontaminate": dd_decontaminate,
         "tx_html_strip": tx_html_strip,
         # relational / facets / streams
@@ -2984,6 +3014,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_surround_near": FT_SURROUND_NEAR_SQL,
         "ft_complex_phrase": FT_COMPLEX_PHRASE_SQL,
         "ft_xml_query": FT_XML_QUERY_SQL,
+        "ft_span_first": FT_SPAN_FIRST_SQL,
         "dd_decontaminate": DD_DECONTAMINATE_SQL,
         "tx_html_strip": TX_HTML_STRIP_SQL,
         "rel_q1": REL_Q1_SQL,

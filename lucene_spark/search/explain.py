@@ -165,6 +165,12 @@ def explain(searcher, query, doc_id: int) -> dict:
                     return {"value": 0.0, "match": False,
                             "description": "IntervalSlots: slot unmatched"}
                 pls.append(np.sort(np.concatenate(arrs)))
+            if n.min_start > 0 or n.max_end is not None:
+                hi = n.max_end if n.max_end is not None else np.iinfo(np.int64).max
+                pls = [pl[(pl >= n.min_start) & (pl < hi)] for pl in pls]
+                if any(pl.size == 0 for pl in pls):
+                    return {"value": 0.0, "match": False,
+                            "description": "IntervalSlots: outside position window"}
             hit = interval_match(pls, n.max_gaps, n.ordered)
             kind = "ordered" if n.ordered else "unordered"
             return {"value": float(n.boost) if hit else 0.0, "match": hit,

@@ -301,6 +301,14 @@ def _eval_interval_slots(node: P.IntervalSlotsNode, ctx: EvalContext) -> tuple[n
                 pls.append(arrs[0])
             else:
                 pls.append(np.sort(np.concatenate(arrs)))
+        if node.min_start > 0 or node.max_end is not None:
+            # SpanFirst/SpanPositionRange bound: clamp every slot's list
+            # to [min_start, max_end) — exact, since a span's start/end
+            # are its min/max positions (plan.IntervalSlotsNode docs)
+            hi = node.max_end if node.max_end is not None else np.iinfo(np.int64).max
+            pls = [pl[(pl >= node.min_start) & (pl < hi)] for pl in pls]
+            if any(pl.size == 0 for pl in pls):
+                continue
         hit[ci] = interval_match(pls, node.max_gaps, node.ordered)
     docs = base[hit]
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)

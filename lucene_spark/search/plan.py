@@ -141,10 +141,22 @@ class IntervalSlotsNode(FieldedNode):
     position from ONE alternative per slot, gaps ≤ max_gaps (ordered /
     unordered exactly as IntervalNode — merging each slot's position
     lists is match-equivalent to the SpanOr cross product). Match-only:
-    constant score = boost (like IntervalNode)."""
+    constant score = boost (like IntervalNode).
+
+    min_start/max_end bound the matched span's POSITION RANGE — the
+    SpanFirstQuery / SpanPositionRangeQuery role (search/spans/
+    SpanFirstQuery.java, SpanPositionRangeQuery.java): a match must use
+    only positions p with min_start ≤ p < max_end. This is exact for
+    both ordered and unordered spans (a span's start is its min
+    position and its end-1 its max, so clamping every slot's position
+    list to the window is equivalent). SpanFirst(q, end) = max_end=end.
+    With bounds set, a single slot is allowed (SpanFirst over one
+    SpanTerm)."""
     slots: tuple[Node, ...] = ()
     max_gaps: int = 0
     ordered: bool = False
+    min_start: int = 0
+    max_end: int | None = None
 
 
 @dataclass(frozen=True)

@@ -51,8 +51,6 @@ class XmlParserError(ValueError):
 
 
 _REJECTED = {
-    "SpanFirst": "position-bounded spans are not supported",
-    "SpanPositionRange": "position-bounded spans are not supported",
     "SpanNot": "span difference is not supported",
     "BoostingTermQuery": "payload scoring is not supported (no payloads indexed)",
     "PointRangeQuery": "numeric point ranges live in the relational layer",
@@ -224,6 +222,30 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
         return P.IntervalSlotsNode(slots=tuple(slots), max_gaps=int(slop),
                                    ordered=ordered, field=fld,
                                    boost=_boost(e))
+    if tag in ("SpanFirst", "SpanPositionRange"):
+        # SpanFirstBuilder.java / SpanPositionRangeBuilder.java: bound the
+        # matched span's position window — SpanFirst(q, end) is the
+        # start=0 case. Compiled to IntervalSlotsNode min_start/max_end.
+        start = int(e.get("start", "0")) if tag == "SpanPositionRange" else 0
+        end = int(e.get("end", "1"))
+        kids = _children(e)
+        if not kids:
+            raise XmlParserError(f"{tag} with no child span")
+        child = _build(kids[0], ctx, inherited)
+        if isinstance(child, P.MatchNoneNode):
+            return child
+        if isinstance(child, (P.TermNode, P.TermInSetNode)):
+            child = P.IntervalSlotsNode(
+                slots=(child,), max_gaps=0, ordered=True,
+                field=child.field)
+        if not isinstance(child, P.IntervalSlotsNode):
+            raise XmlParserError(
+                f"{tag} child must be a span query, got <{kids[0].tag}>")
+        from dataclasses import replace
+
+        new_end = end if child.max_end is None else min(end, child.max_end)
+        return replace(child, min_start=max(start, child.min_start),
+                       max_end=new_end, boost=_boost(e))
     raise XmlParserError(f"No QueryObjectBuilder defined for node {tag}")
 
 

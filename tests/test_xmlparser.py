@@ -97,7 +97,6 @@ def test_span_or_nested(an):
 
 def test_rejections(an):
     for bad in (
-        '<SpanFirst end="2"><SpanTerm fieldName="t">a</SpanTerm></SpanFirst>',
         '<SpanNot/>', '<PointRangeQuery fieldName="n"/>', '<Unknown/>',
         '<SpanNear fieldName="t"><SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>',
         '<BooleanQuery><Clause occurs="weird"><TermQuery fieldName="t">a</TermQuery></Clause></BooleanQuery>',
@@ -117,13 +116,13 @@ def positioned(spark, tmp_path_factory):
     src = spark.createDataFrame(make_corpus(120, seed=13))
     cfg = IndexConfig(partitions=2, num_buckets=4, index_positions=True)
     IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
-    return IndexSearcher(IndexReader(spark, idx))
+    return IndexSearcher(IndexReader(spark, idx)), src
 
 
 def test_end_to_end(positioned, an):
     """XML SpanNear vs the already-tested IntervalNode path on the same
     index — both compile to the same interval semantics."""
-    searcher = positioned
+    searcher, _ = positioned
     fld = searcher.reader.default_field
     q = (f'<SpanNear slop="4" inOrder="true" fieldName="{fld}">'
          '<SpanTerm>index</SpanTerm><SpanTerm>writer</SpanTerm></SpanNear>')
@@ -144,3 +143,45 @@ def test_spannear_empty_clause_matches_nothing():
     q = ('<SpanNear fieldName="t" slop="2" inOrder="false">'
          '<SpanOrTerms>the of</SpanOrTerms><SpanTerm>scan</SpanTerm></SpanNear>')
     assert isinstance(parse_xml_query(q, en), P.MatchNoneNode)
+
+
+def test_span_first_and_position_range(an):
+    n = parse_xml_query(
+        '<SpanFirst end="5"><SpanTerm fieldName="t">big</SpanTerm></SpanFirst>', an)
+    assert isinstance(n, P.IntervalSlotsNode)
+    assert n.max_end == 5 and n.min_start == 0 and len(n.slots) == 1
+    n = parse_xml_query(
+        '<SpanPositionRange start="2" end="9">'
+        '<SpanNear slop="1" inOrder="true" fieldName="t">'
+        '<SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>'
+        '</SpanPositionRange>', an)
+    assert n.min_start == 2 and n.max_end == 9 and len(n.slots) == 2
+
+
+def test_span_first_end_to_end(positioned, an):
+    """SpanFirst vs a hydrate-and-retokenize oracle: term within the
+    first N positions only."""
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    searcher, src = positioned
+    fld = searcher.reader.default_field
+    end = 40
+    q = (f'<SpanFirst end="{end}"><SpanTerm fieldName="{fld}">index'
+         '</SpanTerm></SpanFirst>')
+    node = parse_xml_query(q, an)
+    got = {r["doc_id"] for r in searcher.matches(node, with_scores=False).collect()}
+    code = get_analyzer("code")
+    ds = searcher.hydrate(searcher.matches(P.MatchAllNode(), with_scores=False))
+    keyed = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in ds.collect()}
+    want = set()
+    for r in src.collect():
+        toks = list(code.tokenize_series(pd.Series([r["content"]])).iloc[0])
+        if "index" in toks[:end]:
+            want.add(keyed[(r["repo"], r["path"], r["commit"])])
+    assert got == want and got
+    # sanity: the bound actually prunes vs the unbounded term match
+    all_docs = {r["doc_id"] for r in searcher.matches(
+        P.TermNode(term="index", field=fld), with_scores=False).collect()}
+    assert got < all_docs
