@@ -390,3 +390,9 @@ register_analyzer(Analyzer(
                    r"|[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
                    r"|[a-z0-9_]+"),
 ))
+
+# Phonetic / folding chains (analysis/phonetic PhoneticFilter role with
+# inject=false; miscellaneous/ASCIIFoldingFilter role).
+register_analyzer(Analyzer(name="phonetic_soundex", stemmer="soundex"))
+register_analyzer(Analyzer(name="standard_folded", stopwords=ENGLISH_STOP_WORDS,
+                           token_pattern=r"[^\W_]+|_+[^\W_]*", stemmer="ascii_fold"))

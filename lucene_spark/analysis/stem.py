@@ -956,8 +956,17 @@ def german_light_norm_stem(word: str) -> str:
 
 # name → word-level stem function; Analyzer.stemmer selects from here
 # (the TokenFilterFactory SPI role — analysis/util/TokenFilterFactory.java)
+from lucene_spark.analysis.phonetic import (   # noqa: E402 (registry tail)
+    ascii_fold,
+    refined_soundex,
+    soundex,
+)
+
 STEMMERS = {
     "porter": porter_stem,
+    "soundex": soundex,
+    "refined_soundex": refined_soundex,
+    "ascii_fold": ascii_fold,
     "german_light": german_light_stem,
     "german_light_norm": german_light_norm_stem,
     "french_light": french_light_stem,

@@ -172,3 +172,36 @@ def test_decontaminate_op(spark):
     kept = {r["doc_id"] for r in
             decontaminate(corpus, bench, "text", "doc_id", n=5).collect()}
     assert kept == {2, 4}
+
+
+def test_phonetic_encoders():
+    """Soundex against the classic published vectors (the commons-codec
+    SoundexTest set Lucene's PhoneticFilter delegates to), RefinedSoundex
+    against the commons-codec mapping, ASCII folding basics."""
+    from lucene_spark.analysis.phonetic import (
+        ascii_fold,
+        refined_soundex,
+        soundex,
+    )
+
+    vectors = {"robert": "R163", "rupert": "R163", "ashcraft": "A261",
+               "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+               "honeyman": "H555", "washington": "W252", "lee": "L000",
+               "gutierrez": "G362", "jackson": "J250", "rubin": "R150"}
+    for w, code in vectors.items():
+        assert soundex(w) == code, (w, soundex(w), code)
+    assert refined_soundex("testing") == "T6036084"   # commons-codec doc example
+    assert refined_soundex("quick") == "Q503"
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("Łódź") == "Lodz"
+
+    # analyzer chains: phonetic terms conflate homophones; folded chain
+    # matches accented and plain spellings
+    an = get_analyzer("phonetic_soundex")
+    a = list(an.tokenize_series(pd.Series(["Robert called"])).iloc[0])
+    b = list(an.tokenize_series(pd.Series(["Rupert called"])).iloc[0])
+    assert a == b == ["R163", "C430"]
+    fa = get_analyzer("standard_folded")
+    assert list(fa.tokenize_series(pd.Series(["résumé café"])).iloc[0]) == \
+        ["resume", "cafe"]
