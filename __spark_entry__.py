@@ -2758,6 +2758,48 @@ WHERE a.term = 'big' AND b.term = 'scan'
 """
 
 
+def ft_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery via the XML dialect (search/spans/SpanNotQuery.java,
+    xml/builders/SpanNotBuilder.java): ordered SpanNear('big','scan',
+    slop=2) spans with no 'slow' inside the span. Single-term exclude
+    keeps the SQL oracle exactly equivalent to the kernel's minimal-span
+    enumeration (any valid include window contains a minimal one; a
+    point exclude overlaps the window iff it lies inside it)."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.xmlparser import parse_xml_query
+
+    s = _searcher(spark, sf_dir)
+    q = ('<SpanNot><Include><SpanNear slop="2" inOrder="true" '
+         'fieldName="text"><SpanTerm>big</SpanTerm><SpanTerm>scan</SpanTerm>'
+         '</SpanNear></Include>'
+         '<Exclude><SpanTerm fieldName="text">slow</SpanTerm></Exclude>'
+         '</SpanNot>')
+    node = parse_xml_query(q, get_analyzer("whitespace"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_SPAN_NOT_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id, a.pos AS s, b.pos AS e
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = 'big' AND b.term = 'scan'
+    AND b.pos > a.pos AND b.pos - a.pos <= 3
+)
+SELECT DISTINCT p.doc_id
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM tok t
+  WHERE t.doc_id = p.doc_id AND t.term = 'slow'
+    AND t.pos BETWEEN p.s AND p.e
+)
+"""
+
+
 def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap rule): flag
     training docs sharing ≥1 distinct 8-gram with a benchmark slice
@@ -2904,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_complex_phrase": ft_complex_phrase,
         "ft_xml_query": ft_xml_query,
         "ft_span_first": ft_span_first,
+        "ft_span_not": ft_span_not,
         "dd_decontaminate": dd_decontaminate,
         "tx_html_strip": tx_html_strip,
         # relational / facets / streams
@@ -3015,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_complex_phrase": FT_COMPLEX_PHRASE_SQL,
         "ft_xml_query": FT_XML_QUERY_SQL,
         "ft_span_first": FT_SPAN_FIRST_SQL,
+        "ft_span_not": FT_SPAN_NOT_SQL,
         "dd_decontaminate": DD_DECONTAMINATE_SQL,
         "tx_html_strip": TX_HTML_STRIP_SQL,
         "rel_q1": REL_Q1_SQL,

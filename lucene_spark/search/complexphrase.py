@@ -22,8 +22,13 @@ phrase returns the clause directly, as the reference's rewrite does
 constant-score (the reference scores SpanNear through sloppyFreq; our
 intervals are documented match-only).
 
+Negated clauses inside a phrase ('"a -b c"') compile the reference's
+SpanNot arm (:335-365): include = the positive slots at
+slop + numNegatives, exclude = the full sequence at the original slop,
+wrapped in SpanNotNode.
+
 v1 restrictions (explicit errors, not silent drops):
-- MUST_NOT clauses inside a phrase (the SpanNot arm, :335-365) are
+- a phrase whose clauses are ALL negated matches nothing and is
   rejected.
 - groups inside a phrase may contain only plain terms OR exactly one
   multi-term leaf (`"(a b) c*"` yes; `"(a b*) c"` no — mixed groups
@@ -83,12 +88,8 @@ def _phrase_node(content: str, slop: int, fld: str, an: Analyzer,
     if not isinstance(inner, P.BooleanNode):
         raise ComplexPhraseError(
             f"unsupported query type inside phrase {content!r}: {inner!r}")
-    slots: list[P.Node] = []
+    slots: list[tuple[bool, P.Node]] = []   # (negated?, slot)
     for c in inner.clauses:
-        if c.occur is P.Occur.MUST_NOT:
-            raise ComplexPhraseError(
-                "negation inside a complex phrase is not supported "
-                f"(SpanNot arm): {content!r}")
         if isinstance(c.node, P.MatchNoneNode):
             # a zero-token atom (stopword under this analyzer) — dropped,
             # exactly as the reference's inner parse drops stop tokens
@@ -99,13 +100,33 @@ def _phrase_node(content: str, slop: int, fld: str, an: Analyzer,
             # dummy never-matching SpanTerm (rewrite():316-321) — the
             # whole phrase matches nothing
             return P.MatchNoneNode()
-        slots.append(slot)
+        slots.append((c.occur is P.Occur.MUST_NOT, slot))
     if not slots:
         return P.MatchNoneNode()
-    if len(slots) == 1:
-        return slots[0]
-    return P.IntervalSlotsNode(slots=tuple(slots), max_gaps=slop,
-                               ordered=in_order, field=fld)
+    positives = [s for neg, s in slots if not neg]
+    n_neg = len(slots) - len(positives)
+    if n_neg == 0:
+        if len(positives) == 1:
+            return positives[0]
+        return P.IntervalSlotsNode(slots=tuple(positives), max_gaps=slop,
+                                   ordered=in_order, field=fld)
+    # mixed positives/negatives → SpanNot (ComplexPhraseQuery.rewrite:
+    # 335-365): include = positives at slop + numNegatives (gaps left by
+    # the removed negatives), exclude = the FULL sequence at the original
+    # slop; a match is an include span not overlapping the full sequence.
+    if not positives:
+        raise ComplexPhraseError(
+            f"phrase with only negated clauses matches nothing: {content!r}")
+    if len(positives) == 1:
+        inc = P.IntervalSlotsNode(slots=(positives[0],), max_gaps=0,
+                                  ordered=True, field=fld)
+    else:
+        inc = P.IntervalSlotsNode(slots=tuple(positives),
+                                  max_gaps=slop + n_neg,
+                                  ordered=in_order, field=fld)
+    exc = P.IntervalSlotsNode(slots=tuple(s for _, s in slots),
+                              max_gaps=slop, ordered=in_order, field=fld)
+    return P.SpanNotNode(include=inc, exclude=exc)
 
 
 def _slotify(n: P.Node, content: str) -> P.Node:

@@ -175,6 +175,35 @@ def explain(searcher, query, doc_id: int) -> dict:
             kind = "ordered" if n.ordered else "unordered"
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": f"IntervalSlots({kind}, maxgaps={n.max_gaps}), constant score"}
+        if isinstance(n, P.SpanNotNode):
+            from lucene_spark.search.kernel import interval_spans, slot_terms
+
+            def _spans_of(child):
+                if not isinstance(child, P.IntervalSlotsNode):
+                    return []
+                pls = []
+                for s in child.slots:
+                    arrs = [doc[(child.field, t)][2] for t in slot_terms(s)
+                            if (child.field, t) in doc
+                            and doc[(child.field, t)][2] is not None]
+                    if not arrs:
+                        return []
+                    pl = np.sort(np.concatenate(arrs))
+                    if child.min_start > 0 or child.max_end is not None:
+                        hi = (child.max_end if child.max_end is not None
+                              else np.iinfo(np.int64).max)
+                        pl = pl[(pl >= child.min_start) & (pl < hi)]
+                        if pl.size == 0:
+                            return []
+                    pls.append(pl)
+                return interval_spans(pls, child.max_gaps, child.ordered)
+
+            inc_spans = _spans_of(n.include)
+            exc_spans = _spans_of(n.exclude)
+            hit = any(all(not (xs <= e + n.post and xe >= s - n.pre)
+                          for xs, xe in exc_spans) for s, e in inc_spans)
+            return {"value": float(n.boost) if hit else 0.0, "match": hit,
+                    "description": f"SpanNot(pre={n.pre}, post={n.post}), constant score"}
         if isinstance(n, P.MultiPhraseNode):
             ok = all(any((n.field, t) in doc and doc[(n.field, t)][2] is not None
                          for t in alts) for alts in n.positions)

@@ -126,6 +126,8 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_interval(node, ctx)
     if isinstance(node, P.IntervalSlotsNode):
         return _eval_interval_slots(node, ctx)
+    if isinstance(node, P.SpanNotNode):
+        return _eval_span_not(node, ctx)
     if isinstance(node, P.MultiPhraseNode):
         return _eval_multiphrase(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
@@ -263,6 +265,55 @@ def slot_terms(slot: P.Node) -> tuple[str, ...]:
         f"unexpanded interval slot (run the searcher's planner first): {slot!r}")
 
 
+def _gather_slot_parts(node: P.IntervalSlotsNode, ctx: EvalContext) -> list[list[TermPostings]] | None:
+    """Postings for every slot's alternatives, or None if any slot has
+    no indexed terms / no positions (⇒ the interval matches nothing)."""
+    slot_parts: list[list[TermPostings]] = []
+    for slot in node.slots:
+        parts = [ctx.postings[(node.field, t)] for t in slot_terms(slot)
+                 if (node.field, t) in ctx.postings]
+        if not parts or any(p.pos is None for p in parts):
+            return None
+        slot_parts.append(parts)
+    return slot_parts
+
+
+def _slot_candidates(slot_parts: list[list[TermPostings]]) -> np.ndarray:
+    """Docs containing at least one alternative of EVERY slot."""
+    slot_docs = [_union_docs([p.docs for p in parts]) for parts in slot_parts]
+    order = np.argsort([d.size for d in slot_docs], kind="stable")
+    base = slot_docs[order[0]]
+    for oi in order[1:]:
+        base = np.intersect1d(base, slot_docs[oi], assume_unique=True)
+        if base.size == 0:
+            break
+    return base
+
+
+def _doc_slot_pls(slot_parts: list[list[TermPostings]], doc: int,
+                  node: P.IntervalSlotsNode) -> list[np.ndarray] | None:
+    """Per-slot merged position lists for one doc, clamped to the node's
+    [min_start, max_end) window; None if any slot is absent/empty there.
+    Clamping is exact for the SpanFirst/SpanPositionRange role since a
+    span's start/end are its min/max positions (plan docs)."""
+    pls: list[np.ndarray] = []
+    for parts in slot_parts:
+        arrs = []
+        for p in parts:
+            j = int(np.searchsorted(p.docs, doc))
+            if j < p.docs.size and p.docs[j] == doc:
+                arrs.append(p.pos[p.tf_off[j]:p.tf_off[j + 1]])
+        if not arrs:
+            return None
+        pls.append(arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs)))
+    if node.min_start > 0 or node.max_end is not None:
+        hi = node.max_end if node.max_end is not None else np.iinfo(np.int64).max
+        pls = [pl[(pl >= node.min_start) & (pl < hi)] for pl in pls]
+        if any(pl.size == 0 for pl in pls):
+            return None
+    return pls
+
+
 def _eval_interval_slots(node: P.IntervalSlotsNode, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
     """Interval eval with per-slot alternative terms (the surround
     parser's DistanceQuery-over-SpanOr shape): slot position lists are
@@ -270,46 +321,101 @@ def _eval_interval_slots(node: P.IntervalSlotsNode, ctx: EvalContext) -> tuple[n
     the cross product of single-term intervals, since a matching
     interval picks exactly one position (hence one alternative) per
     slot. Constant score = boost, like IntervalNode."""
-    slot_parts: list[list[TermPostings]] = []
-    for slot in node.slots:
-        parts = [ctx.postings[(node.field, t)] for t in slot_terms(slot)
-                 if (node.field, t) in ctx.postings]
-        if not parts:
-            return _empty()
-        if any(p.pos is None for p in parts):
-            return _empty()       # positions not indexed (checked upstream)
-        slot_parts.append(parts)
-    slot_docs = [_union_docs([p.docs for p in parts]) for parts in slot_parts]
-    order = np.argsort([d.size for d in slot_docs], kind="stable")
-    base = slot_docs[order[0]]
-    for oi in order[1:]:
-        base = np.intersect1d(base, slot_docs[oi], assume_unique=True)
-        if base.size == 0:
-            return _empty()
-    idxs = [[np.searchsorted(p.docs, base) for p in parts]
-            for parts in slot_parts]
+    slot_parts = _gather_slot_parts(node, ctx)
+    if slot_parts is None:
+        return _empty()
+    base = _slot_candidates(slot_parts)
+    if base.size == 0:
+        return _empty()
     hit = np.zeros(base.size, dtype=bool)
     for ci in range(base.size):
-        pls: list[np.ndarray] = []
-        for parts, idx in zip(slot_parts, idxs):
-            arrs = []
-            for p, ix in zip(parts, idx):
-                j = int(ix[ci])
-                if j < p.docs.size and p.docs[j] == base[ci]:
-                    arrs.append(p.pos[p.tf_off[j]:p.tf_off[j + 1]])
-            if len(arrs) == 1:
-                pls.append(arrs[0])
-            else:
-                pls.append(np.sort(np.concatenate(arrs)))
-        if node.min_start > 0 or node.max_end is not None:
-            # SpanFirst/SpanPositionRange bound: clamp every slot's list
-            # to [min_start, max_end) — exact, since a span's start/end
-            # are its min/max positions (plan.IntervalSlotsNode docs)
-            hi = node.max_end if node.max_end is not None else np.iinfo(np.int64).max
-            pls = [pl[(pl >= node.min_start) & (pl < hi)] for pl in pls]
-            if any(pl.size == 0 for pl in pls):
-                continue
+        pls = _doc_slot_pls(slot_parts, int(base[ci]), node)
+        if pls is None:
+            continue
         hit[ci] = interval_match(pls, node.max_gaps, node.ordered)
+    docs = base[hit]
+    return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
+
+
+def interval_spans(pos_lists: list[np.ndarray], max_gaps: int,
+                   ordered: bool) -> list[tuple[int, int]]:
+    """All MINIMAL match intervals (start, end) — the span-stream
+    analogue of interval_match (which is `bool(interval_spans(...))`).
+    ordered: minimal greedy chain per anchor of list 0; unordered:
+    every window the smallest-range sweep visits that satisfies the
+    gaps constraint. Sound and complete for overlap questions: any
+    valid window contains a minimal one."""
+    k = len(pos_lists)
+    spans: list[tuple[int, int]] = []
+    if ordered:
+        for p0 in pos_lists[0]:
+            p = int(p0)
+            ok = True
+            for j in range(1, k):
+                nxt = pos_lists[j]
+                i = int(np.searchsorted(nxt, p, side="right"))
+                if i == nxt.size:
+                    ok = False
+                    break
+                p = int(nxt[i])
+            if ok and (p - int(p0) + 1) - k <= max_gaps:
+                spans.append((int(p0), p))
+        return spans
+    import heapq
+
+    ptrs = [0] * k
+    heap = [(int(pos_lists[i][0]), i) for i in range(k)]
+    heapq.heapify(heap)
+    cur_max = max(v for v, _ in heap)
+    while True:
+        mn, i = heap[0]
+        if (cur_max - mn + 1) - k <= max_gaps:
+            spans.append((mn, cur_max))
+        ptrs[i] += 1
+        if ptrs[i] >= pos_lists[i].size:
+            return spans
+        v = int(pos_lists[i][ptrs[i]])
+        heapq.heapreplace(heap, (v, i))
+        if v > cur_max:
+            cur_max = v
+
+
+def _eval_span_not(node: P.SpanNotNode, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+    """SpanNotQuery eval: a doc matches when some include span has no
+    exclude span within [start - pre, end + post] (SpanNotQuery.java:64-66).
+    Constant score = boost."""
+    inc, exc = node.include, node.exclude
+    if not isinstance(inc, P.IntervalSlotsNode):   # e.g. MatchNone post-expand
+        return _empty()
+    inc_parts = _gather_slot_parts(inc, ctx)
+    if inc_parts is None:
+        return _empty()
+    base = _slot_candidates(inc_parts)
+    if base.size == 0:
+        return _empty()
+    # exclude that expanded to nothing (MatchNone) or has no postings ⇒
+    # exclude never matches ⇒ plain include semantics
+    exc_parts = (_gather_slot_parts(exc, ctx)
+                 if isinstance(exc, P.IntervalSlotsNode) else None)
+    hit = np.zeros(base.size, dtype=bool)
+    for ci in range(base.size):
+        doc = int(base[ci])
+        ipls = _doc_slot_pls(inc_parts, doc, inc)
+        if ipls is None:
+            continue
+        inc_spans = interval_spans(ipls, inc.max_gaps, inc.ordered)
+        if not inc_spans:
+            continue
+        exc_spans: list[tuple[int, int]] = []
+        if exc_parts is not None:
+            epls = _doc_slot_pls(exc_parts, doc, exc)
+            if epls is not None:
+                exc_spans = interval_spans(epls, exc.max_gaps, exc.ordered)
+        hit[ci] = any(
+            all(not (xs <= e + node.post and xe >= s - node.pre)
+                for xs, xe in exc_spans)
+            for s, e in inc_spans
+        )
     docs = base[hit]
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
 

@@ -160,6 +160,24 @@ class IntervalSlotsNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class SpanNotNode(Node):
+    """Span difference — search/spans/SpanNotQuery.java: matches where
+    the INCLUDE span query has a span that does not overlap (within
+    `pre` tokens before / `post` tokens after, SpanNotQuery.java:64-66)
+    any span of the EXCLUDE query. Both children are IntervalSlotsNode
+    (term leaves are wrapped as single-slot intervals). Documented
+    deviation: our span streams are the MINIMAL match intervals, which
+    is sound and complete for the exists-a-non-overlapping-span
+    question (shrinking a span never adds overlap); Lucene's lazy
+    enumeration can emit non-minimal spans but decides the same set of
+    docs for pre/post ≥ 0. Match-only: constant score = boost."""
+    include: Node | None = None
+    exclude: Node | None = None
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 
@@ -208,6 +226,11 @@ def apply_field(node: Node, fld: str, only_default: bool = False) -> Node:
             return node
         return replace(node, field=fld, slots=tuple(
             apply_field(s, fld, only_default) for s in node.slots))
+    if isinstance(node, SpanNotNode):
+        return replace(
+            node,
+            include=apply_field(node.include, fld, only_default),
+            exclude=apply_field(node.exclude, fld, only_default))
     if isinstance(node, FieldedNode):
         if only_default and node.field:
             return node

@@ -658,6 +658,12 @@ class IndexSearcher:
                         f"interval slot must expand to a term set, got {es!r}")
                 slots.append(es)
             return replace(node, slots=tuple(slots))
+        if isinstance(node, P.SpanNotNode):
+            inc = self._expand(node.include)
+            if isinstance(inc, P.MatchNoneNode):
+                return P.MatchNoneNode()
+            # exclude expanding to nothing leaves plain include semantics
+            return replace(node, include=inc, exclude=self._expand(node.exclude))
         if isinstance(node, P.BooleanNode):
             return replace(node, clauses=tuple(
                 P.Clause(c.occur, self._expand(c.node)) for c in node.clauses))
@@ -678,6 +684,10 @@ class IndexSearcher:
         elif isinstance(node, P.IntervalSlotsNode):
             from lucene_spark.search.kernel import slot_terms
             out.update((node.field, t) for s in node.slots for t in slot_terms(s))
+        elif isinstance(node, P.SpanNotNode):
+            self._collect_terms(node.include, out)
+            if node.exclude is not None:
+                self._collect_terms(node.exclude, out)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 self._collect_terms(c.node, out)
@@ -693,6 +703,10 @@ class IndexSearcher:
         if isinstance(node, (P.PhraseNode, P.IntervalNode, P.MultiPhraseNode,
                              P.IntervalSlotsNode)):
             out.add(node.field)
+        elif isinstance(node, P.SpanNotNode):
+            IndexSearcher._phrase_fields(node.include, out)
+            if node.exclude is not None:
+                IndexSearcher._phrase_fields(node.exclude, out)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 IndexSearcher._phrase_fields(c.node, out)

@@ -51,7 +51,6 @@ class XmlParserError(ValueError):
 
 
 _REJECTED = {
-    "SpanNot": "span difference is not supported",
     "BoostingTermQuery": "payload scoring is not supported (no payloads indexed)",
     "PointRangeQuery": "numeric point ranges live in the relational layer",
     "FuzzyLikeThisQuery": "use searcher fuzzy queries / MoreLikeThis",
@@ -246,7 +245,48 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
         new_end = end if child.max_end is None else min(end, child.max_end)
         return replace(child, min_start=max(start, child.min_start),
                        max_end=new_end, boost=_boost(e))
+    if tag == "SpanNot":
+        # SpanNotBuilder.java: <Include>/<Exclude> child elements, each
+        # wrapping one span query → SpanNotQuery(include, exclude)
+        inc_e = _named_child(e, "Include")
+        exc_e = _named_child(e, "Exclude")
+        inc = _as_span(_build(_first(inc_e, "Include"), ctx, inherited),
+                       "Include")
+        if isinstance(inc, P.MatchNoneNode):
+            return inc
+        exc = _as_span(_build(_first(exc_e, "Exclude"), ctx, inherited),
+                       "Exclude", allow_none=True)
+        return P.SpanNotNode(include=inc, exclude=exc, boost=_boost(e))
     raise XmlParserError(f"No QueryObjectBuilder defined for node {tag}")
+
+
+def _named_child(e: ET.Element, name: str) -> ET.Element:
+    for kid in _children(e):
+        if kid.tag == name:
+            return kid
+    raise XmlParserError(f"SpanNot missing <{name}> element")
+
+
+def _first(e: ET.Element, name: str) -> ET.Element:
+    kids = _children(e)
+    if not kids:
+        raise XmlParserError(f"<{name}> element with no child query")
+    return kids[0]
+
+
+def _as_span(node: P.Node, role: str, allow_none: bool = False) -> P.Node:
+    """Coerce a built child into span form (single terms wrap into a
+    one-slot interval, as SpanFirst does)."""
+    if isinstance(node, P.MatchNoneNode):
+        return node
+    if isinstance(node, (P.TermNode, P.TermInSetNode)):
+        return P.IntervalSlotsNode(slots=(node,), max_gaps=0, ordered=True,
+                                   field=node.field)
+    if isinstance(node, (P.IntervalSlotsNode, P.SpanNotNode)):
+        if isinstance(node, P.SpanNotNode):
+            raise XmlParserError(f"nested SpanNot under {role} is not supported")
+        return node
+    raise XmlParserError(f"{role} child must be a span query")
 
 
 def _build_span_leaf(e: ET.Element, ctx: _Ctx,

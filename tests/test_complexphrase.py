@@ -66,8 +66,6 @@ def test_outside_phrase_classic_still_works(an):
 
 def test_rejections(an):
     with pytest.raises(ComplexPhraseError):
-        parse_complex_phrase('"a -b c"', an)       # SpanNot arm
-    with pytest.raises(ComplexPhraseError):
         parse_complex_phrase('t:"a other:b"', an)  # cross-field clause
     with pytest.raises(ComplexPhraseError):
         parse_complex_phrase('"(a b*) c"', an)     # mixed group
@@ -151,3 +149,52 @@ def test_stopwords_inside_phrase_dropped(an):
     assert isinstance(parse_complex_phrase('"the of"', en), P.MatchNoneNode)
     # stopword-only group = dummy never-matching slot → whole phrase dead
     assert isinstance(parse_complex_phrase('"(the of) dog"', en), P.MatchNoneNode)
+
+
+def test_negation_compiles_spannot(an):
+    n = parse_complex_phrase('"big -slow scan"~1', an)
+    assert isinstance(n, P.SpanNotNode)
+    inc, exc = n.include, n.exclude
+    assert [s.term for s in inc.slots] == ["big", "scan"]
+    assert inc.max_gaps == 1 + 1            # slop + numNegatives
+    assert [s.term for s in exc.slots] == ["big", "slow", "scan"]
+    assert exc.max_gaps == 1
+    with pytest.raises(ComplexPhraseError):
+        parse_complex_phrase('"-a -b"', an)  # all-negative phrase
+
+
+def test_spannot_end_to_end(positioned):
+    """'"index -segment writer"' ≡ index..writer spans (gaps ≤ 1 from
+    the removed negative) with no index-segment-writer sequence
+    overlapping — verified against a brute-force span oracle."""
+    import itertools
+
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.kernel import interval_spans
+
+    searcher, src = positioned
+    an = get_analyzer("code")
+    node = parse_complex_phrase('"index -segment writer"', an)
+    assert isinstance(node, P.SpanNotNode)
+    got = {r["doc_id"] for r in searcher.matches(node, with_scores=False).collect()}
+    toks = _doc_tokens(searcher, src)
+    want = set()
+    for did, tk in toks.items():
+        def pls(terms):
+            out = []
+            for t in terms:
+                pl = np.array([i for i, x in enumerate(tk) if x == t], dtype=np.int64)
+                if pl.size == 0:
+                    return None
+                out.append(pl)
+            return out
+        ip = pls(["index", "writer"])
+        if ip is None:
+            continue
+        inc_spans = interval_spans(ip, 1, True)   # slop 0 + 1 negative
+        ep = pls(["index", "segment", "writer"])
+        exc_spans = interval_spans(ep, 0, True) if ep is not None else []
+        if any(all(not (xs <= e and xe >= s) for xs, xe in exc_spans)
+               for s, e in inc_spans):
+            want.add(did)
+    assert got == want

