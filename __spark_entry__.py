@@ -2837,6 +2837,60 @@ SELECT doc_id, hits FROM hits WHERE hits >= 1 ORDER BY doc_id
 """
 
 
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-line fraction
+    (array exprs) + most-frequent-bigram word coverage (exploded
+    map-side-combined count, one shuffle)."""
+    from lucene_spark.pipeline.textstats import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_features(docs, "text", "doc_id")
+    return out.select(
+        F.col("key").alias("doc_id"), "n_words",
+        F.round(F.col("dup_line_frac").cast("double"), 6).alias("dup_line_frac"),
+        F.round(F.col("top_bigram_frac").cast("double"), 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+TX_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+              ELSE 0.0 END AS dup_line_frac,
+         list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                        i -> array_to_string(w[i:i+1], ' ')) AS grams
+  FROM base
+),
+cnt AS (
+  SELECT doc_id, n_words, dup_line_frac, gram, count(*) AS c
+  FROM (SELECT doc_id, n_words, dup_line_frac, unnest(grams) AS gram FROM feats)
+  GROUP BY ALL
+),
+top AS (
+  SELECT doc_id, n_words, dup_line_frac, max(c) AS maxc
+  FROM cnt GROUP BY ALL
+),
+allf AS (
+  SELECT f.doc_id, f.n_words, f.dup_line_frac,
+         coalesce(t.maxc, 0) AS maxc
+  FROM feats f LEFT JOIN top t USING (doc_id)
+)
+SELECT doc_id, n_words,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(CASE WHEN n_words >= 2 THEN 2.0 * maxc / n_words ELSE 0.0 END,
+             6) AS top_bigram_frac
+FROM allf ORDER BY doc_id
+"""
+
+
 def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML stripping (HTMLStripCharFilter role): wrap each document in
     deterministic HTML (tags + comment + script block + entities), strip
@@ -2949,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_not": ft_span_not,
         "dd_decontaminate": dd_decontaminate,
         "tx_html_strip": tx_html_strip,
+        "tx_repetition": tx_repetition,
         # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
@@ -3061,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_not": FT_SPAN_NOT_SQL,
         "dd_decontaminate": DD_DECONTAMINATE_SQL,
         "tx_html_strip": TX_HTML_STRIP_SQL,
+        "tx_repetition": TX_REPETITION_SQL,
         "rel_q1": REL_Q1_SQL,
         "rel_join_topn": REL_JOIN_TOPN_SQL,
         "rel_part_join": REL_PART_JOIN_SQL,

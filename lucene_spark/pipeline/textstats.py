@@ -161,3 +161,44 @@ def strip_html(text: Column) -> Column:
                      ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         s = F.replace(s, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def repetition_features(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    published repetition-filter family; no Lucene analogue): fraction of
+    duplicate lines, and the fraction of words covered by the most
+    frequent word bigram. Shapes:
+
+    - dup_line_frac: pure array expressions (JVM, no shuffle).
+    - top_bigram_frac: explode → map-side-combined groupBy count → max
+      per doc — one shuffle of (doc, gram) pairs, the same plan as the
+      engine's term-stats aggregation; scale-safe at 100 TB.
+
+    Returns (key, n_words, dup_line_frac, top_bigram_frac)."""
+    lines = F.split(F.col(text_col), r"\n")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.size(words).alias("n_words"),
+        F.when(F.size(lines) > 0,
+               1.0 - F.size(F.array_distinct(lines)) / F.size(lines))
+         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        words.alias("w"),
+    )
+    grams = base.select(
+        "key", "n_words", "dup_line_frac",
+        F.explode(F.when(F.size("w") >= 2, F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 2)),
+        )).otherwise(F.array(F.lit("")))).alias("g"),
+    )
+    counts = grams.groupBy("key", "n_words", "dup_line_frac", "g").agg(
+        F.count("*").alias("c"))
+    top = counts.groupBy("key", "n_words", "dup_line_frac").agg(
+        F.max(F.when(F.col("g") != "", F.col("c")).otherwise(0)).alias("maxc"))
+    return top.select(
+        "key", "n_words", "dup_line_frac",
+        F.when(F.col("n_words") >= 2,
+               (2.0 * F.col("maxc")) / F.col("n_words"))
+         .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
