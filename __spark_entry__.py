@@ -2800,6 +2800,33 @@ WHERE NOT EXISTS (
 """
 
 
+def ft_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointRangeQuery as a FILTER clause (document/IntPoint.java
+    newRangeQuery, xml/builders/PointRangeQueryBuilder.java): BM25 term
+    query for 'scan' filtered to docs whose n_chars doc-values column is
+    in [200, 600] — the numeric-filter-plus-text-query pattern; the
+    range lowers to a pushed-down docstats parquet predicate."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.xmlparser import parse_xml_query
+
+    s = _searcher(spark, sf_dir)
+    q = ('<BooleanQuery fieldName="text">'
+         '<Clause occurs="must"><TermQuery>scan</TermQuery></Clause>'
+         '<Clause occurs="filter">'
+         '<PointRangeQuery fieldName="n_chars" lowerTerm="200" upperTerm="600"/>'
+         '</Clause></BooleanQuery>')
+    node = parse_xml_query(q, get_analyzer("whitespace"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_POINT_RANGE_SQL = f"""
+SELECT DISTINCT doc_id FROM ({_TOK2})
+WHERE term = 'scan'
+  AND doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 600)
+"""
+
+
 def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap rule): flag
     training docs sharing ≥1 distinct 8-gram with a benchmark slice
@@ -3001,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_xml_query": ft_xml_query,
         "ft_span_first": ft_span_first,
         "ft_span_not": ft_span_not,
+        "ft_point_range": ft_point_range,
         "dd_decontaminate": dd_decontaminate,
         "tx_html_strip": tx_html_strip,
         "tx_repetition": tx_repetition,
@@ -3114,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_xml_query": FT_XML_QUERY_SQL,
         "ft_span_first": FT_SPAN_FIRST_SQL,
         "ft_span_not": FT_SPAN_NOT_SQL,
+        "ft_point_range": FT_POINT_RANGE_SQL,
         "dd_decontaminate": DD_DECONTAMINATE_SQL,
         "tx_html_strip": TX_HTML_STRIP_SQL,
         "tx_repetition": TX_REPETITION_SQL,

@@ -178,6 +178,24 @@ class SpanNotNode(Node):
 
 
 @dataclass(frozen=True)
+class DocValuesRangeNode(Node):
+    """Numeric range over a doc-values/stored column — the
+    PointRangeQuery role (document/IntPoint.java newRangeQuery,
+    search/PointRangeQuery.java) and the doc-values-verify side of
+    IndexOrDocValuesQuery. Evaluated by the SEARCHER, not the kernel:
+    the range is lowered to a JVM predicate on the docstats sidecar
+    (parquet min/max row-group pruning plays the BKD-tree cell-skip
+    role) and applied as a semi-join filter on the text-match result.
+    Supported as a top-level FILTER clause or alone (constant score);
+    any other position raises at plan time. None bounds are open."""
+    column: str = ""
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 

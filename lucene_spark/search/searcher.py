@@ -285,6 +285,10 @@ class IndexSearcher:
         node = self._plan(query)
         if isinstance(node, P.MatchNoneNode):
             return self._empty_result()
+        node, dv = self._extract_dv_filters(node)
+        if dv:
+            m = self._apply_dv_filters(self._matches(node, need_scores=True), dv)
+            return m.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         floor = float("-inf")
         if two_pass and isinstance(node, P.TermNode):
             pre = self._run_kernel(node, k, need_scores=True, phase1_only=True)
@@ -336,6 +340,10 @@ class IndexSearcher:
                 node = self._plan(q)
                 if isinstance(q, str):
                     plan_memo[q] = node
+            if self._has_dv_node(node):
+                raise ValueError(
+                    "doc-values range filters are not supported in "
+                    "search_many batches (use search()/matches())")
             if not isinstance(node, P.MatchNoneNode):
                 plans[qid] = node
         if not plans:
@@ -486,6 +494,10 @@ class IndexSearcher:
         node = self._plan(query)
         if isinstance(node, P.MatchNoneNode):
             return 0
+        node, dv = self._extract_dv_filters(node)
+        if dv:
+            return self._apply_dv_filters(
+                self._matches(node, need_scores=False), dv).count()
         if self._deleted.size == 0:
             if isinstance(node, P.MatchAllNode):
                 return int(self.reader.doc_count)
@@ -548,7 +560,9 @@ class IndexSearcher:
         node = self._plan(query)
         if isinstance(node, P.MatchNoneNode):
             return self._empty_result()
-        return self._matches(node, need_scores=with_scores)
+        node, dv = self._extract_dv_filters(node)
+        return self._apply_dv_filters(
+            self._matches(node, need_scores=with_scores), dv)
 
     def explain(self, query: str | P.Node, doc_id: int) -> dict:
         """Explanation tree re-deriving the exact float32 score of one hit
@@ -591,6 +605,85 @@ class IndexSearcher:
         """Join winners back to the docstats sidecar (stored-fields
         hydration; the k-row side is broadcast)."""
         return topk.join(F.broadcast(self.reader.docstats()), "doc_id", "left")
+
+    # --------------------------------------------- doc-values range filters
+    def _extract_dv_filters(self, node: P.Node) -> tuple[P.Node, list[P.DocValuesRangeNode]]:
+        """Lower DocValuesRangeNode (PointRangeQuery role) out of the plan:
+        supported alone, ConstantScore-wrapped, or as FILTER clauses of the
+        top boolean — the range becomes a JVM predicate on docstats applied
+        as a semi-join after text matching (the doc-values-verify side of
+        IndexOrDocValuesQuery). Anywhere else raises."""
+        dv: list[P.DocValuesRangeNode] = []
+        if isinstance(node, P.DocValuesRangeNode):
+            dv.append(node)
+            node = P.MatchAllNode(boost=node.boost)
+        elif (isinstance(node, P.ConstantScoreNode)
+              and isinstance(node.child, P.DocValuesRangeNode)):
+            dv.append(node.child)
+            node = P.MatchAllNode(boost=node.boost)
+        elif isinstance(node, P.BooleanNode):
+            kept = []
+            for c in node.clauses:
+                if isinstance(c.node, P.DocValuesRangeNode):
+                    if c.occur is not P.Occur.FILTER:
+                        raise ValueError(
+                            "doc-values range supports only FILTER occur "
+                            f"(constant score, never scored): {c.occur}")
+                    dv.append(c.node)
+                else:
+                    kept.append(c)
+            if dv:
+                node = (P.rewrite(replace(node, clauses=tuple(kept)))
+                        if kept else P.MatchAllNode())
+        if self._has_dv_node(node):
+            raise ValueError(
+                "DocValuesRangeNode is only supported at the top level or "
+                "as a top-level FILTER clause")
+        if dv:
+            from lucene_spark.index.docvalues import _update_stack
+
+            cols = self.reader.docstats().columns
+            for f in dv:
+                if f.column not in cols and _update_stack(self.reader, f.column) is None:
+                    raise ValueError(
+                        f"doc-values column {f.column!r}: no docstats carry "
+                        "column and no committed doc-values updates")
+        return node, dv
+
+    @staticmethod
+    def _has_dv_node(node: P.Node) -> bool:
+        if isinstance(node, P.DocValuesRangeNode):
+            return True
+        if isinstance(node, P.BooleanNode):
+            return any(IndexSearcher._has_dv_node(c.node) for c in node.clauses)
+        if isinstance(node, P.DisjunctionMaxNode):
+            return any(IndexSearcher._has_dv_node(c) for c in node.children)
+        if isinstance(node, P.ConstantScoreNode) and node.child is not None:
+            return IndexSearcher._has_dv_node(node.child)
+        if isinstance(node, P.SpanNotNode):
+            return (IndexSearcher._has_dv_node(node.include)
+                    or IndexSearcher._has_dv_node(node.exclude))
+        return False
+
+    def _apply_dv_filters(self, hits: DataFrame,
+                          dv: list[P.DocValuesRangeNode]) -> DataFrame:
+        """Semi-join hits against the doc-values rows satisfying every
+        range. Values come from reader.doc_values(), so committed numeric
+        doc-values UPDATES are honored (newest-gen-wins overlay); with no
+        updates this is a pruned docstats parquet scan whose range
+        predicate pushes down (row-group min/max plays the BKD-tree
+        cell-skip role)."""
+        if not dv:
+            return hits
+        for f in dv:
+            vals = self.reader.doc_values(f.column)
+            col = F.col("value")
+            if f.lower is not None:
+                vals = vals.filter(col >= f.lower if f.include_lower else col > f.lower)
+            if f.upper is not None:
+                vals = vals.filter(col <= f.upper if f.include_upper else col < f.upper)
+            hits = hits.join(vals.select("doc_id"), "doc_id", "leftsemi")
+        return hits
 
     # ------------------------------------------------------------ planning
     def _plan(self, query: str | P.Node) -> P.Node:

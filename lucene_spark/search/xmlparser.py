@@ -52,7 +52,6 @@ class XmlParserError(ValueError):
 
 _REJECTED = {
     "BoostingTermQuery": "payload scoring is not supported (no payloads indexed)",
-    "PointRangeQuery": "numeric point ranges live in the relational layer",
     "FuzzyLikeThisQuery": "use searcher fuzzy queries / MoreLikeThis",
     "LikeThisQuery": "use IndexSearcher.more_like_this",
 }
@@ -245,6 +244,27 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
         new_end = end if child.max_end is None else min(end, child.max_end)
         return replace(child, min_start=max(start, child.min_start),
                        max_end=new_end, boost=_boost(e))
+    if tag == "PointRangeQuery":
+        # PointRangeQueryBuilder.java:75-105: fieldName + lowerTerm/
+        # upperTerm (absent = open end) + type ∈ {int,long,float,double}.
+        # Maps to DocValuesRangeNode over the docstats column of that
+        # name (the searcher lowers it to a pushed-down parquet range
+        # predicate — the BKD-tree role); usable alone or as a FILTER
+        # clause of the top boolean.
+        fld = _field(e, inherited_field)
+        typ = e.get("type", "int").lower()
+        if typ not in ("int", "long", "float", "double"):
+            raise XmlParserError(
+                "type attribute must be one of: [long, int, double, float]")
+        conv = int if typ in ("int", "long") else float
+        try:
+            lo = conv(e.get("lowerTerm")) if e.get("lowerTerm") else None
+            hi = conv(e.get("upperTerm")) if e.get("upperTerm") else None
+        except ValueError as exc:
+            raise XmlParserError(
+                "Could not parse lowerTerm or upperTerm into a number") from exc
+        return P.DocValuesRangeNode(column=fld, lower=lo, upper=hi,
+                                    boost=_boost(e))
     if tag == "SpanNot":
         # SpanNotBuilder.java: <Include>/<Exclude> child elements, each
         # wrapping one span query → SpanNotQuery(include, exclude)

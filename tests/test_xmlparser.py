@@ -97,7 +97,9 @@ def test_span_or_nested(an):
 
 def test_rejections(an):
     for bad in (
-        '<SpanNot/>', '<PointRangeQuery fieldName="n"/>', '<Unknown/>',
+        '<SpanNot/>', '<Unknown/>',
+        '<PointRangeQuery fieldName="n" type="decimal"/>',
+        '<PointRangeQuery fieldName="n" lowerTerm="abc"/>',
         '<SpanNear fieldName="t"><SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>',
         '<BooleanQuery><Clause occurs="weird"><TermQuery fieldName="t">a</TermQuery></Clause></BooleanQuery>',
         'not xml at all <',
@@ -199,3 +201,50 @@ def test_span_not_element(an):
     with pytest.raises(XmlParserError):
         parse_xml_query('<SpanNot><Include><SpanTerm fieldName="t">a</SpanTerm>'
                         '</Include></SpanNot>', an)   # missing Exclude
+
+
+def test_point_range_query(an):
+    n = parse_xml_query(
+        '<PointRangeQuery fieldName="n_chars" lowerTerm="100" upperTerm="300"/>', an)
+    assert n == P.DocValuesRangeNode(column="n_chars", lower=100, upper=300)
+    n = parse_xml_query('<PointRangeQuery fieldName="x" type="double" lowerTerm="1.5"/>', an)
+    assert n.lower == 1.5 and n.upper is None
+
+
+def test_point_range_end_to_end(positioned, an):
+    """Term query + PointRangeQuery FILTER over the doclen doc-values
+    column == manual range intersection; misplaced occur raises."""
+    import pytest as _pytest
+
+    searcher, _ = positioned
+    fld = searcher.reader.default_field
+    ds = searcher.reader.docstats()
+    from pyspark.sql import functions as SF
+
+    lo, hi = 40, 200
+    q = (f'<BooleanQuery fieldName="{fld}">'
+         '<Clause occurs="must"><TermQuery>index</TermQuery></Clause>'
+         '<Clause occurs="filter">'
+         f'<PointRangeQuery fieldName="doclen" lowerTerm="{lo}" upperTerm="{hi}"/>'
+         '</Clause></BooleanQuery>')
+    node = parse_xml_query(q, an)
+    got = {r["doc_id"] for r in searcher.matches(node, with_scores=False).collect()}
+    base = {r["doc_id"] for r in searcher.matches(
+        P.TermNode(term="index", field=fld), with_scores=False).collect()}
+    in_range = {r["doc_id"] for r in ds.filter(
+        (SF.col("doclen") >= lo) & (SF.col("doclen") <= hi)).select("doc_id").collect()}
+    assert got == (base & in_range) and got and got != base
+    # top-k search path agrees with matches + manual sort
+    top = searcher.search(node, k=5).collect()
+    assert all(r["doc_id"] in got for r in top)
+    # scoring occur is rejected
+    bad = parse_xml_query(
+        f'<BooleanQuery fieldName="{fld}">'
+        '<Clause occurs="must"><TermQuery>index</TermQuery></Clause>'
+        '<Clause occurs="must"><PointRangeQuery fieldName="doclen" lowerTerm="1"/></Clause>'
+        '</BooleanQuery>', an)
+    with _pytest.raises(ValueError):
+        searcher.matches(bad)
+    with _pytest.raises(ValueError):
+        searcher.matches(parse_xml_query(
+            '<PointRangeQuery fieldName="nope" lowerTerm="1"/>', an))
