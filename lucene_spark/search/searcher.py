@@ -675,8 +675,18 @@ class IndexSearcher:
         cell-skip role)."""
         if not dv:
             return hits
+        from lucene_spark.index.docvalues import _update_stack
+
         for f in dv:
-            vals = self.reader.doc_values(f.column)
+            if (f.column in self.reader.docstats().columns
+                    and _update_stack(self.reader, f.column) is None):
+                # no committed updates: filter the RAW column so the
+                # predicate pushes into the parquet scan (the overlay
+                # path casts to double first, which blocks pushdown)
+                vals = self.reader.docstats().select(
+                    "doc_id", F.col(f.column).alias("value"))
+            else:
+                vals = self.reader.doc_values(f.column)
             col = F.col("value")
             if f.lower is not None:
                 vals = vals.filter(col >= f.lower if f.include_lower else col > f.lower)

@@ -228,6 +228,28 @@ def main() -> None:
         ],
     ))
 
+    # PointRangeQuery FILTER (DocValuesRangeNode lowering): the numeric
+    # range must reach the docstats parquet scan as a pushed filter —
+    # row-group min/max skipping is the BKD-tree role.
+    from lucene_spark.search import plan as P
+
+    dv_node = P.BooleanNode(clauses=(
+        P.Clause(P.Occur.MUST, P.TermNode(term="scan", field="text")),
+        P.Clause(P.Occur.FILTER,
+                 P.DocValuesRangeNode(column="n_chars", lower=200, upper=600)),
+    ))
+    p = plan_of(searcher.matches(dv_node, with_scores=False))
+    sections.append((
+        "point-range FILTER (doc-values lowering)", p,
+        [
+            ("range predicate pushed to docstats scan",
+             ("PushedFilters" in p and "n_chars" in p
+              and ("GreaterThanOrEqual(n_chars,200" in p.replace(" ", "")
+                   or "n_chars" in p.split("PushedFilters", 1)[1][:400]))),
+            ("semi-join, not inner materialization", "LeftSemi" in p),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
