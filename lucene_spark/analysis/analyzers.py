@@ -55,6 +55,20 @@ class Analyzer:
                                  # (analysis/en/PorterStemFilter.java:51);
                                  # applied AFTER stop/length filtering, as
                                  # Lucene chains it after StopFilter
+    custom_tokenizer: str | None = None  # CUSTOM_TOKENIZERS key; replaces
+                                 # the split_camel/lowercase/findall stages
+                                 # with a bespoke Series[str]→Series[list]
+                                 # tokenizer (owning its own case/width
+                                 # handling); stop/length/stem/shingle
+                                 # stages still apply after. Used by the
+                                 # CJK bigram chain (cjk/CJKAnalyzer.java)
+    normalizer: str | None = None  # stem.NORMALIZERS key; per-token
+                                 # normalization BEFORE the stop filter —
+                                 # the {Persian,Sorani,Indic}Normalization-
+                                 # Filter position in the reference chains
+                                 # (fa/PersianAnalyzer.java etc.: normalize
+                                 # runs pre-StopFilter so stop entries match
+                                 # normalized forms)
     shingle_size: int = 0        # >1 → ShingleFilter analogue (analysis/
                                  # shingle/ShingleFilter.java): word
                                  # n-grams (space-joined) emitted ALONGSIDE
@@ -93,15 +107,41 @@ def _stem_lists(toks: pd.Series, stemmer: str = "porter") -> pd.Series:
     return toks.map(lambda ts: [table[t] for t in ts])
 
 
-def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
+def _normalize_lists(toks: pd.Series, normalizer: str) -> pd.Series:
+    """Per-token normalization (NORMALIZERS registry) with the same
+    unique-vocab table trick as _stem_lists."""
+    import itertools
+
+    from lucene_spark.analysis.stem import NORMALIZERS
+
+    fn = NORMALIZERS[normalizer]
+    vocab = set(itertools.chain.from_iterable(toks))
+    table = {t: fn(t) for t in vocab}
+    return toks.map(lambda ts: [table[t] for t in ts])
+
+
+# custom whole-tokenizer registry (Series[str] -> Series[list[str]])
+CUSTOM_TOKENIZERS: dict = {}
+
+
+def _raw_token_lists(content: pd.Series, a: Analyzer) -> pd.Series:
+    """The tokenizer stage shared by both chain entry points."""
     s = content.fillna("")
+    if a.custom_tokenizer:
+        return CUSTOM_TOKENIZERS[a.custom_tokenizer](s)
     if a.split_camel:
         # deterministic camelCase boundaries: fooBar -> foo Bar, HTTPServer -> HTTP Server
         s = s.str.replace(_CAMEL_1, r"\1 \2", regex=True)
         s = s.str.replace(_CAMEL_2, r"\1 \2", regex=True)
     if a.lowercase:
         s = s.str.lower()
-    toks = s.str.findall(a.token_pattern)
+    return s.str.findall(a.token_pattern)
+
+
+def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
+    toks = _raw_token_lists(content, a)
+    if a.normalizer:
+        toks = _normalize_lists(toks, a.normalizer)
     # stop + length filters; stopwords are lowercase so filter after lowering.
     # Measured note: this per-row comprehension IS the fast path — flattening
     # to one array and using pandas .str.len()/.isin() was benchmarked at
@@ -121,13 +161,9 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
 
 
 def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Series, pd.Series]:
-    s = content.fillna("")
-    if a.split_camel:
-        s = s.str.replace(_CAMEL_1, r"\1 \2", regex=True)
-        s = s.str.replace(_CAMEL_2, r"\1 \2", regex=True)
-    if a.lowercase:
-        s = s.str.lower()
-    toks = s.str.findall(a.token_pattern)
+    toks = _raw_token_lists(content, a)
+    if a.normalizer:
+        toks = _normalize_lists(toks, a.normalizer)
     stop = a.stopwords
     maxlen = a.max_token_length
 
@@ -347,6 +383,79 @@ register_analyzer(Analyzer(name="norwegian", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+"
 register_analyzer(Analyzer(name="nynorsk", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=NORWEGIAN_STOP_WORDS,
                            stemmer="nynorsk_light"))
+
+# i18n analyzer set — roles: ar/ArabicAnalyzer.java, fa/PersianAnalyzer.java,
+# ckb/SoraniAnalyzer.java, cz/CzechAnalyzer.java, bg/BulgarianAnalyzer.java,
+# hi/HindiAnalyzer.java, bn/BengaliAnalyzer.java, id/IndonesianAnalyzer.java,
+# lv/LatvianAnalyzer.java, gl/GalicianAnalyzer.java, br/BrazilianAnalyzer.java.
+# Chain order per analyzer matches createComponents: where the reference
+# normalizes BEFORE StopFilter (fa/ckb/hi/bn) we set `normalizer`; where it
+# normalizes after (ar), normalization lives inside the stemmer. Stop sets
+# generated verbatim from the reference's stopword resources
+# (stopwords_i18n.py). ‌ (ZWNJ) is token-internal for fa/ckb — the
+# Sorani normalizer consumes it (heh+ZWNJ → ae).
+from lucene_spark.analysis.stopwords_i18n import (  # noqa: E402
+    ARABIC_STOP_WORDS, BENGALI_STOP_WORDS, BRAZILIAN_STOP_WORDS,
+    BULGARIAN_STOP_WORDS, CZECH_STOP_WORDS, GALICIAN_STOP_WORDS,
+    HINDI_STOP_WORDS, INDONESIAN_STOP_WORDS, LATVIAN_STOP_WORDS,
+    PERSIAN_STOP_WORDS, SORANI_STOP_WORDS,
+)
+
+# Python's re \w excludes combining marks (Mn/Mc) — unlike the reference's
+# UAX#29 StandardTokenizer, which keeps them token-internal. Without this
+# class, Devanagari nukta/matras and Arabic harakat SPLIT the token
+# (re.findall(r'\w+', 'लड़के') == ['लड','क']). Ranges: Latin/Cyrillic
+# combining, Hebrew points, Arabic harakat + superscript alef + Koranic
+# marks, Devanagari signs/matras/virama, Bengali equivalents.
+_MN = ("\u0300-\u036f\u0483-\u0489\u0591-\u05bd\u05bf\u05c1\u05c2\u05c4\u05c5\u05c7"
+       "\u0610-\u061a\u064b-\u065f\u0670\u06d6-\u06dc\u06df-\u06e8\u06ea-\u06ed"
+       "\u0900-\u0903\u093a-\u093c\u093e-\u094f\u0951-\u0957\u0962\u0963"
+       "\u0981-\u0983\u09bc\u09be-\u09c4\u09c7\u09c8\u09cb-\u09cd\u09d7\u09e2\u09e3")
+_W = rf"[\w{_MN}]+"
+
+register_analyzer(Analyzer(name="arabic", token_pattern=_W,
+                           stopwords=ARABIC_STOP_WORDS,
+                           normalizer="fold_digits", stemmer="arabic"))
+register_analyzer(Analyzer(name="persian",
+                           token_pattern=rf"{_W}(?:‌{_W})*",
+                           stopwords=PERSIAN_STOP_WORDS,
+                           normalizer="persian"))
+register_analyzer(Analyzer(name="sorani",
+                           token_pattern=rf"{_W}(?:‌{_W})*",
+                           stopwords=SORANI_STOP_WORDS,
+                           normalizer="sorani", stemmer="sorani"))
+register_analyzer(Analyzer(name="czech", token_pattern=r"\w+",
+                           stopwords=CZECH_STOP_WORDS, stemmer="czech"))
+register_analyzer(Analyzer(name="bulgarian", token_pattern=r"\w+",
+                           stopwords=BULGARIAN_STOP_WORDS,
+                           stemmer="bulgarian"))
+register_analyzer(Analyzer(name="hindi", token_pattern=_W,
+                           stopwords=HINDI_STOP_WORDS,
+                           normalizer="hindi", stemmer="hindi"))
+register_analyzer(Analyzer(name="bengali", token_pattern=_W,
+                           stopwords=BENGALI_STOP_WORDS,
+                           normalizer="bengali", stemmer="bengali"))
+register_analyzer(Analyzer(name="indonesian", token_pattern=r"\w+",
+                           stopwords=INDONESIAN_STOP_WORDS,
+                           stemmer="indonesian"))
+register_analyzer(Analyzer(name="latvian", token_pattern=r"\w+",
+                           stopwords=LATVIAN_STOP_WORDS, stemmer="latvian"))
+register_analyzer(Analyzer(name="galician", token_pattern=r"\w+",
+                           stopwords=GALICIAN_STOP_WORDS, stemmer="galician"))
+# Brazilian Portuguese: the reference's BrazilianStemmer is its own legacy
+# suffix stemmer; we ship the published RSLP algorithm (the modern stemmer
+# for pt-BR, also what pt/PortugueseStemmer implements) — documented
+# divergence, same conflation role.
+register_analyzer(Analyzer(name="brazilian", token_pattern=r"\w+",
+                           stopwords=BRAZILIAN_STOP_WORDS,
+                           stemmer="portuguese_rslp"))
+# Full-RSLP Portuguese variant alongside the default light chain
+# (pt/PortugueseAnalyzer.java uses PortugueseLightStemFilter; the RSLP
+# filter is opt-in there too).
+register_analyzer(Analyzer(name="portuguese_rslp",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=PORTUGUESE_STOP_WORDS,
+                           stemmer="portuguese_rslp"))
 
 # English analyzer: standard chain + Porter stemming — the
 # EnglishAnalyzer role (analysis/en/EnglishAnalyzer.java: stops +

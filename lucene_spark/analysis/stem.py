@@ -961,6 +961,13 @@ from lucene_spark.analysis.phonetic import (   # noqa: E402 (registry tail)
     refined_soundex,
     soundex,
 )
+from lucene_spark.analysis.rslp import (       # noqa: E402 (registry tail)
+    galician_minimal_stem,
+    galician_stem,
+    portuguese_minimal_stem,
+    portuguese_rslp_stem,
+)
+from lucene_spark.analysis import stem_i18n    # noqa: E402 (registry tail)
 
 STEMMERS = {
     "porter": porter_stem,
@@ -980,4 +987,40 @@ STEMMERS = {
     "russian_light": russian_light_stem,
     "finnish_light": finnish_light_stem,
     "hungarian_light": hungarian_light_stem,
+    # RSLP family (pt/PortugueseStemmer.java, gl/GalicianStemmer.java;
+    # rule interpreter in rslp.py) — 0 mismatches vs ptrslptestdata.zip /
+    # ptminimaltestdata.zip / gltestdata.zip
+    "portuguese_rslp": portuguese_rslp_stem,
+    "portuguese_minimal": portuguese_minimal_stem,
+    "galician": galician_stem,
+    "galician_minimal": galician_minimal_stem,
+    # i18n set (stem_i18n.py) — golden-zip or reference-inline-vector
+    # validated, see tests/test_stem_i18n.py
+    "arabic": stem_i18n.arabic_stem,
+    "sorani": stem_i18n.sorani_stem,
+    "czech": stem_i18n.czech_stem,
+    "bulgarian": stem_i18n.bulgarian_stem,
+    "hindi": stem_i18n.hindi_stem,
+    "bengali": stem_i18n.bengali_stem,
+    "indonesian": stem_i18n.indonesian_stem,
+    "latvian": stem_i18n.latvian_stem,
+    "german_minimal": stem_i18n.german_minimal_stem,
+    "french_minimal": stem_i18n.french_minimal_stem,
+    # SerbianNormalizationFilter occupies the post-stop slot because the
+    # reference chains it AFTER StopFilter (sr/SerbianAnalyzer.java:106-113;
+    # its Latin-script stop entries match pre-normalization tokens)
+    "serbian_norm": stem_i18n.serbian_normalize,
+}
+
+# Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):
+# the {Arabic,Persian,Sorani,Indic}NormalizationFilter roles, chained in
+# each reference analyzer's createComponents order.
+NORMALIZERS = {
+    "fold_digits": stem_i18n.fold_digits,
+    "persian": stem_i18n.persian_norm_chain,
+    "sorani": stem_i18n.sorani_norm_chain,
+    "hindi": stem_i18n.hindi_norm_chain,
+    "bengali": stem_i18n.bengali_norm_chain,
+    "arabic": stem_i18n.arabic_normalize,
+    "indic": stem_i18n.indic_normalize,
 }
