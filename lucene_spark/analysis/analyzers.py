@@ -457,6 +457,19 @@ register_analyzer(Analyzer(name="portuguese_rslp",
                            stopwords=PORTUGUESE_STOP_WORDS,
                            stemmer="portuguese_rslp"))
 
+# CJK analyzer (cjk/CJKAnalyzer.java: StandardTokenizer → CJKWidthFilter →
+# LowerCaseFilter → CJKBigramFilter → StopFilter). The whole tokenizer
+# stage is custom (cjk.cjk_token_lists: width fold + lowercase + sliding
+# bigrams over CJK runs); the shared stop filter then drops the English
+# function words from cjk/stopwords.txt among the non-CJK passthrough
+# tokens. Golden vectors: tests/test_cjk.py vs TestCJKAnalyzer.java.
+from lucene_spark.analysis.cjk import cjk_token_lists  # noqa: E402
+from lucene_spark.analysis.stopwords_i18n import CJK_STOP_WORDS  # noqa: E402
+
+CUSTOM_TOKENIZERS["cjk_bigram"] = cjk_token_lists
+register_analyzer(Analyzer(name="cjk", custom_tokenizer="cjk_bigram",
+                           stopwords=CJK_STOP_WORDS))
+
 # English analyzer: standard chain + Porter stemming — the
 # EnglishAnalyzer role (analysis/en/EnglishAnalyzer.java: stops +
 # PorterStemFilter; possessive stripping approximated by the tokenizer

@@ -85,10 +85,23 @@ def cjk_width_fold(text: str) -> str:
 # CJK ext-A, unified ideographs, compatibility ideographs, 〆/〇/々.
 _CJK = ("ᄀ-ᇿ々〇〡-〩ぁ-ゟ゠-ヿ"
         "ㇰ-ㇿ㐀-䶿一-鿿ꥠ-꥿가-힣"
-        "ힰ-퟿豈-﫿")
+        "ힰ-퟿豈-﫿"
+        "\U00020000-\U0002FA1F")  # ext B..compat supplement: the
+                                  # reference sees these as surrogate
+                                  # pairs typed HAN; Python regex works
+                                  # on codepoints so a plain range works
 # a token is either a run of CJK codepoints or a run of word chars that are
-# not CJK (the \w+ the standard chain would produce)
-_CJK_TOKEN_RE = re.compile(f"[{_CJK}]+|(?:(?![{_CJK}])\\w)+")
+# not CJK (the \w+ the standard chain would produce). \w excludes combining
+# marks (Mn/Mc) that UAX#29 keeps token-internal — same fix as the _MN class
+# in analyzers.py (Latin/Cyrillic combining, Hebrew points, Arabic harakat,
+# Devanagari/Bengali signs): without it رُوبرت splits at the damma.
+_MARKS = ("\u0300-\u036f\u0483-\u0489\u0591-\u05bd\u05bf\u05c1\u05c2\u05c4\u05c5"
+          "\u05c7\u0610-\u061a\u064b-\u065f\u0670\u06d6-\u06dc\u06df-\u06e8"
+          "\u06ea-\u06ed\u0900-\u0903\u093a-\u093c\u093e-\u094f\u0951-\u0957"
+          "\u0962\u0963\u0981-\u0983\u09bc\u09be-\u09c4\u09c7\u09c8"
+          "\u09cb-\u09cd\u09d7\u09e2\u09e3")
+_W = f"[\\w{_MARKS}]"
+_CJK_TOKEN_RE = re.compile(f"[{_CJK}]+|(?:(?![{_CJK}]){_W})+")
 _CJK_RUN_RE = re.compile(f"[{_CJK}]")
 
 
