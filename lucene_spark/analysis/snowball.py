@@ -1,0 +1,962 @@
+"""Snowball stemmers, pure-Python, exact to the published algorithms.
+
+The Snowball algorithms are public (snowballstem.org); the reference wraps
+machine-generated Java for them (org/tartarus/snowball/ext/*.java, used by
+analysis/snowball/SnowballFilter.java). Each function below re-implements
+the published algorithm directly in Python and is validated to ZERO
+mismatches against the reference's golden vocabularies
+(analysis/common/src/test/.../snowball/<lang>.zip: voc.txt → output.txt)
+in tests/test_snowball.py.
+
+Semantics notes shared by the implementations (mirrors the Snowball
+runtime, SnowballProgram.java):
+- R1/R2 are *indices* computed once on the input word; suffix removal only
+  shortens the tail so the indices stay valid.
+- "among in R1" = the longest listed suffix that the word ends with AND
+  that lies entirely inside R1 (candidates crossing the R1 boundary are
+  skipped in favor of shorter ones, exactly like find_among_b under
+  limit_backward = p1).
+- Grouping tests that run after the among (e.g. Danish s_ending) are NOT
+  R1-restricted — the generated code restores limit_backward first.
+"""
+
+from __future__ import annotations
+
+
+def _r1_std(word: str, vowels: frozenset[str]) -> int:
+    """Standard R1: index after the first non-vowel following a vowel."""
+    n = len(word)
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _r1_scand(word: str, vowels: frozenset[str]) -> int:
+    """Scandinavian R1: standard R1 but at least 3 chars precede it.
+    Words shorter than 3 get R1 = len(word) (mark_regions fails)."""
+    n = len(word)
+    if n < 3:
+        return n
+    p1 = _r1_std(word, vowels)
+    return max(p1, 3) if p1 < n else n
+
+
+def _longest_in_r1(word: str, p1: int, sufs) -> str | None:
+    """Longest suffix from `sufs` (iterable, pre-sorted longest-first) that
+    the word ends with and that lies entirely in R1."""
+    n = len(word)
+    for s in sufs:
+        if word.endswith(s) and n - len(s) >= p1:
+            return s
+    return None
+
+
+# =========================================================================
+# Danish — snowballstem.org/algorithms/danish/stemmer.html
+# (reference: org/tartarus/snowball/ext/DanishStemmer.java)
+# =========================================================================
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_S_ENDING = frozenset("abcdfghjklmnoprtvyzå")
+# undouble consonant grouping is ASCII-only: b-z minus e i o u y
+_DA_CONS = frozenset("bcdfghjklmnpqrstvwxz")
+
+_DA_STEP1 = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+     "ere", "en", "heden", "eren", "er", "heder", "erer", "heds", "es",
+     "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+     "ers", "ets", "erets", "et", "eret", "s"],
+    key=len, reverse=True)
+_DA_STEP3 = sorted(["ig", "lig", "elig", "els", "løst"], key=len, reverse=True)
+
+
+def _da_consonant_pair(word: str, p1: int) -> str:
+    # step 2: ends with gd/dt/gt/kt entirely in R1 → drop last letter
+    if len(word) - 2 >= p1 and word[-2:] in ("gd", "dt", "gt", "kt"):
+        return word[:-1]
+    return word
+
+
+def danish_stem(word: str) -> str:
+    p1 = _r1_scand(word, _DA_VOWELS)
+    # step 1: main suffix
+    s = _longest_in_r1(word, p1, _DA_STEP1)
+    if s == "s":
+        if len(word) >= 2 and word[-2] in _DA_S_ENDING:
+            word = word[:-1]
+    elif s:
+        word = word[: -len(s)]
+    # step 2
+    word = _da_consonant_pair(word, p1)
+    # step 3
+    if word.endswith("igst"):
+        word = word[:-2]
+    s = _longest_in_r1(word, p1, _DA_STEP3)
+    if s == "løst":
+        word = word[:-1]
+    elif s:
+        word = word[: -len(s)]
+        word = _da_consonant_pair(word, p1)
+    # step 4: undouble — last char a consonant in R1, equal to the one before
+    if (len(word) - 1 >= p1 and len(word) >= 2
+            and word[-1] in _DA_CONS and word[-2] == word[-1]):
+        word = word[:-1]
+    return word
+
+
+# =========================================================================
+# Romanian — snowballstem.org/algorithms/romanian/stemmer.html
+# (reference: org/tartarus/snowball/ext/RomanianStemmer.java)
+# ţ/ş below are the cedilla forms U+0163/U+015F, as in the reference.
+# =========================================================================
+
+_RO_VOWELS = frozenset("aeiouâîă")
+
+_RO_STEP0 = {  # a_1 — R1 post-check on the longest match
+    "ea": 3, "aţia": 7, "aua": 2, "iua": 4, "aţie": 7, "ele": 3,
+    "ile": 5, "iile": 4, "iei": 4, "atei": 6, "ii": 4, "ului": 1, "ul": 1,
+    "elor": 3, "ilor": 4, "iilor": 4,
+}
+_RO_STEP0_REPL = {1: "", 2: "a", 3: "e", 4: "i", 5: "i", 6: "at",
+                  7: "aţi"}
+
+_RO_COMBO = {  # a_2 — replacements, repeated while matching in R1
+    "icala": "ic", "iciva": "ic", "ativa": "at", "itiva": "it",
+    "icale": "ic", "aţiune": "at", "iţiune": "it",
+    "atoare": "at", "itoare": "it", "ătoare": "at", "icitate": "ic",
+    "abilitate": "abil", "ibilitate": "ibil", "ivitate": "iv",
+    "icive": "ic", "ative": "at", "itive": "it", "icali": "ic",
+    "atori": "at", "icatori": "ic", "itori": "it", "ători": "at",
+    "icitati": "ic", "abilitati": "abil", "ivitati": "iv", "icivi": "ic",
+    "ativi": "at", "itivi": "it", "icităi": "ic",
+    "abilităi": "abil", "ivităi": "iv",
+    "icităţi": "ic", "abilităţi": "abil",
+    "ivităţi": "iv", "ical": "ic", "ator": "at",
+    "icator": "ic", "itor": "it", "ător": "at", "iciv": "ic",
+    "ativ": "at", "itiv": "it", "icală": "ic", "icivă": "ic",
+    "ativă": "at", "itivă": "it",
+}
+
+_RO_STD = {  # a_3 — R2 post-check; 1 delete, 2 ţ+iune→t, 3 →ist
+    "ica": 1, "abila": 1, "ibila": 1, "oasa": 1, "ata": 1, "ita": 1,
+    "anta": 1, "ista": 3, "uta": 1, "iva": 1, "ic": 1, "ice": 1,
+    "abile": 1, "ibile": 1, "isme": 3, "iune": 2, "oase": 1, "ate": 1,
+    "itate": 1, "ite": 1, "ante": 1, "iste": 3, "ute": 1, "ive": 1,
+    "ici": 1, "abili": 1, "ibili": 1, "iuni": 2, "atori": 1, "osi": 1,
+    "ati": 1, "itati": 1, "iti": 1, "anti": 1, "isti": 3, "uti": 1,
+    "işti": 3, "ivi": 1, "ităi": 1, "oşi": 1,
+    "ităţi": 1, "abil": 1, "ibil": 1, "ism": 3, "ator": 1,
+    "os": 1, "at": 1, "it": 1, "ant": 1, "ist": 3, "ut": 1, "iv": 1,
+    "ică": 1, "abilă": 1, "ibilă": 1, "oasă": 1,
+    "ată": 1, "ită": 1, "antă": 1, "istă": 3,
+    "ută": 1, "ivă": 1,
+}
+
+_RO_VERB = {  # a_4 — limit-based among within RV; 1 needs non-vowel/'u'
+    "ea": 1, "ia": 1, "esc": 1, "ăsc": 1, "ind": 1, "ând": 1,
+    "are": 1, "ere": 1, "ire": 1, "âre": 1, "se": 2, "ase": 1,
+    "sese": 2, "ise": 1, "use": 1, "âse": 1, "eşte": 1,
+    "ăşte": 1, "eze": 1, "ai": 1, "eai": 1, "iai": 1,
+    "sei": 2, "eşti": 1, "ăşti": 1, "ui": 1, "ezi": 1,
+    "âi": 1, "aşi": 1, "seşi": 2, "aseşi": 1,
+    "seseşi": 2, "iseşi": 1, "useşi": 1,
+    "âseşi": 1, "işi": 1, "uşi": 1, "âşi": 1,
+    "aţi": 2, "eaţi": 1, "iaţi": 1, "eţi": 2,
+    "iţi": 2, "âţi": 2, "arăţi": 1,
+    "serăţi": 2, "aserăţi": 1,
+    "seserăţi": 2, "iserăţi": 1,
+    "userăţi": 1, "âserăţi": 1,
+    "irăţi": 1, "urăţi": 1, "ârăţi": 1,
+    "am": 1, "eam": 1, "iam": 1, "em": 2, "asem": 1, "sesem": 2,
+    "isem": 1, "usem": 1, "âsem": 1, "im": 2, "âm": 2,
+    "ăm": 2, "arăm": 1, "serăm": 2, "aserăm": 1,
+    "seserăm": 2, "iserăm": 1, "userăm": 1,
+    "âserăm": 1, "irăm": 1, "urăm": 1,
+    "ârăm": 1, "au": 1, "eau": 1, "iau": 1, "indu": 1,
+    "ându": 1, "ez": 1, "ească": 1, "ară": 1,
+    "seră": 2, "aseră": 1, "seseră": 2, "iseră": 1,
+    "useră": 1, "âseră": 1, "iră": 1, "ură": 1,
+    "âră": 1, "ează": 1,
+}
+
+_RO_STEP0_SUFS = sorted(_RO_STEP0, key=len, reverse=True)
+_RO_COMBO_SUFS = sorted(_RO_COMBO, key=len, reverse=True)
+_RO_STD_SUFS = sorted(_RO_STD, key=len, reverse=True)
+_RO_VERB_SUFS = sorted(_RO_VERB, key=len, reverse=True)
+_RO_VOWEL_SUFS = ("ie", "a", "e", "i", "ă")
+
+
+def _longest_suffix(word: str, sufs) -> str | None:
+    """Longest suffix the word ends with, NO region constraint (the
+    post-check among shape: region is tested after on the winner only)."""
+    for s in sufs:
+        if word.endswith(s):
+            return s
+    return None
+
+
+def _rv_es(word: str, vowels) -> int:
+    """Spanish-family RV (also Romanian/Italian/Portuguese):
+    - 2nd letter consonant → after the next vowel;
+    - first two letters vowels → after the next consonant;
+    - else (consonant+vowel) → after the 3rd letter;
+    end of word when not found."""
+    n = len(word)
+    if n == 0:
+        return 0
+    if word[0] in vowels:
+        if n > 1 and word[1] in vowels:
+            i = 2
+            while i < n and word[i] in vowels:
+                i += 1
+            return i + 1 if i < n else n
+        i = 2
+        while i < n and word[i] not in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    if n > 1 and word[1] not in vowels:
+        i = 2
+        while i < n and word[i] not in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    return 3 if n >= 3 else n
+
+
+def _r1_r2(word: str, vowels) -> tuple[int, int]:
+    p1 = _r1_std(word, vowels)
+    n = len(word)
+    i = p1
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    p2 = i + 1 if i < n else n
+    return p1, p2
+
+
+def romanian_stem(word: str) -> str:
+    # prelude: u/i between vowels → U/I (consonantized; restored at the end)
+    chars = list(word)
+    for j in range(1, len(chars) - 1):
+        if (chars[j] in "ui" and chars[j - 1] in _RO_VOWELS
+                and chars[j + 1] in _RO_VOWELS):
+            chars[j] = chars[j].upper()
+    word = "".join(chars)
+
+    pv = _rv_es(word, _RO_VOWELS)
+    p1, p2 = _r1_r2(word, _RO_VOWELS)
+
+    # step 0: plural/article suffixes (R1 post-check)
+    s = _longest_suffix(word, _RO_STEP0_SUFS)
+    if s and len(word) - len(s) >= p1:
+        act = _RO_STEP0[s]
+        if act == 5:  # 'ile' → 'i' unless preceded by 'ab'
+            if not word[: -len(s)].endswith("ab"):
+                word = word[: -len(s)] + "i"
+        else:
+            word = word[: -len(s)] + _RO_STEP0_REPL[act]
+
+    # standard suffix: combo replacements repeated, then a_3 in R2
+    removed = False
+    while True:
+        s = _longest_suffix(word, _RO_COMBO_SUFS)
+        if s and len(word) - len(s) >= p1:
+            word = word[: -len(s)] + _RO_COMBO[s]
+            removed = True
+        else:
+            break
+    s = _longest_suffix(word, _RO_STD_SUFS)
+    if s and len(word) - len(s) >= p2:
+        act = _RO_STD[s]
+        if act == 1:
+            word = word[: -len(s)]
+            removed = True
+        elif act == 2:
+            if word[: -len(s)].endswith("ţ"):
+                word = word[: -len(s) - 1] + "t"
+                removed = True
+        else:
+            word = word[: -len(s)] + "ist"
+            removed = True
+
+    # verb suffix only if nothing standard was removed; limit-based in RV
+    if not removed:
+        s = _longest_in_r1(word, pv, _RO_VERB_SUFS)
+        if s:
+            if _RO_VERB[s] == 2:
+                word = word[: -len(s)]
+            else:
+                j = len(word) - len(s) - 1
+                if j >= pv and (word[j] not in _RO_VOWELS or word[j] == "u"):
+                    word = word[: -len(s)]
+
+    # final vowel (RV post-check)
+    s = _longest_suffix(word, _RO_VOWEL_SUFS)
+    if s and len(word) - len(s) >= pv:
+        word = word[: -len(s)]
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# =========================================================================
+# Irish — snowballstem.org/algorithms/irish/stemmer.html
+# (reference: org/tartarus/snowball/ext/IrishStemmer.java)
+# =========================================================================
+
+_GA_VOWELS = frozenset("aeiouáéíóú")
+# initial mutation / eclipsis prefixes — longest prefix wins, then replace
+_GA_PREFIX = sorted([
+    ("d'fh", "f"), ("bhf", "f"), ("b'", ""), ("bh", "b"), ("bp", "p"),
+    ("ch", "c"), ("d'", ""), ("dh", "d"), ("dt", "t"), ("fh", "f"),
+    ("gc", "c"), ("gh", "g"), ("h-", ""), ("m'", ""), ("mb", "b"),
+    ("mh", "m"), ("n-", ""), ("nd", "d"), ("ng", "g"), ("ph", "p"),
+    ("sh", "s"), ("t-", ""), ("th", "t"), ("ts", "s"),
+], key=lambda kv: len(kv[0]), reverse=True)
+
+_GA_NOUN = {  # 1 → R1 delete, 2 → R2 delete (post-check on longest)
+    "íochta": 1, "aíochta": 1, "ire": 2, "aire": 2, "abh": 1, "eabh": 1,
+    "ibh": 1, "aibh": 1, "amh": 1, "eamh": 1, "imh": 1, "aimh": 1,
+    "íocht": 1, "aíocht": 1, "irí": 2, "airí": 2,
+}
+_GA_DERIV = {  # 1 → R2 delete; others replace unconditionally
+    "óideacha": "óid", "patacha": "paite", "achta": 1, "arcachta": "arc",
+    "eachta": 1, "grafaíochta": "graf", "paite": "paite", "ach": 1,
+    "each": 1, "óideach": "óid", "gineach": "gin", "patach": "paite",
+    "grafaíoch": "graf", "pataigh": "paite", "óidigh": "óid",
+    "achtúil": 1, "eachtúil": 1, "gineas": "gin", "ginis": "gin",
+    "acht": 1, "arcacht": "arc", "eacht": 1, "grafaíocht": "graf",
+    "arcachtaí": "arc", "grafaíochtaí": "graf",
+}
+_GA_VERB = {  # 1 → RV delete, 2 → R1 delete
+    "imid": 1, "aimid": 1, "ímid": 1, "aímid": 1, "adh": 2, "eadh": 2,
+    "faidh": 1, "fidh": 1, "áil": 2, "ain": 2, "tear": 2, "tar": 2,
+}
+_GA_NOUN_SUFS = sorted(_GA_NOUN, key=len, reverse=True)
+_GA_DERIV_SUFS = sorted(_GA_DERIV, key=len, reverse=True)
+_GA_VERB_SUFS = sorted(_GA_VERB, key=len, reverse=True)
+
+
+def irish_stem(word: str) -> str:
+    for pre, repl in _GA_PREFIX:
+        if word.startswith(pre):
+            word = repl + word[len(pre):]
+            break
+    # regions on the de-mutated word; RV = after the first vowel
+    n = len(word)
+    i = 0
+    while i < n and word[i] not in _GA_VOWELS:
+        i += 1
+    pv = i + 1 if i < n else n
+    p1, p2 = _r1_r2(word, _GA_VOWELS)
+
+    s = _longest_suffix(word, _GA_NOUN_SUFS)
+    if s and len(word) - len(s) >= (p1 if _GA_NOUN[s] == 1 else p2):
+        word = word[: -len(s)]
+    s = _longest_suffix(word, _GA_DERIV_SUFS)
+    if s:
+        repl = _GA_DERIV[s]
+        if repl == 1:
+            if len(word) - len(s) >= p2:
+                word = word[: -len(s)]
+        else:
+            word = word[: -len(s)] + repl
+    s = _longest_suffix(word, _GA_VERB_SUFS)
+    if s and len(word) - len(s) >= (pv if _GA_VERB[s] == 1 else p1):
+        word = word[: -len(s)]
+    return word
+
+
+# =========================================================================
+# Nepali — snowballstem.org/algorithms/nepali/stemmer.html
+# (reference: org/tartarus/snowball/ext/NepaliStemmer.java; tables
+# extracted mechanically from its among arrays)
+# =========================================================================
+
+_NE_CAT1 = {
+    "लाइ": 1, "लाई": 1, "सँग": 1, "संग": 1, "मार्फत": 1, "रत": 1,
+    "का": 2, "मा": 1, "द्वारा": 1, "कि": 2, "पछि": 1, "की": 2, "ले": 1,
+    "कै": 2, "सँगै": 1, "मै": 1, "को": 2,
+}
+_NE_CAT3 = [
+    "थिए", "छ", "इछ", "एछ", "िछ", "ेछ", "नेछ", "हुनेछ", "इन्छ", "िन्छ",
+    "हुन्छ", "एका", "इएका", "िएका", "ेका", "नेका", "दा", "इदा", "िदा",
+    "देखि", "माथि", "एकी", "इएकी", "िएकी", "ेकी", "देखी", "थी", "दी",
+    "छु", "एछु", "ेछु", "नेछु", "नु", "हरु", "हरू", "छे", "थे", "ने",
+    "एकै", "ेकै", "नेकै", "दै", "इदै", "िदै", "एको", "इएको", "िएको",
+    "ेको", "नेको", "दो", "इदो", "िदो", "यो", "इयो", "भयो", "ियो",
+    "थियो", "दियो", "थ्यो", "छौ", "इछौ", "एछौ", "िछौ", "ेछौ", "नेछौ",
+    "यौ", "थियौ", "छ्यौ", "थ्यौ", "छन्", "इछन्", "एछन्", "िछन्",
+    "ेछन्", "नेछन्", "लान्", "छिन्", "थिन्", "पर्", "इस्", "थिइस्",
+    "छस्", "इछस्", "एछस्", "िछस्", "ेछस्", "नेछस्", "िस्", "थिस्",
+    "छेस्", "होस्",
+]
+_NE_CAT1_SUFS = sorted(_NE_CAT1, key=len, reverse=True)
+_NE_CAT3_SUFS = sorted(_NE_CAT3, key=len, reverse=True)
+
+
+def _ne_remove_cat2(word: str) -> str:
+    # ँ/ं drop only after यौ छौ नौ थे; ै drops only after त्र
+    if word.endswith("ँ") or word.endswith("ं"):
+        rest = word[:-1]
+        if rest.endswith(("यौ", "छौ", "नौ", "थे")):
+            return rest
+    elif word.endswith("ै"):
+        rest = word[:-1]
+        if rest.endswith("त्र"):
+            return rest
+    return word
+
+
+def nepali_stem(word: str) -> str:
+    # category 1: postpositions (once)
+    s = _longest_suffix(word, _NE_CAT1_SUFS)
+    if s:
+        rest = word[: -len(s)]
+        if _NE_CAT1[s] == 1 or not rest.endswith(("ए", "े")):
+            word = rest
+    # categories 2+3: peel verbal morphology while category 3 matches;
+    # a category-2 removal sticks even when category 3 then fails
+    while True:
+        word = _ne_remove_cat2(word)
+        s = _longest_suffix(word, _NE_CAT3_SUFS)
+        if s:
+            word = word[: -len(s)]
+        else:
+            break
+    return word
+
+
+# =========================================================================
+# Turkish — snowballstem.org/algorithms/turkish/stemmer.html
+# (reference: org/tartarus/snowball/ext/TurkishStemmer.java; used through
+# analysis/snowball/SnowballFilter.java, which keeps whatever is in the
+# buffer regardless of stem()'s boolean — so partial rewrites stick)
+# =========================================================================
+
+_TR_VOWELS = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+# vowel-harmony classes: last vowel → set an earlier vowel must belong to
+_TR_HARMONY = {"a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+               "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+
+
+def _tr_harmony(w: str, p: int) -> bool:
+    """check_vowel_harmony at cursor p: the last vowel before p must have
+    an earlier vowel of its harmony class somewhere in the word."""
+    i = p - 1
+    while i >= 0 and w[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    grp = _TR_HARMONY[w[i]]
+    j = i - 1
+    while j >= 0 and w[j] not in grp:
+        j -= 1
+    return j >= 0
+
+
+def _tr_opt_cons(w: str, p: int, c: str):
+    """mark_suffix_with_optional_X_consonant: consume a preceding X when a
+    vowel precedes it; otherwise require not-X AND a vowel two back."""
+    if p >= 2 and w[p - 1] == c and w[p - 2] in _TR_VOWELS:
+        return p - 1
+    if p >= 1 and w[p - 1] == c:
+        return None
+    if p < 1 or p - 2 < 0 or w[p - 2] not in _TR_VOWELS:
+        return None
+    return p
+
+
+def _tr_opt_U(w: str, p: int):
+    """mark_suffix_with_optional_U_vowel (the mirror shape: U preceded by
+    a non-vowel consumes; else not-U and non-vowel two back)."""
+    if p >= 2 and w[p - 1] in _TR_U and w[p - 2] not in _TR_VOWELS:
+        return p - 1
+    if p >= 1 and w[p - 1] in _TR_U:
+        return None
+    if p < 1 or p - 2 < 0 or w[p - 2] in _TR_VOWELS:
+        return None
+    return p
+
+
+def _tr_among(w: str, p: int, sufs):
+    for s in sufs:
+        if w.endswith(s, 0, p):
+            return p - len(s)
+    return None
+
+
+def _sufs(*groups):
+    out = []
+    for g in groups:
+        out.extend(g.split())
+    return sorted(out, key=len, reverse=True)
+
+
+_TR_POSS = _sufs("m n miz niz muz nuz müz nüz mız nız")
+_TR_LARI = _sufs("leri ları")
+_TR_NU = _sufs("ni nu nü nı")
+_TR_NUN = _sufs("in un ün ın")
+_TR_YA = _sufs("a e")
+_TR_NA = _sufs("na ne")
+_TR_DA = _sufs("da ta de te")
+_TR_NDA = _sufs("nda nde")
+_TR_DAN = _sufs("dan tan den ten")
+_TR_NDAN = _sufs("ndan nden")
+_TR_YLA = _sufs("la le")
+_TR_NCA = _sufs("ca ce")
+_TR_YUM = _sufs("im um üm ım")
+_TR_SUN = _sufs("sin sun sün sın")
+_TR_YUZ = _sufs("iz uz üz ız")
+_TR_SUNUZ = _sufs("siniz sunuz sünüz sınız")
+_TR_LAR = _sufs("lar ler")
+_TR_NUZ = _sufs("niz nuz nüz nız")
+_TR_DUR = _sufs("dir tir dur tur dür tür dır tır")
+_TR_CASINA = _sufs("casına cesine")
+_TR_YDU = _sufs("di ti dik tik duk tuk dük tük dık tık dim tim dum tum "
+                "düm tüm dım tım din tin dun tun dün tün dın tın "
+                "du tu dü tü dı tı")
+_TR_YSA = _sufs("sa se sak sek sam sem san sen")
+_TR_YMUS = _sufs("miş muş müş mış")
+
+
+def _m_poss(w, p):
+    q = _tr_among(w, p, _TR_POSS)
+    return None if q is None else _tr_opt_U(w, q)
+
+
+def _m_sU(w, p):
+    if not _tr_harmony(w, p) or p < 1 or w[p - 1] not in _TR_U:
+        return None
+    return _tr_opt_cons(w, p - 1, "s")
+
+
+def _m_lArI(w, p):
+    return _tr_among(w, p, _TR_LARI)
+
+
+def _m_yU(w, p):
+    if not _tr_harmony(w, p) or p < 1 or w[p - 1] not in _TR_U:
+        return None
+    return _tr_opt_cons(w, p - 1, "y")
+
+
+def _harmony_among(table, opt=None):
+    def m(w, p):
+        if not _tr_harmony(w, p):
+            return None
+        q = _tr_among(w, p, table)
+        if q is None:
+            return None
+        return _tr_opt_cons(w, q, opt) if opt else q
+    return m
+
+
+_m_nU = _harmony_among(_TR_NU)
+_m_nUn = _harmony_among(_TR_NUN, "n")
+_m_yA = _harmony_among(_TR_YA, "y")
+_m_nA = _harmony_among(_TR_NA)
+_m_DA = _harmony_among(_TR_DA)
+_m_ndA = _harmony_among(_TR_NDA)
+_m_DAn = _harmony_among(_TR_DAN)
+_m_ndAn = _harmony_among(_TR_NDAN)
+_m_ylA = _harmony_among(_TR_YLA, "y")
+_m_ncA = _harmony_among(_TR_NCA, "n")
+_m_yUm = _harmony_among(_TR_YUM, "y")
+_m_sUn = _harmony_among(_TR_SUN)
+_m_yUz = _harmony_among(_TR_YUZ, "y")
+_m_lAr = _harmony_among(_TR_LAR)
+_m_nUz = _harmony_among(_TR_NUZ)
+_m_DUr = _harmony_among(_TR_DUR)
+_m_yDU = _harmony_among(_TR_YDU, "y")
+_m_ymUs = _harmony_among(_TR_YMUS, "y")
+
+
+def _m_ki(w, p):
+    return p - 2 if w.endswith("ki", 0, p) else None
+
+
+def _m_sUnUz(w, p):
+    return _tr_among(w, p, _TR_SUNUZ)
+
+
+def _m_cAsInA(w, p):
+    return _tr_among(w, p, _TR_CASINA)
+
+
+def _m_ysA(w, p):
+    q = _tr_among(w, p, _TR_YSA)
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _m_yken(w, p):
+    if not w.endswith("ken", 0, p):
+        return None
+    return _tr_opt_cons(w, p - 3, "y")
+
+
+def _first(w, p, *marks):
+    for m in marks:
+        q = m(w, p)
+        if q is not None:
+            return q
+    return None
+
+
+def _tr_nominal_verb(w: str):
+    """stem_nominal_verb_suffixes → (word, continue_noun_suffixes)."""
+    n = len(w)
+    # (ymUs_ | yDU | ysA | yken) ] delete
+    p = _first(w, n, _m_ymUs, _m_yDU, _m_ysA, _m_yken)
+    if p is not None:
+        return w[:p], True
+    # cAsInA (sUnUz|lAr|yUm|sUn|yUz|ε) ymUs_ ] delete
+    p = _m_cAsInA(w, n)
+    if p is not None:
+        p2 = _first(w, p, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz)
+        if p2 is None:
+            p2 = p
+        q = _m_ymUs(w, p2)
+        if q is not None:
+            return w[:q], True
+    # lAr ] delete try([ DUr|yDU|ysA|ymUs_ ] delete); stop noun stemming
+    p = _m_lAr(w, n)
+    if p is not None:
+        w2 = w[:p]
+        q = _first(w2, len(w2), _m_DUr, _m_yDU, _m_ysA, _m_ymUs)
+        if q is not None:
+            w2 = w2[:q]
+        return w2, False
+    # nUz (yDU | ysA) ] delete
+    p = _m_nUz(w, n)
+    if p is not None:
+        q = _first(w, p, _m_yDU, _m_ysA)
+        if q is not None:
+            return w[:q], True
+    # (sUnUz|yUz|sUn|yUm) ] delete try([ ymUs_ ] delete)
+    p = _first(w, n, _m_sUnUz, _m_yUz, _m_sUn, _m_yUm)
+    if p is not None:
+        w2 = w[:p]
+        q = _m_ymUs(w2, len(w2))
+        if q is not None:
+            w2 = w2[:q]
+        return w2, True
+    # DUr ] delete try([ (sUnUz|lAr|yUm|sUn|yUz|ε) ymUs_ ] delete)
+    p = _m_DUr(w, n)
+    if p is not None:
+        w2 = w[:p]
+        p2 = _first(w2, len(w2), _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz)
+        if p2 is None:
+            p2 = len(w2)
+        q = _m_ymUs(w2, p2)
+        if q is not None:
+            w2 = w2[:q]
+        return w2, True
+    return w, True
+
+
+def _tr_chain_ki(w: str):
+    """stem_suffix_chain_before_ki → (word, matched). Returns the input
+    unchanged when it fails (it never mutates before failing)."""
+    n = len(w)
+    p = _m_ki(w, n)
+    if p is None:
+        return w, False
+    # DA branch: delete DA+ki, then optional continuations
+    q = _m_DA(w, p)
+    if q is not None:
+        w2 = w[:q]
+        r = _m_lAr(w2, len(w2))
+        if r is not None:
+            w3 = w2[:r]
+            w4, ok = _tr_chain_ki(w3)
+            return (w4 if ok else w3), True
+        r = _m_poss(w2, len(w2))
+        if r is not None:
+            w3 = w2[:r]
+            r2 = _m_lAr(w3, len(w3))
+            if r2 is not None:
+                w3 = w3[:r2]                      # lAr delete sticks
+                w4, ok = _tr_chain_ki(w3)
+                if ok:
+                    w3 = w4
+            return w3, True
+        return w2, True
+    # nUn branch
+    q = _m_nUn(w, p)
+    if q is not None:
+        w2 = w[:q]
+        n2 = len(w2)
+        r = _m_lArI(w2, n2)
+        if r is not None:
+            return w2[:r], True
+        r = _m_poss(w2, n2)
+        if r is None:
+            r = _m_sU(w2, n2)
+        if r is not None:
+            w3 = w2[:r]
+            r2 = _m_lAr(w3, len(w3))
+            if r2 is not None:
+                w3 = w3[:r2]
+                w4, ok = _tr_chain_ki(w3)
+                if ok:
+                    w3 = w4
+            return w3, True
+        w3, ok = _tr_chain_ki(w2)
+        return (w3 if ok else w2), True
+    # ndA branch: nothing deleted unless an inner alternative lands
+    q = _m_ndA(w, p)
+    if q is not None:
+        r = _m_lArI(w, q)
+        if r is not None:
+            return w[:r], True
+        r = _m_sU(w, q)
+        if r is not None:
+            w2 = w[:r]
+            r2 = _m_lAr(w2, len(w2))
+            if r2 is not None:
+                w2 = w2[:r2]
+                w3, ok = _tr_chain_ki(w2)
+                if ok:
+                    w2 = w3
+            return w2, True
+        # recurse on the prefix before ndA+ki; the tail stays in place
+        pre, ok = _tr_chain_ki(w[:q])
+        if ok:
+            return pre + w[q:], True
+    return w, False
+
+
+def _tr_noun_suffixes(w: str) -> str:
+    """stem_noun_suffixes (ordered alternation, buffer semantics)."""
+    n = len(w)
+    # lAr ] delete try(chain_ki)
+    p = _m_lAr(w, n)
+    if p is not None:
+        w2 = w[:p]
+        w3, ok = _tr_chain_ki(w2)
+        return w3 if ok else w2
+    # ncA ] delete try(lArI | (poss|sU)(try lAr+chain) | lAr+chain)
+    p = _m_ncA(w, n)
+    if p is not None:
+        w2 = w[:p]
+        n2 = len(w2)
+        q = _m_lArI(w2, n2)
+        if q is not None:
+            return w2[:q]
+        q = _m_poss(w2, n2)
+        if q is None:
+            q = _m_sU(w2, n2)
+        if q is not None:
+            w3 = w2[:q]
+            r = _m_lAr(w3, len(w3))
+            if r is not None:
+                w3 = w3[:r]
+                w4, ok = _tr_chain_ki(w3)
+                if ok:
+                    w3 = w4
+            return w3
+        q = _m_lAr(w2, n2)
+        if q is not None:
+            w3 = w2[:q]
+            w4, ok = _tr_chain_ki(w3)
+            return w4 if ok else w3
+        return w2
+    # (ndA|nA) then REQUIRED (lArI | sU... | chain-on-prefix)
+    p = _first(w, n, _m_ndA, _m_nA)
+    if p is not None:
+        q = _m_lArI(w, p)
+        if q is not None:
+            return w[:q]
+        q = _m_sU(w, p)
+        if q is not None:
+            w2 = w[:q]
+            r = _m_lAr(w2, len(w2))
+            if r is not None:
+                w2 = w2[:r]
+                w3, ok = _tr_chain_ki(w2)
+                if ok:
+                    w2 = w3
+            return w2
+        pre, ok = _tr_chain_ki(w[:p])
+        if ok:
+            return pre + w[p:]
+        # alternative failed entirely; fall through with w unchanged
+    # (ndAn|nU) then REQUIRED (sU... | lArI)
+    p = _first(w, n, _m_ndAn, _m_nU)
+    if p is not None:
+        q = _m_sU(w, p)
+        if q is not None:
+            w2 = w[:q]
+            r = _m_lAr(w2, len(w2))
+            if r is not None:
+                w2 = w2[:r]
+                w3, ok = _tr_chain_ki(w2)
+                if ok:
+                    w2 = w3
+            return w2
+        q = _m_lArI(w, p)
+        if q is not None:
+            return w[:q]
+    # DAn ] delete try(poss... | lAr try(chain) | chain)
+    p = _m_DAn(w, n)
+    if p is not None:
+        w2 = w[:p]
+        n2 = len(w2)
+        q = _m_poss(w2, n2)
+        if q is not None:
+            w3 = w2[:q]
+            r = _m_lAr(w3, len(w3))
+            if r is not None:
+                w3 = w3[:r]
+                w4, ok = _tr_chain_ki(w3)
+                if ok:
+                    w3 = w4
+            return w3
+        q = _m_lAr(w2, n2)
+        if q is not None:
+            w3 = w2[:q]
+            w4, ok = _tr_chain_ki(w3)
+            return w4 if ok else w3
+        w3, ok = _tr_chain_ki(w2)
+        return w3 if ok else w2
+    # (nUn|ylA) ] delete try(lAr+chain | (poss|sU)... | chain); note a
+    # failed lAr+chain keeps the lAr deletion and falls to the next arm
+    p = _first(w, n, _m_nUn, _m_ylA)
+    if p is not None:
+        w2 = w[:p]
+        q = _m_lAr(w2, len(w2))
+        if q is not None:
+            w3 = w2[:q]
+            w4, ok = _tr_chain_ki(w3)
+            if ok:
+                return w4
+            w2 = w3
+        q = _m_poss(w2, len(w2))
+        if q is None:
+            q = _m_sU(w2, len(w2))
+        if q is not None:
+            w3 = w2[:q]
+            r = _m_lAr(w3, len(w3))
+            if r is not None:
+                w3 = w3[:r]
+                w4, ok = _tr_chain_ki(w3)
+                if ok:
+                    w3 = w4
+            return w3
+        w3, ok = _tr_chain_ki(w2)
+        return w3 if ok else w2
+    # lArI ] delete
+    p = _m_lArI(w, n)
+    if p is not None:
+        return w[:p]
+    # bare chain_ki
+    w2, ok = _tr_chain_ki(w)
+    if ok:
+        return w2
+    # (DA|yU|yA) ] delete try((poss [opt lAr] | lAr) delete, chain REQUIRED)
+    p = _first(w, n, _m_DA, _m_yU, _m_yA)
+    if p is not None:
+        w2 = w[:p]
+        q = _m_poss(w2, len(w2))
+        if q is not None:
+            w3 = w2[:q]
+            r = _m_lAr(w3, len(w3))
+            if r is not None:
+                w3 = w3[:r]
+            w4, ok = _tr_chain_ki(w3)
+            return w4 if ok else w3
+        q = _m_lAr(w2, len(w2))
+        if q is not None:
+            w3 = w2[:q]
+            w4, ok = _tr_chain_ki(w3)
+            return w4 if ok else w3
+        return w2
+    # (poss|sU) ] delete try(lAr+chain)
+    q = _m_poss(w, n)
+    if q is None:
+        q = _m_sU(w, n)
+    if q is not None:
+        w2 = w[:q]
+        r = _m_lAr(w2, len(w2))
+        if r is not None:
+            w2 = w2[:r]
+            w3, ok = _tr_chain_ki(w2)
+            if ok:
+                w2 = w3
+        return w2
+    return w
+
+
+_TR_FINAL = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+def turkish_stem(word: str) -> str:
+    if sum(c in _TR_VOWELS for c in word) < 2:
+        return word
+    w, cont = _tr_nominal_verb(word)
+    if not cont:
+        return w
+    w = _tr_noun_suffixes(w)
+    # postlude
+    if w in ("ad", "soyad"):       # reserved words skip post-processing
+        return w
+    if w and w[-1] in "dg":        # append harmony vowel after final d/g
+        i = len(w) - 1
+        while i >= 0 and w[i] not in _TR_VOWELS:
+            i -= 1
+        if i >= 0:
+            v = w[i]
+            w += ("ı" if v in "aı" else "i" if v in "ei"
+                  else "u" if v in "ou" else "ü")
+    if w and w[-1] in _TR_FINAL:   # final devoicing b→p c→ç d→t ğ→k
+        w = w[:-1] + _TR_FINAL[w[-1]]
+    return w
+
+
+# =========================================================================
+# Chain helpers for the Turkish / Irish analyzers
+# =========================================================================
+
+def turkish_normalize(tok: str) -> str:
+    """ApostropheFilter + TurkishLowerCaseFilter
+    (tr/TurkishAnalyzer.java:110-113): truncate at the first apostrophe,
+    then Turkish-aware lowering (İ→i, I→ı, I+combining-dot→i)."""
+    for a in ("'", "’"):
+        i = tok.find(a)
+        if i >= 0:
+            tok = tok[:i]
+    out = []
+    i, n = 0, len(tok)
+    while i < n:
+        c = tok[i]
+        if c == "İ":
+            out.append("i")
+        elif c == "I":
+            if i + 1 < n and tok[i + 1] == "̇":
+                out.append("i")
+                i += 1          # consume the combining dot above
+            else:
+                out.append("ı")
+        else:
+            out.append(c.lower())
+        i += 1
+    return "".join(out)
+
+
+_GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+
+
+def irish_normalize(tok: str) -> str:
+    """ElisionFilter(d,m,b) + IrishLowerCaseFilter
+    (ga/IrishAnalyzer.java:122-123): strip a d'/m'/b' article, then keep
+    an n/t eclipsis prefix as 'n-'/'t-' before an uppercase vowel (so the
+    stemmer's n-/t- rules fire), lowercasing the remainder."""
+    if len(tok) >= 2 and tok[1] in "'’" and tok[0] in "dmbDMB":
+        tok = tok[2:]
+    if len(tok) > 1 and tok[0] in "nt" and tok[1] in _GA_UPPER_VOWELS:
+        return tok[0] + "-" + tok[1:].lower()
+    return tok.lower()

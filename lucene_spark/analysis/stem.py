@@ -968,6 +968,7 @@ from lucene_spark.analysis.rslp import (       # noqa: E402 (registry tail)
     portuguese_rslp_stem,
 )
 from lucene_spark.analysis import stem_i18n    # noqa: E402 (registry tail)
+from lucene_spark.analysis import snowball     # noqa: E402 (registry tail)
 
 STEMMERS = {
     "porter": porter_stem,
@@ -1010,6 +1011,13 @@ STEMMERS = {
     # reference chains it AFTER StopFilter (sr/SerbianAnalyzer.java:106-113;
     # its Latin-script stop entries match pre-normalization tokens)
     "serbian_norm": stem_i18n.serbian_normalize,
+    # Snowball family (snowball.py) — 0 mismatches vs the reference's
+    # golden vocabularies (snowball/<lang>.zip), see tests/test_snowball.py
+    "danish": snowball.danish_stem,
+    "romanian": snowball.romanian_stem,
+    "irish": snowball.irish_stem,
+    "nepali": snowball.nepali_stem,
+    "turkish": snowball.turkish_stem,
 }
 
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):
@@ -1023,4 +1031,6 @@ NORMALIZERS = {
     "bengali": stem_i18n.bengali_norm_chain,
     "arabic": stem_i18n.arabic_normalize,
     "indic": stem_i18n.indic_normalize,
+    "turkish": snowball.turkish_normalize,
+    "irish": snowball.irish_normalize,
 }
