@@ -462,12 +462,18 @@ register_analyzer(Analyzer(name="portuguese_rslp",
 # createComponents). Stemmers in snowball.py, all validated to 0
 # mismatches against the reference's golden vocabularies.
 from lucene_spark.analysis.stopwords_i18n import (  # noqa: E402
-    DANISH_STOP_WORDS, IRISH_STOP_WORDS, ROMANIAN_STOP_WORDS,
-    SERBIAN_STOP_WORDS, TURKISH_STOP_WORDS,
+    DANISH_STOP_WORDS, GREEK_STOP_WORDS, IRISH_STOP_WORDS,
+    ROMANIAN_STOP_WORDS, SERBIAN_STOP_WORDS, TURKISH_STOP_WORDS,
 )
 
 register_analyzer(Analyzer(name="danish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=DANISH_STOP_WORDS, stemmer="danish"))
+# Greek (el/GreekAnalyzer.java): GreekLowerCaseFilter (tonos/dialytika
+# fold + final-sigma) runs before the stop filter — the stop file is
+# σ-normalized for exactly this order — then the Ntais stemmer.
+register_analyzer(Analyzer(name="greek", token_pattern=r"\w+",
+                           lowercase=False, normalizer="greek",
+                           stopwords=GREEK_STOP_WORDS, stemmer="greek"))
 register_analyzer(Analyzer(name="romanian", token_pattern=r"\w+",
                            stopwords=ROMANIAN_STOP_WORDS, stemmer="romanian"))
 # Irish (ga/IrishAnalyzer.java): hyphenation particles h/n/t are dropped by

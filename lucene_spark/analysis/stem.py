@@ -969,6 +969,7 @@ from lucene_spark.analysis.rslp import (       # noqa: E402 (registry tail)
 )
 from lucene_spark.analysis import stem_i18n    # noqa: E402 (registry tail)
 from lucene_spark.analysis import snowball     # noqa: E402 (registry tail)
+from lucene_spark.analysis import greek        # noqa: E402 (registry tail)
 
 STEMMERS = {
     "porter": porter_stem,
@@ -1013,6 +1014,9 @@ STEMMERS = {
     "serbian_norm": stem_i18n.serbian_normalize,
     # Snowball family (snowball.py) — 0 mismatches vs the reference's
     # golden vocabularies (snowball/<lang>.zip), see tests/test_snowball.py
+    # Greek (greek.py): the Ntais stemmer — 0 mismatches vs all 342
+    # TestGreekStemmer vectors
+    "greek": greek.greek_stem,
     "danish": snowball.danish_stem,
     "romanian": snowball.romanian_stem,
     "irish": snowball.irish_stem,
@@ -1033,4 +1037,5 @@ NORMALIZERS = {
     "indic": stem_i18n.indic_normalize,
     "turkish": snowball.turkish_normalize,
     "irish": snowball.irish_normalize,
+    "greek": greek.greek_normalize,
 }
