@@ -308,7 +308,14 @@ register_analyzer(Analyzer(name="italian", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
 register_analyzer(Analyzer(name="portuguese", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=PORTUGUESE_STOP_WORDS,
                            stemmer="portuguese_light"))
+# Dutch: nl/DutchAnalyzer.java uses the Snowball DutchStemmer (plus its
+# 4-entry stem-override dict, folded into dutch_stem); the light stemmer
+# remains available as the dutch_light variant.
 register_analyzer(Analyzer(name="dutch", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=DUTCH_STOP_WORDS,
+                           stemmer="dutch"))
+register_analyzer(Analyzer(name="dutch_light",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=DUTCH_STOP_WORDS,
                            stemmer="dutch_light"))
 register_analyzer(Analyzer(name="swedish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
@@ -517,6 +524,15 @@ from lucene_spark.analysis.stopwords_i18n import CJK_STOP_WORDS  # noqa: E402
 CUSTOM_TOKENIZERS["cjk_bigram"] = cjk_token_lists
 register_analyzer(Analyzer(name="cjk", custom_tokenizer="cjk_bigram",
                            stopwords=CJK_STOP_WORDS))
+
+# English Snowball ("porter2") variant — the SnowballPorterFilterFactory
+# language=English chain; distinct from the classic-Porter `english`
+# analyzer below, and golden-validated against the reference's
+# english.zip vocabulary.
+register_analyzer(
+    Analyzer(name="english_snowball", token_pattern=r"[A-Za-z0-9_']+",
+             stopwords=ENGLISH_STOP_WORDS, stemmer="english_snowball")
+)
 
 # English analyzer: standard chain + Porter stemming — the
 # EnglishAnalyzer role (analysis/en/EnglishAnalyzer.java: stops +

@@ -960,3 +960,311 @@ def irish_normalize(tok: str) -> str:
     if len(tok) > 1 and tok[0] in "nt" and tok[1] in _GA_UPPER_VOWELS:
         return tok[0] + "-" + tok[1:].lower()
     return tok.lower()
+
+
+# =========================================================================
+# English "porter2" — snowballstem.org/algorithms/english/stemmer.html
+# (reference: org/tartarus/snowball/ext/EnglishStemmer.java; exposed as
+# the SnowballPorterFilterFactory language=English chain — distinct from
+# the classic Porter stemmer shipped as stem.porter_stem)
+# =========================================================================
+
+_EN_V = frozenset("aeiouy")
+_EN_NOT_SHORT_C = frozenset("aeiouywxY")   # shortv excludes w, x, Y
+
+_EN_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXC2 = frozenset(["inning", "outing", "canning", "herring", "earring",
+                      "proceed", "exceed", "succeed"])
+_EN_STEP2 = {  # a_5 → replacement; None = special
+    "tional": "tion", "enci": "ence", "anci": "ance", "abli": "able",
+    "entli": "ent", "izer": "ize", "ization": "ize", "ational": "ate",
+    "ation": "ate", "ator": "ate", "alism": "al", "aliti": "al",
+    "alli": "al", "fulness": "ful", "ousli": "ous", "ousness": "ous",
+    "iveness": "ive", "iviti": "ive", "biliti": "ble", "bli": "ble",
+    "fulli": "ful", "lessli": "less", "ogi": None, "li": None,
+}
+_EN_STEP3 = {"tional": "tion", "ational": "ate", "alize": "al",
+             "icate": "ic", "iciti": "ic", "ical": "ic", "ful": "",
+             "ness": "", "ative": None}
+_EN_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+             "ement", "ment", "ent", "ism", "ate", "iti", "ous", "ive",
+             "ize", "ion"]
+_EN_VALID_LI = frozenset("cdeghkmnrt")
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+
+_EN_STEP2_SUFS = sorted(_EN_STEP2, key=len, reverse=True)
+_EN_STEP3_SUFS = sorted(_EN_STEP3, key=len, reverse=True)
+_EN_STEP4_SUFS = sorted(_EN_STEP4, key=len, reverse=True)
+
+
+def _en_shortv(w: str, p: int) -> bool:
+    """Backward short-syllable test ending at p: (non-WXY-consonant,
+    vowel, consonant) or (consonant, vowel, start-of-word)."""
+    if p >= 3 and (w[p - 1] not in _EN_NOT_SHORT_C and w[p - 2] in _EN_V
+                   and w[p - 3] not in _EN_V):
+        return True
+    return p == 2 and w[0] in _EN_V and w[1] not in _EN_V
+
+
+def english_porter2_stem(word: str) -> str:
+    exc = _EN_EXC1.get(word)
+    if exc is not None:
+        return exc
+    if len(word) < 3:
+        return word
+    # prelude: drop one leading apostrophe; y at start / after vowel → Y
+    if word.startswith("'"):
+        word = word[1:]
+    chars = list(word)
+    y_found = False
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+        y_found = True
+    for j in range(1, len(chars)):
+        if chars[j] == "y" and chars[j - 1] in _EN_V:
+            chars[j] = "Y"
+            y_found = True
+    word = "".join(chars)
+    # regions: R1 skips a gener/commun/arsen prefix
+    n = len(word)
+    p1 = None
+    for pre in ("commun", "gener", "arsen"):
+        if word.startswith(pre):
+            p1 = len(pre)
+            break
+    if p1 is None:
+        p1 = _r1_std(word, _EN_V)
+    i = p1
+    while i < n and word[i] not in _EN_V:
+        i += 1
+    while i < n and word[i] in _EN_V:
+        i += 1
+    p2 = i + 1 if i < n else n
+
+    # step 0 + 1a
+    for s in ("'s'", "'s", "'"):
+        if word.endswith(s):
+            word = word[: -len(s)]
+            break
+    for s in ("sses", "ies", "ied", "us", "ss", "s"):
+        if word.endswith(s):
+            if s == "sses":
+                word = word[:-2]
+            elif s in ("ies", "ied"):
+                word = word[:-3] + ("i" if len(word) > 4 else "ie")
+            elif s == "s":
+                # delete when a vowel exists before the penultimate char
+                if any(c in _EN_V for c in word[:-2]):
+                    word = word[:-1]
+            break
+    if word in _EN_EXC2:
+        return word
+
+    # step 1b
+    for s in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if not word.endswith(s):
+            continue
+        if s in ("eed", "eedly"):
+            if len(word) - len(s) >= p1:
+                word = word[: -len(s)] + "ee"
+        else:
+            stem_part = word[: -len(s)]
+            if any(c in _EN_V for c in stem_part):
+                word = stem_part
+                if word.endswith(("at", "bl", "iz")):
+                    word += "e"
+                elif word.endswith(_EN_DOUBLES):
+                    word = word[:-1]
+                elif len(word) == p1 and _en_shortv(word, len(word)):
+                    word += "e"
+        break
+
+    # step 1c: final y/Y after a non-vowel that isn't the first letter
+    if (len(word) > 2 and word[-1] in "yY"
+            and word[-2] not in _EN_V):
+        word = word[:-1] + "i"
+
+    # step 2 (R1 post-check on the longest match)
+    s = _longest_suffix(word, _EN_STEP2_SUFS)
+    if s and len(word) - len(s) >= p1:
+        if s == "ogi":
+            if word[: -3].endswith("l"):
+                word = word[:-3] + "og"
+        elif s == "li":
+            if word[:-2] and word[-3] in _EN_VALID_LI:
+                word = word[:-2]
+        else:
+            word = word[: -len(s)] + _EN_STEP2[s]
+
+    # step 3 (R1; ative additionally needs R2)
+    s = _longest_suffix(word, _EN_STEP3_SUFS)
+    if s and len(word) - len(s) >= p1:
+        if s == "ative":
+            if len(word) - 5 >= p2:
+                word = word[:-5]
+        else:
+            word = word[: -len(s)] + _EN_STEP3[s]
+
+    # step 4 (R2; ion only after s/t)
+    s = _longest_suffix(word, _EN_STEP4_SUFS)
+    if s and len(word) - len(s) >= p2:
+        if s == "ion":
+            if word[: -3].endswith(("s", "t")):
+                word = word[:-3]
+        else:
+            word = word[: -len(s)]
+
+    # step 5
+    if word.endswith("e"):
+        if (len(word) - 1 >= p2
+                or (len(word) - 1 >= p1
+                    and not _en_shortv(word, len(word) - 1))):
+            word = word[:-1]
+    elif word.endswith("l") and len(word) - 1 >= p2 and word.endswith("ll"):
+        word = word[:-1]
+
+    return word.replace("Y", "y") if y_found else word
+
+
+# =========================================================================
+# Dutch — snowballstem.org/algorithms/dutch/stemmer.html
+# (reference: org/tartarus/snowball/ext/DutchStemmer.java; the
+# nl/DutchAnalyzer.java chain also applies a 4-entry stem-override
+# dictionary before the Snowball stage — folded into dutch_stem here)
+# =========================================================================
+
+_NL_V = frozenset("aeiouyè")
+_NL_VJ = _NL_V | {"j"}          # g_v_j
+_NL_VI = _NL_V | {"I"}          # g_v_I
+_NL_ACCENTS = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+# DutchAnalyzer DEFAULT_STEM_DICT (nl/DutchAnalyzer.java:79-83)
+_NL_OVERRIDES = {"fiets": "fiets", "bromfiets": "bromfiets",
+                 "ei": "eier", "kind": "kinder"}
+
+
+def _nl_regions(w: str):
+    n, V = len(w), _NL_V
+    i = 0
+    while i < n and w[i] not in V:
+        i += 1
+    while i < n and w[i] in V:
+        i += 1
+    if i >= n:
+        return n, n
+    p1 = max(i + 1, 3)            # at least 3 chars before R1
+    i += 1
+    while i < n and w[i] not in V:
+        i += 1
+    while i < n and w[i] in V:
+        i += 1
+    if i >= n:
+        return p1, n
+    return p1, i + 1
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("dd", "kk", "tt")) else w
+
+
+def _nl_en_ending(w: str, b: int, p1: int):
+    """Shared en/ene deletion: R1, non-vowel before, not after gem."""
+    rest = w[:b]
+    if (b >= p1 and rest and rest[-1] not in _NL_V
+            and not rest.endswith("gem")):
+        return _nl_undouble(rest)
+    return None
+
+
+def _nl_e_ending(w: str, p1: int):
+    """Returns (word, e_found)."""
+    if (w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2
+            and w[-2] not in _NL_V):
+        return _nl_undouble(w[:-1]), True
+    return w, False
+
+
+def dutch_stem(word: str) -> str:
+    if word in _NL_OVERRIDES:
+        return _NL_OVERRIDES[word]
+    # prelude: fold accents; y at start / i,y between vowels → consonants
+    w = word.translate(_NL_ACCENTS)
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for j in range(1, len(chars)):
+        if (chars[j] == "i" and chars[j - 1] in _NL_V
+                and j + 1 < len(chars) and chars[j + 1] in _NL_V):
+            chars[j] = "I"
+        elif chars[j] == "y" and chars[j - 1] in _NL_V:
+            chars[j] = "Y"
+    w = "".join(chars)
+    p1, p2 = _nl_regions(w)
+
+    # step 1
+    for s in ("heden", "ene", "en", "se", "s"):
+        if w.endswith(s):
+            b = len(w) - len(s)
+            if s == "heden":
+                if b >= p1:
+                    w = w[:b] + "heid"
+            elif s in ("ene", "en"):
+                w2 = _nl_en_ending(w, b, p1)
+                if w2 is not None:
+                    w = w2
+            else:                          # se / s: not after vowel or j
+                if b >= p1 and b >= 1 and w[b - 1] not in _NL_VJ:
+                    w = w[:b]
+            break
+
+    # step 2
+    w, e_found = _nl_e_ending(w, p1)
+
+    # step 3a: heden → delete in R2 (not after c), then en_ending
+    if (w.endswith("heid") and len(w) - 4 >= p2
+            and not w[: -4].endswith("c")):
+        w = w[:-4]
+        if w.endswith("en"):
+            w2 = _nl_en_ending(w, len(w) - 2, p1)
+            if w2 is not None:
+                w = w2
+
+    # step 3b: d/verb suffixes (R2)
+    for s in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if w.endswith(s):
+            b = len(w) - len(s)
+            if s in ("end", "ing"):
+                if b >= p2:
+                    w = w[:b]
+                    if (w.endswith("ig") and len(w) - 2 >= p2
+                            and not w[: -2].endswith("e")):
+                        w = w[:-2]
+                    else:
+                        w = _nl_undouble(w)
+            elif s == "ig":
+                if b >= p2 and not w[:b].endswith("e"):
+                    w = w[:b]
+            elif s == "lijk":
+                if b >= p2:
+                    w = w[:b]
+                    w, _ = _nl_e_ending(w, p1)
+            elif s == "baar":
+                if b >= p2:
+                    w = w[:b]
+            else:                          # bar: only if step 2 dropped an e
+                if b >= p2 and e_found:
+                    w = w[:b]
+            break
+
+    # step 4: undouble vowel in C-VV-C
+    if (len(w) >= 4 and w[-1] not in _NL_VI
+            and w[-3:-1] in ("aa", "ee", "oo", "uu")
+            and w[-4] not in _NL_V):
+        w = w[:-2] + w[-1]
+
+    return w.replace("Y", "y").replace("I", "i")

@@ -1022,6 +1022,8 @@ STEMMERS = {
     "irish": snowball.irish_stem,
     "nepali": snowball.nepali_stem,
     "turkish": snowball.turkish_stem,
+    "dutch": snowball.dutch_stem,
+    "english_snowball": snowball.english_porter2_stem,
 }
 
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):

@@ -15,6 +15,8 @@ import pytest
 from lucene_spark.analysis.analyzers import get_analyzer
 from lucene_spark.analysis.snowball import (
     danish_stem,
+    dutch_stem,
+    english_porter2_stem,
     irish_normalize,
     irish_stem,
     nepali_stem,
@@ -32,6 +34,8 @@ GOLDEN = [
     ("irish", irish_stem),
     ("nepali", nepali_stem),
     ("turkish", turkish_stem),
+    ("dutch", dutch_stem),
+    ("english", english_porter2_stem),
 ]
 
 
@@ -76,6 +80,11 @@ def test_analyzer_chains():
         ("turkish", "Türkiye'deki kitapları ve İSTANBUL",
          ["türki", "kitap", "istanbul"]),
         ("serbian", "и лепих градова", ["lepih", "gradova"]),
+        # Dutch now runs the Snowball stemmer (DutchAnalyzer parity);
+        # the stem-override dict keeps fiets whole
+        ("dutch", "de boeken en fietsen", ["boek", "fiets"]),
+        ("english_snowball", "the generously conditional agreement",
+         ["generous", "condit", "agreement"]),
     ]
     for name, text, expected in cases:
         an = get_analyzer(name)
