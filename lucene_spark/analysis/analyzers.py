@@ -469,8 +469,10 @@ register_analyzer(Analyzer(name="portuguese_rslp",
 # createComponents). Stemmers in snowball.py, all validated to 0
 # mismatches against the reference's golden vocabularies.
 from lucene_spark.analysis.stopwords_i18n import (  # noqa: E402
-    DANISH_STOP_WORDS, GREEK_STOP_WORDS, IRISH_STOP_WORDS,
-    ROMANIAN_STOP_WORDS, SERBIAN_STOP_WORDS, TURKISH_STOP_WORDS,
+    ARMENIAN_STOP_WORDS, BASQUE_STOP_WORDS, CATALAN_STOP_WORDS,
+    DANISH_STOP_WORDS, ESTONIAN_STOP_WORDS, GREEK_STOP_WORDS,
+    IRISH_STOP_WORDS, LITHUANIAN_STOP_WORDS, ROMANIAN_STOP_WORDS,
+    SERBIAN_STOP_WORDS, TURKISH_STOP_WORDS,
 )
 
 register_analyzer(Analyzer(name="danish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
@@ -498,6 +500,26 @@ register_analyzer(Analyzer(name="turkish",
                            token_pattern=r"\w+(?:['’]\w+)*", lowercase=False,
                            normalizer="turkish",
                            stopwords=TURKISH_STOP_WORDS, stemmer="turkish"))
+# Catalan (ca/CatalanAnalyzer.java): ElisionFilter(d l m n s t) before
+# lowercase/stop — here the elision normalizer runs on lowercased tokens,
+# equivalent because articles match case-insensitively.
+register_analyzer(Analyzer(name="catalan",
+                           token_pattern=r"\w+(?:['’]\w+)*",
+                           normalizer="catalan",
+                           stopwords=CATALAN_STOP_WORDS, stemmer="catalan"))
+# hy/eu/lt/et analyzers (ArmenianAnalyzer.java etc.): StandardTokenizer →
+# LowerCase → Stop → SnowballFilter, no language-specific normalizers.
+register_analyzer(Analyzer(name="armenian", token_pattern=r"\w+",
+                           stopwords=ARMENIAN_STOP_WORDS,
+                           stemmer="armenian"))
+register_analyzer(Analyzer(name="basque", token_pattern=r"\w+",
+                           stopwords=BASQUE_STOP_WORDS, stemmer="basque"))
+register_analyzer(Analyzer(name="lithuanian", token_pattern=r"\w+",
+                           stopwords=LITHUANIAN_STOP_WORDS,
+                           stemmer="lithuanian"))
+register_analyzer(Analyzer(name="estonian", token_pattern=r"\w+",
+                           stopwords=ESTONIAN_STOP_WORDS,
+                           stemmer="estonian"))
 # Nepali: the reference ships the Snowball stemmer (tartarus ext) but no
 # dedicated analyzer; chain = standard tokenizer (combining-mark aware)
 # + stemmer, no stop set.

@@ -1268,3 +1268,382 @@ def dutch_stem(word: str) -> str:
         w = w[:-2] + w[-1]
 
     return w.replace("Y", "y").replace("I", "i")
+
+
+# =========================================================================
+# Armenian — snowballstem.org/algorithms/armenian/stemmer.html
+# (reference: org/tartarus/snowball/ext/ArmenianStemmer.java; among data
+# in snowball_tables.py, generated by scripts/gen_snowball_tables.py)
+# =========================================================================
+
+from lucene_spark.analysis import snowball_tables as _T  # noqa: E402
+
+
+def _find_b(word: str, lb: int, table) -> tuple[str, int] | None:
+    """find_among_b: longest suffix from `table` (pre-sorted longest-first)
+    the word ends with that does not extend before limit_backward `lb`.
+    Returns (suffix, code) or None. Exact for tables without among-level
+    condition methods (true of every table in snowball_tables.py)."""
+    n = len(word)
+    for s, code in table:
+        if n - len(s) >= lb and word.endswith(s):
+            return s, code
+    return None
+
+
+def _mark_v2(word: str, vowels) -> tuple[int, int]:
+    """Armenian-style regions: pV = after the first vowel; p2 = after the
+    first non-vowel that follows the second vowel-run (V* C* V* C
+    scanning, each golab loop leaving the cursor past the matched char —
+    ArmenianStemmer.r_mark_regions)."""
+    n = len(word)
+    pV = p2 = n
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    pV = i
+    while i < n and word[i] in vowels:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    while i < n and word[i] not in vowels:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    if i >= n:
+        return pV, p2
+    return pV, i + 1
+
+
+def armenian_stem(word: str) -> str:
+    """ArmenianStemmer.stem(): within RV (limit_backward = pV), try in
+    order ending (R2-gated), verb, adjective, noun — each deletes the
+    longest matching suffix from its table."""
+    w = word
+    pV, p2 = _mark_v2(w, _T.HY_VOWELS)
+    if len(w) < pV:
+        return w
+    for table, need_r2 in ((_T.HY_ENDING, True), (_T.HY_VERB, False),
+                           (_T.HY_ADJ, False), (_T.HY_NOUN, False)):
+        m = _find_b(w, pV, table)
+        if m and (not need_r2 or len(w) - len(m[0]) >= p2):
+            w = w[: len(w) - len(m[0])]
+    return w
+# =========================================================================
+# Basque — snowballstem.org/algorithms/basque/stemmer.html
+# (reference: org/tartarus/snowball/ext/BasqueStemmer.java)
+# =========================================================================
+
+def _find_b_at(w: str, c: int, lb: int, table):
+    """find_among_b at cursor c: longest table suffix matching w[:c] that
+    does not extend before limit_backward lb. Returns (suffix, code)."""
+    for s, code in table:
+        if c - len(s) >= lb and w.startswith(s, c - len(s)):
+            return s, code
+    return None
+
+
+def basque_stem(word: str) -> str:
+    """BasqueStemmer.stem(): repeat aditzak, repeat izenak, one
+    adjetiboak pass. RV is the Spanish-family RV; R1/R2 standard.
+    Snowball `repeat` semantics: each successful match leaves the cursor
+    at bra, so subsequent matches happen strictly to the left — regions
+    (absolute indices, never adjusted after slicing, like the Java
+    I_pV/I_p1/I_p2 fields) gate deletes via the bra position."""
+    w = word
+    pV = _rv_es(w, _T.EU_VOWELS)
+    p1, p2 = _r1_r2(w, _T.EU_VOWELS)
+    c = len(w)
+
+    regions = {"rv": pV, "r2": p2, "r1": p1}
+
+    def apply(table, actions):
+        nonlocal w, c
+        m = _find_b_at(w, c, 0, table)
+        if m is None:
+            return False
+        s, code = m
+        bra = c - len(s)
+        gate, rep = actions[code]
+        if gate and bra < regions[gate]:
+            return False
+        w = w[:bra] + rep + w[c:]
+        c = bra
+        return True
+
+    # per-table switch: code -> (region gate or None, replacement)
+    aditzak = {1: ("rv", ""), 2: ("r2", ""), 3: (None, "atseden"),
+               4: (None, "arabera"), 5: (None, "baditu")}
+    izenak = {1: ("rv", ""), 2: ("r2", ""), 3: (None, "jok"),
+              4: ("r1", ""), 5: (None, "tra"), 6: (None, "minutu"),
+              7: (None, "zehar"), 8: (None, "geldi"), 9: (None, "igaro"),
+              10: (None, "aurka")}
+    adj = {1: ("rv", ""), 2: (None, "z")}
+    while apply(_T.EU_ADITZAK, aditzak):
+        pass
+    while apply(_T.EU_IZENAK, izenak):
+        pass
+    apply(_T.EU_ADJ, adj)
+    return w
+
+
+# =========================================================================
+# Catalan — snowballstem.org/algorithms/catalan/stemmer.html
+# (reference: org/tartarus/snowball/ext/CatalanStemmer.java)
+# =========================================================================
+
+_CA_CLEAN_MAP = str.maketrans("àáèéìíïòóúü·", "aaeeiiioouu.")
+
+_CA_ACT = {
+    "pronoun": {1: ("r1", "")},
+    "standard": {1: ("r1", ""), 2: ("r2", ""), 3: ("r2", "log"),
+                 4: ("r2", "ic"), 5: ("r1", "c")},
+    "verb": {1: ("r1", ""), 2: ("r2", "")},
+    "residual": {1: ("r1", ""), 2: ("r1", "ic")},
+}
+
+
+def catalan_stem(word: str) -> str:
+    """CatalanStemmer.stem(): attached_pronoun, then (standard_suffix or
+    verb_suffix), then residual_suffix — each a `do` restoring the cursor
+    to the (current) word end — then the forward `cleaning` pass that
+    strips accents (all 1:1 char maps, so a translate table)."""
+    w = word
+    p1, p2 = _r1_r2(w, _T.CA_VOWELS)
+    regions = {"r1": p1, "r2": p2}
+
+    def apply(table, actions):
+        nonlocal w
+        m = _find_b(w, 0, table)
+        if m is None:
+            return False
+        s, code = m
+        bra = len(w) - len(s)
+        gate, rep = actions[code]
+        if bra < regions[gate]:
+            return False
+        w = w[:bra] + rep
+        return True
+
+    apply(_T.CA_PRONOUN, _CA_ACT["pronoun"])
+    if not apply(_T.CA_STANDARD, _CA_ACT["standard"]):
+        apply(_T.CA_VERB, _CA_ACT["verb"])
+    apply(_T.CA_RESIDUAL, _CA_ACT["residual"])
+    return w.translate(_CA_CLEAN_MAP)
+
+
+# =========================================================================
+# Lithuanian — snowballstem.org/algorithms/lithuanian/stemmer.html
+# (reference: org/tartarus/snowball/ext/LithuanianStemmer.java)
+# =========================================================================
+
+_LT_CONFLICT_FROM = {1: "aitė", 2: "uotė", 3: "ėjimas", 4: "esys",
+                     5: "asys", 6: "avimas", 7: "ojimas", 8: "okatė"}
+_LT_CHDZ_FROM = {1: "t", 2: "d"}
+
+
+def lithuanian_stem(word: str) -> str:
+    """LithuanianStemmer.stem(): R1 with the initial-'a' quirk (words
+    longer than 6 starting with 'a' compute R1 from index 1), then
+    fix_conflicts, step1 (find_among_b UNDER limit_backward=p1, so a
+    long suffix crossing the R1 boundary loses to a shorter in-R1 one),
+    fix_chdz, repeated step2 (same R1-limited among), fix_chdz again,
+    fix_gd. The fix_* rules are unconditional end replacements."""
+    w = word
+    n = len(w)
+    start = 1 if (n > 6 and w.startswith("a")) else 0
+    i = start
+    while i < n and w[i] not in _T.LT_VOWELS:
+        i += 1
+    p1 = n
+    if i < n:
+        i += 1
+        while i < n and w[i] in _T.LT_VOWELS:
+            i += 1
+        if i < n:
+            p1 = i + 1
+
+    def fix(table, froms):
+        nonlocal w
+        m = _find_b(w, 0, table)
+        if m:
+            s, code = m
+            w = w[: len(w) - len(s)] + froms[code]
+
+    fix(_T.LT_CONFLICTS, _LT_CONFLICT_FROM)
+    if len(w) >= p1:
+        m = _find_b(w, p1, _T.LT_STEP1)
+        if m:
+            w = w[: len(w) - len(m[0])]
+    fix(_T.LT_CHDZ, _LT_CHDZ_FROM)
+    while len(w) >= p1:
+        m = _find_b(w, p1, _T.LT_STEP2)
+        if m is None:
+            break
+        w = w[: len(w) - len(m[0])]
+    fix(_T.LT_CHDZ, _LT_CHDZ_FROM)
+    m = _find_b(w, 0, _T.LT_GD)
+    if m:
+        w = w[: len(w) - len(m[0])] + "g"
+    return w
+
+
+# =========================================================================
+# Estonian — snowballstem.org/algorithms/estonian/stemmer.html
+# (reference: org/tartarus/snowball/ext/EstonianStemmer.java)
+# =========================================================================
+
+_ET_VERB_EXC_FROM = {
+    1: "joo", 2: "saa", 3: "viima", 4: "keesi", 5: "löö", 6: "löi",
+    7: "loo", 8: "käisi", 9: "söö", 10: "too", 11: "võisi", 12: "jääma",
+    13: "müüsi", 14: "luge", 15: "põde", 16: "ladu", 17: "tegi",
+    18: "nägi",
+}
+_ET_SPECIAL_FROM = {1: "lase", 2: "mise", 3: "lise"}
+
+
+def _et_longv_before(w: str, pos: int) -> bool:
+    """r_LONGV at cursor=pos: the two chars ending at pos form a long
+    vowel (aa/ee/ii/oo/uu/ää/õõ/öö/üü)."""
+    return pos >= 2 and w[pos - 2] == w[pos - 1] and w[pos - 1] in "aeiouäõöü"
+
+
+def estonian_stem(word: str) -> str:
+    """EstonianStemmer.stem(): whole-word verb exceptions first; then
+    emphasis (gi/ki), verb endings (sets is_verb), substantive chain
+    (special nouns, case endings, plural-3, degrees, i-plural, nu) when
+    no verb ending fired, and finally kk/pp/tt undoubling before a final
+    vowel. All amongs match within R1 (find_among_b under
+    limit_backward=p1); the post-checks (GI/KI/RV groupings, LONGV,
+    mis/las/lis context) run unrestricted, as the generated code restores
+    limit_backward before them."""
+    w = word
+    exc = _ET_VERB_EXC_FROM.get(
+        next((c for s, c in _T.ET_VERB_EXC if s == w), 0))
+    if exc:
+        return exc
+    n = len(w)
+    # mark_regions: p1 after the first non-vowel following the first vowel
+    p1 = _r1_std(w, _T.ET_V1)
+
+    def find(table):
+        m = _find_b(w, p1, table)
+        if m is None or len(w) < p1:
+            return None
+        return m
+
+    # --- emphasis ---
+    m = find(_T.ET_EMPHASIS)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= 4:
+            if code == 1:
+                if (w[bra - 1] in _T.ET_GI
+                        and not _et_longv_before(w, bra)):
+                    w = w[:bra]
+            else:
+                if w[bra - 1] in _T.ET_KI:
+                    w = w[:bra]
+
+    # --- verb ---
+    is_verb = False
+    m = find(_T.ET_VERB)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 1:
+            w = w[:bra]
+            is_verb = True
+        elif code == 2:
+            w = w[:bra] + "a"
+            is_verb = True
+        else:  # 3: preceding char must be a V1 vowel
+            if bra >= 1 and w[bra - 1] in _T.ET_V1:
+                w = w[:bra]
+                is_verb = True
+
+    if not is_verb:
+        # --- substantive chain, each a `do` at the current end ---
+        m = find(_T.ET_SPECIAL_NOUN)
+        if m:
+            s, code = m
+            w = w[: len(w) - len(s)] + _ET_SPECIAL_FROM[code]
+        m = find(_T.ET_CASE)
+        if m:
+            s, _ = m
+            bra = len(w) - len(s)
+            if (bra >= 1 and w[bra - 1] in _T.ET_RV) or \
+                    _et_longv_before(w, bra):
+                w = w[:bra]
+        m = find(_T.ET_PLURAL3)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 1:
+                w = w[:bra] + "iku"
+            elif code == 2:
+                if not _et_longv_before(w, bra):
+                    w = w[:bra]
+            elif code == 3:
+                if bra >= 4:
+                    if w.startswith("mis", bra - 3) or \
+                            w.startswith("las", bra - 3) or \
+                            w.startswith("lis", bra - 3):
+                        w = w[:bra] + "e"
+                    elif not w.startswith("t", bra - 1):
+                        w = w[:bra]
+                    # preceded by "t" with bra>=4: fail (fallback also
+                    # sees the "t" and fails)
+                else:
+                    if not (bra >= 1 and w[bra - 1] == "t"):
+                        w = w[:bra] + "t"
+            else:  # 4
+                if (bra >= 1 and w[bra - 1] in _T.ET_RV) or \
+                        _et_longv_before(w, bra):
+                    w = w[:bra]
+        m = find(_T.ET_DEGREES)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 2 or (bra >= 1 and w[bra - 1] in _T.ET_RV):
+                w = w[:bra]
+        m = find(_T.ET_IPLURAL)
+        if m:
+            s, _ = m
+            bra = len(w) - len(s)
+            if bra >= 1 and w[bra - 1] in _T.ET_RV:
+                w = w[:bra]
+        m = find(_T.ET_NU)
+        if m:
+            w = w[: len(w) - len(m[0])]
+
+    # --- remove_double_kpt: final V1 vowel preceded by kk/pp/tt ---
+    if (len(w) >= 3 and w[-1] in _T.ET_V1
+            and w[-3:-1] in ("kk", "pp", "tt")):
+        w = w[:-3] + w[-2:]
+    return w
+
+
+def catalan_elision(tok: str) -> str:
+    """ElisionFilter with CatalanAnalyzer.DEFAULT_ARTICLES (d l m n s t,
+    case-insensitive — ca/CatalanAnalyzer.java:46-48): strip everything
+    up to and including the first apostrophe when the prefix before it
+    is an article ("l'home" → "home"). Runs on already-lowercased tokens
+    (equivalent to the reference's pre-LowerCase position, since elision
+    only removes a case-insensitively matched prefix)."""
+    for apo in ("'", "’"):
+        i = tok.find(apo)
+        if i != -1:
+            return tok[i + 1:] if tok[:i] in _CA_ARTICLES else tok
+    return tok
+
+
+_CA_ARTICLES = frozenset("dlmnst")

@@ -1024,6 +1024,11 @@ STEMMERS = {
     "turkish": snowball.turkish_stem,
     "dutch": snowball.dutch_stem,
     "english_snowball": snowball.english_porter2_stem,
+    "armenian": snowball.armenian_stem,
+    "basque": snowball.basque_stem,
+    "catalan": snowball.catalan_stem,
+    "lithuanian": snowball.lithuanian_stem,
+    "estonian": snowball.estonian_stem,
 }
 
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):
@@ -1038,6 +1043,7 @@ NORMALIZERS = {
     "arabic": stem_i18n.arabic_normalize,
     "indic": stem_i18n.indic_normalize,
     "turkish": snowball.turkish_normalize,
+    "catalan": snowball.catalan_elision,
     "irish": snowball.irish_normalize,
     "greek": greek.greek_normalize,
 }
