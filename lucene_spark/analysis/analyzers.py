@@ -318,9 +318,17 @@ register_analyzer(Analyzer(name="dutch_light",
                            token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=DUTCH_STOP_WORDS,
                            stemmer="dutch_light"))
-register_analyzer(Analyzer(name="swedish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+register_analyzer(Analyzer(name="swedish_light",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=SWEDISH_STOP_WORDS,
                            stemmer="swedish_light"))
+# sv/SwedishAnalyzer.java chains SnowballFilter(SwedishStemmer) — the
+# Snowball stemmer is the reference DEFAULT (likewise no/ru/fi/hu below);
+# the *_light analyzers keep the factory-selectable light variants.
+register_analyzer(Analyzer(name="swedish",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=SWEDISH_STOP_WORDS,
+                           stemmer="swedish_snowball"))
 
 # Light-stemmed analyzers for the CLEF/UniNE language set (role:
 # {fi,ru,hu,no}/FinnishAnalyzer.java etc. — stop set + *LightStemFilter;
@@ -375,16 +383,32 @@ NORWEGIAN_STOP_WORDS = frozenset(
 
 register_analyzer(Analyzer(name="finnish", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=FINNISH_STOP_WORDS,
+                           stemmer="finnish_snowball"))
+register_analyzer(Analyzer(name="finnish_light",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=FINNISH_STOP_WORDS,
                            stemmer="finnish_light"))
 register_analyzer(Analyzer(name="russian",
+                           token_pattern=r"[А-Яа-яЁёA-Za-z0-9_]+",
+                           stopwords=RUSSIAN_STOP_WORDS,
+                           stemmer="russian_snowball"))
+register_analyzer(Analyzer(name="russian_light",
                            token_pattern=r"[А-Яа-яЁёA-Za-z0-9_]+",
                            stopwords=RUSSIAN_STOP_WORDS,
                            stemmer="russian_light"))
 register_analyzer(Analyzer(name="hungarian",
                            token_pattern=r"[A-Za-zÀ-ÿŐőŰű0-9_]+",
                            stopwords=HUNGARIAN_STOP_WORDS,
+                           stemmer="hungarian_snowball"))
+register_analyzer(Analyzer(name="hungarian_light",
+                           token_pattern=r"[A-Za-zÀ-ÿŐőŰű0-9_]+",
+                           stopwords=HUNGARIAN_STOP_WORDS,
                            stemmer="hungarian_light"))
 register_analyzer(Analyzer(name="norwegian", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=NORWEGIAN_STOP_WORDS,
+                           stemmer="norwegian_snowball"))
+register_analyzer(Analyzer(name="norwegian_light",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=NORWEGIAN_STOP_WORDS,
                            stemmer="norwegian_light"))
 register_analyzer(Analyzer(name="nynorsk", token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",

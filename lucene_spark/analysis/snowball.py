@@ -1647,3 +1647,383 @@ def catalan_elision(tok: str) -> str:
 
 
 _CA_ARTICLES = frozenset("dlmnst")
+
+
+# =========================================================================
+# Swedish / Norwegian Snowball — the reference's DEFAULT sv/no chains
+# (sv/SwedishAnalyzer.java, no/NorwegianAnalyzer.java both chain
+# SnowballFilter; ext/SwedishStemmer.java, ext/NorwegianStemmer.java)
+# =========================================================================
+
+def swedish_snowball_stem(word: str) -> str:
+    w = word
+    p1 = _r1_scand(w, _T.SV_VOWELS)
+    # main_suffix: within R1; code 2 ('s') gated on the preceding char
+    if len(w) >= p1:
+        m = _find_b(w, p1, _T.SV_MAIN)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 1 or (bra >= 1 and w[bra - 1] in _T.SV_S_END):
+                w = w[:bra]
+    # consonant_pair: dd/gd/nn/dt/gt/kt/tt within R1 at the end → drop
+    # the last char (requires at least one char inside R1)
+    if len(w) > p1 and _find_b(w, p1, _T.SV_CONS):
+        w = w[:-1]
+    # other_suffix: lig/ig/els → delete; löst → lös; fullt → full
+    if len(w) >= p1:
+        m = _find_b(w, p1, _T.SV_OTHER)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            w = w[:bra] + {1: "", 2: "lös", 3: "full"}[code]
+    return w
+
+
+def norwegian_snowball_stem(word: str) -> str:
+    w = word
+    p1 = _r1_scand(w, _T.NO_VOWELS)
+    if len(w) >= p1:
+        m = _find_b(w, p1, _T.NO_MAIN)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 1:
+                w = w[:bra]
+            elif code == 2:
+                # 's': preceding char in s_ending, OR 'k' not preceded
+                # by a vowel
+                if (bra >= 1 and w[bra - 1] in _T.NO_S_END) or \
+                        (bra >= 2 and w[bra - 1] == "k"
+                         and w[bra - 2] not in _T.NO_VOWELS):
+                    w = w[:bra]
+            else:  # 3: erte/ert → er
+                w = w[:bra] + "er"
+    # consonant_pair: dt/vt within R1 at the end → drop the last char
+    if len(w) >= 1 and _find_b(w, p1, _T.NO_CONS) and len(w) >= p1:
+        w = w[:-1]
+    if len(w) >= p1:
+        m = _find_b(w, p1, _T.NO_OTHER)
+        if m:
+            w = w[: len(w) - len(m[0])]
+    return w
+
+
+# =========================================================================
+# Russian Snowball — the reference's DEFAULT ru chain
+# (ru/RussianAnalyzer.java chains SnowballFilter; ext/RussianStemmer.java)
+# =========================================================================
+
+def russian_snowball_stem(word: str) -> str:
+    """RussianStemmer.stem(): ё→е prelude; then within RV
+    (limit_backward = pV): perfective-gerund OR (reflexive?, then
+    adjectival|verb|noun); trailing и; R2-gated derivational
+    (ость/ост); tidy-up (ейш(е), double н, soft sign)."""
+    w = word.replace("ё", "е")
+    pV, p2 = _mark_v2(w, _T.RU_VOWELS)
+    if len(w) < pV:
+        return w
+
+    def match_ay(table):
+        """Among where code 1 additionally requires a preceding а/я
+        (inside RV); returns bra or None."""
+        m = _find_b(w, pV, table)
+        if m is None:
+            return None
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 1 and not (bra - 1 >= pV and w[bra - 1] in "ая"):
+            return None
+        return bra
+
+    # step 1
+    bra = match_ay(_T.RU_PERF_GERUND)
+    if bra is not None:
+        w = w[:bra]
+    else:
+        m = _find_b(w, pV, _T.RU_REFLEXIVE)
+        if m:
+            w = w[: len(w) - len(m[0])]
+        m = _find_b(w, pV, _T.RU_ADJECTIVE)
+        if m:
+            w = w[: len(w) - len(m[0])]
+            b2 = match_ay(_T.RU_PARTICIPLE)
+            if b2 is not None:
+                w = w[:b2]
+        else:
+            b2 = match_ay(_T.RU_VERB)
+            if b2 is not None:
+                w = w[:b2]
+            else:
+                m = _find_b(w, pV, _T.RU_NOUN)
+                if m:
+                    w = w[: len(w) - len(m[0])]
+
+    # step 2: trailing и (inside RV)
+    if len(w) - 1 >= pV and w.endswith("и"):
+        w = w[:-1]
+    # step 3: derivational, R2-gated
+    m = _find_b(w, pV, _T.RU_DERIV)
+    if m and len(w) - len(m[0]) >= p2:
+        w = w[: len(w) - len(m[0])]
+    # step 4: tidy up
+    m = _find_b(w, pV, _T.RU_TIDY)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 1:          # ейш(е): delete, then нн → н
+            w = w[:bra]
+            if (len(w) - 2 >= pV and w.endswith("нн")):
+                w = w[:-1]
+        elif code == 2:        # н preceded by н
+            if bra - 1 >= pV and w[bra - 1] == "н":
+                w = w[:bra]
+        else:                  # 3: soft sign
+            w = w[:bra]
+    return w
+
+
+# =========================================================================
+# Finnish Snowball — the reference's DEFAULT fi chain
+# (fi/FinnishAnalyzer.java chains SnowballFilter; ext/FinnishStemmer.java)
+# =========================================================================
+
+_FI_LONGSET = frozenset(("aa", "ee", "ii", "oo", "uu", "ää", "öö"))
+
+
+def _fi_long(w: str, bra: int, lb: int) -> bool:
+    """r_LONG at cursor=bra: a doubled vowel ends at bra (within lb)."""
+    return bra - 2 >= lb and w[bra - 2: bra] in _FI_LONGSET
+
+
+def _fi_vi(w: str, bra: int, lb: int) -> bool:
+    """r_VI at cursor=bra: 'i' preceded by a V2 vowel (within lb)."""
+    return (bra - 1 >= lb and w[bra - 1] == "i"
+            and bra - 1 > lb and w[bra - 2] in _T.FI_V2)
+
+
+_FI_CONDS = {"r_LONG": _fi_long, "r_VI": _fi_vi}
+
+
+def _find_b_cond(w: str, lb: int, table, conds) -> tuple[str, int] | None:
+    """find_among_b with among-level condition methods: on a condition
+    failure the trie falls back through the substring chain, which in a
+    longest-first linear scan is exactly 'continue to the next (shorter)
+    matching entry' — every matching entry is a suffix of the longest."""
+    n = len(w)
+    for e in table:
+        s, code = e[0], e[1]
+        bra = n - len(s)
+        if bra >= lb and w.endswith(s):
+            if len(e) == 3 and not conds[e[2]](w, bra, lb):
+                continue
+            return s, code
+    return None
+
+
+def finnish_stem(word: str) -> str:
+    """FinnishStemmer.stem(): particle, possessive, case ending (sets
+    ending_removed), comparative/other endings (R2), then i-plural if an
+    ending was removed else t-plural, then the 4+1-step tidy. Amongs run
+    under limit_backward = p1 (p2 for other/t-plural tail); the grouping
+    and eq post-checks run with limit_backward restored, per the
+    generated code."""
+    w = word
+    p1, p2 = _r1_r2(word, _T.FI_V1)
+    ending_removed = False
+
+    # particle_etc
+    if len(w) >= p1:
+        m = _find_b(w, p1, _T.FI_PARTICLE)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 1:
+                if bra >= 1 and w[bra - 1] in _T.FI_PARTICLE_END:
+                    w = w[:bra]
+            elif bra >= p2:                        # 2: sti, R2-gated
+                w = w[:bra]
+
+    # possessive
+    if len(w) >= p1:
+        m = _find_b(w, p1, _T.FI_POSSESSIVE)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 1:                          # si, not after k
+                if not (bra >= 1 and w[bra - 1] == "k"):
+                    w = w[:bra]
+            elif code == 2:                        # ni; kse → ksi
+                w = w[:bra]
+                if w.endswith("kse"):
+                    w = w[:-1] + "i"
+            elif code == 3:
+                w = w[:bra]
+            elif code == 4:                        # an after ta/ssa/sta/...
+                if _find_b_at(w, bra, 0, _T.FI_SA):
+                    w = w[:bra]
+            elif code == 5:                        # än after tä/ssä/stä/...
+                if _find_b_at(w, bra, 0, _T.FI_SAE):
+                    w = w[:bra]
+            elif code == 6:                        # en after lle/ine
+                if _find_b_at(w, bra, 0, _T.FI_LLE):
+                    w = w[:bra]
+
+    # case_ending
+    if len(w) >= p1:
+        m = _find_b_cond(w, p1, _T.FI_CASE, _FI_CONDS)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            ok = False
+            if 1 <= code <= 6:                     # h+vowel harmony
+                ok = bra >= 1 and w[bra - 1] == "aeioäö"[code - 1]
+            elif code == 7:                        # n (+1 after LONG/ie)
+                ok = True
+                if bra >= 2 and (w[bra - 2: bra] in _FI_LONGSET
+                                 or w[bra - 2: bra] == "ie"):
+                    bra -= 1
+            elif code == 8:                        # a/ä after V1+C... no:
+                ok = (bra >= 2 and w[bra - 1] in _T.FI_V1
+                      and w[bra - 2] in _T.FI_C)
+            else:
+                ok = True
+            if ok:
+                w = w[:bra]
+                ending_removed = True
+
+    # other_endings (comparatives), within R2
+    if len(w) >= p2:
+        m = _find_b(w, p2, _T.FI_OTHER)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code != 1 or not (bra >= 2 and w[bra - 2: bra] == "po"):
+                w = w[:bra]
+
+    if ending_removed:
+        if len(w) >= p1:
+            m = _find_b(w, p1, _T.FI_IPLURAL)
+            if m:
+                w = w[: len(w) - len(m[0])]
+    else:
+        # t_plural: final t after a vowel, both inside R1
+        if (len(w) >= p1 and len(w) - 1 >= p1 and w.endswith("t")
+                and len(w) - 1 > p1 and w[-2] in _T.FI_V1):
+            w = w[:-1]
+            if len(w) >= p2:
+                m = _find_b(w, p2, _T.FI_TPLURAL)
+                if m:
+                    s, code = m
+                    bra = len(w) - len(s)
+                    if code != 1 or not (bra >= 2
+                                         and w[bra - 2: bra] == "po"):
+                        w = w[:bra]
+
+    # tidy
+    if len(w) >= p1:
+        if len(w) - 2 >= p1 and w[-2:] in _FI_LONGSET and len(w) > p1:
+            w = w[:-1]
+        if (len(w) - 1 > p1 and len(w) > p1 and w[-1] in _T.FI_AEI
+                and w[-2] in _T.FI_C):
+            w = w[:-1]
+        if len(w) - 2 >= p1 and w[-1] == "j" and w[-2] in "ou":
+            w = w[:-1]
+        if len(w) - 2 >= p1 and w[-1] == "o" and w[-2] == "j":
+            w = w[:-1]
+        # undouble the rightmost consonant run's final char
+        c = len(w)
+        while c > 0 and w[c - 1] in _T.FI_V1:
+            c -= 1
+        if (c > 0 and w[c - 1] in _T.FI_C and c - 2 >= 0
+                and w[c - 2] == w[c - 1]):
+            w = w[: c - 1] + w[c:]
+    return w
+
+
+# =========================================================================
+# Hungarian Snowball — the reference's DEFAULT hu chain
+# (hu/HungarianAnalyzer.java chains SnowballFilter;
+# ext/HungarianStemmer.java)
+# =========================================================================
+
+def _hu_r1(w: str) -> int:
+    """Hungarian R1: vowel-start words mark after the first consonant
+    cluster char — after the WHOLE digraph when it opens a listed double
+    consonant (cs/dzs/gy/...); consonant-start words mark after the
+    first vowel."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _T.HU_VOWELS:
+        i = 0
+        while i < n and w[i] in _T.HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for s, _ in _T.HU_DOUBLECONS_F:
+            if w.startswith(s, i):
+                return i + len(s)
+        return i + 1
+    i = 1
+    while i < n and w[i] not in _T.HU_VOWELS:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _hu_v_ending(w: str, p1: int) -> str:
+    """á→a / é→e at the end, R1-gated."""
+    if w and len(w) - 1 >= p1:
+        if w[-1] == "á":
+            return w[:-1] + "a"
+        if w[-1] == "é":
+            return w[:-1] + "e"
+    return w
+
+
+def hungarian_stem(word: str) -> str:
+    """HungarianStemmer.stem(): instrum, case (+v_ending), case_special,
+    case_other, factive, owned, sing_owner, plur_owner, plural — each a
+    `do` at the current end. Amongs match UNRESTRICTED (longest suffix
+    wins) with R1 as a post-check on bra; instrum/factive additionally
+    require a doubled consonant before the suffix and undouble it."""
+    w = word
+    p1 = _hu_r1(word)
+
+    def dbl_rule(table):
+        # instrum / factive: R1 + double-consonant-before + del + undouble
+        nonlocal w
+        m = _find_b(w, 0, table)
+        if m is None:
+            return
+        s, _ = m
+        bra = len(w) - len(s)
+        if bra < p1 or not _find_b_at(w, bra, 0, _T.HU_DOUBLE):
+            return
+        w = w[:bra]
+        if len(w) >= 2:
+            w = w[:-2] + w[-1]
+
+    def sub_rule(table, actions):
+        nonlocal w
+        m = _find_b(w, 0, table)
+        if m is None:
+            return False
+        s, code = m
+        bra = len(w) - len(s)
+        if bra < p1:
+            return False
+        w = w[:bra] + actions[code]
+        return True
+
+    dbl_rule(_T.HU_INSTRUM)
+    if sub_rule(_T.HU_CASE, {-1: ""}):
+        w = _hu_v_ending(w, p1)
+    sub_rule(_T.HU_CASE_SPECIAL, {1: "e", 2: "a"})
+    sub_rule(_T.HU_CASE_OTHER, {1: "", 2: "a", 3: "e"})
+    dbl_rule(_T.HU_FACTIVE)
+    sub_rule(_T.HU_OWNED, {1: "", 2: "e", 3: "a"})
+    sub_rule(_T.HU_SING_OWNER, {1: "", 2: "a", 3: "e"})
+    sub_rule(_T.HU_PLUR_OWNER, {1: "", 2: "a", 3: "e"})
+    sub_rule(_T.HU_PLURAL, {1: "a", 2: "e", 3: ""})
+    return w

@@ -1029,6 +1029,14 @@ STEMMERS = {
     "catalan": snowball.catalan_stem,
     "lithuanian": snowball.lithuanian_stem,
     "estonian": snowball.estonian_stem,
+    # Snowball stemmers that are the DEFAULT chain in the reference's
+    # sv/no/ru/fi/hu analyzers (each chains SnowballFilter, not the
+    # light filter) — 0 mismatches vs snowball/<lang>.zip golden data
+    "swedish_snowball": snowball.swedish_snowball_stem,
+    "norwegian_snowball": snowball.norwegian_snowball_stem,
+    "russian_snowball": snowball.russian_snowball_stem,
+    "finnish_snowball": snowball.finnish_stem,
+    "hungarian_snowball": snowball.hungarian_stem,
 }
 
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):

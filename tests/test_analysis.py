@@ -122,7 +122,10 @@ def test_language_analyzers():
                              ("portuguese", "livro", "livros"),
                              ("dutch", "boek", "boeken"),
                              ("swedish", "bil", "bilar"),
-                             ("russian", "журнал", "журналы"),
+                             # Snowball (the reference default) strips final -л from журнал
+                             # as a verb ending, so use a noun pair that
+                             # conflates under RussianStemmer.java
+                             ("russian", "книга", "книгами"),
                              ("finnish", "kirjat", "kirjassa"),
                              ("hungarian", "házak", "házban"),
                              ("norwegian", "bilen", "bilene")]:

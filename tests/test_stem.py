@@ -173,7 +173,8 @@ def test_new_language_analyzers_registered():
     for name, text, expect_in, expect_out in [
         ("russian", "новые журналы и книги", "журнал", "и"),
         ("finnish", "uudet kirjat ja lehdet", "kirj", "ja"),
-        ("hungarian", "a házak és az utcák", "haz", "a"),
+        # Snowball Hungarian (the reference default) keeps accents
+        ("hungarian", "a házak és az utcák", "ház", "a"),
         ("norwegian", "bilene og husene er der", "bil", "og"),
     ]:
         an = get_analyzer(name)
