@@ -329,6 +329,29 @@ register_analyzer(Analyzer(name="swedish",
                            token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=SWEDISH_STOP_WORDS,
                            stemmer="swedish_snowball"))
+# Snowball variants for the light-stemmed defaults (the classic
+# SnowballPorterFilterFactory languages; the de/fr/es/it/pt DEFAULTS
+# stay light, matching each reference analyzer's createComponents)
+register_analyzer(Analyzer(name="german_snowball",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=GERMAN_STOP_WORDS,
+                           stemmer="german_snowball"))
+register_analyzer(Analyzer(name="french_snowball",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=FRENCH_STOP_WORDS,
+                           stemmer="french_snowball"))
+register_analyzer(Analyzer(name="spanish_snowball",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=SPANISH_STOP_WORDS,
+                           stemmer="spanish_snowball"))
+register_analyzer(Analyzer(name="italian_snowball",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=ITALIAN_STOP_WORDS,
+                           stemmer="italian_snowball"))
+register_analyzer(Analyzer(name="portuguese_snowball",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
+                           stopwords=PORTUGUESE_STOP_WORDS,
+                           stemmer="portuguese_snowball"))
 
 # Light-stemmed analyzers for the CLEF/UniNE language set (role:
 # {fi,ru,hu,no}/FinnishAnalyzer.java etc. — stop set + *LightStemFilter;

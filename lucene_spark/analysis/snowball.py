@@ -2027,3 +2027,730 @@ def hungarian_stem(word: str) -> str:
     sub_rule(_T.HU_PLUR_OWNER, {1: "", 2: "a", 3: "e"})
     sub_rule(_T.HU_PLURAL, {1: "a", 2: "e", 3: ""})
     return w
+
+
+# =========================================================================
+# Spanish Snowball — factory-selectable variant
+# (analysis/snowball/SnowballPorterFilterFactory; ext/SpanishStemmer.java;
+# the DEFAULT es chain stays the UniNE light stemmer, as in
+# es/SpanishAnalyzer.java)
+# =========================================================================
+
+_ES_POSTLUDE = str.maketrans("áéíóú", "aeiou")   # ü is KEPT (a_0)
+
+
+def spanish_snowball_stem(word: str) -> str:
+    """SpanishStemmer.stem(): attached pronoun (a_1 after a gerund/
+    infinitive marker a_2, RV-gated), then standard suffix | y-verb |
+    verb suffix, residual suffix, and the de-accenting postlude."""
+    w = word
+    pV = _rv_es(w, _T.ES_VOWELS)
+    p1, p2 = _r1_r2(w, _T.ES_VOWELS)
+
+    # attached_pronoun
+    m = _find_b(w, 0, _T.ES_PRONOUN)
+    if m:
+        pron = m[0]
+        c = len(w) - len(pron)
+        m2 = _find_b_at(w, c, 0, _T.ES_PRE_PRONOUN)
+        if m2:
+            s2, code = m2
+            start = c - len(s2)
+            if start >= pV:
+                if code <= 5:      # accented marker: replace both parts
+                    w = w[:start] + {1: "iendo", 2: "ando", 3: "ar",
+                                     4: "er", 5: "ir"}[code]
+                elif code == 6:    # plain marker: drop the pronoun only
+                    w = w[:c]
+                elif start >= 1 and w[start - 1] == "u":  # 7: [u]yendo
+                    w = w[:c]
+
+    def opt_del(w2, sufs, gate_p2=True):
+        """Optional follow-up: delete a further suffix if present and in
+        R2 (the lab0/'try' blocks after the main delete)."""
+        m3 = _find_b(w2, 0, sufs)
+        if m3 and len(w2) - len(m3[0]) >= p2:
+            return w2[: len(w2) - len(m3[0])]
+        return w2
+
+    # standard_suffix | y_verb_suffix | verb_suffix
+    done = False
+    m = _find_b(w, 0, _T.ES_STANDARD)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 1 and bra >= p2:
+            w = w[:bra]
+            done = True
+        elif code == 2 and bra >= p2:
+            w = opt_del(w[:bra], (("ic", -1),))
+            done = True
+        elif code == 3 and bra >= p2:
+            w = w[:bra] + "log"
+            done = True
+        elif code == 4 and bra >= p2:
+            w = w[:bra] + "u"
+            done = True
+        elif code == 5 and bra >= p2:
+            w = w[:bra] + "ente"
+            done = True
+        elif code == 6 and bra >= p1:
+            w2 = w[:bra]
+            m3 = _find_b(w2, 0, _T.ES_SUB6)
+            if m3 and len(w2) - len(m3[0]) >= p2:
+                s3, c3 = m3
+                w2 = w2[: len(w2) - len(s3)]
+                if c3 == 1:               # iv → optional at
+                    w2 = opt_del(w2, (("at", -1),))
+            w = w2
+            done = True
+        elif code == 7 and bra >= p2:
+            w = opt_del(w[:bra], _T.ES_SUB7)
+            done = True
+        elif code == 8 and bra >= p2:
+            w = opt_del(w[:bra], _T.ES_SUB8)
+            done = True
+        elif code == 9 and bra >= p2:
+            w = opt_del(w[:bra], (("at", -1),))
+            done = True
+    if not done and len(w) >= pV:
+        m = _find_b(w, pV, _T.ES_Y_VERB)
+        if m and len(w) - len(m[0]) - 1 >= 0 \
+                and w[len(w) - len(m[0]) - 1] == "u":
+            w = w[: len(w) - len(m[0])]
+            done = True
+    if not done and len(w) >= pV:
+        m = _find_b(w, pV, _T.ES_VERB)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 1 and bra >= 2 and w[bra - 1] == "u" \
+                    and w[bra - 2] == "g":
+                bra -= 1
+            w = w[:bra]
+
+    # residual_suffix
+    m = _find_b(w, 0, _T.ES_RESIDUAL)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= pV:
+            w = w[:bra]
+            if code == 2 and w.endswith("gu") and len(w) - 1 >= pV:
+                w = w[:-1]
+    return w.translate(_ES_POSTLUDE)
+
+
+# =========================================================================
+# Portuguese Snowball — factory-selectable variant
+# (ext/PortugueseStemmer.java; the DEFAULT pt chain stays the UniNE
+# light stemmer per pt/PortugueseAnalyzer.java, with RSLP also available)
+# =========================================================================
+
+def portuguese_snowball_stem(word: str) -> str:
+    """PortugueseStemmer.stem(): ã/õ→a~/o~ prelude; (standard|verb
+    suffix + optional c[i] drop) | residual suffix; residual form;
+    reverse postlude."""
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    pV = _rv_es(w, _T.PT_VOWELS)
+    p1, p2 = _r1_r2(w, _T.PT_VOWELS)
+
+    def opt_del(w2, sufs):
+        m3 = _find_b(w2, 0, sufs)
+        if m3 and len(w2) - len(m3[0]) >= p2:
+            return w2[: len(w2) - len(m3[0])], m3[1]
+        return w2, None
+
+    changed = False
+    m = _find_b(w, 0, _T.PT_STANDARD)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 1 and bra >= p2:
+            w = w[:bra]
+            changed = True
+        elif code == 2 and bra >= p2:
+            w = w[:bra] + "log"
+            changed = True
+        elif code == 3 and bra >= p2:
+            w = w[:bra] + "u"
+            changed = True
+        elif code == 4 and bra >= p2:
+            w = w[:bra] + "ente"
+            changed = True
+        elif code == 5 and bra >= p1:
+            w2, c3 = opt_del(w[:bra], _T.PT_SUB_IC)
+            if c3 == 1:                    # iv → optional at
+                w2, _c = opt_del(w2, (("at", -1),))
+            w = w2
+            changed = True
+        elif code == 6 and bra >= p2:
+            w, _c = opt_del(w[:bra], _T.PT_SUB_LOG)
+            changed = True
+        elif code == 7 and bra >= p2:
+            w, _c = opt_del(w[:bra], _T.PT_SUB_UC)
+            changed = True
+        elif code == 8 and bra >= p2:
+            w, _c = opt_del(w[:bra], (("at", -1),))
+            changed = True
+        elif code == 9 and bra >= pV and bra >= 1 and w[bra - 1] == "e":
+            w = w[:bra] + "ir"
+            changed = True
+    if not changed and len(w) >= pV:
+        m = _find_b(w, pV, _T.PT_VERB)
+        if m:
+            w = w[: len(w) - len(m[0])]
+            changed = True
+    if changed:
+        # trailing i after c, inside RV
+        if (w.endswith("ci") and len(w) - 1 >= pV):
+            w = w[:-1]
+    else:
+        m = _find_b(w, 0, _T.PT_RESIDUAL)
+        if m and len(w) - len(m[0]) >= pV:
+            w = w[: len(w) - len(m[0])]
+
+    # residual_form
+    m = _find_b(w, 0, _T.PT_RESID2)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 2:
+            w = w[:bra] + "c"
+        elif bra >= pV:
+            # the e/é/ê delete applies once RV passes; the gu→g / ci→c
+            # follow-up drop is additionally RV-gated at the dropped char
+            w = w[:bra]
+            if ((w.endswith("gu") or w.endswith("ci"))
+                    and len(w) - 1 >= pV):
+                w = w[:-1]
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# =========================================================================
+# Italian Snowball — factory-selectable variant
+# (ext/ItalianStemmer.java; the DEFAULT it chain stays the UniNE light
+# stemmer per it/ItalianAnalyzer.java)
+# =========================================================================
+
+_IT_ACCENTS = str.maketrans("áéíóú", "àèìòù")
+
+
+def italian_snowball_stem(word: str) -> str:
+    """ItalianStemmer.stem(): prelude (acute→grave, qu→qU, u/i between
+    vowels uppercased), attached pronoun, standard|verb suffix, vowel
+    suffix, postlude (U/I lowered)."""
+    w = word.translate(_IT_ACCENTS).replace("qu", "qU")
+    ch = list(w)
+    i = 0
+    while i + 2 < len(ch):
+        if (ch[i] in _T.IT_VOWELS and ch[i + 1] in "ui"
+                and ch[i + 2] in _T.IT_VOWELS):
+            ch[i + 1] = ch[i + 1].upper()
+        i += 1
+    w = "".join(ch)
+    pV = _rv_es(w, _T.IT_VOWELS)
+    p1, p2 = _r1_r2(w, _T.IT_VOWELS)
+
+    # attached_pronoun: pronoun preceded by ando/endo (del) or
+    # ar/er/ir (→e), RV-gated at the marker start
+    m = _find_b(w, 0, _T.IT_PRONOUN)
+    if m:
+        c = len(w) - len(m[0])
+        m2 = _find_b_at(w, c, 0, _T.IT_PRE_PRONOUN)
+        if m2 and c - len(m2[0]) >= pV:
+            w = w[:c] if m2[1] == 1 else w[:c] + "e"
+
+    def opt_del(w2, sufs):
+        m3 = _find_b(w2, 0, sufs)
+        if m3 and len(w2) - len(m3[0]) >= p2:
+            return w2[: len(w2) - len(m3[0])], m3[1]
+        return w2, None
+
+    done = False
+    m = _find_b(w, 0, _T.IT_STANDARD)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 1 and bra >= p2:
+            w = w[:bra]
+            done = True
+        elif code == 2 and bra >= p2:
+            w, _c = opt_del(w[:bra], (("ic", -1),))
+            done = True
+        elif code == 3 and bra >= p2:
+            w = w[:bra] + "log"
+            done = True
+        elif code == 4 and bra >= p2:
+            w = w[:bra] + "u"
+            done = True
+        elif code == 5 and bra >= p2:
+            w = w[:bra] + "ente"
+            done = True
+        elif code == 6 and bra >= pV:
+            w = w[:bra]
+            done = True
+        elif code == 7 and bra >= p1:
+            w2, c3 = opt_del(w[:bra], _T.IT_SUB_ABIL)
+            if c3 == 1:
+                w2, _c = opt_del(w2, (("at", -1),))
+            w = w2
+            done = True
+        elif code == 8 and bra >= p2:
+            w, _c = opt_del(w[:bra], _T.IT_SUB_OS)
+            done = True
+        elif code == 9 and bra >= p2:
+            w2, c3 = opt_del(w[:bra], (("at", -1),))
+            if c3 is not None:
+                w2, _c = opt_del(w2, (("ic", -1),))
+            w = w2
+            done = True
+    if not done and len(w) >= pV:
+        m = _find_b(w, pV, _T.IT_VERB)
+        if m:
+            w = w[: len(w) - len(m[0])]
+
+    # vowel_suffix: final a/e/i/o/à/è/ì/ò in RV (then a further i in RV);
+    # then ch/gh → c/g in RV
+    if w and w[-1] in _T.IT_AEIO and len(w) - 1 >= pV:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= pV:
+            w = w[:-1]
+    if (len(w) >= 2 and w[-1] == "h" and w[-2] in _T.IT_CG
+            and len(w) - 2 >= pV):       # RV checked at the c/g position
+        w = w[:-1]
+    return w.replace("I", "i").replace("U", "u")
+
+
+# =========================================================================
+# German Snowball — factory-selectable variant
+# (ext/GermanStemmer.java; the DEFAULT de chain stays the UniNE light
+# stemmer + normalization per de/GermanAnalyzer.java)
+# =========================================================================
+
+_DE_POSTLUDE = str.maketrans("YUäöü", "yuaou")
+
+
+def _de_mark_uv(w: str, vowels) -> str:
+    """u/y (German) or u/i (Italian-style callers) between vowels get
+    uppercased so later suffix rules skip them."""
+    ch = list(w)
+    for i in range(len(ch) - 2):
+        if (ch[i] in vowels and ch[i + 1] in "uy"
+                and ch[i + 2] in vowels):
+            ch[i + 1] = ch[i + 1].upper()
+    return "".join(ch)
+
+
+def german_snowball_stem(word: str) -> str:
+    """GermanStemmer.stem(): ß→ss prelude + u/y marking; three
+    independent suffix passes (R1 noun endings with the niss cleanup,
+    R1 verb endings with the st guard, R2 derivational endings with
+    ig/lich follow-ups); postlude lowers marks and folds umlauts."""
+    w = _de_mark_uv(word.replace("ß", "ss"), _T.DE_VOWELS)
+    n = len(w)
+    if n < 3:
+        p1 = p2 = n
+    else:
+        p1, p2 = _r1_r2(w, _T.DE_VOWELS)
+        p1 = max(p1, 3)
+
+    # pass 1: noun endings, R1
+    m = _find_b(w, 0, _T.DE_STEP1)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= p1:
+            if code == 1:
+                w = w[:bra]
+            elif code == 2:
+                w = w[:bra]
+                if w.endswith("niss"):     # geheimniss → geheimnis
+                    w = w[:-1]
+            elif bra >= 1 and w[bra - 1] in _T.DE_S_END:
+                w = w[:bra]
+
+    # pass 2: verb endings, R1
+    m = _find_b(w, 0, _T.DE_STEP2)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= p1:
+            if code == 1:
+                w = w[:bra]
+            elif (bra >= 4 and w[bra - 1] in _T.DE_ST_END):
+                # st: needs >=3 chars before the st_ending consonant
+                w = w[:bra]
+
+    # pass 3: derivational endings, R2
+    m = _find_b(w, 0, _T.DE_STEP3)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= p2:
+            if code == 1:                  # end/ung (+optional ig)
+                w = w[:bra]
+                if (w.endswith("ig") and len(w) - 2 >= p2
+                        and not w[:-2].endswith("e")):
+                    w = w[:-2]
+            elif code == 2:                # ig/ik/isch, not after e
+                if not (bra >= 1 and w[bra - 1] == "e"):
+                    w = w[:bra]
+            elif code == 3:                # lich/heit (+optional er/en R1)
+                w = w[:bra]
+                for t in ("er", "en"):
+                    if w.endswith(t) and len(w) - 2 >= p1:
+                        w = w[:-2]
+                        break
+            else:                          # 4: keit (+optional lich/ig R2)
+                w = w[:bra]
+                m2 = _find_b(w, p2, _T.DE_STEP3_GU)
+                if m2:
+                    w = w[: len(w) - len(m2[0])]
+    return w.translate(_DE_POSTLUDE)
+
+
+def german2_snowball_stem(word: str) -> str:
+    """German2Stemmer.stem(): like german but the prelude folds
+    ae/oe/ue → ä/ö/ü (after u/y marking, with "qu" skipping the next
+    two chars so 'ue' after q survives) and ß→ss in the same scan; the
+    suffix passes are identical to GermanStemmer."""
+    w = _de_mark_uv(word, _T.DE2_VOWELS)
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        if w[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif w.startswith("ae", i):
+            out.append("ä")
+            i += 2
+        elif w.startswith("oe", i):
+            out.append("ö")
+            i += 2
+        elif w.startswith("ue", i):
+            out.append("ü")
+            i += 2
+        elif w.startswith("qu", i):
+            if n - (i + 2) < 2:            # hop 2 past end: scan stops
+                out.append(w[i:])
+                break
+            out.append(w[i: i + 4])
+            i += 4
+        else:
+            out.append(w[i])
+            i += 1
+    w = "".join(out)
+    n = len(w)
+    if n < 3:
+        p1 = p2 = n
+    else:
+        p1, p2 = _r1_r2(w, _T.DE2_VOWELS)
+        p1 = max(p1, 3)
+
+    m = _find_b(w, 0, _T.DE2_STEP1)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= p1:
+            if code == 1:
+                w = w[:bra]
+            elif code == 2:
+                w = w[:bra]
+                if w.endswith("niss"):
+                    w = w[:-1]
+            elif bra >= 1 and w[bra - 1] in _T.DE2_S_END:
+                w = w[:bra]
+    m = _find_b(w, 0, _T.DE2_STEP2)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= p1:
+            if code == 1:
+                w = w[:bra]
+            elif bra >= 4 and w[bra - 1] in _T.DE2_ST_END:
+                w = w[:bra]
+    m = _find_b(w, 0, _T.DE2_STEP3)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        if bra >= p2:
+            if code == 1:
+                w = w[:bra]
+                if (w.endswith("ig") and len(w) - 2 >= p2
+                        and not w[:-2].endswith("e")):
+                    w = w[:-2]
+            elif code == 2:
+                if not (bra >= 1 and w[bra - 1] == "e"):
+                    w = w[:bra]
+            elif code == 3:
+                w = w[:bra]
+                for t in ("er", "en"):
+                    if w.endswith(t) and len(w) - 2 >= p1:
+                        w = w[:-2]
+                        break
+            else:
+                w = w[:bra]
+                m2 = _find_b(w, p2, _T.DE2_STEP3_GU)
+                if m2:
+                    w = w[: len(w) - len(m2[0])]
+    return w.translate(_DE_POSTLUDE)
+
+
+# =========================================================================
+# French Snowball — factory-selectable variant
+# (ext/FrenchStemmer.java; the DEFAULT fr chain stays the UniNE light
+# stemmer per fr/FrenchAnalyzer.java)
+# =========================================================================
+
+def _fr_prelude(word: str) -> str:
+    ch = list(word)
+    V = _T.FR_VOWELS
+    i = 0
+    while i < len(ch):
+        c = ch[i]
+        n1 = ch[i + 1] if i + 1 < len(ch) else ""
+        n2 = ch[i + 2] if i + 2 < len(ch) else ""
+        if c in V and n1 == "u" and n2 in V:
+            ch[i + 1] = "U"
+        elif c in V and n1 == "i" and n2 in V:
+            ch[i + 1] = "I"
+        elif c in V and n1 == "y":
+            ch[i + 1] = "Y"
+        elif c == "ë":
+            ch[i: i + 1] = ["H", "e"]
+        elif c == "ï":
+            ch[i: i + 1] = ["H", "i"]
+        elif c == "y" and n1 in V:
+            ch[i] = "Y"
+        elif c == "q" and n1 == "u":
+            ch[i + 1] = "U"
+        else:
+            i += 1
+    return "".join(ch)
+
+
+def _fr_postlude(w: str) -> str:
+    out = []
+    i = 0
+    while i < len(w):
+        if w.startswith("He", i):
+            out.append("ë")
+            i += 2
+        elif w.startswith("Hi", i):
+            out.append("ï")
+            i += 2
+        elif w[i] == "H":
+            i += 1
+        elif w[i] == "I":
+            out.append("i")
+            i += 1
+        elif w[i] == "U":
+            out.append("u")
+            i += 1
+        elif w[i] == "Y":
+            out.append("y")
+            i += 1
+        else:
+            out.append(w[i])
+            i += 1
+    return "".join(out)
+
+
+def _fr_rv(w: str) -> int:
+    """French RV: position after the 2nd char when the word starts with
+    two vowels; after 'par'/'col'/'tap'; else after the first vowel
+    found from position 1."""
+    n = len(w)
+    V = _T.FR_VOWELS
+    if n >= 3 and w[0] in V and w[1] in V:
+        return 3
+    for s, _ in _T.FR_A0:
+        if w.startswith(s):
+            return len(s)
+    i = 1
+    while i < n and w[i] not in V:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def french_snowball_stem(word: str) -> str:
+    """FrenchStemmer.stem(). Cases 13-15 of the standard table slice and
+    then 'fail', letting the verb-suffix rules continue on the modified
+    word — modeled with the three-way status below."""
+    w = _fr_prelude(word)
+    V = _T.FR_VOWELS
+    pV = _fr_rv(w)
+    p1, p2 = _r1_r2(w, V)
+
+    def r2(bra):
+        return bra >= p2
+
+    def std():
+        """Returns 'ok' | 'fail' (possibly after slicing)."""
+        nonlocal w
+        m = _find_b(w, 0, _T.FR_A4)
+        if m is None:
+            return "fail"
+        s, code = m
+        bra = len(w) - len(s)
+        if code == 1:
+            if not r2(bra):
+                return "fail"
+            w = w[:bra]
+        elif code == 2:
+            if not r2(bra):
+                return "fail"
+            w = w[:bra]
+            if w.endswith("ic"):
+                w = w[:-2] if r2(len(w) - 2) else w[:-2] + "iqU"
+        elif code == 3:
+            if not r2(bra):
+                return "fail"
+            w = w[:bra] + "log"
+        elif code == 4:
+            if not r2(bra):
+                return "fail"
+            w = w[:bra] + "u"
+        elif code == 5:
+            if not r2(bra):
+                return "fail"
+            w = w[:bra] + "ent"
+        elif code == 6:
+            if bra < pV:
+                return "fail"
+            w = w[:bra]
+            m2 = _find_b(w, 0, _T.FR_A2)
+            if m2:
+                s2, c2 = m2
+                b2 = len(w) - len(s2)
+                if c2 == 1 and r2(b2):        # iv (+ optional at)
+                    w = w[:b2]
+                    if w.endswith("at") and r2(len(w) - 2):
+                        w = w[:-2]
+                elif c2 == 2:                 # eus
+                    if r2(b2):
+                        w = w[:b2]
+                    elif b2 >= p1:
+                        w = w[:b2] + "eux"
+                elif c2 == 3 and r2(b2):      # abl/iqU
+                    w = w[:b2]
+                elif c2 == 4 and b2 >= pV:    # ièr/Ièr
+                    w = w[:b2] + "i"
+        elif code == 7:
+            if not r2(bra):
+                return "fail"
+            w = w[:bra]
+            m2 = _find_b(w, 0, _T.FR_A3)
+            if m2:
+                s2, c2 = m2
+                b2 = len(w) - len(s2)
+                if c2 == 1:                   # abil
+                    w = w[:b2] if r2(b2) else w[:b2] + "abl"
+                elif c2 == 2:                 # ic
+                    w = w[:b2] if r2(b2) else w[:b2] + "iqU"
+                elif r2(b2):                  # iv
+                    w = w[:b2]
+        elif code == 8:
+            if not r2(bra):
+                return "fail"
+            w = w[:bra]
+            if w.endswith("at") and r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("ic"):
+                    w = w[:-2] if r2(len(w) - 2) else w[:-2] + "iqU"
+        elif code == 9:
+            w = w[:bra] + "eau"
+        elif code == 10:
+            if bra < p1:
+                return "fail"
+            w = w[:bra] + "al"
+        elif code == 11:
+            if r2(bra):
+                w = w[:bra]
+            elif bra >= p1:
+                w = w[:bra] + "eux"
+            else:
+                return "fail"
+        elif code == 12:
+            if bra < p1 or bra < 1 or w[bra - 1] in V:
+                return "fail"
+            w = w[:bra]
+        elif code == 13:
+            if bra < pV:
+                return "fail"
+            w = w[:bra] + "ant"
+            return "fail"                     # continue with verb rules
+        elif code == 14:
+            if bra < pV:
+                return "fail"
+            w = w[:bra] + "ent"
+            return "fail"
+        else:                                 # 15: ment(s) after RV vowel
+            if not (bra >= 1 and w[bra - 1] in V and bra - 1 >= pV):
+                return "fail"
+            w = w[:bra]
+            return "fail"
+        return "ok"
+
+    applied = std() == "ok"
+    if not applied and len(w) >= pV:
+        m = _find_b(w, pV, _T.FR_A5)
+        if m:
+            bra = len(w) - len(m[0])
+            if (not (bra - 1 >= pV and w[bra - 1] == "H")
+                    and bra > pV and w[bra - 1] not in V):
+                w = w[:bra]
+                applied = True
+    if not applied and len(w) >= pV:
+        m = _find_b(w, pV, _T.FR_A6)
+        if m:
+            s, code = m
+            bra = len(w) - len(s)
+            if code == 1:
+                if r2(bra):
+                    w = w[:bra]
+                    applied = True
+            elif code == 2:
+                w = w[:bra]
+                applied = True
+            else:
+                w = w[:bra]
+                if len(w) - 1 >= pV and w.endswith("e"):
+                    w = w[:-1]
+                applied = True
+    if applied:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # residual: optional s-drop, then ion/ier/e within RV
+        if w.endswith("s"):
+            e = len(w) - 1
+            if (w[max(0, e - 2):e] == "Hi"
+                    or (e >= 1 and w[e - 1] not in _T.FR_KEEP_S)):
+                w = w[:e]
+        if len(w) >= pV:
+            m = _find_b(w, pV, _T.FR_A7)
+            if m:
+                s, code = m
+                bra = len(w) - len(s)
+                if code == 1:
+                    if (r2(bra) and bra - 1 >= pV
+                            and w[bra - 1] in "st"):
+                        w = w[:bra]
+                elif code == 2:
+                    w = w[:bra] + "i"
+                else:
+                    w = w[:bra]
+
+    if _find_b(w, 0, _T.FR_A8):              # un_double: enn/onn/ett/...
+        w = w[:-1]
+    # un_accent: é/è before a trailing non-vowel run → e
+    j = len(w)
+    while j > 0 and w[j - 1] not in V:
+        j -= 1
+    if j < len(w) and j > 0 and w[j - 1] in "éè":
+        w = w[: j - 1] + "e" + w[j:]
+    return _fr_postlude(w)

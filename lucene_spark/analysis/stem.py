@@ -1037,6 +1037,14 @@ STEMMERS = {
     "russian_snowball": snowball.russian_snowball_stem,
     "finnish_snowball": snowball.finnish_stem,
     "hungarian_snowball": snowball.hungarian_stem,
+    # factory-selectable Snowball variants (SnowballPorterFilterFactory
+    # roles) for languages whose DEFAULT analyzer chains a light stemmer
+    "spanish_snowball": snowball.spanish_snowball_stem,
+    "italian_snowball": snowball.italian_snowball_stem,
+    "portuguese_snowball": snowball.portuguese_snowball_stem,
+    "german_snowball": snowball.german_snowball_stem,
+    "german2_snowball": snowball.german2_snowball_stem,
+    "french_snowball": snowball.french_snowball_stem,
 }
 
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):

@@ -40,6 +40,10 @@ LANGS = {
                  [T.ET_EMPHASIS, T.ET_VERB, T.ET_LONGV, T.ET_IPLURAL,
                   T.ET_SPECIAL_NOUN, T.ET_CASE, T.ET_PLURAL3, T.ET_NU,
                   T.ET_DEGREES, T.ET_VERB_EXC]),
+    # French has no voc.zip in the reference test data either
+    "french": ("French", T.FR_VOWELS,
+               [T.FR_A2, T.FR_A3, T.FR_A4, T.FR_A5, T.FR_A6, T.FR_A7,
+                T.FR_A8]),
 }
 
 

@@ -88,6 +88,29 @@ LANGS = [
       "a_3": "FI_LLE", "a_4": "FI_POSSESSIVE", "a_5": "FI_LONGV",
       "a_6": "FI_CASE", "a_7": "FI_OTHER", "a_8": "FI_IPLURAL",
       "a_9": "FI_TPLURAL"}),
+    ("Spanish", {"g_v": 97},
+     {"a_0": "ES_CLEAN", "a_1": "ES_PRONOUN", "a_2": "ES_PRE_PRONOUN",
+      "a_3": "ES_SUB6", "a_4": "ES_SUB7", "a_5": "ES_SUB8",
+      "a_6": "ES_STANDARD", "a_7": "ES_Y_VERB", "a_8": "ES_VERB",
+      "a_9": "ES_RESIDUAL"}),
+    ("Italian", {"g_v": 97, "g_AEIO": 97, "g_CG": 99},
+     {"a_0": "IT_PRELUDE1", "a_1": "IT_PRELUDE2", "a_2": "IT_PRONOUN",
+      "a_3": "IT_PRE_PRONOUN", "a_4": "IT_SUB_ABIL", "a_5": "IT_SUB_OS",
+      "a_6": "IT_STANDARD", "a_7": "IT_VERB"}),
+    ("Portuguese", {"g_v": 97},
+     {"a_0": "PT_PRELUDE", "a_1": "PT_POSTLUDE", "a_2": "PT_SUB_IC",
+      "a_3": "PT_SUB_LOG", "a_4": "PT_SUB_UC", "a_5": "PT_STANDARD",
+      "a_6": "PT_VERB", "a_7": "PT_RESIDUAL", "a_8": "PT_RESID2"}),
+    ("German", {"g_v": 97, "g_s_ending": 98, "g_st_ending": 98},
+     {"a_0": "DE_EXCEPTION", "a_1": "DE_STEP1", "a_2": "DE_STEP2",
+      "a_3": "DE_STEP3_GU", "a_4": "DE_STEP3"}),
+    ("German2", {"g_v": 97, "g_s_ending": 98, "g_st_ending": 98},
+     {"a_0": "DE2_PRELUDE1", "a_1": "DE2_PRELUDE2", "a_2": "DE2_STEP1",
+      "a_3": "DE2_STEP2", "a_4": "DE2_STEP3_GU", "a_5": "DE2_STEP3"}),
+    ("French", {"g_v": 97, "g_keep_with_s": 97},
+     {"a_0": "FR_A0", "a_1": "FR_A1", "a_2": "FR_A2",
+      "a_3": "FR_A3", "a_4": "FR_A4", "a_5": "FR_A5",
+      "a_6": "FR_A6", "a_7": "FR_A7", "a_8": "FR_A8"}),
     ("Hungarian", {"g_v": 97},
      {"a_0": "HU_DOUBLECONS_F", "a_1": "HU_V_ENDING", "a_2": "HU_DOUBLE",
       "a_3": "HU_INSTRUM", "a_4": "HU_CASE", "a_5": "HU_CASE_SPECIAL",
@@ -116,6 +139,19 @@ GROUP_RENAME = {
     ("Finnish", "g_V2"): "FI_V2",
     ("Finnish", "g_particle_end"): "FI_PARTICLE_END",
     ("Hungarian", "g_v"): "HU_VOWELS",
+    ("Spanish", "g_v"): "ES_VOWELS",
+    ("Italian", "g_v"): "IT_VOWELS",
+    ("Italian", "g_AEIO"): "IT_AEIO",
+    ("Italian", "g_CG"): "IT_CG",
+    ("Portuguese", "g_v"): "PT_VOWELS",
+    ("German", "g_v"): "DE_VOWELS",
+    ("German", "g_s_ending"): "DE_S_END",
+    ("German", "g_st_ending"): "DE_ST_END",
+    ("German2", "g_v"): "DE2_VOWELS",
+    ("German2", "g_s_ending"): "DE2_S_END",
+    ("German2", "g_st_ending"): "DE2_ST_END",
+    ("French", "g_v"): "FR_VOWELS",
+    ("French", "g_keep_with_s"): "FR_KEEP_S",
 }
 
 
