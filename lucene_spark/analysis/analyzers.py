@@ -352,6 +352,12 @@ register_analyzer(Analyzer(name="portuguese_snowball",
                            token_pattern=r"[A-Za-zÀ-ÿ0-9_]+",
                            stopwords=PORTUGUESE_STOP_WORDS,
                            stemmer="portuguese_snowball"))
+# historical / alternative stemmers selectable via the same factory
+register_analyzer(Analyzer(name="english_lovins",
+                           stopwords=ENGLISH_STOP_WORDS, stemmer="lovins"))
+register_analyzer(Analyzer(name="dutch_kp",
+                           token_pattern=r"[A-Za-zÀ-ÿ0-9_]+(?:'\w+)*",
+                           stopwords=DUTCH_STOP_WORDS, stemmer="kp"))
 
 # Light-stemmed analyzers for the CLEF/UniNE language set (role:
 # {fi,ru,hu,no}/FinnishAnalyzer.java etc. — stop set + *LightStemFilter;

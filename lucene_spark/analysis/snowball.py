@@ -2754,3 +2754,743 @@ def french_snowball_stem(word: str) -> str:
     if j < len(w) and j > 0 and w[j - 1] in "éè":
         w = w[: j - 1] + "e" + w[j:]
     return _fr_postlude(w)
+
+
+# =========================================================================
+# Lovins (English, 1968) — factory-selectable variant
+# (ext/LovinsStemmer.java; SnowballPorterFilterFactory language "Lovins")
+# =========================================================================
+
+def _lov_conds():
+    """Lovins context conditions, each evaluated at the removal point
+    bra against the stem w[:bra] (lb is always 0 for Lovins)."""
+    def A(w, b, lb): return b >= 2
+    def B(w, b, lb): return b >= 3
+    def C(w, b, lb): return b >= 4
+    def D(w, b, lb): return b >= 5
+    def E(w, b, lb): return b >= 2 and w[b - 1] != "e"
+    def F(w, b, lb): return b >= 3 and w[b - 1] != "e"
+    def G(w, b, lb): return b >= 3 and w[b - 1] == "f"
+    def H(w, b, lb):
+        return b >= 2 and (w[b - 1] == "t" or w[b - 2: b] == "ll")
+    def I(w, b, lb): return b >= 2 and w[b - 1] not in "oe"
+    def J(w, b, lb): return b >= 2 and w[b - 1] not in "ae"
+    def K(w, b, lb):
+        return b >= 3 and (w[b - 1] in "li"
+                           or (w[b - 1] == "e" and w[b - 3] == "u"))
+    def L(w, b, lb):
+        if b < 2 or w[b - 1] in "ux":
+            return False
+        return w[b - 1] != "s" or w[b - 2] == "o"
+    def M(w, b, lb): return b >= 2 and w[b - 1] not in "acem"
+    def N(w, b, lb):
+        return b >= 3 and (w[b - 3] != "s" or b >= 4)
+    def O(w, b, lb): return b >= 2 and w[b - 1] in "li"
+    def P(w, b, lb): return b >= 2 and w[b - 1] != "c"
+    def Q(w, b, lb): return b >= 3 and w[b - 1] not in "ln"
+    def R(w, b, lb): return b >= 2 and w[b - 1] in "nr"
+    def S(w, b, lb):
+        return b >= 2 and (w[b - 2: b] == "dr"
+                           or (w[b - 1] == "t" and w[b - 2: b] != "tt"))
+    def T(w, b, lb):
+        return b >= 2 and (w[b - 1] == "s"
+                           or (w[b - 1] == "t" and w[b - 2: b] != "ot"))
+    def U(w, b, lb): return b >= 2 and w[b - 1] in "lmnr"
+    def V(w, b, lb): return b >= 2 and w[b - 1] == "c"
+    def W(w, b, lb): return b >= 2 and w[b - 1] not in "su"
+    def X(w, b, lb):
+        return b >= 2 and (w[b - 1] in "li"
+                           or (b >= 3 and w[b - 1] == "e"
+                               and w[b - 3] == "u"))
+    def Y(w, b, lb): return b >= 2 and w[b - 2: b] == "in"
+    def Z(w, b, lb): return b >= 2 and w[b - 1] != "f"
+    def AA(w, b, lb):
+        return b >= 2 and _find_b_at(w, b, 0, _T.LOV_AA) is not None
+    def BB(w, b, lb):
+        return (b >= 3 and not w[:b].endswith("met")
+                and not w[:b].endswith("ryst"))
+    def CC(w, b, lb): return b >= 2 and w[b - 1] == "l"
+    return {f"r_{f.__name__}": f for f in (
+        A, B, C, D, E, F, G, H, I, J, K, L, M, N, O, P, Q, R, S, T, U,
+        V, W, X, Y, Z, AA, BB, CC)}
+
+
+_LOV_CONDS = _lov_conds()
+
+_LOV_RESPELL_FROM = {
+    1: "ief", 2: "uc", 3: "um", 4: "rb", 5: "ur", 6: "ister",
+    7: "meter", 8: "olut", 9: "l", 10: "bic", 11: "dic", 12: "pic",
+    13: "tic", 14: "ac", 15: "ec", 16: "ic", 17: "luc", 18: "uas",
+    19: "vas", 20: "cis", 21: "lis", 22: "eris", 23: "pans", 24: "ens",
+    25: "ons", 26: "lus", 27: "rus", 28: "hes", 29: "mis", 30: "ens",
+    31: "ers", 32: "es", 33: "ys",
+}
+# respell codes whose rule fails when the match is preceded by one of
+# these chars (eq_s_b guards before the slice_from)
+_LOV_RESPELL_NOT_AFTER = {9: "aio", 24: "s", 28: "pt", 30: "m", 32: "n"}
+
+
+def lovins_stem(word: str) -> str:
+    """LovinsStemmer.stem(): longest-match ending removal under the 29
+    context conditions (with find_among_b's substring-chain fallback on
+    condition failure), consonant undoubling, and the 33 respell rules."""
+    w = word
+    m = _find_b_cond(w, 0, _T.LOV_ENDINGS, _LOV_CONDS)
+    if m:
+        w = w[: len(w) - len(m[0])]
+    if len(w) >= 2 and _find_b(w, 0, _T.LOV_DOUBLE):
+        w = w[:-1]
+    m = _find_b(w, 0, _T.LOV_RESPELL)
+    if m:
+        s, code = m
+        bra = len(w) - len(s)
+        guard = _LOV_RESPELL_NOT_AFTER.get(code)
+        if not (guard and bra >= 1 and w[bra - 1] in guard):
+            w = w[:bra] + _LOV_RESPELL_FROM[code]
+    return w
+
+
+# =========================================================================
+# Kraaij-Pohlmann (Dutch, 1994) — factory-selectable variant
+# (ext/KpStemmer.java; SnowballPorterFilterFactory language "Kp").
+# Implemented over a small cursor/slice runtime (_KpRun) that mirrors
+# SnowballProgram's backward-mode semantics exactly, because KP's rules
+# re-measure regions mid-run and insert characters at the cursor.
+# =========================================================================
+
+class _KpRun:
+    __slots__ = ("w", "c", "lb", "bra", "ket", "p1", "p2",
+                 "ge_removed", "stemmed", "y_found", "s_ch")
+
+    def __init__(self, word: str):
+        self.w = word
+        self.c = 0
+        self.lb = 0
+        self.bra = self.ket = 0
+        self.p1 = self.p2 = len(word)
+        self.ge_removed = self.stemmed = self.y_found = False
+        self.s_ch = ""
+
+    # --- forward primitives ---
+    def eq_s(self, s):
+        if self.w.startswith(s, self.c) and self.c + len(s) <= len(self.w):
+            self.c += len(s)
+            return True
+        return False
+
+    def in_g(self, grp):
+        if self.c < len(self.w) and self.w[self.c] in grp:
+            self.c += 1
+            return True
+        return False
+
+    def out_g(self, grp):
+        if self.c < len(self.w) and self.w[self.c] not in grp:
+            self.c += 1
+            return True
+        return False
+
+    # --- backward primitives ---
+    def eq_s_b(self, s):
+        if self.c - len(s) >= self.lb and self.w.startswith(
+                s, self.c - len(s)):
+            self.c -= len(s)
+            return True
+        return False
+
+    def in_g_b(self, grp):
+        if self.c > self.lb and self.w[self.c - 1] in grp:
+            self.c -= 1
+            return True
+        return False
+
+    def out_g_b(self, grp):
+        if self.c > self.lb and self.w[self.c - 1] not in grp:
+            self.c -= 1
+            return True
+        return False
+
+    def find_b(self, table):
+        for s, code in table:
+            if self.c - len(s) >= self.lb and self.w.startswith(
+                    s, self.c - len(s)):
+                self.c -= len(s)
+                return code
+        return 0
+
+    # --- slicing (replace_s cursor-adjust semantics) ---
+    def _replace(self, b, k, rep):
+        adj = len(rep) - (k - b)
+        self.w = self.w[:b] + rep + self.w[k:]
+        if self.c >= k:
+            self.c += adj
+        elif self.c > b:
+            self.c = b
+
+    def sl_del(self):
+        self._replace(self.bra, self.ket, "")
+
+    def sl_from(self, rep):
+        self._replace(self.bra, self.ket, rep)
+
+    def insert(self, pos, s):
+        self._replace(pos, pos, s)
+
+
+def _kp_R1(r):
+    return r.p1 <= r.c
+
+
+def _kp_R2(r):
+    return r.p2 <= r.c
+
+
+def _kp_V(r):
+    v = r.c
+    ok = r.in_g_b(_T.KP_V) or (r.c == v and r.eq_s_b("ij"))
+    r.c = v
+    return ok
+
+
+def _kp_VX(r):
+    v = r.c
+    if r.c <= r.lb:
+        return False
+    r.c -= 1
+    ok = r.in_g_b(_T.KP_V) or r.eq_s_b("ij")
+    r.c = v
+    return ok
+
+
+def _kp_C(r):
+    v = r.c
+    if r.eq_s_b("ij"):
+        r.c = v
+        return False
+    ok = r.out_g_b(_T.KP_V)
+    r.c = v
+    return ok
+
+
+def _kp_lengthen_V(r):
+    """Double a short a/o/u/e before a final non-(vowel|w|x) consonant."""
+    v1 = len(r.w) - r.c
+    while True:                                 # lab0 as a breakable block
+        if not r.out_g_b(_T.KP_V_WX):
+            break
+        r.ket = r.c
+        v2 = len(r.w) - r.c
+        if r.in_g_b(_T.KP_AOU):
+            r.bra = r.c
+            v3 = len(r.w) - r.c
+            if not (r.out_g_b(_T.KP_V) or r.c <= r.lb):
+                break
+            r.c = len(r.w) - v3
+        else:
+            r.c = len(r.w) - v2
+            if not r.eq_s_b("e"):
+                break
+            r.bra = r.c
+            v5 = len(r.w) - r.c
+            v6 = len(r.w) - r.c
+            if not r.out_g_b(_T.KP_V):
+                r.c = len(r.w) - v6
+                if r.c > r.lb:
+                    break
+            v7 = len(r.w) - r.c
+            if r.in_g_b(_T.KP_AIOU):
+                break
+            r.c = len(r.w) - v7
+            v8 = len(r.w) - r.c
+            hit = False
+            if r.c > r.lb:
+                r.c -= 1
+                if r.in_g_b(_T.KP_AIOU) and r.out_g_b(_T.KP_V):
+                    hit = True
+            if hit:
+                break
+            r.c = len(r.w) - v8
+            r.c = len(r.w) - v5
+        r.s_ch = r.w[r.bra: r.ket]
+        c = r.c
+        r.insert(r.c, r.s_ch)
+        r.c = c
+        break
+    r.c = len(r.w) - v1
+    return True
+
+
+def _kp_step1(r):
+    r.ket = r.c
+    code = r.find_b(_T.KP_STEP1)
+    if code == 0:
+        return False
+    r.bra = r.c
+    if code == 1:
+        r.sl_del()
+    elif code == 2:                             # s
+        if not _kp_R1(r):
+            return False
+        v = len(r.w) - r.c
+        if r.eq_s_b("t") and _kp_R1(r):
+            return False
+        r.c = len(r.w) - v
+        if not _kp_C(r):
+            return False
+        r.sl_del()
+    elif code == 3:                             # ies → ie
+        if not _kp_R1(r):
+            return False
+        r.sl_from("ie")
+    elif code == 4:                             # es
+        v = len(r.w) - r.c
+        if (r.eq_s_b("ar") and _kp_R1(r) and _kp_C(r)):
+            r.bra = r.c
+            r.sl_del()
+            _kp_lengthen_V(r)
+        else:
+            r.c = len(r.w) - v
+            if r.eq_s_b("er") and _kp_R1(r) and _kp_C(r):
+                r.bra = r.c
+                r.sl_del()
+            else:
+                r.c = len(r.w) - v
+                if not (_kp_R1(r) and _kp_C(r)):
+                    return False
+                r.sl_from("e")
+    elif code == 5:                             # aus → au
+        if not (_kp_R1(r) and _kp_V(r)):
+            return False
+        r.sl_from("au")
+    elif code == 6:                             # en
+        v = len(r.w) - r.c
+        if r.eq_s_b("hed") and _kp_R1(r):
+            r.bra = r.c
+            r.sl_from("heid")
+        else:
+            r.c = len(r.w) - v
+            if r.eq_s_b("nd"):
+                r.sl_del()
+            else:
+                r.c = len(r.w) - v
+                if r.eq_s_b("d") and _kp_R1(r) and _kp_C(r):
+                    r.bra = r.c
+                    r.sl_del()
+                else:
+                    r.c = len(r.w) - v
+                    matched = False
+                    if r.eq_s_b("i") or r.eq_s_b("j"):
+                        if _kp_V(r):
+                            r.sl_del()
+                            matched = True
+                        else:
+                            r.c = len(r.w) - v
+                    if not matched:
+                        r.c = len(r.w) - v
+                        if not (_kp_R1(r) and _kp_C(r)):
+                            return False
+                        r.sl_del()
+                        _kp_lengthen_V(r)
+    else:                                       # 7: nde → nd
+        r.sl_from("nd")
+    return True
+
+
+def _kp_step2(r):
+    r.ket = r.c
+    code = r.find_b(_T.KP_STEP2)
+    if code == 0:
+        return False
+    r.bra = r.c
+    if code == 1:                               # je: alternative chain,
+        v = len(r.w) - r.c                      # each restoring on failure
+        if r.eq_s_b("'t"):
+            r.bra = r.c
+            r.sl_del()
+            return True
+        r.c = len(r.w) - v
+        if r.eq_s_b("et"):
+            r.bra = r.c
+            if _kp_R1(r) and _kp_C(r):
+                r.sl_del()
+                return True
+        r.c = len(r.w) - v
+        if r.eq_s_b("rnt"):
+            r.bra = r.c
+            r.sl_from("rn")
+            return True
+        r.c = len(r.w) - v
+        if r.eq_s_b("t"):
+            r.bra = r.c
+            if _kp_R1(r) and _kp_VX(r):
+                r.sl_del()
+                return True
+        r.c = len(r.w) - v
+        if r.eq_s_b("ink"):
+            r.bra = r.c
+            r.sl_from("ing")
+            return True
+        r.c = len(r.w) - v
+        if r.eq_s_b("mp"):
+            r.bra = r.c
+            r.sl_from("m")
+            return True
+        r.c = len(r.w) - v
+        if r.eq_s_b("'"):
+            r.bra = r.c
+            if _kp_R1(r):
+                r.sl_del()
+                return True
+        r.c = len(r.w) - v
+        r.bra = r.c
+        if not (_kp_R1(r) and _kp_C(r)):
+            return False
+        r.sl_del()
+    elif code == 2:
+        if not _kp_R1(r):
+            return False
+        r.sl_from("g")
+    elif code == 3:
+        if not _kp_R1(r):
+            return False
+        r.sl_from("lijk")
+    elif code == 4:
+        if not _kp_R1(r):
+            return False
+        r.sl_from("isch")
+    elif code == 5:
+        if not (_kp_R1(r) and _kp_C(r)):
+            return False
+        r.sl_del()
+    elif code == 6:
+        if not _kp_R1(r):
+            return False
+        r.sl_from("t")
+    elif code == 7:
+        if not _kp_R1(r):
+            return False
+        r.sl_from("s")
+    elif code == 8:
+        if not _kp_R1(r):
+            return False
+        r.sl_from("r")
+    elif code == 9:
+        if not _kp_R1(r):
+            return False
+        r.sl_del()
+        r.insert(r.c, "l")
+        _kp_lengthen_V(r)
+    elif code == 10:
+        if not (_kp_R1(r) and _kp_C(r)):
+            return False
+        r.sl_del()
+        r.insert(r.c, "en")
+        _kp_lengthen_V(r)
+    else:                                       # 11: ieve → ief
+        if not (_kp_R1(r) and _kp_C(r)):
+            return False
+        r.sl_from("ief")
+    return True
+
+
+def _kp_step3(r):
+    r.ket = r.c
+    code = r.find_b(_T.KP_STEP3)
+    if code == 0:
+        return False
+    r.bra = r.c
+    if code == 1:
+        if not _kp_R1(r):
+            return False
+        r.sl_from("eer")
+    elif code == 2:
+        if not _kp_R1(r):
+            return False
+        r.sl_del()
+        _kp_lengthen_V(r)
+    elif code == 3:
+        if not _kp_R1(r):
+            return False
+        r.sl_del()
+    elif code == 4:
+        r.sl_from("r")
+    elif code == 5:
+        if not (_kp_R1(r) and _kp_C(r)):
+            return False
+        r.sl_from("aar")
+    elif code == 6:
+        if not _kp_R2(r):
+            return False
+        r.sl_del()
+        r.insert(r.c, "f")
+        _kp_lengthen_V(r)
+    elif code == 7:
+        if not _kp_R2(r):
+            return False
+        r.sl_del()
+        r.insert(r.c, "g")
+        _kp_lengthen_V(r)
+    elif code == 8:
+        if not (_kp_R1(r) and _kp_C(r)):
+            return False
+        r.sl_from("t")
+    else:                                       # 9
+        if not (_kp_R1(r) and _kp_C(r)):
+            return False
+        r.sl_from("d")
+    return True
+
+
+def _kp_step4(r):
+    v = len(r.w) - r.c
+    r.ket = r.c
+    code = r.find_b(_T.KP_STEP4A)
+    ok = False
+    if code:
+        r.bra = r.c
+        if code == 1:
+            ok = _kp_R1(r)
+            if ok:
+                r.sl_from("ie")
+        elif code == 2:
+            ok = _kp_R1(r)
+            if ok:
+                r.sl_from("eer")
+        elif code == 3:
+            ok = _kp_R1(r)
+            if ok:
+                r.sl_del()
+        elif code == 4:
+            ok = _kp_R1(r) and _kp_V(r)
+            if ok:
+                r.sl_from("n")
+        elif code == 5:
+            ok = _kp_R1(r) and _kp_V(r)
+            if ok:
+                r.sl_from("l")
+        elif code == 6:
+            ok = _kp_R1(r) and _kp_V(r)
+            if ok:
+                r.sl_from("r")
+        elif code == 7:
+            ok = _kp_R1(r)
+            if ok:
+                r.sl_from("teer")
+        elif code == 8:
+            ok = _kp_R1(r)
+            if ok:
+                r.sl_from("lijk")
+        else:                                   # 9
+            ok = _kp_R1(r) and _kp_C(r)
+            if ok:
+                r.sl_del()
+                _kp_lengthen_V(r)
+    if ok:
+        return True
+    # fallback: ig/iger/igst (R1, C) with lengthening
+    r.c = len(r.w) - v
+    r.ket = r.c
+    if r.find_b(_T.KP_STEP4B) == 0:
+        return False
+    r.bra = r.c
+    if not (_kp_R1(r) and _kp_C(r)):
+        return False
+    r.sl_del()
+    _kp_lengthen_V(r)
+    return True
+
+
+def _kp_step7(r):
+    r.ket = r.c
+    code = r.find_b(_T.KP_STEP7)
+    if code == 0:
+        return False
+    r.bra = r.c
+    r.sl_from({1: "k", 2: "f", 3: "p"}[code])
+    return True
+
+
+_KP_STEP6_FROM = {1: "b", 2: "c", 3: "d", 4: "f", 5: "g", 6: "h",
+                  7: "j", 8: "k", 9: "l", 10: "m", 11: "n", 12: "p",
+                  13: "q", 14: "r", 15: "s", 16: "t", 17: "v", 18: "w",
+                  19: "x", 20: "z"}
+
+
+def _kp_step6(r):
+    r.ket = r.c
+    code = r.find_b(_T.KP_STEP6)
+    if code == 0:
+        return False
+    r.bra = r.c
+    r.sl_from(_KP_STEP6_FROM[code])
+    return True
+
+
+def _kp_step1c(r):
+    r.ket = r.c
+    code = r.find_b(_T.KP_STEP1C)
+    if code == 0:
+        return False
+    r.bra = r.c
+    if not (_kp_R1(r) and _kp_C(r)):
+        return False
+    guard = "n" if code == 1 else "h"
+    v = len(r.w) - r.c
+    if r.eq_s_b(guard) and _kp_R1(r):
+        return False
+    r.c = len(r.w) - v
+    r.sl_del()
+    return True
+
+
+def _kp_lose_prefix(r):
+    r.bra = r.c
+    if not r.eq_s("ge"):
+        return False
+    r.ket = r.c
+    v1 = r.c
+    if r.c + 3 > len(r.w):
+        return False
+    # scan (without moving past) for a vowel, then a consonant
+    i = r.c
+    while i < len(r.w) and r.w[i] not in _T.KP_V:
+        i += 1
+    if i >= len(r.w):
+        return False
+    while i < len(r.w) and r.w[i] in _T.KP_V:
+        i += 1
+    if i >= len(r.w):
+        return False
+    r.c = v1
+    r.ge_removed = True
+    r.sl_del()
+    return True
+
+
+def _kp_lose_infix(r):
+    if r.c >= len(r.w):
+        return False
+    r.c += 1
+    while True:
+        r.bra = r.c
+        if r.eq_s("ge"):
+            r.ket = r.c
+            break
+        if r.c >= len(r.w):
+            return False
+        r.c += 1
+    if r.c + 3 > len(r.w):
+        return False
+    i = r.c
+    while i < len(r.w) and r.w[i] not in _T.KP_V:
+        i += 1
+    if i >= len(r.w):
+        return False
+    while i < len(r.w) and r.w[i] in _T.KP_V:
+        i += 1
+    if i >= len(r.w):
+        return False
+    r.ge_removed = True
+    r.sl_del()
+    return True
+
+
+def _kp_measure(r):
+    """KP regions: like standard p1/p2 but 'ij' counts as one vowel and
+    each region boundary needs a trailing consonant."""
+    r.p1 = r.p2 = len(r.w)
+    v1 = r.c
+    r.c = 0
+    ok = True
+    while r.out_g(_T.KP_V):
+        pass
+    n = 0
+    while True:
+        v4 = r.c
+        if r.eq_s("ij") or r.in_g(_T.KP_V):
+            n += 1
+            continue
+        r.c = v4
+        break
+    if n < 1 or not r.out_g(_T.KP_V):
+        r.c = v1
+        return True
+    r.p1 = r.c
+    while r.out_g(_T.KP_V):
+        pass
+    n = 0
+    while True:
+        v8 = r.c
+        if r.eq_s("ij") or r.in_g(_T.KP_V):
+            n += 1
+            continue
+        r.c = v8
+        break
+    if n < 1 or not r.out_g(_T.KP_V):
+        r.c = v1
+        return True
+    r.p2 = r.c
+    r.c = v1
+    return True
+
+
+def kp_stem(word: str) -> str:
+    """KpStemmer.stem(): y-marking, measure, steps 1-4, ge- prefix and
+    -ge- infix removal (each re-measuring and gating step 1c), step 7
+    consonant respell, step 6 undoubling when anything changed, and
+    Y-restoration."""
+    r = _KpRun(word)
+    # mark y's: leading y and any y after a vowel → Y
+    if r.w.startswith("y"):
+        r.w = "Y" + r.w[1:]
+        r.y_found = True
+    ch = list(r.w)
+    for i in range(1, len(ch)):
+        if ch[i] == "y" and ch[i - 1] in _T.KP_V:
+            ch[i] = "Y"
+            r.y_found = True
+    r.w = "".join(ch)
+
+    _kp_measure(r)
+    r.lb = 0
+    r.c = len(r.w)
+    for step in (_kp_step1, _kp_step2, _kp_step3, _kp_step4):
+        v = len(r.w) - r.c
+        if step(r):
+            r.stemmed = True
+        r.c = len(r.w) - v
+
+    r.c = 0
+    r.ge_removed = False
+    if _kp_lose_prefix(r):
+        r.c = 0
+        _kp_measure(r)
+    r.c = 0
+    r.lb = 0
+    r.c = len(r.w)
+    if r.ge_removed:
+        _kp_step1c(r)
+    r.c = 0
+    r.ge_removed = False
+    if _kp_lose_infix(r):
+        r.c = 0
+        _kp_measure(r)
+    r.c = 0
+    r.lb = 0
+    r.c = len(r.w)
+    v = len(r.w) - r.c
+    if r.ge_removed:
+        _kp_step1c(r)
+    r.c = len(r.w) - v
+    r.c = 0
+    r.lb = 0
+    r.c = len(r.w)
+    v = len(r.w) - r.c
+    if _kp_step7(r):
+        r.stemmed = True
+    r.c = len(r.w) - v
+    if r.stemmed or r.ge_removed:
+        _kp_step6(r)
+    if r.y_found:
+        r.w = r.w.replace("Y", "y")
+    return r.w

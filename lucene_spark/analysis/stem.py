@@ -1045,6 +1045,8 @@ STEMMERS = {
     "german_snowball": snowball.german_snowball_stem,
     "german2_snowball": snowball.german2_snowball_stem,
     "french_snowball": snowball.french_snowball_stem,
+    "lovins": snowball.lovins_stem,
+    "kp": snowball.kp_stem,
 }
 
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):

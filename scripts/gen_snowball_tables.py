@@ -111,6 +111,13 @@ LANGS = [
      {"a_0": "FR_A0", "a_1": "FR_A1", "a_2": "FR_A2",
       "a_3": "FR_A3", "a_4": "FR_A4", "a_5": "FR_A5",
       "a_6": "FR_A6", "a_7": "FR_A7", "a_8": "FR_A8"}),
+    ("Kp", {"g_v": 97, "g_v_WX": 97, "g_AOU": 97, "g_AIOU": 97},
+     {"a_0": "KP_STEP1", "a_1": "KP_STEP2", "a_2": "KP_STEP3",
+      "a_3": "KP_STEP4A", "a_4": "KP_STEP4B", "a_5": "KP_STEP7",
+      "a_6": "KP_STEP6", "a_7": "KP_STEP1C"}),
+    ("Lovins", {},
+     {"a_0": "LOV_AA", "a_1": "LOV_ENDINGS", "a_2": "LOV_DOUBLE",
+      "a_3": "LOV_RESPELL"}),
     ("Hungarian", {"g_v": 97},
      {"a_0": "HU_DOUBLECONS_F", "a_1": "HU_V_ENDING", "a_2": "HU_DOUBLE",
       "a_3": "HU_INSTRUM", "a_4": "HU_CASE", "a_5": "HU_CASE_SPECIAL",
@@ -151,6 +158,10 @@ GROUP_RENAME = {
     ("German2", "g_s_ending"): "DE2_S_END",
     ("German2", "g_st_ending"): "DE2_ST_END",
     ("French", "g_v"): "FR_VOWELS",
+    ("Kp", "g_v"): "KP_V",
+    ("Kp", "g_v_WX"): "KP_V_WX",
+    ("Kp", "g_AOU"): "KP_AOU",
+    ("Kp", "g_AIOU"): "KP_AIOU",
     ("French", "g_keep_with_s"): "FR_KEEP_S",
 }
 

@@ -45,8 +45,12 @@ from lucene_spark.analysis.snowball import (  # noqa: E402
     spanish_snowball_stem,
 )
 
+from lucene_spark.analysis.snowball import kp_stem, lovins_stem  # noqa: E402
+
 GOLDEN = [
     ("danish", danish_stem),
+    ("lovins", lovins_stem),
+    ("kp", kp_stem),
     ("german", german_snowball_stem),
     ("german2", german2_snowball_stem),
     ("spanish", spanish_snowball_stem),
