@@ -478,8 +478,9 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
     """Phrase matcher. slop=0: exact (search/ExactPhraseMatcher.java) —
     docs where all terms occur and ∃ position p with term_j at p+j for
     all j; freq = number of such p. slop>0: sloppy window matching (see
-    sloppy_phrase_freq; phrases with REPEATED terms fall back to exact —
-    position-reuse bookkeeping for repeats is out of scope, documented).
+    sloppy_phrase_freq; phrases with REPEATED terms pass per-slot offsets
+    so one token occurrence never fills two query slots — the
+    SloppyPhraseMatcher hasRepeats handling).
     Scored like a pseudo-term with the blended multi-term weight.
     Candidate intersection is vectorized; the position verify loops only
     over the (few) candidate docs."""
