@@ -102,3 +102,31 @@ def test_hot_term_slicing(spark, corpus_pdf, tmp_path):
     full = IndexReader(spark, d)
     assert td["license"] > 0.2 * 400
     check_index(r)
+
+
+def test_i18n_analyzer_end_to_end(spark, tmp_path):
+    """A non-English default chain (Russian = Snowball stemmer, the
+    reference's ru/RussianAnalyzer.java parity chain) runs through the
+    FULL build + search path: the analyzer is resolved by NAME inside
+    executor pandas UDFs, so this guards the registry round-trip and the
+    query-side/index-side stemming symmetry for the i18n analyzers."""
+    rows = [
+        (1, "новые книги и журналы лежат на столе"),
+        (2, "старая книга читателя"),
+        (3, "совсем другой текст про дома"),
+    ]
+    src = spark.createDataFrame(rows, "doc_key int, text string")
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    cfg = IndexConfig(partitions=2, num_groups=1, num_buckets=4,
+                      analyzer="russian", key_cols=("doc_key",),
+                      content_col="text")
+    idx = str(tmp_path / "ru_idx")
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+    # 'книгами' (instrumental plural) must stem to the same term as
+    # 'книги'/'книга' and match docs 1 and 2; the stopwords и/на/про drop
+    hits = {r.doc_id for r in s.search("книгами", k=10).collect()}
+    assert len(hits) == 2
+    assert not s.search("и", k=10).collect()      # stopword never indexed
