@@ -213,6 +213,25 @@ def get_analyzer(name: str) -> Analyzer:
     return _REGISTRY[name]
 
 
+def analyzer_fingerprint(name: str) -> str:
+    """Stable fingerprint of an analyzer chain's OBSERVABLE behavior
+    (tokenizer pattern, case handling, stop set, normalizer/stemmer
+    names, shingles). Stored in index manifests so a reader can detect
+    that the registry's chain for this name changed since the index was
+    built (e.g. a default stemmer swap) — such a change silently breaks
+    index/query term symmetry otherwise."""
+    import hashlib
+
+    a = _REGISTRY[name]
+    ident = "|".join([
+        a.token_pattern, str(a.lowercase), str(a.max_token_length),
+        str(a.split_camel), str(a.stemmer), str(a.normalizer),
+        str(a.custom_tokenizer), str(a.shingle_size),
+        ",".join(sorted(a.stopwords)),
+    ])
+    return hashlib.sha256(ident.encode("utf-8")).hexdigest()[:16]
+
+
 # StandardAnalyzer analogue: word runs (underscore-joined, per UAX#29
 # ExtendNumLet), lowercase, English stops.
 register_analyzer(

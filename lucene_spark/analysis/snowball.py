@@ -1639,11 +1639,11 @@ def catalan_elision(tok: str) -> str:
     is an article ("l'home" → "home"). Runs on already-lowercased tokens
     (equivalent to the reference's pre-LowerCase position, since elision
     only removes a case-insensitively matched prefix)."""
-    for apo in ("'", "’"):
-        i = tok.find(apo)
-        if i != -1:
-            return tok[i + 1:] if tok[:i] in _CA_ARTICLES else tok
-    return tok
+    hits = [i for i in (tok.find("'"), tok.find("’")) if i != -1]
+    if not hits:
+        return tok
+    i = min(hits)        # the FIRST apostrophe of either kind, like
+    return tok[i + 1:] if tok[:i] in _CA_ARTICLES else tok  # ElisionFilter
 
 
 _CA_ARTICLES = frozenset("dlmnst")
@@ -2240,15 +2240,8 @@ def italian_snowball_stem(word: str) -> str:
     """ItalianStemmer.stem(): prelude (acute→grave, qu→qU, u/i between
     vowels uppercased), attached pronoun, standard|verb suffix, vowel
     suffix, postlude (U/I lowered)."""
-    w = word.translate(_IT_ACCENTS).replace("qu", "qU")
-    ch = list(w)
-    i = 0
-    while i + 2 < len(ch):
-        if (ch[i] in _T.IT_VOWELS and ch[i + 1] in "ui"
-                and ch[i + 2] in _T.IT_VOWELS):
-            ch[i + 1] = ch[i + 1].upper()
-        i += 1
-    w = "".join(ch)
+    w = _de_mark_uv(word.translate(_IT_ACCENTS).replace("qu", "qU"),
+                    _T.IT_VOWELS, letters="ui")
     pV = _rv_es(w, _T.IT_VOWELS)
     p1, p2 = _r1_r2(w, _T.IT_VOWELS)
 
@@ -2331,32 +2324,24 @@ def italian_snowball_stem(word: str) -> str:
 _DE_POSTLUDE = str.maketrans("YUäöü", "yuaou")
 
 
-def _de_mark_uv(w: str, vowels) -> str:
-    """u/y (German) or u/i (Italian-style callers) between vowels get
-    uppercased so later suffix rules skip them."""
+def _de_mark_uv(w: str, vowels, letters: str = "uy") -> str:
+    """`letters` between two vowels get uppercased so later suffix rules
+    skip them — u/y for German, u/i for Italian."""
     ch = list(w)
     for i in range(len(ch) - 2):
-        if (ch[i] in vowels and ch[i + 1] in "uy"
+        if (ch[i] in vowels and ch[i + 1] in letters
                 and ch[i + 2] in vowels):
             ch[i + 1] = ch[i + 1].upper()
     return "".join(ch)
 
 
-def german_snowball_stem(word: str) -> str:
-    """GermanStemmer.stem(): ß→ss prelude + u/y marking; three
-    independent suffix passes (R1 noun endings with the niss cleanup,
-    R1 verb endings with the st guard, R2 derivational endings with
-    ig/lich follow-ups); postlude lowers marks and folds umlauts."""
-    w = _de_mark_uv(word.replace("ß", "ss"), _T.DE_VOWELS)
-    n = len(w)
-    if n < 3:
-        p1 = p2 = n
-    else:
-        p1, p2 = _r1_r2(w, _T.DE_VOWELS)
-        p1 = max(p1, 3)
-
+def _de_suffix_passes(w: str, p1: int, p2: int, step1, step2, step3,
+                      step3_gu, s_end, st_end) -> str:
+    """The three German suffix passes, shared verbatim by GermanStemmer
+    and German2Stemmer (their tables are identical; only the preludes
+    differ)."""
     # pass 1: noun endings, R1
-    m = _find_b(w, 0, _T.DE_STEP1)
+    m = _find_b(w, 0, step1)
     if m:
         s, code = m
         bra = len(w) - len(s)
@@ -2367,23 +2352,23 @@ def german_snowball_stem(word: str) -> str:
                 w = w[:bra]
                 if w.endswith("niss"):     # geheimniss → geheimnis
                     w = w[:-1]
-            elif bra >= 1 and w[bra - 1] in _T.DE_S_END:
+            elif bra >= 1 and w[bra - 1] in s_end:
                 w = w[:bra]
 
     # pass 2: verb endings, R1
-    m = _find_b(w, 0, _T.DE_STEP2)
+    m = _find_b(w, 0, step2)
     if m:
         s, code = m
         bra = len(w) - len(s)
         if bra >= p1:
             if code == 1:
                 w = w[:bra]
-            elif (bra >= 4 and w[bra - 1] in _T.DE_ST_END):
+            elif (bra >= 4 and w[bra - 1] in st_end):
                 # st: needs >=3 chars before the st_ending consonant
                 w = w[:bra]
 
     # pass 3: derivational endings, R2
-    m = _find_b(w, 0, _T.DE_STEP3)
+    m = _find_b(w, 0, step3)
     if m:
         s, code = m
         bra = len(w) - len(s)
@@ -2404,9 +2389,28 @@ def german_snowball_stem(word: str) -> str:
                         break
             else:                          # 4: keit (+optional lich/ig R2)
                 w = w[:bra]
-                m2 = _find_b(w, p2, _T.DE_STEP3_GU)
+                m2 = _find_b(w, p2, step3_gu)
                 if m2:
                     w = w[: len(w) - len(m2[0])]
+    return w
+
+
+def german_snowball_stem(word: str) -> str:
+    """GermanStemmer.stem(): ß→ss prelude + u/y marking; three
+    independent suffix passes (R1 noun endings with the niss cleanup,
+    R1 verb endings with the st guard, R2 derivational endings with
+    ig/lich follow-ups); postlude lowers marks and folds umlauts."""
+    w = _de_mark_uv(word.replace("ß", "ss"), _T.DE_VOWELS)
+    n = len(w)
+    if n < 3:
+        p1 = p2 = n
+    else:
+        p1, p2 = _r1_r2(w, _T.DE_VOWELS)
+        p1 = max(p1, 3)
+
+    w = _de_suffix_passes(w, p1, p2, _T.DE_STEP1, _T.DE_STEP2,
+                          _T.DE_STEP3, _T.DE_STEP3_GU, _T.DE_S_END,
+                          _T.DE_ST_END)
     return w.translate(_DE_POSTLUDE)
 
 
@@ -2448,52 +2452,9 @@ def german2_snowball_stem(word: str) -> str:
         p1, p2 = _r1_r2(w, _T.DE2_VOWELS)
         p1 = max(p1, 3)
 
-    m = _find_b(w, 0, _T.DE2_STEP1)
-    if m:
-        s, code = m
-        bra = len(w) - len(s)
-        if bra >= p1:
-            if code == 1:
-                w = w[:bra]
-            elif code == 2:
-                w = w[:bra]
-                if w.endswith("niss"):
-                    w = w[:-1]
-            elif bra >= 1 and w[bra - 1] in _T.DE2_S_END:
-                w = w[:bra]
-    m = _find_b(w, 0, _T.DE2_STEP2)
-    if m:
-        s, code = m
-        bra = len(w) - len(s)
-        if bra >= p1:
-            if code == 1:
-                w = w[:bra]
-            elif bra >= 4 and w[bra - 1] in _T.DE2_ST_END:
-                w = w[:bra]
-    m = _find_b(w, 0, _T.DE2_STEP3)
-    if m:
-        s, code = m
-        bra = len(w) - len(s)
-        if bra >= p2:
-            if code == 1:
-                w = w[:bra]
-                if (w.endswith("ig") and len(w) - 2 >= p2
-                        and not w[:-2].endswith("e")):
-                    w = w[:-2]
-            elif code == 2:
-                if not (bra >= 1 and w[bra - 1] == "e"):
-                    w = w[:bra]
-            elif code == 3:
-                w = w[:bra]
-                for t in ("er", "en"):
-                    if w.endswith(t) and len(w) - 2 >= p1:
-                        w = w[:-2]
-                        break
-            else:
-                w = w[:bra]
-                m2 = _find_b(w, p2, _T.DE2_STEP3_GU)
-                if m2:
-                    w = w[: len(w) - len(m2[0])]
+    w = _de_suffix_passes(w, p1, p2, _T.DE2_STEP1, _T.DE2_STEP2,
+                          _T.DE2_STEP3, _T.DE2_STEP3_GU, _T.DE2_S_END,
+                          _T.DE2_ST_END)
     return w.translate(_DE_POSTLUDE)
 
 

@@ -52,6 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from lucene_spark.analysis import get_analyzer
+from lucene_spark.analysis.analyzers import analyzer_fingerprint
 from lucene_spark.codec.blocks import BLOCK_SIZE, build_block_meta
 from lucene_spark.codec.vbyte import vbyte_encode, delta_encode
 
@@ -548,6 +549,16 @@ class IndexBuilder:
             "version": 3,
             "layout": 1,   # postings/ bucketed+term-sorted, docstats/ sidecar
             "source_fingerprint": fp,
+            # behavior fingerprints of every chain used: readers verify
+            # the registry still resolves these names to the SAME chain
+            # (a default-stemmer swap otherwise silently breaks
+            # index/query term symmetry)
+            "analyzer_chains": {
+                name: analyzer_fingerprint(name)
+                for name in sorted({f.analyzer or cfg.analyzer
+                                    for f in cfg.field_specs()}
+                                   | {cfg.analyzer})
+            },
             "config": {
                 "analyzer": cfg.analyzer,
                 "key_cols": list(cfg.key_cols),

@@ -26,6 +26,22 @@ class IndexReader:
             self.manifest = json.load(fh)
         cfg = self.manifest["config"]
         self.analyzer_name: str = cfg["analyzer"]
+        # analyzer-chain drift guard (manifests that predate the field
+        # skip the check): the same NAME must still mean the same chain
+        for name, fp in (self.manifest.get("analyzer_chains") or {}).items():
+            from lucene_spark.analysis.analyzers import analyzer_fingerprint
+            try:
+                cur = analyzer_fingerprint(name)
+            except KeyError:
+                cur = "<unregistered>"
+            if cur != fp:
+                import warnings
+                warnings.warn(
+                    f"index {index_dir!r} was built with analyzer "
+                    f"{name!r} whose chain has since changed "
+                    f"({fp} -> {cur}); queries may not match indexed "
+                    "terms — rebuild the index or restore the original "
+                    "chain", stacklevel=2)
         self.key_cols: list[str] = cfg["key_cols"]
         self.carry_cols: list[str] = cfg.get("carry_cols", [])
         self.num_buckets: int = cfg["num_buckets"]

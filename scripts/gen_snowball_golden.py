@@ -1,6 +1,6 @@
-"""Generate golden (word, stem) fixtures for the 5 Snowball languages
+"""Generate golden (word, stem) fixtures for the 6 Snowball languages
 that have NO voc.zip in the reference test data (Armenian, Basque,
-Catalan, Lithuanian, Estonian).
+Catalan, Lithuanian, Estonian, French).
 
 The reference's own machine-generated stemmers
 (org/tartarus/snowball/ext/<Lang>Stemmer.java) are compiled with javac
