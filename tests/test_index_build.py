@@ -130,3 +130,33 @@ def test_i18n_analyzer_end_to_end(spark, tmp_path):
     hits = {r.doc_id for r in s.search("книгами", k=10).collect()}
     assert len(hits) == 2
     assert not s.search("и", k=10).collect()      # stopword never indexed
+
+
+def test_analyzer_chain_drift_warns(spark, tmp_path):
+    """Manifest records per-chain fingerprints; a registry change for the
+    same analyzer NAME must surface as a warning at open time (silent
+    index/query stemming asymmetry otherwise)."""
+    import json
+    import warnings
+
+    src = spark.createDataFrame([(1, "hello world")],
+                                "doc_key int, text string")
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+
+    cfg = IndexConfig(partitions=1, num_groups=1, num_buckets=2,
+                      key_cols=("doc_key",), content_col="text")
+    idx = str(tmp_path / "drift_idx")
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+
+    mpath = idx + "/manifest.json"
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m["analyzer_chains"], "fingerprints must be recorded"
+    # simulate a registry drift: stored fingerprint no longer matches
+    m["analyzer_chains"] = {k: "0" * 16 for k in m["analyzer_chains"]}
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        IndexReader(spark, idx)
+    assert any("chain has since changed" in str(w.message) for w in caught)
