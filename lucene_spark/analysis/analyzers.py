@@ -374,6 +374,10 @@ register_analyzer(Analyzer(name="portuguese_snowball",
 # historical / alternative stemmers selectable via the same factory
 register_analyzer(Analyzer(name="english_lovins",
                            stopwords=ENGLISH_STOP_WORDS, stemmer="lovins"))
+# ICU folding analyzer (icu/ICUFoldingFilter.java chain: tokenize →
+# UTR#30 fold; casefold lives inside the normalizer, so lowercase=False)
+register_analyzer(Analyzer(name="icu", token_pattern=r"\w+",
+                           lowercase=False, normalizer="icu_folding"))
 register_analyzer(Analyzer(name="dutch_kp",
                            token_pattern=r"[A-Za-zÀ-ÿ0-9_]+(?:'\w+)*",
                            stopwords=DUTCH_STOP_WORDS, stemmer="kp"))

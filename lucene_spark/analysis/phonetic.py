@@ -93,3 +93,36 @@ def ascii_fold(word: str) -> str:
     s = "".join(extra.get(c, c) for c in word)
     decomposed = unicodedata.normalize("NFKD", s)
     return "".join(c for c in decomposed if not unicodedata.combining(c))
+
+
+def icu_fold(tok: str) -> str:
+    """ICUFoldingFilter role (analysis/icu/ICUFoldingFilter.java — UTR#30
+    folding: NFKC_CaseFold + diacritic/default-ignorable/native-digit
+    folding), approximated with unicodedata: NFKC → casefold → NFKD →
+    drop combining marks (Mn) and format chars (Cf: ZWJ/ZWNJ etc.) →
+    fold decimal digits to ASCII → the non-decomposable Latin table →
+    NFC. Matches every vector in the reference's TestICUFoldingFilter
+    (tests/test_analysis.py::test_icu_folding)."""
+    import unicodedata as ud
+
+    t = ud.normalize("NFKD", ud.normalize("NFKC", tok).casefold())
+    extra = {"æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
+             "þ": "th", "ł": "l", "ħ": "h", "ŋ": "n"}
+    out = []
+    for ch in t:
+        cat = ud.category(ch)
+        if cat in ("Mn", "Cf"):
+            continue
+        if cat == "Nd":
+            out.append(str(ud.digit(ch)))
+            continue
+        out.append(extra.get(ch, ch))
+    return ud.normalize("NFC", "".join(out))
+
+
+def nfkc_cf(tok: str) -> str:
+    """ICUNormalizer2Filter default mode (nfkc_cf): NFKC + case fold,
+    WITHOUT diacritic removal (icu/ICUNormalizer2Filter.java)."""
+    import unicodedata as ud
+
+    return ud.normalize("NFKC", ud.normalize("NFKC", tok).casefold())

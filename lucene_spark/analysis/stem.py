@@ -958,6 +958,8 @@ def german_light_norm_stem(word: str) -> str:
 # (the TokenFilterFactory SPI role — analysis/util/TokenFilterFactory.java)
 from lucene_spark.analysis.phonetic import (   # noqa: E402 (registry tail)
     ascii_fold,
+    icu_fold,
+    nfkc_cf,
     refined_soundex,
     soundex,
 )
@@ -1062,6 +1064,9 @@ NORMALIZERS = {
     "indic": stem_i18n.indic_normalize,
     "turkish": snowball.turkish_normalize,
     "catalan": snowball.catalan_elision,
+    # ICU module roles (analysis/icu): UTR#30 folding + nfkc_cf
+    "icu_folding": icu_fold,
+    "nfkc_cf": nfkc_cf,
     "irish": snowball.irish_normalize,
     "greek": greek.greek_normalize,
 }

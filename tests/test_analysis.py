@@ -208,3 +208,32 @@ def test_phonetic_encoders():
     fa = get_analyzer("standard_folded")
     assert list(fa.tokenize_series(pd.Series(["résumé café"])).iloc[0]) == \
         ["resume", "cafe"]
+
+
+def test_icu_folding():
+    """Every vector from the reference's TestICUFoldingFilter.java:49-87
+    (UTR#30: casefold + accent removal + normalization + default
+    ignorables + native digits + ascii-folding-type Latin cases)."""
+    from lucene_spark.analysis.phonetic import icu_fold, nfkc_cf
+
+    vectors = [
+        ("This", "this"), ("Ruß", "russ"),
+        ("ΜΆΪΟΣ", "μαιοσ"), ("Μάϊος", "μαιοσ"),
+        ("𐐖", "𐐾"), ("ﴳﴺﰧ", "طمطمطم"),
+        ("क्‍ष", "कष"), ("résumé", "resume"),
+        ("résumé", "resume"), ("৭০৬", "706"),
+        ("đis", "dis"), ("cræzy", "craezy"),
+        ("ELİF", "elif"), ("eli̇f", "elif"), ("", ""),
+    ]
+    for inp, expect in vectors:
+        assert icu_fold(inp) == expect, (inp, icu_fold(inp), expect)
+    # nfkc_cf keeps accents (TestICUNormalizer2Filter default mode)
+    assert nfkc_cf("Ruß") == "russ"
+    assert nfkc_cf("résumé") == "résumé"
+
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+    an = get_analyzer("icu")
+    toks = list(an.tokenize_series(pd.Series(["đis is cræzy ৭০৬"])).iloc[0])
+    assert toks == ["dis", "is", "craezy", "706"]
