@@ -200,3 +200,28 @@ def test_german_normalization_filter():
     a = list(an.tokenize_series(pd.Series(["die Straße"])).iloc[0])
     b = list(an.tokenize_series(pd.Series(["die Strasse"])).iloc[0])
     assert a == b == ["strass"]
+
+
+def test_all_stemmers_total_and_deterministic():
+    """Every registered stemmer/normalizer is TOTAL over arbitrary
+    unicode tokens (no exceptions — an analyzer chain must never die on
+    weird corpus bytes) and deterministic. Hypothesis-driven."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_spark.analysis.stem import NORMALIZERS, STEMMERS
+
+    fns = list(STEMMERS.items()) + list(NORMALIZERS.items())
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=24))
+    def run(tok):
+        for name, fn in fns:
+            try:
+                a = fn(tok)
+                b = fn(tok)
+            except Exception as e:   # pragma: no cover
+                raise AssertionError(f"{name} raised on {tok!r}: {e}")
+            assert isinstance(a, str) and a == b, (name, tok)
+
+    run()
