@@ -55,20 +55,54 @@ def shingles(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataFram
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """MinHash signature per key: h_i(s) = xxhash64(shingle, i); the
-    signature is the per-seed minimum. All JVM-side, and WITHOUT the
-    num_hashes× row explosion: each shingle row computes its 64-hash
-    array in place, then ONE groupBy(key) with 64 min aggregates — Spark's
-    map-side partial aggregation collapses the shuffle to (distinct keys ×
-    num_hashes) longs instead of shuffling num_hashes rows per shingle
-    (the 100 TB-relevant difference). Returns (key, sig array<long>)."""
-    hs = sh.select(
-        "key",
-        F.array(*[F.xxhash64("shingle", F.lit(i)) for i in range(num_hashes)]).alias("hs"),
+    """MinHash signature per key via ONE-PERMUTATION HASHING (Li,
+    Owen & Zhang 2012; Shrivastava & Li densification): ONE xxhash64
+    per shingle (vs num_hashes evaluations in vanilla minhash — the
+    dominant CPU of this operator at 100 TB), binned by its top
+    log2(num_hashes) bits, per-bin minima in ONE map-side-combined
+    groupBy, then rotation densification (an empty bin borrows the next
+    non-empty bin circularly, offset per hop so borrowed values stay
+    distinct) in a vectorized Arrow-batched UDF over the SIGNATURE rows
+    (docs, not shingles — ~1000x smaller). Statistically equivalent to
+    vanilla minhash for LSH banding; tests/test_relational.py pins 100%
+    recall vs exact Jaccard on the fixture.
+
+    num_hashes must be a power of two. Returns (key, sig array<long>)."""
+    bits = num_hashes.bit_length() - 1
+    if 1 << bits != num_hashes:
+        raise ValueError("num_hashes must be a power of two")
+    h = F.xxhash64("shingle")
+    b = F.shiftrightunsigned(h, 64 - bits).cast("int")
+    # bin on the TOP bits, store the LOW 53 bits — every stored value is
+    # exactly representable in the densify pass's float64 matrix, so the
+    # NaN-based rotation is bit-exact (no mantissa rounding)
+    hv = h.bitwiseAND(F.lit((1 << 53) - 1))
+    g = (
+        sh.select("key", b.alias("b"), hv.alias("h"))
+        .groupBy("key")
+        .agg(*[F.min(F.when(F.col("b") == i, F.col("h"))).alias(f"m{i}")
+               for i in range(num_hashes)])
+        .select("key", F.array(*[F.col(f"m{i}")
+                                 for i in range(num_hashes)]).alias("raw"))
     )
-    aggs = [F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_hashes)]
-    g = hs.groupBy("key").agg(*aggs)
-    return g.select("key", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def densify(raw: pd.Series) -> pd.Series:
+        mat = np.array([np.array(a, dtype=np.float64) for a in raw])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        k = mat.shape[1]
+        offset = float(1 << 40)          # per-hop disambiguation step
+        for s_ in range(1, k):
+            empty = np.isnan(mat)
+            if not empty.any():
+                break
+            cand = np.roll(mat, -s_, axis=1) + s_ * offset
+            mat = np.where(empty, cand, mat)
+        # all-empty rows impossible (a key exists only with >=1 shingle)
+        return pd.Series([np.asarray(row, dtype=np.int64) for row in mat])
+
+    return g.select("key", densify("raw").alias("sig"))
 
 
 def minhash_lsh_pairs(
