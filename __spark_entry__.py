@@ -1010,11 +1010,16 @@ def ft_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("term", "df", "ed")
 
 
+# ed = MIN over candidate prefix lengths tlen±max_edits (indel typos
+# shift the prefix alignment); completions of any length qualify
 FT_SUGGEST_FUZZY_SQL = f"""
 WITH td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK2}) GROUP BY term),
 fz AS (
-  SELECT term, df, levenshtein(substr(term, 1, 5), 'tabla')::INT AS ed
-  FROM td WHERE length(term) BETWEEN 4 AND 8
+  SELECT term, df, least(
+    levenshtein(substr(term, 1, 4), 'tabla'),
+    levenshtein(substr(term, 1, 5), 'tabla'),
+    levenshtein(substr(term, 1, 6), 'tabla'))::INT AS ed
+  FROM td WHERE length(term) >= 4
 )
 SELECT term, df, ed FROM fz WHERE ed <= 1
 ORDER BY ed ASC, df DESC, term ASC LIMIT 5

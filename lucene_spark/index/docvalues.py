@@ -89,17 +89,29 @@ def _update_stack(reader, field: str) -> DataFrame | None:
     if not _gens(reader.index_dir, field):
         return None
     stack = reader.spark.read.option("basePath", d).parquet(d)
+    # newest gen wins; a gen TIE (duplicate doc_id inside one update
+    # batch — a DataFrame has no row order to make "last call" win, so
+    # Lucene's last-call-wins has no analogue) resolves deterministically
+    # to the largest value instead of max_by's arbitrary pick
     return stack.groupBy("doc_id").agg(
-        F.max_by("value", "gen").alias("__dv_new"))
+        F.max_by("value", F.struct("gen", "value")).alias("__dv_new"))
 
 
-def doc_values(reader, field: str, base: DataFrame | None = None) -> DataFrame:
+def doc_values(reader, field: str, base: DataFrame | None = None,
+               broadcast_updates: bool = True) -> DataFrame:
     """Point-in-time numeric doc values for `field`: (doc_id, value).
 
     Base values come from the docstats carry column of the same name when
     one exists (FeatureField written at index time), else from `base`
     (doc_id, <field>), else null — exactly a field that only ever
     received updates. The update stack overlays newest-gen-wins.
+
+    broadcast_updates: the resolved stack is broadcast by default (update
+    sets are normally small and the overlay join stays shuffle-free);
+    pass False when updates have touched a large fraction of the corpus
+    — a forced broadcast of hundreds of millions of rows would exceed
+    the broadcast limit and fail the read path. fold_doc_values()
+    shrinks the stack back to one snapshot either way.
     """
     if base is None:
         ds = reader.docstats()
@@ -115,8 +127,10 @@ def doc_values(reader, field: str, base: DataFrame | None = None) -> DataFrame:
     stack = _update_stack(reader, field)
     if stack is None:
         return base.select("doc_id", F.col("__dv_base").alias("value"))
+    if broadcast_updates:
+        stack = F.broadcast(stack)
     return (
-        base.join(F.broadcast(stack), "doc_id", "left")
+        base.join(stack, "doc_id", "left")
         .select("doc_id",
                 F.coalesce(F.col("__dv_new"), F.col("__dv_base")).alias("value"))
     )

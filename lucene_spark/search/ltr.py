@@ -114,8 +114,14 @@ def rerank(
     window = ranked.filter(F.col("__base_rank") <= int(rerank_docs))
     tail = ranked.filter(F.col("__base_rank") > int(rerank_docs))
     if features is not None:
+        # cast every feature column to double BEFORE filling: fillna(0.0)
+        # only touches numeric columns, so a boolean/string feature of a
+        # doc missing from `features` would stay null and null out the
+        # whole model score
         feat_cols = [c for c in features.columns if c != key]
-        window = (window.join(F.broadcast(features), key, "left")
+        feats = features.select(
+            key, *[F.col(c).cast("double").alias(c) for c in feat_cols])
+        window = (window.join(F.broadcast(feats), key, "left")
                   .fillna(0.0, subset=feat_cols))
     scored = window.withColumn("ltr_score", model.expr().cast("double"))
     # window rows order by the model; tail rows keep base order below them

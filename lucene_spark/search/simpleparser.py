@@ -47,7 +47,7 @@ _SIMPLE_TOKEN = re.compile(
       | (?P<minus>-)
       | (?P<quoted>"[^"]*"(~\d+)?)
       | (?P<openquote>"[^"]*$)
-      | (?P<atom>[^\s()|+\-"][^\s()|"]*)
+      | (?P<atom>[^\s()|+\-"][^\s()|+\-"]*)
     )""",
     re.VERBOSE,
 )
@@ -59,7 +59,9 @@ from lucene_spark.search.qparser import _analyze_one as _analyze
 def parse_simple(text: str, analyzer: Analyzer,
                  default_operator: str = "or") -> Node:
     """Parse the simple dialect into a rewritten plan tree. Never raises
-    on malformed input — the reference's no-exception contract."""
+    on malformed input — the reference's no-exception contract. A stray
+    top-level ')' is ignored (depth-aware), so the rest of the query
+    still parses instead of being silently dropped."""
     node, _ = _parse(_lex(text), 0, analyzer,
                      Occur.SHOULD if default_operator == "or" else Occur.MUST)
     return rewrite(node if node is not None else MatchNoneNode())
@@ -135,7 +137,7 @@ def _combine(left: Node | None, right: Node | None, occ: Occur,
 
 
 def _parse(tokens: list[tuple[str, str]], i: int, an: Analyzer,
-           default_occur: Occur) -> tuple[Node | None, int]:
+           default_occur: Occur, depth: int = 0) -> tuple[Node | None, int]:
     node: Node | None = None
     op_occur = default_occur        # operator applying to the NEXT clause
     negate_next = False
@@ -149,10 +151,12 @@ def _parse(tokens: list[tuple[str, str]], i: int, an: Analyzer,
         kind, val = tokens[i]
         i += 1
         if kind == "lparen":
-            sub, i = _parse(tokens, i, an, default_occur)
+            sub, i = _parse(tokens, i, an, default_occur, depth + 1)
             push(sub)
         elif kind == "rparen":
-            break               # end of group (or lenient stray ')')
+            if depth > 0:
+                break           # end of group
+            continue            # lenient: stray top-level ')' ignored
         elif kind == "and":
             op_occur = Occur.MUST
         elif kind == "or":

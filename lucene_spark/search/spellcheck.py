@@ -59,21 +59,21 @@ def suggest_similar(
         cand = cand.filter(F.col("df") > int(more_popular_than))
     # thresholded levenshtein (returns -1 past the threshold) keeps the
     # comparison O(len·maxEdits); threshold must be a Python int.
+    # EXACT similarity orders the results (ScoreTerm.compareTo compares
+    # the raw float score first — rounding before sorting would let df
+    # outrank a strictly more similar term on a rounding tie); the
+    # returned column is rounded for display only.
+    sim = (F.lit(1.0) - F.col("ed").cast("double")
+           / F.least(F.length("term"), F.lit(tlen)).cast("double"))
     cand = (
         cand.withColumn("ed", F.levenshtein(F.col("term"), F.lit(term), int(max_edits)))
         .filter(F.col("ed") >= 1)
-        .withColumn(
-            "similarity",
-            F.round(
-                F.lit(1.0)
-                - F.col("ed").cast("double") / F.least(F.length("term"), F.lit(tlen)).cast("double"),
-                4,
-            ),
-        )
+        .withColumn("__sim", sim)
+        .withColumn("similarity", F.round(F.col("__sim"), 4))
     )
     return (
-        cand.select("term", "df", "ed", "similarity")
-        .orderBy(F.col("similarity").desc(), F.col("df").desc(), F.col("term").asc())
+        cand.orderBy(F.col("__sim").desc(), F.col("df").desc(), F.col("term").asc())
+        .select("term", "df", "ed", "similarity")
         .limit(n)
     )
 
@@ -86,26 +86,32 @@ def collate(
     min_prefix: int = 1,
 ) -> tuple[str, dict[str, str]]:
     """Did-you-mean collation (SpellCheckCollator.collate): analyze the
-    free-text query, replace every misspelled token (df/maxDoc ≤
-    `max_query_frequency`) with its top more-popular suggestion, and
-    return (collated query string, {original: replacement}).
+    free-text query, find a top more-popular suggestion for every
+    misspelled token (df/maxDoc ≤ `max_query_frequency`), and return
+    (collated query string, {original: replacement}). The collation is
+    the ORIGINAL query with only the misspelled words swapped — the
+    SpellCheckCollator contract — so case, stopwords, and unstemmed
+    forms of correctly-spelled words survive; each original word maps to
+    a replacement via its own analyzed form.
 
-    Driver-side per-token work is bounded by the query length; each
-    suggestion lookup is one pruned termdict scan.
+    Driver-side work is bounded by the number of DISTINCT misspelled
+    tokens (memoized); each suggestion lookup is one pruned termdict
+    scan.
     """
-    reader = searcher.reader
-    field = reader.default_field
+    import re
+
     import pandas as pd
 
-    tokens = list(searcher.analyzer.tokenize_series(pd.Series([query])).iloc[0])
+    reader = searcher.reader
+    field = reader.default_field
+    an = searcher.analyzer
+    tokens = list(an.tokenize_series(pd.Series([query])).iloc[0])
     stats = reader.term_stats([(field, t) for t in tokens])
     n_docs = max(reader.doc_count, 1)
     replacements: dict[str, str] = {}
-    out_tokens: list[str] = []
-    for tok in tokens:
+    for tok in dict.fromkeys(tokens):           # distinct, order kept
         df = stats.get((field, tok), (0, 0))[0]
         if df > max_query_frequency * n_docs:
-            out_tokens.append(tok)
             continue
         best = suggest_similar(
             reader, tok, n=1, field=field, max_edits=max_edits,
@@ -113,7 +119,13 @@ def collate(
         ).collect()
         if best:
             replacements[tok] = best[0]["term"]
-            out_tokens.append(best[0]["term"])
-        else:
-            out_tokens.append(tok)
-    return " ".join(out_tokens), replacements
+
+    def fix_word(m: re.Match) -> str:
+        word = m.group(0)
+        analyzed = list(an.tokenize_series(pd.Series([word])).iloc[0])
+        if len(analyzed) == 1 and analyzed[0] in replacements:
+            return replacements[analyzed[0]]
+        return word
+
+    collated = re.sub(r"\w+", fix_word, query)
+    return collated, replacements

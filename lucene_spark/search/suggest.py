@@ -30,14 +30,26 @@ def suggest(reader: IndexReader, prefix: str, n: int = 10,
 
 def suggest_fuzzy(reader: IndexReader, text: str, n: int = 10, max_edits: int = 1,
                   field: str | None = None) -> DataFrame:
-    """FuzzySuggester: completions within Levenshtein ≤ max_edits of the
-    typed text (cheap length pre-filter keeps the dictionary scan tight)."""
+    """FuzzySuggester: completions whose PREFIX is within Levenshtein ≤
+    max_edits of the typed text. The prefix alignment may be shorter or
+    longer than the typed text (an insert/delete typo shifts it), so the
+    edit distance is the MINIMUM over candidate prefix lengths
+    tlen±max_edits — a fixed tlen-char prefix would overestimate the
+    distance for indel typos ("appple" vs "applesauce"). Completions of
+    any length qualify (only a LOWER length bound applies: a term
+    shorter than tlen - max_edits cannot contain a qualifying prefix)."""
     tlen = len(text)
+    lens = [m for m in range(max(1, tlen - max_edits), tlen + max_edits + 1)]
+    ed = F.least(*[
+        F.levenshtein(F.substring(F.col("term"), 1, m), F.lit(text))
+        for m in lens
+    ]) if len(lens) > 1 else F.levenshtein(
+        F.substring(F.col("term"), 1, lens[0]), F.lit(text))
     return (
         reader.termdict()
         .filter(F.col("field") == (field or reader.default_field))
-        .filter(F.length("term").between(tlen - max_edits, tlen + max_edits + 2))
-        .withColumn("ed", F.levenshtein(F.substring(F.col("term"), 1, tlen), F.lit(text)))
+        .filter(F.length("term") >= max(1, tlen - max_edits))
+        .withColumn("ed", ed)
         .filter(F.col("ed") <= max_edits)
         .select("term", "df", "ed")
         .orderBy(F.col("ed").asc(), F.col("df").desc(), F.col("term").asc())

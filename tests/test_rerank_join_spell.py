@@ -237,3 +237,36 @@ def test_dfr_g_engine(reader):
     rows = s.search("index", k=5).collect()
     assert len(rows) == 5 and all(np.isfinite(r["score"]) and r["score"] >= 0
                                   for r in rows)
+
+
+def test_collate_preserves_original_query_shape(searcher, reader):
+    """SpellCheckCollator contract: collation = the ORIGINAL query with
+    only misspelled words swapped — correctly spelled words keep their
+    case/surface form (review fix: previously returned re-joined
+    analyzed tokens)."""
+    from lucene_spark.search.spellcheck import collate
+
+    td = reader.termdict().orderBy(F.col("df").desc()).limit(2).collect()
+    good = td[0]["term"]
+    typo = good[:-1] + ("x" if good[-1] != "x" else "q")
+    q = f"The {typo} Whatever"
+    collated, repl = collate(searcher, q)
+    assert repl.get(typo.lower()) == good or repl == {}, repl
+    # surrounding words keep their original surface form
+    assert collated.startswith("The ") and collated.endswith(" Whatever")
+
+
+def test_ltr_boolean_feature_defaults_to_zero(searcher, reader, spark):
+    """fillna(0.0) only fills numeric columns — boolean features of docs
+    missing from the features frame must still default to 0, not null
+    (review fix)."""
+    from lucene_spark.search.ltr import LinearModel, rerank
+
+    hits = searcher.search("table OR merge", k=10)
+    some = hits.limit(1).collect()
+    feats = spark.createDataFrame([(some[0]["doc_id"], True)],
+                                  "doc_id long, is_premium boolean")
+    model = LinearModel({"is_premium": 2.0, "score": 1.0})
+    out = rerank(hits, feats, model, key="doc_id", rerank_docs=10, k=10)
+    rows = out.collect()
+    assert all(r["ltr_score"] is not None for r in rows)

@@ -244,3 +244,18 @@ def test_local_count_matches_distributed(searcher):
             assert fast == slow, q
     finally:
         searcher.local_topk_max_postings = orig
+
+
+def test_suggest_fuzzy_reaches_long_completions(reader):
+    """Review fix: no UPPER length bound — a completion much longer than
+    the typed text qualifies when its prefix is within max_edits."""
+    from lucene_spark.search.suggest import suggest, suggest_fuzzy
+
+    long_terms = [r["term"] for r in
+                  suggest(reader, "li", n=20).collect() if len(r["term"]) >= 6]
+    if not long_terms:
+        import pytest
+        pytest.skip("no long li- terms in fixture dictionary")
+    fz = {r["term"] for r in suggest_fuzzy(reader, "li", n=50,
+                                           max_edits=1).collect()}
+    assert set(long_terms[:3]) <= fz
