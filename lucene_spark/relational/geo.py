@@ -44,7 +44,10 @@ def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> 
         F.pow(F.sin(dlat / 2), 2)
         + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
     )
-    return F.lit(2.0 * EARTH_MEAN_RADIUS_METERS) * F.asin(F.sqrt(h))
+    # clamp: fp rounding can push h infinitesimally past 1 for
+    # near-antipodal pairs, turning asin into NaN
+    return (F.lit(2.0 * EARTH_MEAN_RADIUS_METERS)
+            * F.asin(F.least(F.sqrt(h), F.lit(1.0))))
 
 
 def box_predicate(

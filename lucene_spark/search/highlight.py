@@ -33,13 +33,21 @@ def highlight(
     """Add a `snippet` column: the `window`-token stretch containing the
     most query-term hits, matched terms wrapped in pre/post tags."""
     an: Analyzer = get_analyzer(analyzer)
-    terms = {t.lower() for t in query_terms}
+    # query terms run through the SAME analyzer chain as the text
+    # (UnifiedHighlighter analyzes the query): under a stemming or
+    # non-lowercasing chain a raw .lower() would never match tokens
+    terms = {
+        t
+        for toks in an.tokenize_series(pd.Series(list(query_terms),
+                                                 dtype=object))
+        for t in toks
+    } if query_terms else set()
 
     @F.pandas_udf(T.StringType())
     def _snip(texts: pd.Series) -> pd.Series:
         toks_s = an.tokenize_series(texts)
         out = []
-        for raw, toks in zip(texts.fillna(""), toks_s):
+        for toks in toks_s:
             if not toks:
                 out.append("")
                 continue
@@ -55,8 +63,11 @@ def highlight(
                     lo += 1
                 if hi - lo + 1 > best_n:
                     best_n, best_lo = hi - lo + 1, hits[lo]
+            # lead-in of up to 2 tokens; the window still ENDS at
+            # best_lo + window so the trailing hits it was chosen for
+            # stay inside the fragment
             start = max(0, best_lo - 2)
-            frag = toks[start:start + window]
+            frag = toks[start: best_lo + window]
             out.append(" ".join(
                 f"{pre}{t}{post}" if t in terms else t for t in frag))
         return pd.Series(out)
@@ -74,6 +85,9 @@ def highlight_regex(
 ) -> DataFrame:
     """JVM-only variant (no Python): first match ± context via regexp —
     the fast path when per-token windows aren't needed."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty (an empty "
+                         "alternation would tag every char position)")
     alt = "|".join(re.escape(t) for t in sorted(query_terms, key=len, reverse=True))
     frag = F.regexp_extract(
         F.col(text_col), f"(?i).{{0,{context_chars}}}(?:{alt}).{{0,{context_chars}}}", 0)

@@ -29,6 +29,9 @@ def evaluate(
     average_precision, reciprocal_rank)."""
     from pyspark.sql import Window
 
+    # duplicate (query_id, doc_id) judgment pairs (multi-assessor TREC
+    # qrels) would multiply joined rows and push precision past 1.0
+    qrels = qrels.select("query_id", "doc_id").distinct()
     rel_counts = qrels.groupBy("query_id").agg(F.count("*").alias("n_rel"))
     joined = (
         results.filter(F.col("rank") <= k)
@@ -53,9 +56,18 @@ def evaluate(
             F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
         )
     )
+    # RIGHT-outer against the judged query set: a query whose search
+    # produced no rows at all (search_many emits nothing for no-match
+    # queries) must still contribute AP=0 / RR=0 / recall=0 to the
+    # macro averages (QualityStats scores it 0) instead of vanishing
     out = (
-        per.join(rel_counts, "query_id", "left")
+        per.join(rel_counts, "query_id", "full")
         .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0)))
+        .withColumn("n_ret", F.coalesce(F.col("n_ret"), F.lit(0)))
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
+        .withColumn("precision_at_k",
+                    F.coalesce(F.col("precision_at_k"), F.lit(0.0)))
+        .withColumn("ap_sum", F.coalesce(F.col("ap_sum"), F.lit(0.0)))
         .withColumn("recall_at_k",
                     F.when(F.col("n_rel") > 0, F.col("hits") / F.col("n_rel"))
                     .otherwise(F.lit(0.0)))

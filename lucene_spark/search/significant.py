@@ -39,14 +39,22 @@ def significant_terms(
     k: int = 20,
     min_df: int = 1,
     max_df_ratio: float = 1.0,
-    analyzer: str = "whitespace",
+    analyzer: str | None = None,
     field: str | None = None,
 ) -> DataFrame:
     """Top-k significant terms of the docs in `matched_keys` (a one-column
     DataFrame of `key_col` values, e.g. a search() result joined back to
     external keys). Returns (term, fg, df, score) ordered by
-    (score desc, term asc), ties broken lexicographically."""
+    (score desc, term asc), ties broken lexicographically.
+
+    `analyzer` defaults to the INDEX FIELD'S chain — foreground terms
+    must be produced by the same analyzer as the background termdict or
+    the join silently mismatches (e.g. unstemmed fg vs stemmed bg)."""
     n_docs = max(int(reader.doc_count), 1)
+    if field is None:
+        field = reader.default_field
+    if analyzer is None:
+        analyzer = reader.field_analyzer_name(field)
     hydrated = corpus.join(matched_keys.select(key_col).distinct(), key_col)
     fg = (
         term_vectors(hydrated, text_col, key_col, analyzer=analyzer)
@@ -54,11 +62,12 @@ def significant_terms(
         .agg(F.count("*").alias("fg"))   # term_vectors: one row per (doc, term)
     )
     td = reader.termdict()
-    if field is None:
-        field = reader.default_field
     bg = td.filter(F.col("field") == field).select("term", "df")
+    # fg is tiny (terms of k-ish matched docs) but its size is opaque to
+    # the planner — broadcast explicitly so the termdict is never
+    # shuffled (the O(vocabulary) rescan this design exists to avoid)
     out = (
-        fg.join(bg, "term")
+        bg.join(F.broadcast(fg), "term")
         .filter((F.col("df") >= F.lit(int(min_df)))
                 & (F.col("df") <= F.lit(float(max_df_ratio) * n_docs)))
         .withColumn(
