@@ -20,8 +20,14 @@ build unit or one streaming micro-batch). Compaction:
 4. atomically swaps lineage manifests, then rebuilds the derived
    artifacts (postings buckets, termdict, fieldstats).
 
-Serving never blocks: readers pinned to the old manifest keep working;
-the swap is the IndexWriter.commit() two-phase publish.
+The raw/ swap is the IndexWriter.commit() two-phase publish and is
+crash-safe (see _recover_incomplete_merges). LIMITATION (documented, not
+Lucene-parity): the derived artifacts (postings/, termdict/, docstats/,
+fieldstats/) are rebuilt IN PLACE with mode=overwrite, so a query
+scanning them concurrently with a compaction can fail mid-rebuild and
+must retry — full reader isolation needs manifest-versioned derived
+directories (Lucene's segments_N files-pointer), planned, not yet built.
+Compaction assumes a single writer.
 """
 
 from __future__ import annotations
@@ -44,7 +50,7 @@ from lucene_spark.index.builder import FieldSpec, IndexBuilder, IndexConfig
 COMPACT_BASE = 1 << 30
 
 
-def _recover_incomplete_merges(index_dir: str) -> None:
+def _recover_incomplete_merges(index_dir: str) -> bool:
     """Crash recovery for the two-phase swap: if a merged group manifest
     exists whose `merged_from` victims are still on disk, the previous
     compaction died between writing the merged copy and retiring the
@@ -52,11 +58,18 @@ def _recover_incomplete_merges(index_dir: str) -> None:
     would double-count postings. If ALL victims survive, roll BACK (drop
     the merged copy — victims are intact). If only SOME survive the crash
     hit mid-retirement: the merged copy is then the only complete copy, so
-    roll FORWARD (finish deleting the remaining victims)."""
+    roll FORWARD (finish deleting the remaining victims).
+
+    Returns True when a roll-FORWARD happened: the derived artifacts
+    were never rebuilt after the interrupted merge (the rebuild runs
+    after victim retirement), so the caller must rebuild them even if no
+    new merge is planned — otherwise folded deletes would stay visible
+    in postings/docstats indefinitely."""
+    rolled_forward = False
     parts_dir = os.path.join(index_dir, "parts")
     raw_dir = os.path.join(index_dir, "raw")
     if not os.path.isdir(parts_dir):
-        return
+        return False
     # Orphan detection: a crash between the merged group's parquet write
     # and the part-manifest os.replace leaves raw/group=G (G in the
     # compaction id range) fully written but with NO manifest recording
@@ -95,11 +108,13 @@ def _recover_incomplete_merges(index_dir: str) -> None:
             os.remove(os.path.join(parts_dir, name))
         else:
             # roll forward: some victims already retired — finish the job
+            rolled_forward = True
             for g in alive:
                 shutil.rmtree(os.path.join(raw_dir, f"group={g}"), ignore_errors=True)
                 p = os.path.join(parts_dir, f"group-{g:05d}.json")
                 if os.path.exists(p):
                     os.remove(p)
+    return rolled_forward
 
 
 def _dir_bytes(path: str) -> int:
@@ -266,7 +281,7 @@ def compact(
         if isinstance(mcfg.get("termdict_partitions", 4), int) else 4,
         fields=tuple(FieldSpec(**f) for f in mcfg.get("fields", [])),
     )
-    _recover_incomplete_merges(index_dir)
+    recovered = _recover_incomplete_merges(index_dir)
     raw_dir = os.path.join(index_dir, "raw")
     groups = {
         int(d.split("=", 1)[1]): _dir_bytes(os.path.join(raw_dir, d))
@@ -275,6 +290,13 @@ def compact(
     victims = plan_compaction(groups, floor_bytes, tier_factor,
                               segs_per_tier, max_merge_at_once)
     if not victims:
+        if recovered:
+            # a rolled-forward crash recovery retired victims whose
+            # derived artifacts were never rebuilt — rebuild now or the
+            # interrupted merge's effects (e.g. folded deletes) never
+            # reach postings/docstats
+            _rebuild_derived(spark, index_dir, cfg, manifest)
+            return {"merged": [], "into": None, "recovered_rebuild": True}
         return {"merged": [], "into": None}
 
     # allocate from the dedicated compaction range — never max(groups)+1,
@@ -341,7 +363,7 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
     )
     (
-        termdict.repartitionByRange(4, "field", "term")
+        termdict.repartitionByRange(cfg.termdict_partitions, "field", "term")
         .sortWithinPartitions("field", "term")
         .write.mode("overwrite").parquet(os.path.join(index_dir, "termdict"))
     )

@@ -78,6 +78,7 @@ class SurroundSyntaxError(ValueError):
 def _lex(text: str) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     i = 0
+    text = text.rstrip()
     while i < len(text):
         m = _BOOST.match(text, i)
         if m:

@@ -275,7 +275,7 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
         if isinstance(inc, P.MatchNoneNode):
             return inc
         exc = _as_span(_build(_first(exc_e, "Exclude"), ctx, inherited),
-                       "Exclude", allow_none=True)
+                       "Exclude")
         return P.SpanNotNode(include=inc, exclude=exc, boost=_boost(e))
     raise XmlParserError(f"No QueryObjectBuilder defined for node {tag}")
 
@@ -294,9 +294,11 @@ def _first(e: ET.Element, name: str) -> ET.Element:
     return kids[0]
 
 
-def _as_span(node: P.Node, role: str, allow_none: bool = False) -> P.Node:
+def _as_span(node: P.Node, role: str) -> P.Node:
     """Coerce a built child into span form (single terms wrap into a
-    one-slot interval, as SpanFirst does)."""
+    one-slot interval, as SpanFirst does). A MatchNoneNode child passes
+    through; SpanNot's caller treats a MatchNone INCLUDE as match-none
+    and a MatchNone EXCLUDE as excluding nothing."""
     if isinstance(node, P.MatchNoneNode):
         return node
     if isinstance(node, (P.TermNode, P.TermInSetNode)):
@@ -330,7 +332,7 @@ def _occurs(clause: ET.Element) -> P.Occur:
         return P.Occur.MUST
     if low == "mustnot":
         return P.Occur.MUST_NOT
-    if occs == "filter":
+    if low == "filter":
         return P.Occur.FILTER
     raise XmlParserError(
         f"Invalid value for \"occurs\" attribute of clause: {occs}")

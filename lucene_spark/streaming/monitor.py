@@ -55,34 +55,46 @@ def _flatten(query_id: str, node: P.Node) -> _StoredQuery:
     must_nots: list[str] = []
     phrases: list[tuple[str, ...]] = []
 
-    def leaf_terms(n: P.Node, into: list[str], negated: bool = False) -> None:
+    def leaf_terms(n: P.Node, occur: P.Occur) -> None:
+        into = {P.Occur.MUST: musts, P.Occur.FILTER: musts,
+                P.Occur.SHOULD: shoulds, P.Occur.MUST_NOT: must_nots}[occur]
         if isinstance(n, P.TermNode):
             into.append(n.term)
         elif isinstance(n, P.TermInSetNode):
+            # an IN-set is a DISJUNCTION: fine as the whole query / a
+            # SHOULD clause (any one term counts) and as MUST_NOT (no
+            # term may appear); as a required clause among others its
+            # at-least-one semantics can't be expressed with the flat
+            # matched-term counts — reject, consistent with v1 scope
+            if occur in (P.Occur.MUST, P.Occur.FILTER):
+                raise ValueError(
+                    "monitor v1 does not support a required IN-set "
+                    "clause (its at-least-one semantics need per-set "
+                    "counting)")
             into.extend(n.terms)
         elif isinstance(n, P.PhraseNode):
-            if negated:
-                # a negated phrase cannot be expressed as term requirements:
-                # its terms would land in must_nots (docs containing them
-                # rejected) while the phrase post-filter demands presence —
-                # the query would never match anything. Reject loudly,
-                # consistent with the other v1 restrictions.
-                raise ValueError("monitor v1 does not support negated phrases")
+            if occur is not P.Occur.MUST and occur is not P.Occur.FILTER:
+                # the phrase post-filter REQUIRES presence, so a phrase
+                # is only expressible as a required clause; an optional
+                # (SHOULD) or negated phrase would silently turn
+                # mandatory / unmatchable — reject loudly (v1 scope)
+                raise ValueError(
+                    "monitor v1 supports phrases as required clauses "
+                    "only (not SHOULD/MUST_NOT)")
             phrases.append(n.terms)
             into.extend(n.terms)      # phrase terms are conjunctive requirements
         else:
             raise ValueError(f"monitor v1 supports flat boolean queries; got {n!r}")
 
-    if isinstance(node, (P.TermNode, P.TermInSetNode, P.PhraseNode)):
-        leaf_terms(node, musts)
+    if isinstance(node, P.TermNode):
+        leaf_terms(node, P.Occur.MUST)
+    elif isinstance(node, P.TermInSetNode):
+        leaf_terms(node, P.Occur.SHOULD)   # whole-query IN-set = pure OR
+    elif isinstance(node, P.PhraseNode):
+        leaf_terms(node, P.Occur.MUST)
     elif isinstance(node, P.BooleanNode):
         for c in node.clauses:
-            if c.occur in (P.Occur.MUST, P.Occur.FILTER):
-                leaf_terms(c.node, musts)
-            elif c.occur is P.Occur.SHOULD:
-                leaf_terms(c.node, shoulds)
-            else:
-                leaf_terms(c.node, must_nots, negated=True)
+            leaf_terms(c.node, c.occur)
     else:
         raise ValueError(f"monitor v1 supports flat boolean queries; got {node!r}")
     return _StoredQuery(query_id, tuple(musts), tuple(shoulds), tuple(must_nots),
@@ -125,9 +137,23 @@ class Monitor:
     def match(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         """All (doc_id, query_id) matches for a batch (static or streaming
         micro-batch). One broadcast join + one aggregation."""
+        if self.analyzer.name == "whitespace":
+            tok_col = F.split(F.col(text_col), r"\s+")
+        else:
+            # any other chain (lowercase/stem/stop) must tokenize docs
+            # EXACTLY as register() tokenized the queries, or stored
+            # terms never match; Arrow-batched, not per-row Python
+            an = self.analyzer
+            import pandas as pd
+
+            @F.pandas_udf("array<string>")
+            def _tok(texts: pd.Series) -> pd.Series:
+                return an.tokenize_series(texts)
+
+            tok_col = _tok(F.col(text_col))
         toks = (
             docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
+                        F.explode(tok_col).alias("term"))
             .filter(F.col("term") != "")
             .distinct()
         )
@@ -155,10 +181,16 @@ class Monitor:
             sat = sat.join(texts, "doc_id", "left")
             cond = None
             for q in phrase_qs:
-                rx = "|".join(
-                    r"(^|\s)" + r"\s+".join(re.escape(t) for t in ph) + r"(\s|$)"
-                    for ph in q.phrases)
-                bad = (F.col("query_id") == q.query_id) & ~F.col("__text").rlike(rx)
+                # EVERY phrase of the query must be present (they are
+                # required clauses): AND the per-phrase regexes — a
+                # joined alternation would accept any one of them
+                ok = None
+                for ph in q.phrases:
+                    rx = (r"(^|\s)" + r"\s+".join(re.escape(t) for t in ph)
+                          + r"(\s|$)")
+                    t = F.col("__text").rlike(rx)
+                    ok = t if ok is None else (ok & t)
+                bad = (F.col("query_id") == q.query_id) & ~ok
                 cond = bad if cond is None else (cond | bad)
             sat = sat.filter(~cond).drop("__text")
         return sat

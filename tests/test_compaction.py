@@ -117,3 +117,55 @@ def test_recover_orphan_compaction_group(spark, tmp_path):
     after = IndexSearcher(r2).search("index OR writer", k=10).collect()
     assert {x["doc_id"] for x in before} <= {x["doc_id"] for x in after} or \
         len(after) == 10
+
+
+def test_recovery_rollforward_rebuilds_derived(spark, tmp_path):
+    """Crash between the merged-manifest commit and the derived rebuild:
+    recovery rolls the raw swap forward, and compact() must rebuild the
+    derived artifacts EVEN IF no further merge is planned — otherwise
+    the interrupted merge's folded deletes stay visible forever."""
+    import json
+    import os
+    import shutil
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.index.compaction import COMPACT_BASE, compact
+
+    idx = str(tmp_path / "rf_idx")
+    src = spark.createDataFrame(make_corpus(60, seed=3))
+    cfg = IndexConfig(partitions=2, num_groups=4, num_buckets=4)
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+
+    # run a real delete-folding compaction, then SIMULATE the crash by
+    # resurrecting one victim directory + manifest (as if retirement had
+    # been interrupted after deleting only some victims)
+    before = IndexReader(spark, idx).doc_count
+    res = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1,
+                  deletes=[0, 1])
+    assert res["into"] is not None and res["into"] >= COMPACT_BASE
+    after = IndexReader(spark, idx).doc_count
+    assert after == before - 2
+
+    merged = res["into"]
+    victims = res["merged"]
+    # resurrect ONE victim (partial retirement state) and wipe derived
+    # doc_count back to the stale value to prove the rebuild runs
+    v = victims[0]
+    vdir = os.path.join(idx, "raw", f"group={v}")
+    os.makedirs(vdir, exist_ok=True)
+    # a parquet dir exists again (empty placeholder is enough for the
+    # recovery scan, which only checks isdir)
+    mpath = os.path.join(idx, "manifest.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["doc_count"] = 999999       # stale marker
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+
+    res2 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1)
+    # recovery rolled forward (victim dir dropped) and derived rebuilt:
+    # the stale doc_count marker is gone
+    assert not os.path.isdir(vdir)
+    m2 = json.load(open(mpath))
+    assert m2["doc_count"] == after, (res2, m2["doc_count"])
