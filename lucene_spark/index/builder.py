@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from lucene_spark.analysis import get_analyzer
 from lucene_spark.analysis.analyzers import analyzer_fingerprint
+from lucene_spark.index.layout import DERIVED_NAMES
 from lucene_spark.codec.blocks import BLOCK_SIZE, build_block_meta
 from lucene_spark.codec.vbyte import vbyte_encode, delta_encode
 
@@ -444,7 +445,7 @@ class IndexBuilder:
                 .sortWithinPartitions("term", "field", "part_id", "slice")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
-                .parquet(os.path.join(index_dir, "postings"))
+                .parquet(os.path.join(index_dir, "postings.g0"))
             )
 
         def job_termdict():
@@ -461,14 +462,14 @@ class IndexBuilder:
                 termdict.repartitionByRange(cfg.termdict_partitions, "field", "term")
                 .sortWithinPartitions("field", "term")
                 .write.mode("overwrite")
-                .parquet(os.path.join(index_dir, "termdict"))
+                .parquet(os.path.join(index_dir, "termdict.g0"))
             )
 
         def job_docstats():
             docstats = raw.filter(F.col("kind") == "docstat").select(
                 *key_and_carry, "doc_id", "doclen", "sha256"
             )
-            docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
+            docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats.g0"))
 
         def job_stats():
             # one agg job → per-group lineage metrics + per-field collection
@@ -527,7 +528,7 @@ class IndexBuilder:
             [(f, v["doc_count"], v["sum_ttf"]) for f, v in sorted(field_stats.items())]
             or [(cfg.default_field, 0, 0)],
             "field string, doc_count long, sum_ttf long",
-        ).write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats"))
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats.g0"))
         t = mark("stats", t)
 
         # merge metrics into the per-group lineage manifests
@@ -548,6 +549,10 @@ class IndexBuilder:
         manifest = {
             "version": 3,
             "layout": 1,   # postings/ bucketed+term-sorted, docstats/ sidecar
+            # versioned derived dirs (segments_N analogue): rebuilds write
+            # a NEW generation and swap this map atomically with the
+            # manifest, so pinned readers keep scanning the old gen
+            "derived": {n: f"{n}.g0" for n in DERIVED_NAMES},
             "source_fingerprint": fp,
             # behavior fingerprints of every chain used: readers verify
             # the registry still resolves these names to the SAME chain

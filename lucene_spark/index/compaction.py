@@ -21,13 +21,12 @@ build unit or one streaming micro-batch). Compaction:
    artifacts (postings buckets, termdict, fieldstats).
 
 The raw/ swap is the IndexWriter.commit() two-phase publish and is
-crash-safe (see _recover_incomplete_merges). LIMITATION (documented, not
-Lucene-parity): the derived artifacts (postings/, termdict/, docstats/,
-fieldstats/) are rebuilt IN PLACE with mode=overwrite, so a query
-scanning them concurrently with a compaction can fail mid-rebuild and
-must retry — full reader isolation needs manifest-versioned derived
-directories (Lucene's segments_N files-pointer), planned, not yet built.
-Compaction assumes a single writer.
+crash-safe (see _recover_incomplete_merges). Serving never blocks: the
+derived artifacts are rebuilt into NEW generation directories
+(index/layout.py — the segments_N files-pointer analogue) and published
+by the atomic manifest swap; readers pinned to the previous manifest
+keep scanning the previous generation, which survives one further
+rebuild (one-generation gc grace). Compaction assumes a single writer.
 """
 
 from __future__ import annotations
@@ -41,6 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from lucene_spark.index.layout import (DERIVED_NAMES, gc_derived,
+                                        next_derived_name)
 from lucene_spark.index.builder import FieldSpec, IndexBuilder, IndexConfig
 
 # Compacted groups get ids from a range disjoint from both batch groups
@@ -342,6 +343,10 @@ def compact(
 
 
 def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, manifest: dict) -> None:
+    # versioned rebuild: every artifact goes to a NEW generation dir; the
+    # manifest swap at the end publishes them atomically and pinned
+    # readers keep the previous generation (gc keeps one spare)
+    new_names = {n: next_derived_name(manifest, n) for n in DERIVED_NAMES}
     raw = spark.read.parquet(os.path.join(index_dir, "raw"))
     postings = (
         raw.filter(F.col("kind") == "posting")
@@ -354,7 +359,7 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
         postings.repartition(cfg.num_buckets, "bucket")
         .sortWithinPartitions("term", "field", "part_id", "slice")
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(os.path.join(index_dir, "postings"))
+        .parquet(os.path.join(index_dir, new_names["postings"]))
     )
     termdict = (
         raw.filter(F.col("kind") == "posting")
@@ -365,12 +370,12 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
     (
         termdict.repartitionByRange(cfg.termdict_partitions, "field", "term")
         .sortWithinPartitions("field", "term")
-        .write.mode("overwrite").parquet(os.path.join(index_dir, "termdict"))
+        .write.mode("overwrite").parquet(os.path.join(index_dir, new_names["termdict"]))
     )
     key_and_carry = [c for c in (list(cfg.key_cols) + list(cfg.carry_cols)) if c in raw.columns]
     docstats = raw.filter(F.col("kind") == "docstat").select(
         *key_and_carry, "doc_id", "doclen", "sha256")
-    docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats"))
+    docstats.write.mode("overwrite").parquet(os.path.join(index_dir, new_names["docstats"]))
 
     # recompute collection stats — after a delete-folding merge the global
     # doc_count/sum_doclen and per-field stats must reflect live docs
@@ -387,8 +392,9 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
         [(f, v["doc_count"], v["sum_ttf"]) for f, v in sorted(field_stats.items())]
         or [(cfg.default_field, 0, 0)],
         "field string, doc_count long, sum_ttf long",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "fieldstats"))
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, new_names["fieldstats"]))
 
+    manifest["derived"] = new_names
     manifest["doc_count"] = int(gs["n"] or 0)
     manifest["sum_doclen"] = int(gs["s"] or 0)
     if field_stats:
@@ -398,3 +404,4 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=2)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    gc_derived(index_dir, manifest)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 
+from lucene_spark.index.layout import derived_path as _derived_path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -127,7 +128,8 @@ class IndexReader:
                                              F.lit(self.num_buckets)).cast("int"))
             )
         return self._with_field(
-            self.spark.read.parquet(os.path.join(self.index_dir, "postings")))
+            self.spark.read.parquet(_derived_path(self.index_dir,
+                                                  self.manifest, "postings")))
 
     def _with_field(self, df: DataFrame) -> DataFrame:
         """v2-manifest compatibility: indexes written before the
@@ -139,16 +141,19 @@ class IndexReader:
 
     def termdict(self) -> DataFrame:
         return self._with_field(
-            self.spark.read.parquet(os.path.join(self.index_dir, "termdict")))
+            self.spark.read.parquet(_derived_path(self.index_dir,
+                                                  self.manifest, "termdict")))
 
     def docstats(self) -> DataFrame:
         if self.layout >= 2:
             cols = [*self.key_cols, *self.carry_cols, "doc_id", "doclen", "sha256"]
             return self._raw().filter(F.col("kind") == "docstat").select(*cols)
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docstats"))
+        return self.spark.read.parquet(
+            _derived_path(self.index_dir, self.manifest, "docstats"))
 
     def fieldstats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "fieldstats"))
+        return self.spark.read.parquet(
+            _derived_path(self.index_dir, self.manifest, "fieldstats"))
 
     def doc_values(self, field: str, base: DataFrame | None = None) -> DataFrame:
         """Numeric doc values for `field` with any committed updates

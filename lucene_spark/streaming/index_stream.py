@@ -28,6 +28,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from lucene_spark.analysis.analyzers import analyzer_fingerprint
+from lucene_spark.index.layout import (DERIVED_NAMES, gc_derived,
+                                        next_derived_name)
 from lucene_spark.index.builder import IndexBuilder, IndexConfig, _raw_schema
 
 GROUP_BASE = 1 << 20   # stream groups start here; batch groups sit below
@@ -39,6 +42,28 @@ class StreamingIndexer:
         self.index_dir = index_dir
         self.cfg = cfg or IndexConfig()
         self.builder = IndexBuilder(spark, self.cfg)
+        # versioned derived dirs (see index/layout.py): resume from the
+        # existing manifest's map, else start at generation 0
+        mpath = os.path.join(index_dir, "manifest.json")
+        derived = None
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as fh:
+                    derived = json.load(fh).get("derived")
+            except (OSError, json.JSONDecodeError):
+                derived = None
+        self._derived: dict[str, str] = dict(
+            derived or {n: f"{n}.g0" for n in DERIVED_NAMES})
+
+    def _dpath(self, name: str) -> str:
+        return os.path.join(self.index_dir, self._derived[name])
+
+    def _bump(self, name: str) -> str:
+        """Advance an artifact to its next generation (returned path);
+        published by the next manifest swap."""
+        self._derived[name] = next_derived_name({"derived": self._derived},
+                                                name)
+        return self._dpath(name)
 
     # ---- one micro-batch = one segment group ----------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -140,13 +165,13 @@ class StreamingIndexer:
             .sortWithinPartitions("term", "field", "part_id", "slice")
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(os.path.join(idx, "postings"))
+            .parquet(self._dpath("postings"))
         )
         key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
         docstats = raw_g.filter(F.col("kind") == "docstat").select(
             *[c for c in key_and_carry if c in raw_g.columns],
             "doc_id", "doclen", "sha256")
-        docstats.write.mode("append").parquet(os.path.join(idx, "docstats"))
+        docstats.write.mode("append").parquet(self._dpath("docstats"))
 
         self._write_stats_and_manifest(published_add=group)
 
@@ -162,7 +187,7 @@ class StreamingIndexer:
         docstats = raw.filter(F.col("kind") == "docstat").select(
             *[c for c in key_and_carry if c in raw.columns], "doc_id", "doclen", "sha256"
         )
-        docstats.write.mode("overwrite").parquet(os.path.join(idx, "docstats"))
+        docstats.write.mode("overwrite").parquet(self._bump("docstats"))
 
         postings = (
             raw.filter(F.col("kind") == "posting")
@@ -176,7 +201,7 @@ class StreamingIndexer:
             .sortWithinPartitions("term", "field", "part_id", "slice")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(idx, "postings"))
+            .parquet(self._bump("postings"))
         )
         self._write_stats_and_manifest()
 
@@ -201,7 +226,7 @@ class StreamingIndexer:
             termdict.repartitionByRange(cfg.termdict_partitions, "field", "term")
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
-            .parquet(os.path.join(idx, "termdict"))
+            .parquet(self._bump("termdict"))
         )
 
         fs = (
@@ -226,7 +251,7 @@ class StreamingIndexer:
              for f, v in sorted(field_stats.items())]
             or [(cfg.default_field, 0, 0)],
             "field string, doc_count long, sum_ttf long",
-        ).write.mode("overwrite").parquet(os.path.join(idx, "fieldstats"))
+        ).write.mode("overwrite").parquet(self._bump("fieldstats"))
 
         # every COMMITTED on-disk group is published after a full remerge;
         # on the incremental path the new group joins the prior set
@@ -238,6 +263,13 @@ class StreamingIndexer:
         manifest = {
             "version": 3,
             "layout": 1,
+            "derived": dict(self._derived),
+            "analyzer_chains": {
+                name: analyzer_fingerprint(name)
+                for name in sorted({f.analyzer or cfg.analyzer
+                                    for f in cfg.field_specs()}
+                                   | {cfg.analyzer})
+            },
             "source_fingerprint": "streaming",
             "config": {
                 "analyzer": cfg.analyzer,
@@ -266,6 +298,7 @@ class StreamingIndexer:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2)
         os.replace(tmp, os.path.join(idx, "manifest.json"))
+        gc_derived(idx, manifest)
 
     # ---- streaming drivers ----------------------------------------------
     def start(self, source_dir: str, schema, checkpoint_dir: str,

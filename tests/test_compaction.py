@@ -169,3 +169,44 @@ def test_recovery_rollforward_rebuilds_derived(spark, tmp_path):
     assert not os.path.isdir(vdir)
     m2 = json.load(open(mpath))
     assert m2["doc_count"] == after, (res2, m2["doc_count"])
+
+
+def test_versioned_derived_isolates_pinned_readers(spark, tmp_path):
+    """Derived rebuilds publish NEW generation dirs via the manifest swap
+    (segments_N analogue): a reader opened BEFORE a compaction keeps
+    scanning its generation afterwards (one-gen gc grace), and the old
+    generation disappears only after a SECOND rebuild."""
+    import os
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.index.compaction import compact
+    from lucene_spark.search import IndexSearcher
+
+    idx = str(tmp_path / "viso")
+    src = spark.createDataFrame(make_corpus(80, seed=5))
+    cfg = IndexConfig(partitions=2, num_groups=4, num_buckets=4)
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+
+    old_reader = IndexReader(spark, idx)
+    assert old_reader.manifest["derived"]["postings"] == "postings.g0"
+    before = IndexSearcher(old_reader).search("index OR merge", k=10).collect()
+
+    res1 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1)
+    assert res1["merged"]
+    # old generation still on disk (grace), new one published
+    assert os.path.isdir(os.path.join(idx, "postings.g0"))
+    assert os.path.isdir(os.path.join(idx, "postings.g1"))
+    # the PINNED reader still serves identical results from g0
+    again = IndexSearcher(old_reader).search("index OR merge", k=10).collect()
+    assert again == before
+    # a fresh reader resolves the new generation
+    r2 = IndexReader(spark, idx)
+    assert r2.manifest["derived"]["postings"] == "postings.g1"
+    assert IndexSearcher(r2).search("index OR merge", k=10).collect() == before
+
+    # second rebuild retires g0
+    res2 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1)
+    if res2["merged"]:          # plan may be within budget already
+        assert not os.path.isdir(os.path.join(idx, "postings.g0"))
+        assert os.path.isdir(os.path.join(idx, "postings.g1"))
