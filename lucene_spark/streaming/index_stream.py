@@ -55,6 +55,22 @@ class StreamingIndexer:
         self._derived: dict[str, str] = dict(
             derived or {n: f"{n}.g0" for n in DERIVED_NAMES})
 
+    def _refresh_derived(self) -> None:
+        """Re-read the manifest's derived map: a compaction run BETWEEN
+        micro-batches advances the generations, and appending to a stale
+        generation would write rows into a directory the next gc
+        retires. (Compaction concurrent WITH a running batch remains
+        unsupported — single writer at a time, as documented there.)"""
+        mpath = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as fh:
+                    derived = json.load(fh).get("derived")
+                if derived:
+                    self._derived = dict(derived)
+            except (OSError, json.JSONDecodeError):
+                pass
+
     def _dpath(self, name: str) -> str:
         return os.path.join(self.index_dir, self._derived[name])
 
@@ -70,6 +86,7 @@ class StreamingIndexer:
         cfg = self.cfg
         if not batch_df.take(1):
             return
+        self._refresh_derived()
         os.makedirs(os.path.join(self.index_dir, "parts"), exist_ok=True)
         key_and_carry = [c for c in batch_df.columns
                          if c in cfg.key_cols + cfg.carry_cols]

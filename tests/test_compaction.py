@@ -210,3 +210,40 @@ def test_versioned_derived_isolates_pinned_readers(spark, tmp_path):
     if res2["merged"]:          # plan may be within budget already
         assert not os.path.isdir(os.path.join(idx, "postings.g0"))
         assert os.path.isdir(os.path.join(idx, "postings.g1"))
+
+
+def test_stream_appends_follow_compacted_generation(spark, tmp_path):
+    """A compaction BETWEEN micro-batches advances the derived map; the
+    next batch must append to the NEW generation, not the one being
+    retired (stale-generation append = silent row loss after gc)."""
+    import os
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexConfig, IndexReader
+    from lucene_spark.index.compaction import compact
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.streaming import StreamingIndexer
+
+    idx = str(tmp_path / "sg_idx")
+    cfg = IndexConfig(partitions=2, num_buckets=4, analyzer="code")
+    ix = StreamingIndexer(spark, idx, cfg)
+    full = make_corpus(120, seed=21)
+    # four manual micro-batches
+    for i in range(4):
+        ix.process_batch(spark.createDataFrame(full.iloc[i * 30:(i + 1) * 30]),
+                         batch_id=i)
+    compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1)
+    gen_after_compact = IndexReader(spark, idx).manifest["derived"]["postings"]
+    assert gen_after_compact != "postings.g0"
+    # the SAME StreamingIndexer instance (stale in-memory map) publishes
+    # another batch — it must land in the current generation
+    extra = make_corpus(150, seed=22).iloc[120:150]
+    ix.process_batch(spark.createDataFrame(extra), batch_id=4)
+    r = IndexReader(spark, idx)
+    assert r.doc_count == 150
+    hits = IndexSearcher(r).search("index OR merge OR scan", k=50).collect()
+    # all five groups' docs are searchable via the current generation
+    assert len({h["doc_id"] for h in hits}) > 0
+    # postings for the new batch live in the post-compaction generation
+    cur = r.manifest["derived"]["postings"]
+    assert os.path.isdir(os.path.join(idx, cur))
