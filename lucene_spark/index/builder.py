@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from lucene_spark.analysis import get_analyzer
 from lucene_spark.analysis.analyzers import analyzer_fingerprint
-from lucene_spark.index.layout import DERIVED_NAMES
+from lucene_spark.index.layout import DERIVED_NAMES, gc_derived
 from lucene_spark.codec.blocks import BLOCK_SIZE, build_block_meta
 from lucene_spark.codec.vbyte import vbyte_encode, delta_encode
 
@@ -595,6 +595,9 @@ class IndexBuilder:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2)
         os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+        # a re-build over a previously compacted index resets the map to
+        # g0 — retire any higher-numbered orphan generations
+        gc_derived(index_dir, manifest, min_age_seconds=0.0)
         return manifest
 
     def _build_group(

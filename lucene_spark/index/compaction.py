@@ -101,7 +101,11 @@ def _recover_incomplete_merges(index_dir: str) -> bool:
         alive = [g for g in victims
                  if os.path.isdir(os.path.join(raw_dir, f"group={g}"))]
         if not alive:
-            continue  # merge fully committed
+            if m.get("derived_pending"):
+                # victims fully retired but the derived rebuild never ran
+                # (crash in the window between retirement and rebuild)
+                rolled_forward = True
+            continue
         if len(alive) == len(victims):
             # roll back: drop the merged copy, keep the intact victims
             g = int(m["group"])
@@ -261,6 +265,7 @@ def compact(
     segs_per_tier: int = 10,
     max_merge_at_once: int = 10,
     deletes=None,
+    gc_min_age_seconds: float = 300.0,
 ) -> dict:
     """One compaction round. Returns {'merged': [...], 'into': G or None}.
 
@@ -296,7 +301,8 @@ def compact(
             # derived artifacts were never rebuilt — rebuild now or the
             # interrupted merge's effects (e.g. folded deletes) never
             # reach postings/docstats
-            _rebuild_derived(spark, index_dir, cfg, manifest)
+            _rebuild_derived(spark, index_dir, cfg, manifest,
+                             gc_min_age_seconds)
             return {"merged": [], "into": None, "recovered_rebuild": True}
         return {"merged": [], "into": None}
 
@@ -327,6 +333,13 @@ def compact(
     with open(mpath + ".tmp", "w") as fh:
         json.dump({"group": new_group, "status": "done",
                    "merged_from": sorted(victims),
+                   # cleared by _rebuild_derived AFTER the manifest swap:
+                   # a crash anywhere between this commit and the rebuild
+                   # leaves the flag set, and recovery then forces the
+                   # rebuild even when all victims were already retired
+                   # (that state is otherwise indistinguishable from a
+                   # fully committed merge)
+                   "derived_pending": True,
                    "deletes_applied": n_deleted,
                    "seconds": round(time.time() - t0, 3),
                    "source_fingerprint": f"compaction-of-{sorted(victims)}"}, fh)
@@ -338,11 +351,12 @@ def compact(
             os.remove(p)
 
     # rebuild derived artifacts (postings buckets / termdict / fieldstats)
-    _rebuild_derived(spark, index_dir, cfg, manifest)
+    _rebuild_derived(spark, index_dir, cfg, manifest, gc_min_age_seconds)
     return {"merged": sorted(victims), "into": new_group}
 
 
-def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, manifest: dict) -> None:
+def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig,
+                     manifest: dict, gc_min_age_seconds: float = 300.0) -> None:
     # versioned rebuild: every artifact goes to a NEW generation dir; the
     # manifest swap at the end publishes them atomically and pinned
     # readers keep the previous generation (gc keeps one spare)
@@ -404,4 +418,21 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig, mani
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=2)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
-    gc_derived(index_dir, manifest)
+    # the rebuild is now visible: clear the pending markers (see compact)
+    parts_dir = os.path.join(index_dir, "parts")
+    if os.path.isdir(parts_dir):
+        for name in os.listdir(parts_dir):
+            if not name.endswith(".json"):
+                continue
+            gp = os.path.join(parts_dir, name)
+            try:
+                with open(gp) as fh:
+                    gm = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if gm.get("derived_pending"):
+                gm["derived_pending"] = False
+                with open(gp + ".tmp", "w") as fh:
+                    json.dump(gm, fh)
+                os.replace(gp + ".tmp", gp)
+    gc_derived(index_dir, manifest, gc_min_age_seconds)

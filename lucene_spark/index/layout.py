@@ -41,11 +41,22 @@ def next_derived_name(manifest: dict | None, name: str) -> str:
     return f"{name}.g{derived_gen(manifest, name) + 1}"
 
 
-def gc_derived(index_dir: str, manifest: dict) -> list[str]:
-    """Remove derived generations older than current-1 (one-generation
-    grace for pinned readers). The legacy plain dir counts as gen -1.
-    Call AFTER the manifest swap. Returns the removed directory names."""
+def gc_derived(index_dir: str, manifest: dict,
+               min_age_seconds: float = 300.0) -> list[str]:
+    """Retire derived generations. Call AFTER the manifest swap (single
+    writer at a time). Removes:
+    - generations BELOW current-1 (one-generation grace), but only once
+      older than `min_age_seconds` — streaming bumps termdict every
+      micro-batch, so a pure generation-count grace would give pinned
+      readers only one batch interval of wall-clock time to finish;
+    - generations ABOVE current: under the single-writer rule those are
+      leftovers of a crashed rebuild (or of a full re-build that reset
+      the map to g0) — never referenced, full-size disk leaks otherwise.
+    The legacy plain dir counts as gen -1. Returns removed names."""
+    import time
+
     removed: list[str] = []
+    now = time.time()
     current = {n: derived_gen(manifest, n) for n in DERIVED_NAMES}
     for entry in os.listdir(index_dir):
         m = _GEN_RE.match(entry)
@@ -55,7 +66,14 @@ def gc_derived(index_dir: str, manifest: dict) -> list[str]:
             name, g = entry, -1
         else:
             continue
-        if g < current.get(name, -1) - 1:
-            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+        cur = current.get(name, -1)
+        path = os.path.join(index_dir, entry)
+        old_enough = True
+        try:
+            old_enough = (now - os.path.getmtime(path)) >= min_age_seconds
+        except OSError:
+            pass
+        if (g < cur - 1 and old_enough) or g > cur:
+            shutil.rmtree(path, ignore_errors=True)
             removed.append(entry)
     return removed

@@ -42,34 +42,35 @@ class StreamingIndexer:
         self.index_dir = index_dir
         self.cfg = cfg or IndexConfig()
         self.builder = IndexBuilder(spark, self.cfg)
-        # versioned derived dirs (see index/layout.py): resume from the
-        # existing manifest's map, else start at generation 0
-        mpath = os.path.join(index_dir, "manifest.json")
-        derived = None
-        if os.path.exists(mpath):
-            try:
-                with open(mpath) as fh:
-                    derived = json.load(fh).get("derived")
-            except (OSError, json.JSONDecodeError):
-                derived = None
-        self._derived: dict[str, str] = dict(
-            derived or {n: f"{n}.g0" for n in DERIVED_NAMES})
+        # versioned derived dirs (see index/layout.py): fresh indexes
+        # start at generation 0; _refresh_derived resolves existing ones
+        self._derived: dict[str, str] = {n: f"{n}.g0" for n in DERIVED_NAMES}
+        self._refresh_derived()
 
     def _refresh_derived(self) -> None:
         """Re-read the manifest's derived map: a compaction run BETWEEN
         micro-batches advances the generations, and appending to a stale
         generation would write rows into a directory the next gc
         retires. (Compaction concurrent WITH a running batch remains
-        unsupported — single writer at a time, as documented there.)"""
+        unsupported — single writer at a time, as documented there.)
+
+        A manifest WITHOUT a derived map is a legacy plain-dir index:
+        resolve to the PLAIN names — defaulting to .g0 here would append
+        the batch into a fresh empty generation and publish a map that
+        silently hides every pre-existing document. A manifest that
+        exists but cannot be read RAISES (failing the batch so streaming
+        retries) — proceeding with a stale map is exactly the
+        lost-rows-after-gc failure this refresh prevents."""
         mpath = os.path.join(self.index_dir, "manifest.json")
-        if os.path.exists(mpath):
-            try:
-                with open(mpath) as fh:
-                    derived = json.load(fh).get("derived")
-                if derived:
-                    self._derived = dict(derived)
-            except (OSError, json.JSONDecodeError):
-                pass
+        if not os.path.exists(mpath):
+            return                          # fresh index: keep g0 defaults
+        with open(mpath) as fh:             # raises on unreadable manifest
+            manifest = json.load(fh)
+        derived = manifest.get("derived")
+        if derived:
+            self._derived = dict(derived)
+        else:
+            self._derived = {n: n for n in DERIVED_NAMES}
 
     def _dpath(self, name: str) -> str:
         return os.path.join(self.index_dir, self._derived[name])

@@ -192,7 +192,8 @@ def test_versioned_derived_isolates_pinned_readers(spark, tmp_path):
     assert old_reader.manifest["derived"]["postings"] == "postings.g0"
     before = IndexSearcher(old_reader).search("index OR merge", k=10).collect()
 
-    res1 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1)
+    res1 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1,
+                   gc_min_age_seconds=0.0)
     assert res1["merged"]
     # old generation still on disk (grace), new one published
     assert os.path.isdir(os.path.join(idx, "postings.g0"))
@@ -205,8 +206,9 @@ def test_versioned_derived_isolates_pinned_readers(spark, tmp_path):
     assert r2.manifest["derived"]["postings"] == "postings.g1"
     assert IndexSearcher(r2).search("index OR merge", k=10).collect() == before
 
-    # second rebuild retires g0
-    res2 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1)
+    # second rebuild retires g0 (age grace disabled for the test)
+    res2 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1,
+                   gc_min_age_seconds=0.0)
     if res2["merged"]:          # plan may be within budget already
         assert not os.path.isdir(os.path.join(idx, "postings.g0"))
         assert os.path.isdir(os.path.join(idx, "postings.g1"))
@@ -232,18 +234,61 @@ def test_stream_appends_follow_compacted_generation(spark, tmp_path):
     for i in range(4):
         ix.process_batch(spark.createDataFrame(full.iloc[i * 30:(i + 1) * 30]),
                          batch_id=i)
-    compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1)
+    compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1,
+            gc_min_age_seconds=0.0)
     gen_after_compact = IndexReader(spark, idx).manifest["derived"]["postings"]
     assert gen_after_compact != "postings.g0"
+    rows_after_compact = spark.read.parquet(
+        os.path.join(idx, gen_after_compact)).count()
     # the SAME StreamingIndexer instance (stale in-memory map) publishes
-    # another batch — it must land in the current generation
+    # another batch — it must land in the post-compaction generation, NOT
+    # bump a new one and NOT fall back to the stale g0
     extra = make_corpus(150, seed=22).iloc[120:150]
     ix.process_batch(spark.createDataFrame(extra), batch_id=4)
     r = IndexReader(spark, idx)
     assert r.doc_count == 150
-    hits = IndexSearcher(r).search("index OR merge OR scan", k=50).collect()
-    # all five groups' docs are searchable via the current generation
-    assert len({h["doc_id"] for h in hits}) > 0
-    # postings for the new batch live in the post-compaction generation
     cur = r.manifest["derived"]["postings"]
-    assert os.path.isdir(os.path.join(idx, cur))
+    assert cur == gen_after_compact, (cur, gen_after_compact)
+    # the new batch's postings are PHYSICALLY in the current generation
+    rows_now = spark.read.parquet(os.path.join(idx, cur)).count()
+    assert rows_now > rows_after_compact, (rows_now, rows_after_compact)
+    assert IndexSearcher(r).search("index OR merge OR scan", k=50).collect()
+
+
+def test_recovery_rebuilds_when_derived_pending(spark, tmp_path):
+    """Crash AFTER all victims were retired but BEFORE the derived
+    rebuild: indistinguishable from a committed merge by victim
+    liveness alone — the derived_pending marker forces the rebuild."""
+    import json
+    import os
+
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.index.compaction import compact
+
+    idx = str(tmp_path / "dp_idx")
+    src = spark.createDataFrame(make_corpus(60, seed=9))
+    cfg = IndexConfig(partitions=2, num_groups=4, num_buckets=4)
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    res = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1,
+                  deletes=[0], gc_min_age_seconds=0.0)
+    assert res["into"] is not None
+    true_count = IndexReader(spark, idx).doc_count
+
+    # simulate the crash window: re-set the pending flag and stale the
+    # main manifest (as if the rebuild never ran)
+    gp = os.path.join(idx, "parts", f"group-{res['into']:05d}.json")
+    gm = json.load(open(gp))
+    gm["derived_pending"] = True
+    json.dump(gm, open(gp, "w"))
+    mpath = os.path.join(idx, "manifest.json")
+    m = json.load(open(mpath))
+    m["doc_count"] = 888888
+    json.dump(m, open(mpath, "w"))
+
+    res2 = compact(spark, idx, cfg, floor_bytes=2 << 20, segs_per_tier=1,
+                   gc_min_age_seconds=0.0)
+    assert res2.get("recovered_rebuild") or res2["merged"]
+    m2 = json.load(open(mpath))
+    assert m2["doc_count"] == true_count
+    assert not json.load(open(gp)).get("derived_pending")
