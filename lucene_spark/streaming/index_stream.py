@@ -120,7 +120,13 @@ class StreamingIndexer:
             # exactly-once for the common case stays cheap). The group
             # part-manifest is written at the END of the group build and
             # BEFORE publishing, so any crash inside publish leaves it
-            # behind and routes the replay here.
+            # behind and routes the replay here. NOTE (documented crash
+            # window): between a crashed publish and the checkpoint
+            # replay, readers can see the batch's appended postings rows
+            # while doc_count/termdict still exclude the batch — a
+            # TRANSIENT stats skew, repaired by this remerge; abandoning
+            # a stream permanently after a mid-publish crash (never
+            # replaying) is not a supported exit.
             self._remerge()
         else:
             self._publish_incremental(group)
