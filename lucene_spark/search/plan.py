@@ -293,12 +293,18 @@ def _rewrite_once(node: Node) -> Node:
         return node
     clauses = [Clause(c.occur, _rewrite_once(c.node)) for c in node.clauses]
 
-    # flatten nested pure-SHOULD disjunctions / pure-MUST conjunctions
+    # flatten nested pure-SHOULD disjunctions / pure-MUST conjunctions.
+    # SHOULD flattening is only sound when the OUTER msm <= 1: with
+    # msm=2, (SHOULD(OR(a,b)), SHOULD(c), msm=2) counts the inner
+    # disjunction ONCE, but flattened (a,b,c,msm=2) would count a and b
+    # separately (BooleanQuery.rewrite has the same minShouldMatch guard)
     flat: list[Clause] = []
     for c in clauses:
         if isinstance(c.node, BooleanNode) and c.node.boost == 1.0 and c.node.minimum_should_match == 0:
             inner = c.node.clauses
-            if c.occur is Occur.SHOULD and all(i.occur is Occur.SHOULD for i in inner):
+            if (c.occur is Occur.SHOULD
+                    and node.minimum_should_match <= 1
+                    and all(i.occur is Occur.SHOULD for i in inner)):
                 flat.extend(inner)
                 continue
             if c.occur is Occur.MUST and all(i.occur is Occur.MUST for i in inner):
@@ -318,6 +324,19 @@ def _rewrite_once(node: Node) -> Node:
         dedup.append(c)
     clauses = dedup
 
+    # MatchAll MUST/FILTER clauses are redundant once another positive
+    # clause anchors the result set (FILTER: exact; MUST: shifts every
+    # hit's score by the constant matchall boost — rank-preserving,
+    # documented deviation); keeping them would force the kernel to
+    # materialize the whole doc universe
+    def _is_ma(c: Clause) -> bool:
+        return isinstance(c.node, MatchAllNode) and c.occur in (
+            Occur.MUST, Occur.FILTER)
+    if any(_is_ma(c) for c in clauses) and any(
+            c.occur in (Occur.MUST, Occur.SHOULD, Occur.FILTER)
+            and not isinstance(c.node, MatchAllNode) for c in clauses):
+        clauses = [c for c in clauses if not _is_ma(c)]
+
     # MUST x ∧ MUST_NOT x → MatchNone
     must_set = {c.node for c in clauses if c.occur in (Occur.MUST, Occur.FILTER)}
     if any(c.node in must_set for c in clauses if c.occur is Occur.MUST_NOT):
@@ -334,6 +353,13 @@ def _rewrite_once(node: Node) -> Node:
     clauses = kept
 
     if not clauses:
+        return MatchNoneNode()
+    # an msm larger than the surviving optional-clause count is
+    # unsatisfiable (Lucene rewrites to MatchNoDocs) — checked HERE
+    # because MatchNone SHOULD clauses were just dropped and the
+    # single-clause unwraps below would otherwise erase the constraint
+    n_should = sum(1 for c in clauses if c.occur is Occur.SHOULD)
+    if node.minimum_should_match > n_should:
         return MatchNoneNode()
     # single positive clause unwrap (keeps semantics when no minimum_should_match)
     if (

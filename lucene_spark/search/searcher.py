@@ -240,6 +240,7 @@ class IndexSearcher:
         s.field_sims = self.field_sims
         s.synonyms = self.synonyms
         s.local_topk_max_postings = self.local_topk_max_postings
+        s.kernel_partitions = self.kernel_partitions
         s._deleted = np.unique(np.concatenate(
             [self._deleted, np.asarray(list(doc_ids), dtype=np.int64)]))
         return s
@@ -510,6 +511,20 @@ class IndexSearcher:
         df = self._matches(node, need_scores=False)
         return df.count()
 
+    @staticmethod
+    def _contains_matchall(node: P.Node) -> bool:
+        if isinstance(node, P.MatchAllNode):
+            return True
+        if isinstance(node, P.BooleanNode):
+            return any(IndexSearcher._contains_matchall(c.node)
+                       for c in node.clauses)
+        if isinstance(node, P.DisjunctionMaxNode):
+            return any(IndexSearcher._contains_matchall(c)
+                       for c in node.children)
+        if isinstance(node, P.ConstantScoreNode) and node.child is not None:
+            return IndexSearcher._contains_matchall(node.child)
+        return False
+
     def _local_count(self, node: P.Node) -> int | None:
         """Cost-based local count for selective boolean/phrase queries:
         when Σdf fits the local-execution budget, one shuffle-free
@@ -517,6 +532,8 @@ class IndexSearcher:
         applyInPandas → df.count() job chain (same admissibility argument
         as the local top-k path; deletes are masked in
         _assemble_postings). Returns None to fall back."""
+        if self._contains_matchall(node):
+            return None            # needs the doc universe, not postings
         terms: set[tuple[str, str]] = set()
         self._collect_terms(node, terms)
         if not terms:
@@ -633,6 +650,14 @@ class IndexSearcher:
                 else:
                     kept.append(c)
             if dv:
+                # the dv FILTER may have been the only POSITIVE clause:
+                # a remainder of pure negatives must keep matching
+                # range-minus-negatives (Lucene treats FILTER as the
+                # positive), so re-anchor with a MatchAll clause
+                if kept and not any(
+                        c.occur in (P.Occur.MUST, P.Occur.SHOULD,
+                                    P.Occur.FILTER) for c in kept):
+                    kept.append(P.Clause(P.Occur.FILTER, P.MatchAllNode()))
                 node = (P.rewrite(replace(node, clauses=tuple(kept)))
                         if kept else P.MatchAllNode())
         if self._has_dv_node(node):
@@ -940,6 +965,35 @@ class IndexSearcher:
             out = self.reader.docstats().select(
                 "doc_id", F.lit(float(node.boost)).cast("float").alias("score"))
             return self._mask_deleted(out)
+        if isinstance(node, P.BooleanNode):
+            pos = [c for c in node.clauses
+                   if c.occur in (P.Occur.MUST, P.Occur.SHOULD,
+                                  P.Occur.FILTER)]
+            if pos and all(isinstance(c.node, P.MatchAllNode) for c in pos):
+                # 'all docs except X' (MatchAllDocsQuery + MUST_NOT):
+                # every live doc minus the union of negative matches,
+                # scored at the summed matchall boosts (FILTER scoreless)
+                score = sum(float(c.node.boost) for c in pos
+                            if c.occur is not P.Occur.FILTER)
+                out = self.reader.docstats().select(
+                    "doc_id", F.lit(score).cast("float").alias("score"))
+                negs = [c.node for c in node.clauses
+                        if c.occur is P.Occur.MUST_NOT]
+                if negs:
+                    neg_node = negs[0] if len(negs) == 1 else P.BooleanNode(
+                        clauses=tuple(P.Clause(P.Occur.SHOULD, n)
+                                      for n in negs),
+                        minimum_should_match=1)
+                    neg_df = self._run_kernel(P.rewrite(neg_node), None,
+                                              need_scores=False)
+                    out = out.join(neg_df.select("doc_id"), "doc_id",
+                                   "left_anti")
+                return self._mask_deleted(out)
+        if self._contains_matchall(node):
+            raise ValueError(
+                "MatchAllDocsQuery mixed into this boolean shape is "
+                "unsupported (only top-level, all-positives-matchall, or "
+                "alongside other positive clauses after rewrite)")
         terms: set[tuple[str, str]] = set()
         self._collect_terms(node, terms)
         if not terms:
