@@ -2974,19 +2974,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Entry ORDER is deliberate: the correctness driver samples the FIRST 50
+    # entries, so gates that have never produced a driver-oracle row (or whose
+    # last driver row failed) come first; long-proven gates rotate to the back.
+    # Blocks: (a) round-1 fails with round-2 fixes, (b) never-driver-tested,
+    # (c) new round-3 gates, (d) core ft sentinels for regression cover,
+    # (e) previously-proven gates.
     return {
-        # fulltext engine (index-backed)
+        # (a) r01 fails, fixed in r02, awaiting driver re-test
+        "rel_range_facet": rel_range_facet,
+        "dd_minhash_lsh": dd_minhash_lsh,
+        "dd_simhash": dd_simhash,
+        "tx_fingerprint": tx_fingerprint,
+        "sim_neardup_lsh": sim_neardup_lsh,
+        # (b) never driver-tested
+        "ft_freetext_suggest": ft_freetext_suggest,
+        "ft_simple_qp": ft_simple_qp,
+        "ft_surround_near": ft_surround_near,
+        "ft_complex_phrase": ft_complex_phrase,
+        "ft_xml_query": ft_xml_query,
+        "ft_span_first": ft_span_first,
+        "ft_span_not": ft_span_not,
+        "ft_point_range": ft_point_range,
+        "dd_decontaminate": dd_decontaminate,
+        "tx_html_strip": tx_html_strip,
+        "tx_repetition": tx_repetition,
+        "rel_geo_box": rel_geo_box,
+        "rel_geo_distance": rel_geo_distance,
+        "rel_geo_nearest": rel_geo_nearest,
+        "rel_geo_polygon": rel_geo_polygon,
+        "rel_parent_child": rel_parent_child,
+        "rel_drill_sideways": rel_drill_sideways,
+        "ft_suggest_fuzzy": ft_suggest_fuzzy,
+        "rel_csv_roundtrip": rel_csv_roundtrip,
+        "st_percolate": st_percolate,
+        "st_stream_build": st_stream_build,
+        "ft_checkindex": ft_checkindex,
+        "rel_significant_terms": rel_significant_terms,
+        "rel_expr_score": rel_expr_score,
+        "tx_classify": tx_classify,
+        "tx_knn_classify": tx_knn_classify,
+        "ft_termvectors": ft_termvectors,
+        "sim_ivf_topk": sim_ivf_topk,
+        "sim_nsw_topk": sim_nsw_topk,
+        "sim_knn_join": sim_knn_join,
+        "mm_features": mm_features,
+        # (c) new round-3 gates
+        # (d) core ft sentinels (driver-green in r02; kept in-window)
+        "ft_term_topk": ft_term_topk,
+        "ft_blockmax_topk": ft_blockmax_topk,
+        "ft_bool_and": ft_bool_and,
+        "ft_phrase": ft_phrase,
+        "ft_count": ft_count,
+        "ft_dv_update": ft_dv_update,
+        # (e) previously-proven gates (driver-green r01/r02)
         "ft_termdict_stats": ft_termdict_stats,
         "ft_docstats_sha": ft_docstats_sha,
-        "ft_bool_and": ft_bool_and,
         "ft_bool_or_not": ft_bool_or_not,
-        "ft_count": ft_count,
         "ft_prefix": ft_prefix,
-        "ft_term_topk": ft_term_topk,
         "ft_topk_or_sql": ft_topk_or_sql,
         "ft_topk_and_sql": ft_topk_and_sql,
-        "ft_blockmax_topk": ft_blockmax_topk,
-        "ft_phrase": ft_phrase,
         "ft_phrase_sloppy": ft_phrase_sloppy,
         "ft_stemmed_topk": ft_stemmed_topk,
         "ft_multiphrase": ft_multiphrase,
@@ -3024,26 +3071,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest_infix": ft_suggest_infix,
         "ft_join_fromto": ft_join_fromto,
         "ft_ltr_rerank": ft_ltr_rerank,
-        "ft_dv_update": ft_dv_update,
         "ft_sweetspot_topk": ft_sweetspot_topk,
-        "ft_freetext_suggest": ft_freetext_suggest,
-        "ft_simple_qp": ft_simple_qp,
-        "ft_surround_near": ft_surround_near,
-        "ft_complex_phrase": ft_complex_phrase,
-        "ft_xml_query": ft_xml_query,
-        "ft_span_first": ft_span_first,
-        "ft_span_not": ft_span_not,
-        "ft_point_range": ft_point_range,
-        "dd_decontaminate": dd_decontaminate,
-        "tx_html_strip": tx_html_strip,
-        "tx_repetition": tx_repetition,
-        # relational / facets / streams
         "rel_q1": rel_q1,
         "rel_join_topn": rel_join_topn,
         "rel_part_join": rel_part_join,
         "rel_group_topn": rel_group_topn,
         "rel_facet_lang": rel_facet_lang,
-        "rel_range_facet": rel_range_facet,
         "rel_stats_facet": rel_stats_facet,
         "rel_pivot_rollup": rel_pivot_rollup,
         "rel_supplier_region": rel_supplier_region,
@@ -3052,39 +3085,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_unique": rel_unique,
         "rel_timeseries": rel_timeseries,
         "rel_json_extract": rel_json_extract,
-        "rel_geo_box": rel_geo_box,
-        "rel_geo_distance": rel_geo_distance,
-        "rel_geo_nearest": rel_geo_nearest,
-        "rel_geo_polygon": rel_geo_polygon,
-        "rel_parent_child": rel_parent_child,
-        "rel_drill_sideways": rel_drill_sideways,
-        "ft_suggest_fuzzy": ft_suggest_fuzzy,
-        "rel_csv_roundtrip": rel_csv_roundtrip,
-        "st_percolate": st_percolate,
-        "st_stream_build": st_stream_build,
-        "ft_checkindex": ft_checkindex,
-        "rel_significant_terms": rel_significant_terms,
-        "rel_expr_score": rel_expr_score,
-        # training-data pipeline
         "dd_exact": dd_exact,
         "dd_jaccard_pairs": dd_jaccard_pairs,
-        "dd_minhash_lsh": dd_minhash_lsh,
-        "dd_simhash": dd_simhash,
         "tx_token_counts": tx_token_counts,
         "tx_quality": tx_quality,
         "tx_langid": tx_langid,
-        "tx_fingerprint": tx_fingerprint,
-        "tx_classify": tx_classify,
-        "tx_knn_classify": tx_knn_classify,
-        "ft_termvectors": ft_termvectors,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_gemm_topk": sim_gemm_topk,
         "sim_neardup": sim_neardup,
-        "sim_neardup_lsh": sim_neardup_lsh,
-        "sim_ivf_topk": sim_ivf_topk,
-        "sim_nsw_topk": sim_nsw_topk,
-        "sim_knn_join": sim_knn_join,
-        "mm_features": mm_features,
     }
 
 

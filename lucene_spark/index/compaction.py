@@ -165,27 +165,45 @@ def plan_compaction(
     return smallest[:max_merge_at_once]
 
 
-def _rewrite_with_deletes(src: DataFrame, deleted: np.ndarray, block_size: int):
+def _rewrite_with_deletes(src: DataFrame, deletes_df: DataFrame, block_size: int):
     """Rewrite victim-group raw rows dropping tombstoned docs — the
     merge-applies-deletes semantic (index/FreqProxTermsWriter.java:51-79):
     postings decoded, masked, re-encoded with fresh block metadata; empty
     posting rows dropped; per-(field, partition) collection stats
     recomputed from the surviving postings so df/cf/docCount/sumTTF
-    recover; docstat rows of deleted docs removed."""
+    recover; docstat rows of deleted docs removed.
+
+    deletes_df: one-column (doc_id long) DataFrame. The delete set is
+    DISTRIBUTED by cogrouping on part_id (doc_id >> PART_ID_SHIFT): each
+    rewrite task sees only its own partition's tombstones — no driver
+    collect, no task-closure ride-along, so a 100M-row delete set costs
+    one shuffle of the deletes, not 100M ids × every task."""
     from lucene_spark.codec.blocks import build_block_meta
     from lucene_spark.codec.vbyte import delta_decode, delta_encode, vbyte_decode, vbyte_encode
+    from lucene_spark.index.builder import PART_ID_SHIFT
 
-    dels = np.asarray(sorted(int(d) for d in deleted), dtype=np.int64)
     schema = src.schema
     cols = [f.name for f in schema.fields]
+    dels_by_part = deletes_df.select(
+        F.col(deletes_df.columns[0]).cast("long").alias("doc_id")
+    ).withColumn("part_id", F.shiftright("doc_id", PART_ID_SHIFT).cast("int"))
 
-    def _is_deleted(doc_ids: np.ndarray) -> np.ndarray:
+    def _empty() -> pd.DataFrame:
+        # object dtype so Arrow maps empty columns onto array/binary
+        # fields (an empty float64 column cannot convert to list<long>)
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+
+    def _is_deleted(doc_ids: np.ndarray, dels: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(dels, doc_ids)
         idx_c = np.clip(idx, 0, dels.size - 1)
         return (idx < dels.size) & (dels[idx_c] == doc_ids) if dels.size else \
             np.zeros(doc_ids.size, dtype=bool)
 
-    def rewrite_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+    def rewrite_postings(pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty()
+        dels = np.sort(dpdf["doc_id"].to_numpy(np.int64)) if len(dpdf) else \
+            np.empty(0, dtype=np.int64)
         out_rows = []
         fstats: dict[str, tuple[set, int]] = {}
         part_id = int(pdf["part_id"].iloc[0])
@@ -193,7 +211,7 @@ def _rewrite_with_deletes(src: DataFrame, deleted: np.ndarray, block_size: int):
             docs = delta_decode(vbyte_decode(r.doc_blob))
             tfs = vbyte_decode(r.tf_blob)
             dls = vbyte_decode(r.dl_blob)
-            dead = _is_deleted(docs)
+            dead = _is_deleted(docs, dels)
             pos_delta = vbyte_decode(r.pos_blob) if r.pos_blob is not None else None
             if dead.any():
                 keep = ~dead
@@ -237,21 +255,27 @@ def _rewrite_with_deletes(src: DataFrame, deleted: np.ndarray, block_size: int):
                     fr[c] = None
             frames.append(fr[cols])
         if not frames:
-            # object dtype so Arrow maps empty columns onto array/binary
-            # fields (an empty float64 column cannot convert to list<long>)
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+            return _empty()
         return pd.concat(frames, ignore_index=True)
 
-    def filter_docstats(batches):
-        for pdf in batches:
-            if len(pdf):
-                pdf = pdf[~pd.Series(_is_deleted(pdf["doc_id"].to_numpy(np.int64)),
-                                     index=pdf.index)]
-            yield pdf
+    def filter_docstats(pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty()
+        if len(dpdf):
+            dels = np.sort(dpdf["doc_id"].to_numpy(np.int64))
+            pdf = pdf[~pd.Series(_is_deleted(pdf["doc_id"].to_numpy(np.int64), dels),
+                                 index=pdf.index)]
+        return pdf
 
-    posts = (src.filter(F.col("kind") == "posting")
-             .groupBy("part_id").applyInPandas(rewrite_postings, schema))
-    docs = src.filter(F.col("kind") == "docstat").mapInPandas(filter_docstats, schema)
+    # cogroup distributes the tombstones: postings rows carry part_id,
+    # docstat rows derive it from the doc_id's high bits
+    posts = (src.filter(F.col("kind") == "posting").groupBy("part_id")
+             .cogroup(dels_by_part.groupBy("part_id"))
+             .applyInPandas(rewrite_postings, schema))
+    docs = (src.filter(F.col("kind") == "docstat")
+            .groupBy(F.shiftright("doc_id", PART_ID_SHIFT).cast("int").alias("part_id"))
+            .cogroup(dels_by_part.groupBy("part_id"))
+            .applyInPandas(filter_docstats, schema))
     # old fieldstat rows intentionally dropped — regenerated above
     return posts.unionByName(docs)
 
@@ -315,13 +339,17 @@ def compact(
     src = spark.read.parquet(*[os.path.join(raw_dir, f"group={g}") for g in victims])
     n_deleted = 0
     if deletes is not None:
+        # normalize to a one-column DataFrame; the delete set itself is
+        # never collected to the driver (see _rewrite_with_deletes)
         if isinstance(deletes, DataFrame):
-            dels = [r[0] for r in deletes.select(deletes.columns[0]).collect()]
+            dels_df = deletes.select(
+                F.col(deletes.columns[0]).cast("long").alias("doc_id"))
         else:
-            dels = list(deletes)
-        if dels:
-            n_deleted = len(dels)
-            src = _rewrite_with_deletes(src, np.asarray(dels, dtype=np.int64),
+            vals = [(int(d),) for d in deletes]
+            dels_df = spark.createDataFrame(vals, "doc_id long") if vals else None
+        n_deleted = int(dels_df.count()) if dels_df is not None else 0
+        if n_deleted:
+            src = _rewrite_with_deletes(src, dels_df,
                                         int(mcfg.get("block_size", 128)))
     # rows move verbatim (or rewritten sans tombstones); coalesce bounds
     # the output file count

@@ -203,25 +203,37 @@ def knn_join(
     hard-negative mining and dedup-by-neighbor (the role KnnStream
     gestures at, solr/solrj/.../io/stream/KnnStream.java).
 
-    Physical strategy = block-nested-loop with a broadcast query block:
-    query vectors are collected chunk-by-chunk (bounded driver memory:
-    query_chunk × dim floats) and each chunk runs the Arrow→numpy GEMM
-    kernel over the distributed corpus. Corpus is never collected; cost is
-    ceil(Q/chunk) corpus scans — cache corpus_df for multi-chunk runs. For
-    query sides too big to stream through the driver, use knn_join_lsh
-    (fully distributed blocking). Returns (query_key, key, cosine), k rows
-    per query, ties broken by corpus key asc."""
-    qrows = queries_df.select(key_col, vec_col).collect()
+    Physical strategy = block-nested-loop with a bounded broadcast query
+    block: queries are split into ceil(Q/chunk) hash-chunks DISTRIBUTEDLY
+    (one count() to size the split — no global sort, no unbounded
+    collect), then each chunk is staged through the driver one at a time
+    (bounded memory: ~query_chunk × dim floats) and runs the Arrow→numpy
+    GEMM kernel over the distributed corpus. Corpus is never collected;
+    cost is n_chunks corpus scans — cache corpus_df for multi-chunk runs.
+    query_id → query_key mapping rides a broadcast join of the ≤chunk-row
+    key table (not a literal array — keeps the plan O(1) in chunk size).
+    For query sides too big to stream through the driver even chunk-wise,
+    use knn_join_lsh (fully distributed blocking). Returns (query_key,
+    key, cosine), k rows per query, ties broken by corpus key asc."""
+    n_q = queries_df.count()
+    if n_q == 0:
+        spark = queries_df.sparkSession
+        return spark.createDataFrame([], "query_key long, key long, cosine double")
+    n_chunks = -(-n_q // query_chunk)
+    chunk_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
     out = None
-    for lo in range(0, len(qrows), query_chunk):
-        chunk = qrows[lo:lo + query_chunk]
-        qk = [int(r[0]) for r in chunk]
-        qm = np.array([r[1] for r in chunk], dtype=np.float64)
+    for i in range(n_chunks):
+        cpdf = (queries_df.select(key_col, vec_col)
+                .filter(chunk_of == i).toPandas())
+        if not len(cpdf):
+            continue
+        qm = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
         part = pairwise_topk_gemm(corpus_df, vec_col, key_col, qm, k=k)
-        mapping = F.array(*[F.lit(x) for x in qk])
-        part = part.select(
-            F.element_at(mapping, F.col("query_id") + 1).alias("query_key"),
-            "key", "cosine")
+        keymap = queries_df.sparkSession.createDataFrame(
+            pd.DataFrame({"query_id": np.arange(len(cpdf), dtype=np.int32),
+                          "query_key": cpdf[key_col].to_numpy()}))
+        part = (part.join(F.broadcast(keymap), "query_id")
+                .select("query_key", "key", "cosine"))
         out = part if out is None else out.unionByName(part)
     return out
 

@@ -620,8 +620,21 @@ class IndexSearcher:
 
     def hydrate(self, topk: DataFrame) -> DataFrame:
         """Join winners back to the docstats sidecar (stored-fields
-        hydration; the k-row side is broadcast)."""
-        return topk.join(F.broadcast(self.reader.docstats()), "doc_id", "left")
+        hydration; the k-row side is broadcast).
+
+        The broadcast hint MUST sit on the top-k side (≤k rows): docstats
+        has one row per document and broadcasting it would OOM the driver
+        at real scale. INNER join, deliberately: every indexed doc has a
+        docstats row by construction (builder writes them in the same
+        transaction), and an outer join would force Spark to build the
+        docstats side (BroadcastHashJoin can't build the outer-preserved
+        side), silently re-broadcasting the full sidecar.
+        """
+        return (self.reader.docstats()
+                .join(F.broadcast(topk), "doc_id", "inner")
+                .select(*topk.columns,
+                        *[c for c in self.reader.docstats().columns
+                          if c != "doc_id"]))
 
     # --------------------------------------------- doc-values range filters
     def _extract_dv_filters(self, node: P.Node) -> tuple[P.Node, list[P.DocValuesRangeNode]]:

@@ -82,6 +82,20 @@ def main() -> None:
         ],
     ))
 
+    # 2b. hydrate: the ≤k-row top-k side must be the broadcast build side —
+    # broadcasting the per-document docstats sidecar would OOM at scale
+    p = plan_of(searcher.hydrate(top_default))
+    sections.append((
+        "hydrate (stored-fields join)", p,
+        [
+            ("BroadcastHashJoin with the top-k side as build side (BuildRight)",
+             "BroadcastHashJoin" in p and "BuildRight" in p),
+            ("docstats sidecar NOT broadcast (no parquet scan under the exchange)",
+             "BroadcastExchange" in p.split("\n\n", 1)[0] and "parquet" not in
+             p.split("\n\n", 1)[0].split("BroadcastExchange", 1)[1]),
+        ],
+    ))
+
     # 3. declarative BM25 (sqlbm25): broadcasts + partial aggs
     from lucene_spark.search.sqlbm25 import bm25_topk_sql
 

@@ -123,3 +123,35 @@ def test_deletes_folded_at_compaction(spark, tmp_path):
     b = {r["doc_id"] for r in s2.matches("index", with_scores=False).collect()}
     # doc_ids differ between builds (different partitioning); compare counts
     assert len(a) == len(b)
+
+
+def test_compaction_folds_dataframe_deletes_at_scale(spark, tmp_path):
+    """The delete set arrives as a 1M-row DataFrame and is folded without
+    any driver-side collect (distributed via part_id cogroup): survivors
+    and stats match the small-list path exactly."""
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.index.compaction import compact
+    from lucene_spark.search import IndexSearcher
+    from pyspark.sql import functions as F
+
+    pdf = make_corpus(120, seed=23)
+    idx = str(tmp_path) + "/idx"
+    cfg = IndexConfig(partitions=2, num_groups=3, num_buckets=4)
+    IndexBuilder(spark, cfg).build(spark.createDataFrame(pdf), idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+    dead = sorted(r["doc_id"] for r in
+                  s.matches("merge", with_scores=False).collect())
+    assert dead
+    # 1M-row delete DataFrame: the real victims plus ~1M ids that do not
+    # exist in the index (fold must ignore them and never collect the set)
+    dels_df = (spark.range(1_000_000)
+               .select((F.lit(1 << 55) + F.col("id")).alias("doc_id"))
+               .unionByName(spark.createDataFrame([(int(d),) for d in dead],
+                                                  "doc_id long")))
+    res = compact(spark, idx, segs_per_tier=1, max_merge_at_once=10,
+                  deletes=dels_df)
+    assert res["merged"], res
+    r1 = IndexReader(spark, idx)
+    assert r1.doc_count == len(pdf) - len(dead)
+    assert IndexSearcher(r1).count("merge") == 0
