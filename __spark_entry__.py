@@ -2966,6 +2966,188 @@ FROM s5 ORDER BY doc_id
 # contract surface
 
 
+# ---------------------------------------------------------------------------
+# round-3 gates: multi-partition merge, interval containment algebra,
+# DFR/IB matrix
+
+_IDX_MP_CACHE: dict[str, IndexReader] = {}
+
+
+def _reader_mp(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """4-partition gate index: exercises the cross-partition paths the
+    single-partition gate index cannot — per-partition kernel top-k →
+    TopDocs.merge-style global reduce (search/TopDocs.java:202-227),
+    partitioned postings buckets, multi-part docstats."""
+    if sf_dir in _IDX_MP_CACHE:
+        return _IDX_MP_CACHE[sf_dir]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "text")
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_mp", os.path.basename(os.path.normpath(sf_dir)))
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="text", analyzer="whitespace",
+        partitions=4, num_groups=2, num_buckets=4, termdict_partitions=2,
+        index_positions=True)
+    IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+    _IDX_MP_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return _IDX_MP_CACHE[sf_dir]
+
+
+def ft_multipart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over a 4-PARTITION index through search(k) — the
+    cross-partition merge + tie-break path (TopDocs.merge,
+    search/TopDocs.java:202-227; per-leaf collect → global reduce).
+    Same deep-k buffer as ft_blockmax_topk (k=50 → rounded re-rank to
+    10) so raw float32 ties at the cut cannot perturb the rounded rank;
+    the oracle is the exhaustive single-node BM25 top-10."""
+    s = IndexSearcher(_reader_mp(spark, sf_dir))
+    top = s.search("merge", k=50)
+    m = _to_ext(top, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_MULTIPART_SQL = bm25_topk_oracle_sql(
+    "documents", "doc_id", "text", ["merge"], k=10, round_to=2
+)
+
+
+def ft_interval_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.containing (Intervals.java:366-375,
+    ContainingIntervalsSource.java): minimal ordered spans of
+    'table'…'hash' (gaps ≤ 8) that contain a 'big' position. The SQL
+    oracle enumerates the SAME minimal spans (for each 'table' anchor,
+    the earliest later 'hash' — OrderedIntervalsSource minimization)."""
+    from lucene_spark.search import intervals as IV
+
+    s = _searcher(spark, sf_dir)
+    node = IV.containing(IV.ordered("table", "hash", max_gaps=8),
+                         IV.term("big"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_CONTAINING_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+),
+spans AS (
+  SELECT a.doc_id, a.pos AS s, MIN(b.pos) AS e
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = 'table' AND b.term = 'hash' AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+  HAVING MIN(b.pos) - a.pos <= 9
+)
+SELECT DISTINCT p.doc_id FROM spans p
+WHERE EXISTS (
+  SELECT 1 FROM tok t
+  WHERE t.doc_id = p.doc_id AND t.term = 'big'
+    AND t.pos BETWEEN p.s AND p.e
+)
+"""
+
+
+def ft_interval_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.within (Intervals.java:348-351 — containedBy over an
+    extended reference): 'fast' positions within 3 positions of a
+    'scan' occurrence."""
+    from lucene_spark.search import intervals as IV
+
+    s = _searcher(spark, sf_dir)
+    node = IV.within(IV.term("fast"), 3, IV.term("scan"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_WITHIN_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'fast' AND b.term = 'scan' AND abs(a.pos - b.pos) <= 3
+"""
+
+
+def ft_interval_notwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.notWithin (Intervals.java:333-342 — nonOverlapping over
+    an extended subtrahend): docs with a 'fast' position NO 'scan'
+    within 3 positions of it (docs lacking 'scan' entirely qualify)."""
+    from lucene_spark.search import intervals as IV
+
+    s = _searcher(spark, sf_dir)
+    node = IV.not_within(IV.term("fast"), 3, IV.term("scan"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_NOTWITHIN_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a
+WHERE a.term = 'fast' AND NOT EXISTS (
+  SELECT 1 FROM tok b
+  WHERE b.doc_id = a.doc_id AND b.term = 'scan' AND abs(a.pos - b.pos) <= 3
+)
+"""
+
+
+def ft_dfr_ine_b_h1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR Ine/B/H1 from the composable matrix (BasicModelIne.java:37
+    ne = N·(1−((N−1)/N)^F), AfterEffectB.java:33 ae·(1+tfn)=(F+2)/(n+1),
+    NormalizationH1.java:50 tfn = tf·avgdl/dl)."""
+    return _sim_topk(spark, sf_dir, "dfr_ine_b_h1", "filter")
+
+
+FT_DFR_INE_B_H1_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'filter' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT sum(tf) AS f, count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln((st.n + 1) / (st.n * (1 - pow((st.n - 1)/st.n, qd.f)) + 0.5)) / ln(2)
+           * ((qd.f + 2) / (qd.df + 1))
+           * (1 - 1 / (1 + tf.tf * st.avgdl / dl.dl)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_ib_spl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB SPL/TTF/H2 from the composable matrix (DistributionSPL.java:36
+    −ln((λ^q − λ)/(1 − λ)), q = 1 − 1/(tfn+1); LambdaTTF.java:33
+    λ = (F+1)/(N+1); NormalizationH2.java:58)."""
+    return _sim_topk(spark, sf_dir, "ib_spl_ttf_h2", "query")
+
+
+FT_IB_SPL_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'query' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT sum(tf) AS cf FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         -ln((pow((qd.cf + 1)/(st.n + 1),
+                  1 - 1/(tf.tf * ln(1 + st.avgdl/dl.dl)/ln(2) + 1))
+              - (qd.cf + 1)/(st.n + 1))
+             / (1 - (qd.cf + 1)/(st.n + 1))) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3020,6 +3202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": sim_knn_join,
         "mm_features": mm_features,
         # (c) new round-3 gates
+        "ft_multipart_topk": ft_multipart_topk,
+        "ft_interval_containing": ft_interval_containing,
+        "ft_interval_within": ft_interval_within,
+        "ft_interval_notwithin": ft_interval_notwithin,
+        "ft_dfr_ine_b_h1_topk": ft_dfr_ine_b_h1_topk,
+        "ft_ib_spl_topk": ft_ib_spl_topk,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3098,6 +3286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ft_multipart_topk": FT_MULTIPART_SQL,
+        "ft_interval_containing": FT_INTERVAL_CONTAINING_SQL,
+        "ft_interval_within": FT_INTERVAL_WITHIN_SQL,
+        "ft_interval_notwithin": FT_INTERVAL_NOTWITHIN_SQL,
+        "ft_dfr_ine_b_h1_topk": FT_DFR_INE_B_H1_SQL,
+        "ft_ib_spl_topk": FT_IB_SPL_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

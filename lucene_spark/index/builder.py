@@ -91,6 +91,17 @@ class IndexConfig:
                                       # needs freqs only, phrases need positions
     fields: tuple[FieldSpec, ...] = ()  # multi-field schema; () = single
                                         # field named content_col (v1 layout)
+    sort_by: tuple[str, ...] = ()     # index-time sort (index/IndexSorter.java
+                                      # / IndexWriterConfig.setIndexSort):
+                                      # local doc_ids follow these columns
+                                      # within every partition, so the
+                                      # docstats sidecar is written sorted →
+                                      # Parquet row-group min/max pruning on
+                                      # the sort column is the
+                                      # sorted-segment early-termination
+                                      # analogue (TopFieldCollector
+                                      # early-exit). Columns must be key or
+                                      # carry columns.
 
     def field_specs(self) -> tuple[FieldSpec, ...]:
         """Resolved per-field specs; the FIRST field is the default search
@@ -580,6 +591,7 @@ class IndexBuilder:
                     for s in cfg.field_specs()
                 ],
                 "default_field": cfg.default_field,
+                "sort_by": list(cfg.sort_by),
             },
             "doc_count": fs.get("doc_count"),
             "sum_doclen": fs.get("sum_doclen"),
@@ -617,9 +629,19 @@ class IndexBuilder:
             part = src.filter(gcol == group)
         # deterministic placement: hash-repartition on keys, then fix the
         # row order inside every partition (doc_id reproducibility —
-        # SURVEY.md §7.3 item 3)
+        # SURVEY.md §7.3 item 3). With an index-time sort
+        # (IndexWriterConfig.setIndexSort role) the sort columns lead and
+        # the keys remain as the unique tie-break, so doc_id order within
+        # a partition follows the sort field and the docstats parquet
+        # carries correlated row-group min/max on it.
+        if cfg.sort_by:
+            missing = [c for c in cfg.sort_by
+                       if c not in cfg.key_cols + cfg.carry_cols]
+            if missing:
+                raise ValueError(
+                    f"sort_by columns must be key or carry columns: {missing}")
         part = part.repartition(cfg.partitions, *[F.col(c) for c in cfg.key_cols]) \
-                   .sortWithinPartitions(*cfg.key_cols)
+                   .sortWithinPartitions(*cfg.sort_by, *cfg.key_cols)
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             return _invert_partition(batches, cfg, group, cfg.partitions, key_and_carry)

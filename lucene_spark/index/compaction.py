@@ -310,6 +310,7 @@ def compact(
         termdict_partitions=mcfg.get("termdict_partitions", 4)
         if isinstance(mcfg.get("termdict_partitions", 4), int) else 4,
         fields=tuple(FieldSpec(**f) for f in mcfg.get("fields", [])),
+        sort_by=tuple(mcfg.get("sort_by", ())),
     )
     recovered = _recover_incomplete_merges(index_dir)
     raw_dir = os.path.join(index_dir, "raw")

@@ -51,11 +51,18 @@ def _gens(index_dir: str, field: str) -> list[int]:
 
 def update_doc_values(
     spark: SparkSession, index_dir: str, field: str, updates: DataFrame,
+    num_files: int = 1,
 ) -> int:
     """Apply one batch of numeric doc-values updates: `updates` is a
     (doc_id, value) frame; returns the generation number committed.
     Later generations win over earlier ones and over the base column —
-    updateNumericDocValue semantics (last update for a doc wins)."""
+    updateNumericDocValue semantics (last update for a doc wins).
+
+    num_files: output files for the generation. The default 1 matches
+    the intended small-update path (one gen file ≈ Lucene's .dvd update
+    gen); BULK updates should pass partitions (e.g. cfg.partitions) so
+    the write isn't serialized through one task — or better, rebuild the
+    column via fold_doc_values at the next compaction."""
     cols = updates.columns
     if "doc_id" not in cols:
         raise ValueError("updates must carry a doc_id column")
@@ -76,7 +83,7 @@ def update_doc_values(
         updates.select(
             F.col("doc_id").cast("long"),
             F.col(val_col).cast("double").alias("value"))
-        .coalesce(1)
+        .coalesce(max(1, int(num_files)))
         .write.mode("errorifexists").parquet(out)
     )
     return gen
@@ -155,7 +162,10 @@ def fold_doc_values(spark: SparkSession, index_dir: str, field: str) -> int:
     shutil.rmtree(tmp, ignore_errors=True)
     resolved = (
         spark.read.option("basePath", d).parquet(d)
-        .groupBy("doc_id").agg(F.max_by("value", "gen").alias("value"))
+        # same tie rule as _update_stack (gen tie → largest value): a
+        # fold must never change the values a reader resolves
+        .groupBy("doc_id").agg(
+            F.max_by("value", F.struct("gen", "value")).alias("value"))
     )
     resolved.select("doc_id", "value").coalesce(1).write.parquet(tmp)
     # commit: fold target becomes gen=<max+1>; old gens retire after —

@@ -110,6 +110,15 @@ class IndexReader:
     def has_positions(self) -> bool:
         return self.field_positions(self.default_field)
 
+    @property
+    def index_sort(self) -> tuple[str, ...]:
+        """Index-time sort columns (IndexWriterConfig.setIndexSort role;
+        empty = unsorted). When set, docstats row order within each
+        partition follows these columns, so range/sort queries on them
+        get Parquet row-group min/max pruning — the sorted-segment
+        early-termination analogue."""
+        return tuple(self.manifest["config"].get("sort_by", ()))
+
     # ---- DataFrames ------------------------------------------------------
     def _raw(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "raw"))

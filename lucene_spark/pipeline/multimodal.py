@@ -41,14 +41,24 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     return (raw[:FEATURE_DIM] - 128.0) / 128.0
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, decode_fn=None,
+                     feature_dim: int | None = None) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches: the real shape of
     a decode/resize/embed stage (batched, columnar, no driver involvement).
-    Returns (media_id, kind, feature array<float>)."""
+    Returns (media_id, kind, feature array<float>).
+
+    decode_fn: bytes -> np.ndarray[float32, feature_dim] — the injection
+    point for a real decoder (PIL/torchaudio/decord). It is serialized
+    into the task closure, so it must be picklable (a module-level
+    function or functools.partial). Defaults to decode_image_stub; the
+    plan, schema, batching, and partitioning are identical either way —
+    swapping the decoder changes NOTHING Spark-side."""
+    decode = decode_fn or decode_image_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p).tolist() for p in pdf["payload"]]
+            feats = [np.asarray(decode(p), dtype=np.float32).tolist()
+                     for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

@@ -204,6 +204,35 @@ def explain(searcher, query, doc_id: int) -> dict:
                           for xs, xe in exc_spans) for s, e in inc_spans)
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": f"SpanNot(pre={n.pre}, post={n.post}), constant score"}
+        if isinstance(n, P.IntervalFilterNode):
+            from lucene_spark.search.kernel import (filter_spans, interval_spans,
+                                                    slot_terms)
+
+            def _spans_of(child):
+                if not isinstance(child, P.IntervalSlotsNode):
+                    return []
+                pls = []
+                for s in child.slots:
+                    arrs = [doc[(child.field, t)][2] for t in slot_terms(s)
+                            if (child.field, t) in doc
+                            and doc[(child.field, t)][2] is not None]
+                    if not arrs:
+                        return []
+                    pls.append(np.sort(np.concatenate(arrs)))
+                return interval_spans(pls, child.max_gaps, child.ordered)
+
+            src_spans = _spans_of(n.source)
+            ref_spans = _spans_of(n.reference)
+            negative = n.op.startswith("not_") or n.op == "non_overlapping"
+            if not ref_spans:
+                hit = bool(src_spans) and negative
+            else:
+                hit = bool(src_spans) and bool(
+                    filter_spans(src_spans, ref_spans, n.op, n.ref_extend))
+            return {"value": float(n.boost) if hit else 0.0, "match": hit,
+                    "description": (f"IntervalFilter({n.op}"
+                                    + (f", ref_extend={n.ref_extend}" if n.ref_extend else "")
+                                    + "), constant score")}
         if isinstance(n, P.MultiPhraseNode):
             ok = all(any((n.field, t) in doc and doc[(n.field, t)][2] is not None
                          for t in alts) for alts in n.positions)

@@ -128,6 +128,8 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_interval_slots(node, ctx)
     if isinstance(node, P.SpanNotNode):
         return _eval_span_not(node, ctx)
+    if isinstance(node, P.IntervalFilterNode):
+        return _eval_interval_filter(node, ctx)
     if isinstance(node, P.MultiPhraseNode):
         return _eval_multiphrase(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
@@ -416,6 +418,82 @@ def _eval_span_not(node: P.SpanNotNode, ctx: EvalContext) -> tuple[np.ndarray, n
                 for xs, xe in exc_spans)
             for s, e in inc_spans
         )
+    docs = base[hit]
+    return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
+
+
+def filter_spans(src: list[tuple[int, int]], ref: list[tuple[int, int]],
+                 op: str, ref_extend: int = 0) -> list[tuple[int, int]]:
+    """Filter one minimal-span list by another — the interval algebra of
+    queries/intervals/Intervals.java:300-404 over fully enumerated span
+    streams. ref_extend widens every reference span to
+    [max(0, s−N), e+N] first (ExtendedIntervalIterator.java:53-78)."""
+    if ref_extend:
+        ref = [(max(0, s - ref_extend), e + ref_extend) for s, e in ref]
+
+    def contains(outer, inner):   # outer ⊇ inner
+        return outer[0] <= inner[0] and inner[1] <= outer[1]
+
+    def overlaps(a, b):
+        return a[0] <= b[1] and b[0] <= a[1]
+
+    if op == "containing":
+        return [s for s in src if any(contains(s, r) for r in ref)]
+    if op == "not_containing":
+        return [s for s in src if not any(contains(s, r) for r in ref)]
+    if op == "contained_by":
+        return [s for s in src if any(contains(r, s) for r in ref)]
+    if op == "not_contained_by":
+        return [s for s in src if not any(contains(r, s) for r in ref)]
+    if op == "overlapping":
+        return [s for s in src if any(overlaps(s, r) for r in ref)]
+    if op == "non_overlapping":
+        return [s for s in src if not any(overlaps(s, r) for r in ref)]
+    raise ValueError(f"unknown interval filter op: {op}")
+
+
+def _eval_interval_filter(node: P.IntervalFilterNode,
+                          ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+    """Interval containment/overlap eval (plan.IntervalFilterNode): a doc
+    matches when filtering its source minimal-span list by its reference
+    span list leaves ≥1 span. Negative ops ('not_*', 'non_overlapping')
+    keep source spans when the reference is ABSENT in a doc, so
+    candidates come from the source side alone; positive ops require
+    both sides present (the reference's positive filter sources advance
+    both sub-iterators conjunctively)."""
+    src, ref = node.source, node.reference
+    if not isinstance(src, P.IntervalSlotsNode):      # MatchNone post-expand
+        return _empty()
+    src_parts = _gather_slot_parts(src, ctx)
+    if src_parts is None:
+        return _empty()
+    negative = node.op.startswith("not_") or node.op == "non_overlapping"
+    ref_parts = (_gather_slot_parts(ref, ctx)
+                 if isinstance(ref, P.IntervalSlotsNode) else None)
+    if ref_parts is None and not negative:
+        return _empty()
+    base = _slot_candidates(src_parts)
+    if base.size == 0:
+        return _empty()
+    hit = np.zeros(base.size, dtype=bool)
+    for ci in range(base.size):
+        doc = int(base[ci])
+        spls = _doc_slot_pls(src_parts, doc, src)
+        if spls is None:
+            continue
+        src_spans = interval_spans(spls, src.max_gaps, src.ordered)
+        if not src_spans:
+            continue
+        ref_spans: list[tuple[int, int]] = []
+        if ref_parts is not None:
+            rpls = _doc_slot_pls(ref_parts, doc, ref)
+            if rpls is not None:
+                ref_spans = interval_spans(rpls, ref.max_gaps, ref.ordered)
+        if not ref_spans:
+            hit[ci] = negative
+            continue
+        hit[ci] = bool(filter_spans(src_spans, ref_spans, node.op,
+                                    node.ref_extend))
     docs = base[hit]
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
 

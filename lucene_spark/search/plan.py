@@ -178,6 +178,37 @@ class SpanNotNode(Node):
 
 
 @dataclass(frozen=True)
+class IntervalFilterNode(Node):
+    """Interval containment/overlap algebra — queries/intervals/
+    Intervals.java:300-404 (ContainingIntervalsSource,
+    NotContainingIntervalsSource, ContainedByIntervalsSource,
+    NotContainedByIntervalsSource, OverlappingIntervalsSource,
+    NonOverlappingIntervalsSource): filter the SOURCE side's
+    minimal-interval stream by the REFERENCE side's. Ops:
+      'containing'       — source intervals containing ≥1 reference span
+      'not_containing'   — source intervals containing none
+      'contained_by'     — source intervals inside some reference span
+      'not_contained_by' — source intervals inside none
+      'overlapping'      — source intervals overlapping ≥1 reference span
+      'non_overlapping'  — source intervals overlapping none
+    ref_extend widens every reference span by N positions both sides
+    (ExtendedIntervalIterator: [max(0, s−N), e+N]) so that
+      within(src, N, ref)    = contained_by + ref_extend=N
+      not_within(src, N, ref)= non_overlapping + ref_extend=N
+    exactly as Intervals.within/notWithin compose (Intervals.java:333-357).
+    Both children are IntervalSlotsNode after planning (term leaves are
+    wrapped as single-slot intervals). A doc matches when the filtered
+    source stream is non-empty. Filtering one minimal-span list by
+    another is exact here: both streams are fully enumerated per doc
+    (interval_spans), so no lazy-minimization subtlety applies.
+    Match-only: constant score = boost."""
+    source: Node | None = None
+    reference: Node | None = None
+    op: str = "containing"
+    ref_extend: int = 0
+
+
+@dataclass(frozen=True)
 class DocValuesRangeNode(Node):
     """Numeric range over a doc-values/stored column — the
     PointRangeQuery role (document/IntPoint.java newRangeQuery,
@@ -249,6 +280,11 @@ def apply_field(node: Node, fld: str, only_default: bool = False) -> Node:
             node,
             include=apply_field(node.include, fld, only_default),
             exclude=apply_field(node.exclude, fld, only_default))
+    if isinstance(node, IntervalFilterNode):
+        return replace(
+            node,
+            source=apply_field(node.source, fld, only_default),
+            reference=apply_field(node.reference, fld, only_default))
     if isinstance(node, FieldedNode):
         if only_default and node.field:
             return node

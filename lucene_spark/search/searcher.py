@@ -805,6 +805,15 @@ class IndexSearcher:
                 return P.MatchNoneNode()
             # exclude expanding to nothing leaves plain include semantics
             return replace(node, include=inc, exclude=self._expand(node.exclude))
+        if isinstance(node, P.IntervalFilterNode):
+            src = self._expand(node.source)
+            if isinstance(src, P.MatchNoneNode):
+                return P.MatchNoneNode()
+            ref = self._expand(node.reference)
+            # a vanished reference matches nothing: positive filters die,
+            # negative filters reduce to plain source semantics (kernel
+            # handles ref-absent-per-doc the same way)
+            return replace(node, source=src, reference=ref)
         if isinstance(node, P.BooleanNode):
             return replace(node, clauses=tuple(
                 P.Clause(c.occur, self._expand(c.node)) for c in node.clauses))
@@ -829,6 +838,10 @@ class IndexSearcher:
             self._collect_terms(node.include, out)
             if node.exclude is not None:
                 self._collect_terms(node.exclude, out)
+        elif isinstance(node, P.IntervalFilterNode):
+            self._collect_terms(node.source, out)
+            if node.reference is not None:
+                self._collect_terms(node.reference, out)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 self._collect_terms(c.node, out)
@@ -848,6 +861,10 @@ class IndexSearcher:
             IndexSearcher._phrase_fields(node.include, out)
             if node.exclude is not None:
                 IndexSearcher._phrase_fields(node.exclude, out)
+        elif isinstance(node, P.IntervalFilterNode):
+            IndexSearcher._phrase_fields(node.source, out)
+            if node.reference is not None:
+                IndexSearcher._phrase_fields(node.reference, out)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 IndexSearcher._phrase_fields(c.node, out)

@@ -374,6 +374,161 @@ class SweetSpotSimilarity:
         return (np.float64(weight) * self._baseline_tf(tff)).astype(np.float32)
 
 
+@dataclass(frozen=True)
+class DFRSimilarity:
+    """Composable divergence-from-randomness — the FULL
+    BasicModel × AfterEffect × Normalization matrix of
+    search/similarities/DFRSimilarity.java:33-80:
+
+      basic_model: 'if'  A = log2(1 + (N+1)/(F+0.5))      (BasicModelIF.java:36)
+                   'in'  A = log2((N+1)/(n+0.5))          (BasicModelIn.java:35)
+                   'ine' ne = N·(1−((N−1)/N)^F),
+                         A = log2((N+1)/(ne+0.5))         (BasicModelIne.java:37)
+                   'g'   λ = (F+1)/(N+F+1), A = log2(λ+1),
+                         B = log2((1+λ)/λ)                (BasicModelG.java:38)
+      after_effect: 'l' ae×(1+tfn) = 1                    (AfterEffectL.java:32)
+                    'b' ae×(1+tfn) = (F+2)/(n+1)          (AfterEffectB.java:33)
+      normalization: 'h1' tfn = tf·c·avgdl/dl             (NormalizationH1.java:50)
+                     'h2' tfn = tf·log2(1 + c·avgdl/dl)   (NormalizationH2.java:58)
+                     'h3' tfn = (tf + μ·(F+1)/(T+1))/(dl+μ)·μ
+                                                          (NormalizationH3.java:49)
+                     'z'  tfn = tf·(avgdl/dl)^z           (NormalizationZ.java:50)
+
+      score = boost · A·ae1p·(1 − 1/(1+tfn))       (I* models)
+              boost · (B − (B−A)/(1+tfn))·ae1p     (G model)
+
+    with N = docCount, n = df, F = cf (totalTermFreq of the term),
+    T = sumTotalTermFreq. Defaults c=1, μ=800, z=0.30 mirror the
+    reference constructors. The dedicated DFRInL2Similarity /
+    DFRGL2Similarity classes predate this matrix and stay registered
+    for their combos (numerically identical)."""
+
+    basic_model: str = "if"
+    after_effect: str = "l"
+    normalization: str = "h2"
+    c: float = 1.0
+    mu: float = 800.0
+    z: float = 0.30
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        n = float(doc_count)
+        b = 0.0
+        if self.basic_model == "if":
+            a = math.log2(1.0 + (n + 1.0) / (cf + 0.5))
+        elif self.basic_model == "in":
+            a = math.log2((n + 1.0) / (df + 0.5))
+        elif self.basic_model == "ine":
+            ne = n * (1.0 - ((n - 1.0) / n) ** cf) if n > 0 else 0.0
+            a = math.log2((n + 1.0) / (ne + 0.5))
+        elif self.basic_model == "g":
+            f = cf + 1.0
+            lam = f / (n + f)
+            a = math.log2(lam + 1.0)
+            b = math.log2((1.0 + lam) / lam)
+        else:
+            raise ValueError(f"unknown DFR basic model: {self.basic_model}")
+        if self.after_effect == "l":
+            ae1p = 1.0
+        elif self.after_effect == "b":
+            ae1p = (cf + 2.0) / (df + 1.0)
+        else:
+            raise ValueError(f"unknown DFR after effect: {self.after_effect}")
+        return (np.float32(boost), np.float64(a), np.float64(b),
+                np.float64(ae1p), np.float64(cf), np.float64(sum_ttf))
+
+    def _tfn(self, tff: np.ndarray, dl: np.ndarray, avgdl,
+             cf: float, sttf: float) -> np.ndarray:
+        if self.normalization == "h1":
+            return tff * self.c * (float(avgdl) / dl)
+        if self.normalization == "h2":
+            return tff * np.log2(1.0 + self.c * float(avgdl) / dl)
+        if self.normalization == "h3":
+            return ((tff + self.mu * ((cf + 1.0) / (sttf + 1.0)))
+                    / (dl + self.mu) * self.mu)
+        if self.normalization == "z":
+            return tff * np.power(float(avgdl) / dl, self.z)
+        raise ValueError(f"unknown DFR normalization: {self.normalization}")
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, a, b, ae1p, cf, sttf = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        tfn = self._tfn(tff, dl, avgdl, float(cf), float(sttf))
+        if self.basic_model == "g":
+            s = (b - (b - a) / (1.0 + tfn)) * ae1p
+        else:
+            s = a * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+        return (np.float64(boost) * s).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        # tfn is non-decreasing in tf and non-increasing in dl for every
+        # normalization; the combined model score is non-decreasing in
+        # tfn (the reference's rewrites guarantee it) — so (max_tf,
+        # min_doclen) bounds the block
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+@dataclass(frozen=True)
+class IBSimilarity:
+    """Composable information-based model — the Distribution × Lambda ×
+    Normalization matrix of search/similarities/IBSimilarity.java:
+
+      distribution: 'll'  −ln(λ/(tfn+λ))              (DistributionLL.java:34)
+                    'spl' −ln((λ^q − λ)/(1 − λ)),
+                          q = 1 − 1/(tfn+1)           (DistributionSPL.java:36)
+      lambda: 'df'  λ = (df+1)/(N+1)                  (LambdaDF.java:33)
+              'ttf' λ = (F+1)/(N+1)                   (LambdaTTF.java:33)
+      normalization: same four as DFRSimilarity.
+
+    SPL's two floating-point guards are kept: q is clamped below 1.0 and
+    λ^q is nudged off λ (np.nextafter plays Math.nextUp/nextDown)."""
+
+    distribution: str = "ll"
+    lam: str = "df"
+    normalization: str = "h2"
+    c: float = 1.0
+    mu: float = 800.0
+    z: float = 0.30
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        if self.lam == "df":
+            lam = np.float32((df + 1.0) / (doc_count + 1.0))
+            if lam == 1.0:
+                lam = np.nextafter(lam, 0.0, dtype=np.float32)
+        elif self.lam == "ttf":
+            lam = np.float32((cf + 1.0) / (doc_count + 1.0))
+            if lam == 1.0:
+                lam = np.nextafter(lam, 2.0, dtype=np.float32)
+        else:
+            raise ValueError(f"unknown IB lambda: {self.lam}")
+        return (np.float32(boost), np.float64(lam),
+                np.float64(cf), np.float64(sum_ttf))
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, lam, cf, sttf = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        tfn = DFRSimilarity._tfn(self, tff, dl, avgdl, float(cf), float(sttf))
+        if self.distribution == "ll":
+            s = -np.log(lam / (tfn + lam))
+        elif self.distribution == "spl":
+            q = np.minimum(1.0 - 1.0 / (tfn + 1.0), np.nextafter(1.0, 0.0))
+            pw = np.power(lam, q)
+            bump = np.nextafter(lam, 2.0) if lam < 1 else np.nextafter(lam, 0.0)
+            pw = np.where(pw == lam, bump, pw)
+            s = -np.log((pw - lam) / (1.0 - lam))
+        else:
+            raise ValueError(f"unknown IB distribution: {self.distribution}")
+        return (np.float64(boost) * s).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl):
+        # both distributions are non-decreasing in tfn (SPL via the q
+        # rewrite, DistributionSPL.java comment), tfn monotone as in DFR
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
 SIMILARITIES = {
     "bm25": BM25Similarity(),
     "classic": ClassicSimilarity(),
@@ -390,3 +545,19 @@ SIMILARITIES = {
     "ib_ll": IBLLSimilarity(),
     "axiomatic_f2exp": AxiomaticF2EXP(),
 }
+
+# the full DFR BasicModel×AfterEffect×Normalization and IB
+# Distribution×Lambda×Normalization matrices (DFRSimilarity.java:33-80,
+# IBSimilarity.java) — 32 + 16 combos, all factory-selectable like
+# Solr's <similarity class="solr.DFRSimilarityFactory"> basicModel/
+# afterEffect/normalization attributes
+for _bm in ("if", "in", "ine", "g"):
+    for _ae in ("b", "l"):
+        for _nz in ("h1", "h2", "h3", "z"):
+            SIMILARITIES[f"dfr_{_bm}_{_ae}_{_nz}"] = DFRSimilarity(
+                basic_model=_bm, after_effect=_ae, normalization=_nz)
+for _dist in ("ll", "spl"):
+    for _lam in ("df", "ttf"):
+        for _nz in ("h1", "h2", "h3", "z"):
+            SIMILARITIES[f"ib_{_dist}_{_lam}_{_nz}"] = IBSimilarity(
+                distribution=_dist, lam=_lam, normalization=_nz)

@@ -58,6 +58,33 @@ def test_registry_complete():
     for k in ("bm25", "classic", "boolean", "lmdirichlet", "dfr_inl2",
               "lmjelinekmercer", "dfi", "ib_ll", "axiomatic_f2exp"):
         assert k in SIMILARITIES
+    # full DFR (4×2×4) and IB (2×2×4) matrices (DFRSimilarity.java:33-80)
+    for bm in ("if", "in", "ine", "g"):
+        for ae in ("b", "l"):
+            for nz in ("h1", "h2", "h3", "z"):
+                assert f"dfr_{bm}_{ae}_{nz}" in SIMILARITIES
+    for dist in ("ll", "spl"):
+        for lam in ("df", "ttf"):
+            for nz in ("h1", "h2", "h3", "z"):
+                assert f"ib_{dist}_{lam}_{nz}" in SIMILARITIES
+
+
+def test_dfr_matrix_matches_dedicated_combos():
+    """The composable matrix reproduces the pre-existing dedicated
+    classes bit-for-bit on their combos (In/L/H2, G/L/H2, LL/DF/H2)."""
+    cases = [("dfr_in_l_h2", "dfr_inl2"), ("dfr_g_l_h2", "dfr_gl2"),
+             ("ib_ll_df_h2", "ib_ll")]
+    N, df, cf, sttf = 10_000, 37, 120, 2_500_000
+    tfs = np.array([1, 2, 5, 40], dtype=np.int64)
+    dls = np.array([10, 100, 1000, 5000], dtype=np.int64)
+    avgdl = np.float32(sttf / N)
+    for a, b in cases:
+        sa, sb = SIMILARITIES[a], SIMILARITIES[b]
+        wa = sa.weight(df, N, 1.5, cf=cf, sum_ttf=sttf)
+        wb = sb.weight(df, N, 1.5, cf=cf, sum_ttf=sttf)
+        ra = sa.score(tfs, dls, wa, avgdl)
+        rb = sb.score(tfs, dls, wb, avgdl)
+        np.testing.assert_allclose(ra, rb, rtol=1e-6), (a, b)
 
 
 def test_per_field_similarity(spark, tmp_path_factory):
