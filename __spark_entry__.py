@@ -3016,8 +3016,11 @@ def ft_interval_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intervals.containing (Intervals.java:366-375,
     ContainingIntervalsSource.java): minimal ordered spans of
     'table'…'hash' (gaps ≤ 8) that contain a 'big' position. The SQL
-    oracle enumerates the SAME minimal spans (for each 'table' anchor,
-    the earliest later 'hash' — OrderedIntervalsSource minimization)."""
+    oracle enumerates the SAME minimal spans: for each 'table' anchor
+    the earliest later 'hash', then dominated windows dropped (a window
+    containing another window is not minimal — Lucene's iterators only
+    surface the containment antichain), matching kernel.interval_spans'
+    minimization exactly."""
     from lucene_spark.search import intervals as IV
 
     s = _searcher(spark, sf_dir)
@@ -3038,8 +3041,16 @@ spans AS (
   WHERE a.term = 'table' AND b.term = 'hash' AND b.pos > a.pos
   GROUP BY a.doc_id, a.pos
   HAVING MIN(b.pos) - a.pos <= 9
+),
+mspans AS (
+  SELECT * FROM spans p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans q
+    WHERE q.doc_id = p.doc_id AND q.s >= p.s AND q.e <= p.e
+      AND (q.s <> p.s OR q.e <> p.e)
+  )
 )
-SELECT DISTINCT p.doc_id FROM spans p
+SELECT DISTINCT p.doc_id FROM mspans p
 WHERE EXISTS (
   SELECT 1 FROM tok t
   WHERE t.doc_id = p.doc_id AND t.term = 'big'

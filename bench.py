@@ -340,8 +340,8 @@ def main() -> None:
     for cores in (low, high):
         # best-of-N with the same clean-trial policy as the build pair:
         # hypervisor steal is bursty (observed 0-35% across minutes), so a
-        # single stolen trial would tank the recorded ratio; a low-steal
-        # trial is already trustworthy, so stop as soon as we get one.
+        # single stolen trial would tank the recorded ratio; stop only
+        # after two clean-steal trials AND three trials total (see below).
         best = None
         clean = 0
         for _trial in range(5):

@@ -418,6 +418,13 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     key_and_carry = [c for c in (list(cfg.key_cols) + list(cfg.carry_cols)) if c in raw.columns]
     docstats = raw.filter(F.col("kind") == "docstat").select(
         *key_and_carry, "doc_id", "doclen", "sha256")
+    if cfg.sort_by:
+        # restore the index-time sort the delete-fold cogroup shuffled
+        # away: doc_ids were ASSIGNED in sort order at build time, so
+        # sorting by doc_id within partitions re-establishes the sort
+        # column's row-group min/max pruning (per original part) that
+        # reader.index_sort advertises
+        docstats = docstats.sortWithinPartitions("doc_id")
     docstats.write.mode("overwrite").parquet(os.path.join(index_dir, new_names["docstats"]))
 
     # recompute collection stats — after a delete-folding merge the global

@@ -83,7 +83,10 @@ def update_doc_values(
         updates.select(
             F.col("doc_id").cast("long"),
             F.col(val_col).cast("double").alias("value"))
-        .coalesce(max(1, int(num_files)))
+        # repartition, not coalesce: coalesce can only REDUCE partition
+        # count (a 1-partition bulk frame would still serialize through
+        # one task) and collapses upstream compute into the same tasks
+        .repartition(max(1, int(num_files)))
         .write.mode("errorifexists").parquet(out)
     )
     return gen

@@ -54,11 +54,18 @@ def extract_features(df: DataFrame, decode_fn=None,
     plan, schema, batching, and partitioning are identical either way —
     swapping the decoder changes NOTHING Spark-side."""
     decode = decode_fn or decode_image_stub
+    want_dim = feature_dim
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [np.asarray(decode(p), dtype=np.float32).tolist()
-                     for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                v = np.asarray(decode(p), dtype=np.float32)
+                if want_dim is not None and v.shape != (want_dim,):
+                    raise ValueError(
+                        f"decode_fn returned shape {v.shape}, expected "
+                        f"({want_dim},)")
+                feats.append(v.tolist())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

@@ -215,27 +215,40 @@ def knn_join(
     For query sides too big to stream through the driver even chunk-wise,
     use knn_join_lsh (fully distributed blocking). Returns (query_key,
     key, cosine), k rows per query, ties broken by corpus key asc."""
-    n_q = queries_df.count()
-    if n_q == 0:
-        spark = queries_df.sparkSession
-        return spark.createDataFrame([], "query_key long, key long, cosine double")
-    n_chunks = -(-n_q // query_chunk)
-    chunk_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
-    out = None
-    for i in range(n_chunks):
-        cpdf = (queries_df.select(key_col, vec_col)
-                .filter(chunk_of == i).toPandas())
-        if not len(cpdf):
-            continue
-        qm = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
-        part = pairwise_topk_gemm(corpus_df, vec_col, key_col, qm, k=k)
-        keymap = queries_df.sparkSession.createDataFrame(
-            pd.DataFrame({"query_id": np.arange(len(cpdf), dtype=np.int32),
-                          "query_key": cpdf[key_col].to_numpy()}))
-        part = (part.join(F.broadcast(keymap), "query_id")
-                .select("query_key", "key", "cosine"))
-        out = part if out is None else out.unionByName(part)
-    return out
+    # snapshot the query side ONCE (persist + count materializes it):
+    # each chunk re-reads the same evaluated rows, so nondeterministic
+    # sources (sample(), rand()-derived) cannot drop/duplicate queries
+    # across the per-chunk scans
+    qsnap = queries_df.select(key_col, vec_col).persist()
+    try:
+        n_q = qsnap.count()
+        if n_q == 0:
+            spark = queries_df.sparkSession
+            return spark.createDataFrame(
+                [], "query_key long, key long, cosine double")
+        n_chunks = -(-n_q // query_chunk)
+        # hash chunks are ~query_chunk in EXPECTATION (driver staging is
+        # bounded probabilistically, not exactly; skewed key sets can
+        # overshoot — acceptable for the intended bounded-query-side use)
+        chunk_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
+        out = None
+        for i in range(n_chunks):
+            cpdf = qsnap.filter(chunk_of == i).toPandas()
+            if not len(cpdf):
+                continue
+            qm = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
+            part = pairwise_topk_gemm(corpus_df, vec_col, key_col, qm, k=k)
+            keymap = queries_df.sparkSession.createDataFrame(
+                pd.DataFrame({"query_id": np.arange(len(cpdf), dtype=np.int32),
+                              "query_key": cpdf[key_col].to_numpy()}))
+            part = (part.join(F.broadcast(keymap), "query_id")
+                    .select("query_key", "key", "cosine"))
+            out = part if out is None else out.unionByName(part)
+        # safe to unpersist in finally: the result plan references only
+        # the driver-staged qm/keymap and the corpus — never the snapshot
+        return out
+    finally:
+        qsnap.unpersist()
 
 
 def knn_join_lsh(

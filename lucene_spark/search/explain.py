@@ -218,7 +218,16 @@ def explain(searcher, query, doc_id: int) -> dict:
                             and doc[(child.field, t)][2] is not None]
                     if not arrs:
                         return []
-                    pls.append(np.sort(np.concatenate(arrs)))
+                    pl = np.sort(np.concatenate(arrs))
+                    # same [min_start, max_end) clamp as _doc_slot_pls —
+                    # explain must re-derive exactly what the kernel did
+                    if child.min_start > 0 or child.max_end is not None:
+                        hi = (child.max_end if child.max_end is not None
+                              else np.iinfo(np.int64).max)
+                        pl = pl[(pl >= child.min_start) & (pl < hi)]
+                        if pl.size == 0:
+                            return []
+                    pls.append(pl)
                 return interval_spans(pls, child.max_gaps, child.ordered)
 
             src_spans = _spans_of(n.source)

@@ -339,14 +339,39 @@ def _eval_interval_slots(node: P.IntervalSlotsNode, ctx: EvalContext) -> tuple[n
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
 
 
+def minimal_spans(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Reduce a span list to its containment antichain — keep only spans
+    that contain no other span (Lucene's interval iterators emit ONLY
+    minimal intervals; IntervalIterator.java class doc). Sort by start
+    asc, then sweep from the right keeping the running min end: a span
+    is dominated iff some span with start ≥ its start ends ≤ its end."""
+    if len(spans) <= 1:
+        return spans
+    # (start asc, end DESC) so the reverse sweep sees, among equal
+    # starts, the tighter span first — it must dominate its wider twins
+    uniq = sorted(set(spans), key=lambda x: (x[0], -x[1]))
+    out: list[tuple[int, int]] = []
+    min_end = None
+    for s, e in reversed(uniq):
+        if min_end is None or e < min_end:
+            out.append((s, e))
+            min_end = e
+    out.reverse()
+    return out
+
+
 def interval_spans(pos_lists: list[np.ndarray], max_gaps: int,
                    ordered: bool) -> list[tuple[int, int]]:
     """All MINIMAL match intervals (start, end) — the span-stream
     analogue of interval_match (which is `bool(interval_spans(...))`).
-    ordered: minimal greedy chain per anchor of list 0; unordered:
-    every window the smallest-range sweep visits that satisfies the
-    gaps constraint. Sound and complete for overlap questions: any
-    valid window contains a minimal one."""
+    ordered: greedy chain per anchor of list 0; unordered: every window
+    the smallest-range sweep visits that satisfies the gaps constraint.
+    BOTH enumerations can emit dominated windows (anchor 0 of
+    'table big table hash' yields (0,3) ⊇ (2,3)), so the result is
+    reduced to its containment antichain before returning — Lucene's
+    iterators only ever surface minimal intervals, and the containment
+    algebra (IntervalFilterNode) is semantics-changing on non-minimal
+    streams. Sound and complete for overlap/containment questions."""
     k = len(pos_lists)
     spans: list[tuple[int, int]] = []
     if ordered:
@@ -362,7 +387,7 @@ def interval_spans(pos_lists: list[np.ndarray], max_gaps: int,
                 p = int(nxt[i])
             if ok and (p - int(p0) + 1) - k <= max_gaps:
                 spans.append((int(p0), p))
-        return spans
+        return minimal_spans(spans)
     import heapq
 
     ptrs = [0] * k
@@ -375,7 +400,7 @@ def interval_spans(pos_lists: list[np.ndarray], max_gaps: int,
             spans.append((mn, cur_max))
         ptrs[i] += 1
         if ptrs[i] >= pos_lists[i].size:
-            return spans
+            return minimal_spans(spans)
         v = int(pos_lists[i][ptrs[i]])
         heapq.heapreplace(heap, (v, i))
         if v > cur_max:

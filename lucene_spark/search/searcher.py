@@ -630,11 +630,14 @@ class IndexSearcher:
         docstats side (BroadcastHashJoin can't build the outer-preserved
         side), silently re-broadcasting the full sidecar.
         """
-        return (self.reader.docstats()
-                .join(F.broadcast(topk), "doc_id", "inner")
+        ds = self.reader.docstats()
+        # drop docstats columns the top-k frame already carries (e.g. a
+        # re-hydrated frame): keeps every selected name unambiguous
+        dup = [c for c in ds.columns if c != "doc_id" and c in topk.columns]
+        ds = ds.drop(*dup) if dup else ds
+        return (ds.join(F.broadcast(topk), "doc_id", "inner")
                 .select(*topk.columns,
-                        *[c for c in self.reader.docstats().columns
-                          if c != "doc_id"]))
+                        *[c for c in ds.columns if c != "doc_id"]))
 
     # --------------------------------------------- doc-values range filters
     def _extract_dv_filters(self, node: P.Node) -> tuple[P.Node, list[P.DocValuesRangeNode]]:
@@ -806,10 +809,20 @@ class IndexSearcher:
             # exclude expanding to nothing leaves plain include semantics
             return replace(node, include=inc, exclude=self._expand(node.exclude))
         if isinstance(node, P.IntervalFilterNode):
-            src = self._expand(node.source)
+            def _as_slots(n: P.Node) -> P.Node:
+                # plan.py contract: term leaves are wrapped as
+                # single-slot intervals — do it here so hand-built
+                # IntervalFilterNode(source=TermNode(...)) works instead
+                # of silently matching nothing in the kernel
+                if isinstance(n, (P.TermNode, P.TermInSetNode, P.PrefixNode,
+                                  P.RegexpNode, P.FuzzyNode)):
+                    return P.IntervalSlotsNode(slots=(n,), field=n.field,
+                                               boost=n.boost)
+                return n
+            src = self._expand(_as_slots(node.source))
             if isinstance(src, P.MatchNoneNode):
                 return P.MatchNoneNode()
-            ref = self._expand(node.reference)
+            ref = self._expand(_as_slots(node.reference))
             # a vanished reference matches nothing: positive filters die,
             # negative filters reduce to plain source semantics (kernel
             # handles ref-absent-per-doc the same way)

@@ -142,3 +142,23 @@ def test_interval_filter_explain(positioned):
         ex = searcher.explain(node, hits[0]["doc_id"])
         assert ex["match"] is True
         assert "IntervalFilter(containing" in str(ex)
+
+
+def test_minimal_spans_containing_counterexample():
+    """'table big table hash': the ordered enumeration's per-anchor
+    chains are (0,3) and (2,3); Lucene's iterators only surface the
+    containment antichain {(2,3)}, so containing(table..hash, 'big')
+    must NOT match (big@1 lies only inside the dominated (0,3))."""
+    from lucene_spark.search.kernel import minimal_spans
+
+    pls = [np.array([0, 2]), np.array([3])]   # table, hash
+    spans = interval_spans(pls, 8, True)
+    assert spans == [(2, 3)]
+    assert minimal_spans([(0, 3), (2, 3)]) == [(2, 3)]
+    assert minimal_spans([(0, 3), (2, 3), (2, 5)]) == [(2, 3)]
+    assert minimal_spans([(0, 1), (2, 3)]) == [(0, 1), (2, 3)]
+    # big@1 inside the dominated span only → no match on minimal stream
+    assert not filter_spans(spans, [(1, 1)], "containing")
+    # unordered sweep minimizes too
+    assert interval_spans([np.array([0, 2]), np.array([3])], 8, False) \
+        == [(2, 3)]
