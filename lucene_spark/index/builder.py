@@ -608,8 +608,10 @@ class IndexBuilder:
             json.dump(manifest, fh, indent=2)
         os.replace(tmp, os.path.join(index_dir, "manifest.json"))
         # a re-build over a previously compacted index resets the map to
-        # g0 — retire any higher-numbered orphan generations
-        gc_derived(index_dir, manifest, min_age_seconds=0.0)
+        # g0 — retire any higher-numbered generations, but with the age
+        # grace: the highest of them was the PREVIOUS manifest's current
+        # generation, and a pinned reader may still be scanning it
+        gc_derived(index_dir, manifest)
         return manifest
 
     def _build_group(

@@ -50,8 +50,11 @@ def gc_derived(index_dir: str, manifest: dict,
       micro-batch, so a pure generation-count grace would give pinned
       readers only one batch interval of wall-clock time to finish;
     - generations ABOVE current: under the single-writer rule those are
-      leftovers of a crashed rebuild (or of a full re-build that reset
-      the map to g0) — never referenced, full-size disk leaks otherwise.
+      leftovers of a crashed rebuild — or of a full re-build that reset
+      the map to g0, in which case they WERE the previous manifest's
+      current generation and a pinned reader may still be scanning them.
+      They therefore get the same age grace as below-current gens
+      (a crashed-rebuild orphan just waits one grace period longer).
     The legacy plain dir counts as gen -1. Returns removed names."""
     import time
 
@@ -73,7 +76,7 @@ def gc_derived(index_dir: str, manifest: dict,
             old_enough = (now - os.path.getmtime(path)) >= min_age_seconds
         except OSError:
             pass
-        if (g < cur - 1 and old_enough) or g > cur:
+        if (g < cur - 1 or g > cur) and old_enough:
             shutil.rmtree(path, ignore_errors=True)
             removed.append(entry)
     return removed

@@ -125,8 +125,12 @@ def nsw_topk(
     if qm.ndim == 1:
         qm = qm[None, :]
     qu = _normalize_rows(qm)
-    efc = ef_construction if ef_construction is not None else max(ef, 2 * m_neighbors)
-    mm, eff = m_neighbors, ef
+    # ef=None = exact (beam covers the shard): use an effectively
+    # unbounded beam, as the docstring promises
+    eff = int(ef) if ef is not None else (1 << 30)
+    efc = ef_construction if ef_construction is not None \
+        else max(eff, 2 * m_neighbors)
+    mm = m_neighbors
     kk = k
 
     def shard(batches):
@@ -139,16 +143,23 @@ def nsw_topk(
             return
         key_arr = np.concatenate(keys)
         unit = _normalize_rows(np.vstack(mats))
-        adj = build_nsw(unit, m_neighbors=mm, ef_construction=efc)
+        adj = build_nsw(unit, m_neighbors=mm,
+                        ef_construction=min(efc, unit.shape[0]))
         frames = []
         for qi in range(qu.shape[0]):
-            ids, sims = search_nsw(unit, adj, qu[qi], ef=max(eff, kk))
+            ids, sims = search_nsw(unit, adj, qu[qi],
+                                   ef=min(max(eff, kk), unit.shape[0]))
             top = min(kk, len(ids))
             frames.append(pd.DataFrame({
                 "query_id": np.full(top, qi, dtype=np.int32),
                 "key": key_arr[ids[:top]].astype(np.int64),
                 "cosine": sims[:top],
             }))
+        if not frames:   # zero-row query matrix → empty result, not a crash
+            yield pd.DataFrame({"query_id": pd.Series([], dtype=np.int32),
+                                "key": pd.Series([], dtype=np.int64),
+                                "cosine": pd.Series([], dtype=np.float64)})
+            return
         yield pd.concat(frames, ignore_index=True)
 
     out = df.select(key_col, vec_col).mapInPandas(

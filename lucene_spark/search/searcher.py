@@ -27,6 +27,8 @@ handler/component/QueryComponent.java:554-562).
 from __future__ import annotations
 
 import math
+import os
+from collections import OrderedDict
 from dataclasses import replace
 
 import numpy as np
@@ -48,6 +50,99 @@ from lucene_spark.search.qparser import parse_query
 from lucene_spark.search.similarity import SIMILARITIES
 
 
+
+
+_ASM_CACHE: "OrderedDict[tuple, TermPostings]" = OrderedDict()
+_ASM_CACHE_BYTES = [0]
+
+
+def _asm_cache_budget() -> int:
+    return int(os.environ.get("LUCENE_SPARK_ASM_CACHE_MB", "256")) * (1 << 20)
+
+
+def _tp_nbytes(tp: TermPostings) -> int:
+    n = 0
+    for a in (tp.docs, tp.tfs, tp.dls, tp.block_last, tp.block_max_tf,
+              tp.block_min_dl, tp.pos, tp.block_off):
+        if a is not None:
+            n += a.nbytes
+    return n
+
+
+def _tp_owned(tp: TermPostings) -> TermPostings:
+    """Copy before caching: assembled arrays are SLICES of the whole
+    frame's flat decode buffers — caching a view would pin the full
+    buffer and make the byte accounting a lie."""
+    c = lambda a: None if a is None else np.ascontiguousarray(a)
+    return TermPostings(c(tp.docs), c(tp.tfs), c(tp.dls), c(tp.block_last),
+                        c(tp.block_max_tf), c(tp.block_min_dl),
+                        pos=c(tp.pos), block_off=c(tp.block_off))
+
+
+def _assemble_postings_cached(
+    pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray, block_size: int,
+    epoch: str | None,
+) -> dict[tuple[str, str], TermPostings]:
+    """Executor-side decoded-postings LRU — the Lucene serving analogue
+    (segments stay decoded/mmapped across queries; TermStates are cached
+    per reader). Assembly re-decodes identical immutable blob rows on
+    EVERY batch otherwise (~7 s single-threaded for a 2,400-query term
+    set at sf0.1 — comparable to the scoring itself). Keyed by
+    (epoch, want_pos, block_size, field, term, digest of the group's
+    (part_id, slice, local_df, blob head/tail bytes)): the epoch carries
+    the reader's identity + manifest stats + deletes digest, the row
+    digest pins the exact physical rows, so compaction/streaming
+    appends/delete changes all miss cleanly. Bounded by
+    LUCENE_SPARK_ASM_CACHE_MB (default 256 MB per worker process; 0
+    disables). Worker processes are single-threaded per task — no
+    locking needed."""
+    if epoch is None or not len(pdf) or _asm_cache_budget() <= 0:
+        return _assemble_postings(pdf, want_pos, deleted, block_size)
+    import hashlib
+
+    pdf = pdf.sort_values(["field", "term", "part_id", "slice"],
+                          ignore_index=True)
+    groups = pdf.groupby(["field", "term"], sort=False).indices
+    parts = pdf["part_id"].to_numpy()
+    slices = pdf["slice"].to_numpy()
+    ldfs = pdf["local_df"].to_numpy()
+    blobs = pdf["doc_blob"].to_numpy()
+    out: dict[tuple[str, str], TermPostings] = {}
+    miss_rows: list[np.ndarray] = []
+    miss_keys: dict[tuple[str, str], tuple] = {}
+    for (field, term), idxs in groups.items():
+        h = hashlib.blake2b(digest_size=12)
+        h.update(np.ascontiguousarray(parts[idxs]).tobytes())
+        h.update(np.ascontiguousarray(slices[idxs]).tobytes())
+        h.update(np.ascontiguousarray(ldfs[idxs]).tobytes())
+        for b in blobs[idxs]:
+            h.update(len(b).to_bytes(4, "little"))
+            h.update(b[:8])
+            h.update(b[-8:])
+        key = (epoch, want_pos, block_size, field, term, h.digest())
+        tp = _ASM_CACHE.get(key)
+        if tp is not None:
+            _ASM_CACHE.move_to_end(key)
+            out[(field, term)] = tp
+        else:
+            miss_rows.append(idxs)
+            miss_keys[(field, term)] = key
+    if miss_rows:
+        sub = pdf.iloc[np.concatenate(miss_rows)]
+        decoded = _assemble_postings(sub, want_pos, deleted, block_size)
+        budget = _asm_cache_budget()
+        for ft, tp in decoded.items():
+            out[ft] = tp
+            owned = _tp_owned(tp)
+            nb = _tp_nbytes(owned)
+            if nb > budget // 4:
+                continue   # never let one hot term evict everything
+            _ASM_CACHE[miss_keys[ft]] = owned
+            _ASM_CACHE_BYTES[0] += nb
+            while _ASM_CACHE_BYTES[0] > budget and _ASM_CACHE:
+                _, old = _ASM_CACHE.popitem(last=False)
+                _ASM_CACHE_BYTES[0] -= _tp_nbytes(old)
+    return out
 
 
 def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
@@ -195,6 +290,18 @@ class IndexSearcher:
         self.analyzer = self.field_analyzers.get(
             reader.default_field, get_analyzer(reader.analyzer_name))
         self._deleted: np.ndarray = np.empty(0, dtype=np.int64)
+        # decoded-postings cache epoch (see _assemble_postings_cached):
+        # reader identity + manifest stats + derived generation names;
+        # the deletes digest is appended at query time (with_deletes
+        # returns a new searcher but shares the reader)
+        man = reader.manifest
+        self._asm_epoch_base = "|".join([
+            reader.index_dir,
+            str(man.get("doc_count")), str(man.get("sum_doclen")),
+            str(sorted((man.get("derived") or {}).items())),
+            str(man.get("compacted_at", "")),
+            str(man.get("build_seconds", "")),
+        ])
         # cost-based local top-k execution threshold (Σdf of query terms):
         # below it, the candidate posting rows are collected and the SAME
         # kernel runs driver-side — no shuffle, no window stage. 0
@@ -410,8 +517,11 @@ class IndexSearcher:
                 # the parquet path needs the explicit fixed-width shuffle
                 post = post.repartition(self.kernel_partitions, "part_id")
 
+            asm_epoch = self._asm_epoch()
+
             def run(pdf: pd.DataFrame) -> pd.DataFrame:
-                postings = _assemble_postings(pdf, want_pos, deleted, block_size)
+                postings = _assemble_postings_cached(pdf, want_pos, deleted,
+                                                     block_size, asm_epoch)
                 ctx = EvalContext(postings=postings, weights=weights,
                                   syn_weights=syn_w, avgdl=avgdl, sim=sim,
                                   k=kk, phrase_weights=phrase_w,
@@ -617,6 +727,20 @@ class IndexSearcher:
         node = P.BooleanNode(clauses=tuple(
             P.Clause(P.Occur.SHOULD, P.TermNode(term=t)) for t in top_terms))
         return self.search(node, k=k)
+
+    def _asm_epoch(self) -> str:
+        """Cache epoch for executor-side decoded postings: base reader
+        identity + the current delete set's digest (deletes are masked
+        during assembly, so two searchers over one reader with different
+        tombstones must never share entries)."""
+        if self._deleted.size:
+            import hashlib
+
+            d = hashlib.blake2b(self._deleted.tobytes(),
+                                digest_size=8).hexdigest()
+        else:
+            d = "0"
+        return f"{self._asm_epoch_base}|del:{d}"
 
     def hydrate(self, topk: DataFrame) -> DataFrame:
         """Join winners back to the docstats sidecar (stored-fields
@@ -1087,8 +1211,11 @@ class IndexSearcher:
                 [(int(d), float(s)) for d, s in zip(docs, scores)],
                 "doc_id long, score float")
 
+        asm_epoch = self._asm_epoch()
+
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            postings = _assemble_postings(pdf, want_pos, deleted, self_block_size)
+            postings = _assemble_postings_cached(pdf, want_pos, deleted,
+                                                 self_block_size, asm_epoch)
             ctx = EvalContext(postings=postings, weights=weights, syn_weights=syn_weights,
                               avgdl=avgdl, sim=sim, k=kk or 10,
                               phrase_weights=phrase_weights,

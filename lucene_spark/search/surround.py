@@ -310,7 +310,10 @@ def _with_boost(p: _P, node: Node) -> Node:
         p.next()
         from dataclasses import replace
 
-        return replace(node, boost=float(t[1]))
+        # MULTIPLY into any existing boost: `(a^2)^3` nests to 6.0
+        # (the paren branch unwraps to the inner node, so overwriting
+        # would silently drop the inner weight)
+        return replace(node, boost=node.boost * float(t[1]))
     return node
 
 

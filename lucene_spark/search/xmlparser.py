@@ -27,14 +27,16 @@ Supported elements (builder file → mapping):
   TermInSetNode (SpanOr over term-level clauses; analyzed for SpanOrTerms)
 - SpanNear           (SpanNearBuilder.java)         → IntervalSlotsNode
   (slop attr → max_gaps, inOrder attr default FALSE → ordered)
+- SpanFirst / SpanPositionRange (SpanFirstBuilder.java,
+  SpanPositionRangeBuilder.java) → IntervalSlotsNode min_start/max_end
+- SpanNot            (SpanNotBuilder.java)          → SpanNotNode
+- PointRangeQuery    (PointRangeQueryBuilder.java)  → DocValuesRangeNode
 
 Rejected with ParserException-style errors (documented v1 bounds):
-SpanFirst / SpanPositionRange / SpanNot (position-bounded and
-difference spans), BoostingTermQuery (payload scoring — payloads are
-not indexed here), PointRangeQuery (numeric points live in the
-relational layer), FuzzyLikeThisQuery / LikeThisQuery (use
-MoreLikeThis on the searcher instead). Unknown element names raise,
-matching QueryBuilderFactory.getQueryBuilder's failure mode.
+BoostingTermQuery (payload scoring — payloads are not indexed here),
+FuzzyLikeThisQuery / LikeThisQuery (use MoreLikeThis on the searcher
+instead). Unknown element names raise, matching
+QueryBuilderFactory.getQueryBuilder's failure mode.
 """
 
 from __future__ import annotations
@@ -79,8 +81,21 @@ class _Ctx:
         return self.fa.get(field, self.an)
 
 
+def _num(e: ET.Element, attr: str, default: str, conv=float):
+    """Numeric attribute with the ParserException-analogue error contract:
+    a malformed value raises XmlParserError, never a bare ValueError
+    (CoreParser wraps NumberFormatException the same way)."""
+    raw = e.get(attr, default)
+    try:
+        return conv(raw)
+    except ValueError as exc:
+        raise XmlParserError(
+            f"Error: {e.tag} attribute {attr!r} is not a number: {raw!r}"
+        ) from exc
+
+
 def _boost(e: ET.Element) -> float:
-    return float(e.get("boost", "1.0"))
+    return _num(e, "boost", "1.0")
 
 
 def _field(e: ET.Element, inherited: str, required: bool = True) -> str:
@@ -117,7 +132,7 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
         toks = _analyze_one(_text(e), ctx.analyzer_for(fld))
         if not toks:
             return P.MatchNoneNode()
-        msm = int(e.get("minimumNumberShouldMatch", "0"))
+        msm = _num(e, "minimumNumberShouldMatch", "0", int)
         return P.BooleanNode(
             clauses=tuple(P.Clause(P.Occur.SHOULD, P.TermNode(term=t, field=fld))
                           for t in toks),
@@ -134,7 +149,7 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
             if not sub:
                 raise XmlParserError("Clause element with no child query")
             clauses.append(P.Clause(occ, _build(sub[0], ctx, inherited)))
-        msm = int(e.get("minimumNumberShouldMatch", "0"))
+        msm = _num(e, "minimumNumberShouldMatch", "0", int)
         return P.BooleanNode(clauses=tuple(clauses),
                              minimum_should_match=msm, boost=_boost(e))
     if tag == "RangeQuery":
@@ -149,7 +164,7 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
     if tag == "DisjunctionMaxQuery":
         kids = tuple(_build(k, ctx, inherited) for k in _children(e))
         return P.DisjunctionMaxNode(
-            children=kids, tie_breaker=float(e.get("tieBreaker", "0.0")),
+            children=kids, tie_breaker=_num(e, "tieBreaker", "0.0"),
             boost=_boost(e))
     if tag == "ConstantScoreQuery":
         kids = _children(e)
@@ -217,15 +232,15 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
         fld = fields.pop() if fields else inherited
         if len(slots) < 2:
             raise XmlParserError("SpanNear needs >= 2 clauses")
-        return P.IntervalSlotsNode(slots=tuple(slots), max_gaps=int(slop),
+        return P.IntervalSlotsNode(slots=tuple(slots), max_gaps=_num(e, "slop", slop, int),
                                    ordered=ordered, field=fld,
                                    boost=_boost(e))
     if tag in ("SpanFirst", "SpanPositionRange"):
         # SpanFirstBuilder.java / SpanPositionRangeBuilder.java: bound the
         # matched span's position window — SpanFirst(q, end) is the
         # start=0 case. Compiled to IntervalSlotsNode min_start/max_end.
-        start = int(e.get("start", "0")) if tag == "SpanPositionRange" else 0
-        end = int(e.get("end", "1"))
+        start = _num(e, "start", "0", int) if tag == "SpanPositionRange" else 0
+        end = _num(e, "end", "1", int)
         kids = _children(e)
         if not kids:
             raise XmlParserError(f"{tag} with no child span")

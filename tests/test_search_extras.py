@@ -259,3 +259,24 @@ def test_suggest_fuzzy_reaches_long_completions(reader):
     fz = {r["term"] for r in suggest_fuzzy(reader, "li", n=50,
                                            max_edits=1).collect()}
     assert set(long_terms[:3]) <= fz
+
+
+def test_assembly_cache_identity_and_invalidation(searcher):
+    """The executor-side decoded-postings cache returns results
+    identical to a cold assembly, and a delete-set change misses (epoch
+    carries the deletes digest)."""
+    import os
+    a = searcher.search("index OR writer", k=10).collect()
+    b = searcher.search("index OR writer", k=10).collect()   # cache-warm
+    assert a == b
+    top = a[0]["doc_id"]
+    s2 = searcher.with_deletes([top])
+    c = s2.search("index OR writer", k=10).collect()
+    assert top not in {r["doc_id"] for r in c}
+    # cache disabled → same results again
+    os.environ["LUCENE_SPARK_ASM_CACHE_MB"] = "0"
+    try:
+        d = s2.search("index OR writer", k=10).collect()
+    finally:
+        del os.environ["LUCENE_SPARK_ASM_CACHE_MB"]
+    assert c == d
