@@ -3108,6 +3108,36 @@ WHERE a.term = 'fast' AND NOT EXISTS (
 """
 
 
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS via connected components over the exact
+    3-gram-Jaccard≥0.5 near-dup pairs (dedup.duplicate_clusters —
+    iterative min-label propagation, one shuffle per round): the
+    keep-one-per-cluster training-data primitive. Oracle = recursive
+    transitive closure over the same pair set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return dedup.duplicate_clusters(pairs).orderBy("key")
+
+
+DD_DUP_CLUSTERS_SQL = f"""
+WITH pairs AS (
+  SELECT key_a, key_b FROM ({DD_JACCARD_SQL})
+), edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION SELECT key_b, key_a FROM pairs
+), reach AS (
+  -- transitive closure (components are tiny: near-dup clusters)
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  ) SELECT * FROM r
+)
+SELECT a AS key, least(a, min(b)) AS cluster
+FROM reach GROUP BY a ORDER BY key
+"""
+
+
 def ft_dfr_ine_b_h1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR Ine/B/H1 from the composable matrix (BasicModelIne.java:37
     ne = N·(1−((N−1)/N)^F), AfterEffectB.java:33 ae·(1+tfn)=(F+2)/(n+1),
@@ -3219,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_interval_notwithin": ft_interval_notwithin,
         "ft_dfr_ine_b_h1_topk": ft_dfr_ine_b_h1_topk,
         "ft_ib_spl_topk": ft_ib_spl_topk,
+        "dd_dup_clusters": dd_dup_clusters,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3303,6 +3334,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_interval_notwithin": FT_INTERVAL_NOTWITHIN_SQL,
         "ft_dfr_ine_b_h1_topk": FT_DFR_INE_B_H1_SQL,
         "ft_ib_spl_topk": FT_IB_SPL_SQL,
+        "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

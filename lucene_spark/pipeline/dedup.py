@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def exact_duplicates(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
@@ -246,3 +246,67 @@ def simhash_sha(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     keys = df.select(F.col(key_col).alias("key"))
     return (keys.join(out, "key", "left")
             .select("key", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")))
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs — the training-data
+    primitive behind "keep ONE doc per duplicate cluster" (pair lists
+    alone under-delete: A~B and B~C must collapse A,B,C together even
+    when A~C missed the similarity cut).
+
+    Algorithm: iterative min-label propagation (the Spark-standard CC
+    shape; equivalent to the large-star step of Kiveris et al.
+    "Connected Components in MapReduce and Beyond", SOCC'14): every key
+    starts labeled with itself; each round every key takes the min of
+    its own and its neighbors' labels; converges in O(component
+    diameter) rounds. Near-dup clusters have tiny diameters (dups of a
+    dup are dups), so 3-5 rounds is typical. Each round is ONE shuffle
+    (edge join + groupBy-min); labels are localCheckpoint()ed every
+    round to truncate the lineage — without it the plan doubles per
+    iteration and the job dies at scale long before the data does.
+
+    pairs: (key_a, key_b [, ...]) — undirected edges.
+    Returns (key, cluster) for every key that appears in a pair, with
+    cluster = min key of its component. Singletons (docs in no pair)
+    are their own cluster by definition and are simply absent."""
+    edges = (pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
+             .unionByName(pairs.select(F.col("key_b").alias("a"),
+                                       F.col("key_a").alias("b")))
+             .distinct())
+    labels = edges.select(F.col("a").alias("key")).distinct() \
+                  .withColumn("cluster", F.col("key"))
+    for _ in range(max_iter):
+        # neighbor labels: for key a, the labels of every neighbor b
+        nbr = (edges.join(labels.withColumnRenamed("key", "b"), "b")
+               .groupBy("a").agg(F.min("cluster").alias("nbr_min")))
+        new_labels = (labels.join(nbr.withColumnRenamed("a", "key"),
+                                  "key", "left")
+                      .select("key",
+                              F.least(F.col("cluster"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("cluster")))
+                              .alias("cluster")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "key")
+                   .filter(F.col("n.cluster") != F.col("o.cluster")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representative(
+    df: DataFrame, clusters: DataFrame, key_col: str,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep one row per duplicate cluster: the highest-`quality_col` row
+    (ties → min key), or min key when no quality column is given. Rows
+    absent from `clusters` are singletons and always kept."""
+    withc = df.join(clusters.withColumnRenamed("key", key_col), key_col, "left") \
+              .withColumn("__c", F.coalesce(F.col("cluster"), F.col(key_col)))
+    order = ([F.col(quality_col).desc()] if quality_col else []) + \
+        [F.col(key_col).asc()]
+    w = Window.partitionBy("__c").orderBy(*order)
+    return (withc.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__c", "__rn", "cluster"))

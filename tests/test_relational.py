@@ -546,3 +546,38 @@ def test_knn_classify_majority_vote(spark):
         best = sorted(votes.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0]))[0]
         want[tk] = (best[0], best[1][0])
     assert got == want and len(got) == 10
+
+
+def test_duplicate_clusters_chain(spark):
+    """A~B, B~C without A~C must still collapse to one cluster; two
+    disjoint components keep distinct labels; convergence beyond one
+    round (a path of length 4 needs >1 propagation rounds)."""
+    from lucene_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),       # path: needs >1 round
+         (10, 11), (11, 12),                   # second component
+         (20, 21)],
+        "key_a long, key_b long")
+    got = {r["key"]: r["cluster"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_representative(spark):
+    from lucene_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id long, quality double")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "key long, cluster long")
+    kept = {r["doc_id"] for r in dedup.dedup_keep_representative(
+        df, clusters, "doc_id", quality_col="quality").collect()}
+    # cluster 1 → best quality 0.9, tie 2 vs 3 → min key 2;
+    # 4 is its own cluster; 9 is a singleton (absent from clusters)
+    assert kept == {2, 4, 9}
+    kept2 = {r["doc_id"] for r in dedup.dedup_keep_representative(
+        df, clusters, "doc_id").collect()}
+    assert kept2 == {1, 4, 9}
