@@ -3138,6 +3138,60 @@ FROM reach GROUP BY a ORDER BY key
 """
 
 
+_IDX_PAY_CACHE: dict[str, IndexReader] = {}
+
+
+def _reader_pay(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Payload gate index: every token of `documents.text` carries a
+    delimited payload equal to its 0-based position mod 7 ("tok|3") —
+    the DelimitedPayloadTokenFilter chain
+    (analysis/payloads/DelimitedPayloadTokenFilter.java + FloatEncoder).
+    Payload construction is a JVM expression an external oracle can
+    reproduce exactly from the raw text."""
+    if sf_dir in _IDX_PAY_CACHE:
+        return _IDX_PAY_CACHE[sf_dir]
+    paytext = F.array_join(
+        F.transform(F.split(F.col("text"), " "),
+                    lambda t, i: F.concat(t, F.lit("|"),
+                                          (i % F.lit(7)).cast("string"))),
+        " ")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), paytext.alias("text"))
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_pay", os.path.basename(os.path.normpath(sf_dir)))
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="text",
+        analyzer="whitespace_payload", partitions=1, num_groups=1,
+        num_buckets=4, termdict_partitions=1)
+    IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+    _IDX_PAY_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return _IDX_PAY_CACHE[sf_dir]
+
+
+def ft_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java,
+    includeSpanScore=false) with MaxPayloadFunction over term 'merge':
+    score = max payload at the term's positions (payload = 0-based token
+    position mod 7, from the delimited-payload chain)."""
+    from lucene_spark.search import plan as P
+
+    s = IndexSearcher(_reader_pay(spark, sf_dir))
+    node = P.PayloadScoreNode(term="merge", func="max")
+    m = s.matches(node)
+    return _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+
+
+FT_PAYLOAD_SCORE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id, round(max(CAST((pos - 1) % 7 AS DOUBLE)), 2) AS score_r
+FROM tok WHERE term = 'merge' GROUP BY doc_id
+"""
+
+
 def ft_dfr_ine_b_h1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR Ine/B/H1 from the composable matrix (BasicModelIne.java:37
     ne = N·(1−((N−1)/N)^F), AfterEffectB.java:33 ae·(1+tfn)=(F+2)/(n+1),
@@ -3250,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dfr_ine_b_h1_topk": ft_dfr_ine_b_h1_topk,
         "ft_ib_spl_topk": ft_ib_spl_topk,
         "dd_dup_clusters": dd_dup_clusters,
+        "ft_payload_score": ft_payload_score,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3335,6 +3390,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_dfr_ine_b_h1_topk": FT_DFR_INE_B_H1_SQL,
         "ft_ib_spl_topk": FT_IB_SPL_SQL,
         "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
+        "ft_payload_score": FT_PAYLOAD_SCORE_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

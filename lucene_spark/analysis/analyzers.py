@@ -69,6 +69,20 @@ class Analyzer:
                                  # (fa/PersianAnalyzer.java etc.: normalize
                                  # runs pre-StopFilter so stop entries match
                                  # normalized forms)
+    payload_delimiter: str | None = None  # DelimitedPayloadTokenFilter
+                                 # analogue (analysis/payloads/
+                                 # DelimitedPayloadTokenFilter.java:30 +
+                                 # FloatEncoder): raw token "tok<delim>1.5"
+                                 # splits (rightmost delimiter) into term
+                                 # "tok" carrying float payload 1.5;
+                                 # tokens without the delimiter carry NO
+                                 # payload (NaN sentinel — PayloadFunction
+                                 # skips them). Payloads ride the
+                                 # positions channel, so the field must
+                                 # index positions. Incompatible with
+                                 # shingles (a shingle spans tokens with
+                                 # distinct payloads; Lucene's filter has
+                                 # the same single-token scope).
     shingle_size: int = 0        # >1 → ShingleFilter analogue (analysis/
                                  # shingle/ShingleFilter.java): word
                                  # n-grams (space-joined) emitted ALONGSIDE
@@ -89,7 +103,17 @@ class Analyzer:
         over-long tokens leave position gaps, exactly the accumulated
         position-increment behavior of FilteringTokenFilter.java:49-63
         (StopFilter keeps gaps; matters for phrase matching across stops)."""
-        return tokenize_pandas_positions(content, self)
+        return tokenize_pandas_positions(content, self)[:2]
+
+    def tokenize_with_positions_payloads(
+        self, content: pd.Series
+    ) -> tuple[pd.Series, pd.Series, pd.Series]:
+        """(tokens, positions, payloads) — payloads is a Series of
+        float32 lists aligned 1:1 with tokens; NaN = no payload on that
+        token (no delimiter present). Only meaningful when
+        payload_delimiter is set."""
+        t, p, y = tokenize_pandas_positions(content, self, want_payloads=True)
+        return t, p, y
 
 
 def _stem_lists(toks: pd.Series, stemmer: str = "porter") -> pd.Series:
@@ -160,8 +184,39 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
     return toks
 
 
-def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Series, pd.Series]:
+def tokenize_pandas_positions(
+    content: pd.Series, a: Analyzer, want_payloads: bool = False,
+) -> tuple[pd.Series, pd.Series, pd.Series | None]:
     toks = _raw_token_lists(content, a)
+    pays = None
+    if a.payload_delimiter:
+        # DelimitedPayloadTokenFilter position in the chain: right after
+        # the tokenizer, BEFORE stop/length/stem (the bare term is what
+        # downstream filters see — DelimitedPayloadTokenFilter.java:30)
+        if a.shingle_size > 1:
+            raise ValueError("payload_delimiter is incompatible with shingles")
+        delim = a.payload_delimiter
+
+        def split_pay(ts: list[str]) -> tuple[list[str], list[float]]:
+            out_t, out_y = [], []
+            for t in ts:
+                j = t.rfind(delim)
+                if j > 0:
+                    try:
+                        y = float(t[j + 1:])
+                    except ValueError:
+                        pass
+                    else:
+                        out_t.append(t[:j])
+                        out_y.append(y)
+                        continue
+                out_t.append(t)
+                out_y.append(float("nan"))   # no payload on this token
+            return out_t, out_y
+
+        both = toks.map(split_pay)
+        toks = both.map(lambda p: p[0])
+        pays = both.map(lambda p: p[1])
     if a.normalizer:
         toks = _normalize_lists(toks, a.normalizer)
     stop = a.stopwords
@@ -178,6 +233,13 @@ def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Serie
     pairs = toks.map(filt)
     out_t = pairs.map(lambda p: p[0])
     out_p = pairs.map(lambda p: p[1])
+    if pays is not None:
+        # align payloads with the surviving positions (dropped tokens
+        # drop their payloads with them)
+        pays = pd.Series(
+            [[ys[i] for i in ps] for ys, ps in zip(pays, out_p)],
+            index=out_p.index)
+    out_y = pays if want_payloads else None
     if a.stemmer:
         out_t = _stem_lists(out_t, a.stemmer)
     if a.shingle_size > 1:
@@ -193,7 +255,7 @@ def tokenize_pandas_positions(content: pd.Series, a: Analyzer) -> tuple[pd.Serie
         both = both.map(sh)
         out_t = both.map(lambda p: p[0])
         out_p = both.map(lambda p: p[1])
-    return out_t, out_p
+    return out_t, out_p, out_y
 
 
 _REGISTRY: dict[str, Analyzer] = {}
@@ -227,6 +289,7 @@ def analyzer_fingerprint(name: str) -> str:
         a.token_pattern, str(a.lowercase), str(a.max_token_length),
         str(a.split_camel), str(a.stemmer), str(a.normalizer),
         str(a.custom_tokenizer), str(a.shingle_size),
+        str(a.payload_delimiter),
         ",".join(sorted(a.stopwords)),
     ])
     return hashlib.sha256(ident.encode("utf-8")).hexdigest()[:16]
@@ -248,6 +311,15 @@ register_analyzer(
 # external SQL oracle must reproduce tokenization exactly.
 register_analyzer(
     Analyzer(name="whitespace", token_pattern=r"\S+", lowercase=False, stopwords=frozenset(), max_token_length=1 << 20)
+)
+
+# Whitespace + delimited payloads ("tok|1.5" → term "tok", payload 1.5):
+# the WhitespaceTokenizer → DelimitedPayloadTokenFilter chain
+# (analysis/payloads/DelimitedPayloadTokenFilter.java + FloatEncoder).
+register_analyzer(
+    Analyzer(name="whitespace_payload", token_pattern=r"\S+", lowercase=False,
+             stopwords=frozenset(), max_token_length=1 << 20,
+             payload_delimiter="|")
 )
 
 # Simple analyzer: letter/digit runs + lowercase, no stops (Lucene

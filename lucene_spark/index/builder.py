@@ -146,6 +146,7 @@ def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
             T.StructField("tf_blob", T.BinaryType(), True),
             T.StructField("dl_blob", T.BinaryType(), True),
             T.StructField("pos_blob", T.BinaryType(), True),
+            T.StructField("pay_blob", T.BinaryType(), True),
             T.StructField("block_last", arr, True),
             T.StructField("block_max_tf", arr, True),
             T.StructField("block_min_dl", arr, True),
@@ -161,14 +162,20 @@ def _flush_field(
     part_id: int,
     cfg: IndexConfig,
     with_pos: bool,
+    pay_chunks: list[np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """Flush one field's accumulated token stream into encoded posting
     records: factorize terms → sort (term, doc, pos) triples → run-length
     tf + per-term encode (FreqProxTermsWriter.sortTerms analogue,
-    index/FreqProxTermsWriter.java:96-101) — all vectorized numpy."""
+    index/FreqProxTermsWriter.java:96-101) — all vectorized numpy.
+    pay_chunks: optional per-occurrence float32 payloads aligned with
+    pos_chunks (the .pay channel of Lucene84PostingsFormat.java:241-330);
+    stored as raw float32 bytes parallel to the positions stream."""
     terms_flat = np.concatenate(term_chunks)
     docs_flat = np.concatenate(doc_chunks)
     pos_flat = np.concatenate(pos_chunks) if with_pos else None
+    pay_flat = (np.concatenate(pay_chunks).astype(np.float32)
+                if pay_chunks is not None else None)
     doclen_by_id = np.concatenate(dl_chunks)
 
     codes, uniq = pd.factorize(terms_flat, sort=False)
@@ -181,6 +188,8 @@ def _flush_field(
     if with_pos:
         order = np.lexsort((pos_flat, docs_flat, skey))
         pos_flat = pos_flat[order]
+        if pay_flat is not None:
+            pay_flat = pay_flat[order]
     else:
         order = np.lexsort((docs_flat, skey))
     skey = skey[order]
@@ -219,7 +228,8 @@ def _flush_field(
     cap = cfg.max_postings_per_slice
     recs: dict[str, list] = {k: [] for k in (
         "term", "slice", "local_df", "local_cf", "doc_blob", "tf_blob",
-        "dl_blob", "pos_blob", "block_last", "block_max_tf", "block_min_dl")}
+        "dl_blob", "pos_blob", "pay_blob", "block_last", "block_max_tf",
+        "block_min_dl")}
     for i in range(t_starts.size):
         lo, hi = int(t_bounds[i]), int(t_bounds[i + 1])
         term_str = uniq_sorted[run_term[lo]]
@@ -237,6 +247,10 @@ def _flush_field(
             recs["dl_blob"].append(vbyte_encode(l))
             recs["pos_blob"].append(
                 vbyte_encode(pos_delta[tf_cum[off]:tf_cum[end]]) if with_pos else None
+            )
+            recs["pay_blob"].append(
+                pay_flat[tf_cum[off]:tf_cum[end]].tobytes()
+                if pay_flat is not None else None
             )
             recs["block_last"].append(bl.tolist())
             recs["block_max_tf"].append(bmt.tolist())
@@ -267,7 +281,8 @@ def _invert_partition(
 
     local_id = 0
     acc: dict[str, dict[str, list]] = {
-        f.name: {"terms": [], "docs": [], "pos": [], "dls": []} for f in specs
+        f.name: {"terms": [], "docs": [], "pos": [], "pays": [], "dls": []}
+        for f in specs
     }
     doc_rows: list[pd.DataFrame] = []
 
@@ -279,8 +294,13 @@ def _invert_partition(
         doclen_total = np.zeros(n, dtype=np.int64)
         for spec in specs:
             analyzer = analyzers[spec.name]
-            with_pos = spec.index_positions
-            if with_pos:
+            with_pay = analyzer.payload_delimiter is not None
+            with_pos = spec.index_positions or with_pay   # payloads ride .pos
+            pays = None
+            if with_pay:
+                toks, poss, pays = analyzer.tokenize_with_positions_payloads(
+                    pdf[spec.source_col])
+            elif with_pos:
                 toks, poss = analyzer.tokenize_with_positions(pdf[spec.source_col])
             else:
                 toks = analyzer.tokenize_series(pdf[spec.source_col])
@@ -301,6 +321,10 @@ def _invert_partition(
                     a["pos"].append(np.fromiter(
                         itertools.chain.from_iterable(poss.tolist()),
                         dtype=np.int64, count=int(counts.sum())))
+                if pays is not None:
+                    a["pays"].append(np.fromiter(
+                        itertools.chain.from_iterable(pays.tolist()),
+                        dtype=np.float32, count=int(counts.sum())))
 
         # docstats rows for this batch; doclen = total indexed tokens
         # across fields (per-field lengths live in the posting dl blobs)
@@ -324,8 +348,12 @@ def _invert_partition(
                                int(np.count_nonzero(field_dls)),
                                int(field_dls.sum())))
         if a["terms"]:
+            an = analyzers[spec.name]
             pf = _flush_field(a["terms"], a["docs"], a["pos"], a["dls"],
-                              part_id, cfg, spec.index_positions)
+                              part_id, cfg,
+                              spec.index_positions
+                              or an.payload_delimiter is not None,
+                              pay_chunks=a["pays"] if a["pays"] else None)
             pf["kind"] = "posting"
             pf["field"] = spec.name
             pf["part_id"] = np.int32(part_id)
@@ -344,7 +372,7 @@ def _invert_partition(
     all_cols = ["kind"] + key_and_carry + [
         "doc_id", "doclen", "sha256", "field", "term", "part_id", "slice",
         "local_df", "local_cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
-        "block_last", "block_max_tf", "block_min_dl"]
+        "pay_blob", "block_last", "block_max_tf", "block_min_dl"]
     for f in out_frames:
         for c in all_cols:
             if c not in f.columns:
@@ -447,7 +475,7 @@ class IndexBuilder:
             postings = (
                 raw.filter(F.col("kind") == "posting")
                 .select("field", "term", "part_id", "slice", "local_df", "local_cf",
-                        "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                        "doc_blob", "tf_blob", "dl_blob", "pos_blob", "pay_blob",
                         "block_last", "block_max_tf", "block_min_dl")
                 .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
             )

@@ -213,6 +213,8 @@ def _rewrite_with_deletes(src: DataFrame, deletes_df: DataFrame, block_size: int
             dls = vbyte_decode(r.dl_blob)
             dead = _is_deleted(docs, dels)
             pos_delta = vbyte_decode(r.pos_blob) if r.pos_blob is not None else None
+            pay = (np.frombuffer(r.pay_blob, dtype=np.float32)
+                   if getattr(r, "pay_blob", None) is not None else None)
             if dead.any():
                 keep = ~dead
                 if pos_delta is not None:
@@ -222,6 +224,9 @@ def _rewrite_with_deletes(src: DataFrame, deletes_df: DataFrame, block_size: int
                     base = cs[starts] - pos_delta[starts]
                     pos_abs = cs - np.repeat(base, tfs)
                     pos_abs = pos_abs[np.repeat(keep, tfs)]
+                if pay is not None:
+                    # payloads are position-parallel — mask identically
+                    pay = pay[np.repeat(keep, tfs)]
                 docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 if docs.size == 0:
                     continue
@@ -239,6 +244,8 @@ def _rewrite_with_deletes(src: DataFrame, deletes_df: DataFrame, block_size: int
                 block_last=bl.tolist(), block_max_tf=bmt.tolist(),
                 block_min_dl=bmd.tolist(),
             )
+            if "pay_blob" in cols:
+                d["pay_blob"] = pay.tobytes() if pay is not None else None
             out_rows.append(d)
             live_docs, ttf = fstats.get(r.field, (set(), 0))
             live_docs.update(docs.tolist())
@@ -395,6 +402,7 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig,
         raw.filter(F.col("kind") == "posting")
         .select("field", "term", "part_id", "slice", "local_df", "local_cf",
                 "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                *(["pay_blob"] if "pay_blob" in raw.columns else []),
                 "block_last", "block_max_tf", "block_min_dl")
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
     )

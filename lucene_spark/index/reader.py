@@ -129,10 +129,12 @@ class IndexReader:
             # postings/ dir) — compute it on the fly, matching the build-
             # time pmod(xxhash64(term), num_buckets) exactly
             cols = ["field", "term", "part_id", "slice", "local_df", "local_cf",
-                    "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                    "doc_blob", "tf_blob", "dl_blob", "pos_blob", "pay_blob",
                     "block_last", "block_max_tf", "block_min_dl"]
+            raw = self._raw()
+            cols = [c for c in cols if c in raw.columns]  # pre-payload indexes
             return (
-                self._raw().filter(F.col("kind") == "posting").select(*cols)
+                raw.filter(F.col("kind") == "posting").select(*cols)
                 .withColumn("bucket", F.pmod(F.xxhash64("term"),
                                              F.lit(self.num_buckets)).cast("int"))
             )

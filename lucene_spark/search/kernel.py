@@ -48,6 +48,10 @@ class TermPostings:
     # with a short tail block, and a partition may concatenate several
     # slices — pruning must use these exact boundaries, not n/nb math.
     block_off: np.ndarray | None = None
+    pay: np.ndarray | None = None   # float32 payloads aligned with pos
+                                    # (the .pay channel,
+                                    # Lucene84PostingsFormat.java:241-330);
+                                    # NaN = position carries no payload
     _tf_off: np.ndarray | None = None
 
     @property
@@ -130,6 +134,8 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_span_not(node, ctx)
     if isinstance(node, P.IntervalFilterNode):
         return _eval_interval_filter(node, ctx)
+    if isinstance(node, P.PayloadScoreNode):
+        return _eval_payload_score(node, ctx)
     if isinstance(node, P.MultiPhraseNode):
         return _eval_multiphrase(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
@@ -521,6 +527,42 @@ def _eval_interval_filter(node: P.IntervalFilterNode,
                                     node.ref_extend))
     docs = base[hit]
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
+
+
+def _eval_payload_score(node: P.PayloadScoreNode,
+                        ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+    """PayloadScoreQuery eval (payloads/PayloadScoreQuery.java,
+    includeSpanScore=false): per matching doc, aggregate the term's
+    payloads with the PayloadFunction; positions without payloads are
+    skipped (PayloadSpanCollector skips null payloads) and a doc with
+    zero payloads seen scores 1 (MaxPayloadFunction.java:*docScore).
+    Fully vectorized: one reduceat per aggregate over the tf runs."""
+    tp = ctx.postings.get((node.field, node.term))
+    if tp is None or tp.docs.size == 0:
+        return _empty()
+    if tp.pay is None:
+        raise ValueError(
+            f"PayloadScoreQuery on field {node.field!r} requires an index "
+            "built with a payload_delimiter analyzer (payloads ride the "
+            "positions channel)")
+    off = tp.tf_off[:-1]
+    pay = tp.pay.astype(np.float64)
+    valid = ~np.isnan(pay)
+    counts = np.add.reduceat(valid.astype(np.int64), off)
+    f = node.func
+    if f == "sum":
+        agg = np.add.reduceat(np.where(valid, pay, 0.0), off)
+    elif f == "avg":
+        agg = np.add.reduceat(np.where(valid, pay, 0.0), off) \
+            / np.maximum(counts, 1)
+    elif f == "max":
+        agg = np.maximum.reduceat(np.where(valid, pay, -np.inf), off)
+    elif f == "min":
+        agg = np.minimum.reduceat(np.where(valid, pay, np.inf), off)
+    else:
+        raise ValueError(f"unknown payload function: {node.func}")
+    scores = np.where(counts > 0, agg, 1.0) * np.float64(node.boost)
+    return tp.docs, scores.astype(np.float32)
 
 
 def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int,

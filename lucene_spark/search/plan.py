@@ -178,6 +178,20 @@ class SpanNotNode(Node):
 
 
 @dataclass(frozen=True)
+class PayloadScoreNode(FieldedNode):
+    """PayloadScoreQuery over a single term span —
+    queries/payloads/PayloadScoreQuery.java with includeSpanScore=false:
+    score = boost · PayloadFunction.docScore over the payloads at the
+    term's matching positions. func ∈ {'min','max','sum','avg'}
+    ({Min,Max,Sum,Average}PayloadFunction.java — a doc whose positions
+    carry NO payloads scores docScore = 1, per those classes' ternary).
+    Requires a field indexed with a payload_delimiter analyzer
+    (DelimitedPayloadTokenFilter chain)."""
+    term: str = ""
+    func: str = "max"
+
+
+@dataclass(frozen=True)
 class IntervalFilterNode(Node):
     """Interval containment/overlap algebra — queries/intervals/
     Intervals.java:300-404 (ContainingIntervalsSource,

@@ -63,7 +63,7 @@ def _asm_cache_budget() -> int:
 def _tp_nbytes(tp: TermPostings) -> int:
     n = 0
     for a in (tp.docs, tp.tfs, tp.dls, tp.block_last, tp.block_max_tf,
-              tp.block_min_dl, tp.pos, tp.block_off):
+              tp.block_min_dl, tp.pos, tp.block_off, tp.pay):
         if a is not None:
             n += a.nbytes
     return n
@@ -76,7 +76,8 @@ def _tp_owned(tp: TermPostings) -> TermPostings:
     c = lambda a: None if a is None else np.ascontiguousarray(a)
     return TermPostings(c(tp.docs), c(tp.tfs), c(tp.dls), c(tp.block_last),
                         c(tp.block_max_tf), c(tp.block_min_dl),
-                        pos=c(tp.pos), block_off=c(tp.block_off))
+                        pos=c(tp.pos), block_off=c(tp.block_off),
+                        pay=c(tp.pay))
 
 
 def _assemble_postings_cached(
@@ -210,6 +211,8 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
         ldf[has_blocks] - block_size * (nb[has_blocks] - 1))
     postings: dict[tuple[str, str], TermPostings] = {}
     pos_vals = pos_col.to_numpy() if want_pos else None
+    pay_vals = (pdf["pay_blob"].to_numpy()
+                if "pay_blob" in pdf.columns else None)
     # .indices gives each group's row positions WITHOUT materializing
     # 400+ sub-DataFrames (the groupby-iteration cost is pure overhead
     # here — every group is a contiguous slice of the sorted frame)
@@ -240,6 +243,12 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
                 cs_g = np.cumsum(pos_delta)
                 base_g = cs_g[starts] - pos_delta[starts]
                 pos = cs_g - np.repeat(base_g, tfs)
+        pay = None
+        if pay_vals is not None:
+            pblobs = pay_vals[i0:i1 + 1]
+            if not any(b is None for b in pblobs):
+                # raw float32 bytes parallel to the positions stream
+                pay = np.frombuffer(b"".join(pblobs), dtype=np.float32)
         if deleted.size:
             # liveDocs mask (LiveDocsFormat role): drop tombstoned postings
             # before evaluation
@@ -250,6 +259,8 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
                 keep = ~dead
                 if pos is not None:
                     pos = pos[np.repeat(keep, tfs)]
+                if pay is not None:
+                    pay = pay[np.repeat(keep, tfs)]
                 docs, dls = docs[keep], dls[keep]
                 tfs = tfs[keep]
                 # block meta must realign with the masked arrays or
@@ -259,7 +270,8 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
                 bl, bmt, bmd = build_block_meta(docs, tfs, dls, block_size)
                 block_off = None   # rebuilt meta is single-slice layout
         postings[(field, term)] = TermPostings(docs, tfs, dls, bl, bmt, bmd,
-                                               pos=pos, block_off=block_off)
+                                               pos=pos, block_off=block_off,
+                                               pay=pay)
     return postings
 
 
@@ -961,7 +973,7 @@ class IndexSearcher:
         return node
 
     def _collect_terms(self, node: P.Node, out: set[tuple[str, str]]) -> None:
-        if isinstance(node, P.TermNode):
+        if isinstance(node, (P.TermNode, P.PayloadScoreNode)):
             out.add((node.field, node.term))
         elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode,
                                P.IntervalNode)):

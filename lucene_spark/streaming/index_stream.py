@@ -181,6 +181,7 @@ class StreamingIndexer:
             raw_g.filter(F.col("kind") == "posting")
             .select("field", "term", "part_id", "slice", "local_df", "local_cf",
                     "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                    *(["pay_blob"] if "pay_blob" in raw_g.columns else []),
                     "block_last", "block_max_tf", "block_min_dl")
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
         )
@@ -217,6 +218,7 @@ class StreamingIndexer:
             raw.filter(F.col("kind") == "posting")
             .select("field", "term", "part_id", "slice", "local_df", "local_cf",
                     "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+                    *(["pay_blob"] if "pay_blob" in raw.columns else []),
                     "block_last", "block_max_tf", "block_min_dl")
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
         )
