@@ -65,6 +65,7 @@ class IndexReader:
             self.default_field: {"doc_count": self.doc_count,
                                  "sum_ttf": self.sum_doclen}}
         self._hot_postings: DataFrame | None = None
+        self._hot_postings_parts: int | None = None
 
     def cache_postings(self, num_partitions: int = 32) -> DataFrame:
         """Pin the postings frame in executor memory, pre-partitioned by
@@ -87,12 +88,21 @@ class IndexReader:
                 .repartition(num_partitions, "part_id")
                 .persist(StorageLevel.MEMORY_AND_DISK))
             self._hot_postings.count()
+            self._hot_postings_parts = num_partitions
         return self._hot_postings
+
+    @property
+    def postings_partitions(self) -> int | None:
+        """Partition count of the pinned postings frame (None when not
+        cached) — part of the worker decoded-cache key: the same rows
+        under a different partitioning land in different partitionIds."""
+        return self._hot_postings_parts if self._hot_postings is not None else None
 
     def uncache_postings(self) -> None:
         if self._hot_postings is not None:
             self._hot_postings.unpersist()
             self._hot_postings = None
+            self._hot_postings_parts = None
 
     @property
     def postings_cached(self) -> bool:

@@ -89,6 +89,17 @@ class EvalContext:
     field_sims: dict[str, BM25Similarity] | None = None
     block_size: int = 128     # codec block size (fallback for postings
                               # built without explicit block_off)
+    # per-task full-scoring memo: (field, term, boost) → (docs, scores).
+    # The TermStates/LRUQueryCache serving role within one batch: a hot
+    # term shared by dozens of batch queries is scored over its postings
+    # ONCE per task, not once per query. Entries are FULL exhaustive
+    # scorings only (block-max partial scorings are never stored) and the
+    # cached arrays are never mutated by consumers (every combiner copies
+    # via astype/fancy-indexing before arithmetic). None disables.
+    score_memo: dict | None = None
+    # lazy dense-domain map for disjunctions: (parts, span, keys_memo) —
+    # see _dense_dom
+    dense_dom: list | None = None
 
 
 def _sim_of(ctx: "EvalContext", field: str):
@@ -684,8 +695,16 @@ def _eval_term(node: P.TermNode, ctx: EvalContext, need_scores: bool) -> tuple[n
         return _empty()
     if not need_scores:
         return tp.docs, np.zeros(tp.docs.size, dtype=np.float32)
+    memo = ctx.score_memo
+    key = (node.field, node.term, node.boost)
+    if memo is not None:
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
     w = ctx.weights[((node.field, node.term), node.boost)]
     scores = _sim_of(ctx, node.field).score(tp.tfs, tp.dls, w, ctx.avgdl[node.field])
+    if memo is not None:
+        memo[key] = (tp.docs, scores)
     return tp.docs, scores
 
 
@@ -711,6 +730,14 @@ def score_term_topk_blockmax(
     tp = ctx.postings.get((node.field, node.term))
     if tp is None:
         return _empty()
+    if ctx.score_memo is not None:
+        # a FULL scoring of this term already exists in this task (some
+        # earlier batch query scored it exhaustively) — reuse it; the
+        # caller's top-k over the full set is identical to top-k over the
+        # block-max-surviving superset
+        hit = ctx.score_memo.get((node.field, node.term, node.boost))
+        if hit is not None:
+            return hit
     k = ctx.k
     n = tp.docs.size
     if n <= max(4 * k, 512) or tp.block_last.size <= 4:
@@ -778,6 +805,111 @@ def _eval_synonym(node: P.SynonymNode, ctx: EvalContext, need_scores: bool) -> t
     return uniq, _sim_of(ctx, node.field).score(tf_sum, dl_u, w, ctx.avgdl[node.field])
 
 
+# doc-id layout: doc_id = part_id << PART_ID_SHIFT | local_id — must match
+# index.builder.PART_ID_SHIFT (tests/test_kernel_property.py asserts the
+# equality so the two can never drift apart)
+_PART_SHIFT = np.int64(40)
+_LOCAL_MASK = np.int64((1 << 40) - 1)
+
+
+_DENSE_CAP = 1 << 22
+
+
+def _dense_dom(ctx: EvalContext) -> tuple | None:
+    """Per-task dense doc-id domain, built lazily ONCE from the assembled
+    postings: (parts, span, keys_memo). Doc ids are range-clustered per
+    part (part_id << 40 | local, locals contiguous from 0 within a part),
+    so doc → part_rank·span + local is a COMPACT index into dense
+    accumulators of width parts·span ≈ the task's doc count. Returns None
+    (and remembers it) when the domain would exceed _DENSE_CAP — callers
+    fall back to sorted-set paths."""
+    dd = ctx.dense_dom
+    if dd is not None:
+        return dd[0]
+    parts_list: list[np.ndarray] = []
+    span = 1
+    for tp in ctx.postings.values():
+        d = tp.docs
+        if not d.size:
+            continue
+        p = d >> _PART_SHIFT
+        b = np.flatnonzero(p[1:] != p[:-1])
+        heads = p[np.append(np.int64(0), b + 1)]
+        parts_list.append(heads)
+        if heads.size == 1:
+            span = max(span, int(d[-1] & _LOCAL_MASK) + 1)
+        else:
+            span = max(span, int((d & _LOCAL_MASK).max()) + 1)
+    if not parts_list:
+        ctx.dense_dom = [None]
+        return None
+    parts = np.unique(np.concatenate(parts_list))  # tiny: parts per task
+    if parts.size * span > _DENSE_CAP:
+        ctx.dense_dom = [None]
+        return None
+    dom = (parts, np.int64(span), {})
+    ctx.dense_dom = [dom]
+    return dom
+
+
+def _leg_keys(ctx: EvalContext, node: P.Node | None, docs: np.ndarray,
+              dom: tuple) -> np.ndarray:
+    """Dense keys for one disjunction leg; memoized per (field, term) for
+    plain term legs, whose docs arrays are the task-lifetime postings
+    arrays — a hot term's keys are computed once per task, then every
+    disjunction using it is a pure indexed add."""
+    parts, span, memo = dom
+    mk = (node.field, node.term) if isinstance(node, P.TermNode) else None
+    if mk is not None:
+        k_ = memo.get(mk)
+        if k_ is not None:
+            return k_
+    l = docs & _LOCAL_MASK
+    if parts.size == 1:
+        keys = l
+    else:
+        keys = np.searchsorted(parts, docs >> _PART_SHIFT) * span + l
+    if mk is not None:
+        memo[mk] = keys
+    return keys
+
+
+def _dense_union(evaled: list[tuple[np.ndarray, np.ndarray]],
+                 nodes: list[P.Node | None], ctx: EvalContext,
+                 min_count: int, need_scores: bool,
+                 ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Dense-domain disjunction: O(n) indexed adds over the task-wide
+    dense domain replace the sort-based np.unique union — no concat, no
+    O(n log n) sort. Returns None when the task has no dense domain
+    (hand-built ids with huge locals) — caller falls back to sorted union.
+
+    Exactness: leg docs are unique within a leg so fancy-index += is
+    exact, and per-doc float64 adds happen in the same leg order as the
+    sorted path's np.add.at did (bit-identical sums). Keys are monotone
+    in doc order (sorted docs ⇒ sorted (part, local) ⇒ sorted rank·span +
+    local), so flatnonzero returns docs in ascending doc_id order."""
+    dom = _dense_dom(ctx)
+    if dom is None:
+        return None
+    parts, span, _ = dom
+    width = int(parts.size * span)
+    keys = [_leg_keys(ctx, n, d, dom) if d.size else None
+            for (d, _), n in zip(evaled, nodes)]
+    cnt = np.zeros(width, dtype=np.int32)
+    for k_ in keys:
+        if k_ is not None:
+            cnt[k_] += 1
+    if need_scores:
+        acc_d = np.zeros(width, dtype=np.float64)
+        for k_, (_, s) in zip(keys, evaled):
+            if k_ is not None:
+                acc_d[k_] += s.astype(np.float64)
+    idx = np.flatnonzero(cnt >= min_count)
+    base = (parts[idx // span] << _PART_SHIFT) | (idx % span)
+    acc = acc_d[idx] if need_scores else np.zeros(base.size)
+    return base, acc
+
+
 def _union_docs(doc_lists: list[np.ndarray]) -> np.ndarray:
     if not doc_lists:
         return _EMPTY_I
@@ -800,7 +932,13 @@ def _eval_boolean(node: P.BooleanNode, ctx: EvalContext, need_scores: bool) -> t
     base: np.ndarray | None = None
     acc: np.ndarray | None = None  # float64 accumulator aligned with base
 
-    # conjunction, cost-ordered: cheapest (fewest docs) leg first
+    # conjunction, cost-ordered: cheapest (fewest docs) leg first. The
+    # smallest leg is the probe side; every other leg is PROBED via
+    # binary search (searchsorted) instead of np.intersect1d — the
+    # leapfrog asymmetry of ConjunctionDISI (advance the cheap iterator,
+    # seek the expensive ones): O(m·log n) instead of intersect1d's
+    # O((m+n)·log(m+n)) concat-and-sort, which matters exactly for the
+    # skewed rare-AND-hot shape
     if musts or filters:
         legs = [(m, True) for m in musts] + [(f, False) for f in filters]
         evaled = [(eval_node(n, ctx, need_scores and scored), scored) for n, scored in legs]
@@ -809,10 +947,15 @@ def _eval_boolean(node: P.BooleanNode, ctx: EvalContext, need_scores: bool) -> t
         base = docs0
         acc = sc0.astype(np.float64) if (need_scores and scored0) else np.zeros(docs0.size)
         for (docs_i, sc_i), scored_i in evaled[1:]:
-            base, ia, ib = np.intersect1d(base, docs_i, assume_unique=True, return_indices=True)
-            acc = acc[ia]
+            if base.size == 0 or docs_i.size == 0:
+                return _empty()
+            pos = np.searchsorted(docs_i, base)
+            pos_c = np.minimum(pos, docs_i.size - 1)
+            hit = docs_i[pos_c] == base
+            base = base[hit]
+            acc = acc[hit]
             if need_scores and scored_i:
-                acc = acc + sc_i[ib].astype(np.float64)
+                acc = acc + sc_i[pos_c[hit]].astype(np.float64)
             if base.size == 0:
                 return _empty()
 
@@ -820,23 +963,27 @@ def _eval_boolean(node: P.BooleanNode, ctx: EvalContext, need_scores: bool) -> t
         # pure disjunction: union + score sum + msm count
         if not shoulds:
             return _empty()
-        all_docs, all_scores, counts = [], [], None
         evaled = [eval_node(s, ctx, need_scores) for s in shoulds]
         all_docs = [d for d, _ in evaled]
         if not any(d.size for d in all_docs):
             return _empty()
-        cat = np.concatenate(all_docs)
-        uniq, inv = np.unique(cat, return_inverse=True)
-        acc_u = np.zeros(uniq.size, dtype=np.float64)
-        cnt = np.zeros(uniq.size, dtype=np.int64)
-        np.add.at(cnt, inv, 1)
-        if need_scores:
-            cat_s = np.concatenate([s for _, s in evaled]).astype(np.float64)
-            np.add.at(acc_u, inv, cat_s)
-        base, acc = uniq, acc_u
-        if msm > 1:
-            keep = cnt >= msm
-            base, acc = base[keep], acc[keep]
+        dense = _dense_union(evaled, shoulds, ctx, max(msm, 1), need_scores)
+        if dense is not None:
+            base, acc = dense
+        else:
+            # sparse fallback (ids far apart — e.g. hand-built postings)
+            cat = np.concatenate(all_docs)
+            uniq, inv = np.unique(cat, return_inverse=True)
+            acc_u = np.zeros(uniq.size, dtype=np.float64)
+            cnt = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            if need_scores:
+                cat_s = np.concatenate([s for _, s in evaled]).astype(np.float64)
+                np.add.at(acc_u, inv, cat_s)
+            base, acc = uniq, acc_u
+            if msm > 1:
+                keep = cnt >= msm
+                base, acc = base[keep], acc[keep]
     elif shoulds:
         # optional scoring clauses over the conjunction (+ msm if set)
         cnt = np.zeros(base.size, dtype=np.int64)
@@ -876,6 +1023,34 @@ def _eval_dismax(node: P.DisjunctionMaxNode, ctx: EvalContext, need_scores: bool
     docs_all = [d for d, _ in evaled if d.size]
     if not docs_all:
         return _empty()
+    dom = _dense_dom(ctx)
+    if dom is not None:
+        # dense max+sum — same domain trick as _dense_union; max is
+        # order-free and the sum adds per-doc in the same leg order as
+        # the sorted path's np.add.at, so scores are bit-identical
+        parts, span, _ = dom
+        width = int(parts.size * span)
+        keys = [_leg_keys(ctx, c, d, dom) if d.size else None
+                for (d, _), c in zip(evaled, node.children)]
+        cnt = np.zeros(width, dtype=np.int32)
+        for k_ in keys:
+            if k_ is not None:
+                cnt[k_] += 1
+        idx = np.flatnonzero(cnt > 0)
+        uniq = (parts[idx // span] << _PART_SHIFT) | (idx % span)
+        if not need_scores:
+            return uniq, np.zeros(uniq.size, dtype=np.float32)
+        mx = np.full(width, -np.inf)
+        sm = np.zeros(width, dtype=np.float64)
+        for k_, (_, s) in zip(keys, evaled):
+            if k_ is None:
+                continue
+            sf = s.astype(np.float64)
+            mx[k_] = np.maximum(mx[k_], sf)  # keys unique within a leg
+            sm[k_] += sf
+        tie = np.float64(node.tie_breaker)
+        total = mx[idx] + tie * (sm[idx] - mx[idx])
+        return uniq, (total * np.float64(node.boost)).astype(np.float32)
     cat = np.concatenate(docs_all)
     uniq, inv_full = np.unique(cat, return_inverse=True)
     if not need_scores:

@@ -80,6 +80,44 @@ def _tp_owned(tp: TermPostings) -> TermPostings:
                         pay=c(tp.pay))
 
 
+# Whole-partition decoded-postings cache for BATCH serving (search_many):
+# keyed by (epoch, digest-of-term-set, want_pos, block_size, shuffle
+# partition id). Within one epoch + term set, a shuffle partition's rows
+# are DETERMINISTIC (parquet scan → term filter → hash(part_id) shuffle
+# with a fixed partition count), so a warm hit can skip consuming the
+# task's input entirely — no Arrow→pandas conversion, no sort/groupby,
+# no decode. This is the Lucene serving analogue one level up from the
+# per-term digest cache below: segments stay OPEN between query batches.
+# Bounded LRU per worker process (same budget knob as the term cache).
+_PART_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+_PART_CACHE_BYTES = [0]
+
+
+def _parts_nbytes(postings: dict) -> int:
+    return sum(_tp_nbytes(tp) for tp in postings.values())
+
+
+def _parts_cache_get(key: tuple) -> dict | None:
+    ent = _PART_CACHE.get(key)
+    if ent is not None:
+        _PART_CACHE.move_to_end(key)
+    return ent
+
+
+def _parts_cache_put(key: tuple, postings: dict) -> None:
+    budget = _asm_cache_budget()
+    if budget <= 0 or key in _PART_CACHE:
+        return
+    nb = _parts_nbytes(postings)
+    if nb > budget // 2:
+        return  # never let one giant partition evict everything
+    _PART_CACHE[key] = postings
+    _PART_CACHE_BYTES[0] += nb
+    while _PART_CACHE_BYTES[0] > budget and _PART_CACHE:
+        _, old = _PART_CACHE.popitem(last=False)
+        _PART_CACHE_BYTES[0] -= _parts_nbytes(old)
+
+
 def _assemble_postings_cached(
     pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray, block_size: int,
     epoch: str | None,
@@ -340,6 +378,15 @@ class IndexSearcher:
         # (Lucene likewise keeps cached TermStates valid under deletes).
         self._plan_cache: dict[str, P.Node] = {}
         self._weights_memo: dict[str, tuple] = {}
+        # shuffled+persisted candidate postings per (epoch, partitioning,
+        # term set) — the IndexReader-stays-open role for batch serving:
+        # a serving process re-sees the same query mixes, and reshuffling
+        # an immutable snapshot every batch is pure waste. Bounded LRU;
+        # evicted entries are unpersisted. NOTE: deliberately NOT a
+        # result/DataFrame cache — search_many builds a fresh DataFrame
+        # per call so scoring genuinely re-runs (a reused DataFrame would
+        # let Spark skip the scoring stages via shuffle reuse).
+        self._post_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
 
     def _sim_for(self, field: str):
         return self.field_sims.get(field, self.sim)
@@ -430,7 +477,21 @@ class IndexSearcher:
         it instead — one bucket-pruned postings scan for the UNION of all
         query terms, every query evaluated vectorized per partition, one
         global windowed top-k. Queries with no matching terms simply
-        produce no rows."""
+        produce no rows.
+
+        Every call builds a FRESH DataFrame, so evaluation genuinely
+        re-runs per batch (returning a memoized DataFrame would let Spark
+        reuse the previous execution's shuffle outputs and skip the
+        scoring stages entirely — a result cache masquerading as
+        serving). What IS reused across batches: parsed plans and weight
+        trees per query string (_plan_cache/_weights_memo), term-stats
+        lookups, the shuffled+persisted candidate postings per term set
+        (_post_cache), and the workers' decoded-postings caches."""
+        result, _post = self._search_many_build(queries, k)
+        return result
+
+    def _search_many_build(self, queries: dict[str, str | P.Node], k: int,
+                           ) -> tuple[DataFrame, DataFrame | None]:
         plans: dict[str, P.Node] = {}
         # plan each DISTINCT query string once, and plan them CONCURRENTLY:
         # planning can pay dictionary-expansion collect jobs (prefix/fuzzy/
@@ -467,8 +528,9 @@ class IndexSearcher:
             if not isinstance(node, P.MatchNoneNode):
                 plans[qid] = node
         if not plans:
-            return self.reader.spark.createDataFrame(
-                [], "query_id string, doc_id long, score float, rank int")
+            return (self.reader.spark.createDataFrame(
+                [], "query_id string, doc_id long, score float, rank int"),
+                None)
 
         # EVALUATION dedup (not just plan dedup): query_ids that share a
         # query string share ONE kernel evaluation under a representative
@@ -522,23 +584,62 @@ class IndexSearcher:
 
         out_schema = "query_id string, doc_id long, score float"
         cand = None
+        persisted_post = None
         if live and kernel_plans:
-            post = self.reader.postings_for_terms(live)
-            if not self.reader.postings_cached:
-                # cached postings are already partitioned by part_id;
-                # the parquet path needs the explicit fixed-width shuffle
-                post = post.repartition(self.kernel_partitions, "part_id")
-
             asm_epoch = self._asm_epoch()
+            terms_key = None
+            if asm_epoch is not None:
+                import hashlib as _hl
+                h = _hl.blake2b(digest_size=12)
+                h.update(asm_epoch.encode())
+                nparts = (self.reader.postings_partitions
+                          if self.reader.postings_cached
+                          else self.kernel_partitions)
+                h.update(f"|{nparts}|".encode())
+                for f_t in sorted(live):
+                    h.update(repr(f_t).encode())
+                terms_key = h.hexdigest()
 
-            def run(pdf: pd.DataFrame) -> pd.DataFrame:
-                postings = _assemble_postings_cached(pdf, want_pos, deleted,
-                                                     block_size, asm_epoch)
+            post = None
+            if terms_key is not None and not self.reader.postings_cached:
+                post = self._post_cache.get(terms_key)
+                if post is not None:
+                    self._post_cache.move_to_end(terms_key)
+            if post is None:
+                post = self.reader.postings_for_terms(live)
+                if not self.reader.postings_cached:
+                    # cached postings are already partitioned by part_id;
+                    # the parquet path needs the explicit fixed-width
+                    # shuffle. Keep the shuffled candidate rows persisted
+                    # per term set: a serving process re-sees the same
+                    # query mixes, and re-shuffling an immutable snapshot
+                    # per batch is pure waste (the IndexReader-stays-open
+                    # role). Bounded LRU; evicted entries unpersist.
+                    post = post.repartition(self.kernel_partitions,
+                                            "part_id").persist()
+                    persisted_post = post
+                    if terms_key is not None:
+                        self._post_cache[terms_key] = post
+                        while len(self._post_cache) > 4:
+                            _, old = self._post_cache.popitem(last=False)
+                            try:
+                                old.unpersist()
+                            except Exception:
+                                pass
+
+            def run_with(postings: dict) -> pd.DataFrame:
                 ctx = EvalContext(postings=postings, weights=weights,
                                   syn_weights=syn_w, avgdl=avgdl, sim=sim,
                                   k=kk, phrase_weights=phrase_w,
-                                  field_sims=field_sims, block_size=block_size)
-                frames = []
+                                  field_sims=field_sims, block_size=block_size,
+                                  score_memo={})
+                # ONE output frame per task (np.repeat over per-query hit
+                # counts) — a pd.DataFrame per query would cost more than
+                # the scoring itself on large batches
+                qids: list[str] = []
+                counts: list[int] = []
+                doc_parts: list[np.ndarray] = []
+                score_parts: list[np.ndarray] = []
                 for qid, node in kernel_plans.items():
                     if isinstance(node, P.TermNode):
                         docs, scores = score_term_topk_blockmax(node, ctx)
@@ -546,24 +647,60 @@ class IndexSearcher:
                         docs, scores = eval_node(node, ctx, need_scores=True)
                     docs, scores = topk_local(docs, scores, kk)
                     if docs.size:
-                        frames.append(pd.DataFrame({
-                            "query_id": qid,
-                            "doc_id": docs.astype(np.int64),
-                            "score": scores.astype(np.float32)}))
-                if not frames:
+                        qids.append(qid)
+                        counts.append(docs.size)
+                        doc_parts.append(docs)
+                        score_parts.append(scores)
+                if not doc_parts:
                     return pd.DataFrame({"query_id": pd.Series([], dtype=str),
                                          "doc_id": pd.Series([], dtype=np.int64),
                                          "score": pd.Series([], dtype=np.float32)})
-                return pd.concat(frames, ignore_index=True)
+                qid_col = np.repeat(np.asarray(qids, dtype=object),
+                                    np.asarray(counts, dtype=np.int64))
+                return pd.DataFrame({
+                    "query_id": qid_col,
+                    "doc_id": np.concatenate(doc_parts).astype(np.int64),
+                    "score": np.concatenate(score_parts).astype(np.float32)})
 
             def run_stream(batches):
                 # one kernel invocation over the whole task partition —
                 # part_id hash partitioning guarantees every part's rows
                 # are complete here, and _assemble_postings concatenates
-                # across parts exactly as the local path does
+                # across parts exactly as the local path does.
+                # Whole-partition cache first: within (epoch, term set),
+                # this shuffle partition's content is deterministic, so a
+                # hit skips input consumption entirely (see _PART_CACHE).
+                key = None
+                if terms_key is not None:
+                    from pyspark import TaskContext
+                    tc = TaskContext.get()
+                    if tc is not None:
+                        key = (asm_epoch, terms_key, want_pos, block_size,
+                               tc.partitionId())
+                        cached = _parts_cache_get(key)
+                        if cached is not None:
+                            for _ in batches:
+                                # drain WITHOUT using the frames: a python
+                                # worker is returned to the reuse pool only
+                                # after reading its input to EOF — skipping
+                                # the drain would kill the worker after the
+                                # task and lose this very cache
+                                pass
+                            if cached:
+                                yield run_with(cached)
+                            return
                 chunks = [pdf for pdf in batches if len(pdf)]
-                if chunks:
-                    yield run(pd.concat(chunks, ignore_index=True))
+                if not chunks:
+                    if key is not None:
+                        _parts_cache_put(key, {})
+                    return
+                postings = _assemble_postings(
+                    pd.concat(chunks, ignore_index=True), want_pos, deleted,
+                    block_size)
+                if key is not None:
+                    _parts_cache_put(
+                        key, {ft: _tp_owned(tp) for ft, tp in postings.items()})
+                yield run_with(postings)
 
             cand = post.mapInPandas(run_stream, out_schema)
             if any(q != ek for q, ek in eval_key.items()):
@@ -583,14 +720,15 @@ class IndexSearcher:
                                 F.lit(boost).cast("float").alias("score"))
                 cand = m if cand is None else cand.unionByName(m)
         if cand is None:
-            return self.reader.spark.createDataFrame(
-                [], "query_id string, doc_id long, score float, rank int")
+            return (self.reader.spark.createDataFrame(
+                [], "query_id string, doc_id long, score float, rank int"),
+                persisted_post)
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
         return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
+                .filter(F.col("rank") <= k), persisted_post)
 
     def search_after(self, query: str | P.Node, k: int, after_score: float, after_doc: int) -> DataFrame:
         """Deep paging — searchAfter cursor semantics
@@ -690,7 +828,8 @@ class IndexSearcher:
                            syn_weights=syn_w,
                            avgdl=self._avgdl_map({f for f, _ in stats}),
                            sim=self.sim, k=k, phrase_weights=phrase_w,
-                           field_sims=self.field_sims, block_size=bs)
+                           field_sims=self.field_sims, block_size=bs,
+                           score_memo={})
 
     def matches(self, query: str | P.Node, with_scores: bool = True) -> DataFrame:
         """ALL matching (doc_id, score) rows — the exhaustive collector path
@@ -1231,7 +1370,8 @@ class IndexSearcher:
             ctx = EvalContext(postings=postings, weights=weights, syn_weights=syn_weights,
                               avgdl=avgdl, sim=sim, k=kk or 10,
                               phrase_weights=phrase_weights,
-                              field_sims=field_sims, block_size=self_block_size)
+                              field_sims=field_sims, block_size=self_block_size,
+                              score_memo={})
             if kk is not None and isinstance(node, P.TermNode) and after is None:
                 # see local path: pruning is admissible only without a
                 # paging cursor (pruned blocks hold the next pages)

@@ -187,3 +187,63 @@ def test_pure_negation_matches_nothing(world):
     ctx = make_ctx(world, node)
     docs, _ = eval_node(node, ctx, need_scores=True)
     assert docs.size == 0
+
+
+def test_part_shift_matches_builder():
+    """kernel._PART_SHIFT re-states the doc-id layout locally (the kernel
+    must stay importable without pyspark); this pin guards against drift."""
+    from lucene_spark.index.builder import PART_ID_SHIFT
+    from lucene_spark.search import kernel as K
+
+    assert int(K._PART_SHIFT) == PART_ID_SHIFT
+    assert int(K._LOCAL_MASK) == (1 << PART_ID_SHIFT) - 1
+
+
+def test_dense_union_multipart_matches_sparse():
+    """The dense-domain disjunction must be doc- and bit-identical to the
+    sorted-union fallback on multi-part doc ids (part_id << 40 | local)."""
+    from lucene_spark.search import kernel as K
+
+    rng = np.random.default_rng(7)
+
+    def tp(docs):
+        docs = np.asarray(sorted(docs), dtype=np.int64)
+        tfs = rng.integers(1, 5, docs.size).astype(np.int64)
+        dls = np.full(docs.size, 40, np.int64)
+        bl, bmt, bmd = build_block_meta(docs, tfs, dls, BLOCK_SIZE)
+        return K.TermPostings(docs, tfs, dls, bl, bmt, bmd)
+
+    def docs_of(parts_locals):
+        return [(np.int64(p) << K._PART_SHIFT) | np.int64(l)
+                for p, l in parts_locals]
+
+    a = docs_of([(0, i) for i in range(0, 80, 2)] + [(5, i) for i in range(40)])
+    b = docs_of([(0, i) for i in range(0, 80, 3)] + [(9, i) for i in range(0, 90, 2)])
+    postings = {("content", "a"): tp(a), ("content", "b"): tp(b)}
+    w = {(("content", "a"), 1.0): np.float32(1.7),
+         (("content", "b"), 1.0): np.float32(3.1)}
+    node = P.BooleanNode(clauses=(
+        P.Clause(P.Occur.SHOULD, P.TermNode(field="content", term="a")),
+        P.Clause(P.Occur.SHOULD, P.TermNode(field="content", term="b"))))
+
+    def ctx():
+        return EvalContext(postings=postings, weights=w, syn_weights={},
+                           avgdl={"content": np.float32(40.0)},
+                           sim=BM25Similarity(), k=10, score_memo={})
+
+    c1 = ctx()
+    d_dense, s_dense = eval_node(node, c1, need_scores=True)
+    assert c1.dense_dom is not None and c1.dense_dom[0] is not None
+    c2 = ctx()
+    c2.dense_dom = [None]  # force the sorted-union fallback
+    d_sparse, s_sparse = eval_node(node, c2, need_scores=True)
+    assert np.array_equal(d_dense, d_sparse)
+    assert np.array_equal(s_dense, s_sparse)  # bit-identical float32
+    assert np.all(np.diff(d_dense) > 0)  # ascending doc order
+
+    # msm=2 → intersection only
+    node2 = P.BooleanNode(clauses=node.clauses, minimum_should_match=2)
+    d2, _ = eval_node(node2, ctx())
+    c3 = ctx(); c3.dense_dom = [None]
+    d2s, _ = eval_node(node2, c3)
+    assert np.array_equal(d2, d2s)
