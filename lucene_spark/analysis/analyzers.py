@@ -97,6 +97,16 @@ class Analyzer:
         """Series[str] -> Series[list[str]] — the full chain, vectorized."""
         return tokenize_pandas(content, self)
 
+    def tokenize_one(self, text: str | None) -> list[str]:
+        """One string through the full chain — scalar twin of
+        tokenize_series, output-identical (property-tested in
+        tests/test_analysis.py). Query PARSING analyzes one short string
+        per term; routing that through a 1-row pandas Series costs ~3 ms
+        of accessor machinery per call, which becomes the driver's
+        dominant serial cost in large serving batches (measured: 60 s of
+        a 24k-query batch pass). This path is ~100x cheaper."""
+        return tokenize_scalar(text, self)
+
     def tokenize_with_positions(self, content: pd.Series) -> tuple[pd.Series, pd.Series]:
         """(Series[list[str]], Series[list[int]]) — tokens plus their
         positions in the PRE-filter token stream: dropped stopwords /
@@ -160,6 +170,43 @@ def _raw_token_lists(content: pd.Series, a: Analyzer) -> pd.Series:
     if a.lowercase:
         s = s.str.lower()
     return s.str.findall(a.token_pattern)
+
+
+def tokenize_scalar(text: str | None, a: Analyzer) -> list[str]:
+    """Scalar twin of tokenize_pandas: same stages, same order, same
+    output for any input (the pandas .str ops below are per-element
+    str.lower/re.findall under the hood, so plain-Python equivalents are
+    exact). Custom tokenizers are Series->Series by contract, so that
+    branch wraps a 1-row Series — correctness over speed there."""
+    s = "" if text is None or (isinstance(text, float) and pd.isna(text)) else text
+    if a.custom_tokenizer:
+        toks = list(CUSTOM_TOKENIZERS[a.custom_tokenizer](pd.Series([s])).iloc[0])
+    else:
+        if a.split_camel:
+            s = _CAMEL_1.sub(r"\1 \2", s)
+            s = _CAMEL_2.sub(r"\1 \2", s)
+        if a.lowercase:
+            s = s.lower()
+        toks = re.findall(a.token_pattern, s)
+    if a.normalizer:
+        from lucene_spark.analysis.stem import NORMALIZERS
+
+        fn = NORMALIZERS[a.normalizer]
+        toks = [fn(t) for t in toks]
+    stop = a.stopwords
+    maxlen = a.max_token_length
+    if stop or maxlen:
+        toks = [t for t in toks if len(t) <= maxlen and t not in stop]
+    if a.stemmer:
+        from lucene_spark.analysis.stem import STEMMERS
+
+        stem_fn = STEMMERS[a.stemmer]
+        toks = [stem_fn(t) for t in toks]
+    if a.shingle_size > 1:
+        n = a.shingle_size
+        toks = toks + [" ".join(toks[i:i + n])
+                       for i in range(len(toks) - n + 1)]
+    return toks
 
 
 def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:

@@ -85,9 +85,10 @@ class _Lexer:
 
 
 def _analyze_one(text: str, analyzer: Analyzer) -> list[str]:
-    import pandas as pd
-
-    return list(analyzer.tokenize_series(pd.Series([text])).iloc[0])
+    # scalar chain: per-term parsing cost matters — a 24k-query serving
+    # batch analyzes ~50k terms per cold pass, and the pandas Series
+    # route costs ~3 ms per call (driver-serial; measured 60 s/pass)
+    return analyzer.tokenize_one(text)
 
 
 def parse_query(text: str, analyzer: Analyzer,

@@ -505,11 +505,19 @@ class IndexSearcher:
         plan_memo = self._plan_cache
         distinct = [q for q in {q: None for q in queries.values()
                                 if isinstance(q, str)} if q not in plan_memo]
-        if len(plan_memo) + len(distinct) > 16384:
-            # bounded like Lucene's query/TermStates caches; a serving
-            # process sees a Zipfian query stream, so clearing rarely hurts
-            plan_memo.clear()
-            self._weights_memo.clear()
+        # bounded like Lucene's query/TermStates caches, but by OLDEST-
+        # FIRST EVICTION with a cap that always fits the current batch —
+        # a clear-all whose cap is below the batch's distinct-string
+        # count would self-defeat: every pass wipes the memo and re-parses
+        # the whole batch (measured: 60 s of driver-serial re-parse per
+        # 24k-query pass, the dominant term in the serving scaling ratio)
+        cap = max(65536, 2 * len(queries))
+        overflow = len(plan_memo) + len(distinct) - cap
+        if overflow > 0:
+            drop = [q for q, _ in zip(plan_memo, range(overflow + cap // 8))]
+            for q in drop:
+                plan_memo.pop(q, None)
+                self._weights_memo.pop(q, None)
         if len(distinct) > 1:
             with ThreadPoolExecutor(max_workers=min(8, len(distinct))) as ex:
                 for q, node in zip(distinct, ex.map(self._plan, distinct)):
@@ -856,7 +864,7 @@ class IndexSearcher:
         OR query of the top `max_query_terms`, search it."""
         import pandas as pd
 
-        toks = list(self.analyzer.tokenize_series(pd.Series([text])).iloc[0])
+        toks = self.analyzer.tokenize_one(text)
         if not toks:
             return self._empty_result()
         from collections import Counter

@@ -105,7 +105,7 @@ def collate(
     reader = searcher.reader
     field = reader.default_field
     an = searcher.analyzer
-    tokens = list(an.tokenize_series(pd.Series([query])).iloc[0])
+    tokens = an.tokenize_one(query)
     stats = reader.term_stats([(field, t) for t in tokens])
     n_docs = max(reader.doc_count, 1)
     replacements: dict[str, str] = {}
@@ -122,7 +122,7 @@ def collate(
 
     def fix_word(m: re.Match) -> str:
         word = m.group(0)
-        analyzed = list(an.tokenize_series(pd.Series([word])).iloc[0])
+        analyzed = an.tokenize_one(word)
         if len(analyzed) == 1 and analyzed[0] in replacements:
             return replacements[analyzed[0]]
         return word

@@ -82,7 +82,7 @@ def suggest_free_text(reader: IndexReader, context: str, n: int = 10,
     import pandas as pd
 
     an = get_analyzer(reader.field_analyzer_name(f))
-    ctx_tokens = [t for t in an.tokenize_series(pd.Series([context])).iloc[0]
+    ctx_tokens = [t for t in an.tokenize_one(context)
                   if " " not in t]
     if not ctx_tokens:
         raise ValueError("context analyzed to zero tokens")

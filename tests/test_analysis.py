@@ -237,3 +237,27 @@ def test_icu_folding():
     an = get_analyzer("icu")
     toks = list(an.tokenize_series(pd.Series(["đis is cræzy ৭০৬"])).iloc[0])
     assert toks == ["dis", "is", "craezy", "706"]
+
+
+def test_tokenize_one_matches_series_every_analyzer():
+    """tokenize_one (the scalar fast path used by query parsing) must be
+    output-identical to tokenize_series for EVERY registered analyzer on
+    a corpus of adversarial inputs — the two chains may never drift."""
+    import pandas as pd
+
+    from lucene_spark.analysis.analyzers import _REGISTRY
+
+    samples = [
+        None, "", "   ", "hello world", "HelloWorld HTTPServer fooBar2x",
+        "the and of a an IS THE", "x" * 300 + " ok",
+        "index AND writer OR merge", "café naïve åäö ÀLA über",
+        "foo_bar baz-qux a.b.c", "привет мир", "日本語のテキスト処理",
+        "tok|1.5 other|x bare", "a b c d e f g h",
+        "Mixed CASE With  multiple   spaces\tand\ttabs\nnewlines",
+        "ελληνικά κείμενο", "han hadde ikke noe å si",
+    ]
+    for name, a in sorted(_REGISTRY.items()):
+        series_out = list(a.tokenize_series(pd.Series(samples, dtype=object)))
+        scalar_out = [a.tokenize_one(s) for s in samples]
+        assert scalar_out == series_out, (
+            f"analyzer {name!r}: scalar/series drift")
