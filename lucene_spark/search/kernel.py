@@ -893,6 +893,14 @@ def _dense_union(evaled: list[tuple[np.ndarray, np.ndarray]],
         return None
     parts, span, _ = dom
     width = int(parts.size * span)
+    # density gate: the dense pass costs O(width) (zero-fill + scan)
+    # regardless of leg sizes — for rare-term disjunctions inside a
+    # wide-domain task the sorted union's O(n log n) is cheaper. 8x is
+    # the measured crossover region; exactness is unaffected (both paths
+    # are bit-identical, property-tested).
+    total = sum(d.size for d, _ in evaled)
+    if width > max(4096, 8 * total):
+        return None
     keys = [_leg_keys(ctx, n, d, dom) if d.size else None
             for (d, _), n in zip(evaled, nodes)]
     cnt = np.zeros(width, dtype=np.int32)
@@ -1024,6 +1032,9 @@ def _eval_dismax(node: P.DisjunctionMaxNode, ctx: EvalContext, need_scores: bool
     if not docs_all:
         return _empty()
     dom = _dense_dom(ctx)
+    if dom is not None and int(dom[0].size * dom[1]) > max(
+            4096, 8 * sum(d.size for d, _ in evaled)):
+        dom = None   # same density gate as _dense_union
     if dom is not None:
         # dense max+sum — same domain trick as _dense_union; max is
         # order-free and the sum adds per-doc in the same leg order as

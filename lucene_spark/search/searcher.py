@@ -70,10 +70,17 @@ def _tp_nbytes(tp: TermPostings) -> int:
 
 
 def _tp_owned(tp: TermPostings) -> TermPostings:
-    """Copy before caching: assembled arrays are SLICES of the whole
+    """Own before caching: assembled arrays are SLICES of the whole
     frame's flat decode buffers — caching a view would pin the full
-    buffer and make the byte accounting a lie."""
-    c = lambda a: None if a is None else np.ascontiguousarray(a)
+    buffer and make the byte accounting a lie. NOTE: views must be
+    .copy()'d explicitly; np.ascontiguousarray returns a contiguous
+    slice UNCHANGED (still a view into the frame buffer). Arrays that
+    already own their memory pass through, so re-owning a term-cache
+    entry for the partition cache shares it instead of duplicating."""
+    def c(a):
+        if a is None:
+            return None
+        return a if (a.flags.owndata and a.flags.c_contiguous) else a.copy()
     return TermPostings(c(tp.docs), c(tp.tfs), c(tp.dls), c(tp.block_last),
                         c(tp.block_max_tf), c(tp.block_min_dl),
                         pos=c(tp.pos), block_off=c(tp.block_off),
@@ -84,17 +91,39 @@ def _tp_owned(tp: TermPostings) -> TermPostings:
 # keyed by (epoch, digest-of-term-set, want_pos, block_size, shuffle
 # partition id). Within one epoch + term set, a shuffle partition's rows
 # are DETERMINISTIC (parquet scan → term filter → hash(part_id) shuffle
-# with a fixed partition count), so a warm hit can skip consuming the
-# task's input entirely — no Arrow→pandas conversion, no sort/groupby,
-# no decode. This is the Lucene serving analogue one level up from the
-# per-term digest cache below: segments stay OPEN between query batches.
-# Bounded LRU per worker process (same budget knob as the term cache).
+# with a fixed partition count), so a warm hit skips the sort/groupby +
+# digest + vbyte decode of assembly (input Arrow batches still
+# deserialize on the drain — the python worker must read its input to
+# EOF regardless). This is the Lucene serving analogue one level up from
+# the per-term digest cache below: segments stay OPEN between query
+# batches. Entries share memory with term-cache entries where possible
+# (_tp_owned passes owned arrays through), and BOTH caches draw on ONE
+# byte budget (LUCENE_SPARK_ASM_CACHE_MB) so a worker's decoded-postings
+# footprint is bounded once, not once per cache. Shared entries are
+# double-counted — the accounting is conservative, never understated.
 _PART_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
 _PART_CACHE_BYTES = [0]
 
 
 def _parts_nbytes(postings: dict) -> int:
     return sum(_tp_nbytes(tp) for tp in postings.values())
+
+
+def _cache_pool_bytes() -> int:
+    return _ASM_CACHE_BYTES[0] + _PART_CACHE_BYTES[0]
+
+
+def _evict_to_budget(budget: int) -> None:
+    """Shared-pool eviction: oldest-first from whichever cache holds
+    more bytes, until the combined footprint fits the budget."""
+    while _cache_pool_bytes() > budget and (_ASM_CACHE or _PART_CACHE):
+        if _PART_CACHE and (_PART_CACHE_BYTES[0] >= _ASM_CACHE_BYTES[0]
+                            or not _ASM_CACHE):
+            _, old = _PART_CACHE.popitem(last=False)
+            _PART_CACHE_BYTES[0] -= _parts_nbytes(old)
+        else:
+            _, old = _ASM_CACHE.popitem(last=False)
+            _ASM_CACHE_BYTES[0] -= _tp_nbytes(old)
 
 
 def _parts_cache_get(key: tuple) -> dict | None:
@@ -113,9 +142,7 @@ def _parts_cache_put(key: tuple, postings: dict) -> None:
         return  # never let one giant partition evict everything
     _PART_CACHE[key] = postings
     _PART_CACHE_BYTES[0] += nb
-    while _PART_CACHE_BYTES[0] > budget and _PART_CACHE:
-        _, old = _PART_CACHE.popitem(last=False)
-        _PART_CACHE_BYTES[0] -= _parts_nbytes(old)
+    _evict_to_budget(budget)
 
 
 def _assemble_postings_cached(
@@ -171,16 +198,18 @@ def _assemble_postings_cached(
         decoded = _assemble_postings(sub, want_pos, deleted, block_size)
         budget = _asm_cache_budget()
         for ft, tp in decoded.items():
-            out[ft] = tp
             owned = _tp_owned(tp)
             nb = _tp_nbytes(owned)
             if nb > budget // 4:
+                out[ft] = tp   # too big to cache: hand out the view
                 continue   # never let one hot term evict everything
+            # hand out the OWNED arrays (not the frame-buffer view), so a
+            # caller that re-owns them for the partition cache SHARES
+            # this entry's memory instead of copying it again
+            out[ft] = owned
             _ASM_CACHE[miss_keys[ft]] = owned
             _ASM_CACHE_BYTES[0] += nb
-            while _ASM_CACHE_BYTES[0] > budget and _ASM_CACHE:
-                _, old = _ASM_CACHE.popitem(last=False)
-                _ASM_CACHE_BYTES[0] -= _tp_nbytes(old)
+            _evict_to_budget(budget)
     return out
 
 
@@ -487,11 +516,6 @@ class IndexSearcher:
         trees per query string (_plan_cache/_weights_memo), term-stats
         lookups, the shuffled+persisted candidate postings per term set
         (_post_cache), and the workers' decoded-postings caches."""
-        result, _post = self._search_many_build(queries, k)
-        return result
-
-    def _search_many_build(self, queries: dict[str, str | P.Node], k: int,
-                           ) -> tuple[DataFrame, DataFrame | None]:
         plans: dict[str, P.Node] = {}
         # plan each DISTINCT query string once, and plan them CONCURRENTLY:
         # planning can pay dictionary-expansion collect jobs (prefix/fuzzy/
@@ -514,7 +538,16 @@ class IndexSearcher:
         cap = max(65536, 2 * len(queries))
         overflow = len(plan_memo) + len(distinct) - cap
         if overflow > 0:
-            drop = [q for q, _ in zip(plan_memo, range(overflow + cap // 8))]
+            # never evict the CURRENT batch's strings: they'd be
+            # re-planned serially (outside the thread pool) right below
+            batch_strings = {q for q in queries.values() if isinstance(q, str)}
+            drop = []
+            want = overflow + cap // 8
+            for q in plan_memo:
+                if len(drop) >= want:
+                    break
+                if q not in batch_strings:
+                    drop.append(q)
             for q in drop:
                 plan_memo.pop(q, None)
                 self._weights_memo.pop(q, None)
@@ -536,9 +569,8 @@ class IndexSearcher:
             if not isinstance(node, P.MatchNoneNode):
                 plans[qid] = node
         if not plans:
-            return (self.reader.spark.createDataFrame(
-                [], "query_id string, doc_id long, score float, rank int"),
-                None)
+            return self.reader.spark.createDataFrame(
+                [], "query_id string, doc_id long, score float, rank int")
 
         # EVALUATION dedup (not just plan dedup): query_ids that share a
         # query string share ONE kernel evaluation under a representative
@@ -592,7 +624,6 @@ class IndexSearcher:
 
         out_schema = "query_id string, doc_id long, score float"
         cand = None
-        persisted_post = None
         if live and kernel_plans:
             asm_epoch = self._asm_epoch()
             terms_key = None
@@ -625,7 +656,6 @@ class IndexSearcher:
                     # role). Bounded LRU; evicted entries unpersist.
                     post = post.repartition(self.kernel_partitions,
                                             "part_id").persist()
-                    persisted_post = post
                     if terms_key is not None:
                         self._post_cache[terms_key] = post
                         while len(self._post_cache) > 4:
@@ -677,7 +707,9 @@ class IndexSearcher:
                 # across parts exactly as the local path does.
                 # Whole-partition cache first: within (epoch, term set),
                 # this shuffle partition's content is deterministic, so a
-                # hit skips input consumption entirely (see _PART_CACHE).
+                # hit skips assembly (sort/groupby/digest/decode); the
+                # input batches still deserialize on the drain below —
+                # see _PART_CACHE.
                 key = None
                 if terms_key is not None:
                     from pyspark import TaskContext
@@ -702,9 +734,16 @@ class IndexSearcher:
                     if key is not None:
                         _parts_cache_put(key, {})
                     return
-                postings = _assemble_postings(
+                # part-cache miss: assemble through the PER-TERM cache,
+                # so a batch whose term set merely OVERLAPS a previous
+                # one still reuses every unchanged term's decode (a
+                # varying query stream would otherwise re-decode all
+                # terms on every pass). Entries the term cache stored
+                # come back memory-OWNED, so the partition-cache copy
+                # below shares them instead of duplicating.
+                postings = _assemble_postings_cached(
                     pd.concat(chunks, ignore_index=True), want_pos, deleted,
-                    block_size)
+                    block_size, asm_epoch)
                 if key is not None:
                     _parts_cache_put(
                         key, {ft: _tp_owned(tp) for ft, tp in postings.items()})
@@ -728,15 +767,14 @@ class IndexSearcher:
                                 F.lit(boost).cast("float").alias("score"))
                 cand = m if cand is None else cand.unionByName(m)
         if cand is None:
-            return (self.reader.spark.createDataFrame(
-                [], "query_id string, doc_id long, score float, rank int"),
-                persisted_post)
+            return self.reader.spark.createDataFrame(
+                [], "query_id string, doc_id long, score float, rank int")
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
         return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k), persisted_post)
+                .filter(F.col("rank") <= k))
 
     def search_after(self, query: str | P.Node, k: int, after_score: float, after_doc: int) -> DataFrame:
         """Deep paging — searchAfter cursor semantics
@@ -862,8 +900,6 @@ class IndexSearcher:
         """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): rank
         the input text's terms by tf·idf against collection stats, build an
         OR query of the top `max_query_terms`, search it."""
-        import pandas as pd
-
         toks = self.analyzer.tokenize_one(text)
         if not toks:
             return self._empty_result()

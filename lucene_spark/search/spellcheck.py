@@ -100,8 +100,6 @@ def collate(
     """
     import re
 
-    import pandas as pd
-
     reader = searcher.reader
     field = reader.default_field
     an = searcher.analyzer

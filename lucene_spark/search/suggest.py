@@ -79,7 +79,6 @@ def suggest_free_text(reader: IndexReader, context: str, n: int = 10,
     # FreeTextSuggester.lookup analyzes its key — a raw split would miss
     # the dictionary whenever the chain lowercases/stems
     from lucene_spark.analysis import get_analyzer
-    import pandas as pd
 
     an = get_analyzer(reader.field_analyzer_name(f))
     ctx_tokens = [t for t in an.tokenize_one(context)

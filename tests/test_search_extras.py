@@ -280,3 +280,25 @@ def test_assembly_cache_identity_and_invalidation(searcher):
     finally:
         del os.environ["LUCENE_SPARK_ASM_CACHE_MB"]
     assert c == d
+
+
+def test_tp_owned_copies_views_shares_owned():
+    """Cache ownership: _tp_owned must COPY slice views (caching a view
+    pins the whole frame decode buffer — np.ascontiguousarray does NOT
+    copy a contiguous slice) and pass through already-owned arrays (so
+    the partition cache shares term-cache entries instead of duplicating
+    them)."""
+    from lucene_spark.search.kernel import TermPostings
+    from lucene_spark.search.searcher import _tp_owned
+
+    buf = np.arange(1000, dtype=np.int64)
+    view = buf[10:20]
+    assert view.base is buf
+    tp = TermPostings(view, view.copy(), view.copy(),
+                      view[:2].copy(), view[:2].copy(), view[:2].copy())
+    owned = _tp_owned(tp)
+    # the view was copied: no reference back to the big buffer
+    assert owned.docs.base is None and owned.docs.flags.owndata
+    assert np.array_equal(owned.docs, view)
+    # already-owned arrays pass through (shared, not duplicated)
+    assert owned.tfs is tp.tfs
