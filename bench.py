@@ -411,7 +411,17 @@ def main() -> None:
             # AND at least three trials total, keeping the max — a pair
             # of early clean-steal-but-bandwidth-starved trials once
             # recorded a 0.78 ratio on code whose clean ratio was 0.83.
-            if clean >= 2 and len(q_trials[cores]) >= 3:
+            # Fast path: if the first two trials are BOTH clean and agree
+            # within 4%, a bandwidth-starved pair is ruled out by
+            # consistency and the third trial adds nothing but wall time
+            # (each c1 trial is ~3 min of 12k-query passes).
+            recs = q_trials[cores]
+            if (clean >= 2 and len(recs) == 2
+                    and all(r["steal_frac"] < 0.05 for r in recs)
+                    and min(r["qps"] for r in recs)
+                    > 0.96 * max(r["qps"] for r in recs)):
+                break
+            if clean >= 2 and len(recs) >= 3:
                 break
         q_runs[cores] = best
     q_eff = (q_runs[q_high]["qps"] / q_runs[q_low]["qps"]) / (q_high / q_low)
@@ -448,10 +458,12 @@ def main() -> None:
                            for r in q_trials[q_high]],
         },
         "query_scaling_curve_note": (
-            "clean-steal qps at 1/2/4/8/16/32 cores = 99.8/182/318/538/"
-            "686/809 (2400-query batch): serving kernel is memory-"
-            "bandwidth-bound past ~4 cores on this single-socket VM; "
-            "see BENCH.md"),
+            "steady-state qps at 1/2/4/8/16/32 cores = 195/340/721/1132/"
+            "1687/2015 (12k-instance batch, 2026-08-19; c32 under 11% "
+            "steal, c1-c16 clean): near-linear to 8 cores (1->4 eff "
+            "0.92, 2->8 eff 0.83), saturating past ~16 on this single-"
+            "socket VM (shared DRAM bus + windowed-merge fan-in); a real "
+            "N->4N cluster adds bandwidth with nodes. See BENCH.md"),
     }
     print(json.dumps(out))
 
