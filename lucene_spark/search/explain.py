@@ -78,18 +78,26 @@ def explain(searcher, query, doc_id: int) -> dict:
         sim = sim_for(n.field)
         score = float(sim.score(np.array([tf]), np.array([dl]), w, avgdl)[0])
         df, cf = stats[(n.field, n.term)]
+        details = [
+            {"value": tf, "description": "tf, term frequency in doc"},
+            {"value": dl, "description": "dl, exact doc length (lossy-norm-free)"},
+            {"value": float(avgdl), "description": "avgdl = sumTotalTermFreq/docCount (per field)"},
+            {"value": df, "description": "df, docs containing the term"},
+            {"value": searcher._field_N(n.field)[0], "description": "N, per-field docCount"},
+            {"value": float(np.asarray(w).ravel()[0]) if not isinstance(w, tuple) else float(w[0]),
+             "description": "weight (boost x idf for BM25)"},
+        ]
+        # similarity-specific sub-explanations (the BasicModel/AfterEffect/
+        # Normalization/Distribution breakdown DFRSimilarity.explain and
+        # IBSimilarity.explain assemble) — any registered similarity can
+        # expose explain_components(tf, dl, weight, avgdl)
+        comp = getattr(sim, "explain_components", None)
+        if comp is not None:
+            details.extend(comp(tf, dl, w, avgdl))
         return {
             "value": score, "match": True,
             "description": f"score(term='{n.term}'), {type(sim).__name__}",
-            "details": [
-                {"value": tf, "description": "tf, term frequency in doc"},
-                {"value": dl, "description": "dl, exact doc length (lossy-norm-free)"},
-                {"value": float(avgdl), "description": "avgdl = sumTotalTermFreq/docCount (per field)"},
-                {"value": df, "description": "df, docs containing the term"},
-                {"value": searcher._field_N(n.field)[0], "description": "N, per-field docCount"},
-                {"value": float(np.asarray(w).ravel()[0]) if not isinstance(w, tuple) else float(w[0]),
-                 "description": "weight (boost x idf for BM25)"},
-            ],
+            "details": details,
         }
 
     def walk(n: P.Node) -> dict:

@@ -355,12 +355,16 @@ class IndexSearcher:
         a TermNode whose term is in the map rewrites to a SynonymNode so
         the set scores as ONE pseudo-term (SynonymQuery semantics)."""
         self.reader = reader
+        # a registry name OR a similarity instance, mirroring
+        # IndexSearcher.setSimilarity(Similarity) taking any instance
+        # (search/IndexSearcher.java:315)
+        _resolve = lambda s: SIMILARITIES[s] if isinstance(s, str) else s
         if isinstance(similarity, dict):
-            self.field_sims = {f: SIMILARITIES[n] for f, n in similarity.items()}
+            self.field_sims = {f: _resolve(n) for f, n in similarity.items()}
             self.sim = self.field_sims.get(reader.default_field, SIMILARITIES["bm25"])
         else:
             self.field_sims = {}
-            self.sim = SIMILARITIES[similarity]
+            self.sim = _resolve(similarity)
         self.synonyms = {k: tuple(v) for k, v in (synonyms or {}).items()}
         # per-field analyzer resolution (PerFieldAnalyzerWrapper role):
         # query text for field F runs through F's configured chain

@@ -468,6 +468,28 @@ class DFRSimilarity:
         # min_doclen) bounds the block
         return self.score(max_tf, min_doclen, weight, avgdl)
 
+    def explain_components(self, tf: float, dl: float, weight, avgdl) -> list[dict]:
+        """Per-component Explanation details — the sub-explanations
+        DFRSimilarity.explain assembles from BasicModel.explain /
+        AfterEffect.explain / Normalization.explain
+        (search/similarities/DFRSimilarity.java:115-131)."""
+        boost, a, b, ae1p, cf, sttf = weight
+        tfn = float(self._tfn(np.float64(tf), np.float64(dl), avgdl,
+                              float(cf), float(sttf)))
+        out = [
+            {"value": tfn, "description":
+                f"tfn, normalization '{self.normalization}' "
+                f"(c={self.c}, mu={self.mu}, z={self.z})"},
+            {"value": float(a), "description":
+                f"A, basic model '{self.basic_model}' information content"},
+            {"value": float(ae1p), "description":
+                f"(1+tfn)*aeTimes1pTfn, after effect '{self.after_effect}'"},
+        ]
+        if self.basic_model == "g":
+            out.insert(2, {"value": float(b), "description":
+                           "B, geometric model upper information bound"})
+        return out
+
 
 @dataclass(frozen=True)
 class IBSimilarity:
@@ -527,6 +549,26 @@ class IBSimilarity:
         # both distributions are non-decreasing in tfn (SPL via the q
         # rewrite, DistributionSPL.java comment), tfn monotone as in DFR
         return self.score(max_tf, min_doclen, weight, avgdl)
+
+    def explain_components(self, tf: float, dl: float, weight, avgdl) -> list[dict]:
+        """Sub-explanations mirroring IBSimilarity.explain's
+        lambda/distribution/normalization breakdown
+        (search/similarities/IBSimilarity.java:108-124)."""
+        boost, lam, cf, sttf = weight
+        tfn = float(DFRSimilarity._tfn(self, np.float64(tf), np.float64(dl),
+                                       avgdl, float(cf), float(sttf)))
+        return [
+            {"value": tfn, "description":
+                f"tfn, normalization '{self.normalization}' "
+                f"(c={self.c}, mu={self.mu}, z={self.z})"},
+            {"value": float(lam), "description":
+                f"lambda '{self.lam}' = "
+                f"{'(df+1)/(N+1)' if self.lam == 'df' else '(F+1)/(N+1)'}"},
+            {"value": float(self.score(np.array([tf]), np.array([dl]),
+                                       weight, avgdl)[0]) / float(boost),
+             "description":
+                f"distribution '{self.distribution}' information content"},
+        ]
 
 
 SIMILARITIES = {

@@ -103,3 +103,44 @@ def test_explain_interval_and_multiphrase(spark, tmp_path_factory):
     # non-match explains as 0
     miss = s.explain(node, 999999)
     assert not miss["match"] and miss["value"] == 0.0
+
+
+def test_explain_dfr_ib_matrix_components(spark, corpus_pdf, tmp_path_factory):
+    """CheckHits contract for matrix similarities + the component
+    sub-explanations DFRSimilarity.explain/IBSimilarity.explain expose
+    (DFRSimilarity.java:115-131, IBSimilarity.java:108-124)."""
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.similarity import DFRSimilarity, IBSimilarity
+
+    d = str(tmp_path_factory.mktemp("explain_matrix") / "idx")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    src = spark.createDataFrame(corpus_pdf)
+    IndexBuilder(spark, IndexConfig(partitions=2, num_buckets=8)).build(
+        src, d, overwrite=True)
+    reader = IndexReader(spark, d)
+    for sim in (DFRSimilarity(basic_model="ine", after_effect="b",
+                              normalization="h1"),
+                DFRSimilarity(basic_model="g", after_effect="b",
+                              normalization="z"),
+                IBSimilarity(distribution="spl", lam="ttf",
+                             normalization="h3")):
+        s = IndexSearcher(reader, similarity=sim)
+        hits = s.search("index OR writer", k=3).collect()
+        assert hits
+        for h in hits:
+            exp = s.explain("index OR writer", h["doc_id"])
+            assert np.float32(exp["value"]) == np.float32(h["score"]), (sim, h)
+        leaf = s.explain("index", hits[0]["doc_id"] if hits else 0)
+        # find a matching term leaf and check the component details
+        def leaves(e):
+            if e.get("description", "").startswith("score(term="):
+                yield e
+            for c in e.get("details", []):
+                if isinstance(c, dict):
+                    yield from leaves(c)
+        term_leaves = [l for l in leaves(leaf) if l.get("match")]
+        if term_leaves:
+            descs = " ".join(str(dd["description"])
+                             for dd in term_leaves[0]["details"])
+            assert "tfn" in descs, descs
