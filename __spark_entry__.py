@@ -3243,6 +3243,53 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery.java):
+    terms {table, en} scored over text (w=1) + lang (w=2) as ONE synthetic
+    combined field — pseudo df = max over (field, term) dfs (:286-311),
+    docCount = max_f, sumTTF = Σ w_f·sumTTF_f (:317-334), per-doc
+    freq = Σ w·tf, per-doc dl = Σ w·len (exact-doclen variant of
+    MultiNormsLeafSimScorer.java:128-139's lossy byte4 sum)."""
+    s = IndexSearcher(_reader_mf(spark, sf_dir))
+    m = s.combined_field(["table", "en"], {"text": 1.0, "lang": 2.0})
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_COMBINED_FIELD_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, sum(CASE WHEN term IN ('table','en') THEN 1 ELSE 0 END)::DOUBLE AS tft
+       FROM tok GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dlt FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_text,
+              (SELECT count(*) FROM documents WHERE lang IS NOT NULL AND lang <> '')::DOUBLE AS n_lang,
+              (SELECT sum(dlt) FROM dl)::DOUBLE AS sum_text),
+dfs AS (SELECT greatest(
+          (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'table'),
+          (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'en'),
+          (SELECT count(*) FROM documents WHERE lang = 'table'),
+          (SELECT count(*) FROM documents WHERE lang = 'en'))::DOUBLE AS dfp),
+base AS (
+  SELECT d.doc_id,
+         coalesce(tf.tft, 0) + 2.0 * (CASE WHEN d.lang IN ('table','en') THEN 1 ELSE 0 END) AS fr,
+         coalesce(dl.dlt, 0) + 2.0 * (CASE WHEN d.lang IS NOT NULL AND d.lang <> '' THEN 1 ELSE 0 END) AS dlc
+  FROM documents d
+  LEFT JOIN tf ON d.doc_id = tf.doc_id
+  LEFT JOIN dl ON d.doc_id = dl.doc_id
+),
+sc AS (
+  SELECT b.doc_id,
+         round(ln(1 + (greatest(s.n_text, s.n_lang) - f.dfp + 0.5) / (f.dfp + 0.5))
+               * b.fr / (b.fr + 1.2 * (1 - 0.75 + 0.75 * b.dlc
+                   / ((s.sum_text + 2.0 * s.n_lang) / greatest(s.n_text, s.n_lang)))), 2) AS score_r
+  FROM base b CROSS JOIN st s CROSS JOIN dfs f WHERE b.fr > 0
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3305,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ib_spl_topk": ft_ib_spl_topk,
         "dd_dup_clusters": dd_dup_clusters,
         "ft_payload_score": ft_payload_score,
+        "ft_combined_field": ft_combined_field,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3391,6 +3439,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ib_spl_topk": FT_IB_SPL_SQL,
         "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
         "ft_payload_score": FT_PAYLOAD_SCORE_SQL,
+        "ft_combined_field": FT_COMBINED_FIELD_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -135,6 +135,11 @@ def _raw_schema(src_schema: T.StructType, cfg: IndexConfig) -> T.StructType:
         + [
             T.StructField("doc_id", T.LongType(), True),
             T.StructField("doclen", T.LongType(), True),
+            # per-field doc lengths in cfg.fields order (the per-field
+            # norms channel, codecs/lucene80/Lucene80NormsFormat.java:37-68
+            # — exact int64 instead of the lossy byte4); only written for
+            # multi-field configs (single field: doclen IS the field len)
+            T.StructField("field_lens", arr, True),
             T.StructField("sha256", T.StringType(), True),
             T.StructField("field", T.StringType(), True),
             T.StructField("term", T.StringType(), True),
@@ -292,6 +297,7 @@ def _invert_partition(
             continue
         ids = np.arange(local_id, local_id + n, dtype=np.int64)
         doclen_total = np.zeros(n, dtype=np.int64)
+        batch_field_lens: list[np.ndarray] = []
         for spec in specs:
             analyzer = analyzers[spec.name]
             with_pay = analyzer.payload_delimiter is not None
@@ -307,6 +313,7 @@ def _invert_partition(
                 poss = None
             counts = toks.map(len).to_numpy(dtype=np.int64)
             doclen_total += counts
+            batch_field_lens.append(counts)
             a = acc[spec.name]
             a["dls"].append(counts)
             if counts.sum():
@@ -331,6 +338,11 @@ def _invert_partition(
         drow = pdf[key_and_carry].copy()
         drow["doc_id"] = (np.int64(part_id) << PART_ID_SHIFT) | ids
         drow["doclen"] = doclen_total
+        if len(specs) > 1:
+            # per-field norms sidecar (CombinedFieldQuery needs dl_f for
+            # every query field per doc); single-field skips it — doclen
+            # IS the field length, and the hot build path stays list-free
+            drow["field_lens"] = np.stack(batch_field_lens, axis=1).tolist()
         drow["sha256"] = pdf["__sha256"].to_numpy()
         doc_rows.append(drow)
         local_id += n
@@ -370,7 +382,7 @@ def _invert_partition(
         out_frames.append(df_doc)
 
     all_cols = ["kind"] + key_and_carry + [
-        "doc_id", "doclen", "sha256", "field", "term", "part_id", "slice",
+        "doc_id", "doclen", "field_lens", "sha256", "field", "term", "part_id", "slice",
         "local_df", "local_cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
         "pay_blob", "block_last", "block_max_tf", "block_min_dl"]
     for f in out_frames:
@@ -506,7 +518,7 @@ class IndexBuilder:
 
         def job_docstats():
             docstats = raw.filter(F.col("kind") == "docstat").select(
-                *key_and_carry, "doc_id", "doclen", "sha256"
+                *key_and_carry, "doc_id", "doclen", "field_lens", "sha256"
             )
             docstats.write.mode("overwrite").parquet(os.path.join(index_dir, "docstats.g0"))
 

@@ -425,7 +425,8 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     )
     key_and_carry = [c for c in (list(cfg.key_cols) + list(cfg.carry_cols)) if c in raw.columns]
     docstats = raw.filter(F.col("kind") == "docstat").select(
-        *key_and_carry, "doc_id", "doclen", "sha256")
+        *key_and_carry, "doc_id", "doclen",
+        *(["field_lens"] if "field_lens" in raw.columns else []), "sha256")
     if cfg.sort_by:
         # restore the index-time sort the delete-fold cogroup shuffled
         # away: doc_ids were ASSIGNED in sort order at build time, so

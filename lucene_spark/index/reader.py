@@ -167,8 +167,11 @@ class IndexReader:
 
     def docstats(self) -> DataFrame:
         if self.layout >= 2:
-            cols = [*self.key_cols, *self.carry_cols, "doc_id", "doclen", "sha256"]
-            return self._raw().filter(F.col("kind") == "docstat").select(*cols)
+            raw = self._raw()
+            cols = [*self.key_cols, *self.carry_cols, "doc_id", "doclen",
+                    *(["field_lens"] if "field_lens" in raw.columns else []),
+                    "sha256"]
+            return raw.filter(F.col("kind") == "docstat").select(*cols)
         return self.spark.read.parquet(
             _derived_path(self.index_dir, self.manifest, "docstats"))
 

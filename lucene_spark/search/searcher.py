@@ -899,6 +899,15 @@ class IndexSearcher:
 
         return _explain(self, query, doc_id)
 
+    def combined_field(self, terms, fields, boost: float = 1.0) -> DataFrame:
+        """CombinedFieldQuery (BM25F): score `terms` across weighted
+        `fields` ({name: weight>=1}) as ONE synthetic combined field —
+        sandbox/search/CombinedFieldQuery.java. Returns all matching
+        (doc_id, score) rows; see lucene_spark.search.combined."""
+        from lucene_spark.search.combined import combined_field_matches
+
+        return combined_field_matches(self, terms, fields, boost)
+
     def more_like_this(self, text: str, k: int = 10, max_query_terms: int = 25,
                        min_df: int = 2) -> DataFrame:
         """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): rank

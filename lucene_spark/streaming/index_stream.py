@@ -195,7 +195,9 @@ class StreamingIndexer:
         key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
         docstats = raw_g.filter(F.col("kind") == "docstat").select(
             *[c for c in key_and_carry if c in raw_g.columns],
-            "doc_id", "doclen", "sha256")
+            "doc_id", "doclen",
+            *(["field_lens"] if "field_lens" in raw_g.columns else []),
+            "sha256")
         docstats.write.mode("append").parquet(self._dpath("docstats"))
 
         self._write_stats_and_manifest(published_add=group)
@@ -210,7 +212,8 @@ class StreamingIndexer:
 
         key_and_carry = list(cfg.key_cols) + list(cfg.carry_cols)
         docstats = raw.filter(F.col("kind") == "docstat").select(
-            *[c for c in key_and_carry if c in raw.columns], "doc_id", "doclen", "sha256"
+            *[c for c in key_and_carry if c in raw.columns], "doc_id", "doclen",
+            *(["field_lens"] if "field_lens" in raw.columns else []), "sha256"
         )
         docstats.write.mode("overwrite").parquet(self._bump("docstats"))
 
