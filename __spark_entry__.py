@@ -3290,6 +3290,80 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoveringQuery (sandbox/search/CoveringQuery.java:58-75): disjunction
+    with a PER-DOC minimum-match from a doc-values source (LongValuesSource)
+    — min = n_chars % 3 + 1; score = Σ of the matching clauses' BM25."""
+    s = _searcher(spark, sf_dir)
+    mm = F.pmod(F.col("n_chars"), F.lit(3)) + F.lit(1)
+    m = s.covering(["table", "index", "merge"], mm)
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_COVERING_SQL = f"""
+WITH tok AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('table','index','merge') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+agg AS (SELECT doc_id, count(*) AS cnt, sum(s) AS s FROM per GROUP BY doc_id),
+sel AS (
+  SELECT a.doc_id, round(a.s, 2) AS score_r
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.cnt >= greatest((d.n_chars % 3) + 1, 1)
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sel QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_dv_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocValuesTermsQuery as a FILTER clause
+    (sandbox/search/DocValuesTermsQuery.java:63-75): constant-score set
+    membership on the lang doc-values column composed with a scored MUST
+    term — the doc-values-verify side of IndexOrDocValuesQuery."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.BooleanNode(clauses=(
+        P.Clause(P.Occur.MUST, P.TermNode(term="table")),
+        P.Clause(P.Occur.FILTER,
+                 P.DocValuesTermsNode(column="lang", values=("en", "de"))),
+    ))
+    m = _to_ext(s.matches(node), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_DV_TERMS_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'table' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 2) AS score_r
+  FROM tf JOIN dl USING (doc_id)
+          JOIN documents d USING (doc_id)
+          CROSS JOIN st CROSS JOIN qd
+  WHERE d.lang IN ('en','de')
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3353,14 +3427,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dup_clusters": dd_dup_clusters,
         "ft_payload_score": ft_payload_score,
         "ft_combined_field": ft_combined_field,
+        "ft_covering": ft_covering,
+        "ft_dv_terms": ft_dv_terms,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
         "ft_bool_and": ft_bool_and,
+        # (e) previously-proven gates (driver-green r01/r02)
         "ft_phrase": ft_phrase,
         "ft_count": ft_count,
         "ft_dv_update": ft_dv_update,
-        # (e) previously-proven gates (driver-green r01/r02)
         "ft_termdict_stats": ft_termdict_stats,
         "ft_docstats_sha": ft_docstats_sha,
         "ft_bool_or_not": ft_bool_or_not,
@@ -3440,6 +3516,8 @@ def oracle_sql() -> dict[str, str]:
         "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
         "ft_payload_score": FT_PAYLOAD_SCORE_SQL,
         "ft_combined_field": FT_COMBINED_FIELD_SQL,
+        "ft_covering": FT_COVERING_SQL,
+        "ft_dv_terms": FT_DV_TERMS_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -241,6 +241,20 @@ class DocValuesRangeNode(Node):
 
 
 @dataclass(frozen=True)
+class DocValuesTermsNode(Node):
+    """Set membership over a doc-values/stored column — the
+    DocValuesTermsQuery / DocValuesNumbersQuery role
+    (sandbox/search/DocValuesTermsQuery.java:63-75,
+    sandbox/search/DocValuesNumbersQuery.java:44-55): constant-score
+    verification against doc values, the slow-but-selective side of
+    IndexOrDocValuesQuery. Same searcher-side lowering as
+    DocValuesRangeNode: FILTER-only (never scored), applied as a
+    semi-join with an isin predicate the parquet scan can push down."""
+    column: str = ""
+    values: tuple = ()
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 

@@ -899,6 +899,49 @@ class IndexSearcher:
 
         return _explain(self, query, doc_id)
 
+    def covering(self, queries, min_match) -> DataFrame:
+        """CoveringQuery (sandbox/search/CoveringQuery.java:58-75): a
+        disjunction whose minimum number of matching clauses is a PER-DOC
+        value from a doc-values source, not a constant. `min_match` is a
+        docstats column name (honoring committed numeric DV updates) or a
+        pyspark Column over docstats (the LongValuesSource role). Values
+        < 1 behave as 1; docs without a value do not match. Score = sum
+        of the matching clauses' scores (CoveringScorer.score sums the
+        sub-scorers positioned on the doc). Duplicate clauses each count
+        (the reference stores queries in a Multiset).
+
+        Spark shape: one matches() plan per clause, lazily unioned —
+        Spark runs the union as ONE job; per-doc counts/sums are one
+        aggregation; the min-match source joins in from the pruned
+        docstats scan (or the DV-update overlay)."""
+        if not queries:
+            return self._empty_result()
+        from functools import reduce
+
+        frames = [self.matches(q) for q in queries]
+        u = reduce(lambda a, b: a.unionByName(b), frames)
+        agg = u.groupBy("doc_id").agg(
+            F.count("*").alias("__cnt"), F.sum("score").alias("__sum"))
+        if isinstance(min_match, str):
+            from lucene_spark.index.docvalues import _update_stack
+
+            if (min_match in self.reader.docstats().columns
+                    and _update_stack(self.reader, min_match) is None):
+                mm = self.reader.docstats().select(
+                    "doc_id", F.col(min_match).cast("long").alias("__mm"))
+            else:
+                mm = self.reader.doc_values(min_match).select(
+                    "doc_id", F.col("value").cast("long").alias("__mm"))
+        else:
+            mm = self.reader.docstats().select(
+                "doc_id", min_match.cast("long").alias("__mm"))
+        mm = mm.filter(F.col("__mm").isNotNull())
+        return (
+            agg.join(mm, "doc_id")
+            .filter(F.col("__cnt") >= F.greatest(F.col("__mm"), F.lit(1)))
+            .select("doc_id", F.col("__sum").cast("float").alias("score"))
+        )
+
     def combined_field(self, terms, fields, boost: float = 1.0) -> DataFrame:
         """CombinedFieldQuery (BM25F): score `terms` across weighted
         `fields` ({name: weight>=1}) as ONE synthetic combined field —
@@ -972,27 +1015,28 @@ class IndexSearcher:
                         *[c for c in ds.columns if c != "doc_id"]))
 
     # --------------------------------------------- doc-values range filters
-    def _extract_dv_filters(self, node: P.Node) -> tuple[P.Node, list[P.DocValuesRangeNode]]:
+    def _extract_dv_filters(self, node: P.Node) -> tuple[P.Node, list]:
         """Lower DocValuesRangeNode (PointRangeQuery role) out of the plan:
         supported alone, ConstantScore-wrapped, or as FILTER clauses of the
         top boolean — the range becomes a JVM predicate on docstats applied
         as a semi-join after text matching (the doc-values-verify side of
         IndexOrDocValuesQuery). Anywhere else raises."""
-        dv: list[P.DocValuesRangeNode] = []
-        if isinstance(node, P.DocValuesRangeNode):
+        DV_NODES = (P.DocValuesRangeNode, P.DocValuesTermsNode)
+        dv: list = []
+        if isinstance(node, DV_NODES):
             dv.append(node)
             node = P.MatchAllNode(boost=node.boost)
         elif (isinstance(node, P.ConstantScoreNode)
-              and isinstance(node.child, P.DocValuesRangeNode)):
+              and isinstance(node.child, DV_NODES)):
             dv.append(node.child)
             node = P.MatchAllNode(boost=node.boost)
         elif isinstance(node, P.BooleanNode):
             kept = []
             for c in node.clauses:
-                if isinstance(c.node, P.DocValuesRangeNode):
+                if isinstance(c.node, DV_NODES):
                     if c.occur is not P.Occur.FILTER:
                         raise ValueError(
-                            "doc-values range supports only FILTER occur "
+                            "doc-values filters support only FILTER occur "
                             f"(constant score, never scored): {c.occur}")
                     dv.append(c.node)
                 else:
@@ -1038,8 +1082,7 @@ class IndexSearcher:
                     or IndexSearcher._has_dv_node(node.exclude))
         return False
 
-    def _apply_dv_filters(self, hits: DataFrame,
-                          dv: list[P.DocValuesRangeNode]) -> DataFrame:
+    def _apply_dv_filters(self, hits: DataFrame, dv: list) -> DataFrame:
         """Semi-join hits against the doc-values rows satisfying every
         range. Values come from reader.doc_values(), so committed numeric
         doc-values UPDATES are honored (newest-gen-wins overlay); with no
@@ -1061,10 +1104,14 @@ class IndexSearcher:
             else:
                 vals = self.reader.doc_values(f.column)
             col = F.col("value")
-            if f.lower is not None:
-                vals = vals.filter(col >= f.lower if f.include_lower else col > f.lower)
-            if f.upper is not None:
-                vals = vals.filter(col <= f.upper if f.include_upper else col < f.upper)
+            if isinstance(f, P.DocValuesTermsNode):
+                # DocValuesTermsQuery: SortedSet/Numeric membership check
+                vals = vals.filter(col.isin(list(f.values)))
+            else:
+                if f.lower is not None:
+                    vals = vals.filter(col >= f.lower if f.include_lower else col > f.lower)
+                if f.upper is not None:
+                    vals = vals.filter(col <= f.upper if f.include_upper else col < f.upper)
             hits = hits.join(vals.select("doc_id"), "doc_id", "leftsemi")
         return hits
 
