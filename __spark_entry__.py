@@ -3364,6 +3364,43 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_multirange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiRangeQuery (sandbox/search/MultiRangeQuery.java:47-75): union
+    of numeric ranges over one column as a FILTER clause — n_chars in
+    [0,400] ∪ [600,800] composed with a scored MUST term."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.BooleanNode(clauses=(
+        P.Clause(P.Occur.MUST, P.TermNode(term="merge")),
+        P.Clause(P.Occur.FILTER, P.DocValuesMultiRangeNode(
+            column="n_chars", ranges=((None, 400), (600, 800)))),
+    ))
+    m = _to_ext(s.matches(node), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_MULTIRANGE_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 2) AS score_r
+  FROM tf JOIN dl USING (doc_id)
+          JOIN documents d USING (doc_id)
+          CROSS JOIN st CROSS JOIN qd
+  WHERE d.n_chars <= 400 OR (d.n_chars >= 600 AND d.n_chars <= 800)
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3429,11 +3466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_combined_field": ft_combined_field,
         "ft_covering": ft_covering,
         "ft_dv_terms": ft_dv_terms,
+        "ft_multirange": ft_multirange,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
-        "ft_bool_and": ft_bool_and,
         # (e) previously-proven gates (driver-green r01/r02)
+        "ft_bool_and": ft_bool_and,
         "ft_phrase": ft_phrase,
         "ft_count": ft_count,
         "ft_dv_update": ft_dv_update,
@@ -3518,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_combined_field": FT_COMBINED_FIELD_SQL,
         "ft_covering": FT_COVERING_SQL,
         "ft_dv_terms": FT_DV_TERMS_SQL,
+        "ft_multirange": FT_MULTIRANGE_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

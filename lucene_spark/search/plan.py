@@ -255,6 +255,20 @@ class DocValuesTermsNode(Node):
 
 
 @dataclass(frozen=True)
+class DocValuesMultiRangeNode(Node):
+    """Union of numeric ranges over ONE column — the MultiRangeQuery role
+    (sandbox/search/MultiRangeQuery.java:47-75: a disjunction of ranges
+    on the same dimension evaluated in one pass). Matches docs whose
+    value falls in ANY range; ranges are (lower, upper) CLOSED bounds
+    with None = open end (the reference merges overlapping ranges as an
+    optimization — semantics are the plain union either way). FILTER-only
+    constant score, lowered like the single-range node so the OR-of-
+    between predicate pushes into the docstats scan."""
+    column: str = ""
+    ranges: tuple = ()   # ((lower | None, upper | None), ...)
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 

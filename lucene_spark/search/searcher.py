@@ -1021,7 +1021,8 @@ class IndexSearcher:
         top boolean — the range becomes a JVM predicate on docstats applied
         as a semi-join after text matching (the doc-values-verify side of
         IndexOrDocValuesQuery). Anywhere else raises."""
-        DV_NODES = (P.DocValuesRangeNode, P.DocValuesTermsNode)
+        DV_NODES = (P.DocValuesRangeNode, P.DocValuesTermsNode,
+                    P.DocValuesMultiRangeNode)
         dv: list = []
         if isinstance(node, DV_NODES):
             dv.append(node)
@@ -1107,6 +1108,19 @@ class IndexSearcher:
             if isinstance(f, P.DocValuesTermsNode):
                 # DocValuesTermsQuery: SortedSet/Numeric membership check
                 vals = vals.filter(col.isin(list(f.values)))
+            elif isinstance(f, P.DocValuesMultiRangeNode):
+                # MultiRangeQuery: OR of closed ranges in one pass
+                pred = None
+                for lo, hi in f.ranges:
+                    c = F.lit(True)
+                    if lo is not None:
+                        c = c & (col >= lo)
+                    if hi is not None:
+                        c = c & (col <= hi)
+                    pred = c if pred is None else (pred | c)
+                if pred is None:          # no ranges: matches nothing
+                    pred = F.lit(False)
+                vals = vals.filter(pred)
             else:
                 if f.lower is not None:
                     vals = vals.filter(col >= f.lower if f.include_lower else col > f.lower)

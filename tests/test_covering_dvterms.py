@@ -107,3 +107,27 @@ def test_doc_values_terms_alone_and_occur_guard(searcher, reader):
             P.Clause(P.Occur.SHOULD,
                      P.DocValuesTermsNode(column="repo", values=(repo,))),
         )))
+
+
+def test_doc_values_multi_range(searcher, reader):
+    """MultiRangeQuery: union of closed ranges over one numeric column
+    (sandbox/search/MultiRangeQuery.java:47-75), FILTER-composed with a
+    scored clause; overlapping ranges behave as the plain union."""
+    node = P.BooleanNode(clauses=(
+        P.Clause(P.Occur.MUST, P.TermNode(term="index")),
+        P.Clause(P.Occur.FILTER, P.DocValuesMultiRangeNode(
+            column="doclen", ranges=((None, 120), (200, 260), (250, 300)))),
+    ))
+    got = {r["doc_id"]: r["score"] for r in searcher.matches(node).collect()}
+    base = {r["doc_id"]: r["score"] for r in searcher.matches("index").collect()}
+    dl = {r["doc_id"]: r["doclen"] for r in
+          reader.docstats().select("doc_id", "doclen").collect()}
+    keep = {d for d, v in dl.items()
+            if v <= 120 or 200 <= v <= 260 or 250 <= v <= 300}
+    exp = {d: s for d, s in base.items() if d in keep}
+    assert got == pytest.approx(exp)
+    assert 0 < len(got) < len(base)
+    # empty range set matches nothing
+    empty = searcher.matches(
+        P.DocValuesMultiRangeNode(column="doclen", ranges=()))
+    assert empty.count() == 0
