@@ -3401,6 +3401,50 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonTermsQuery (queries/CommonTermsQuery.java:54-204): df-
+    classified two-group boolean — low-freq terms required, high-freq
+    terms optional score-only. cutoff 0.5 splits 'dup' (~5% of docs)
+    from 'merge'/'scan' (~78%)."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.CommonTermsNode(terms=("dup", "merge", "scan"),
+                             max_term_frequency=0.5)
+    m = _to_ext(s.matches(node), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_COMMON_TERMS_SQL = f"""
+WITH tok2 AS ({_TOK2}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+       WHERE term IN ('dup','merge','scan') GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cls AS (SELECT term, df, df > ceil(0.5 * st.n) AS is_high
+        FROM qdf CROSS JOIN st),
+nlow AS (SELECT count(*) AS k FROM cls WHERE NOT is_high),
+lowdocs AS (
+  SELECT tf.doc_id FROM tf JOIN cls ON tf.term = cls.term AND NOT cls.is_high
+  GROUP BY tf.doc_id HAVING count(*) = (SELECT k FROM nlow)
+),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (st.n - cls.df + 0.5)/(cls.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ), 2) AS score_r
+  FROM tf JOIN cls ON tf.term = cls.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN lowdocs ON tf.doc_id = lowdocs.doc_id
+          CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3467,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_covering": ft_covering,
         "ft_dv_terms": ft_dv_terms,
         "ft_multirange": ft_multirange,
+        "ft_common_terms": ft_common_terms,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3557,6 +3602,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_covering": FT_COVERING_SQL,
         "ft_dv_terms": FT_DV_TERMS_SQL,
         "ft_multirange": FT_MULTIRANGE_SQL,
+        "ft_common_terms": FT_COMMON_TERMS_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -56,6 +56,40 @@ class SynonymNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class CommonTermsNode(FieldedNode):
+    """queries/CommonTermsQuery.java:54-204 — terms are classified by
+    document frequency at plan time: df > ceil(max_term_frequency ·
+    maxDoc) (or > max_term_frequency directly when it is an absolute
+    count ≥ 1) is "high frequency". Low-frequency terms form a required
+    group (occur = low_freq_occur, its own minimum-should-match), high-
+    frequency terms an optional group that only contributes to scores of
+    docs already matched by the low group. With NO low-frequency terms
+    the high group is promoted to a conjunction (buildQuery:172-180) to
+    keep stopword-only queries from scanning the corpus. msm values
+    follow minNrShouldMatch(float, n): ≥1 or 0 → absolute,
+    else round(f·n). Terms absent from the index classify as low
+    frequency (buildQuery:149-151). MUST_NOT occurs are rejected like
+    the reference constructor."""
+    terms: tuple[str, ...] = ()
+    max_term_frequency: float = 0.01
+    low_freq_occur: "Occur" = None  # default MUST, set in __post_init__
+    high_freq_occur: "Occur" = None  # default SHOULD
+    low_freq_msm: float = 0.0
+    high_freq_msm: float = 0.0
+    low_freq_boost: float = 1.0
+    high_freq_boost: float = 1.0
+
+    def __post_init__(self):
+        if self.low_freq_occur is None:
+            object.__setattr__(self, "low_freq_occur", Occur.MUST)
+        if self.high_freq_occur is None:
+            object.__setattr__(self, "high_freq_occur", Occur.SHOULD)
+        if Occur.MUST_NOT in (self.low_freq_occur, self.high_freq_occur):
+            raise ValueError(
+                "CommonTermsQuery occur must be MUST or SHOULD, not MUST_NOT")
+
+
+@dataclass(frozen=True)
 class PrefixNode(FieldedNode):
     """search/PrefixQuery.java — expanded against the term dictionary at plan
     time (MultiTermQuery rewrite, search/MultiTermQuery.java:55)."""

@@ -1164,6 +1164,8 @@ class IndexSearcher:
         sets (CONSTANT_SCORE_REWRITE default of MultiTermQuery); expansion
         runs against the node's field slice of the dictionary."""
         r = self.reader
+        if isinstance(node, P.CommonTermsNode):
+            return self._expand(self._rewrite_common_terms(node))
         if isinstance(node, P.PrefixNode):
             terms = r.expand_prefix(node.prefix, P.MAX_CLAUSE_COUNT, field=node.field)
             return P.TermInSetNode(terms=tuple(terms), boost=node.boost,
@@ -1228,6 +1230,59 @@ class IndexSearcher:
         if isinstance(node, P.ConstantScoreNode) and node.child is not None:
             return replace(node, child=self._expand(node.child))
         return node
+
+    def _rewrite_common_terms(self, node: P.CommonTermsNode) -> P.Node:
+        """CommonTermsQuery.rewrite/buildQuery
+        (queries/CommonTermsQuery.java:107-204): df-classified two-group
+        boolean. The df lookup is one broadcast-size termdict probe
+        (reader.term_stats) — the same stats the scorer needs anyway, so
+        the classification is free at serving time."""
+        field = node.field or self.reader.default_field
+        if not node.terms:
+            return P.MatchNoneNode()
+        if len(node.terms) == 1:
+            return P.TermNode(term=node.terms[0], field=field, boost=node.boost)
+        stats = self.reader.term_stats([(field, t) for t in node.terms])
+        max_doc = max(self.reader.doc_count, 1)
+        cutoff = node.max_term_frequency
+        abs_cutoff = math.ceil(cutoff * max_doc)
+        low: list[str] = []
+        high: list[str] = []
+        for t in node.terms:
+            st = stats.get((field, t))
+            if st is None:
+                low.append(t)  # absent terms are low freq (match nothing)
+            elif (cutoff >= 1.0 and st[0] > cutoff) or st[0] > abs_cutoff:
+                high.append(t)
+            else:
+                low.append(t)
+
+        def _msm(f: float, n_optional: int) -> int:
+            # CommonTermsQuery.minNrShouldMatch:136-141 (Math.round ties up)
+            if f >= 1.0 or f == 0.0:
+                return int(f)
+            return int(f * n_optional + 0.5)
+
+        low_occur, high_occur = node.low_freq_occur, node.high_freq_occur
+        low_msm = (_msm(node.low_freq_msm, len(low))
+                   if low_occur == P.Occur.SHOULD and low else 0)
+        high_msm = (_msm(node.high_freq_msm, len(high))
+                    if high_occur == P.Occur.SHOULD and high else 0)
+        if not low and high_msm == 0 and high_occur != P.Occur.MUST:
+            # stopwords-only query → conjunction (buildQuery:172-180)
+            high_occur = P.Occur.MUST
+        clauses: list[P.Clause] = []
+        if low:
+            clauses.append(P.Clause(P.Occur.MUST, P.BooleanNode(
+                clauses=tuple(P.Clause(low_occur, P.TermNode(term=t, field=field))
+                              for t in low),
+                minimum_should_match=low_msm, boost=node.low_freq_boost)))
+        if high:
+            clauses.append(P.Clause(P.Occur.SHOULD, P.BooleanNode(
+                clauses=tuple(P.Clause(high_occur, P.TermNode(term=t, field=field))
+                              for t in high),
+                minimum_should_match=high_msm, boost=node.high_freq_boost)))
+        return P.BooleanNode(clauses=tuple(clauses), boost=node.boost)
 
     def _collect_terms(self, node: P.Node, out: set[tuple[str, str]]) -> None:
         if isinstance(node, (P.TermNode, P.PayloadScoreNode)):
