@@ -3445,6 +3445,25 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_phrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java:61-210):
+    phrase with a multi-term slot — '(ta*) hash' as exact adjacency,
+    budget-bounded dictionary expansion lowered to MultiPhraseQuery."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.PhraseWildcardNode(slots=(
+        P.PrefixNode(prefix="ta"), P.TermNode(term="hash")))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_PHRASE_WILDCARD_SQL = r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(^|\s)ta\S*\s+hash(\s|$)')
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3512,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dv_terms": ft_dv_terms,
         "ft_multirange": ft_multirange,
         "ft_common_terms": ft_common_terms,
+        "ft_phrase_wildcard": ft_phrase_wildcard,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3603,6 +3623,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_dv_terms": FT_DV_TERMS_SQL,
         "ft_multirange": FT_MULTIRANGE_SQL,
         "ft_common_terms": FT_COMMON_TERMS_SQL,
+        "ft_phrase_wildcard": FT_PHRASE_WILDCARD_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

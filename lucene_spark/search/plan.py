@@ -146,6 +146,26 @@ class MultiPhraseNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class PhraseWildcardNode(FieldedNode):
+    """sandbox/search/PhraseWildcardQuery.java:61-108 — a phrase whose
+    slots may be multi-term sub-queries (prefix/wildcard/fuzzy/range),
+    with a SHARED expansion budget across all multi-term slots
+    (maxMultiTermExpansions). Plan-time rewrite resolves single terms
+    first (early stop if one matches nothing — the reference's
+    single-term-first optimization), then expands multi-term slots
+    sequentially against the term dictionary, each drawing from the
+    remaining budget; an empty expansion kills the phrase. The result
+    lowers to MultiPhraseNode — the reference documents the same
+    equivalence ("similar to MultiPhraseQuery, but it handles, controls
+    and optimizes the multi-term expansions"). Per-segment expansion
+    (segmentOptimizationEnabled) has no Spark analogue: the dictionary
+    is global, so one global expansion IS the optimized form."""
+    slots: tuple[Node, ...] = ()   # TermNode or multi-term leaves
+    slop: int = 0
+    max_multi_term_expansions: int = 128
+
+
+@dataclass(frozen=True)
 class IntervalNode(FieldedNode):
     """Interval/proximity query (subset of queries/intervals/
     IntervalQuery.java:59): docs containing a minimal interval that covers

@@ -1166,6 +1166,8 @@ class IndexSearcher:
         r = self.reader
         if isinstance(node, P.CommonTermsNode):
             return self._expand(self._rewrite_common_terms(node))
+        if isinstance(node, P.PhraseWildcardNode):
+            return self._expand_phrase_wildcard(node)
         if isinstance(node, P.PrefixNode):
             terms = r.expand_prefix(node.prefix, P.MAX_CLAUSE_COUNT, field=node.field)
             return P.TermInSetNode(terms=tuple(terms), boost=node.boost,
@@ -1230,6 +1232,55 @@ class IndexSearcher:
         if isinstance(node, P.ConstantScoreNode) and node.child is not None:
             return replace(node, child=self._expand(node.child))
         return node
+
+    def _expand_phrase_wildcard(self, node: P.PhraseWildcardNode) -> P.Node:
+        """PhraseWildcardQuery rewrite (sandbox/search/
+        PhraseWildcardQuery.java:150-210 createWeight): single terms
+        checked first (any with df=0 → no match, skipping every
+        expansion), then multi-terms expanded sequentially under one
+        shared budget; a multi-term expanding to nothing → no match."""
+        r = self.reader
+        field = node.field or r.default_field
+        if not node.slots:
+            return P.MatchNoneNode()
+        # phase 1: resolve single terms, early stop on a dead one
+        singles = [(i, s) for i, s in enumerate(node.slots)
+                   if isinstance(s, P.TermNode)]
+        if singles:
+            stats = r.term_stats([(field, s.term) for _, s in singles])
+            if any((field, s.term) not in stats for _, s in singles):
+                return P.MatchNoneNode()
+        # phase 2: expand multi-terms sequentially, shared budget
+        budget = node.max_multi_term_expansions
+        positions: list[tuple[str, ...]] = [()] * len(node.slots)
+        for i, s in enumerate(node.slots):
+            if isinstance(s, P.TermNode):
+                positions[i] = (s.term,)
+                continue
+            if budget <= 0:
+                return P.MatchNoneNode()
+            if isinstance(s, P.PrefixNode):
+                terms = r.expand_prefix(s.prefix, budget, field=field)
+            elif isinstance(s, P.RegexpNode):
+                terms = r.expand_regexp(s.pattern, budget, field=field)
+            elif isinstance(s, P.FuzzyNode):
+                terms = r.expand_fuzzy(s.term, s.max_edits, max_terms=budget,
+                                       field=field)
+            elif isinstance(s, P.TermRangeNode):
+                terms = r.expand_range(s.lower, s.upper, s.include_lower,
+                                       s.include_upper, budget, field=field)
+            elif isinstance(s, P.TermInSetNode):
+                terms = list(s.terms[:budget])
+            else:
+                raise ValueError(
+                    f"phrase-wildcard slot must be a term or multi-term "
+                    f"leaf, got {s!r}")
+            if not terms:
+                return P.MatchNoneNode()
+            budget -= len(terms)
+            positions[i] = tuple(terms)
+        return P.MultiPhraseNode(positions=tuple(positions), slop=node.slop,
+                                 field=field, boost=node.boost)
 
     def _rewrite_common_terms(self, node: P.CommonTermsNode) -> P.Node:
         """CommonTermsQuery.rewrite/buildQuery
