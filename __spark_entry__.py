@@ -3464,6 +3464,41 @@ WHERE regexp_matches(text, '(^|\s)ta\S*\s+hash(\s|$)')
 """
 
 
+def ft_blended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedTermQuery (search/BlendedTermQuery.java:56-300): 'merge'
+    and 'dup' scored with blended stats (df = max df of the two) and
+    combined by DisjunctionMax(tie=0.01) — the rare term ranks as if it
+    were as common as the frequent one."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.BlendedTermNode(terms=("merge", "dup"))
+    m = _to_ext(s.matches(node), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_BLENDED_SQL = f"""
+WITH tok2 AS ({_TOK2}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+       WHERE term IN ('merge','dup') GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+bl AS (SELECT max(df) AS dfb FROM
+       (SELECT count(*)::DOUBLE AS df FROM tf GROUP BY term)),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.n - bl.dfb + 0.5)/(bl.dfb + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN bl
+),
+ag AS (SELECT doc_id, round(max(s) + 0.01 * (sum(s) - max(s)), 2) AS score_r
+       FROM sc GROUP BY doc_id)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM ag QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3532,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multirange": ft_multirange,
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
+        "ft_blended_topk": ft_blended_topk,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3624,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_multirange": FT_MULTIRANGE_SQL,
         "ft_common_terms": FT_COMMON_TERMS_SQL,
         "ft_phrase_wildcard": FT_PHRASE_WILDCARD_SQL,
+        "ft_blended_topk": FT_BLENDED_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -100,6 +100,9 @@ class EvalContext:
     # lazy dense-domain map for disjunctions: (parts, span, keys_memo) —
     # see _dense_dom
     dense_dom: list | None = None
+    # BlendedTermQuery leg weights: node → ((field, term, weight), ...)
+    # computed driver-side from the blended (max-df, Σ-ttf) stats
+    blend_weights: dict | None = None
 
 
 def _sim_of(ctx: "EvalContext", field: str):
@@ -149,7 +152,47 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_payload_score(node, ctx)
     if isinstance(node, P.MultiPhraseNode):
         return _eval_multiphrase(node, ctx, need_scores)
+    if isinstance(node, P.BlendedTermNode):
+        return _eval_blended(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
+
+
+def _eval_blended(node: P.BlendedTermNode, ctx: EvalContext,
+                  need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    """BlendedTermQuery (search/BlendedTermQuery.java:270-300): each leg
+    scores its own postings with the BLENDED weight (df = max, ttf = Σ,
+    baked into ctx.blend_weights driver-side), combined like
+    DisjunctionMaxQuery with node.tie_breaker (node.boost is pre-folded
+    into every leg weight — max/sum scale linearly, so folding before
+    the combine is equivalent to scaling after)."""
+    legs = (ctx.blend_weights or {}).get(node, ())
+    evaled: list[tuple[np.ndarray, np.ndarray]] = []
+    for f, t, w in legs:
+        tp = ctx.postings.get((f, t))
+        if tp is None:
+            continue
+        if need_scores:
+            sc = _sim_of(ctx, f).score(tp.tfs, tp.dls, w, ctx.avgdl[f])
+        else:
+            sc = np.zeros(tp.docs.size, dtype=np.float32)
+        evaled.append((tp.docs, sc))
+    if not evaled:
+        return _empty()
+    cat = np.concatenate([d for d, _ in evaled])
+    uniq, inv = np.unique(cat, return_inverse=True)
+    if not need_scores:
+        return uniq, np.zeros(uniq.size, dtype=np.float32)
+    mx = np.full(uniq.size, -np.inf)
+    sm = np.zeros(uniq.size, dtype=np.float64)
+    off = 0
+    for d, s in evaled:
+        k_ = inv[off:off + d.size]
+        off += d.size
+        sf = s.astype(np.float64)
+        mx[k_] = np.maximum(mx[k_], sf)  # docs unique within a leg
+        sm[k_] += sf
+    total = mx + np.float64(node.tie_breaker) * (sm - mx)
+    return uniq, total.astype(np.float32)
 
 
 def _eval_multiphrase(node: P.MultiPhraseNode, ctx: EvalContext, need_scores: bool) -> tuple[np.ndarray, np.ndarray]:

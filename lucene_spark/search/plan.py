@@ -90,6 +90,34 @@ class CommonTermsNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class BlendedTermNode(FieldedNode):
+    """search/BlendedTermQuery.java:56-300 — several (possibly cross-
+    field) terms scored as if they shared blended statistics: df = max
+    df, ttf = Σ ttf over all terms (rewrite:281-291, adjustFrequencies),
+    each leg a TermQuery over its OWN postings/norms but weighted with
+    the blended stats, combined like DisjunctionMaxQuery with
+    tie_breaker (DISJUNCTION_MAX_REWRITE's default 0.01f,
+    BlendedTermQuery.java:190). `fields` parallels `terms` for cross-
+    field blending (the cross-field-synonym use case; '' entries fall
+    back to node.field), `boosts` parallels `terms` (the BoostQuery
+    wrap at rewrite:295-298); empty tuples mean node.field / all-1.0."""
+    terms: tuple[str, ...] = ()
+    fields: tuple[str, ...] = ()
+    boosts: tuple[float, ...] = ()
+    tie_breaker: float = 0.01
+
+    def legs(self, default_field: str) -> tuple[tuple[str, str, float], ...]:
+        """Resolved (field, term, leg_boost) triples."""
+        out = []
+        for i, t in enumerate(self.terms):
+            f = self.fields[i] if i < len(self.fields) and self.fields[i] \
+                else (self.field or default_field)
+            b = self.boosts[i] if i < len(self.boosts) else 1.0
+            out.append((f, t, b))
+        return tuple(out)
+
+
+@dataclass(frozen=True)
 class PrefixNode(FieldedNode):
     """search/PrefixQuery.java — expanded against the term dictionary at plan
     time (MultiTermQuery rewrite, search/MultiTermQuery.java:55)."""

@@ -603,6 +603,7 @@ class IndexSearcher:
         weights: dict = {}
         syn_w: dict = {}
         phrase_w: dict = {}
+        blend_w: dict = {}
         for ek, n in uniq.items():
             q = queries[ek]
             memo_key = q if isinstance(q, str) else None
@@ -611,10 +612,11 @@ class IndexSearcher:
                 wsp = self._weights(n, stats)
                 if memo_key is not None:
                     self._weights_memo[memo_key] = wsp
-            w, s, p = wsp
+            w, s, p, bl = wsp
             weights.update(w)
             syn_w.update(s)
             phrase_w.update(p)
+            blend_w.update(bl)
         avgdl = self._avgdl_map({f for f, _ in all_terms})
         sim = self.sim
         field_sims = self.field_sims
@@ -674,7 +676,7 @@ class IndexSearcher:
                                   syn_weights=syn_w, avgdl=avgdl, sim=sim,
                                   k=kk, phrase_weights=phrase_w,
                                   field_sims=field_sims, block_size=block_size,
-                                  score_memo={})
+                                  score_memo={}, blend_weights=blend_w)
                 # ONE output frame per task (np.repeat over per-query hit
                 # counts) — a pd.DataFrame per query would cost more than
                 # the scoring itself on large batches
@@ -873,13 +875,13 @@ class IndexSearcher:
         bs = int(self.reader.manifest["config"].get("block_size", 128))
         postings = _assemble_postings(
             pdf, self._check_positions(node), self._deleted, bs)
-        weights, syn_w, phrase_w = self._weights(node, stats)
+        weights, syn_w, phrase_w, blend_w = self._weights(node, stats)
         return EvalContext(postings=postings, weights=weights,
                            syn_weights=syn_w,
                            avgdl=self._avgdl_map({f for f, _ in stats}),
                            sim=self.sim, k=k, phrase_weights=phrase_w,
                            field_sims=self.field_sims, block_size=bs,
-                           score_memo={})
+                           score_memo={}, blend_weights=blend_w)
 
     def matches(self, query: str | P.Node, with_scores: bool = True) -> DataFrame:
         """ALL matching (doc_id, score) rows — the exhaustive collector path
@@ -1338,6 +1340,9 @@ class IndexSearcher:
     def _collect_terms(self, node: P.Node, out: set[tuple[str, str]]) -> None:
         if isinstance(node, (P.TermNode, P.PayloadScoreNode)):
             out.add((node.field, node.term))
+        elif isinstance(node, P.BlendedTermNode):
+            out.update((f, t) for f, t, _ in
+                       node.legs(self.reader.default_field))
         elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode,
                                P.IntervalNode)):
             out.update((node.field, t) for t in node.terms)
@@ -1425,6 +1430,7 @@ class IndexSearcher:
         weights: dict[tuple[tuple[str, str], float], np.float32] = {}
         syn: dict[tuple[tuple[str, tuple[str, ...]], float], np.float32] = {}
         phrase: dict[tuple[tuple[str, tuple[str, ...]], float], np.float32] = {}
+        blend: dict[P.BlendedTermNode, tuple] = {}
 
         def walk(n: P.Node):
             if isinstance(n, P.TermNode):
@@ -1471,6 +1477,23 @@ class IndexSearcher:
                     cfs = [stats[(n.field, t)][1] for t in flat if (n.field, t) in stats]
                     phrase[((n.field, n.positions), n.boost)] = fsim.weight(
                         min(dfs), N, n.boost, cf=min(cfs), sum_ttf=sum_ttf)
+            elif isinstance(n, P.BlendedTermNode):
+                # BlendedTermQuery.rewrite:281-291 — df = max df, ttf =
+                # Σ ttf over ALL terms; every present leg is weighted
+                # with the blended pair against its OWN field's
+                # collection stats (TermQuery with adjusted TermStates)
+                legs = n.legs(self.reader.default_field)
+                present = [(f, t, b) for f, t, b in legs
+                           if stats.get((f, t), (0, 0))[0]]
+                if present:
+                    df_b = max(stats[(f, t)][0] for f, t, _ in present)
+                    ttf_b = sum(stats.get((f, t), (0, 0))[1]
+                                for f, t, _ in legs)
+                    blend[n] = tuple(
+                        (f, t, self._sim_for(f).weight(
+                            df_b, self._field_N(f)[0], n.boost * b,
+                            cf=ttf_b, sum_ttf=self._field_N(f)[1]))
+                        for f, t, b in present)
             elif isinstance(n, P.SynonymNode):
                 # SynonymQuery blends stats: df = max over terms (docFreq of
                 # the pseudo-term is bounded by max; Lucene uses max df)
@@ -1490,7 +1513,7 @@ class IndexSearcher:
                 walk(n.child)
 
         walk(node)
-        return weights, syn, phrase
+        return weights, syn, phrase, blend
 
     # ----------------------------------------------------------- execution
     def _empty_result(self) -> DataFrame:
@@ -1544,7 +1567,7 @@ class IndexSearcher:
         live = [t for t in terms if t in stats]
         if not live:
             return self._empty_result()
-        weights, syn_weights, phrase_weights = self._weights(node, stats)
+        weights, syn_weights, phrase_weights, blend_weights = self._weights(node, stats)
         avgdl = self._avgdl_map({f for f, _ in terms})
         sim = self.sim
         field_sims = self.field_sims
@@ -1595,7 +1618,7 @@ class IndexSearcher:
                               avgdl=avgdl, sim=sim, k=kk or 10,
                               phrase_weights=phrase_weights,
                               field_sims=field_sims, block_size=self_block_size,
-                              score_memo={})
+                              score_memo={}, blend_weights=blend_weights)
             if kk is not None and isinstance(node, P.TermNode) and after is None:
                 # see local path: pruning is admissible only without a
                 # paging cursor (pruned blocks hold the next pages)
