@@ -3499,6 +3499,53 @@ FROM ag QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_field_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldExistsQuery (search/DocValuesFieldExistsQuery.java:35) over
+    an updates-only doc-values field: ext_id % 5 docs receive a 'flag'
+    value via updateNumericDocValue, then MUST 'merge' + FILTER
+    exists(flag) keeps exactly the flagged subset of the term's hits."""
+    import shutil
+
+    import lucene_spark.search.plan as P
+    from lucene_spark.index.docvalues import update_doc_values
+
+    s = _searcher(spark, sf_dir)
+    r = s.reader
+    shutil.rmtree(os.path.join(r.index_dir, "dv_updates", "field=flag"),
+                  ignore_errors=True)
+    ds = r.docstats().select("doc_id", "ext_id")
+    update_doc_values(
+        spark, r.index_dir, "flag",
+        ds.filter(F.col("ext_id") % 5 == 0)
+        .select("doc_id", F.lit(1.0).alias("value")))
+    node = P.BooleanNode(clauses=(
+        P.Clause(P.Occur.MUST, P.TermNode(term="merge")),
+        P.Clause(P.Occur.FILTER, P.FieldExistsNode(field="flag")),
+    ))
+    m = _to_ext(s.matches(node), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_FIELD_EXISTS_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 2) AS score_r
+  FROM tf JOIN dl USING (doc_id)
+          CROSS JOIN st CROSS JOIN qd
+  WHERE tf.doc_id % 5 = 0
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3568,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
         "ft_blended_topk": ft_blended_topk,
+        "ft_field_exists": ft_field_exists,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3661,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_common_terms": FT_COMMON_TERMS_SQL,
         "ft_phrase_wildcard": FT_PHRASE_WILDCARD_SQL,
         "ft_blended_topk": FT_BLENDED_SQL,
+        "ft_field_exists": FT_FIELD_EXISTS_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

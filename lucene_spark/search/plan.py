@@ -351,6 +351,20 @@ class DocValuesMultiRangeNode(Node):
 
 
 @dataclass(frozen=True)
+class FieldExistsNode(FieldedNode):
+    """DocValuesFieldExistsQuery / NormsFieldExistsQuery
+    (search/DocValuesFieldExistsQuery.java:35, NormsFieldExistsQuery.java:33):
+    matches every doc that has a value for the field. FILTER-only
+    constant score, lowered like the other doc-values nodes. For an
+    INDEXED text field this is the norms side (the doc's field length
+    > 0 — a doc whose field produced zero tokens has no norm); for
+    anything else it is a non-null check over the doc-values sidecar,
+    honoring committed numeric DV updates (a doc gains existence when
+    an update first gives it a value — Lucene's dv-update iterators
+    behave the same way)."""
+
+
+@dataclass(frozen=True)
 class MatchAllNode(Node):
     pass
 

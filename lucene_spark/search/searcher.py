@@ -1024,7 +1024,7 @@ class IndexSearcher:
         as a semi-join after text matching (the doc-values-verify side of
         IndexOrDocValuesQuery). Anywhere else raises."""
         DV_NODES = (P.DocValuesRangeNode, P.DocValuesTermsNode,
-                    P.DocValuesMultiRangeNode)
+                    P.DocValuesMultiRangeNode, P.FieldExistsNode)
         dv: list = []
         if isinstance(node, DV_NODES):
             dv.append(node)
@@ -1064,6 +1064,16 @@ class IndexSearcher:
 
             cols = self.reader.docstats().columns
             for f in dv:
+                if isinstance(f, P.FieldExistsNode):
+                    fname = f.field or self.reader.default_field
+                    if (fname not in self.reader.field_by_name
+                            and fname not in cols
+                            and _update_stack(self.reader, fname) is None):
+                        raise ValueError(
+                            f"FieldExistsQuery field {fname!r}: not an "
+                            "indexed field, no docstats column, and no "
+                            "committed doc-values updates")
+                    continue
                 if f.column not in cols and _update_stack(self.reader, f.column) is None:
                     raise ValueError(
                         f"doc-values column {f.column!r}: no docstats carry "
@@ -1097,6 +1107,28 @@ class IndexSearcher:
         from lucene_spark.index.docvalues import _update_stack
 
         for f in dv:
+            if isinstance(f, P.FieldExistsNode):
+                fname = f.field or self.reader.default_field
+                ds = self.reader.docstats()
+                if fname in self.reader.field_by_name:
+                    # norms side: the field produced ≥1 token in the doc.
+                    # Single-field indexes leave field_lens NULL (doclen
+                    # IS the field length); multi-field builds populate
+                    # the parallel array.
+                    names = [fl["name"] for fl in self.reader.fields]
+                    lcol = (F.col("doclen")
+                            if len(names) == 1 or "field_lens" not in ds.columns
+                            else F.col("field_lens").getItem(names.index(fname)))
+                    vals = ds.filter(lcol > 0)
+                elif (fname in ds.columns
+                      and _update_stack(self.reader, fname) is None):
+                    # non-null pushes into the parquet scan (IsNotNull)
+                    vals = ds.filter(F.col(fname).isNotNull())
+                else:
+                    vals = self.reader.doc_values(fname).filter(
+                        F.col("value").isNotNull())
+                hits = hits.join(vals.select("doc_id"), "doc_id", "leftsemi")
+                continue
             if (f.column in self.reader.docstats().columns
                     and _update_stack(self.reader, f.column) is None):
                 # no committed updates: filter the RAW column so the
