@@ -3546,6 +3546,26 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:67-209):
+    'table ANY hash' — a 4-state automaton with an ANY transition,
+    determinized and run over merged per-doc positions."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.TermAutomatonNode(
+        transitions=((0, 1, "table"), (1, 2, None), (2, 3, "hash")),
+        accepts=(3,))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_TERM_AUTOMATON_SQL = r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(^|\s)table\s+\S+\s+hash(\s|$)')
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3616,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_wildcard": ft_phrase_wildcard,
         "ft_blended_topk": ft_blended_topk,
         "ft_field_exists": ft_field_exists,
+        "ft_term_automaton": ft_term_automaton,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3710,6 +3731,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": FT_PHRASE_WILDCARD_SQL,
         "ft_blended_topk": FT_BLENDED_SQL,
         "ft_field_exists": FT_FIELD_EXISTS_SQL,
+        "ft_term_automaton": FT_TERM_AUTOMATON_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -154,7 +154,143 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_multiphrase(node, ctx, need_scores)
     if isinstance(node, P.BlendedTermNode):
         return _eval_blended(node, ctx, need_scores)
+    if isinstance(node, P.TermAutomatonNode):
+        return _eval_term_automaton(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
+
+
+def term_automaton_dfa(node: P.TermAutomatonNode):
+    """Subset-construction determinization of the node's NFA — the
+    Operations.determinize step of TermAutomatonQuery.finish():206. ANY
+    arcs expand to every query-term symbol plus a GAP symbol
+    (finish():150-199 rewrites ANY to the full term range; the scorer
+    additionally steps GAP across positions holding no query term,
+    TermAutomatonScorer:277-303). Returns (term→symbol, step table,
+    accepting DFA states, has_any, GAP symbol). DFA state 0 is initial."""
+    terms = sorted({t for _, _, t in node.transitions if t is not None})
+    tid = {t: i for i, t in enumerate(terms)}
+    has_any = any(t is None for _, _, t in node.transitions)
+    gap = len(terms)
+    n_syms = len(terms) + (1 if has_any else 0)
+    nfa: dict[tuple[int, int], set[int]] = {}
+    for src, dst, t in node.transitions:
+        syms = range(n_syms) if t is None else (tid[t],)
+        for s in syms:
+            nfa.setdefault((src, s), set()).add(dst)
+    acc_nfa = set(node.accepts)
+    start = frozenset({0})
+    ids: dict[frozenset, int] = {start: 0}
+    step: dict[tuple[int, int], int] = {}
+    accept: set[int] = set()
+    stack = [start]
+    while stack:
+        cur = stack.pop()
+        ci = ids[cur]
+        if cur & acc_nfa:
+            accept.add(ci)
+        for sym in range(n_syms):
+            dst = frozenset().union(*(nfa.get((s, sym), ()) for s in cur))
+            if not dst:
+                continue
+            di = ids.get(dst)
+            if di is None:
+                if len(ids) >= node.max_determinized_states:
+                    raise ValueError(
+                        "too many determinized states "
+                        f"(> {node.max_determinized_states})")
+                di = ids[dst] = len(ids)
+                stack.append(dst)
+            step[(ci, sym)] = di
+    return tid, step, accept, has_any, gap
+
+
+def term_automaton_freq(tokens: list, step: dict, accept: set,
+                        has_any: bool, gap: int) -> int:
+    """One doc's automaton match count over its sorted (pos, symbol)
+    query-term tokens — TermAutomatonScorer.countMatches:231-345. A new
+    thread starts at every token (step from DFA state 0); live threads
+    consume one token per position, ANY gaps advance threads across
+    positions with no query term, and freq counts every thread landing
+    in an accept state (multiset: converged threads each count)."""
+    freq = 0
+    cur: dict[int, int] = {}   # DFA state -> thread count at cur_pos
+    cur_pos = -1
+    i, n = 0, len(tokens)
+    while i < n:
+        pos = tokens[i][0]
+        j = i
+        while j < n and tokens[j][0] == pos:
+            j += 1
+        if cur and pos > cur_pos:
+            if has_any:
+                for _ in range(pos - cur_pos):
+                    nxt: dict[int, int] = {}
+                    for s, c in cur.items():
+                        d = step.get((s, gap))
+                        if d is not None:
+                            nxt[d] = nxt.get(d, 0) + c
+                    cur = nxt
+                    if not cur:
+                        break
+            else:
+                cur = {}
+        nxt = {}
+        for _, sym in tokens[i:j]:
+            for s, c in cur.items():
+                d = step.get((s, sym))
+                if d is not None:
+                    nxt[d] = nxt.get(d, 0) + c
+                    if d in accept:
+                        freq += c
+            d = step.get((0, sym))
+            if d is not None:
+                nxt[d] = nxt.get(d, 0) + 1
+                if d in accept:
+                    freq += 1
+        cur = nxt
+        cur_pos = pos + 1
+        i = j
+    return freq
+
+
+def _eval_term_automaton(node: P.TermAutomatonNode, ctx: EvalContext,
+                         need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Disjunction-shaped candidate walk (the reference scorer 'acts like
+    a disjunction, not a conjunction' — TermAutomatonQuery.java:69-72):
+    every doc holding ANY query term is a candidate; the per-doc
+    position merge + DFA run decides freq."""
+    tid, step, accept, has_any, gap = term_automaton_dfa(node)
+    present = []
+    for t, sym in tid.items():
+        tp = ctx.postings.get((node.field, t))
+        if tp is not None and tp.pos is not None:
+            present.append((sym, tp))
+    if not present:
+        return _empty()
+    cat_docs = np.concatenate([tp.docs for _, tp in present])
+    cat_dls = np.concatenate([tp.dls for _, tp in present])
+    base, first = np.unique(cat_docs, return_index=True)
+    dls = cat_dls[first]
+    idx = [np.searchsorted(tp.docs, base) for _, tp in present]
+    freqs = np.zeros(base.size, dtype=np.float64)
+    for ci in range(base.size):
+        toks: list[tuple[int, int]] = []
+        for li, (sym, tp) in enumerate(present):
+            pi = idx[li][ci]
+            if pi < tp.docs.size and tp.docs[pi] == base[ci]:
+                for p in tp.pos[tp.tf_off[pi]:tp.tf_off[pi + 1]]:
+                    toks.append((int(p), sym))
+        toks.sort()
+        freqs[ci] = term_automaton_freq(toks, step, accept, has_any, gap)
+    hit = freqs > 0
+    docs = base[hit]
+    if not need_scores:
+        return docs, np.zeros(docs.size, dtype=np.float32)
+    key = ((node.field, ("\0termauto",) + tuple(sorted(tid))), node.boost)
+    w = (ctx.phrase_weights or {})[key]
+    sim = _sim_of(ctx, node.field)
+    scores = sim.score(freqs[hit], dls[hit], w, ctx.avgdl[node.field])
+    return docs, scores.astype(np.float32)
 
 
 def _eval_blended(node: P.BlendedTermNode, ctx: EvalContext,

@@ -194,6 +194,40 @@ class PhraseWildcardNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class TermAutomatonNode(FieldedNode):
+    """sandbox/search/TermAutomatonQuery.java:67-209 — a proximity
+    automaton whose transitions are terms; generalizes Phrase/
+    MultiPhrase/SpanNear. State 0 is the initial state; a `None` term is
+    the ANY transition (addAnyTransition: matches any query term at that
+    position AND any position holding no query term). Matching follows
+    TermAutomatonScorer.countMatches:231-345: the automaton is
+    determinized, one match thread starts at every query-term position,
+    threads advance one token (or one ANY gap) per position, and freq
+    increments every time a thread lands in an accept state (threads are
+    counted as a MULTISET — converging threads each count). Scored like
+    a phrase pseudo-term: similarity weight over the blended stats of
+    every query term present in the index (TermAutomatonWeight:378-399),
+    tf = automaton freq, norm = doclen. The reference's finish()
+    constraints hold (finish:150-208): no leading ANY, no trailing ANY
+    into an accept, and the empty string must not be accepted."""
+    transitions: tuple = ()     # (src: int, dst: int, term: str | None)
+    accepts: tuple = ()
+    max_determinized_states: int = 10000
+
+    def __post_init__(self):
+        if 0 in self.accepts:
+            raise ValueError("term automaton cannot accept the empty string")
+        acc = set(self.accepts)
+        for src, dst, t in self.transitions:
+            if t is None and src == 0:
+                raise ValueError(
+                    "automaton cannot lead with an ANY transition")
+            if t is None and dst in acc:
+                raise ValueError(
+                    "automaton cannot end with an ANY transition")
+
+
+@dataclass(frozen=True)
 class IntervalNode(FieldedNode):
     """Interval/proximity query (subset of queries/intervals/
     IntervalQuery.java:59): docs containing a minimal interval that covers

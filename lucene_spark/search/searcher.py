@@ -1375,6 +1375,9 @@ class IndexSearcher:
         elif isinstance(node, P.BlendedTermNode):
             out.update((f, t) for f, t, _ in
                        node.legs(self.reader.default_field))
+        elif isinstance(node, P.TermAutomatonNode):
+            out.update((node.field, t) for _, _, t in node.transitions
+                       if t is not None)
         elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode,
                                P.IntervalNode)):
             out.update((node.field, t) for t in node.terms)
@@ -1404,7 +1407,7 @@ class IndexSearcher:
     def _phrase_fields(node: P.Node, out: set[str]) -> None:
         """Fields that need positions decoded for this query."""
         if isinstance(node, (P.PhraseNode, P.IntervalNode, P.MultiPhraseNode,
-                             P.IntervalSlotsNode)):
+                             P.IntervalSlotsNode, P.TermAutomatonNode)):
             out.add(node.field)
         elif isinstance(node, P.SpanNotNode):
             IndexSearcher._phrase_fields(node.include, out)
@@ -1509,6 +1512,29 @@ class IndexSearcher:
                     cfs = [stats[(n.field, t)][1] for t in flat if (n.field, t) in stats]
                     phrase[((n.field, n.positions), n.boost)] = fsim.weight(
                         min(dfs), N, n.boost, cf=min(cfs), sum_ttf=sum_ttf)
+            elif isinstance(n, P.TermAutomatonNode):
+                # TermAutomatonWeight:378-399 — similarity scorer over
+                # the stats of every query term PRESENT in the index
+                # (absent terms are skipped, not zeroed); for idf
+                # similarities that is the idf sum, like phrases
+                terms = tuple(sorted({t for _, _, t in n.transitions
+                                      if t is not None}))
+                present = [t for t in terms
+                           if stats.get((n.field, t), (0, 0))[0]]
+                if present:
+                    N, sum_ttf = self._field_N(n.field)
+                    fsim = self._sim_for(n.field)
+                    key = ((n.field, ("\0termauto",) + terms), n.boost)
+                    if hasattr(fsim, "idf"):
+                        idf_sum = sum(float(fsim.idf(stats[(n.field, t)][0], N))
+                                      for t in present)
+                        phrase[key] = np.float32(
+                            np.float32(n.boost) * np.float32(idf_sum))
+                    else:
+                        dfm = min(stats[(n.field, t)][0] for t in present)
+                        cfm = min(stats[(n.field, t)][1] for t in present)
+                        phrase[key] = fsim.weight(
+                            dfm, N, n.boost, cf=cfm, sum_ttf=sum_ttf)
             elif isinstance(n, P.BlendedTermNode):
                 # BlendedTermQuery.rewrite:281-291 — df = max df, ttf =
                 # Σ ttf over ALL terms; every present leg is weighted
