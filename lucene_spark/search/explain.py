@@ -63,7 +63,7 @@ def explain(searcher, query, doc_id: int) -> dict:
     terms: set[tuple[str, str]] = set()
     searcher._collect_terms(node, terms)
     stats = searcher.reader.term_stats(sorted(terms))
-    weights, syn_w, phrase_w = searcher._weights(node, stats)
+    weights, syn_w, phrase_w, _blend_w = searcher._weights(node, stats)
     avgdl_map = searcher._avgdl_map({f for f, _ in terms})
     doc = _doc_postings(searcher, [t for t in terms if t in stats], doc_id)
     sim_for = searcher._sim_for

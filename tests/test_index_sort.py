@@ -107,3 +107,39 @@ def test_sorted_docstats_rowgroups_prunable(corpora):
     if len(sspans) > 1 and gmax > gmin:
         avg_width = np.mean([e - s for s, e in sspans])
         assert avg_width < (gmax - gmin), "sorted groups as wide as the range"
+
+
+def test_dv_range_on_sort_column_pushes_down(corpora):
+    """IndexSortSortedNumericDocValuesRangeQuery role (sandbox/search/
+    IndexSortSortedNumericDocValuesRangeQuery.java:60-86: a DV range on
+    the index-sort field skips via the sort instead of scanning): in
+    Spark shape the range predicate must reach the docstats parquet scan
+    as PushedFilters, where the sorted build's (near-)disjoint row-group
+    min/max (previous test) turns it into row-group skipping."""
+    from lucene_spark.search import IndexSearcher
+    import lucene_spark.search.plan as P
+
+    _, rs = corpora
+    s = IndexSearcher(rs)
+    node = P.BooleanNode(clauses=(
+        P.Clause(P.Occur.MUST, P.TermNode(term="index")),
+        P.Clause(P.Occur.FILTER, P.DocValuesRangeNode(
+            column="n_chars", lower=0, upper=300)),
+    ))
+    df = s.matches(node, with_scores=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "n_chars" in plan
+    import re
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(re.search(r"(GreaterThanOrEqual|LessThanOrEqual)\(n_chars", l)
+               for l in pushed), pushed
+    # and the result equals the plain build's — compared on the EXTERNAL
+    # key (doc_ids differ between builds: the sorted build renumbers)
+    def ext(reader, hits):
+        ids = {r["doc_id"]: (r["repo"], r["path"]) for r in
+               reader.docstats().select("doc_id", "repo", "path").collect()}
+        return sorted(ids[r["doc_id"]] for r in hits.collect())
+
+    sp = IndexSearcher(corpora[0])
+    assert ext(rs, df) == ext(corpora[0],
+                              sp.matches(node, with_scores=False))
