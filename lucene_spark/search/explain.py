@@ -63,7 +63,7 @@ def explain(searcher, query, doc_id: int) -> dict:
     terms: set[tuple[str, str]] = set()
     searcher._collect_terms(node, terms)
     stats = searcher.reader.term_stats(sorted(terms))
-    weights, syn_w, phrase_w, _blend_w = searcher._weights(node, stats)
+    weights, syn_w, phrase_w, blend_w = searcher._weights(node, stats)
     avgdl_map = searcher._avgdl_map({f for f, _ in terms})
     doc = _doc_postings(searcher, [t for t in terms if t in stats], doc_id)
     sim_for = searcher._sim_for
@@ -280,6 +280,52 @@ def explain(searcher, query, doc_id: int) -> dict:
                                                  avgdl_map[n.field])[0])
             return {"value": score, "match": True,
                     "description": f"MultiPhrase(~{n.slop}): freq={freq:g}, blended idf-sum weight"}
+        if isinstance(n, P.BlendedTermNode):
+            legs = blend_w.get(n, ())
+            kids = []
+            for f, t, w in legs:
+                if (f, t) not in doc:
+                    continue
+                tf, dl, _ = doc[(f, t)]
+                sc = float(sim_for(f).score(
+                    np.array([tf]), np.array([dl]), w, avgdl_map[f])[0])
+                kids.append({"value": sc, "match": True,
+                             "description":
+                             f"blended term '{t}' (df=max, ttf=Σ)"})
+            if not kids:
+                return {"value": 0.0, "match": False,
+                        "description": "BlendedTerm: no term present"}
+            mx = max(k["value"] for k in kids)
+            total = mx + n.tie_breaker * (sum(k["value"] for k in kids) - mx)
+            return {"value": float(np.float32(total)), "match": True,
+                    "description": f"BlendedTerm(tie={n.tie_breaker})",
+                    "details": kids}
+        if isinstance(n, P.TermAutomatonNode):
+            from lucene_spark.search.kernel import (term_automaton_dfa,
+                                                    term_automaton_freq)
+            tid, step, accept, has_any, gap = term_automaton_dfa(n)
+            toks = []
+            dl = None
+            for t, sym in tid.items():
+                ent = doc.get((n.field, t))
+                if ent is not None and ent[2] is not None:
+                    dl = ent[1]
+                    toks.extend((int(p), sym) for p in ent[2])
+            toks.sort()
+            freq = term_automaton_freq(toks, step, accept, has_any, gap) \
+                if toks else 0
+            if not freq:
+                return {"value": 0.0, "match": False,
+                        "description": "TermAutomaton: no accepting path"}
+            key = ((n.field, ("\0termauto",) + tuple(sorted(tid))), n.boost)
+            w = phrase_w[key]
+            score = float(sim_for(n.field).score(
+                np.array([float(freq)]), np.array([dl]), w,
+                avgdl_map[n.field])[0])
+            return {"value": score, "match": True,
+                    "description": f"TermAutomaton: freq={freq}, blended idf",
+                    "details": [{"value": freq,
+                                 "description": "accepting-path count"}]}
         if isinstance(n, P.DisjunctionMaxNode):
             kids = [walk(c) for c in n.children]
             hits = [k for k in kids if k["match"]]

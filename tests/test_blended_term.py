@@ -83,3 +83,12 @@ def test_blended_absent_leg_and_in_boolean(searcher, reader):
 def test_blended_all_absent_matches_nothing(searcher):
     assert searcher.matches(
         P.BlendedTermNode(terms=("zzzq", "zzzr"))).count() == 0
+
+
+def test_blended_explain_matches_score(searcher):
+    node = P.BlendedTermNode(terms=("index", "merge"))
+    rows = searcher.matches(node).collect()
+    assert rows
+    r = rows[0]
+    ex = searcher.explain(node, r["doc_id"])
+    assert ex["match"] and abs(ex["value"] - r["score"]) < 1e-4

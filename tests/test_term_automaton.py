@@ -142,3 +142,16 @@ def test_absent_terms_match_nothing(ta_searcher):
     node = P.TermAutomatonNode(
         transitions=((0, 1, "zzz"), (1, 2, "qqq")), accepts=(2,))
     assert s.matches(node).count() == 0
+
+
+def test_term_automaton_explain(ta_searcher):
+    s, ids = ta_searcher
+    node = P.TermAutomatonNode(
+        transitions=((0, 1, "a"), (1, 1, "b")), accepts=(1,))
+    rows = {ids[r["doc_id"]]: r for r in s.matches(node).collect()}
+    r2 = rows[2]
+    ex = s.explain(node, r2["doc_id"])
+    assert ex["match"] and abs(ex["value"] - r2["score"]) < 1e-5
+    assert ex["details"][0]["value"] == 5  # freq of 'a b a b b'
+    miss = s.explain(node, [d for d, i in ids.items() if i == 3][0])
+    assert not miss["match"]
