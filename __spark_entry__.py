@@ -3546,6 +3546,61 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+_IDX_NG_CACHE: dict[str, IndexReader] = {}
+
+
+def _searcher_ng(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Char-2-gram gate index (analysis/ngram/NGramTokenizer.java role):
+    lowercase per-word bigrams at consecutive positions — reproducible
+    in SQL as the ordered gram sequence of the split words."""
+    if sf_dir not in _IDX_NG_CACHE:
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("ext_id"), "text")
+        idx_dir = os.path.join(
+            "/tmp/lucene_spark_gate",
+            os.path.basename(os.path.normpath(sf_dir)) + "_ng")
+        cfg = IndexConfig(
+            key_cols=("ext_id",), content_col="text", analyzer="ngram2",
+            partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1,
+            index_positions=True)
+        IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+        _IDX_NG_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return IndexSearcher(_IDX_NG_CACHE[sf_dir])
+
+
+def ft_ngram_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGramPhraseQuery (search/NGramPhraseQuery.java:30-76): the grams
+    of 'merge' as an optimized gapped phrase over the 2-gram index; the
+    oracle replays the doc's ordered gram sequence in SQL."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher_ng(spark, sf_dir)
+    grams = ("me", "er", "rg", "ge")
+    m = s.matches(P.NGramPhraseNode(n=2, terms=grams),
+                  with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_NGRAM_PHRASE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, wi,
+         array_to_string(list_transform(generate_series(1, length(w) - 1),
+                                        i -> substring(w, i, 2)), ',') AS gl
+  FROM words WHERE length(w) >= 2
+),
+seq AS (
+  SELECT doc_id, string_agg(gl, ',' ORDER BY wi) AS gs
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id FROM seq WHERE (',' || gs || ',') LIKE '%,me,er,rg,ge,%'
+"""
+
+
 def ft_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:67-209):
     'table ANY hash' — a 4-state automaton with an ANY transition,
@@ -3637,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_blended_topk": ft_blended_topk,
         "ft_field_exists": ft_field_exists,
         "ft_term_automaton": ft_term_automaton,
+        "ft_ngram_phrase": ft_ngram_phrase,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3732,6 +3788,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_blended_topk": FT_BLENDED_SQL,
         "ft_field_exists": FT_FIELD_EXISTS_SQL,
         "ft_term_automaton": FT_TERM_AUTOMATON_SQL,
+        "ft_ngram_phrase": FT_NGRAM_PHRASE_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

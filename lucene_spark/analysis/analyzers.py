@@ -742,6 +742,32 @@ CUSTOM_TOKENIZERS["cjk_bigram"] = cjk_token_lists
 register_analyzer(Analyzer(name="cjk", custom_tokenizer="cjk_bigram",
                            stopwords=CJK_STOP_WORDS))
 
+
+def _char_ngram_tokenizer(n: int):
+    """Per-word character n-grams — the NGramTokenizer role (analysis/
+    ngram/NGramTokenizer.java with minGram=maxGram=n), scoped to
+    whitespace words so the SQL oracles can reproduce the stream:
+    lowercase, split on whitespace, emit w[i:i+n] for every window of
+    every word; words shorter than n emit nothing (Lucene drops
+    sub-minGram terms too). Gram positions are consecutive over the
+    emitted stream (Lucene increments position per gram), so adjacency
+    can span a word boundary — the documented NGramTokenizer behavior,
+    mirrored by the gate oracle's gram-sequence twin."""
+    def tok(s: pd.Series) -> pd.Series:
+        def grams(text: str) -> list[str]:
+            out: list[str] = []
+            for w in text.lower().split():
+                out.extend(w[i:i + n] for i in range(len(w) - n + 1))
+            return out
+        return s.map(grams)
+    return tok
+
+
+CUSTOM_TOKENIZERS["char_ngram2"] = _char_ngram_tokenizer(2)
+CUSTOM_TOKENIZERS["char_ngram3"] = _char_ngram_tokenizer(3)
+register_analyzer(Analyzer(name="ngram2", custom_tokenizer="char_ngram2"))
+register_analyzer(Analyzer(name="ngram3", custom_tokenizer="char_ngram3"))
+
 # English Snowball ("porter2") variant — the SnowballPorterFilterFactory
 # language=English chain; distinct from the classic-Porter `english`
 # analyzer below, and golden-validated against the reference's

@@ -131,17 +131,19 @@ def explain(searcher, query, doc_id: int) -> dict:
             if not all((n.field, t) in doc and doc[(n.field, t)][2] is not None
                        for t in n.terms):
                 return {"value": 0.0, "match": False, "description": "Phrase: term missing"}
+            qpos = list(n.positions) if n.positions else list(range(len(n.terms)))
             if n.slop > 0:
                 from lucene_spark.search.kernel import sloppy_phrase_freq
 
                 repeats = len(set(n.terms)) != len(n.terms)
-                offsets = list(range(len(n.terms))) if repeats else None
-                adj = [np.sort(doc[(n.field, t)][2] - j) for j, t in enumerate(n.terms)]
+                offsets = qpos if repeats else None
+                adj = [np.sort(doc[(n.field, t)][2] - qpos[j])
+                       for j, t in enumerate(n.terms)]
                 freq = sloppy_phrase_freq(adj, n.slop, offsets=offsets)
             else:
-                cur = set(doc[(n.field, n.terms[0])][2].tolist())
+                cur = {p - qpos[0] for p in doc[(n.field, n.terms[0])][2].tolist()}
                 for j, t in enumerate(n.terms[1:], start=1):
-                    cur &= {p - j for p in doc[(n.field, t)][2].tolist()}
+                    cur &= {p - qpos[j] for p in doc[(n.field, t)][2].tolist()}
                 freq = float(len(cur))
             if freq == 0:
                 return {"value": 0.0, "match": False, "description": "Phrase: no aligned positions"}

@@ -840,21 +840,25 @@ def _eval_phrase(node: P.PhraseNode, ctx: EvalContext, need_scores: bool) -> tup
     idx = [np.searchsorted(p.docs, base) for p in parts]
     sloppy = node.slop > 0
     repeats = len(set(node.terms)) != len(node.terms)
-    offsets = list(range(len(parts))) if repeats else None
+    # explicit query positions (PhraseQuery.Builder add(term, position) —
+    # gapped phrases from the NGramPhraseQuery rewrite); default 0..n-1
+    qpos = list(node.positions) if getattr(node, "positions", ()) \
+        else list(range(len(parts)))
+    offsets = qpos if repeats else None
     freqs = np.zeros(base.size, dtype=np.float64)
     for ci in range(base.size):
         if sloppy:
             adj = [
-                parts[j].pos[parts[j].tf_off[idx[j][ci]]:parts[j].tf_off[idx[j][ci] + 1]] - j
+                parts[j].pos[parts[j].tf_off[idx[j][ci]]:parts[j].tf_off[idx[j][ci] + 1]] - qpos[j]
                 for j in range(len(parts))
             ]
             freqs[ci] = sloppy_phrase_freq(adj, node.slop, offsets=offsets)
         else:
-            cur = parts[0].pos[parts[0].tf_off[idx[0][ci]]:parts[0].tf_off[idx[0][ci] + 1]]
+            cur = parts[0].pos[parts[0].tf_off[idx[0][ci]]:parts[0].tf_off[idx[0][ci] + 1]] - qpos[0]
             for j in range(1, len(parts)):
                 pj = parts[j]
                 pos_j = pj.pos[pj.tf_off[idx[j][ci]]:pj.tf_off[idx[j][ci] + 1]]
-                cur = np.intersect1d(cur, pos_j - j, assume_unique=True)
+                cur = np.intersect1d(cur, pos_j - qpos[j], assume_unique=True)
                 if cur.size == 0:
                     break
             freqs[ci] = cur.size

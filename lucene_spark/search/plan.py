@@ -155,7 +155,25 @@ class PhraseNode(FieldedNode):
     weight 1/(1+span); phrases with repeated terms fall back to exact).
     Scored via the similarity with the BLENDED weight of all terms —
     idf sum per BM25Similarity.java:191-199. Requires an index built with
-    index_positions=True (IndexOptions DOCS_AND_FREQS_AND_POSITIONS)."""
+    index_positions=True (IndexOptions DOCS_AND_FREQS_AND_POSITIONS).
+
+    positions: explicit query positions per term (PhraseQuery.Builder
+    add(term, position) — gapped phrases like "AB"/0 "CD"/2); empty =
+    consecutive 0..n-1."""
+    terms: tuple[str, ...] = ()
+    slop: int = 0
+    positions: tuple[int, ...] = ()
+
+
+@dataclass(frozen=True)
+class NGramPhraseNode(FieldedNode):
+    """search/NGramPhraseQuery.java:30-76 — a phrase of character
+    n-grams. rewrite:46-75: when slop=0, n ≥ 2, ≥3 terms and the
+    positions are consecutive, intermediate grams are implied by their
+    overlapping neighbors, so only every n-th gram plus the last is kept
+    (AT THEIR ORIGINAL positions — a gapped PhraseQuery); otherwise it
+    is a plain phrase. Fewer postings to intersect, identical matches."""
+    n: int = 2
     terms: tuple[str, ...] = ()
     slop: int = 0
 
@@ -492,6 +510,16 @@ def rewrite(node: Node) -> Node:
 
 
 def _rewrite_once(node: Node) -> Node:
+    if isinstance(node, NGramPhraseNode):
+        # NGramPhraseQuery.rewrite:46-75 — reader-free, pure plan rewrite
+        if node.slop == 0 and node.n >= 2 and len(node.terms) >= 3:
+            keep = [i for i in range(len(node.terms))
+                    if i % node.n == 0 or i == len(node.terms) - 1]
+            return PhraseNode(
+                terms=tuple(node.terms[i] for i in keep),
+                positions=tuple(keep), field=node.field, boost=node.boost)
+        return PhraseNode(terms=node.terms, slop=node.slop,
+                          field=node.field, boost=node.boost)
     if isinstance(node, ConstantScoreNode) and node.child is not None:
         child = _rewrite_once(node.child)
         if isinstance(child, MatchNoneNode):
