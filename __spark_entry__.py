@@ -3621,6 +3621,43 @@ WHERE regexp_matches(text, '(^|\s)table\s+\S+\s+hash(\s|$)')
 """
 
 
+def ft_indri_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndriAndQuery (search/IndriAndQuery.java, IndriAndScorer.java:
+    35-61): boost-normalized sum of IndriDirichlet log-probs over
+    'merge' and 'scan', with freq-0 smoothing for the term a candidate
+    lacks. Scores are negative; rank by closest-to-zero."""
+    import lucene_spark.search.plan as P
+
+    s = _searcher(spark, sf_dir)
+    node = P.IndriAndNode(terms=("merge", "scan"))
+    m = _to_ext(s.matches(node), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_INDRI_AND_SQL = f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+tot AS (SELECT sum(dl) AS t FROM dl),
+tfm AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok2 WHERE term = 'merge' GROUP BY doc_id),
+tfs AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok2 WHERE term = 'scan' GROUP BY doc_id),
+cfm AS (SELECT count(*)::DOUBLE AS c FROM tok2 WHERE term = 'merge'),
+cfs AS (SELECT count(*)::DOUBLE AS c FROM tok2 WHERE term = 'scan'),
+cand AS (SELECT DISTINCT doc_id FROM tok2 WHERE term IN ('merge','scan')),
+sc AS (
+  SELECT cand.doc_id,
+         round(( ln((coalesce(tfm.tf, 0) + 2000*(cfm.c/tot.t)) / (dl.dl + 2000))
+               + ln((coalesce(tfs.tf, 0) + 2000*(cfs.c/tot.t)) / (dl.dl + 2000)) ) / 2,
+               3) AS score_r
+  FROM cand JOIN dl USING (doc_id)
+  LEFT JOIN tfm USING (doc_id) LEFT JOIN tfs USING (doc_id)
+  CROSS JOIN cfm CROSS JOIN cfs CROSS JOIN tot
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3693,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_exists": ft_field_exists,
         "ft_term_automaton": ft_term_automaton,
         "ft_ngram_phrase": ft_ngram_phrase,
+        "ft_indri_and": ft_indri_and,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3789,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_field_exists": FT_FIELD_EXISTS_SQL,
         "ft_term_automaton": FT_TERM_AUTOMATON_SQL,
         "ft_ngram_phrase": FT_NGRAM_PHRASE_SQL,
+        "ft_indri_and": FT_INDRI_AND_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

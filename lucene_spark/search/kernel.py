@@ -30,7 +30,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from lucene_spark.search import plan as P
-from lucene_spark.search.similarity import BM25Similarity
+from lucene_spark.search.similarity import (BM25Similarity,
+                                            IndriDirichletSimilarity)
 
 
 @dataclass
@@ -156,7 +157,46 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_blended(node, ctx, need_scores)
     if isinstance(node, P.TermAutomatonNode):
         return _eval_term_automaton(node, ctx, need_scores)
+    if isinstance(node, P.IndriAndNode):
+        return _eval_indri_and(node, ctx, need_scores)
     raise TypeError(f"unexecutable node (should have been planned away): {node!r}")
+
+
+def _eval_indri_and(node: P.IndriAndNode, ctx: EvalContext,
+                    need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    """IndriAndQuery (search/IndriAndScorer.java:35-61): disjunction
+    iteration; score = Σ boost·s_t / Σ boost with s_t the Indri
+    Dirichlet log-prob — the term's score when it occurs in the doc,
+    its freq-0 smoothing score otherwise. Leg (term, boost, p=collection
+    probability) triples come driver-side via ctx.blend_weights."""
+    legs = (ctx.blend_weights or {}).get(node, ())
+    present = []
+    for t, b, p in legs:
+        tp = ctx.postings.get((node.field, t))
+        if tp is not None:
+            present.append((tp, b, p))
+    if not present:
+        return _empty()
+    cat_docs = np.concatenate([tp.docs for tp, _, _ in present])
+    cat_dls = np.concatenate([tp.dls for tp, _, _ in present])
+    uniq, first = np.unique(cat_docs, return_index=True)
+    if not need_scores:
+        return uniq, np.zeros(uniq.size, dtype=np.float32)
+    dls = cat_dls[first]
+    sim = IndriDirichletSimilarity(node.mu)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    bsum = 0.0
+    one = np.float32(1.0)
+    for tp, b, p in present:
+        pos = np.searchsorted(tp.docs, uniq)
+        posc = np.minimum(pos, tp.docs.size - 1)
+        hit = tp.docs[posc] == uniq
+        tfs = np.zeros(uniq.size, dtype=np.float64)
+        tfs[hit] = tp.tfs[posc[hit]]
+        acc += b * sim.score(tfs, dls, (one, np.float64(p))).astype(np.float64)
+        bsum += b
+    scores = (acc / bsum * np.float64(node.boost)).astype(np.float32)
+    return uniq, scores
 
 
 def term_automaton_dfa(node: P.TermAutomatonNode):

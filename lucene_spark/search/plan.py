@@ -403,6 +403,25 @@ class DocValuesMultiRangeNode(Node):
 
 
 @dataclass(frozen=True)
+class IndriAndNode(FieldedNode):
+    """search/IndriAndQuery.java + IndriAndScorer.java:35-61 — the Indri
+    log-space AND: iterates the DISJUNCTION of its terms, and scores
+    every candidate as Σ boost_t · s_t / Σ boost_t where s_t is the
+    IndriDirichlet log-probability of term t in the doc — the term's
+    real score when present, its freq-0 smoothing score otherwise
+    (TermScorer.smoothingScore:79-81). Terms absent from the whole
+    index contribute neither score nor boost (IndriAndWeight builds
+    scorers only for terms with postings, IndriAndWeight.java:47-57).
+    `boosts` parallels `terms` (all-1 when empty); mu is the Dirichlet
+    parameter of IndriDirichletSimilarity (default 2000). Scores are
+    negative log-probabilities — top-k still orders correctly (closer
+    to 0 = better)."""
+    terms: tuple[str, ...] = ()
+    boosts: tuple[float, ...] = ()
+    mu: float = 2000.0
+
+
+@dataclass(frozen=True)
 class FieldExistsNode(FieldedNode):
     """DocValuesFieldExistsQuery / NormsFieldExistsQuery
     (search/DocValuesFieldExistsQuery.java:35, NormsFieldExistsQuery.java:33):

@@ -1378,6 +1378,8 @@ class IndexSearcher:
         elif isinstance(node, P.TermAutomatonNode):
             out.update((node.field, t) for _, _, t in node.transitions
                        if t is not None)
+        elif isinstance(node, P.IndriAndNode):
+            out.update((node.field, t) for t in node.terms)
         elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode,
                                P.IntervalNode)):
             out.update((node.field, t) for t in node.terms)
@@ -1512,6 +1514,19 @@ class IndexSearcher:
                     cfs = [stats[(n.field, t)][1] for t in flat if (n.field, t) in stats]
                     phrase[((n.field, n.positions), n.boost)] = fsim.weight(
                         min(dfs), N, n.boost, cf=min(cfs), sum_ttf=sum_ttf)
+            elif isinstance(n, P.IndriAndNode):
+                # IndriAndWeight.java:47-57 — legs only for terms with
+                # postings; p = cf/sumTotalTermFreq (IndriCollectionModel)
+                _, sum_ttf = self._field_N(n.field)
+                legs = []
+                for i, t in enumerate(n.terms):
+                    st = stats.get((n.field, t))
+                    if not st or not st[0]:
+                        continue
+                    b = float(n.boosts[i]) if i < len(n.boosts) else 1.0
+                    legs.append((t, b, st[1] / max(float(sum_ttf), 1.0)))
+                if legs:
+                    blend[n] = tuple(legs)
             elif isinstance(n, P.TermAutomatonNode):
                 # TermAutomatonWeight:378-399 — similarity scorer over
                 # the stats of every query term PRESENT in the index

@@ -168,6 +168,36 @@ class DFRInL2Similarity:
 
 
 @dataclass(frozen=True)
+class IndriDirichletSimilarity:
+    """search/similarities/IndriDirichletSimilarity.java (mu=2000):
+    score = boost · ln((tf + mu·p)/(dl + mu)) with
+    p = cf/sumTotalTermFreq (IndriCollectionModel:60-68 — no +1
+    smoothing). Unlike the clamped LMDirichlet this keeps the raw
+    (negative) log-probability: IndriAndQuery's combiner needs the
+    freq-0 smoothing score of absent terms (TermScorer.smoothingScore:
+    79-81 = score(doc, 0)), so non-negativity is deliberately not
+    enforced and the class is NOT in SIMILARITIES (the registry
+    contract requires score ≥ 0 for block-max pruning)."""
+
+    mu: float = 2000.0
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               cf: int = 0, sum_ttf: int = 0):
+        return (np.float32(boost), np.float64(cf) / max(float(sum_ttf), 1.0))
+
+    def score(self, tf, doclen, weight, avgdl=None) -> np.ndarray:
+        boost, p = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        s = np.log((tff + self.mu * p) / (dl + self.mu))
+        return (np.float64(boost) * s).astype(np.float32)
+
+    def max_score(self, max_tf, min_doclen, weight, avgdl=None):
+        # monotone ↑ in tf and ↓ in dl, so the corner bound is admissible
+        return self.score(max_tf, min_doclen, weight, avgdl)
+
+
+@dataclass(frozen=True)
 class LMJelinekMercerSimilarity:
     """Jelinek-Mercer smoothed language model —
     search/similarities/LMJelinekMercerSimilarity.java:62-67:
