@@ -1082,7 +1082,8 @@ class IndexSearcher:
 
     @staticmethod
     def _has_dv_node(node: P.Node) -> bool:
-        if isinstance(node, P.DocValuesRangeNode):
+        if isinstance(node, (P.DocValuesRangeNode, P.DocValuesTermsNode,
+                             P.DocValuesMultiRangeNode, P.FieldExistsNode)):
             return True
         if isinstance(node, P.BooleanNode):
             return any(IndexSearcher._has_dv_node(c.node) for c in node.clauses)
