@@ -3658,6 +3658,40 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44-62):
+    'merge' hits rescored by the compiled expression
+    score · ln(1 + n_chars) over the doc-values column."""
+    from lucene_spark.search.features import function_score
+
+    s = _searcher(spark, sf_dir)
+    m = function_score(s, "merge", "score * ln(1 + n_chars)",
+                       columns=("n_chars",))
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_FUNCTION_SCORE_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (st.n - qd.df + 0.5)/(qd.df + 0.5)) * tf.tf
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+             * ln(1 + d.n_chars), 2) AS score_r
+  FROM tf JOIN dl USING (doc_id)
+          JOIN documents d USING (doc_id)
+          CROSS JOIN st CROSS JOIN qd
+)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3731,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_automaton": ft_term_automaton,
         "ft_ngram_phrase": ft_ngram_phrase,
         "ft_indri_and": ft_indri_and,
+        "ft_function_score": ft_function_score,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3828,6 +3863,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_automaton": FT_TERM_AUTOMATON_SQL,
         "ft_ngram_phrase": FT_NGRAM_PHRASE_SQL,
         "ft_indri_and": FT_INDRI_AND_SQL,
+        "ft_function_score": FT_FUNCTION_SCORE_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

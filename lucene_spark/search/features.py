@@ -60,3 +60,33 @@ def rescore_with_feature(
                     (F.col("score") + F.coalesce(F.col("__fs"), F.lit(0.0))).cast("float"))
         .drop("__fs")
     )
+
+
+def function_score(searcher, query, source: str,
+                   columns: tuple[str, ...] = ()) -> DataFrame:
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44-62):
+    wrap a query and REPLACE its score with a DoubleValuesSource — here a
+    compiled scalar expression (relational/expressions.py, the
+    JavascriptCompiler role) over doc-values/docstats columns plus the
+    wrapped query's own score bound as `score` (the boostByQuery /
+    scoringFunction composition from FunctionScoreQuery's factory
+    methods). Docs where the source evaluates to null score 0 (the
+    javadoc contract). `columns` names the doc-values columns the
+    expression reads; each resolves through reader.doc_values(), so
+    committed numeric DV updates are honored. The hit set is unchanged
+    — only scores move; the expression stays a Catalyst Column
+    (whole-stage codegen, no Python in the loop)."""
+    from lucene_spark.relational.expressions import compile_expression
+
+    hits = searcher.matches(query)
+    cols: dict = {"score": F.col("score").cast("double")}
+    out = hits
+    for i, c in enumerate(columns):
+        dv = searcher.reader.doc_values(c).withColumnRenamed(
+            "value", f"__fv{i}")
+        out = out.join(dv, "doc_id", "left")
+        cols[c] = F.col(f"__fv{i}")
+    expr = compile_expression(source, cols)
+    return (out.withColumn("score",
+                           F.coalesce(expr, F.lit(0.0)).cast("float"))
+            .select("doc_id", "score"))

@@ -170,3 +170,22 @@ def test_dv_fold_ignores_leftover_tmp(spark, dv_index):
             for x in IndexReader(spark, dv_index).doc_values("crashy").collect()
             if x["value"] is not None}
     assert got2 == {ids[0]: 2.0}
+
+
+def test_function_score_replaces_score(searcher, reader):
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:
+    44-62): wrapped query's hit set unchanged, score replaced by the
+    compiled expression over `score` and a doc-values column."""
+    import math
+
+    from lucene_spark.search.features import function_score
+
+    base = {r["doc_id"]: r["score"] for r in searcher.matches("index").collect()}
+    got = {r["doc_id"]: r["score"] for r in
+           function_score(searcher, "index", "score * ln(1 + doclen)",
+                          columns=("doclen",)).collect()}
+    assert set(got) == set(base)
+    dl = {r["doc_id"]: r["doclen"] for r in
+          reader.docstats().select("doc_id", "doclen").collect()}
+    for d, s in base.items():
+        assert abs(got[d] - s * math.log(1 + dl[d])) < 1e-3, d
