@@ -3692,6 +3692,25 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_function_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:35-60):
+    docs with ln(1 + n_chars) ∈ [5.2, 5.8], scored by the value."""
+    from lucene_spark.search.features import function_range
+
+    s = _searcher(spark, sf_dir)
+    m = function_range(s, "ln(1 + n_chars)", lower=5.2, upper=5.8,
+                       columns=("n_chars",))
+    return _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 3).alias("score_r"))
+
+
+FT_FUNCTION_RANGE_SQL = """
+SELECT doc_id, round(ln(1 + n_chars), 3) AS score_r
+FROM documents
+WHERE ln(1 + n_chars) >= 5.2 AND ln(1 + n_chars) <= 5.8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3766,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ngram_phrase": ft_ngram_phrase,
         "ft_indri_and": ft_indri_and,
         "ft_function_score": ft_function_score,
+        "ft_function_range": ft_function_range,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3864,6 +3884,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ngram_phrase": FT_NGRAM_PHRASE_SQL,
         "ft_indri_and": FT_INDRI_AND_SQL,
         "ft_function_score": FT_FUNCTION_SCORE_SQL,
+        "ft_function_range": FT_FUNCTION_RANGE_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -90,3 +90,37 @@ def function_score(searcher, query, source: str,
     return (out.withColumn("score",
                            F.coalesce(expr, F.lit(0.0)).cast("float"))
             .select("doc_id", "score"))
+
+
+def function_range(searcher, source: str, lower: float | None = None,
+                   upper: float | None = None,
+                   columns: tuple[str, ...] = (),
+                   include_lower: bool = True,
+                   include_upper: bool = True) -> DataFrame:
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:35-60
+    + ValueSourceScorer): every live doc whose compiled-expression value
+    falls in the range matches, scored BY that value (ValueSourceScorer
+    scores are the function values). Columns resolve like
+    function_score; the whole thing is one docstats scan with a pushed
+    predicate when the expression is a raw column."""
+    from lucene_spark.relational.expressions import compile_expression
+
+    out = searcher.reader.docstats().select("doc_id")
+    cols: dict = {}
+    for i, c in enumerate(columns):
+        dv = searcher.reader.doc_values(c).withColumnRenamed(
+            "value", f"__fv{i}")
+        out = out.join(dv, "doc_id", "left")
+        cols[c] = F.col(f"__fv{i}")
+    expr = compile_expression(source, cols)
+    # filter in float64 (the expression's native precision) so range
+    # boundaries are exact; narrow to float32 only for the emitted score
+    out = out.withColumn("__v", expr.cast("double"))
+    if lower is not None:
+        out = out.filter(F.col("__v") >= lower if include_lower
+                         else F.col("__v") > lower)
+    if upper is not None:
+        out = out.filter(F.col("__v") <= upper if include_upper
+                         else F.col("__v") < upper)
+    out = out.select("doc_id", F.col("__v").cast("float").alias("score"))
+    return searcher._mask_deleted(out)

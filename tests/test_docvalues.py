@@ -189,3 +189,22 @@ def test_function_score_replaces_score(searcher, reader):
           reader.docstats().select("doc_id", "doclen").collect()}
     for d, s in base.items():
         assert abs(got[d] - s * math.log(1 + dl[d])) < 1e-3, d
+
+
+def test_function_range_matches_and_scores_by_value(searcher, reader):
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:35-60):
+    match set = range over the expression value; score = the value."""
+    import math
+
+    from lucene_spark.search.features import function_range
+
+    got = {r["doc_id"]: r["score"] for r in
+           function_range(searcher, "ln(1 + doclen)", lower=5.0, upper=5.8,
+                          columns=("doclen",)).collect()}
+    dl = {r["doc_id"]: r["doclen"] for r in
+          reader.docstats().select("doc_id", "doclen").collect()}
+    exp = {d: math.log(1 + v) for d, v in dl.items()
+           if 5.0 <= math.log(1 + v) <= 5.8}
+    assert set(got) == set(exp) and got
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-4
