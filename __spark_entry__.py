@@ -3192,6 +3192,32 @@ FROM tok WHERE term = 'merge' GROUP BY doc_id
 """
 
 
+def ft_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java:
+    44-191): adjacent span "table hash" kept only where the payload
+    sequence equals (2, 3) — i.e. occurrences starting at 0-based token
+    position ≡ 2 (mod 7) under the position-mod-7 payload synthesis."""
+    from lucene_spark.search import plan as P
+
+    s = IndexSearcher(_reader_pay(spark, sf_dir))
+    node = P.SpanPayloadCheckNode(terms=("table", "hash"),
+                                  payloads=(2.0, 3.0))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_PAYLOAD_CHECK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'table' AND b.term = 'hash'
+  AND (a.pos - 1) % 7 = 2 AND (b.pos - 1) % 7 = 3
+"""
+
+
 def ft_dfr_ine_b_h1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR Ine/B/H1 from the composable matrix (BasicModelIne.java:37
     ne = N·(1−((N−1)/N)^F), AfterEffectB.java:33 ae·(1+tfn)=(F+2)/(n+1),
@@ -3773,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ib_spl_topk": ft_ib_spl_topk,
         "dd_dup_clusters": dd_dup_clusters,
         "ft_payload_score": ft_payload_score,
+        "ft_payload_check": ft_payload_check,
         "ft_combined_field": ft_combined_field,
         "ft_covering": ft_covering,
         "ft_dv_terms": ft_dv_terms,
@@ -3872,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ib_spl_topk": FT_IB_SPL_SQL,
         "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
         "ft_payload_score": FT_PAYLOAD_SCORE_SQL,
+        "ft_payload_check": FT_PAYLOAD_CHECK_SQL,
         "ft_combined_field": FT_COMBINED_FIELD_SQL,
         "ft_covering": FT_COVERING_SQL,
         "ft_dv_terms": FT_DV_TERMS_SQL,

@@ -626,8 +626,15 @@ class IndexBuilder:
                 "carry_cols": list(cfg.carry_cols),
                 "index_positions": cfg.index_positions,
                 "fields": [
+                    # record the EFFECTIVE positions flag: a payload
+                    # analyzer forces the positions channel onto disk
+                    # (payloads ride .pos), so the reader must report it
                     {"name": s.name, "source_col": s.source_col,
-                     "analyzer": s.analyzer, "index_positions": s.index_positions}
+                     "analyzer": s.analyzer,
+                     "index_positions": bool(
+                         s.index_positions
+                         or get_analyzer(s.analyzer).payload_delimiter
+                         is not None)}
                     for s in cfg.field_specs()
                 ],
                 "default_field": cfg.default_field,

@@ -151,6 +151,8 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_interval_filter(node, ctx)
     if isinstance(node, P.PayloadScoreNode):
         return _eval_payload_score(node, ctx)
+    if isinstance(node, P.SpanPayloadCheckNode):
+        return _eval_span_payload_check(node, ctx, need_scores)
     if isinstance(node, P.MultiPhraseNode):
         return _eval_multiphrase(node, ctx, need_scores)
     if isinstance(node, P.BlendedTermNode):
@@ -793,6 +795,71 @@ def _eval_payload_score(node: P.PayloadScoreNode,
         raise ValueError(f"unknown payload function: {node.func}")
     scores = np.where(counts > 0, agg, 1.0) * np.float64(node.boost)
     return tp.docs, scores.astype(np.float32)
+
+
+def _eval_span_payload_check(node: P.SpanPayloadCheckNode, ctx: EvalContext,
+                             need_scores: bool) -> tuple[np.ndarray, np.ndarray]:
+    """SpanPayloadCheckQuery eval (payloads/SpanPayloadCheckQuery.java:
+    155-191): enumerate the wrapped exact-adjacent span's occurrences
+    (terms at positions p, p+1, …), and keep an occurrence iff the
+    payload at each matched position equals the expected sequence —
+    None expects a payload-less position (PayloadChecker: a null
+    payloadToMatch entry matches payload == null), a float expects
+    bytesEquals, here float32 equality after the FloatEncoder round
+    trip. freq = surviving occurrences; scored with the phrase
+    pseudo-term blended weight (the SpanWeight similarity role)."""
+    if len(node.payloads) != len(node.terms):
+        raise ValueError("payloads must supply one entry per span position")
+    parts = []
+    for t in node.terms:
+        tp = ctx.postings.get((node.field, t))
+        if tp is None or tp.pos is None:
+            return _empty()
+        if tp.pay is None:
+            raise ValueError(
+                f"SpanPayloadCheckQuery on field {node.field!r} requires an "
+                "index built with a payload_delimiter analyzer")
+        parts.append(tp)
+    base = parts[0].docs
+    for p in parts[1:]:
+        base = np.intersect1d(base, p.docs, assume_unique=True)
+        if base.size == 0:
+            return _empty()
+    idx = [np.searchsorted(p.docs, base) for p in parts]
+    expected = [None if v is None else np.float32(v) for v in node.payloads]
+    freqs = np.zeros(base.size, dtype=np.float64)
+    for ci in range(base.size):
+        # per-leg (positions, payloads) slices for this doc
+        pls, pays = [], []
+        for j, pj in enumerate(parts):
+            lo, hi = pj.tf_off[idx[j][ci]], pj.tf_off[idx[j][ci] + 1]
+            pls.append(pj.pos[lo:hi])
+            pays.append(pj.pay[lo:hi])
+        starts = pls[0]
+        for j in range(1, len(parts)):
+            starts = np.intersect1d(starts, pls[j] - j, assume_unique=True)
+            if starts.size == 0:
+                break
+        n_ok = 0
+        for s in starts:
+            ok = True
+            for j in range(len(parts)):
+                pv = pays[j][int(np.searchsorted(pls[j], s + j))]
+                if expected[j] is None:
+                    ok = bool(np.isnan(pv))
+                else:
+                    ok = (not np.isnan(pv)) and np.float32(pv) == expected[j]
+                if not ok:
+                    break
+            n_ok += ok
+        freqs[ci] = n_ok
+    hit = freqs > 0
+    docs = base[hit]
+    if not need_scores:
+        return docs, np.zeros(docs.size, dtype=np.float32)
+    dls = parts[0].dls[idx[0][hit]]
+    w = (ctx.phrase_weights or {})[((node.field, node.terms), node.boost)]
+    return docs, _sim_of(ctx, node.field).score(freqs[hit], dls, w, ctx.avgdl[node.field])
 
 
 def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int,

@@ -326,6 +326,25 @@ class PayloadScoreNode(FieldedNode):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckNode(FieldedNode):
+    """SpanPayloadCheckQuery — queries/payloads/SpanPayloadCheckQuery.java:
+    44-191: wrap a span (here the dominant usages — a single SpanTerm or
+    an exact-adjacent ordered SpanNear) and keep only the occurrences
+    whose position-ordered payload sequence EQUALS `payloads`
+    (PayloadChecker.collectLeaf: one expected payload per span position,
+    compared in order; a None entry matches a position that carries no
+    payload, and the count must come out exact —
+    `matches && upto == payloadToMatch.size()`). A doc matches when ≥1
+    occurrence survives the check; scored like the underlying span — the
+    phrase pseudo-term blended weight over freq = surviving-occurrence
+    count (SpanWeight sloppyFreq with slop 0 is 1 per occurrence).
+    Payloads are float32 (FloatEncoder channel); requires an index built
+    with a payload_delimiter analyzer."""
+    terms: tuple[str, ...] = ()
+    payloads: tuple[float | None, ...] = ()
+
+
+@dataclass(frozen=True)
 class IntervalFilterNode(Node):
     """Interval containment/overlap algebra — queries/intervals/
     Intervals.java:300-404 (ContainingIntervalsSource,

@@ -1382,7 +1382,7 @@ class IndexSearcher:
         elif isinstance(node, P.IndriAndNode):
             out.update((node.field, t) for t in node.terms)
         elif isinstance(node, (P.TermInSetNode, P.SynonymNode, P.PhraseNode,
-                               P.IntervalNode)):
+                               P.IntervalNode, P.SpanPayloadCheckNode)):
             out.update((node.field, t) for t in node.terms)
         elif isinstance(node, P.MultiPhraseNode):
             out.update((node.field, t) for alts in node.positions for t in alts)
@@ -1410,7 +1410,8 @@ class IndexSearcher:
     def _phrase_fields(node: P.Node, out: set[str]) -> None:
         """Fields that need positions decoded for this query."""
         if isinstance(node, (P.PhraseNode, P.IntervalNode, P.MultiPhraseNode,
-                             P.IntervalSlotsNode, P.TermAutomatonNode)):
+                             P.IntervalSlotsNode, P.TermAutomatonNode,
+                             P.SpanPayloadCheckNode)):
             out.add(node.field)
         elif isinstance(node, P.SpanNotNode):
             IndexSearcher._phrase_fields(node.include, out)
@@ -1477,10 +1478,11 @@ class IndexSearcher:
                     N, sum_ttf = self._field_N(n.field)
                     weights[((n.field, n.term), n.boost)] = self._sim_for(n.field).weight(
                         df, N, n.boost, cf=cf, sum_ttf=sum_ttf)
-            elif isinstance(n, P.PhraseNode):
+            elif isinstance(n, (P.PhraseNode, P.SpanPayloadCheckNode)):
                 # multi-term blended weight: idf values summed in double,
                 # weight = boost · Σidf cast to float32
-                # (BM25Similarity.java:191-199 idfExplain for term array)
+                # (BM25Similarity.java:191-199 idfExplain for term array;
+                # SpanPayloadCheckNode scores like its wrapped span)
                 if all(stats.get((n.field, t), (0, 0))[0] for t in n.terms):
                     N, sum_ttf = self._field_N(n.field)
                     fsim = self._sim_for(n.field)

@@ -83,6 +83,66 @@ def test_payload_boost_and_deletes(pay_searcher):
     assert got2 == {1, 3, 5}
 
 
+def _check_docs(s, terms, payloads):
+    node = P.SpanPayloadCheckNode(terms=terms, payloads=payloads)
+    return {r["ext_id"] for r in s.hydrate(s.matches(node)).collect()}
+
+
+def test_span_payload_check_single_term(pay_searcher):
+    """SpanPayloadCheckQuery over a SpanTermQuery
+    (payloads/SpanPayloadCheckQuery.java:155-185): occurrence survives
+    iff its payload equals the expected one; None expects no payload."""
+    assert _check_docs(pay_searcher, ("merge",), (5.0,)) == {2}
+    assert _check_docs(pay_searcher, ("merge",), (3.0,)) == {1}
+    assert _check_docs(pay_searcher, ("merge",), (None,)) == {3}
+    assert _check_docs(pay_searcher, ("scan",), (7.0,)) == {4}
+    assert _check_docs(pay_searcher, ("merge",), (99.0,)) == set()
+
+
+def test_span_payload_check_sequence(pay_searcher):
+    """Adjacent two-term span: the payload SEQUENCE must match in order
+    and exactly cover the span (matches && upto == size)."""
+    # doc1: merge|3 scan — merge payload 3, scan payload-less
+    assert _check_docs(pay_searcher, ("merge", "scan"), (3.0, None)) == {1}
+    # doc3: merge scan|4 — payload-less merge then scan payload 4
+    assert _check_docs(pay_searcher, ("merge", "scan"), (None, 4.0)) == {3}
+    # wrong payload on either position: no match
+    assert _check_docs(pay_searcher, ("merge", "scan"), (1.0, None)) == set()
+    assert _check_docs(pay_searcher, ("merge", "scan"), (3.0, 9.0)) == set()
+    # doc2: merge|5 merge|5
+    assert _check_docs(pay_searcher, ("merge", "merge"), (5.0, 5.0)) == {2}
+    # doc5: merge|0 merge|6
+    assert _check_docs(pay_searcher, ("merge", "merge"), (0.0, 6.0)) == {5}
+
+
+def test_span_payload_check_scores_like_phrase(pay_searcher):
+    """Scored like the wrapped span: identical to the exact PhraseNode
+    score on a doc where every occurrence passes the check."""
+    node = P.SpanPayloadCheckNode(terms=("merge", "merge"), payloads=(5.0, 5.0))
+    got = {r["ext_id"]: r["score"]
+           for r in pay_searcher.hydrate(pay_searcher.matches(node)).collect()}
+    ph = {r["ext_id"]: r["score"] for r in pay_searcher.hydrate(
+        pay_searcher.matches(P.PhraseNode(terms=("merge", "merge")))).collect()}
+    assert set(got) == {2} and got[2] == ph[2]
+
+
+def test_span_payload_check_requires_payload_channel(spark, tmp_path):
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    df = spark.createDataFrame([(1, "merge scan")], "ext_id long, body string")
+    idx = str(tmp_path) + "/idx"
+    cfg = IndexConfig(key_cols=("ext_id",), content_col="body",
+                      analyzer="whitespace", partitions=1, num_groups=1,
+                      num_buckets=2, termdict_partitions=1,
+                      index_positions=True)
+    IndexBuilder(spark, cfg).build(df, idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+    with pytest.raises(Exception, match="payload"):
+        s.matches(P.SpanPayloadCheckNode(terms=("merge",),
+                                         payloads=(1.0,))).collect()
+
+
 def test_payloads_survive_compaction_with_deletes(spark, tmp_path):
     """Delete-folding rewrites the positions channel; payloads must be
     masked identically (position-parallel) and survive the fold."""
