@@ -3737,6 +3737,29 @@ WHERE ln(1 + n_chars) >= 5.2 AND ln(1 + n_chars) <= 5.8
 """
 
 
+def ft_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongPoint.newDistanceFeatureQuery (core/document/
+    LongDistanceFeatureQuery.java:117): score = boost · pivot /
+    (pivot + |n_chars − origin|) — the recency/proximity decay boost —
+    over the n_chars doc-values column for every doc carrying it."""
+    from lucene_spark.search.features import distance_feature
+
+    s = _searcher(spark, sf_dir)
+    m = distance_feature(s, "n_chars", origin=500.0, pivot=333.0, boost=2.0)
+    return _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score_r"))
+
+
+FT_DISTANCE_FEATURE_SQL = """
+-- engine scores are float32; replay the same double→float32→double
+-- narrowing so both sides round the identical IEEE value
+SELECT doc_id,
+       round(CAST(CAST(2.0 * 333.0 / (333.0 + abs(n_chars - 500.0)) AS FLOAT)
+                  AS DOUBLE), 4) AS score_r
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3813,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_indri_and": ft_indri_and,
         "ft_function_score": ft_function_score,
         "ft_function_range": ft_function_range,
+        "ft_distance_feature": ft_distance_feature,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3913,6 +3937,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_indri_and": FT_INDRI_AND_SQL,
         "ft_function_score": FT_FUNCTION_SCORE_SQL,
         "ft_function_range": FT_FUNCTION_RANGE_SQL,
+        "ft_distance_feature": FT_DISTANCE_FEATURE_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -62,6 +62,55 @@ def rescore_with_feature(
     )
 
 
+def distance_feature(searcher, column: str, origin: float, pivot: float,
+                     boost: float = 1.0) -> DataFrame:
+    """LongDistanceFeatureQuery (core/document/LongDistanceFeatureQuery.java:
+    46-53, 117: score = boost · pivot / (pivot + |value − origin|)) — the
+    recency/proximity boost of LongPoint.newDistanceFeatureQuery. Matches
+    exactly the docs that HAVE a value for the column (the query iterates
+    the field's doc values); the score decays hyperbolically with distance
+    from the origin, = boost/2 at the pivot distance. The column resolves
+    through reader.doc_values() (committed DV updates honored); the whole
+    query is one docstats/DV scan with the arithmetic in whole-stage
+    codegen — no Python, no shuffle."""
+    if pivot <= 0:
+        raise ValueError(f"pivotDistance must be > 0, got {pivot}")
+    dv = searcher.reader.doc_values(column)
+    dist = F.abs(F.col("value").cast("double") - F.lit(float(origin)))
+    out = dv.filter(F.col("value").isNotNull()).select(
+        "doc_id",
+        (F.lit(float(boost)) * F.lit(float(pivot))
+         / (F.lit(float(pivot)) + dist)).cast("float").alias("score"))
+    return searcher._mask_deleted(out)
+
+
+def distance_feature_geo(searcher, lat_col: str, lon_col: str,
+                         origin_lat: float, origin_lon: float,
+                         pivot_m: float, boost: float = 1.0) -> DataFrame:
+    """LatLonPointDistanceFeatureQuery (core/document/
+    LatLonPointDistanceFeatureQuery.java:130-131, 293-295): score =
+    boost · pivot / (pivot + haversineMeters(origin, point)). Same
+    matching contract as the numeric variant (docs with a point), same
+    single-scan JVM-side plan; haversine per relational/geo.py
+    (SloppyMath.haversinMeters role)."""
+    from lucene_spark.relational.geo import haversine_meters
+
+    if pivot_m <= 0:
+        raise ValueError(f"pivotDistance must be > 0, got {pivot_m}")
+    lat = searcher.reader.doc_values(lat_col).withColumnRenamed("value", "__lat")
+    lon = searcher.reader.doc_values(lon_col).withColumnRenamed("value", "__lon")
+    pts = lat.join(lon, "doc_id").filter(
+        F.col("__lat").isNotNull() & F.col("__lon").isNotNull())
+    dist = haversine_meters(F.col("__lat").cast("double"),
+                            F.col("__lon").cast("double"),
+                            F.lit(float(origin_lat)), F.lit(float(origin_lon)))
+    out = pts.select(
+        "doc_id",
+        (F.lit(float(boost)) * F.lit(float(pivot_m))
+         / (F.lit(float(pivot_m)) + dist)).cast("float").alias("score"))
+    return searcher._mask_deleted(out)
+
+
 def function_score(searcher, query, source: str,
                    columns: tuple[str, ...] = ()) -> DataFrame:
     """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44-62):

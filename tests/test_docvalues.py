@@ -191,6 +191,67 @@ def test_function_score_replaces_score(searcher, reader):
         assert abs(got[d] - s * math.log(1 + dl[d])) < 1e-3, d
 
 
+def test_distance_feature_scores(searcher, reader):
+    """LongDistanceFeatureQuery (LongDistanceFeatureQuery.java:117):
+    score = boost · pivot / (pivot + |value − origin|); matches every
+    doc carrying the column."""
+    from lucene_spark.search.features import distance_feature
+
+    got = {r["doc_id"]: r["score"] for r in
+           distance_feature(searcher, "doclen", origin=200.0, pivot=50.0,
+                            boost=2.0).collect()}
+    dl = {r["doc_id"]: r["doclen"] for r in
+          reader.docstats().select("doc_id", "doclen").collect()}
+    assert set(got) == set(dl)
+    for d, v in dl.items():
+        assert abs(got[d] - 2.0 * 50.0 / (50.0 + abs(v - 200.0))) < 1e-5, d
+
+
+def test_distance_feature_pivot_contract(searcher):
+    from lucene_spark.search.features import distance_feature
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pivotDistance"):
+        distance_feature(searcher, "doclen", origin=0.0, pivot=0.0)
+
+
+def test_distance_feature_geo(spark, tmp_path):
+    """LatLonPointDistanceFeatureQuery (LatLonPointDistanceFeatureQuery
+    .java:130-131): haversine-distance decay from the origin point."""
+    import math
+
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.features import distance_feature_geo
+
+    rows = [(i, f"doc body {i}", -60.0 + 7.0 * i, -150.0 + 31.0 * i)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "ext_id long, body string, lat double, lon double")
+    idx = str(tmp_path) + "/idx"
+    cfg = IndexConfig(key_cols=("ext_id",), content_col="body",
+                      partitions=1, num_groups=1, num_buckets=2,
+                      termdict_partitions=1, carry_cols=("lat", "lon"))
+    IndexBuilder(spark, cfg).build(df, idx, overwrite=True)
+    s = IndexSearcher(IndexReader(spark, idx))
+    got = {r["doc_id"]: r["score"] for r in
+           distance_feature_geo(s, "lat", "lon", origin_lat=10.0,
+                                origin_lon=20.0, pivot_m=1e6).collect()}
+    assert len(got) == 10
+
+    def hav(lat1, lon1, lat2, lon2):
+        r = 6371008.7714
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = p2 - p1, math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+
+    ds = {r["doc_id"]: (r["lat"], r["lon"]) for r in
+          s.reader.docstats().select("doc_id", "lat", "lon").collect()}
+    for d, (la, lo) in ds.items():
+        want = 1e6 / (1e6 + hav(la, lo, 10.0, 20.0))
+        assert abs(got[d] - want) / want < 1e-4, d
+
+
 def test_function_range_matches_and_scores_by_value(searcher, reader):
     """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:35-60):
     match set = range over the expression value; score = the value."""
