@@ -3760,6 +3760,80 @@ FROM documents
 """
 
 
+def ft_interval_atleast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.atLeast (Intervals.java:406-419,
+    MinimumShouldMatchIntervalsSource): docs with a minimal interval
+    spanning ≥2 of {'table','hash','merge'} — matching-wise, docs
+    containing at least 2 of the 3 terms (an unbounded covering window
+    always exists when they co-occur)."""
+    from lucene_spark.search import intervals as IV
+
+    s = _searcher(spark, sf_dir)
+    node = IV.at_least(2, IV.term("table"), IV.term("hash"), IV.term("merge"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_ATLEAST_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT doc_id FROM tok
+WHERE term IN ('table', 'hash', 'merge')
+GROUP BY doc_id
+HAVING count(DISTINCT term) >= 2
+"""
+
+
+def ft_interval_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.before (Intervals.java:421-424): 'table' positions that
+    appear before some 'hash' position (the clamped offset window; with
+    distinct token positions this is exactly ∃ p_table < p_hash)."""
+    from lucene_spark.search import intervals as IV
+
+    s = _searcher(spark, sf_dir)
+    m = s.matches(IV.before(IV.term("table"), IV.term("hash")),
+                  with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_BEFORE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'table' AND b.term = 'hash' AND a.pos < b.pos
+"""
+
+
+def ft_interval_maxwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.maxwidth (Intervals.java:222-225) over
+    unordered('table','hash'): docs with an unordered window of width
+    ≤ 3, i.e. ∃ positions with |p_table − p_hash| ≤ 2 (a sub-width-3
+    window exists iff a MINIMAL one does, so doc-level matching is
+    position-distance existence)."""
+    from lucene_spark.search import intervals as IV
+
+    s = _searcher(spark, sf_dir)
+    node = IV.maxwidth(3, IV.unordered("table", "hash"))
+    m = s.matches(node, with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_INTERVAL_MAXWIDTH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'table' AND b.term = 'hash' AND abs(a.pos - b.pos) <= 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3837,6 +3911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_function_score": ft_function_score,
         "ft_function_range": ft_function_range,
         "ft_distance_feature": ft_distance_feature,
+        "ft_interval_atleast": ft_interval_atleast,
+        "ft_interval_before": ft_interval_before,
+        "ft_interval_maxwidth": ft_interval_maxwidth,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -3938,6 +4015,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_function_score": FT_FUNCTION_SCORE_SQL,
         "ft_function_range": FT_FUNCTION_RANGE_SQL,
         "ft_distance_feature": FT_DISTANCE_FEATURE_SQL,
+        "ft_interval_atleast": FT_INTERVAL_ATLEAST_SQL,
+        "ft_interval_before": FT_INTERVAL_BEFORE_SQL,
+        "ft_interval_maxwidth": FT_INTERVAL_MAXWIDTH_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -55,6 +55,60 @@ def _doc_postings(searcher, terms: list[tuple[str, str]], doc_id: int) -> dict[t
     return out
 
 
+def _iv_doc_spans(n: P.Node, doc: dict) -> list[tuple[int, int]]:
+    """One doc's interval stream for any interval-algebra subtree, over
+    the explain doc model ((field, term) → (tf, dl, positions)) — must
+    re-derive exactly what kernel._doc_interval_spans computed."""
+    from lucene_spark.search.kernel import (_at_least_spans, _filter_negative,
+                                            filter_spans, interval_spans,
+                                            minimal_spans, slot_terms)
+
+    if isinstance(n, P.IntervalSlotsNode):
+        pls = []
+        for s in n.slots:
+            arrs = [doc[(n.field, t)][2] for t in slot_terms(s)
+                    if (n.field, t) in doc and doc[(n.field, t)][2] is not None]
+            if not arrs:
+                return []
+            pl = np.sort(np.concatenate(arrs))
+            # same [min_start, max_end) clamp as _doc_slot_pls
+            if n.min_start > 0 or n.max_end is not None:
+                hi = (n.max_end if n.max_end is not None
+                      else np.iinfo(np.int64).max)
+                pl = pl[(pl >= n.min_start) & (pl < hi)]
+                if pl.size == 0:
+                    return []
+            pls.append(pl)
+        return interval_spans(pls, n.max_gaps, n.ordered)
+    if isinstance(n, P.IntervalFilterNode):
+        src = _iv_doc_spans(n.source, doc)
+        if not src:
+            return []
+        ref = _iv_doc_spans(n.reference, doc) if n.reference is not None else []
+        if not ref:
+            return src if _filter_negative(n.op) else []
+        return filter_spans(src, ref, n.op, n.ref_extend)
+    if isinstance(n, P.IntervalOrNode):
+        spans: list[tuple[int, int]] = []
+        for s in n.sources:
+            spans.extend(_iv_doc_spans(s, doc))
+        return minimal_spans(spans)
+    if isinstance(n, P.IntervalExtendNode):
+        return sorted({(max(0, s - n.before), e + n.after)
+                       for s, e in _iv_doc_spans(n.source, doc)})
+    if isinstance(n, P.IntervalMaxWidthNode):
+        return [(s, e) for s, e in _iv_doc_spans(n.source, doc)
+                if e - s + 1 <= n.width]
+    if isinstance(n, P.IntervalAtLeastNode):
+        return _at_least_spans([_iv_doc_spans(s, doc) for s in n.sources],
+                               n.min_match)
+    if isinstance(n, P.IntervalSeqNode):
+        from lucene_spark.search.kernel import _seq_spans
+        return _seq_spans([_iv_doc_spans(s, doc) for s in n.sources],
+                          n.max_gaps, n.ordered)
+    return []
+
+
 def explain(searcher, query, doc_id: int) -> dict:
     """Explanation tree {value, description, details[]} for one doc.
     value == the score search() assigns this doc (float32-exact), or a
@@ -215,43 +269,22 @@ def explain(searcher, query, doc_id: int) -> dict:
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": f"SpanNot(pre={n.pre}, post={n.post}), constant score"}
         if isinstance(n, P.IntervalFilterNode):
-            from lucene_spark.search.kernel import (filter_spans, interval_spans,
-                                                    slot_terms)
-
-            def _spans_of(child):
-                if not isinstance(child, P.IntervalSlotsNode):
-                    return []
-                pls = []
-                for s in child.slots:
-                    arrs = [doc[(child.field, t)][2] for t in slot_terms(s)
-                            if (child.field, t) in doc
-                            and doc[(child.field, t)][2] is not None]
-                    if not arrs:
-                        return []
-                    pl = np.sort(np.concatenate(arrs))
-                    # same [min_start, max_end) clamp as _doc_slot_pls —
-                    # explain must re-derive exactly what the kernel did
-                    if child.min_start > 0 or child.max_end is not None:
-                        hi = (child.max_end if child.max_end is not None
-                              else np.iinfo(np.int64).max)
-                        pl = pl[(pl >= child.min_start) & (pl < hi)]
-                        if pl.size == 0:
-                            return []
-                    pls.append(pl)
-                return interval_spans(pls, child.max_gaps, child.ordered)
-
-            src_spans = _spans_of(n.source)
-            ref_spans = _spans_of(n.reference)
-            negative = n.op.startswith("not_") or n.op == "non_overlapping"
-            if not ref_spans:
-                hit = bool(src_spans) and negative
-            else:
-                hit = bool(src_spans) and bool(
-                    filter_spans(src_spans, ref_spans, n.op, n.ref_extend))
+            hit = bool(_iv_doc_spans(n, doc))
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": (f"IntervalFilter({n.op}"
                                     + (f", ref_extend={n.ref_extend}" if n.ref_extend else "")
                                     + "), constant score")}
+        if isinstance(n, (P.IntervalOrNode, P.IntervalExtendNode,
+                          P.IntervalMaxWidthNode, P.IntervalAtLeastNode,
+                          P.IntervalSeqNode)):
+            hit = bool(_iv_doc_spans(n, doc))
+            kind = ({P.IntervalOrNode: "or", P.IntervalExtendNode: "extend",
+                     P.IntervalMaxWidthNode: "maxwidth",
+                     P.IntervalAtLeastNode: "atLeast"}.get(
+                        type(n))
+                    or ("ordered" if n.ordered else "unordered"))
+            return {"value": float(n.boost) if hit else 0.0, "match": hit,
+                    "description": f"Intervals.{kind}, constant score"}
         if isinstance(n, P.MultiPhraseNode):
             ok = all(any((n.field, t) in doc and doc[(n.field, t)][2] is not None
                          for t in alts) for alts in n.positions)

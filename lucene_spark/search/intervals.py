@@ -17,7 +17,9 @@ from __future__ import annotations
 from lucene_spark.search import plan as P
 
 __all__ = [
-    "term", "ordered", "unordered", "containing", "not_containing",
+    "term", "ordered", "unordered", "phrase", "or_", "prefix", "wildcard",
+    "maxwidth", "extend", "at_least", "before", "after",
+    "containing", "not_containing",
     "contained_by", "not_contained_by", "overlapping", "non_overlapping",
     "within", "not_within",
 ]
@@ -38,24 +40,118 @@ def term(t: str, field: str = "") -> P.IntervalSlotsNode:
     return P.IntervalSlotsNode(slots=(P.TermNode(term=t),), field=field)
 
 
-def ordered(*slots, max_gaps: int = 2 ** 31 - 1,
-            field: str = "") -> P.IntervalSlotsNode:
-    """Intervals.ordered (+ maxgaps filter when bounded) — slots in
-    strictly increasing position order. Lucene's bare ordered() has no
-    width bound, hence the unbounded default."""
-    return P.IntervalSlotsNode(slots=tuple(_slot(s) for s in slots),
-                               max_gaps=max_gaps, ordered=True, field=field)
+def _slotlike(x) -> bool:
+    """Arguments lowerable to the single-postings-scan slot fast path —
+    term-set leaves; composed sources take the IntervalSeqNode span path."""
+    return isinstance(x, (str, tuple, P.TermNode, P.TermInSetNode,
+                          P.PrefixNode, P.RegexpNode, P.FuzzyNode))
 
 
-def unordered(*slots, max_gaps: int = 2 ** 31 - 1,
-              field: str = "") -> P.IntervalSlotsNode:
-    """Intervals.unordered (+ maxgaps) — any arrangement, overlaps allowed."""
-    return P.IntervalSlotsNode(slots=tuple(_slot(s) for s in slots),
-                               max_gaps=max_gaps, ordered=False, field=field)
+def ordered(*slots, max_gaps: int = 2 ** 31 - 1, field: str = "") -> P.Node:
+    """Intervals.ordered (+ maxgaps filter when bounded) — sub-sources in
+    strictly increasing position order (each starting after the previous
+    ends, OrderedIntervalsSource.java:152). Lucene's bare ordered() has
+    no width bound, hence the unbounded default. Term-set arguments take
+    the slot fast path; composed sources (or/phrase/extend/...) build
+    the general sequence node."""
+    if all(_slotlike(s) for s in slots):
+        return P.IntervalSlotsNode(slots=tuple(_slot(s) for s in slots),
+                                   max_gaps=max_gaps, ordered=True, field=field)
+    return P.IntervalSeqNode(sources=tuple(_src(s) for s in slots),
+                             ordered=True, max_gaps=max_gaps)
+
+
+def unordered(*slots, max_gaps: int = 2 ** 31 - 1, field: str = "") -> P.Node:
+    """Intervals.unordered (+ maxgaps) — any arrangement, overlaps
+    allowed; same fast-path/sequence dispatch as ordered()."""
+    if all(_slotlike(s) for s in slots):
+        return P.IntervalSlotsNode(slots=tuple(_slot(s) for s in slots),
+                                   max_gaps=max_gaps, ordered=False, field=field)
+    return P.IntervalSeqNode(sources=tuple(_src(s) for s in slots),
+                             ordered=False, max_gaps=max_gaps)
 
 
 def _src(x) -> P.Node:
-    return term(x) if isinstance(x, str) else x
+    if isinstance(x, str):
+        return term(x)
+    if isinstance(x, tuple):
+        return P.IntervalSlotsNode(slots=(P.TermInSetNode(terms=tuple(x)),))
+    return x
+
+
+def phrase(*slots, field: str = "") -> P.IntervalSlotsNode:
+    """Intervals.phrase (Intervals.java:78-101) — a block interval: the
+    slots at strictly consecutive positions (ordered with zero total
+    gaps; BlockIntervalsSource role)."""
+    return ordered(*slots, max_gaps=0, field=field)
+
+
+def or_(*sources) -> P.IntervalOrNode:
+    """Intervals.or (Intervals.java:104-131) — the disjunction of the
+    sub-sources' interval streams (DisjunctionIntervalsSource)."""
+    return P.IntervalOrNode(sources=tuple(_src(s) for s in sources))
+
+
+def prefix(pfx: str, field: str = "") -> P.IntervalSlotsNode:
+    """Intervals.prefix (Intervals.java:140-163) — intervals over every
+    dictionary term starting with `pfx` (expanded at plan time, like
+    the query surface's PrefixNode)."""
+    return P.IntervalSlotsNode(slots=(P.PrefixNode(prefix=pfx, field=field),),
+                               field=field)
+
+
+def wildcard(pattern: str, field: str = "") -> P.IntervalSlotsNode:
+    """Intervals.wildcard (Intervals.java:166-193) — intervals over the
+    dictionary terms matching a `*`/`?` wildcard (anchored-regex
+    expansion, WildcardQuery.java translation)."""
+    import re as _re
+
+    pat = "".join(".*" if ch == "*" else "." if ch == "?"
+                  else _re.escape(ch.lower()) for ch in pattern)
+    return P.IntervalSlotsNode(slots=(P.RegexpNode(pattern=pat, field=field),),
+                               field=field)
+
+
+def maxwidth(width: int, source) -> P.IntervalMaxWidthNode:
+    """Intervals.maxwidth (Intervals.java:222-225) — keep source
+    intervals with end − start + 1 ≤ width."""
+    return P.IntervalMaxWidthNode(source=_src(source), width=int(width))
+
+
+def extend(source, before_: int, after_: int) -> P.IntervalExtendNode:
+    """Intervals.extend (Intervals.java:254-257) — widen every source
+    interval to [max(0, start − before_), end + after_]; useful for
+    defined gaps in a block: phrase(a, extend(b, 0, 2), c)."""
+    return P.IntervalExtendNode(source=_src(source), before=int(before_),
+                                after=int(after_))
+
+
+def at_least(min_match: int, *sources) -> P.Node:
+    """Intervals.atLeast (Intervals.java:406-419) — minimal intervals
+    spanning combinations of intervals from ≥ min_match of the sources
+    (MinimumShouldMatchIntervalsSource; > len(sources) is the
+    NoMatchIntervalsSource arm)."""
+    if min_match < 1:
+        raise ValueError(f"minShouldMatch must be ≥1, got {min_match}")
+    if min_match > len(sources):
+        return P.MatchNoneNode()
+    return P.IntervalAtLeastNode(sources=tuple(_src(s) for s in sources),
+                                 min_match=int(min_match))
+
+
+def before(source, reference) -> P.IntervalFilterNode:
+    """Intervals.before (Intervals.java:421-424) — source intervals that
+    appear before some reference interval (end ≤ max(0, ref.start − 1),
+    the clamped OffsetIntervalsSource window)."""
+    return P.IntervalFilterNode(source=_src(source), reference=_src(reference),
+                                op="before")
+
+
+def after(source, reference) -> P.IntervalFilterNode:
+    """Intervals.after (Intervals.java:427-430) — source intervals that
+    appear after some reference interval (start ≥ ref.end + 1)."""
+    return P.IntervalFilterNode(source=_src(source), reference=_src(reference),
+                                op="after")
 
 
 def containing(big, small) -> P.IntervalFilterNode:

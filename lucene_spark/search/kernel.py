@@ -147,8 +147,10 @@ def eval_node(node: P.Node, ctx: EvalContext, need_scores: bool = True) -> tuple
         return _eval_interval_slots(node, ctx)
     if isinstance(node, P.SpanNotNode):
         return _eval_span_not(node, ctx)
-    if isinstance(node, P.IntervalFilterNode):
-        return _eval_interval_filter(node, ctx)
+    if isinstance(node, (P.IntervalFilterNode, P.IntervalOrNode,
+                         P.IntervalExtendNode, P.IntervalMaxWidthNode,
+                         P.IntervalAtLeastNode, P.IntervalSeqNode)):
+        return _eval_interval_tree(node, ctx)
     if isinstance(node, P.PayloadScoreNode):
         return _eval_payload_score(node, ctx)
     if isinstance(node, P.SpanPayloadCheckNode):
@@ -712,51 +714,200 @@ def filter_spans(src: list[tuple[int, int]], ref: list[tuple[int, int]],
         return [s for s in src if any(overlaps(s, r) for r in ref)]
     if op == "non_overlapping":
         return [s for s in src if not any(overlaps(s, r) for r in ref)]
+    if op == "before":
+        # Intervals.before (Intervals.java:421-424) = containedBy(src,
+        # extend(offset(ref, before=true), MAX, 0)) — the offset point is
+        # max(0, r.start − 1) (OffsetIntervalsSource.java:55-64, clamped
+        # at 0), so src must end at or before it
+        return [s for s in src if any(s[1] <= max(0, r[0] - 1) for r in ref)]
+    if op == "after":
+        # Intervals.after (Intervals.java:427-430): src starts at or
+        # after some reference span's end + 1
+        return [s for s in src if any(s[0] >= r[1] + 1 for r in ref)]
     raise ValueError(f"unknown interval filter op: {op}")
 
 
-def _eval_interval_filter(node: P.IntervalFilterNode,
-                          ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
-    """Interval containment/overlap eval (plan.IntervalFilterNode): a doc
-    matches when filtering its source minimal-span list by its reference
-    span list leaves ≥1 span. Negative ops ('not_*', 'non_overlapping')
-    keep source spans when the reference is ABSENT in a doc, so
-    candidates come from the source side alone; positive ops require
-    both sides present (the reference's positive filter sources advance
-    both sub-iterators conjunctively)."""
-    src, ref = node.source, node.reference
-    if not isinstance(src, P.IntervalSlotsNode):      # MatchNone post-expand
-        return _empty()
-    src_parts = _gather_slot_parts(src, ctx)
-    if src_parts is None:
-        return _empty()
-    negative = node.op.startswith("not_") or node.op == "non_overlapping"
-    ref_parts = (_gather_slot_parts(ref, ctx)
-                 if isinstance(ref, P.IntervalSlotsNode) else None)
-    if ref_parts is None and not negative:
-        return _empty()
-    base = _slot_candidates(src_parts)
+def _filter_negative(op: str) -> bool:
+    """Negative filter ops keep source spans when the reference is
+    ABSENT; positive ops require both sides present (the positive
+    filter sources advance both sub-iterators conjunctively)."""
+    return op.startswith("not_") or op == "non_overlapping"
+
+
+def _interval_candidates(node: P.Node, ctx: EvalContext) -> np.ndarray:
+    """Candidate docs whose interval stream COULD be non-empty — a
+    superset computed from postings doc lists alone, refined per-doc by
+    _doc_interval_spans. Positive filters intersect both sides; negative
+    filters need only the source; atLeast counts membership across the
+    sub-sources' candidate sets (min_match-of-n pruning)."""
+    if isinstance(node, P.IntervalSlotsNode):
+        parts = _gather_slot_parts(node, ctx)
+        return (np.empty(0, dtype=np.int64) if parts is None
+                else _slot_candidates(parts))
+    if isinstance(node, P.IntervalFilterNode):
+        src = _interval_candidates(node.source, ctx)
+        if _filter_negative(node.op) or src.size == 0:
+            return src
+        if node.reference is None:     # positive filter, no reference ⇒ none
+            return np.empty(0, dtype=np.int64)
+        ref = _interval_candidates(node.reference, ctx)
+        return np.intersect1d(src, ref, assume_unique=True)
+    if isinstance(node, P.IntervalOrNode):
+        return _union_docs([_interval_candidates(s, ctx) for s in node.sources])
+    if isinstance(node, P.IntervalSeqNode):
+        cands = [_interval_candidates(s, ctx) for s in node.sources]
+        if not cands:
+            return np.empty(0, dtype=np.int64)
+        base = cands[0]
+        for c in cands[1:]:
+            if base.size == 0:
+                break
+            base = np.intersect1d(base, c, assume_unique=True)
+        return base
+    if isinstance(node, (P.IntervalExtendNode, P.IntervalMaxWidthNode)):
+        return _interval_candidates(node.source, ctx)
+    if isinstance(node, P.IntervalAtLeastNode):
+        cands = [_interval_candidates(s, ctx) for s in node.sources]
+        allc = np.concatenate(cands) if cands else np.empty(0, dtype=np.int64)
+        if allc.size == 0:
+            return allc
+        u, c = np.unique(allc, return_counts=True)
+        return u[c >= node.min_match]
+    if isinstance(node, P.MatchNoneNode):
+        return np.empty(0, dtype=np.int64)
+    raise TypeError(f"not an interval source: {node!r}")
+
+
+def _doc_interval_spans(node: P.Node, doc: int, ctx: EvalContext,
+                        memo: dict) -> list[tuple[int, int]]:
+    """One doc's interval stream for any interval-algebra subtree —
+    minimal spans except under extend (whose widened bounds are
+    semantics-bearing downstream, see plan.IntervalExtendNode). `memo`
+    caches _gather_slot_parts per node across the docs of one eval."""
+    if isinstance(node, P.MatchNoneNode):
+        return []
+    if isinstance(node, P.IntervalSlotsNode):
+        if node not in memo:
+            memo[node] = _gather_slot_parts(node, ctx)
+        parts = memo[node]
+        if parts is None:
+            return []
+        pls = _doc_slot_pls(parts, doc, node)
+        if pls is None:
+            return []
+        return interval_spans(pls, node.max_gaps, node.ordered)
+    if isinstance(node, P.IntervalFilterNode):
+        src = _doc_interval_spans(node.source, doc, ctx, memo)
+        if not src:
+            return []
+        ref = (_doc_interval_spans(node.reference, doc, ctx, memo)
+               if node.reference is not None else [])
+        if not ref:
+            return src if _filter_negative(node.op) else []
+        return filter_spans(src, ref, node.op, node.ref_extend)
+    if isinstance(node, P.IntervalOrNode):
+        spans: list[tuple[int, int]] = []
+        for s in node.sources:
+            spans.extend(_doc_interval_spans(s, doc, ctx, memo))
+        return minimal_spans(spans)
+    if isinstance(node, P.IntervalSeqNode):
+        return _seq_spans(
+            [_doc_interval_spans(s, doc, ctx, memo) for s in node.sources],
+            node.max_gaps, node.ordered)
+    if isinstance(node, P.IntervalExtendNode):
+        child = _doc_interval_spans(node.source, doc, ctx, memo)
+        return sorted({(max(0, s - node.before), e + node.after)
+                       for s, e in child})
+    if isinstance(node, P.IntervalMaxWidthNode):
+        return [(s, e) for s, e in
+                _doc_interval_spans(node.source, doc, ctx, memo)
+                if e - s + 1 <= node.width]
+    if isinstance(node, P.IntervalAtLeastNode):
+        return _at_least_spans(
+            [_doc_interval_spans(s, doc, ctx, memo) for s in node.sources],
+            node.min_match)
+    raise TypeError(f"not an interval source: {node!r}")
+
+
+def _seq_spans(per_child: list[list[tuple[int, int]]], max_gaps: int,
+               ordered: bool) -> list[tuple[int, int]]:
+    """Ordered/unordered sequence over arbitrary child span streams
+    (plan.IntervalSeqNode). Children are minimal-span antichains, so
+    within each list starts and ends are co-sorted; ordered chaining
+    takes the earliest span starting strictly after the previous end
+    (OrderedIntervalsSource.java:152), unordered takes the minimal
+    covering windows (atLeast with m = n). gaps = window width − Σ
+    child-span widths, filtered against max_gaps."""
+    if any(not sp for sp in per_child):
+        return []
+    if len(per_child) == 1:
+        return per_child[0]     # OrderedIntervalsSource.build single-source arm
+    if ordered:
+        out: list[tuple[int, int]] = []
+        starts = [[cs for cs, _ in ch] for ch in per_child]
+        for s0, e0 in per_child[0]:
+            e = e0
+            widths = e0 - s0 + 1
+            ok = True
+            for ch, chs in zip(per_child[1:], starts[1:]):
+                i = int(np.searchsorted(np.asarray(chs), e, side="right"))
+                if i == len(ch):
+                    ok = False
+                    break
+                cs, ce = ch[i]
+                widths += ce - cs + 1
+                e = ce
+            if ok and (e - s0 + 1) - widths <= max_gaps:
+                out.append((s0, e))
+        return minimal_spans(out)
+    wins = _at_least_spans(per_child, len(per_child))
+    if max_gaps >= 2 ** 31 - 1:
+        return wins
+    out = []
+    for S, E in wins:
+        tot = sum(max(ce - cs + 1 for cs, ce in ch if cs >= S and ce <= E)
+                  for ch in per_child)
+        if (E - S + 1) - tot <= max_gaps:
+            out.append((S, E))
+    return out
+
+
+def _at_least_spans(per_source: list[list[tuple[int, int]]],
+                    m: int) -> list[tuple[int, int]]:
+    """Minimal intervals covering ≥1 span from each of ≥m distinct
+    sources (MinimumShouldMatchIntervalsSource.java role). End-ordered
+    sweep: at each candidate right edge E (some span's end), the
+    tightest left edge is the m-th largest of the per-source best (max)
+    starts among spans with end ≤ E — any minimal covering [S*, E*] has
+    E* at a span end and S* equal to exactly that statistic, so emitting
+    one window per edge and reducing to the antichain is complete."""
+    present = [sp for sp in per_source if sp]
+    if m <= 0 or len(present) < m:
+        return []
+    events = sorted((e, s, si) for si, sp in enumerate(present)
+                    for (s, e) in sp)
+    best_start: dict[int, int] = {}
+    out: list[tuple[int, int]] = []
+    for e, s, si in events:
+        if s > best_start.get(si, -1):
+            best_start[si] = s
+        if len(best_start) >= m:
+            lefts = sorted(best_start.values(), reverse=True)
+            out.append((lefts[m - 1], e))
+    return minimal_spans(out)
+
+
+def _eval_interval_tree(node: P.Node, ctx: EvalContext) -> tuple[np.ndarray, np.ndarray]:
+    """Matching eval for the composable interval algebra (filter / or /
+    extend / maxwidth / atLeast over slot sources): a doc matches when
+    its stream is non-empty. Match-only: constant score = boost."""
+    base = _interval_candidates(node, ctx)
     if base.size == 0:
         return _empty()
-    hit = np.zeros(base.size, dtype=bool)
-    for ci in range(base.size):
-        doc = int(base[ci])
-        spls = _doc_slot_pls(src_parts, doc, src)
-        if spls is None:
-            continue
-        src_spans = interval_spans(spls, src.max_gaps, src.ordered)
-        if not src_spans:
-            continue
-        ref_spans: list[tuple[int, int]] = []
-        if ref_parts is not None:
-            rpls = _doc_slot_pls(ref_parts, doc, ref)
-            if rpls is not None:
-                ref_spans = interval_spans(rpls, ref.max_gaps, ref.ordered)
-        if not ref_spans:
-            hit[ci] = negative
-            continue
-        hit[ci] = bool(filter_spans(src_spans, ref_spans, node.op,
-                                    node.ref_extend))
+    memo: dict = {}
+    hit = np.fromiter(
+        (bool(_doc_interval_spans(node, int(d), ctx, memo)) for d in base),
+        dtype=bool, count=base.size)
     docs = base[hit]
     return docs, np.full(docs.size, np.float32(node.boost), dtype=np.float32)
 

@@ -376,6 +376,80 @@ class IntervalFilterNode(Node):
 
 
 @dataclass(frozen=True)
+class IntervalOrNode(Node):
+    """Disjunction interval source — queries/intervals/
+    DisjunctionIntervalsSource.java (Intervals.or, Intervals.java:104-131):
+    the union of the sub-sources' interval streams, reduced to its
+    containment antichain (interval iterators only surface minimal
+    intervals; the disjunction's priority-queue merge never emits an
+    interval containing another candidate). Sources are any interval
+    nodes; term leaves are wrapped as single-slot intervals by the
+    planner. Match-only: constant score = boost."""
+    sources: tuple[Node, ...] = ()
+
+
+@dataclass(frozen=True)
+class IntervalExtendNode(Node):
+    """ExtendedIntervalsSource — Intervals.extend (Intervals.java:254-257;
+    ExtendedIntervalIterator.java:53-80): every child interval widened to
+    [max(0, start − before), end + after]. Deliberately NOT re-minimized:
+    Lucene's extended iterator reports the widened bounds as-is, and the
+    clamp at 0 can create nested intervals that containedBy-style
+    consumers must see (Intervals.within builds on exactly this); only
+    exact duplicates collapse."""
+    source: Node | None = None
+    before: int = 0
+    after: int = 0
+
+
+@dataclass(frozen=True)
+class IntervalMaxWidthNode(Node):
+    """FilteredIntervalsSource.MaxWidth — Intervals.maxwidth
+    (Intervals.java:222-225): keep child intervals whose width
+    end − start + 1 ≤ width (FilteredIntervalsSource.java:68)."""
+    source: Node | None = None
+    width: int = 0
+
+
+@dataclass(frozen=True)
+class IntervalSeqNode(Node):
+    """Ordered/unordered composition over ARBITRARY interval sub-sources
+    — OrderedIntervalsSource.java / UnorderedIntervalsSource.java when a
+    child is itself a composed source (the all-term-slots case lowers to
+    the IntervalSlotsNode fast path instead). Ordered: each child's span
+    starts strictly after the previous child's span END
+    (OrderedIntervalsSource.java:152 `start() <= end()` skip loop);
+    enumeration anchors on child 0's spans and greedily chains the
+    earliest admissible span per child (antichain starts and ends are
+    co-sorted, so earliest start = earliest end = Lucene's minimizing
+    loop). Unordered: minimal windows covering one span from every child
+    (the m=n case of the atLeast sweep). gaps = window width − Σ child
+    widths (OrderedIntervalsSource.java:160-162; same formula in
+    Unordered) — for unordered windows containing several spans of one
+    child, the widest contained span is charged (minimal-gaps reading;
+    documented deviation, exact for the dominant term-leaf case)."""
+    sources: tuple[Node, ...] = ()
+    ordered: bool = True
+    max_gaps: int = 2 ** 31 - 1
+
+
+@dataclass(frozen=True)
+class IntervalAtLeastNode(Node):
+    """MinimumShouldMatchIntervalsSource — Intervals.atLeast
+    (Intervals.java:406-419): minimal intervals spanning one interval
+    from each of ≥ min_match DISTINCT sub-sources. Enumerated per doc by
+    an end-ordered sweep: at each candidate right edge (a sub-interval's
+    end), the tightest left edge is the min_match-th largest of the
+    per-source best (max) starts among sub-intervals already ended —
+    emitting that window per edge and reducing to the containment
+    antichain yields exactly the minimal covering set. The planner drops
+    sub-sources that expanded to nothing (they can never contribute) and
+    rewrites to MatchNone when fewer than min_match remain."""
+    sources: tuple[Node, ...] = ()
+    min_match: int = 1
+
+
+@dataclass(frozen=True)
 class DocValuesRangeNode(Node):
     """Numeric range over a doc-values/stored column — the
     PointRangeQuery role (document/IntPoint.java newRangeQuery,
@@ -513,6 +587,11 @@ def apply_field(node: Node, fld: str, only_default: bool = False) -> Node:
             node,
             source=apply_field(node.source, fld, only_default),
             reference=apply_field(node.reference, fld, only_default))
+    if isinstance(node, (IntervalOrNode, IntervalAtLeastNode, IntervalSeqNode)):
+        return replace(node, sources=tuple(
+            apply_field(s, fld, only_default) for s in node.sources))
+    if isinstance(node, (IntervalExtendNode, IntervalMaxWidthNode)):
+        return replace(node, source=apply_field(node.source, fld, only_default))
     if isinstance(node, FieldedNode):
         if only_default and node.field:
             return node

@@ -56,6 +56,17 @@ _ASM_CACHE: "OrderedDict[tuple, TermPostings]" = OrderedDict()
 _ASM_CACHE_BYTES = [0]
 
 
+def _as_interval_source(n: P.Node | None) -> P.Node:
+    """plan.py contract: term leaves inside the interval algebra are
+    wrapped as single-slot intervals — done at plan time so hand-built
+    IntervalFilterNode(source=TermNode(...)) / Intervals.or(TermNode,
+    ...) work instead of silently matching nothing in the kernel."""
+    if isinstance(n, (P.TermNode, P.TermInSetNode, P.PrefixNode,
+                      P.RegexpNode, P.FuzzyNode)):
+        return P.IntervalSlotsNode(slots=(n,), field=n.field, boost=n.boost)
+    return n
+
+
 def _asm_cache_budget() -> int:
     return int(os.environ.get("LUCENE_SPARK_ASM_CACHE_MB", "256")) * (1 << 20)
 
@@ -1241,24 +1252,43 @@ class IndexSearcher:
             # exclude expanding to nothing leaves plain include semantics
             return replace(node, include=inc, exclude=self._expand(node.exclude))
         if isinstance(node, P.IntervalFilterNode):
-            def _as_slots(n: P.Node) -> P.Node:
-                # plan.py contract: term leaves are wrapped as
-                # single-slot intervals — do it here so hand-built
-                # IntervalFilterNode(source=TermNode(...)) works instead
-                # of silently matching nothing in the kernel
-                if isinstance(n, (P.TermNode, P.TermInSetNode, P.PrefixNode,
-                                  P.RegexpNode, P.FuzzyNode)):
-                    return P.IntervalSlotsNode(slots=(n,), field=n.field,
-                                               boost=n.boost)
-                return n
-            src = self._expand(_as_slots(node.source))
+            src = self._expand(_as_interval_source(node.source))
             if isinstance(src, P.MatchNoneNode):
                 return P.MatchNoneNode()
-            ref = self._expand(_as_slots(node.reference))
+            ref = self._expand(_as_interval_source(node.reference))
             # a vanished reference matches nothing: positive filters die,
             # negative filters reduce to plain source semantics (kernel
             # handles ref-absent-per-doc the same way)
             return replace(node, source=src, reference=ref)
+        if isinstance(node, P.IntervalOrNode):
+            live = [e for e in (self._expand(_as_interval_source(s))
+                                for s in node.sources)
+                    if not isinstance(e, P.MatchNoneNode)]
+            return replace(node, sources=tuple(live)) if live else P.MatchNoneNode()
+        if isinstance(node, P.IntervalSeqNode):
+            # a sequence with ANY dead child matches nothing (conjunction)
+            srcs = []
+            for s in node.sources:
+                e = self._expand(_as_interval_source(s))
+                if isinstance(e, P.MatchNoneNode):
+                    return P.MatchNoneNode()
+                srcs.append(e)
+            return replace(node, sources=tuple(srcs))
+        if isinstance(node, P.IntervalAtLeastNode):
+            # a sub-source that expanded to nothing can never contribute
+            # to the min_match count — drop it; too few left ⇒ no match
+            # (Intervals.atLeast's NoMatchIntervalsSource arm)
+            live = [e for e in (self._expand(_as_interval_source(s))
+                                for s in node.sources)
+                    if not isinstance(e, P.MatchNoneNode)]
+            if len(live) < node.min_match:
+                return P.MatchNoneNode()
+            return replace(node, sources=tuple(live))
+        if isinstance(node, (P.IntervalExtendNode, P.IntervalMaxWidthNode)):
+            src = self._expand(_as_interval_source(node.source))
+            if isinstance(src, P.MatchNoneNode):
+                return P.MatchNoneNode()
+            return replace(node, source=src)
         if isinstance(node, P.BooleanNode):
             return replace(node, clauses=tuple(
                 P.Clause(c.occur, self._expand(c.node)) for c in node.clauses))
@@ -1397,6 +1427,13 @@ class IndexSearcher:
             self._collect_terms(node.source, out)
             if node.reference is not None:
                 self._collect_terms(node.reference, out)
+        elif isinstance(node, (P.IntervalOrNode, P.IntervalAtLeastNode,
+                               P.IntervalSeqNode)):
+            for s in node.sources:
+                self._collect_terms(s, out)
+        elif isinstance(node, (P.IntervalExtendNode, P.IntervalMaxWidthNode)):
+            if node.source is not None:
+                self._collect_terms(node.source, out)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 self._collect_terms(c.node, out)
@@ -1421,6 +1458,13 @@ class IndexSearcher:
             IndexSearcher._phrase_fields(node.source, out)
             if node.reference is not None:
                 IndexSearcher._phrase_fields(node.reference, out)
+        elif isinstance(node, (P.IntervalOrNode, P.IntervalAtLeastNode,
+                               P.IntervalSeqNode)):
+            for s in node.sources:
+                IndexSearcher._phrase_fields(s, out)
+        elif isinstance(node, (P.IntervalExtendNode, P.IntervalMaxWidthNode)):
+            if node.source is not None:
+                IndexSearcher._phrase_fields(node.source, out)
         elif isinstance(node, P.BooleanNode):
             for c in node.clauses:
                 IndexSearcher._phrase_fields(c.node, out)
