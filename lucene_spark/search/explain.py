@@ -219,51 +219,13 @@ def explain(searcher, query, doc_id: int) -> dict:
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": f"Interval({kind}, maxgaps={n.max_gaps}), constant score"}
         if isinstance(n, P.IntervalSlotsNode):
-            from lucene_spark.search.kernel import interval_match, slot_terms
-
-            pls = []
-            for s in n.slots:
-                arrs = [doc[(n.field, t)][2] for t in slot_terms(s)
-                        if (n.field, t) in doc and doc[(n.field, t)][2] is not None]
-                if not arrs:
-                    return {"value": 0.0, "match": False,
-                            "description": "IntervalSlots: slot unmatched"}
-                pls.append(np.sort(np.concatenate(arrs)))
-            if n.min_start > 0 or n.max_end is not None:
-                hi = n.max_end if n.max_end is not None else np.iinfo(np.int64).max
-                pls = [pl[(pl >= n.min_start) & (pl < hi)] for pl in pls]
-                if any(pl.size == 0 for pl in pls):
-                    return {"value": 0.0, "match": False,
-                            "description": "IntervalSlots: outside position window"}
-            hit = interval_match(pls, n.max_gaps, n.ordered)
+            hit = bool(_iv_doc_spans(n, doc))
             kind = "ordered" if n.ordered else "unordered"
             return {"value": float(n.boost) if hit else 0.0, "match": hit,
                     "description": f"IntervalSlots({kind}, maxgaps={n.max_gaps}), constant score"}
         if isinstance(n, P.SpanNotNode):
-            from lucene_spark.search.kernel import interval_spans, slot_terms
-
-            def _spans_of(child):
-                if not isinstance(child, P.IntervalSlotsNode):
-                    return []
-                pls = []
-                for s in child.slots:
-                    arrs = [doc[(child.field, t)][2] for t in slot_terms(s)
-                            if (child.field, t) in doc
-                            and doc[(child.field, t)][2] is not None]
-                    if not arrs:
-                        return []
-                    pl = np.sort(np.concatenate(arrs))
-                    if child.min_start > 0 or child.max_end is not None:
-                        hi = (child.max_end if child.max_end is not None
-                              else np.iinfo(np.int64).max)
-                        pl = pl[(pl >= child.min_start) & (pl < hi)]
-                        if pl.size == 0:
-                            return []
-                    pls.append(pl)
-                return interval_spans(pls, child.max_gaps, child.ordered)
-
-            inc_spans = _spans_of(n.include)
-            exc_spans = _spans_of(n.exclude)
+            inc_spans = _iv_doc_spans(n.include, doc)
+            exc_spans = _iv_doc_spans(n.exclude, doc)
             hit = any(all(not (xs <= e + n.post and xe >= s - n.pre)
                           for xs, xe in exc_spans) for s, e in inc_spans)
             return {"value": float(n.boost) if hit else 0.0, "match": hit,

@@ -47,6 +47,16 @@ def _slotlike(x) -> bool:
                           P.PrefixNode, P.RegexpNode, P.FuzzyNode))
 
 
+def _seq_sources(slots, field: str) -> tuple[P.Node, ...]:
+    """Wrap sequence children; an explicit field= override reaches every
+    leaf, matching the slots fast path (whose eval reads the NODE's
+    field for all slots — Intervals.fixField role)."""
+    srcs = tuple(_src(s) for s in slots)
+    if field:
+        srcs = tuple(P.apply_field(s, field) for s in srcs)
+    return srcs
+
+
 def ordered(*slots, max_gaps: int = 2 ** 31 - 1, field: str = "") -> P.Node:
     """Intervals.ordered (+ maxgaps filter when bounded) — sub-sources in
     strictly increasing position order (each starting after the previous
@@ -57,7 +67,7 @@ def ordered(*slots, max_gaps: int = 2 ** 31 - 1, field: str = "") -> P.Node:
     if all(_slotlike(s) for s in slots):
         return P.IntervalSlotsNode(slots=tuple(_slot(s) for s in slots),
                                    max_gaps=max_gaps, ordered=True, field=field)
-    return P.IntervalSeqNode(sources=tuple(_src(s) for s in slots),
+    return P.IntervalSeqNode(sources=_seq_sources(slots, field),
                              ordered=True, max_gaps=max_gaps)
 
 
@@ -67,7 +77,7 @@ def unordered(*slots, max_gaps: int = 2 ** 31 - 1, field: str = "") -> P.Node:
     if all(_slotlike(s) for s in slots):
         return P.IntervalSlotsNode(slots=tuple(_slot(s) for s in slots),
                                    max_gaps=max_gaps, ordered=False, field=field)
-    return P.IntervalSeqNode(sources=tuple(_src(s) for s in slots),
+    return P.IntervalSeqNode(sources=_seq_sources(slots, field),
                              ordered=False, max_gaps=max_gaps)
 
 
@@ -79,7 +89,7 @@ def _src(x) -> P.Node:
     return x
 
 
-def phrase(*slots, field: str = "") -> P.IntervalSlotsNode:
+def phrase(*slots, field: str = "") -> P.Node:
     """Intervals.phrase (Intervals.java:78-101) — a block interval: the
     slots at strictly consecutive positions (ordered with zero total
     gaps; BlockIntervalsSource role)."""
@@ -104,12 +114,9 @@ def wildcard(pattern: str, field: str = "") -> P.IntervalSlotsNode:
     """Intervals.wildcard (Intervals.java:166-193) — intervals over the
     dictionary terms matching a `*`/`?` wildcard (anchored-regex
     expansion, WildcardQuery.java translation)."""
-    import re as _re
-
-    pat = "".join(".*" if ch == "*" else "." if ch == "?"
-                  else _re.escape(ch.lower()) for ch in pattern)
-    return P.IntervalSlotsNode(slots=(P.RegexpNode(pattern=pat, field=field),),
-                               field=field)
+    return P.IntervalSlotsNode(
+        slots=(P.RegexpNode(pattern=P.wildcard_regexp(pattern), field=field),),
+        field=field)
 
 
 def maxwidth(width: int, source) -> P.IntervalMaxWidthNode:

@@ -844,13 +844,14 @@ def _seq_spans(per_child: list[list[tuple[int, int]]], max_gaps: int,
         return per_child[0]     # OrderedIntervalsSource.build single-source arm
     if ordered:
         out: list[tuple[int, int]] = []
-        starts = [[cs for cs, _ in ch] for ch in per_child]
+        starts = [np.asarray([cs for cs, _ in ch], dtype=np.int64)
+                  for ch in per_child]
         for s0, e0 in per_child[0]:
             e = e0
             widths = e0 - s0 + 1
             ok = True
             for ch, chs in zip(per_child[1:], starts[1:]):
-                i = int(np.searchsorted(np.asarray(chs), e, side="right"))
+                i = int(np.searchsorted(chs, e, side="right"))
                 if i == len(ch):
                     ok = False
                     break

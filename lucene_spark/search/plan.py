@@ -14,7 +14,16 @@ small driver-side rewriter (SURVEY.md §4).
 from __future__ import annotations
 
 import enum
+import re as _re
 from dataclasses import dataclass, field, replace
+
+
+def wildcard_regexp(pattern: str) -> str:
+    """`*`/`?` wildcard → anchored-regex over the dictionary
+    (WildcardQuery.java translation) — the single source of truth for
+    both the classic parser's te?m/t*m atoms and Intervals.wildcard."""
+    return "".join(".*" if ch == "*" else "." if ch == "?"
+                   else _re.escape(ch.lower()) for ch in pattern)
 
 
 class Occur(enum.Enum):

@@ -314,10 +314,9 @@ def _parse_primary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
         return PrefixNode(prefix=prefix, boost=boost, field=fld)
     if "*" in val or "?" in val:
         # wildcard → anchored regex over the dictionary (WildcardQuery.java)
-        pat = "".join(
-            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch.lower()) for ch in val
-        )
-        return RegexpNode(pattern=pat, boost=boost, field=fld)
+        from lucene_spark.search.plan import wildcard_regexp
+
+        return RegexpNode(pattern=wildcard_regexp(val), boost=boost, field=fld)
     toks = _analyze_one(val, a)
     if not toks:
         return MatchNoneNode()

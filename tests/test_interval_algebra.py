@@ -253,6 +253,28 @@ def test_at_least_expansion_contracts(positioned):
         IV.at_least(0, IV.term("x"))
 
 
+def test_seq_field_override_propagates():
+    """An explicit field= on ordered/unordered must reach every leaf of
+    the composed-sources path (parity with the slots fast path, whose
+    eval reads the node's field for all slots) — and survive the
+    searcher's default-field pass."""
+    node = IV.ordered(IV.or_(IV.term("a"), IV.term("b")), IV.term("c"),
+                      field="title")
+    resolved = P.apply_field(node, "body", only_default=True)
+    fields: list[str] = []
+
+    def walk(n):
+        if isinstance(n, P.IntervalSlotsNode):
+            fields.append(n.field)
+        for s in getattr(n, "sources", ()) or ():
+            walk(s)
+        if getattr(n, "source", None) is not None:
+            walk(n.source)
+
+    walk(resolved)
+    assert len(fields) == 3 and all(f == "title" for f in fields)
+
+
 def test_algebra_explain(positioned):
     searcher, _ = positioned
     node = IV.at_least(2, IV.term("index"), IV.term("merge"),
