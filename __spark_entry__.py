@@ -1485,6 +1485,25 @@ GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 10
 """
 
 
+def rel_facet_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical taxonomy facet (facet/taxonomy/
+    FastTaxonomyFacetCounts.java getTopChildren; FacetsConfig
+    hierarchical paths): docs carry a 'lang/source' category path;
+    counts the children of the 'en' node."""
+    from lucene_spark.relational.facets import taxonomy_facets
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "cat_path", F.concat_ws("/", F.col("lang"), F.col("source")))
+    return taxonomy_facets(docs, "cat_path", path=("en",), top_n=10)
+
+
+REL_FACET_TAXONOMY_SQL = """
+SELECT source AS label, count(*)::BIGINT AS count
+FROM documents WHERE lang = 'en'
+GROUP BY source ORDER BY count DESC, label ASC LIMIT 10
+"""
+
+
 def rel_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric range facet (LongRangeFacetCounts)."""
     from lucene_spark.relational.facets import range_facets
@@ -3971,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_part_join": rel_part_join,
         "rel_group_topn": rel_group_topn,
         "rel_facet_lang": rel_facet_lang,
+        "rel_facet_taxonomy": rel_facet_taxonomy,
         "rel_stats_facet": rel_stats_facet,
         "rel_pivot_rollup": rel_pivot_rollup,
         "rel_supplier_region": rel_supplier_region,
@@ -4084,6 +4104,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_part_join": REL_PART_JOIN_SQL,
         "rel_group_topn": REL_GROUP_TOPN_SQL,
         "rel_facet_lang": REL_FACET_LANG_SQL,
+        "rel_facet_taxonomy": REL_FACET_TAXONOMY_SQL,
         "rel_range_facet": REL_RANGE_FACET_SQL,
         "rel_stats_facet": REL_STATS_FACET_SQL,
         "rel_pivot_rollup": REL_PIVOT_ROLLUP_SQL,

@@ -32,6 +32,33 @@ def facet_counts(matches: DataFrame, dim: str, top_n: int = 10) -> DataFrame:
     )
 
 
+def taxonomy_facets(matches: DataFrame, path_col: str,
+                    path: tuple[str, ...] = (), top_n: int = 10,
+                    delim: str = "/") -> DataFrame:
+    """Hierarchical taxonomy facet — facet/taxonomy/
+    FastTaxonomyFacetCounts.java getTopChildren over FacetsConfig
+    hierarchical dims (FacetsConfig.java path encoding): each matching
+    doc carries a category path like 'a/b/c'; counts the IMMEDIATE
+    children of `path` (the dimension root when empty), each child's
+    count covering all of its descendants, ordered count desc then label
+    asc. One JVM-side split + groupBy — map-side combinable, no UDF, and
+    the prefix filter pushes to the scan."""
+    import re
+
+    parts = F.split(F.col(path_col), re.escape(delim))
+    cond = F.size(parts) > len(path)
+    for i, seg in enumerate(path):
+        cond = cond & (F.element_at(parts, i + 1) == F.lit(seg))
+    child = F.element_at(parts, len(path) + 1)
+    return (
+        matches.filter(cond)
+        .groupBy(child.alias("label"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("label").asc())
+        .limit(top_n)
+    )
+
+
 def range_facets(matches: DataFrame, col: str, start: float, end: float, gap: float) -> DataFrame:
     """Numeric range facet (facet/range/LongRangeFacetCounts): fixed-width
     buckets; bucket id computed JVM-side, no UDF."""

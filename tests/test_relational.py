@@ -26,6 +26,24 @@ def test_facet_counts(people):
     assert got == [("a", 3), ("b", 2), ("c", 1)]
 
 
+def test_taxonomy_facets(spark):
+    """FastTaxonomyFacetCounts.getTopChildren: immediate children of a
+    path, each child's count covering its descendants; deeper-only docs
+    never surface at shallower sibling levels."""
+    from lucene_spark.relational.facets import taxonomy_facets
+
+    rows = [("a/b",), ("a/b/c",), ("a/d",), ("a",), ("e/f",), ("e",)]
+    df = spark.createDataFrame(rows, "p string")
+    root = [(r["label"], r["count"]) for r in
+            taxonomy_facets(df, "p").collect()]
+    assert root == [("a", 4), ("e", 2)]
+    under_a = [(r["label"], r["count"]) for r in
+               taxonomy_facets(df, "p", path=("a",)).collect()]
+    # 'a' alone has no child segment; a/b/c counts toward child 'b'
+    assert under_a == [("b", 2), ("d", 1)]
+    assert taxonomy_facets(df, "p", path=("a", "b", "c")).count() == 0
+
+
 def test_range_facets(people):
     from lucene_spark.relational.facets import range_facets
 
