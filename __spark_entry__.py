@@ -3853,6 +3853,121 @@ WHERE a.term = 'table' AND b.term = 'hash' AND abs(a.pos - b.pos) <= 2
 """
 
 
+def ft_word_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks
+    (suggest/spell/WordBreakSpellChecker.java:240-310): break the
+    unindexed run-together 'tablehash' into dictionary words. The oracle
+    re-enumerates every split point in SQL, keeps splits where both
+    halves are dictionary terms, and orders by max component df then
+    split position — the engine's NUM_CHANGES_THEN_MAX_FREQUENCY order
+    at one break."""
+    from lucene_spark.search.spellcheck import suggest_word_breaks
+
+    s = _searcher(spark, sf_dir)
+    sugg = suggest_word_breaks(s.reader, "tablehash", max_suggestions=5)
+    rows = [(si + 1, pi + 1, w, int(df))
+            for si, sg in enumerate(sugg)
+            for pi, (w, df) in enumerate(sg)]
+    return spark.createDataFrame(
+        rows, "sugg int, pos int, word string, freq long")
+
+
+FT_WORD_BREAKS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+splits AS (
+  SELECT CAST(i AS INT) AS i,
+         substr('tablehash', 1, CAST(i AS INT)) AS l,
+         substr('tablehash', CAST(i AS INT) + 1) AS r
+  FROM range(1, length('tablehash')) t(i)
+),
+cand AS (
+  SELECT s.i, s.l, s.r, dl.df AS ldf, dr.df AS rdf,
+         greatest(dl.df, dr.df) AS mx
+  FROM splits s
+  JOIN dfs dl ON dl.term = s.l
+  JOIN dfs dr ON dr.term = s.r
+),
+best AS (
+  SELECT row_number() OVER (ORDER BY mx DESC, i ASC) AS sugg, *
+  FROM cand QUALIFY sugg <= 5
+)
+SELECT sugg::INT AS sugg, 1::INT AS pos, l AS word, ldf AS freq FROM best
+UNION ALL
+SELECT sugg::INT AS sugg, 2::INT AS pos, r AS word, rdf AS freq FROM best
+"""
+
+
+def ft_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent (solr/core/.../component/
+    QueryElevationComponent.java): docs 42 and 7 pinned to ranks 1-2 of
+    the 'merge' top-10 (real rounded score when they match, −1 sentinel
+    when they don't — both sides coalesce identically), doc 13 excluded,
+    tail in BM25 order."""
+    from lucene_spark.search.elevation import elevate
+
+    s = _searcher(spark, sf_dir)
+    # uncut k: the raw-float32 cut must not decide tail membership — the
+    # gate convention ranks in ROUNDED space (2dp scores tie heavily),
+    # so rank the full elevated result's tail on (score_r, doc_id)
+    out = elevate(s, "merge", k=1_000_000,
+                  elevate_keys=(42, 7), exclude_keys=(13,))
+    out = out.select(
+        F.col("ext_id").alias("doc_id"),
+        F.coalesce(F.round(F.col("score").cast("double"), 2), F.lit(-1.0))
+        .alias("score_r"),
+        "elevated", "rank")
+    pinned = out.filter(F.col("elevated")).select(
+        "doc_id", "score_r", "elevated", "rank")
+    tail = _ranked(out.filter(~F.col("elevated"))
+                   .select("doc_id", "score_r", "elevated"),
+                   "score_r", "doc_id", 8)
+    tail = tail.select("doc_id", "score_r", "elevated",
+                       (F.col("rank") + F.lit(2)).alias("rank"))
+    return pinned.unionByName(tail)
+
+
+FT_ELEVATION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), tf AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM tok2 WHERE term = 'merge' GROUP BY doc_id
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id
+), st AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+), qdf AS (
+  SELECT count(*)::DOUBLE AS df FROM tf
+), flt AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (st.n - qdf.df + 0.5)/(qdf.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 2)
+           AS score_r
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN qdf
+),
+pinned AS (
+  SELECT p.doc_id, coalesce(f.score_r, -1.0) AS score_r, TRUE AS elevated, p.rank
+  FROM (VALUES (42, 1), (7, 2)) AS p(doc_id, rank)
+  LEFT JOIN flt f ON f.doc_id = p.doc_id
+),
+rest AS (
+  SELECT doc_id, score_r, FALSE AS elevated,
+         row_number() OVER (ORDER BY score_r DESC, doc_id ASC) + 2 AS rank
+  FROM flt WHERE doc_id NOT IN (42, 7, 13)
+  QUALIFY row_number() OVER (ORDER BY score_r DESC, doc_id ASC) <= 8
+)
+SELECT doc_id, score_r, elevated, rank::INT AS rank FROM pinned
+UNION ALL
+SELECT doc_id, score_r, elevated, rank::INT AS rank FROM rest
+ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -3933,6 +4048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_interval_atleast": ft_interval_atleast,
         "ft_interval_before": ft_interval_before,
         "ft_interval_maxwidth": ft_interval_maxwidth,
+        "ft_word_breaks": ft_word_breaks,
+        "ft_elevation": ft_elevation,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -4038,6 +4155,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_interval_atleast": FT_INTERVAL_ATLEAST_SQL,
         "ft_interval_before": FT_INTERVAL_BEFORE_SQL,
         "ft_interval_maxwidth": FT_INTERVAL_MAXWIDTH_SQL,
+        "ft_word_breaks": FT_WORD_BREAKS_SQL,
+        "ft_elevation": FT_ELEVATION_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

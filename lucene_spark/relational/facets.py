@@ -41,8 +41,9 @@ def taxonomy_facets(matches: DataFrame, path_col: str,
     doc carries a category path like 'a/b/c'; counts the IMMEDIATE
     children of `path` (the dimension root when empty), each child's
     count covering all of its descendants, ordered count desc then label
-    asc. One JVM-side split + groupBy — map-side combinable, no UDF, and
-    the prefix filter pushes to the scan."""
+    asc. One JVM-side split + groupBy — map-side combinable, no UDF; the
+    prefix filter runs in whole-stage codegen above the scan (split() of
+    a path column is not a parquet-pushable predicate)."""
     import re
 
     parts = F.split(F.col(path_col), re.escape(delim))

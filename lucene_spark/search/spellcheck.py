@@ -127,3 +127,119 @@ def collate(
 
     collated = re.sub(r"\w+", fix_word, query)
     return collated, replacements
+
+
+def suggest_word_breaks(
+    reader: IndexReader,
+    term: str,
+    max_suggestions: int = 5,
+    field: str | None = None,
+    suggest_mode: str = "not_in_index",
+    sort_method: str = "max",
+    min_suggestion_frequency: int = 1,
+    min_break_word_length: int = 1,
+    max_changes: int = 1,
+    max_evaluations: int = 1000,
+) -> list[list[tuple[str, int]]]:
+    """WordBreakSpellChecker.suggestWordBreaks
+    (suggest/spell/WordBreakSpellChecker.java:71-143, 240-310): break a
+    run-together term into dictionary words. Every split point where BOTH
+    halves clear the frequency floor yields a suggestion; the right half
+    recurses while breaks ≤ max_changes (java:277). Returns up to
+    max_suggestions lists of (word, docFreq), ordered fewest-breaks
+    first, ties by max ('max') or summed ('sum') component frequency
+    (BreakSuggestionSortMethod). suggest_mode: 'not_in_index' (default —
+    no suggestions when the term itself is indexed, java:97-99),
+    'more_popular' (components must beat the term's own df, java:101-104),
+    or 'always'. Spark shape: each recursion level resolves ALL its
+    candidate halves in ONE batched term_stats lookup (a single pruned
+    termdict scan) instead of the reference's per-substring docFreq
+    calls."""
+    fld = field or reader.default_field
+    if max_suggestions < 1:
+        return []
+    orig_df = reader.term_stats([(fld, term)]).get((fld, term), (0, 0))[0]
+    if orig_df > 0 and suggest_mode == "not_in_index":
+        return []
+    min_freq = min_suggestion_frequency
+    if suggest_mode == "more_popular":
+        min_freq = max(orig_df, 1)
+    mbl = max(min_break_word_length, 1)
+    out: list[tuple[int, int, int, list[tuple[str, int]]]] = []
+    evals = [0]
+
+    def recurse(text: str, breaks: int, prefix: list[tuple[str, int]]) -> None:
+        if len(text) < 2 * mbl or evals[0] >= max_evaluations:
+            return
+        splits = [(text[:i], text[i:]) for i in range(mbl, len(text) - mbl + 1)]
+        words = {w for pair in splits for w in pair}
+        stats = reader.term_stats([(fld, w) for w in words])
+        for left, right in splits:
+            if evals[0] >= max_evaluations:
+                break
+            evals[0] += 1
+            ldf = stats.get((fld, left), (0, 0))[0]
+            if ldf < min_freq:
+                continue
+            rdf = stats.get((fld, right), (0, 0))[0]
+            if rdf >= min_freq:
+                sug = prefix + [(left, ldf), (right, rdf)]
+                freqs = [f for _, f in sug]
+                out.append((len(sug) - 1,
+                            -(max(freqs) if sort_method == "max" else sum(freqs)),
+                            len(out), sug))
+            if breaks + 1 <= max_changes:
+                recurse(right, breaks + 1, prefix + [(left, ldf)])
+
+    recurse(term, 1, [])
+    out.sort(key=lambda t: t[:3])
+    return [sug for _, _, _, sug in out[:max_suggestions]]
+
+
+def suggest_word_combinations(
+    reader: IndexReader,
+    terms: list[str],
+    max_suggestions: int = 5,
+    field: str | None = None,
+    suggest_mode: str = "not_in_index",
+    min_suggestion_frequency: int = 1,
+    max_combine_word_length: int = 20,
+    max_changes: int = 1,
+) -> list[dict]:
+    """WordBreakSpellChecker.suggestWordCombinations
+    (WordBreakSpellChecker.java:145-239): combine runs of ≤ max_changes+1
+    adjacent query terms into one dictionary word. 'not_in_index' keeps
+    combinations including ≥1 unindexed component (java doc: "each
+    suggestion will include at least one term not in the index");
+    'more_popular' requires the combined word's df to beat every
+    component's. Returns up to max_suggestions dicts {word, freq,
+    indexes} ordered by (fewest combines, freq desc, first index).
+    All component and combined dfs resolve in ONE batched term_stats
+    call each — two pruned termdict scans total."""
+    fld = field or reader.default_field
+    if max_suggestions < 1 or not terms:
+        return []
+    orig = reader.term_stats([(fld, t) for t in terms])
+    cands: list[tuple[int, ...]] = []
+    for i in range(len(terms)):
+        for j in range(i + 1, min(i + max_changes + 1, len(terms))):
+            combined = "".join(terms[i:j + 1])
+            if len(combined) <= max_combine_word_length:
+                cands.append((i, j))
+    cstats = reader.term_stats(
+        [(fld, "".join(terms[i:j + 1])) for i, j in cands])
+    out = []
+    for i, j in cands:
+        word = "".join(terms[i:j + 1])
+        cdf = cstats.get((fld, word), (0, 0))[0]
+        comp = [orig.get((fld, t), (0, 0))[0] for t in terms[i:j + 1]]
+        if suggest_mode == "more_popular" and cdf < max(comp):
+            continue
+        if suggest_mode == "not_in_index" and min(comp) != 0:
+            continue
+        if cdf < min_suggestion_frequency:
+            continue
+        out.append({"word": word, "freq": cdf,
+                    "indexes": tuple(range(i, j + 1))})
+    out.sort(key=lambda d: (len(d["indexes"]), -d["freq"], d["indexes"][0]))
+    return out[:max_suggestions]

@@ -270,3 +270,66 @@ def test_ltr_boolean_feature_defaults_to_zero(searcher, reader, spark):
     out = rerank(hits, feats, model, key="doc_id", rerank_docs=10, k=10)
     rows = out.collect()
     assert all(r["ltr_score"] is not None for r in rows)
+
+
+# ------------------------------------------------------- word-break spelling
+
+@pytest.fixture(scope="module")
+def wb_reader(spark, tmp_path_factory):
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+
+    rows = [(1, "wire less network stack"),
+            (2, "wire frame model"),
+            (3, "unit test network")]
+    df = spark.createDataFrame(rows, "ext_id long, body string")
+    idx = str(tmp_path_factory.mktemp("wb")) + "/idx"
+    cfg = IndexConfig(key_cols=("ext_id",), content_col="body",
+                      analyzer="whitespace", partitions=1, num_groups=1,
+                      num_buckets=2, termdict_partitions=1)
+    IndexBuilder(spark, cfg).build(df, idx, overwrite=True)
+    return IndexReader(spark, idx)
+
+
+def test_word_breaks_single_change(wb_reader):
+    """WordBreakSpellChecker.suggestWordBreaks (WordBreakSpellChecker
+    .java:240-310): split an unindexed run-together term where both
+    halves are dictionary words."""
+    from lucene_spark.search.spellcheck import suggest_word_breaks
+
+    got = suggest_word_breaks(wb_reader, "wireless")
+    assert got == [[("wire", 2), ("less", 1)]]
+    # indexed term + not_in_index mode → no suggestions (java:97-99)
+    assert suggest_word_breaks(wb_reader, "network") == []
+    # 'always' keeps suggesting even for indexed terms
+    assert suggest_word_breaks(wb_reader, "network",
+                               suggest_mode="always") == []  # no valid split
+    # frequency floor: components must clear min_suggestion_frequency
+    assert suggest_word_breaks(wb_reader, "wireless",
+                               min_suggestion_frequency=2) == []
+
+
+def test_word_breaks_recursive_two_changes(wb_reader):
+    from lucene_spark.search.spellcheck import suggest_word_breaks
+
+    got = suggest_word_breaks(wb_reader, "wirelessnetwork", max_changes=2)
+    # fewest breaks first (wireless|network is NOT one indexed word, so
+    # the only 1-break split dies; wire|less recursion wins at 2 breaks)
+    assert [[w for w, _ in s] for s in got] == [["wire", "less", "network"]]
+    # max_changes=1 cannot reach the 2-break suggestion
+    assert suggest_word_breaks(wb_reader, "wirelessnetwork") == []
+
+
+def test_word_combinations(wb_reader):
+    """suggestWordCombinations (WordBreakSpellChecker.java:145-239):
+    adjacent unindexed terms combining into a dictionary word."""
+    from lucene_spark.search.spellcheck import suggest_word_combinations
+
+    got = suggest_word_combinations(wb_reader, ["net", "work", "stack"])
+    assert got and got[0]["word"] == "network" and got[0]["indexes"] == (0, 1)
+    assert got[0]["freq"] == 2
+    # both components indexed → filtered in not_in_index mode
+    assert suggest_word_combinations(wb_reader, ["wire", "less"]) == []
+    # more_popular: combined df must beat every component's
+    mp = suggest_word_combinations(wb_reader, ["wire", "less"],
+                                   suggest_mode="more_popular")
+    assert mp == []  # 'wireless' (df 0) beats neither
