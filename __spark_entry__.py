@@ -3968,6 +3968,96 @@ ORDER BY rank
 """
 
 
+def tx_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit counts (training-data op): deterministic
+    emails/IPs/phones are synthesized into each doc IN SQL-reproducible
+    form, then redacted with the shared Java-regex/RE2-common patterns;
+    the oracle replays the same synthesis, counts, and replacement."""
+    from lucene_spark.pipeline.textstats import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tx", F.concat(
+            F.col("text"), F.lit(" contact"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.1.2."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 (555) 010-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string")))
+    counts = pii_counts(docs, "tx", "doc_id")
+    red = docs.select("doc_id", F.sha2(redact_pii(F.col("tx")), 256).alias("red_sha"))
+    return counts.join(red, "doc_id").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "red_sha")
+
+
+TX_PII_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact' || doc_id || '@example.com ip 10.1.2.'
+              || (doc_id % 250) || ' call +1 (555) 010-' || (1000 + doc_id % 9000)
+           AS tx
+  FROM documents
+), r1 AS (
+  SELECT doc_id, tx,
+         len(regexp_split_to_array(tx, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) - 1 AS n_email,
+         regexp_replace(tx, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM t
+), r2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_split_to_array(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) - 1 AS n_ipv4,
+         regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+  FROM r1
+), r3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_split_to_array(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) - 1 AS n_phone,
+         regexp_replace(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS t3
+  FROM r2
+)
+SELECT doc_id, n_email::INT AS n_email, n_ipv4::INT AS n_ipv4,
+       n_phone::INT AS n_phone, sha256(t3) AS red_sha
+FROM r3
+"""
+
+
+def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (training-data op): each doc is
+    given a synthesized 3-line body whose middle line is a shared
+    license footer; line_dedup drops every line occurring in ≥2 distinct
+    docs (the footer, plus any first-40-char prefix two docs share) and
+    rejoins the survivors in order."""
+    from lucene_spark.pipeline.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), F.lit("\n"),
+                 F.lit("COMMON LICENSE FOOTER"), F.lit("\n"),
+                 F.expr("substring(text, 41)")).alias("tx"))
+    out = line_dedup(docs, "tx", "doc_id", min_docs=2)
+    return out.select(
+        "doc_id", F.sha2(F.col("text_clean"), 256).alias("clean_sha"),
+        F.length("text_clean").alias("clean_len"))
+
+
+DD_LINE_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || chr(10) || 'COMMON LICENSE FOOTER'
+                             || chr(10) || substr(text, 41) AS tx
+  FROM documents
+), lines AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(tx, chr(10)) AS l FROM t)
+), boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM boiler)
+)
+SELECT doc_id,
+       sha256(string_agg(line, chr(10) ORDER BY pos)) AS clean_sha,
+       length(string_agg(line, chr(10) ORDER BY pos))::INT AS clean_len
+FROM kept GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -4050,6 +4140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_interval_maxwidth": ft_interval_maxwidth,
         "ft_word_breaks": ft_word_breaks,
         "ft_elevation": ft_elevation,
+        "tx_pii": tx_pii,
+        "dd_line_dedup": dd_line_dedup,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -4157,6 +4249,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_interval_maxwidth": FT_INTERVAL_MAXWIDTH_SQL,
         "ft_word_breaks": FT_WORD_BREAKS_SQL,
         "ft_elevation": FT_ELEVATION_SQL,
+        "tx_pii": TX_PII_SQL,
+        "dd_line_dedup": DD_LINE_DEDUP_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

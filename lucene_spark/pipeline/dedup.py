@@ -310,3 +310,40 @@ def dedup_keep_representative(
     w = Window.partitionBy("__c").orderBy(*order)
     return (withc.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__c", "__rn", "cluster"))
+
+
+def line_dedup(df: DataFrame, text_col: str, key_col: str,
+               min_docs: int = 2, min_line_len: int = 0) -> DataFrame:
+    """C4-style boilerplate line removal (training-data op; the
+    three-sentence-dedup rule of the C4 pipeline, no Lucene analogue):
+    a LINE occurring in ≥ min_docs distinct documents is boilerplate
+    (nav bars, license footers, cookie banners) and is dropped from
+    every document; lines shorter than min_line_len are kept as-is
+    (too short to be meaningful boilerplate). Returns (key, text_clean)
+    for documents with ≥1 surviving line, lines rejoined in original
+    order.
+
+    Scale shape: one map-side-combined count-distinct shuffle keyed by
+    the line text, one shuffle-join of the exploded lines against the
+    (small) boilerplate set, one per-doc re-aggregation; order is
+    restored with array_sort over (pos, line) structs — all JVM
+    expressions, no UDF, no driver collection."""
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    boiler = (
+        lines.filter(F.length("line") >= min_line_len)
+        .groupBy("line")
+        .agg(F.countDistinct(key_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    return (
+        kept.groupBy(key_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line")),
+            "\n").alias("text_clean"))
+    )

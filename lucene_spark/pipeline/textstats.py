@@ -202,3 +202,40 @@ def repetition_features(df: DataFrame, text_col: str, key_col: str) -> DataFrame
                (2.0 * F.col("maxc")) / F.col("n_words"))
          .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+# PII patterns shared by redact_pii/pii_counts — written in the common
+# subset of Java regex (Spark) and RE2 (DuckDB oracle): no lookaround,
+# no backreferences, \b and \d behave identically in both engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """PII redaction (training-data op — the standard email/IP/phone
+    scrub applied before LLM pretraining; no Lucene analogue): replace
+    each match with a typed placeholder. Pattern order matters (emails
+    before phones so digits inside a redacted email can't re-match).
+    Pure JVM regexp_replace chain — whole-stage codegen, no UDF."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Per-document PII match counts (key, n_email, n_ipv4, n_phone) —
+    the audit twin of redact_pii, same patterns, counted on the
+    PROGRESSIVELY redacted text so categories never double-count the
+    same characters (an email's digits are not also a phone)."""
+    cur = F.col(text_col)
+    cols = [F.col(key_col)]
+    for name, pat, token in PII_PATTERNS:
+        cols.append(F.size(F.split(cur, pat)) - F.lit(1))
+        cur = F.regexp_replace(cur, pat, token)
+    named = [cols[0]] + [c.alias(f"n_{n}") for c, (n, _, _) in
+                         zip(cols[1:], PII_PATTERNS)]
+    return df.select(*named)

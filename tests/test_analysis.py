@@ -261,3 +261,46 @@ def test_tokenize_one_matches_series_every_analyzer():
         scalar_out = [a.tokenize_one(s) for s in samples]
         assert scalar_out == series_out, (
             f"analyzer {name!r}: scalar/series drift")
+
+
+def test_line_dedup_op(spark):
+    """C4-style boilerplate removal: a line in ≥2 distinct docs drops
+    from every doc; unique lines survive in original order; docs with
+    zero surviving lines disappear."""
+    from lucene_spark.pipeline.dedup import line_dedup
+
+    rows = [
+        (1, "alpha one\nCOOKIE BANNER\nbeta two"),
+        (2, "gamma three\nCOOKIE BANNER\ndelta four"),
+        (3, "COOKIE BANNER"),
+        (4, "unique line\nanother unique"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t string")
+    got = {r["k"]: r["text_clean"]
+           for r in line_dedup(df, "t", "k", min_docs=2).collect()}
+    assert got == {1: "alpha one\nbeta two",
+                   2: "gamma three\ndelta four",
+                   4: "unique line\nanother unique"}
+    # min_line_len exempts short lines from the boilerplate count
+    rows2 = [(1, "x\nlong shared line"), (2, "x\nlong shared line")]
+    df2 = spark.createDataFrame(rows2, "k long, t string")
+    got2 = {r["k"]: r["text_clean"]
+            for r in line_dedup(df2, "t", "k", min_docs=2,
+                                min_line_len=5).collect()}
+    assert got2 == {1: "x", 2: "x"}
+
+
+def test_pii_redaction(spark):
+    from lucene_spark.pipeline.textstats import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [(1, "mail a.b+c@ex-ample.org and 192.168.0.1 then +1 (555) 123-4567 end"),
+            (2, "no pii here")]
+    df = spark.createDataFrame(rows, "k long, t string")
+    red = {r["k"]: r["red"] for r in
+           df.select("k", redact_pii(F.col("t")).alias("red")).collect()}
+    assert red[1] == "mail <EMAIL> and <IP> then <PHONE> end"
+    assert red[2] == "no pii here"
+    cnt = {r["k"]: (r["n_email"], r["n_ipv4"], r["n_phone"])
+           for r in pii_counts(df, "t", "k").collect()}
+    assert cnt == {1: (1, 1, 1), 2: (0, 0, 0)}
