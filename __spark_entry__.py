@@ -4058,6 +4058,36 @@ FROM kept GROUP BY doc_id
 """
 
 
+def tx_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (training-shard prep): 32-token windows
+    starting every 24 tokens (8-token overlap); the oracle re-derives
+    the same windows with list slicing over the whitespace tokens."""
+    from lucene_spark.pipeline.textstats import chunk_tokens
+
+    out = chunk_tokens(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                       size=32, overlap=8)
+    return out.select("doc_id", "chunk_id",
+                      F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"),
+                      "n_tokens")
+
+
+TX_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, greatest(CAST(ceil(len(toks) / 24.0) AS INT), 1) AS nc
+  FROM t
+), ch AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)] AS c
+  FROM n, range(0, 100000) r(i) WHERE i < nc
+)
+SELECT doc_id, chunk_id, sha256(array_to_string(c, ' ')) AS chunk_sha,
+       len(c)::INT AS n_tokens
+FROM ch
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -4142,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_elevation": ft_elevation,
         "tx_pii": tx_pii,
         "dd_line_dedup": dd_line_dedup,
+        "tx_chunks": tx_chunks,
         # (d) core ft sentinels (driver-green in r02; kept in-window)
         "ft_term_topk": ft_term_topk,
         "ft_blockmax_topk": ft_blockmax_topk,
@@ -4251,6 +4282,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_elevation": FT_ELEVATION_SQL,
         "tx_pii": TX_PII_SQL,
         "dd_line_dedup": DD_LINE_DEDUP_SQL,
+        "tx_chunks": TX_CHUNKS_SQL,
         "ft_termdict_stats": FT_TERMDICT_SQL,
         "ft_docstats_sha": FT_DOCSTATS_SQL,
         "ft_bool_and": FT_BOOL_AND_SQL,

@@ -239,3 +239,31 @@ def pii_counts(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     named = [cols[0]] + [c.alias(f"n_{n}") for c, (n, _, _) in
                          zip(cols[1:], PII_PATTERNS)]
     return df.select(*named)
+
+
+def chunk_tokens(df: DataFrame, text_col: str, key_col: str,
+                 size: int = 512, overlap: int = 0) -> DataFrame:
+    """Token-window chunking (training-data op — fixed-size shard prep
+    for LLM pretraining; no Lucene analogue): split each document's
+    whitespace tokens into windows of `size` tokens starting every
+    `size − overlap` tokens (the last window may be shorter). Returns
+    (key, chunk_id, chunk_text, n_tokens). Pure JVM expressions:
+    split → transform over a chunk-start sequence → slice/array_join →
+    posexplode — no UDF, no shuffle at all (narrow transform; chunk
+    rows stay in their document's partition)."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil(n.cast("double") / F.lit(stride)).cast("int"),
+                          F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, size))
+    return (
+        df.select(F.col(key_col), F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(key_col, "chunk_id",
+                F.array_join("c", " ").alias("chunk_text"),
+                F.size("c").alias("n_tokens"))
+    )

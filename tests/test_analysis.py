@@ -304,3 +304,25 @@ def test_pii_redaction(spark):
     cnt = {r["k"]: (r["n_email"], r["n_ipv4"], r["n_phone"])
            for r in pii_counts(df, "t", "k").collect()}
     assert cnt == {1: (1, 1, 1), 2: (0, 0, 0)}
+
+
+def test_chunk_tokens_op(spark):
+    """Fixed token windows with overlap: starts every size−overlap
+    tokens, last window short, single-window docs and the empty-ish
+    edge covered; contract error on bad overlap."""
+    import pytest as _pt
+    from lucene_spark.pipeline.textstats import chunk_tokens
+
+    toks = " ".join(str(i) for i in range(10))      # 10 tokens
+    df = spark.createDataFrame([(1, toks), (2, "a b")], "k long, t string")
+    got = {(r["k"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in chunk_tokens(df, "t", "k", size=4, overlap=1).collect()}
+    # stride 3 → starts 0,3,6,9
+    assert got[(1, 0)] == ("0 1 2 3", 4)
+    assert got[(1, 1)] == ("3 4 5 6", 4)
+    assert got[(1, 2)] == ("6 7 8 9", 4)
+    assert got[(1, 3)] == ("9", 1)
+    assert got[(2, 0)] == ("a b", 2)
+    assert len(got) == 5
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_tokens(df, "t", "k", size=4, overlap=4)
