@@ -4088,6 +4088,162 @@ FROM ch
 """
 
 
+def rel_json_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Facet API — nested terms facet tree (FacetField.java:27,
+    FacetFieldProcessor sub-facet refinement): top-5 languages by count,
+    then inside each surviving language bucket the top-3 sources by
+    avg(n_chars), with bucket aggs (SumAgg/AvgAgg/UniqueAgg/CountValsAgg
+    roles) fused into one groupBy per level."""
+    from lucene_spark.relational.jsonfacets import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = {
+        "type": "terms", "field": "lang", "limit": 5, "sort": "count desc",
+        "facet": {
+            "avg_chars": "avg(n_chars)",
+            "by_source": {"type": "terms", "field": "source", "limit": 3,
+                          "sort": {"avg_chars": "desc"},
+                          "facet": {"avg_chars": "avg(n_chars)",
+                                    "sum_chars": "sum(n_chars)",
+                                    "vals": "countvals(n_chars)"}},
+        },
+    }
+    child = json_facets(docs, spec)["by_source"]
+    return child.select(
+        "lang", "source", F.col("count").cast("long").alias("count"),
+        F.round("avg_chars", 4).alias("avg_chars"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        F.col("vals").cast("long").alias("vals"),
+    )
+
+
+REL_JSON_FACET_SQL = """
+WITH p AS (
+  SELECT lang FROM (
+    SELECT lang, count(*) AS count FROM documents WHERE lang IS NOT NULL
+    GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 5)),
+c AS (
+  SELECT d.lang, d.source, count(*)::BIGINT AS count,
+         avg(n_chars) AS avg_chars, sum(n_chars)::BIGINT AS sum_chars,
+         count(n_chars)::BIGINT AS vals
+  FROM documents d JOIN p USING (lang) WHERE d.source IS NOT NULL
+  GROUP BY d.lang, d.source),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY avg_chars DESC, source ASC) AS rk FROM c)
+SELECT lang, source, count, round(avg_chars, 4) AS avg_chars, sum_chars, vals
+FROM r WHERE rk <= 3
+"""
+
+
+def rel_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RelatednessAgg (RelatednessAgg.java:379 computeRelatedness — the
+    semantic-knowledge-graph z-score through five offset sigmoids,
+    roundTo5Digits): sources ranked by relatedness of the English
+    foreground against the whole-corpus background, relatedness-sort
+    tie-breaks per RelatednessAgg.compare (fg count, bg count)."""
+    from lucene_spark.relational.jsonfacets import json_facets
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("is_fg", F.col("lang") == "en")
+            .withColumn("is_bg", F.lit(True)))
+    spec = {"type": "terms", "field": "source", "limit": 10,
+            "sort": {"rel": "desc"},
+            "facet": {"rel": "relatedness(is_fg,is_bg)"}}
+    out = json_facets(docs, spec)[""]
+    return out.select("source", F.col("count").cast("long").alias("count"),
+                      F.col("rel").alias("relatedness"))
+
+
+REL_RELATEDNESS_SQL = """
+WITH sizes AS (
+  SELECT sum(CASE WHEN lang='en' THEN 1 ELSE 0 END)::DOUBLE AS fgs,
+         count(*)::DOUBLE AS bgs FROM documents),
+b AS (
+  SELECT source, count(*)::BIGINT AS count,
+         sum(CASE WHEN lang='en' THEN 1 ELSE 0 END)::DOUBLE AS fgc,
+         count(*)::DOUBLE AS bgc
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+z AS (
+  SELECT source, count, fgc, bgc,
+         (fgc - fgs * (bgc/bgs)) /
+         (CASE WHEN sqrt(fgs*(bgc/bgs)*(1-bgc/bgs)) = 0 THEN 1e-10
+               ELSE sqrt(fgs*(bgc/bgs)*(1-bgc/bgs)) END) AS zz
+  FROM b, sizes),
+s AS (
+  SELECT source, count, fgc, bgc,
+         floor((0.2*((zz-80)/(50+abs(zz-80))) + 0.2*((zz-30)/(30+abs(zz-30)))
+              + 0.2*(zz/(30+abs(zz))) + 0.2*((zz+30)/(30+abs(zz+30)))
+              + 0.2*((zz+80)/(50+abs(zz+80))))*1e5 + 0.5)/1e5 AS relatedness
+  FROM z)
+SELECT source, count, relatedness FROM s
+ORDER BY relatedness DESC, fgc DESC, bgc DESC, source ASC LIMIT 10
+"""
+
+
+def tx_igain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """featuresSelection stream (FeaturesSelectionStream.java:300 backed
+    by IGainTermsQParserPlugin.finish): top-15 terms by information gain
+    of the lang='en' outcome, idf = ln(N/(df+1))
+    (FeaturesSelectionStream.java:377)."""
+    from lucene_spark.pipeline.mlstreams import igain_terms
+
+    out = igain_terms(_t(spark, sf_dir, "documents"), "text", "lang", "en",
+                      num_terms=15)
+    return out.select("term", F.round("score", 9).alias("score"),
+                      F.col("docfreq").cast("long").alias("docfreq"),
+                      F.round("idf", 9).alias("idf"))
+
+
+TX_IGAIN_SQL = r"""
+WITH base AS (
+  SELECT (lang = 'en')::INT AS pos,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS toks
+  FROM documents),
+tot AS (SELECT count(*)::DOUBLE AS n, sum(pos)::DOUBLE AS npos FROM base),
+t AS (SELECT unnest(toks) AS term, pos FROM base),
+pt AS (SELECT term, count(*)::BIGINT AS docfreq, sum(pos)::DOUBLE AS xc
+       FROM t GROUP BY term),
+sc AS (
+  SELECT term, docfreq,
+    (CASE WHEN npos/n <= 0 OR npos/n >= 1 THEN 0
+          ELSE -(npos/n)*ln(npos/n) - (1-npos/n)*ln(1-npos/n) END)
+    - ( (docfreq/n) * (CASE WHEN xc/docfreq <= 0 OR xc/docfreq >= 1 THEN 0
+          ELSE -(xc/docfreq)*ln(xc/docfreq)
+               - (1-xc/docfreq)*ln(1-xc/docfreq) END)
+      + (1 - docfreq/n) * (CASE
+          WHEN (npos-xc)/(n-docfreq+1) <= 0 OR (npos-xc)/(n-docfreq+1) >= 1
+          THEN 0
+          ELSE -((npos-xc)/(n-docfreq+1))*ln((npos-xc)/(n-docfreq+1))
+               - (1-(npos-xc)/(n-docfreq+1))*ln(1-(npos-xc)/(n-docfreq+1))
+          END)) AS score,
+    ln(n / (docfreq + 1)) AS idf
+  FROM pt, tot)
+SELECT term, round(score, 9) AS score, docfreq, round(idf, 9) AS idf
+FROM sc ORDER BY score DESC, term ASC LIMIT 15
+"""
+
+
+def tx_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textLogit stream (TextLogitStream.java:453-509 +
+    TextLogisticRegressionQParserPlugin.finish): 5 iterations of
+    partition-parallel sequential SGD with per-iteration weight
+    averaging over a fixed feature set. Sequential weight updates are
+    not SQL-expressible — rows-only driver check (one row per
+    iteration); determinism across input partitionings is pytest-proven
+    via id_col."""
+    from lucene_spark.pipeline.mlstreams import text_logit
+
+    out = text_logit(_t(spark, sf_dir, "documents"), "text", "lang", "en",
+                     terms=["group", "order", "line", "fast", "value"],
+                     max_iterations=5, alpha=0.05, id_col="doc_id")
+    return out.select("iteration", F.round("error", 6).alias("error"),
+                      "true_positive", "true_negative",
+                      "false_positive", "false_negative")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -4247,6 +4403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_gemm_topk": sim_gemm_topk,
         "sim_neardup": sim_neardup,
+        "rel_json_facet": rel_json_facet,
+        "rel_relatedness": rel_relatedness,
+        "tx_igain": tx_igain,
+        "tx_logit": tx_logit,
     }
 
 
@@ -4391,4 +4551,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_nsw_topk": SIM_NSW_SQL,
         "sim_knn_join": SIM_KNN_JOIN_SQL,
         "mm_features": MM_FEATURES_SQL,
+        "rel_json_facet": REL_JSON_FACET_SQL,
+        "rel_relatedness": REL_RELATEDNESS_SQL,
+        "tx_igain": TX_IGAIN_SQL,
+        # tx_logit: sequential SGD weight updates are not SQL-expressible —
+        # deliberate rows-only gate (see tx_logit docstring)
     }
