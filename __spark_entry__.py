@@ -4244,6 +4244,163 @@ def tx_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "false_positive", "false_negative")
 
 
+def rel_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gatherNodes streaming expression (solrj/io/graph/
+    GatherNodesStream.java + Traversal.java + Node.java): two chained
+    hops — customers of nation 3 → their orders → suppliers of their
+    ≥30-quantity lineitems — emitting LEAVES with the count(*) metric,
+    sum(l_extendedprice), and trackTraversal ancestor counts; prefixed
+    node ids mirror multi-collection traversal's global id space."""
+    from lucene_spark.relational.graph import Traversal
+
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_nationkey") == 3)
+            .select(F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+                    .alias("node")))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"))
+    items = (_t(spark, sf_dir, "lineitem")
+             .filter(F.col("l_quantity") >= 30)
+             .select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("l_extendedprice").alias("w")))
+    t = (Traversal(cust, track_traversal=True)
+         .gather(orders, "src", "dst")
+         .gather(items, "src", "dst", metrics=[("sum", "w")]))
+    out = t.nodes().select(
+        "node", "level", F.col("count").cast("long").alias("count"),
+        F.round("sum_w", 2).alias("sum_w"),
+        F.col("num_ancestors").cast("long").alias("num_ancestors"))
+    return _ranked(out, "count", "node", 10).select(
+        "node", "level", "count", "sum_w", "num_ancestors", "rank")
+
+
+REL_GATHER_NODES_SQL = """
+WITH roots AS (
+  SELECT 'c:' || c_custkey AS node FROM customer WHERE c_nationkey = 3),
+h1 AS (
+  SELECT DISTINCT 'o:' || o_orderkey AS node
+  FROM orders JOIN roots ON 'c:' || o_custkey = roots.node),
+h2e AS (
+  SELECT 's:' || l_suppkey AS node, 'o:' || l_orderkey AS ancestor,
+         l_extendedprice AS w
+  FROM lineitem JOIN h1 ON 'o:' || l_orderkey = h1.node
+  WHERE l_quantity >= 30),
+agg AS (
+  SELECT node, count(*)::BIGINT AS count, round(sum(w), 2) AS sum_w,
+         count(DISTINCT ancestor)::BIGINT AS num_ancestors
+  FROM h2e
+  WHERE node NOT IN (SELECT node FROM roots UNION ALL SELECT node FROM h1)
+  GROUP BY node)
+SELECT node, 2 AS level, count, sum_w, num_ancestors,
+       row_number() OVER (ORDER BY count DESC, node ASC) AS rank
+FROM agg QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def rel_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath streaming expression (solrj/io/graph/
+    ShortestPathStream.java:293-414): ALL distinct shortest paths over a
+    deterministic events-derived graph (64 nodes; src = event_id mod 64,
+    dst decoupled through mod 997). BFS-with-global-visited finds
+    exactly the min-length simple paths the oracle's recursive CTE
+    enumerates."""
+    from lucene_spark.relational.graph import shortest_path
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 61 == 1)
+    e = (ev.select((F.col("event_id") % 64).alias("src"),
+                   ((F.col("event_id") % 997) * 7 + 13).cast("long").alias("d0"))
+         .withColumn("dst", F.col("d0") % 64).drop("d0")
+         .filter(F.col("src") != F.col("dst")).distinct())
+    out = shortest_path(e, 1, 18, from_col="src", to_col="dst", max_depth=6)
+    return out.select("path_str", "length")
+
+
+REL_SHORTEST_PATH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT (event_id % 64) AS src,
+         ((event_id % 997) * 7 + 13) % 64 AS dst
+  FROM events WHERE event_id % 61 = 1
+    AND (event_id % 64) <> ((event_id % 997) * 7 + 13) % 64),
+walk(node, path) AS (
+  SELECT 1::BIGINT AS node, ['1'] AS path
+  UNION ALL
+  SELECT e.dst, w.path || [e.dst::VARCHAR]
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE len(w.path) <= 6 AND w.node <> 18
+    AND NOT list_contains(w.path, e.dst::VARCHAR)),
+hits AS (SELECT path FROM walk WHERE node = 18),
+m AS (SELECT min(len(path)) AS d FROM hits)
+SELECT DISTINCT array_to_string(path, '->') AS path_str,
+       (len(path) - 1)::INT AS length
+FROM hits, m WHERE len(path) = d
+"""
+
+
+def rel_collapse_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingQParserPlugin ({!collapse field=source max=n_chars},
+    solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java:
+    109-117) + ExpandComponent (handler/component/ExpandComponent.java:
+    104-173): one head doc per source by max n_chars (doc_id tie), then
+    the next 2 docs of each collapsed group; expand_rank 0 marks heads."""
+    from lucene_spark.relational.collapse import collapse, expand
+
+    docs = _t(spark, sf_dir, "documents")
+    sort = [("n_chars", "desc"), ("doc_id", "asc")]
+    heads = collapse(docs, "source", sort=sort)
+    exp = expand(docs, "source", heads, sort=sort, rows=2)
+    h = heads.select("source", "doc_id", "n_chars",
+                     F.lit(0).cast("int").alias("expand_rank"))
+    e = exp.select("source", "doc_id", "n_chars",
+                   F.col("expand_rank").cast("int"))
+    return h.unionByName(e)
+
+
+REL_COLLAPSE_EXPAND_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents WHERE source IS NOT NULL)
+SELECT source, doc_id, n_chars, (rn - 1)::INT AS expand_rank
+FROM r WHERE rn <= 3
+"""
+
+
+def ft_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiversifiedTopDocsCollector (lucene/misc/src/java/org/apache/
+    lucene/misc/search/DiversifiedTopDocsCollector.java:67-160): global
+    top-10 for 'table OR value' with at most 2 hits per source; the
+    reference's PQ-with-evictions algorithm equals rank-within-key ≤ cap
+    then global top-k (diversification decided in rounded-score space
+    per the gate convention)."""
+    from lucene_spark.search.diversify import diversified_topk
+
+    s = _searcher(spark, sf_dir)
+    m = (_to_ext(s.matches("table OR value"), s.reader)
+         .withColumn("score_r", F.round(F.col("score").cast("double"), 2))
+         .select("doc_id", "score_r"))
+    keys = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("key"))
+    top = diversified_topk(m, keys, k=10, max_per_key=2, score_col="score_r")
+    return top.select("doc_id", "score_r", F.col("key").alias("source"), "rank")
+
+
+FT_DIVERSIFIED_SQL = f"""
+WITH {_bm25_per_term_sql(["table", "value"])}
+, agg AS (SELECT doc_id, round(sum(s), 2) AS score_r FROM persc GROUP BY doc_id),
+k AS (SELECT a.doc_id, a.score_r, d.source
+      FROM agg a JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY score_r DESC, doc_id ASC) AS kr FROM k)
+SELECT doc_id, score_r, source,
+       row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r WHERE kr <= 2 QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -4407,6 +4564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_relatedness": rel_relatedness,
         "tx_igain": tx_igain,
         "tx_logit": tx_logit,
+        "rel_gather_nodes": rel_gather_nodes,
+        "rel_shortest_path": rel_shortest_path,
+        "rel_collapse_expand": rel_collapse_expand,
+        "ft_diversified_topk": ft_diversified_topk,
     }
 
 
@@ -4556,4 +4717,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_igain": TX_IGAIN_SQL,
         # tx_logit: sequential SGD weight updates are not SQL-expressible —
         # deliberate rows-only gate (see tx_logit docstring)
+        "rel_gather_nodes": REL_GATHER_NODES_SQL,
+        "rel_shortest_path": REL_SHORTEST_PATH_SQL,
+        "rel_collapse_expand": REL_COLLAPSE_EXPAND_SQL,
+        "ft_diversified_topk": FT_DIVERSIFIED_SQL,
     }
