@@ -4269,7 +4269,9 @@ def rel_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (Traversal(cust, track_traversal=True)
          .gather(orders, "src", "dst")
          .gather(items, "src", "dst", metrics=[("sum", "w")]))
-    out = t.nodes().select(
+    nodes = t.nodes().localCheckpoint(eager=True)
+    t.close()
+    out = nodes.select(
         "node", "level", F.col("count").cast("long").alias("count"),
         F.round("sum_w", 2).alias("sum_w"),
         F.col("num_ancestors").cast("long").alias("num_ancestors"))

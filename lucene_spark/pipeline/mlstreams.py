@@ -69,13 +69,24 @@ def igain_terms(docs: DataFrame, text_col: str, label_col: str,
     base = docs.select(
         is_pos.alias("__pos"),
         F.array_distinct(_tokens(F.col(text_col))).alias("__toks"),
-    )
-    totals = base.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("__pos").alias("npos")).collect()[0]
-    n, npos = int(totals["n"]), int(totals["npos"] or 0)
-    if n == 0:
-        raise ValueError("igain_terms: empty training set")
+    ).persist()  # tokenization is the dominant cost — ONE pass feeds both
+    try:
+        totals = base.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__pos").alias("npos")).collect()[0]
+        n, npos = int(totals["n"]), int(totals["npos"] or 0)
+        if n == 0:
+            raise ValueError("igain_terms: empty training set")
+        out = _igain_from_base(base, n, npos, num_terms)
+        # materialize the ≤num_terms rows BEFORE dropping the cache so the
+        # caller's consumption doesn't re-tokenize the corpus
+        rows = out.collect()
+        return base.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        base.unpersist()
 
+
+def _igain_from_base(base: DataFrame, n: int, npos: int,
+                     num_terms: int) -> DataFrame:
     per_term = (
         base.select("__pos", F.explode("__toks").alias("term"))
         .groupBy("term")
@@ -126,16 +137,21 @@ def text_logit(docs: DataFrame, text_col: str, label_col: str,
 
     Feature vector per doc: [1.0, idf_i·(1 + ln tf_i), ...] (zero when the
     term is absent — TextLogisticRegressionQParserPlugin.java:175-190).
+    Weights start ALL-ONES, bias included (the plugin's default when the
+    stream ships none, TextLogisticRegressionQParserPlugin.java:95-99).
     Each iteration runs the reference's sequential per-doc update within
     every partition (error = sigmoid(x·w_prev-pass) − y, w -= α·error·x,
     evaluated error/confusion against the ITERATION-START weights), then
     averages the partition weight vectors (TextLogitStream.java:473
-    averageWeights) and sums errors. Partitions play the shard role; the
+    averageWeights) and sums errors. The learning rate adapts per
+    iteration after the first (TextLogitStream.java:491-497): ×0.5 when
+    the summed error did not improve, ×1.05 when it did; each output row
+    carries the rate its own SGD pass used (the reference's alpha_d). Partitions play the shard role; the
     split is deterministic (doc hash mod num_partitions, doc-id order
     within) so results are reproducible run-to-run.
 
     Returns one row per iteration: (iteration, error, true_positive,
-    true_negative, false_positive, false_negative, weights).
+    true_negative, false_positive, false_negative, alpha, weights).
     """
     if idfs is None:
         n = docs.count()
@@ -185,13 +201,20 @@ def text_logit(docs: DataFrame, text_col: str, label_col: str,
     import numpy as np
 
     idf_arr = list(map(float, idfs))
-    weights = [0.0] * dims
+    # all-ones start, bias included (TextLogisticRegressionQParserPlugin
+    # .java:95-99 — the default when the stream ships no weights)
+    weights = [1.0] * dims
+    # adaptive learning rate (TextLogitStream.java:491-497): halve when an
+    # iteration's error did not improve, grow 5% when it did; the rate in
+    # each output row is the one THAT iteration's SGD used
+    rate = float(alpha)
+    last_error: float | None = None
     out_rows = []
     try:
         for it in range(1, max_iterations + 1):
             w0 = list(weights)
 
-            def run_pass(pdf_iter, w_start=w0):
+            def run_pass(pdf_iter, w_start=w0, alpha=rate):
                 w_prev = np.asarray(w_start, dtype="float64")
                 w = w_prev.copy()
                 err = 0.0
@@ -233,15 +256,21 @@ def text_logit(docs: DataFrame, text_col: str, label_col: str,
                 raise ValueError("text_logit: no docs contain any feature term")
             weights = [sum(r["weights"][i] for r in parts) / len(parts)
                        for i in range(dims)]
+            error = float(sum(r["error"] for r in parts))
             out_rows.append((
                 it,
-                float(sum(r["error"] for r in parts)),
+                error,
                 int(sum(r["true_positive"] for r in parts)),
                 int(sum(r["true_negative"] for r in parts)),
                 int(sum(r["false_positive"] for r in parts)),
                 int(sum(r["false_negative"] for r in parts)),
+                float(rate),
                 list(weights),
             ))
+            if it != 1:
+                # TextLogitStream.java:491-497 — adapt AFTER emitting
+                rate = rate * 0.5 if last_error <= error else rate * 1.05
+            last_error = error
     finally:
         vec.unpersist()
 
@@ -253,6 +282,7 @@ def text_logit(docs: DataFrame, text_col: str, label_col: str,
         T.StructField("true_negative", T.LongType()),
         T.StructField("false_positive", T.LongType()),
         T.StructField("false_negative", T.LongType()),
+        T.StructField("alpha", T.DoubleType()),
         T.StructField("weights", T.ArrayType(T.DoubleType())),
     ])
     return spark.createDataFrame(out_rows, schema)

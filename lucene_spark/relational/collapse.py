@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _order(df: DataFrame, sort: list[tuple[str, str]]) -> list[Column]:
+def _order(sort: list[tuple[str, str]]) -> list[Column]:
     cols = []
     for name, direction in sort:
         c = F.col(name)
@@ -38,7 +38,7 @@ def collapse(df: DataFrame, field: str, sort: list[tuple[str, str]],
     ``sort`` (list of (column, asc|desc); append a unique tie column —
     max=M is sort=[(M, desc), (id, asc)], min=M the reverse)."""
     grouped = df.filter(F.col(field).isNotNull())
-    w = Window.partitionBy(field).orderBy(*_order(df, sort))
+    w = Window.partitionBy(field).orderBy(*_order(sort))
     heads = (grouped.withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") == 1).drop("__rn"))
     nulls = df.filter(F.col(field).isNull())
@@ -48,7 +48,7 @@ def collapse(df: DataFrame, field: str, sort: list[tuple[str, str]],
     if p == "expand":
         return heads.unionByName(nulls)
     if p == "collapse":
-        wn = Window.orderBy(*_order(df, sort))
+        wn = Window.orderBy(*_order(sort))
         null_head = (nulls.withColumn("__rn", F.row_number().over(wn))
                      .filter(F.col("__rn") == 1).drop("__rn"))
         return heads.unionByName(null_head)
@@ -64,11 +64,18 @@ def expand(df: DataFrame, field: str, collapsed: DataFrame,
     groups = collapsed.select(field).distinct()
     sort_cols = [name for name, _ in sort]
     heads = collapsed.select(field, *sort_cols)
-    members = df.join(F.broadcast(groups), field, "left_semi")
+    members = df.join(F.broadcast(groups), field, "left_semi").alias("__m")
     # exclude the exact head row per group (reference excludes by docid;
-    # the (field, sort columns) tuple is unique given a unique tie column)
-    members = members.join(F.broadcast(heads), [field, *sort_cols], "left_anti")
-    w = Window.partitionBy(field).orderBy(*_order(df, sort))
+    # the (field, sort columns) tuple is unique given a unique tie column).
+    # Null-safe equality: a head whose sort column is NULL must still be
+    # excluded, and plain '=' never matches NULL.
+    h = heads.alias("__h")
+    cond = None
+    for k in (field, *sort_cols):
+        c = F.col(f"__m.{k}").eqNullSafe(F.col(f"__h.{k}"))
+        cond = c if cond is None else (cond & c)
+    members = members.join(F.broadcast(h), on=cond, how="left_anti")
+    w = Window.partitionBy(field).orderBy(*_order(sort))
     return (members.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= rows)
             .withColumnRenamed("__rn", "expand_rank"))

@@ -125,6 +125,9 @@ class Traversal:
             out = lvl_map.join(per_node, "node", "left")
         else:
             out = lvl_map.withColumn("count", F.lit(0).cast("long"))
+            if self.track:
+                out = out.withColumn(
+                    "ancestors", F.array().cast("array<string>"))
         out = out.filter(F.col("level").isin(want) if want else F.lit(False))
         # roots gathered by no edge: count 0, empty ancestors
         out = out.withColumn("count", F.coalesce("count", F.lit(0)))
@@ -135,14 +138,27 @@ class Traversal:
             out = out.withColumn("num_ancestors", F.size("ancestors"))
         return out
 
+    def close(self) -> None:
+        """Release every cached level — call once the emitted DataFrames
+        are consumed (or use :func:`gather_nodes`, which materializes and
+        closes for you); a long-lived session otherwise accumulates dead
+        cached frontiers."""
+        for lv in self._levels:
+            lv.unpersist()
+
 
 def gather_nodes(roots: DataFrame, edges: DataFrame, from_col: str,
                  to_col: str, metrics: Sequence[tuple[str, str]] = (),
                  track_traversal: bool = False,
                  node_col: str = "node") -> DataFrame:
-    """Single-hop gatherNodes convenience (scatter=LEAVES default)."""
+    """Single-hop gatherNodes convenience (scatter=LEAVES default).
+    Materializes the result (localCheckpoint) and releases the
+    traversal's cached levels before returning."""
     t = Traversal(roots, node_col=node_col, track_traversal=track_traversal)
-    return t.gather(edges, from_col, to_col, metrics).nodes()
+    out = (t.gather(edges, from_col, to_col, metrics).nodes()
+           .localCheckpoint(eager=True))
+    t.close()
+    return out
 
 
 def shortest_path(edges: DataFrame, from_node, to_node, from_col: str = "src",
@@ -167,40 +183,49 @@ def shortest_path(edges: DataFrame, from_node, to_node, from_col: str = "src",
     frontier = spark.createDataFrame([(start,)], "node string")
     visited = frontier
     levels: list[DataFrame] = []   # (node, parent) pairs per depth 1..d
+    cached: list[DataFrame] = []   # everything persisted, released at end
     found = False
-    for _ in range(max_depth):
-        cand = (e.join(frontier.withColumnRenamed("node", "parent"), "parent")
-                .select("node", "parent").distinct())
-        nxt = (cand.filter(F.col("node") != target)
-               .join(visited, "node", "left_anti")
-               .unionByName(cand.filter(F.col("node") == target))
-               .persist(StorageLevel.MEMORY_AND_DISK))
-        levels.append(nxt)
-        found = bool(nxt.filter(F.col("node") == target).limit(1).count())
-        frontier = nxt.select("node").distinct()
-        visited = visited.unionByName(frontier).distinct() \
-                         .persist(StorageLevel.MEMORY_AND_DISK)
-        if found or not frontier.limit(1).count():
-            break
-    empty = spark.createDataFrame(
-        [], "path array<string>, path_str string, length int")
-    if not found:
-        return empty
-    # backward reconstruction over exact-depth parent maps: the head of a
-    # partial path at step i is a node at depth d-i, found only in that
-    # level's pairs (the reference walks allVisited newest-first and a
-    # level without the head leaves the path unchanged).
-    paths = (levels[-1].filter(F.col("node") == target)
-             .select(F.col("parent").alias("__head"),
-                     F.array(F.lit(target)).alias("path")))
-    for lv in reversed(levels[:-1]):
-        paths = (paths.join(lv, paths["__head"] == lv["node"])
+    try:
+        for _ in range(max_depth):
+            cand = (e.join(frontier.withColumnRenamed("node", "parent"),
+                           "parent")
+                    .select("node", "parent").distinct())
+            nxt = (cand.filter(F.col("node") != target)
+                   .join(visited, "node", "left_anti")
+                   .unionByName(cand.filter(F.col("node") == target))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+            levels.append(nxt)
+            cached.append(nxt)
+            found = bool(nxt.filter(F.col("node") == target).limit(1).count())
+            frontier = nxt.select("node").distinct()
+            visited = visited.unionByName(frontier).distinct() \
+                             .persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(visited)
+            if found or not frontier.limit(1).count():
+                break
+        if not found:
+            return spark.createDataFrame(
+                [], "path array<string>, path_str string, length int")
+        # backward reconstruction over exact-depth parent maps: the head of
+        # a partial path at step i is a node at depth d-i, found only in
+        # that level's pairs (the reference walks allVisited newest-first
+        # and a level without the head leaves the path unchanged).
+        paths = (levels[-1].filter(F.col("node") == target)
                  .select(F.col("parent").alias("__head"),
-                         F.concat(F.array(F.col("node")), F.col("path"))
-                         .alias("path")))
-    out = (paths.select(
-        F.concat(F.array(F.lit(start)), F.col("path")).alias("path"))
-        .distinct()
-        .withColumn("path_str", F.concat_ws("->", "path"))
-        .withColumn("length", (F.size("path") - 1).cast("int")))
-    return out
+                         F.array(F.lit(target)).alias("path")))
+        for lv in reversed(levels[:-1]):
+            paths = (paths.join(lv, paths["__head"] == lv["node"])
+                     .select(F.col("parent").alias("__head"),
+                             F.concat(F.array(F.col("node")), F.col("path"))
+                             .alias("path")))
+        out = (paths.select(
+            F.concat(F.array(F.lit(start)), F.col("path")).alias("path"))
+            .distinct()
+            .withColumn("path_str", F.concat_ws("->", "path"))
+            .withColumn("length", (F.size("path") - 1).cast("int")))
+        # materialize (shortest-path sets are small by construction) so the
+        # caches can be dropped without the caller re-running the BFS
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in cached:
+            df.unpersist()

@@ -136,8 +136,10 @@ def _parse_agg(name: str, spec: str, sizes: dict[str, Column]) -> list[Column]:
             k, _, v = p.partition("=")
             if k.strip() == "min_pop":
                 min_pop = float(v)
-        fg_count = F.sum(F.col(fg_col).cast("long"))
-        bg_count = F.sum(F.col(bg_col).cast("long"))
+        # coalesce: a bucket whose flags are all NULL counts 0, not NULL
+        # (the reference's DocSet intersection size is never null)
+        fg_count = F.coalesce(F.sum(F.col(fg_col).cast("long")), F.lit(0))
+        bg_count = F.coalesce(F.sum(F.col(bg_col).cast("long")), F.lit(0))
         return [
             relatedness_expr(fg_count, sizes[fg_col], bg_count,
                              sizes[bg_col], min_pop).alias(name),
@@ -269,8 +271,17 @@ def json_facets(domain: DataFrame, spec: dict,
 
     if child_specs:
         # Solr processes sub-facets inside the buckets the parent RETURNS.
-        survivors = buckets.select(*keys)
-        child_domain = domain.join(F.broadcast(survivors), on=keys, how="left_semi")
+        # Null-safe equality so a surviving missing (null) bucket keeps its
+        # sub-facet domain (Solr computes sub-facets inside the missing
+        # bucket too); the semi-join keeps only left columns, so aliasing
+        # both sides avoids self-join lineage ambiguity.
+        survivors = buckets.select(*keys).alias("__s")
+        d = domain.alias("__d")
+        cond = None
+        for k in keys:
+            c = F.col(f"__d.{k}").eqNullSafe(F.col(f"__s.{k}"))
+            cond = c if cond is None else (cond & c)
+        child_domain = d.join(F.broadcast(survivors), on=cond, how="left_semi")
         for child_name, child_spec in child_specs.items():
             path = f"{name}.{child_name}" if name else child_name
             out.update(json_facets(child_domain, child_spec, path,

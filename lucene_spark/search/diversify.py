@@ -14,9 +14,11 @@ Spark, one shuffle on the key, one bounded global sort.
 The key source is the reference's NumericDocValues per doc
 (getKeys(LeafReaderContext)); here any DataFrame mapping doc_id -> key
 (a doc-values sidecar column, a hydrated carry column, ...).  Docs whose
-key is NULL take key 0 per the reference (advanceExact miss ->
-``value = 0``, DiversifiedTopDocsCollector.java:118-121) — i.e. all
-key-less docs compete in one shared bucket.
+key is NULL all compete in ONE shared bucket (Spark windows group nulls
+together), mirroring the reference where every advanceExact miss takes
+key 0 (DiversifiedTopDocsCollector.java:118-121); unlike the reference's
+numeric-DV artifact, the null bucket here stays distinct from a genuine
+key of 0, and the key column comes back as NULL, not rewritten.
 """
 
 from __future__ import annotations
@@ -32,9 +34,6 @@ def diversified_topk(scored: DataFrame, keys: DataFrame, k: int,
     at most ``max_per_key`` docs per key in the global top-``k``.
     Returns (doc_id, score, key, rank) ordered by rank."""
     m = scored.join(keys.select(id_col, key_col), id_col, "left")
-    key_type = dict(m.dtypes)[key_col]
-    m = m.withColumn(key_col,
-                     F.coalesce(F.col(key_col), F.lit(0).cast(key_type)))
     per_key = Window.partitionBy(key_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc())
     survivors = (m.withColumn("__kr", F.row_number().over(per_key))

@@ -160,10 +160,45 @@ def test_diversified_topk_caps_keys(spark):
     assert [r.rank for r in out] == [1, 2, 3, 4]
 
 
-def test_diversified_null_key_shares_bucket_zero(spark):
+def test_diversified_null_keys_share_one_bucket(spark):
     scored = spark.createDataFrame(
         [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id int, score double")
     keys = spark.createDataFrame([(1, "A")], "doc_id int, key string")
-    # docs 2,3 keyless -> both key 0; cap 1 keeps only doc 2 of them
+    # docs 2,3 keyless -> one shared null bucket; cap 1 keeps only doc 2
     out = diversified_topk(scored, keys, k=3, max_per_key=1).collect()
     assert [r.doc_id for r in out] == [1, 2]
+    assert out[1].key is None  # key NOT rewritten to 0
+
+
+def test_traversal_nodes_before_any_gather(spark):
+    from lucene_spark.relational.graph import Traversal
+
+    roots = spark.createDataFrame([("r",)], "node string")
+    t = Traversal(roots, track_traversal=True)
+    rows = t.nodes(scatter=("branches", "leaves")).collect()
+    t.close()
+    assert len(rows) == 1 and rows[0].node == "r"
+    assert rows[0]["count"] == 0 and rows[0].ancestors == []
+
+
+def test_collapse_expand_null_sort_value_head_excluded(spark):
+    # all-NULL sort column in a group: the head must not reappear in expand
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", None)], "id int, grp string, v int")
+    heads = collapse(df, "grp", sort=[("v", "desc"), ("id", "asc")])
+    assert [r.id for r in heads.collect()] == [1]
+    out = expand(df, "grp", heads, sort=[("v", "desc"), ("id", "asc")], rows=5)
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_jsonfacets_missing_bucket_subfacet(spark):
+    from lucene_spark.relational.jsonfacets import json_facets
+
+    df = spark.createDataFrame(
+        [(None, "s1", 5), (None, "s2", 7), ("en", "s1", 3)],
+        "lang string, source string, v int")
+    spec = {"type": "terms", "field": "lang", "missing": True,
+            "facet": {"by_source": {"type": "terms", "field": "source"}}}
+    child = json_facets(df, spec)["by_source"]
+    null_rows = child.filter(F.col("lang").isNull()).collect()
+    assert {r.source for r in null_rows} == {"s1", "s2"}
