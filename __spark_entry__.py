@@ -4302,6 +4302,66 @@ FROM agg QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def rel_score_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoreNodes streaming expression (solrj/io/stream/
+    ScoreNodesStream.java:242): tf-idf significance of the suppliers
+    gathered by the rel_gather_nodes walk — termFreq = the gather
+    count(*), docFreq = the supplier's total lineitem presence, numDocs =
+    the lineitem count; float32 narrowing replayed in the oracle."""
+    from lucene_spark.relational.graph import Traversal, score_nodes
+
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_nationkey") == 3)
+            .select(F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+                    .alias("node")))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"))
+    items = (_t(spark, sf_dir, "lineitem")
+             .filter(F.col("l_quantity") >= 30)
+             .select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst")))
+    t = (Traversal(cust).gather(orders, "src", "dst")
+         .gather(items, "src", "dst"))
+    nodes = t.nodes().localCheckpoint(eager=True)
+    t.close()
+    coll = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("f"))
+    scored = score_nodes(nodes.select("node", "count"), coll, "f")
+    out = scored.select(
+        "node", F.col("count").cast("long").alias("count"),
+        F.col("docFreq").cast("long").alias("docfreq"),
+        F.round(F.col("nodeScore").cast("double"), 4).alias("score_r"))
+    return _ranked(out, "score_r", "node", 10).select(
+        "node", "count", "docfreq", "score_r", "rank")
+
+
+REL_SCORE_NODES_SQL = """
+WITH roots AS (
+  SELECT 'c:' || c_custkey AS node FROM customer WHERE c_nationkey = 3),
+h1 AS (
+  SELECT DISTINCT 'o:' || o_orderkey AS node
+  FROM orders JOIN roots ON 'c:' || o_custkey = roots.node),
+h2 AS (
+  SELECT 's:' || l_suppkey AS node, count(*)::BIGINT AS count
+  FROM lineitem JOIN h1 ON 'o:' || l_orderkey = h1.node
+  WHERE l_quantity >= 30 GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n FROM lineitem),
+dfq AS (SELECT 's:' || l_suppkey AS node, count(*)::BIGINT AS docfreq
+        FROM lineitem GROUP BY 1),
+sc AS (
+  SELECT h2.node, h2.count, dfq.docfreq,
+         round((((ln(h2.count::DOUBLE) + 1.0)::FLOAT
+                * (ln((stats.n + 1.0) / (dfq.docfreq + 1.0)) + 1.0)::FLOAT
+               )::FLOAT)::DOUBLE, 4) AS score_r
+  FROM h2 JOIN dfq USING (node) CROSS JOIN stats)
+SELECT node, count, docfreq, score_r,
+       row_number() OVER (ORDER BY score_r DESC, node ASC) AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def rel_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shortestPath streaming expression (solrj/io/graph/
     ShortestPathStream.java:293-414): ALL distinct shortest paths over a
@@ -4567,6 +4627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_igain": tx_igain,
         "tx_logit": tx_logit,
         "rel_gather_nodes": rel_gather_nodes,
+        "rel_score_nodes": rel_score_nodes,
         "rel_shortest_path": rel_shortest_path,
         "rel_collapse_expand": rel_collapse_expand,
         "ft_diversified_topk": ft_diversified_topk,
@@ -4720,6 +4781,7 @@ def oracle_sql() -> dict[str, str]:
         # tx_logit: sequential SGD weight updates are not SQL-expressible —
         # deliberate rows-only gate (see tx_logit docstring)
         "rel_gather_nodes": REL_GATHER_NODES_SQL,
+        "rel_score_nodes": REL_SCORE_NODES_SQL,
         "rel_shortest_path": REL_SHORTEST_PATH_SQL,
         "rel_collapse_expand": REL_COLLAPSE_EXPAND_SQL,
         "ft_diversified_topk": FT_DIVERSIFIED_SQL,

@@ -6,6 +6,8 @@ Role analogue (solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/):
   chainable; per-node edge metrics (count(*), sum/avg/min/max over edge
   tuple fields), ancestor tracking (trackTraversal), BRANCHES/LEAVES
   scatter (Traversal.java Scatter enum, TraversalIterator.java).
+- ``scoreNodes`` (ScoreNodesStream.java:225-245): tf-idf significance
+  scoring of gathered nodes against the collection's term statistics.
 - ``shortestPath`` (ShortestPathStream.java:293-414): iterative BFS with
   per-level parent sets, cycle pruning against every earlier level
   (ShortestPathStream.cycle), stop at the first depth that reaches the
@@ -159,6 +161,35 @@ def gather_nodes(roots: DataFrame, edges: DataFrame, from_col: str,
            .localCheckpoint(eager=True))
     t.close()
     return out
+
+
+def score_nodes(nodes: DataFrame, collection: DataFrame, field: str,
+                term_freq_col: str = "count") -> DataFrame:
+    """scoreNodes streaming expression (solrj/io/stream/
+    ScoreNodesStream.java:225-245): tf-idf significance of gathered
+    nodes.  docFreq = how many ``collection`` rows carry the node id in
+    ``field`` (the reference asks the /terms handler), numDocs = the
+    collection size, termFreq = the gather metric (count(*) by default),
+    and per line 242::
+
+        nodeScore = float32(ln(termFreq) + 1) * float32(ln((numDocs + 1)
+                    / (docFreq + 1)) + 1)
+
+    Nodes gathered from the collection's own edges always have a terms
+    entry, so the docFreq join is inner (the reference throws when a
+    term is missing from the response).
+    """
+    num_docs = collection.count()
+    dfreq = (collection
+             .groupBy(F.col(field).cast("string").alias("node"))
+             .agg(F.count(F.lit(1)).alias("docFreq")))
+    tf = F.col(term_freq_col).cast("double")
+    idf = (F.log((F.lit(float(num_docs)) + 1.0)
+                 / (F.col("docFreq").cast("double") + 1.0)) + 1.0)
+    score = ((F.log(tf) + 1.0).cast("float") * idf.cast("float")).cast("float")
+    return (nodes.join(dfreq, "node")
+            .withColumn("numDocs", F.lit(num_docs))
+            .withColumn("nodeScore", score))
 
 
 def shortest_path(edges: DataFrame, from_node, to_node, from_col: str = "src",

@@ -104,6 +104,23 @@ def test_gather_chained_two_hop_business_walk(spark):
     assert sorted(out[0].ancestors) == ["o:10", "o:11"]
 
 
+def test_score_nodes_tfidf(spark):
+    import math
+
+    from lucene_spark.relational.graph import score_nodes
+
+    nodes = spark.createDataFrame([("x", 3), ("y", 1)], "node string, count long")
+    coll = spark.createDataFrame(
+        [("x",), ("x",), ("y",), ("z",)], "f string")
+    out = {r.node: r for r in score_nodes(nodes, coll, "f").collect()}
+    import numpy as np
+    for node, tf, df in (("x", 3, 2), ("y", 1, 1)):
+        want = np.float32(np.float32(math.log(tf) + 1.0)
+                          * np.float32(math.log((4 + 1) / (df + 1.0)) + 1.0))
+        assert out[node].docFreq == df and out[node].numDocs == 4
+        assert abs(out[node].nodeScore - float(want)) < 1e-7
+
+
 # --------------------------------------------------------------------------
 # collapse / expand
 
