@@ -4463,6 +4463,134 @@ FROM r WHERE kr <= 2 QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def tx_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (training-data mixture stage, pipeline/mixing.py):
+    rebalance three sources to 50/30/20 of a 100-row mix — exercises
+    integer upsampling (epochs), fractional upsampling (first-ranks get
+    the extra repeat), and deterministic downsampling in one gate."""
+    from lucene_spark.pipeline.mixing import mix_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_domains(docs, "source",
+                      {"src1": 0.5, "src2": 0.3, "src3": 0.2}, total=100)
+    return out.select("doc_id", "source", F.col("epoch").cast("long"))
+
+
+TX_DOMAIN_MIX_SQL = """
+WITH t(source, target) AS (VALUES ('src1', 50), ('src2', 30), ('src3', 20)),
+c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source),
+r AS (
+  SELECT d.doc_id, d.source, t.target, c.cnt,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rk
+  FROM documents d JOIN t USING (source) JOIN c USING (source)),
+rep AS (
+  SELECT doc_id, source,
+         (target // cnt) + CASE WHEN rk <= target % cnt THEN 1 ELSE 0 END
+         AS nrep
+  FROM r)
+SELECT doc_id, source, unnest(generate_series(1, nrep::BIGINT)) AS epoch
+FROM rep WHERE nrep > 0
+"""
+
+
+def tx_logit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logit inference at scale (mlstreams.apply_logit — the quality-
+    classifier filter stage): fixed model, probability + label per doc,
+    sigmoid over the training vectorization
+    (TextLogisticRegressionQParserPlugin.java:175-190 features)."""
+    from lucene_spark.pipeline.mlstreams import apply_logit
+
+    out = apply_logit(_t(spark, sf_dir, "documents"), "text",
+                      terms=["group", "order", "line"],
+                      idfs=[1.0, 1.2, 0.8],
+                      weights=[0.05, 0.4, -0.2, 0.3])
+    return out.select("doc_id", F.round("probability", 9).alias("probability"),
+                      F.col("predicted").cast("int"))
+
+
+TX_LOGIT_APPLY_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x = 'group')) AS tf1,
+    len(list_filter(toks, x -> x = 'order')) AS tf2,
+    len(list_filter(toks, x -> x = 'line'))  AS tf3
+  FROM tk),
+s AS (
+  SELECT doc_id, 0.05
+    + 0.4 * (CASE WHEN tf1 > 0 THEN 1.0 * (1.0 + ln(tf1)) ELSE 0.0 END)
+    - 0.2 * (CASE WHEN tf2 > 0 THEN 1.2 * (1.0 + ln(tf2)) ELSE 0.0 END)
+    + 0.3 * (CASE WHEN tf3 > 0 THEN 0.8 * (1.0 + ln(tf3)) ELSE 0.0 END)
+    AS sc
+  FROM f)
+SELECT doc_id, round(1.0 / (1.0 + exp(-sc)), 9) AS probability,
+       (CASE WHEN 1.0 / (1.0 + exp(-sc)) >= 0.5 THEN 1 ELSE 0 END)::INT
+       AS predicted
+FROM s
+"""
+
+
+def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + first-fetch-wins dedup (pipeline/urlnorm.py
+    — the CommonCrawl-pipeline URL-key stage): deterministic synthetic
+    URLs (case-noisy host, default port, trailing slash, tracking params,
+    fragment) collapse to canonical keys; the oracle replays the SAME
+    generic canonicalization steps, not the synthetic shortcut."""
+    from lucene_spark.pipeline.urlnorm import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(F.lit("HTTP://ExAmple.COM:80/p/"),
+                 (F.col("doc_id") % 37).cast("string"),
+                 F.lit("/?utm_source=x&b="),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit("&a=1#f")))
+    out = url_dedup(docs, "url")
+    return out.select("canonical_url", "doc_id",
+                      F.col("n_dups").cast("long").alias("n_dups"))
+
+
+DD_URL_DEDUP_SQL = r"""
+WITH u AS (
+  SELECT doc_id, 'HTTP://ExAmple.COM:80/p/' || (doc_id % 37)
+         || '/?utm_source=x&b=' || (doc_id % 5) || '&a=1#f' AS url
+  FROM documents),
+nofrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u0 FROM u),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u0, '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?]*)', 1))
+      AS hostport,
+    regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*([^?]*)', 1) AS pth,
+    CASE WHEN contains(u0, '?')
+         THEN regexp_extract(u0, '\?(.*)$', 1) ELSE '' END AS q
+  FROM nofrag),
+fix AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+           THEN substring(hostport, 1, length(hostport) - 3)
+         WHEN scheme = 'https' AND hostport LIKE '%:443'
+           THEN substring(hostport, 1, length(hostport) - 4)
+         ELSE hostport END AS host,
+    CASE WHEN length(pth) > 1 AND pth LIKE '%/'
+         THEN substring(pth, 1, length(pth) - 1) ELSE pth END AS p2,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid)='))), '&') AS qc
+  FROM parts),
+canon AS (
+  SELECT doc_id, scheme || '://' || host || p2
+         || (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END) AS cu
+  FROM fix)
+SELECT cu AS canonical_url, min(doc_id) AS doc_id,
+       count(*)::BIGINT AS n_dups
+FROM canon GROUP BY cu
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -4631,6 +4759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_shortest_path": rel_shortest_path,
         "rel_collapse_expand": rel_collapse_expand,
         "ft_diversified_topk": ft_diversified_topk,
+        "tx_domain_mix": tx_domain_mix,
+        "tx_logit_apply": tx_logit_apply,
+        "dd_url_dedup": dd_url_dedup,
     }
 
 
@@ -4785,4 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_shortest_path": REL_SHORTEST_PATH_SQL,
         "rel_collapse_expand": REL_COLLAPSE_EXPAND_SQL,
         "ft_diversified_topk": FT_DIVERSIFIED_SQL,
+        "tx_domain_mix": TX_DOMAIN_MIX_SQL,
+        "tx_logit_apply": TX_LOGIT_APPLY_SQL,
+        "dd_url_dedup": DD_URL_DEDUP_SQL,
     }

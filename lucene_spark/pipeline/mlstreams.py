@@ -116,6 +116,45 @@ def _py_binary_entropy(p: float) -> float:
     return -p * math.log(p) - (1.0 - p) * math.log(1.0 - p)
 
 
+def apply_logit(docs: DataFrame, text_col: str, terms: list[str],
+                idfs: list[float], weights: list[float],
+                threshold: float = 0.5,
+                prob_col: str = "probability") -> DataFrame:
+    """Inference twin of :func:`text_logit` — score every doc with a
+    trained model so the classifier can FILTER a corpus at scale (the
+    quality-classifier stage of a training pipeline).
+
+    Uses exactly the training vectorization
+    (TextLogisticRegressionQParserPlugin.java:175-190):
+    x = [1, idf_i·(1 + ln tf_i), ...], prob = sigmoid(x·w), predicted =
+    prob ≥ threshold.  Docs containing none of the feature terms score
+    sigmoid(w_0) (bias only) — training skips them, inference must still
+    label them.  Everything stays JVM-side: per-term tf is
+    size(filter(tokens, = term)) (bounded by len(terms) expressions, no
+    UDF, no shuffle)."""
+    if len(weights) != len(terms) + 1:
+        raise ValueError("weights must be len(terms)+1 (bias first)")
+    if len(idfs) != len(terms):
+        raise ValueError("idfs length must match terms length")
+    toks = _tokens(F.col(text_col))
+    score = F.lit(float(weights[0]))
+
+    def _eq(term):  # NOT a default-arg lambda: a 2-arg lambda would make
+        return lambda x: x == F.lit(term)  # pyspark bind the ELEMENT INDEX
+
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(toks, _eq(t)))
+        feat = F.when(
+            tf > 0,
+            F.lit(float(idfs[i])) * (1.0 + F.log(tf.cast("double")))
+        ).otherwise(F.lit(0.0))
+        score = score + F.lit(float(weights[i + 1])) * feat
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+    return (docs.withColumn(prob_col, prob)
+            .withColumn("predicted",
+                        (F.col(prob_col) >= threshold).cast("int")))
+
+
 _LOGIT_SCHEMA = T.StructType([
     T.StructField("weights", T.ArrayType(T.DoubleType())),
     T.StructField("error", T.DoubleType()),
