@@ -264,6 +264,73 @@ def main() -> None:
         ],
     ))
 
+    # Graph BFS hop (gatherNodes/shortestPath): the per-hop edges⋈frontier
+    # join and the visited anti-join are the whole traversal cost — they
+    # must be hash joins with map-side partial aggregation on the distinct,
+    # and the tiny frontier side must NOT force a sort-merge join.
+    edges = gate._t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"))
+    roots = gate._t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 3).select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("node"))
+    from lucene_spark.relational.graph import Traversal
+
+    t = Traversal(roots).gather(edges, "src", "dst")
+    p = plan_of(t._levels[-1])
+    t.close()
+    sections.append((
+        "graph BFS hop (gatherNodes/shortestPath frontier join)", p,
+        [
+            ("hop join + visited anti-join are hash joins (no cartesian)",
+             "Cartesian" not in p and ("HashJoin" in p or "hash" in p)),
+            ("anti-join on visited present", "LeftAnti" in p),
+            ("distinct has map-side partial (HashAggregate before exchange)",
+             "HashAggregate" in p),
+        ],
+    ))
+
+    # Domain mixing: the per-domain plan table (targets ⋈ counts) must be
+    # broadcast to the corpus side, never the reverse; the epoch explode
+    # must be a narrow Generate, not a shuffle.
+    from lucene_spark.pipeline.mixing import mix_domains
+
+    docs = gate._t(spark, sf_dir, "documents")
+    p = plan_of(mix_domains(
+        docs, "source", {"src1": 0.5, "src2": 0.3, "src3": 0.2}, total=100))
+    sections.append((
+        "domain mixing (training-mix rebalance)", p,
+        [
+            ("plan table broadcast (BroadcastHashJoin)",
+             "BroadcastHashJoin" in p),
+            ("epoch explode is a narrow Generate", "Generate" in p),
+            ("exactly one wide stage: the domain-keyed window",
+             "Window" in p),
+        ],
+    ))
+
+    # URL canonicalization: pure expression chain — the canonical key must
+    # be computed inside the scan's project (whole-stage codegen), with no
+    # python UDF and no shuffle before the per-key window.
+    from lucene_spark.pipeline.urlnorm import canonical_url
+
+    docs_url = docs.withColumn(
+        "url", F.concat(F.lit("http://h.io/p/"),
+                        (F.col("doc_id") % 7).cast("string")))
+    p = plan_of(docs_url.select(canonical_url(F.col("url")).alias("c")))
+    sections.append((
+        "URL canonicalization (expression chain)", p,
+        [
+            ("no python UDF (stays JVM-side)",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            # the lambda-bearing final Project is interpreted (Spark never
+            # codegens lambdafunctions) — scan+derivation still codegen,
+            # and the whole chain is one narrow stage
+            ("narrow single stage, codegen through the scan (no exchange)",
+             "Exchange" not in p and "codegen id" in p),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
