@@ -765,6 +765,100 @@ FROM topk t JOIN documents d ON t.doc_id = d.doc_id
 """
 
 
+def ft_passage_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnifiedHighlighter passage pipeline (uhighlight/PassageScorer.java:
+    78-134 weight/tf/norm, FieldHighlighter passage loop): engine top-10
+    for `merge AND scan`, stored text hydrated for those k rows, sentence
+    terminators synthesized deterministically (documents.text has none:
+    every ' value ' becomes ' value. ' via plain non-regex replace —
+    identical leftmost non-overlapping scan in Spark and DuckDB), then
+    sentence passages formed by SENTENCE_RE, scored
+    norm(start)·Σ tf·weight, top-2 passages emitted in document order
+    with matches tagged.  The oracle replays the segmentation
+    (regexp_extract_all — SENTENCE_RE avoids lookaround so RE2 tiles the
+    string identically), the scoring arithmetic at the same double
+    grouping (two addends only, so IEEE commutativity gives bit-equal
+    sums), and the token tagging."""
+    from lucene_spark.search.highlight import highlight_passages
+
+    s = _searcher(spark, sf_dir)
+    m = _to_ext(s.matches("merge AND scan"), s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    top = _ranked(m, "score_r", "doc_id", 10)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' value ', ' value. ')").alias("body"))
+    # k rows joined against the corpus: broadcast the tiny top-k side
+    hydrated = docs.join(F.broadcast(top), "doc_id")
+    out = highlight_passages(hydrated, "body", ["merge", "scan"],
+                             analyzer="whitespace", max_passages=2)
+    return out.select(
+        "doc_id", "rank", "snippet",
+        F.round(F.col("passage_score"), 4).alias("passage_score_r"))
+
+
+FT_PASSAGE_HIGHLIGHT_SQL = rf"""
+WITH topk AS ({bm25_topk_oracle_sql("documents", "doc_id", "text",
+                                    ["merge", "scan"], k=10, mode="and",
+                                    round_to=2)}),
+hydr AS (
+  SELECT t.doc_id, t.rank, replace(d.text, ' value ', ' value. ') AS body
+  FROM topk t JOIN documents d ON t.doc_id = d.doc_id),
+lists AS (
+  SELECT doc_id, rank, body,
+         regexp_extract_all(body, '[^.!?]*[.!?]+\s*|[^.!?]+$') AS pcs
+  FROM hydr),
+pieces AS (
+  SELECT doc_id, rank, body, CAST(r.i AS INT) AS ord,
+         pcs[CAST(r.i AS INT) + 1] AS piece
+  FROM lists, range(0, 100000) r(i) WHERE r.i < len(pcs)),
+spans AS (
+  SELECT doc_id, rank, ord, length(body) AS clen,
+         coalesce(sum(length(piece)) OVER (
+           PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pstart,
+         rtrim(piece) AS sbody
+  FROM pieces),
+tok AS (
+  SELECT doc_id, rank, ord, clen, pstart, length(sbody) AS plen,
+         list_filter(string_split_regex(sbody, '\s+'), x -> x <> '') AS toks
+  FROM spans WHERE sbody <> ''),
+freq AS (
+  SELECT *, len(list_filter(toks, t -> t = 'merge')) AS fm,
+            len(list_filter(toks, t -> t = 'scan')) AS fs
+  FROM tok),
+doctf AS (
+  SELECT *, sum(fm) OVER (PARTITION BY doc_id) AS tm,
+            sum(fs) OVER (PARTITION BY doc_id) AS ts
+  FROM freq),
+scored AS (
+  SELECT doc_id, rank, pstart, toks,
+    ((CASE WHEN fm > 0 THEN
+        (fm / (fm + 1.2 * ((1.0 - 0.75) + 0.75 * (plen / 87.0))))
+        * ((1.2 + 1.0) * ln(1.0 + ((1.0 + clen / 87.0) + 0.5) / (tm + 0.5)))
+      ELSE 0.0 END)
+     + (CASE WHEN fs > 0 THEN
+        (fs / (fs + 1.2 * ((1.0 - 0.75) + 0.75 * (plen / 87.0))))
+        * ((1.2 + 1.0) * ln(1.0 + ((1.0 + clen / 87.0) + 0.5) / (ts + 0.5)))
+      ELSE 0.0 END))
+    * (1.0 + 1.0 / ln(87.0 + pstart)) AS score
+  FROM doctf WHERE fm > 0 OR fs > 0),
+pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, pstart ASC) AS prk
+  FROM scored),
+frag AS (
+  SELECT doc_id, rank, pstart, score,
+         array_to_string(list_transform(toks, t ->
+           CASE WHEN t IN ('merge', 'scan') THEN '<b>' || t || '</b>'
+                ELSE t END), ' ') AS frag
+  FROM pick WHERE prk <= 2)
+SELECT doc_id, rank,
+       string_agg(frag, '... ' ORDER BY pstart ASC) AS snippet,
+       round(max(score), 4) AS passage_score_r
+FROM frag GROUP BY doc_id, rank
+"""
+
+
 def rel_expr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compiled scoring expression (lucene/expressions
     JavascriptCompiler.java role, Solr FunctionQParser syntax): one
@@ -4762,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_domain_mix": tx_domain_mix,
         "tx_logit_apply": tx_logit_apply,
         "dd_url_dedup": dd_url_dedup,
+        "ft_passage_highlight": ft_passage_highlight,
     }
 
 
@@ -4919,4 +5014,5 @@ def oracle_sql() -> dict[str, str]:
         "tx_domain_mix": TX_DOMAIN_MIX_SQL,
         "tx_logit_apply": TX_LOGIT_APPLY_SQL,
         "dd_url_dedup": DD_URL_DEDUP_SQL,
+        "ft_passage_highlight": FT_PASSAGE_HIGHLIGHT_SQL,
     }

@@ -13,6 +13,7 @@ bounded by k, so this is never a scale concern.
 
 from __future__ import annotations
 
+import math
 import re
 
 import pandas as pd
@@ -73,6 +74,121 @@ def highlight(
         return pd.Series(out)
 
     return topk_with_text.withColumn("snippet", _snip(F.col(text_col)))
+
+
+#: sentence-unit pattern (BreakIterator.getSentenceInstance role): a run
+#: of non-terminators followed by terminator(s) and trailing whitespace,
+#: or a final unterminated run.  No lookaround, so an RE2-based oracle
+#: (DuckDB regexp_extract_all) reproduces the exact same segmentation.
+SENTENCE_RE = r"[^.!?]*[.!?]+\s*|[^.!?]+$"
+
+
+def highlight_passages(
+    topk_with_text: DataFrame,
+    text_col: str,
+    query_terms: list[str],
+    analyzer: str = "whitespace",
+    max_passages: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pivot: float = 87.0,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> DataFrame:
+    """UnifiedHighlighter passage formation + PassageScorer ranking
+    (uhighlight/PassageScorer.java:40-140, FieldHighlighter passage
+    loop): split content into sentence passages, score each
+
+        score = norm(start) · Σ_unique-terms tf(freq_p, len_p) · weight(len_doc, ttf)
+        weight(L, ttf) = (k1+1) · ln(1 + (1 + L/pivot + 0.5)/(ttf + 0.5))
+        tf(f, l)       = f / (f + k1·(1 − b + b·l/pivot))
+        norm(s)        = 1 + 1/ln(pivot + s)
+
+    (all lengths in CHARACTERS; ttf = term occurrences in the whole doc;
+    double precision here vs the reference's float32 — structure exact),
+    keep the top ``max_passages`` by (score desc, start asc), emit them
+    in document order joined by "... " with matches tagged
+    (DefaultPassageFormatter).  Adds ``snippet`` and ``passage_score``
+    (best passage's score).  Match tagging is offset-free and therefore
+    only applied under the whitespace analyzer (tokens == split);
+    stemming/lowercasing chains still score and select passages but emit
+    them untagged.  Runs after the top-k reduce over ≤k rows — one Arrow
+    batch, never a scale concern."""
+    an: Analyzer = get_analyzer(analyzer)
+    terms = {
+        t
+        for toks in an.tokenize_series(pd.Series(list(query_terms),
+                                                 dtype=object))
+        for t in toks
+    } if query_terms else set()
+
+    sent_re = re.compile(SENTENCE_RE)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("snippet", T.StringType()),
+        T.StructField("passage_score", T.DoubleType()),
+    ]))
+    def _passages(texts: pd.Series) -> pd.DataFrame:
+        snips, scores = [], []
+        for text in texts:
+            text = text or ""
+            pieces = sent_re.findall(text)
+            spans = []
+            off = 0
+            for pc in pieces:
+                body = pc.rstrip()
+                if body:
+                    spans.append((off, body))
+                off += len(pc)
+            content_len = len(text)
+            ttf: dict[str, int] = {}
+            per_span = []
+            for start, body in spans:
+                toks = an.tokenize_series(pd.Series([body], dtype=object))[0]
+                freqs: dict[str, int] = {}
+                for t in toks:
+                    if t in terms:
+                        freqs[t] = freqs.get(t, 0) + 1
+                        ttf[t] = ttf.get(t, 0) + 1
+                per_span.append((start, body, freqs))
+            scored = []
+            for start, body, freqs in per_span:
+                if not freqs:
+                    continue
+                plen = len(body)
+                s = 0.0
+                for t, f in freqs.items():
+                    w = (k1 + 1.0) * math.log(
+                        1.0 + (1.0 + content_len / pivot + 0.5)
+                        / (ttf[t] + 0.5))
+                    tfn = f / (f + k1 * ((1.0 - b) + b * (plen / pivot)))
+                    s += tfn * w
+                s *= 1.0 + 1.0 / math.log(pivot + start)
+                scored.append((s, start, body))
+            if not scored:
+                # no match anywhere: first passage, score 0 (the
+                # reference's no-highlight fallback summary)
+                snips.append(spans[0][1] if spans else "")
+                scores.append(0.0)
+                continue
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            chosen = sorted(scored[:max_passages], key=lambda x: x[1])
+            frags = []
+            for _, _, body in chosen:
+                toks = body.split() if analyzer == "whitespace" else None
+                if toks is not None:
+                    frags.append(" ".join(
+                        f"{pre}{t}{post}" if t in terms else t for t in toks))
+                else:
+                    frags.append(body)
+            snips.append("... ".join(frags))
+            scores.append(scored[0][0])
+        return pd.DataFrame({"snippet": snips, "passage_score": scores})
+
+    out = topk_with_text.withColumn("__hl", _passages(F.col(text_col)))
+    return (out.withColumn("snippet", F.col("__hl.snippet"))
+            .withColumn("passage_score", F.col("__hl.passage_score"))
+            .drop("__hl"))
 
 
 def highlight_regex(
