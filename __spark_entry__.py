@@ -4182,6 +4182,148 @@ FROM ch
 """
 
 
+def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (CCNet-style training-data quality
+    pass, `pipeline/lm.py`): add-alpha bigram LM trained on the corpus
+    itself (two groupBy counts + a countDistinct), every document scored
+    by mean -ln P(w2|w1) over its bigrams via two key joins.  The oracle
+    recounts the same model and replays the identical double arithmetic;
+    the per-doc sum order differs between engines, so both sides round
+    to 4dp."""
+    from lucene_spark.pipeline.lm import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    bi, ctx, v = train_bigram_lm(docs, "text", min_count=1)
+    scored = score_perplexity(docs, "text", "doc_id", bi, ctx, v, alpha=0.1)
+    return (scored.filter(F.col("n_bigrams") > 0)
+            .select("doc_id", "n_bigrams",
+                    F.round("cross_entropy", 4).alias("ce_r"),
+                    F.round("perplexity", 4).alias("ppl_r")))
+
+
+TX_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, t[CAST(r.i AS INT) + 1] AS w1,
+         t[CAST(r.i AS INT) + 2] AS w2
+  FROM toks, range(0, 100000) r(i) WHERE r.i < len(t) - 1),
+cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c)::BIGINT AS cx FROM cnt GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(t) AS w FROM toks)),
+sc AS (
+  SELECT b.doc_id, ln((c.c + 0.1) / (x.cx + 0.1 * v.v)) AS lp
+  FROM bg b JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1), v),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, -avg(lp) AS ce
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(ce, 4) AS ce_r, round(exp(ce), 4) AS ppl_r
+FROM agg
+"""
+
+
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (`pipeline/cluster.py` — the Solr math
+    `kmeans` evaluator role and the cluster-based corpus-curation
+    primitive): k=4, 3 iterations, deterministic init = the 4
+    lowest-vec_id embeddings, ties to the lowest centroid id.  The
+    oracle unrolls the 3 iterations in long (vec_id, dim, value) form —
+    same init, same argmin tie-break, same mean updates.  Assignments
+    are discrete and inter-centroid distance gaps are O(1), so the
+    ~1e-15 sum-order differences between engines cannot flip them."""
+    from lucene_spark.pipeline.cluster import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = kmeans(emb, "embedding", "vec_id", k=4, iterations=3)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+SIM_KMEANS_SQL = """
+WITH pts AS (
+  SELECT vec_id, CAST(u.i AS INT) AS d,
+         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) u(i)),
+cent0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, d, x FROM pts WHERE vec_id < 4),
+d0 AS (
+  SELECT p.vec_id, c.cid, sum((p.x - c.x) * (p.x - c.x)) AS dist
+  FROM pts p JOIN cent0 c USING (d) GROUP BY p.vec_id, c.cid),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk FROM d0)
+  WHERE rk = 1),
+u0 AS (
+  SELECT a.cid, p.d, avg(p.x) AS x
+  FROM a0 a JOIN pts p USING (vec_id) GROUP BY a.cid, p.d),
+cent1 AS (
+  SELECT c.cid, c.d, coalesce(u.x, c.x) AS x
+  FROM cent0 c LEFT JOIN u0 u ON u.cid = c.cid AND u.d = c.d),
+d1 AS (
+  SELECT p.vec_id, c.cid, sum((p.x - c.x) * (p.x - c.x)) AS dist
+  FROM pts p JOIN cent1 c USING (d) GROUP BY p.vec_id, c.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk FROM d1)
+  WHERE rk = 1),
+u1 AS (
+  SELECT a.cid, p.d, avg(p.x) AS x
+  FROM a1 a JOIN pts p USING (vec_id) GROUP BY a.cid, p.d),
+cent2 AS (
+  SELECT c.cid, c.d, coalesce(u.x, c.x) AS x
+  FROM cent1 c LEFT JOIN u1 u ON u.cid = c.cid AND u.d = c.d),
+d2 AS (
+  SELECT p.vec_id, c.cid, sum((p.x - c.x) * (p.x - c.x)) AS dist
+  FROM pts p JOIN cent2 c USING (d) GROUP BY p.vec_id, c.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk FROM d2)
+  WHERE rk = 1),
+u2 AS (
+  SELECT a.cid, p.d, avg(p.x) AS x
+  FROM a2 a JOIN pts p USING (vec_id) GROUP BY a.cid, p.d),
+cent3 AS (
+  SELECT c.cid, c.d, coalesce(u.x, c.x) AS x
+  FROM cent2 c LEFT JOIN u2 u ON u.cid = c.cid AND u.d = c.d),
+df AS (
+  SELECT p.vec_id, c.cid, sum((p.x - c.x) * (p.x - c.x)) AS dist
+  FROM pts p JOIN cent3 c USING (d) GROUP BY p.vec_id, c.cid)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid, row_number() OVER (
+    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk FROM df)
+WHERE rk = 1
+"""
+
+
+def tx_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split (`pipeline/split.py`): holdout
+    iff the first 8 hex chars of sha256(doc_id || salt) compare below
+    the fraction threshold — a pure function of the key, stable under
+    repartitioning/appends (df.randomSplit is neither). The oracle
+    replays the identical hash + string compare."""
+    from lucene_spark.pipeline.split import train_holdout_split
+
+    docs = _t(spark, sf_dir, "documents")
+    train, hold = train_holdout_split(docs, "doc_id", 0.2, salt="v1")
+    return (train.select("doc_id", F.lit(False).alias("is_holdout"))
+            .unionByName(
+                hold.select("doc_id", F.lit(True).alias("is_holdout"))))
+
+
+TX_HOLDOUT_SQL = """
+SELECT doc_id,
+       substr(sha256(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)
+         < '33333333' AS is_holdout
+FROM documents
+"""
+
+
 def rel_json_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr JSON Facet API — nested terms facet tree (FacetField.java:27,
     FacetFieldProcessor sub-facet refinement): top-5 languages by count,
@@ -4857,6 +4999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_logit_apply": tx_logit_apply,
         "dd_url_dedup": dd_url_dedup,
         "ft_passage_highlight": ft_passage_highlight,
+        "tx_perplexity": tx_perplexity,
+        "tx_holdout": tx_holdout,
+        "sim_kmeans": sim_kmeans,
     }
 
 
@@ -5015,4 +5160,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_logit_apply": TX_LOGIT_APPLY_SQL,
         "dd_url_dedup": DD_URL_DEDUP_SQL,
         "ft_passage_highlight": FT_PASSAGE_HIGHLIGHT_SQL,
+        "tx_perplexity": TX_PERPLEXITY_SQL,
+        "tx_holdout": TX_HOLDOUT_SQL,
+        "sim_kmeans": SIM_KMEANS_SQL,
     }

@@ -1,0 +1,58 @@
+"""Deterministic train/holdout splitting — the benchmark-hygiene
+primitive of a training-data pipeline (decontamination's sibling: the
+split must be a pure function of the document key so that re-runs,
+incremental builds, and different cluster sizes all agree on which side
+every document lands).
+
+Spark-first and scale-free: the split is one narrow JVM expression
+(sha2 + substring + string compare) — no shuffle, no sampling pass, no
+driver state.  `df.randomSplit` is NOT suitable for corpus work: it is
+seed-and-partitioning dependent, so the assignment changes when the
+input is repartitioned or grows.
+
+Mechanism: ``sha256(key || salt)`` is uniform on hex strings, and
+lowercase-hex order equals numeric order, so
+
+    holdout  :=  substr(sha256(key || salt), 1, 8) < hex(floor(p · 16^8))
+
+keeps an expected fraction ``p`` with ≤ 2^-32 bias. The comparison is a
+plain string compare, reproducible bit-for-bit in any engine with
+sha256 (the DuckDB oracle replays it verbatim). Stratification is
+inherent: the hash is uniform within every stratum, so each stratum is
+held out at rate p without a per-stratum pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["holdout_flag", "train_holdout_split"]
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    v = int(fraction * (1 << 32))
+    if v >= (1 << 32):
+        # 'g' sorts after every lowercase-hex string; a 9-char "100000000"
+        # would sort BEFORE "ffffffff" lexicographically
+        return "g"
+    return format(v, "08x")
+
+
+def holdout_flag(key: Column, fraction: float, salt: str = "") -> Column:
+    """Boolean column: True = held out (expected rate ``fraction``).
+    ``key`` may be any column; it is cast to string before hashing, so
+    use a stable natural key (doc id, url, sha) — not a row number."""
+    h = F.substring(
+        F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256), 1, 8)
+    return h < F.lit(_threshold_hex(fraction))
+
+
+def train_holdout_split(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) pair; every row lands on exactly one side, and
+    the assignment is stable under repartitioning, appends, and salt
+    reuse across runs."""
+    flag = holdout_flag(F.col(key_col), fraction, salt)
+    return df.filter(~flag), df.filter(flag)

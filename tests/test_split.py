@@ -1,0 +1,46 @@
+"""Deterministic holdout split (pipeline/split.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline.split import holdout_flag, train_holdout_split
+
+
+def test_matches_reference_sha_and_partitioning_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    train, hold = train_holdout_split(df, "k", 0.25, salt="s1")
+    got = {r["k"] for r in hold.collect()}
+    exp = {i for i in range(2000)
+           if hashlib.sha256(f"{i}s1".encode()).hexdigest()[:8]
+           < format(int(0.25 * (1 << 32)), "08x")}
+    assert got == exp
+    # fraction lands near 0.25 on 2000 uniform keys
+    assert 0.20 < len(got) / 2000 < 0.30
+    # partitioning does not change the assignment
+    got2 = {r["k"] for r in
+            train_holdout_split(df.repartition(13), "k", 0.25, "s1")[1]
+            .collect()}
+    assert got2 == got
+    # the two sides are a disjoint cover
+    assert {r["k"] for r in train.collect()} | got == set(range(2000))
+    assert {r["k"] for r in train.collect()} & got == set()
+
+
+def test_salt_rotates_the_split(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = {r["k"] for r in train_holdout_split(df, "k", 0.5, "a")[1].collect()}
+    b = {r["k"] for r in train_holdout_split(df, "k", 0.5, "b")[1].collect()}
+    assert a != b
+
+
+def test_edge_fractions_and_validation(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert train_holdout_split(df, "k", 0.0)[1].count() == 0
+    assert train_holdout_split(df, "k", 1.0)[0].count() == 0
+    with pytest.raises(ValueError):
+        holdout_flag(F.col("k"), 1.5)
