@@ -4827,6 +4827,95 @@ FROM canon GROUP BY cu
 """
 
 
+_IDX_WDGF_CACHE: dict[str, IndexReader] = {}
+
+
+def _reader_wdgf(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """WordDelimiterGraphFilter gate index (miscellaneous/
+    WordDelimiterGraphFilter.java): documents' text hyphen-joined into
+    ONE whitespace token per doc, analyzed by the `wdgf` chain
+    (whitespace → WDGF[GENERATE_WORD_PARTS|GENERATE_NUMBER_PARTS|
+    CATENATE_WORDS|SPLIT_ON_CASE_CHANGE|SPLIT_ON_NUMERICS|
+    STEM_ENGLISH_POSSESSIVE] → lowercase). The filter splits the token
+    back into the original words at positions 0..n-1 and CATENATE_WORDS
+    adds the run concatenation at position 0 — all exactly replayable
+    in SQL (split + concat), while the splitting itself is validated
+    against the reference's own TestWordDelimiterGraphFilter vectors in
+    tests/test_worddelimiter.py."""
+    if sf_dir in _IDX_WDGF_CACHE:
+        return _IDX_WDGF_CACHE[sf_dir]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"),
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", "-").alias("wd_text"))
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_wdgf",
+        os.path.basename(os.path.normpath(sf_dir)))
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="wd_text", analyzer="wdgf",
+        partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1,
+        index_positions=True)
+    IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+    _IDX_WDGF_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return _IDX_WDGF_CACHE[sf_dir]
+
+
+def ft_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for 'merge' over the WDGF index: subword generation
+    recovers the per-word postings, and the CATENATE_WORDS token counts
+    toward doclen (one extra token for docs of ≥2 words — the same
+    documented overlap-token divergence as shingles)."""
+    s = IndexSearcher(_reader_wdgf(spark, sf_dir))
+    m = s.matches("merge")
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select(
+        "doc_id", "score_r", "rank")
+
+
+FT_WORD_DELIMITER_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS nw
+  FROM documents),
+dl AS (  -- WDGF emits the words + one catenation when there are >= 2 parts
+  SELECT doc_id, (nw + CASE WHEN nw >= 2 THEN 1 ELSE 0 END)::DOUBLE AS dl
+  FROM n),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+       WHERE term = 'merge' GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS num, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (st.num - qd.df + 0.5)/(qd.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r,
+       row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_wd_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase '"big table"' over the WDGF index: subword positions are
+    the flattened graph positions (parts keep their ordinal slots, the
+    catenation shares position 0 with the first part), so adjacency in
+    the original text is preserved through the split."""
+    s = IndexSearcher(_reader_wdgf(spark, sf_dir))
+    m = s.matches('"big table"', with_scores=False).select("doc_id")
+    return _to_ext(m, s.reader).select("doc_id")
+
+
+FT_WD_PHRASE_SQL = r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(^|\s)big\s+table(\s|$)')
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5002,6 +5091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_perplexity": tx_perplexity,
         "tx_holdout": tx_holdout,
         "sim_kmeans": sim_kmeans,
+        "ft_word_delimiter": ft_word_delimiter,
+        "ft_wd_phrase": ft_wd_phrase,
     }
 
 
@@ -5163,4 +5254,6 @@ def oracle_sql() -> dict[str, str]:
         "tx_perplexity": TX_PERPLEXITY_SQL,
         "tx_holdout": TX_HOLDOUT_SQL,
         "sim_kmeans": SIM_KMEANS_SQL,
+        "ft_word_delimiter": FT_WORD_DELIMITER_SQL,
+        "ft_wd_phrase": FT_WD_PHRASE_SQL,
     }

@@ -83,6 +83,23 @@ class Analyzer:
                                  # shingles (a shingle spans tokens with
                                  # distinct payloads; Lucene's filter has
                                  # the same single-token scope).
+    word_delimiter: int = 0      # nonzero → WhitespaceTokenizer +
+                                 # WordDelimiterGraphFilter chain
+                                 # (miscellaneous/WordDelimiterGraphFilter
+                                 # .java; flags from analysis/
+                                 # worddelimiter.py). Replaces the
+                                 # token_pattern/split_camel tokenizer
+                                 # stage (the reference recommends WDGF
+                                 # after a whitespace tokenizer, which
+                                 # preserves the intra-word delimiters it
+                                 # splits on); case analysis happens on
+                                 # the RAW text, lowercase applies to the
+                                 # emitted subwords after. Catenated /
+                                 # preserved-original tokens count toward
+                                 # doclen (same documented divergence as
+                                 # shingles vs discountOverlaps).
+    protected_words: frozenset[str] = field(default_factory=frozenset)
+                                 # WDGF protWords: tokens never delimited
     shingle_size: int = 0        # >1 → ShingleFilter analogue (analysis/
                                  # shingle/ShingleFilter.java): word
                                  # n-grams (space-joined) emitted ALONGSIDE
@@ -158,9 +175,26 @@ def _normalize_lists(toks: pd.Series, normalizer: str) -> pd.Series:
 CUSTOM_TOKENIZERS: dict = {}
 
 
+def _wd_pairs(tokens: list[str], a: Analyzer) -> tuple[list[str], list[int]]:
+    """WhitespaceTokenizer → WordDelimiterGraphFilter → LowerCaseFilter
+    for one raw whitespace-token list: (terms, positions) with the graph
+    flattened to absolute positions (catenations share their first
+    subword's position, exactly like index-time Lucene)."""
+    from lucene_spark.analysis.worddelimiter import expand_tokens
+
+    t, p = expand_tokens(tokens, a.word_delimiter, a.protected_words)
+    if a.lowercase:
+        t = [x.lower() for x in t]
+    return t, p
+
+
 def _raw_token_lists(content: pd.Series, a: Analyzer) -> pd.Series:
     """The tokenizer stage shared by both chain entry points."""
     s = content.fillna("")
+    if a.word_delimiter:
+        # case analysis must see the raw text: split on whitespace first,
+        # WDGF per token, lowercase the emitted subwords after
+        return s.str.split().map(lambda ts: _wd_pairs(ts, a)[0])
     if a.custom_tokenizer:
         return CUSTOM_TOKENIZERS[a.custom_tokenizer](s)
     if a.split_camel:
@@ -179,7 +213,9 @@ def tokenize_scalar(text: str | None, a: Analyzer) -> list[str]:
     exact). Custom tokenizers are Series->Series by contract, so that
     branch wraps a 1-row Series — correctness over speed there."""
     s = "" if text is None or (isinstance(text, float) and pd.isna(text)) else text
-    if a.custom_tokenizer:
+    if a.word_delimiter:
+        toks = _wd_pairs(s.split(), a)[0]
+    elif a.custom_tokenizer:
         toks = list(CUSTOM_TOKENIZERS[a.custom_tokenizer](pd.Series([s])).iloc[0])
     else:
         if a.split_camel:
@@ -234,7 +270,17 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
 def tokenize_pandas_positions(
     content: pd.Series, a: Analyzer, want_payloads: bool = False,
 ) -> tuple[pd.Series, pd.Series, pd.Series | None]:
-    toks = _raw_token_lists(content, a)
+    prepos = None  # tokenizer-supplied positions (WDGF graph flattening)
+    if a.word_delimiter:
+        if a.payload_delimiter:
+            raise ValueError(
+                "payload_delimiter is incompatible with word_delimiter")
+        both_wd = content.fillna("").str.split().map(
+            lambda ts: _wd_pairs(ts, a))
+        toks = both_wd.map(lambda p: p[0])
+        prepos = both_wd.map(lambda p: p[1])
+    else:
+        toks = _raw_token_lists(content, a)
     pays = None
     if a.payload_delimiter:
         # DelimitedPayloadTokenFilter position in the chain: right after
@@ -269,15 +315,21 @@ def tokenize_pandas_positions(
     stop = a.stopwords
     maxlen = a.max_token_length
 
-    def filt(ts: list[str]) -> tuple[list[str], list[int]]:
+    def filt(ts: list[str], ps: list[int] | None = None
+             ) -> tuple[list[str], list[int]]:
         out_t, out_p = [], []
         for i, t in enumerate(ts):
             if len(t) <= maxlen and t not in stop:
                 out_t.append(t)
-                out_p.append(i)
+                out_p.append(i if ps is None else ps[i])
         return out_t, out_p
 
-    pairs = toks.map(filt)
+    if prepos is not None:
+        pairs = pd.Series(
+            [filt(ts, ps) for ts, ps in zip(toks, prepos)],
+            index=toks.index)
+    else:
+        pairs = toks.map(filt)
     out_t = pairs.map(lambda p: p[0])
     out_p = pairs.map(lambda p: p[1])
     if pays is not None:
@@ -337,6 +389,7 @@ def analyzer_fingerprint(name: str) -> str:
         str(a.split_camel), str(a.stemmer), str(a.normalizer),
         str(a.custom_tokenizer), str(a.shingle_size),
         str(a.payload_delimiter),
+        str(a.word_delimiter), ",".join(sorted(a.protected_words)),
         ",".join(sorted(a.stopwords)),
     ])
     return hashlib.sha256(ident.encode("utf-8")).hexdigest()[:16]
@@ -372,6 +425,18 @@ register_analyzer(
 # Simple analyzer: letter/digit runs + lowercase, no stops (Lucene
 # SimpleAnalyzer ~ analysis/core/SimpleAnalyzer.java but keeping digits).
 register_analyzer(Analyzer(name="simple", token_pattern=r"[a-z0-9]+"))
+
+# WhitespaceTokenizer → WordDelimiterGraphFilter → LowerCaseFilter — the
+# classic product-code / identifier chain ("Wi-Fi", "PowerShot", "j2se"
+# all match their parts; CATENATE_WORDS also matches "wifi"). Flags =
+# factory defaults + CATENATE_WORDS; see analysis/worddelimiter.py.
+def _wdgf_flags():
+    from lucene_spark.analysis.worddelimiter import (CATENATE_WORDS,
+                                                     WDGF_DEFAULT_FLAGS)
+    return WDGF_DEFAULT_FLAGS | CATENATE_WORDS
+
+
+register_analyzer(Analyzer(name="wdgf", word_delimiter=_wdgf_flags()))
 
 # Language analyzers (the analysis/{de,fr,es,it,pt,nl,sv}/ *Analyzer
 # role): language stop set + light stemmer over the standard chain, the
