@@ -4916,6 +4916,69 @@ WHERE regexp_matches(text, '(^|\s)big\s+table(\s|$)')
 """
 
 
+def tx_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (`pipeline/pack.py`): whitespace token streams
+    concatenated in doc_id order and sliced into 32-token training
+    blocks via a distributed prefix sum (quantile buckets + per-bucket
+    windows + broadcast bucket bases — never a global single-partition
+    window). The oracle replays the identical integer arithmetic with
+    one window + generate_series."""
+    from lucene_spark.pipeline.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "text", "doc_id", block_size=32, buckets=8)
+
+
+TX_PACK_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS nw
+  FROM documents),
+o AS (
+  SELECT doc_id, nw,
+         coalesce(sum(nw) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS off
+  FROM n WHERE nw > 0),
+s AS (
+  SELECT doc_id, nw, off,
+         unnest(generate_series((off // 32)::BIGINT,
+                                ((off + nw - 1) // 32)::BIGINT)) AS seq_id
+  FROM o)
+SELECT seq_id, doc_id,
+       greatest(seq_id * 32 - off, 0) AS doc_off,
+       greatest(seq_id * 32, off) - seq_id * 32 AS seq_off,
+       least((seq_id + 1) * 32, off + nw)
+         - greatest(seq_id * 32, off) AS span_len
+FROM s
+"""
+
+
+def tx_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-n stratified sample (`pipeline/split.py
+    stratified_sample`): 40 documents per language by sha256-hash rank —
+    a pure function of each stratum's member keys (stable under
+    repartitioning/appends, unlike df.sampleBy). The oracle replays the
+    same sha256 ranking."""
+    from lucene_spark.pipeline.split import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", "doc_id", 40, salt="g1")
+    return out.select("doc_id", "lang")
+
+
+TX_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY sha256(doc_id::VARCHAR || 'g1'), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 40
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5093,6 +5156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans": sim_kmeans,
         "ft_word_delimiter": ft_word_delimiter,
         "ft_wd_phrase": ft_wd_phrase,
+        "tx_pack": tx_pack,
+        "tx_stratified": tx_stratified,
     }
 
 
@@ -5256,4 +5321,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_kmeans": SIM_KMEANS_SQL,
         "ft_word_delimiter": FT_WORD_DELIMITER_SQL,
         "ft_wd_phrase": FT_WD_PHRASE_SQL,
+        "tx_pack": TX_PACK_SQL,
+        "tx_stratified": TX_STRATIFIED_SQL,
     }

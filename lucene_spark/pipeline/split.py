@@ -23,9 +23,9 @@ held out at rate p without a per-stratum pass."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["holdout_flag", "train_holdout_split"]
+__all__ = ["holdout_flag", "train_holdout_split", "stratified_sample"]
 
 
 def _threshold_hex(fraction: float) -> str:
@@ -56,3 +56,29 @@ def train_holdout_split(
     reuse across runs."""
     flag = holdout_flag(F.col(key_col), fraction, salt)
     return df.filter(~flag), df.filter(flag)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
+    rank — the deterministic exact-count sibling of `holdout_flag`'s
+    fractional split (corpus curation wants "10k docs per language",
+    not "0.1% of each"). Rank = sha256(key||salt) ordered ascending with
+    the key as tie-break, so the sample is a pure function of the
+    stratum's member keys: stable under repartitioning, and appends only
+    displace rows at the rank boundary. One shuffle (the window's
+    partitionBy stratum — skewed strata are bounded by the rank cutoff's
+    early filter under AQE); fraction-based sampling needs no shuffle at
+    all, use `holdout_flag` for that."""
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got "
+                         f"{n_per_stratum}")
+    h = F.sha2(F.concat(F.col(key_col).cast("string"), F.lit(salt)), 256)
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_per_stratum).drop("__rk"))

@@ -44,3 +44,33 @@ def test_edge_fractions_and_validation(spark):
     assert train_holdout_split(df, "k", 1.0)[0].count() == 0
     with pytest.raises(ValueError):
         holdout_flag(F.col("k"), 1.5)
+
+
+def test_stratified_sample_exact_n_and_stable(spark):
+    import hashlib
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    rows += [(1000, "rare")]  # stratum smaller than n
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    from lucene_spark.pipeline.split import stratified_sample
+
+    out = stratified_sample(df, "lang", "doc_id", 5, salt="s1")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in got.items()} == {
+        "en": 5, "de": 5, "fr": 5, "rare": 1}
+
+    # pure function of (stratum members, keys): matches hashlib replay
+    for lang, members in [("en", range(0, 90, 3)), ("de", range(1, 90, 3)),
+                          ("fr", range(2, 90, 3))]:
+        ranked = sorted(
+            members,
+            key=lambda i: (hashlib.sha256(f"{i}s1".encode()).hexdigest(), i))
+        assert got[lang] == set(ranked[:5])
+
+    # stable under repartitioning
+    out2 = stratified_sample(df.repartition(17), "lang", "doc_id", 5,
+                             salt="s1")
+    assert sorted((r["doc_id"], r["lang"]) for r in out2.collect()) == \
+        sorted((d, l) for l, v in got.items() for d in v)
