@@ -851,11 +851,22 @@ frag AS (
          array_to_string(list_transform(toks, t ->
            CASE WHEN t IN ('merge', 'scan') THEN '<b>' || t || '</b>'
                 ELSE t END), ' ') AS frag
-  FROM pick WHERE prk <= 2)
-SELECT doc_id, rank,
-       string_agg(frag, '... ' ORDER BY pstart ASC) AS snippet,
-       round(max(score), 4) AS passage_score_r
-FROM frag GROUP BY doc_id, rank
+  FROM pick WHERE prk <= 2),
+agg AS (
+  SELECT doc_id, rank,
+         string_agg(frag, '... ' ORDER BY pstart ASC) AS snippet,
+         round(max(score), 4) AS passage_score_r
+  FROM frag GROUP BY doc_id, rank)
+SELECT doc_id, rank, snippet, passage_score_r FROM agg
+UNION ALL
+-- engine fallback parity: a top-k doc with no matching passage gets
+-- its first passage unhighlighted at score 0 (highlight_passages'
+-- no-highlight summary arm)
+SELECT doc_id, rank, sbody AS snippet, 0.0 AS passage_score_r
+FROM (SELECT doc_id, rank, rtrim(piece) AS sbody,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+      FROM pieces WHERE rtrim(piece) <> '') f
+WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM agg)
 """
 
 
@@ -4862,8 +4873,10 @@ def _reader_wdgf(spark: SparkSession, sf_dir: str) -> IndexReader:
 def ft_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for 'merge' over the WDGF index: subword generation
     recovers the per-word postings, and the CATENATE_WORDS token counts
-    toward doclen (one extra token for docs of ≥2 words — the same
-    documented overlap-token divergence as shingles)."""
+    toward doclen — for docs of ≥2 words WHOSE CATENATION SURVIVES the
+    chain's max_token_length=255 filter (the catenation of a long doc
+    is its full non-space char count and gets length-dropped like any
+    over-long token; the oracle models that cut exactly)."""
     s = IndexSearcher(_reader_wdgf(spark, sf_dir))
     m = s.matches("merge")
     m = _to_ext(m, s.reader).select(
@@ -4876,10 +4889,14 @@ FT_WORD_DELIMITER_SQL = r"""
 WITH n AS (
   SELECT doc_id,
          len(list_filter(string_split_regex(trim(text), '\s+'),
-                         x -> x <> '')) AS nw
+                         x -> x <> '')) AS nw,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS cat_len
   FROM documents),
-dl AS (  -- WDGF emits the words + one catenation when there are >= 2 parts
-  SELECT doc_id, (nw + CASE WHEN nw >= 2 THEN 1 ELSE 0 END)::DOUBLE AS dl
+dl AS (  -- WDGF emits the words + one catenation when there are >= 2
+         -- parts AND the catenation survives max_token_length (255)
+  SELECT doc_id,
+         (nw + CASE WHEN nw >= 2 AND cat_len <= 255 THEN 1 ELSE 0
+          END)::DOUBLE AS dl
   FROM n),
 tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

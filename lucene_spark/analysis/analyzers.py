@@ -389,9 +389,14 @@ def analyzer_fingerprint(name: str) -> str:
         str(a.split_camel), str(a.stemmer), str(a.normalizer),
         str(a.custom_tokenizer), str(a.shingle_size),
         str(a.payload_delimiter),
-        str(a.word_delimiter), ",".join(sorted(a.protected_words)),
         ",".join(sorted(a.stopwords)),
     ])
+    if a.word_delimiter or a.protected_words:
+        # appended only when non-default so every pre-existing chain's
+        # fingerprint (stored in index manifests) stays stable — adding
+        # a field must not make old indexes warn "chain has changed"
+        ident += "|wd=%s|prot=%s" % (
+            a.word_delimiter, ",".join(sorted(a.protected_words)))
     return hashlib.sha256(ident.encode("utf-8")).hexdigest()[:16]
 
 

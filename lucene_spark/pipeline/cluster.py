@@ -69,16 +69,24 @@ def kmeans(
     dim = len(cents[0])
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>")
                      .alias("__v"))
-    for _ in range(iterations):
-        assigned = base.withColumn("__c", _assign_expr("__v", cents))
-        sums = (assigned.groupBy("__c")
-                .agg(*[F.sum(F.col("__v")[d]).alias(f"s{d}")
-                       for d in range(dim)],
-                     F.count("*").alias("n"))
-                .collect())
-        new = {r["__c"]: [r[f"s{d}"] / r["n"] for d in range(dim)]
-               for r in sums}
-        cents = [new.get(i, cents[i]) for i in range(k)]
-    out = (base.withColumn("cluster", _assign_expr("__v", cents))
-           .select(id_col, "cluster"))
-    return out, cents
+    # every Lloyd iteration is a full pass: cache the projected points
+    # once instead of re-scanning the source `iterations` times
+    base = base.persist()
+    try:
+        for _ in range(iterations):
+            assigned = base.withColumn("__c", _assign_expr("__v", cents))
+            sums = (assigned.groupBy("__c")
+                    .agg(*[F.sum(F.col("__v")[d]).alias(f"s{d}")
+                           for d in range(dim)],
+                         F.count("*").alias("n"))
+                    .collect())
+            new = {r["__c"]: [r[f"s{d}"] / r["n"] for d in range(dim)]
+                   for r in sums}
+            cents = [new.get(i, cents[i]) for i in range(k)]
+        out = (base.withColumn("cluster", _assign_expr("__v", cents))
+               .select(id_col, "cluster"))
+        return out, cents
+    finally:
+        # lazy `out` recomputes from lineage if evaluated later — only
+        # the storage pin is released here
+        base.unpersist(blocking=False)

@@ -42,10 +42,14 @@ def _threshold_hex(fraction: float) -> str:
 def holdout_flag(key: Column, fraction: float, salt: str = "") -> Column:
     """Boolean column: True = held out (expected rate ``fraction``).
     ``key`` may be any column; it is cast to string before hashing, so
-    use a stable natural key (doc id, url, sha) — not a row number."""
+    use a stable natural key (doc id, url, sha) — not a row number.
+    NULL keys are never held out (they are not stable identities to
+    hash; coalescing to False keeps the every-row-lands-on-exactly-one-
+    side invariant instead of silently dropping them from both sides,
+    which is what a NULL comparison would do under two filters)."""
     h = F.substring(
         F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256), 1, 8)
-    return h < F.lit(_threshold_hex(fraction))
+    return F.coalesce(h < F.lit(_threshold_hex(fraction)), F.lit(False))
 
 
 def train_holdout_split(

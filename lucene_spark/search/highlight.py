@@ -144,7 +144,10 @@ def highlight_passages(
             ttf: dict[str, int] = {}
             per_span = []
             for start, body in spans:
-                toks = an.tokenize_series(pd.Series([body], dtype=object))[0]
+                # scalar twin of tokenize_series (output-identical,
+                # property-tested): skips per-span pandas Series
+                # construction in this per-sentence hot loop
+                toks = an.tokenize_one(body)
                 freqs: dict[str, int] = {}
                 for t in toks:
                     if t in terms:

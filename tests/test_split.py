@@ -74,3 +74,18 @@ def test_stratified_sample_exact_n_and_stable(spark):
                              salt="s1")
     assert sorted((r["doc_id"], r["lang"]) for r in out2.collect()) == \
         sorted((d, l) for l, v in got.items() for d in v)
+
+
+def test_null_keys_land_in_train_not_dropped(spark):
+    from lucene_spark.pipeline.split import train_holdout_split
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(20)] + [(98, None), (99, None)],
+        "doc_id long, key string")
+    train, hold = train_holdout_split(df, "key", fraction=0.5, salt="z")
+    train_ids = {r["doc_id"] for r in train.collect()}
+    hold_ids = {r["doc_id"] for r in hold.collect()}
+    # every row on exactly one side; NULL keys never held out
+    assert train_ids | hold_ids == set(range(20)) | {98, 99}
+    assert not train_ids & hold_ids
+    assert {98, 99} <= train_ids
