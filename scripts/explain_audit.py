@@ -16,6 +16,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -328,6 +329,34 @@ def main() -> None:
             # and the whole chain is one narrow stage
             ("narrow single stage, codegen through the scan (no exchange)",
              "Exchange" not in p and "codegen id" in p),
+        ],
+    ))
+
+    # Sequence packing: the prefix sum must be DISTRIBUTED — every Window
+    # in the plan partitions by the id-quantile bucket (a global
+    # Window.orderBy with an empty partition spec would single-thread the
+    # whole corpus); the bucket-base join must broadcast the tiny side;
+    # block spans are a narrow Generate.
+    from lucene_spark.pipeline.pack import pack_sequences
+
+    p = plan_of(pack_sequences(docs, "text", "doc_id", block_size=32,
+                               buckets=8))
+    # first windowspecdefinition arg = first partition column (with no
+    # partitionBy the order column appears there instead)
+    win_specs = re.findall(
+        r"windowspecdefinition\(([A-Za-z_][A-Za-z0-9_]*)#", p)
+    sections.append((
+        "sequence packing (distributed prefix sum)", p,
+        [
+            ("every window partitions by the bucket (no global "
+             "single-partition window)",
+             len(win_specs) > 0 and all(s == "__bk" for s in win_specs)),
+            ("bucket bases broadcast (BroadcastHashJoin)",
+             "BroadcastHashJoin" in p),
+            ("block spans are a narrow Generate (explode after the join)",
+             "Generate" in p),
+            ("no python UDF (stays JVM-side)",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
         ],
     ))
 
