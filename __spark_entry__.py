@@ -4996,6 +4996,58 @@ WHERE rk <= 40
 """
 
 
+_DD_BOILER = ("shared footer alpha bravo charlie delta echo foxtrot "
+              "golf hotel")
+
+
+def dd_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. ExactSubstr;
+    `dedup.duplicate_spans`): every third document gets a deterministic
+    10-token boilerplate tail (synthesized identically on both sides),
+    and the operator reports the merged token spans covered by
+    corpus-duplicated 6-grams — the injected tails plus any natural
+    repeats in the fixture text. The oracle recounts the same 6-grams
+    and merges covered positions with a gaps-and-islands window."""
+    from lucene_spark.pipeline.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(F.trim(F.col("text")),
+                           F.lit(" " + _DD_BOILER))
+                  ).otherwise(F.trim(F.col("text")))
+    synth = docs.select("doc_id", body.alias("body"))
+    return duplicate_spans(synth, "body", "doc_id", min_len=6)
+
+
+DD_DUP_SUBSTRINGS_SQL = rf"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN trim(text) || ' {_DD_BOILER}'
+              ELSE trim(text) END AS body
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(body, '\s+'), x -> x <> '') AS t
+  FROM synth),
+g AS (
+  SELECT doc_id, CAST(r.i AS INT) AS pos,
+         array_to_string(t[CAST(r.i AS INT) + 1 : CAST(r.i AS INT) + 6],
+                         ' ') AS gram
+  FROM toks, range(0, 100000) r(i) WHERE r.i <= len(t) - 6),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+occ AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS p FROM occ)),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov)
+SELECT doc_id, min(p)::INT AS span_start, (max(p) + 1)::INT AS span_end
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5175,6 +5227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wd_phrase": ft_wd_phrase,
         "tx_pack": tx_pack,
         "tx_stratified": tx_stratified,
+        "dd_dup_substrings": dd_dup_substrings,
     }
 
 
@@ -5340,4 +5393,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_wd_phrase": FT_WD_PHRASE_SQL,
         "tx_pack": TX_PACK_SQL,
         "tx_stratified": TX_STRATIFIED_SQL,
+        "dd_dup_substrings": DD_DUP_SUBSTRINGS_SQL,
     }

@@ -312,6 +312,100 @@ def dedup_keep_representative(
             .filter(F.col("__rn") == 1).drop("__c", "__rn", "cluster"))
 
 
+def duplicate_spans(df: DataFrame, text_col: str, key_col: str,
+                    min_len: int = 50) -> DataFrame:
+    """Exact substring deduplication (the ExactSubstr operator of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better" —
+    no Lucene analogue): find every maximal token span that is part of a
+    substring of ≥ min_len tokens occurring at least twice in the corpus
+    (any second occurrence counts, including within the same document).
+
+    Identity that makes it distributed: a position lies inside a
+    duplicated substring of length ≥ L  ⟺  it is covered by some
+    corpus-duplicated L-gram (every length-≥L duplicate's L-grams are
+    duplicated; a duplicated L-gram IS a length-L duplicate). So the
+    removal set is exactly the merged union of [start, start+L) windows
+    of L-grams with corpus count ≥ 2.
+
+    Scale shape: narrow L-gram generation (transform over token arrays,
+    no shuffle), ONE map-side-combined count shuffle keyed by the gram
+    text (exact strings — no hash-collision false positives), one
+    semi-join of occurrences against the duplicated-gram set, then a
+    per-document sort + single-pass interval merge executed as an
+    `aggregate` lambda over the sorted start array — JVM expressions
+    throughout, no per-position explosion (a covered gram contributes
+    one array element, not L rows), no UDF, no driver state.
+
+    Returns (key_col, span_start, span_end): merged half-open token
+    intervals, tokens being the whitespace tokens of ``text_col``."""
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: F.length(x) > 0)
+    grams = (df
+             .withColumn("__toks", toks)
+             .withColumn("__grams", F.expr(
+                 f"transform(slice(__toks, 1, size(__toks) - {L - 1}),"
+                 f" (x, i) -> array_join(slice(__toks, i + 1, {L}), ' '))"))
+             .select(F.col(key_col),
+                     F.posexplode("__grams").alias("pos", "gram")))
+    dup = (grams.groupBy("gram").agg(F.count("*").alias("__c"))
+           .filter(F.col("__c") >= 2).select("gram"))
+    occ = grams.join(dup, "gram", "left_semi")
+    starts = F.array_sort(F.collect_list("pos"))
+    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    merged = F.aggregate(
+        starts, empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (x <= F.element_at(acc, -1).getField("e")),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1).getField("s").alias("s"),
+                    F.greatest(F.element_at(acc, -1).getField("e"),
+                               x + F.lit(L)).alias("e")))),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                x.alias("s"), (x + F.lit(L)).alias("e"))))))
+    return (occ.groupBy(key_col)
+            .agg(merged.alias("__spans"))
+            .select(F.col(key_col), F.explode("__spans").alias("__sp"))
+            .select(key_col,
+                    F.col("__sp.s").alias("span_start"),
+                    F.col("__sp.e").alias("span_end")))
+
+
+def strip_duplicate_spans(df: DataFrame, text_col: str, key_col: str,
+                          min_len: int = 50) -> DataFrame:
+    """Remove every duplicated span found by `duplicate_spans` — the cut
+    step of ExactSubstr dedup. Returns (key_col, text_clean) for every
+    input document (docs that were entirely duplicated text get an empty
+    string — callers typically drop those). Reassembly mirrors
+    line_dedup: anti-join of token positions against the covered set,
+    order restored with array_sort — no UDF."""
+    spans = duplicate_spans(df, text_col, key_col, min_len=min_len)
+    covered = spans.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.col("span_start"),
+                             F.col("span_end") - 1)).alias("pos"))
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: F.length(x) > 0)
+    positions = df.select(
+        F.col(key_col),
+        F.posexplode(toks).alias("pos", "tok"))
+    kept = positions.join(covered, [key_col, "pos"], "left_anti")
+    return (kept.groupBy(key_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok")),
+                " ").alias("text_clean"))
+            .join(df.select(key_col), key_col, "right")
+            .fillna({"text_clean": ""}))
+
+
 def line_dedup(df: DataFrame, text_col: str, key_col: str,
                min_docs: int = 2, min_line_len: int = 0) -> DataFrame:
     """C4-style boilerplate line removal (training-data op; the
