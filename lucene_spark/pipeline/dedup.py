@@ -346,7 +346,10 @@ def duplicate_spans(df: DataFrame, text_col: str, key_col: str,
     grams = (df
              .withColumn("__toks", toks)
              .withColumn("__grams", F.expr(
-                 f"transform(slice(__toks, 1, size(__toks) - {L - 1}),"
+                 # greatest(..., 0): docs shorter than L tokens have no
+                 # L-grams; a negative slice length is a runtime error
+                 f"transform(slice(__toks, 1,"
+                 f"  greatest(size(__toks) - {L - 1}, 0)),"
                  f" (x, i) -> array_join(slice(__toks, i + 1, {L}), ' '))"))
              .select(F.col(key_col),
                      F.posexplode("__grams").alias("pos", "gram")))

@@ -93,6 +93,21 @@ def test_strip_removes_exactly_the_spans(spark):
     assert out[2] == docs[2][1]
 
 
+def test_docs_shorter_than_window_survive(spark):
+    # docs with < L tokens have no L-grams (negative slice length used
+    # to crash the job); empty docs and the default min_len=50 included
+    long_dup = " ".join(f"d{j}" for j in range(60))
+    docs = [(0, "a b c"), (1, ""), (2, "   "),
+            (3, "x " + long_dup), (4, long_dup + " y")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _collect(duplicate_spans(df, "text", "doc_id"))  # min_len=50
+    assert got == _brute_spans([(k, t) for k, t in docs], 50)
+    assert got == [(3, 1, 61), (4, 0, 60)]
+    out = {r["doc_id"]: r["text_clean"]
+           for r in strip_duplicate_spans(df, "text", "doc_id").collect()}
+    assert out[0] == "a b c" and out[1] == "" and out[3] == "x"
+
+
 def test_no_duplicates_no_spans(spark):
     docs = [(i, " ".join(f"d{i}t{j}" for j in range(30))) for i in range(5)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
