@@ -1899,6 +1899,66 @@ WHERE lat >= {min(v[0] for v in _PLY)!r} AND lat <= {max(v[0] for v in _PLY)!r}
 """
 
 
+def rel_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial heatmap facet (spatial-extras HeatmapFacetCounter.java:
+    53-74, Solr SpatialHeatmapFacets): per-grid-cell counts over a
+    region. Sparse non-zero cells instead of the reference's dense
+    driver array (which it must cap at MAX_ROWS_OR_COLUMNS²); the range
+    predicate pushes to the scan, then one map-side-combined groupBy."""
+    from lucene_spark.relational.geo import heatmap_facets
+
+    return heatmap_facets(_geo_points(spark, sf_dir), "lat", "lon",
+                          min_lat=-60.0, max_lat=60.0,
+                          min_lon=-120.0, max_lon=120.0,
+                          rows=6, columns=8)
+
+
+REL_GEO_HEATMAP_SQL = f"""
+SELECT cell_x, cell_y, count(*) AS count FROM (
+  SELECT CAST(least(floor((lon - (-120.0)) / 30.0), 7) AS INTEGER) AS cell_x,
+         CAST(least(floor((lat - (-60.0)) / 20.0), 5) AS INTEGER) AS cell_y
+  FROM ({_GEO_PTS_SQL})
+  WHERE lat >= -60.0 AND lat <= 60.0 AND lon >= -120.0 AND lon <= 120.0
+) GROUP BY cell_x, cell_y
+"""
+
+
+def rel_facet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled facet counts (facet/RandomSamplingFacetsCollector.java:
+    rate = sample_size/totalHits at line 135, top children ranked by the
+    SAMPLED count, amortized estimate trunc(sampled/rate) capped at the
+    dim value's true docFreq — amortizeFacetCounts lines 218-252). The
+    per-hit XORShift coin flip becomes a sha256(key||salt) threshold so
+    the sample is identical on any cluster size and in the oracle."""
+    from lucene_spark.relational.facets import sampled_facet_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampled_facet_counts(docs, "lang", "doc_id", sample_size=100,
+                                top_n=5, salt="v1", universe=docs)
+
+
+REL_FACET_SAMPLED_SQL = """
+WITH rate AS (
+  SELECT (1.0 * 100) / count(*) AS r,
+         lpad(lower(to_hex(CAST(floor(((1.0 * 100) / count(*))
+                                      * 4294967296.0) AS BIGINT))),
+              8, '0') AS thr
+  FROM documents
+),
+samp AS (
+  SELECT lang FROM documents CROSS JOIN rate
+  WHERE substr(sha256(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < thr
+),
+counts AS (SELECT lang, count(*) AS sampled_count FROM samp GROUP BY lang),
+caps AS (SELECT lang, count(*) AS cap FROM documents GROUP BY lang),
+top AS (SELECT * FROM counts ORDER BY sampled_count DESC, lang LIMIT 5)
+SELECT t.lang, t.sampled_count,
+       least(CAST(floor(t.sampled_count / r.r) AS BIGINT), c.cap) AS count
+FROM top t CROSS JOIN rate r JOIN caps c ON t.lang = c.lang
+ORDER BY t.sampled_count DESC, t.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 
@@ -5228,6 +5288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack": tx_pack,
         "tx_stratified": tx_stratified,
         "dd_dup_substrings": dd_dup_substrings,
+        "rel_geo_heatmap": rel_geo_heatmap,
+        "rel_facet_sampled": rel_facet_sampled,
     }
 
 
@@ -5394,4 +5456,6 @@ def oracle_sql() -> dict[str, str]:
         "tx_pack": TX_PACK_SQL,
         "tx_stratified": TX_STRATIFIED_SQL,
         "dd_dup_substrings": DD_DUP_SUBSTRINGS_SQL,
+        "rel_geo_heatmap": REL_GEO_HEATMAP_SQL,
+        "rel_facet_sampled": REL_FACET_SAMPLED_SQL,
     }

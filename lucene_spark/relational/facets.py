@@ -119,3 +119,68 @@ def group_top_docs(matches: DataFrame, group_col: str, order: list[Column], n_pe
         matches.withColumn("group_rank", F.row_number().over(w))
         .filter(F.col("group_rank") <= n_per_group)
     )
+
+
+def sampled_facet_counts(
+    matches: DataFrame,
+    dim: str,
+    key_col: str,
+    sample_size: int,
+    top_n: int = 10,
+    salt: str = "",
+    universe: DataFrame | None = None,
+) -> DataFrame:
+    """Sampled facet counts — facet/RandomSamplingFacetsCollector.java:
+    facet over a bounded random subset of the matches, then amortize the
+    sampled counts back to full-set estimates (amortizeFacetCounts,
+    RandomSamplingFacetsCollector.java:218-252).
+
+    Semantics kept from the reference: no sampling at all when
+    totalHits <= sample_size (line 130); otherwise rate =
+    sample_size/totalHits (line 135), top children are RANKED BY THE
+    SAMPLED COUNT (the counting Facets run on the sampled set), and the
+    amortized estimate is trunc(sampled/rate) capped at the dimension
+    value's true upper bound — the reference caps at docFreq of the
+    facet term (line 239); pass `universe` (the full collection) to
+    reproduce that cap, computed as ONE map-side-combined groupBy and
+    broadcast-joined against the ≤top_n winners.
+
+    Where the reference uses a seeded XORShift per-hit coin flip (only
+    reproducible inside one JVM's doc order), the distributed
+    restatement samples by key hash — sha256(key||salt) < rate, the
+    `holdout_flag` primitive — so the SAME docs are sampled on any
+    cluster size, any partitioning, and in the SQL oracle. Scale shape:
+    one count job (columnar, cheap) + one narrow filter + one facet
+    groupBy; no shuffle beyond the facet's own.
+
+    Returns (dim, sampled_count, count) — `count` is the amortized
+    estimate, `sampled_count` the raw evidence."""
+    from lucene_spark.pipeline.split import holdout_flag
+
+    if sample_size <= 0:
+        raise ValueError(f"sample_size must be positive, got {sample_size}")
+    total = matches.count()
+    if total <= sample_size:
+        rate = 1.0
+        sample = matches
+    else:
+        rate = sample_size / total
+        sample = matches.filter(holdout_flag(F.col(key_col), rate, salt))
+    out = (sample.groupBy(dim)
+           .agg(F.count("*").alias("sampled_count"))
+           .withColumn("count",
+                       F.floor(F.col("sampled_count") / F.lit(rate))
+                       .cast("long"))
+           .orderBy(F.col("sampled_count").desc(), F.col(dim).asc())
+           .limit(top_n))
+    if universe is not None and rate < 1.0:
+        caps = universe.groupBy(dim).agg(F.count("*").alias("__cap"))
+        out = (out.join(F.broadcast(caps.join(
+                   F.broadcast(out.select(dim)), dim, "left_semi")), dim,
+                   "left")
+               .withColumn("count", F.least(
+                   F.col("count"), F.coalesce(F.col("__cap"),
+                                              F.col("count"))))
+               .drop("__cap")
+               .orderBy(F.col("sampled_count").desc(), F.col(dim).asc()))
+    return out
