@@ -5108,6 +5108,55 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def ft_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eDisMax (solr/search/ExtendedDismaxQParser.java): user query
+    'table scan en' over qf={text:1.0, lang:2.0}, tie=0.1, mm=2 — each
+    bare term becomes a tie-broken dismax over the per-field BM25 legs
+    (addAlias:151), docs must match ≥2 of the 3 optional clauses
+    (SolrPluginUtils.setMinShouldMatch)."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.edismax import parse_edismax
+
+    s = IndexSearcher(_reader_mf(spark, sf_dir))
+    node = parse_edismax(
+        "table scan en", {"text": 1.0, "lang": 2.0},
+        get_analyzer("whitespace"), tie=0.1, mm="2")
+    m = s.matches(node)
+    m = _to_ext(m, s.reader).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select("doc_id", "score_r", "rank")
+
+
+FT_EDISMAX_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('table','scan','en') GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+tleg AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (st.n - qdf.df + 0.5)/(qdf.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN qdf ON tf.term = qdf.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+lstat AS (SELECT count(*)::DOUBLE AS nl FROM documents),
+ldf AS (SELECT lang AS term, count(*)::DOUBLE AS df FROM documents
+        WHERE lang IN ('table','scan','en') GROUP BY lang),
+lleg AS (
+  SELECT d.doc_id, d.lang AS term,
+         2.0 * ln(1 + (l.nl - ldf.df + 0.5)/(ldf.df + 0.5)) / 2.2 AS s
+  FROM documents d JOIN ldf ON d.lang = ldf.term CROSS JOIN lstat l),
+legs AS (SELECT * FROM tleg UNION ALL SELECT * FROM lleg),
+dm AS (SELECT doc_id, term, max(s) + 0.1 * (sum(s) - max(s)) AS s
+       FROM legs GROUP BY doc_id, term),
+agg AS (SELECT doc_id, sum(s) AS s, count(*) AS nmatch FROM dm GROUP BY doc_id),
+r AS (SELECT doc_id, round(s, 2) AS score_r FROM agg WHERE nmatch >= 2)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5290,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dup_substrings": dd_dup_substrings,
         "rel_geo_heatmap": rel_geo_heatmap,
         "rel_facet_sampled": rel_facet_sampled,
+        "ft_edismax": ft_edismax,
     }
 
 
@@ -5458,4 +5508,5 @@ def oracle_sql() -> dict[str, str]:
         "dd_dup_substrings": DD_DUP_SUBSTRINGS_SQL,
         "rel_geo_heatmap": REL_GEO_HEATMAP_SQL,
         "rel_facet_sampled": REL_FACET_SAMPLED_SQL,
+        "ft_edismax": FT_EDISMAX_SQL,
     }

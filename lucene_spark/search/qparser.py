@@ -139,6 +139,15 @@ def _as_clauses(node: Node, occur: Occur) -> list[Clause]:
     ):
         # bare negation at this level keeps its MUST_NOT clauses
         return list(node.clauses)
+    if (
+        isinstance(node, BooleanNode) and node.boost == 1.0
+        and node.minimum_should_match == 0 and len(node.clauses) == 1
+        and node.clauses[0].occur is Occur.MUST
+    ):
+        # `+term` modifier: the required wrapper survives juxtaposition —
+        # QueryParserBase.addClause keeps MOD_REQ regardless of the
+        # default operator (classic "+a b c" = MUST(a) SHOULD(b) SHOULD(c))
+        return [node.clauses[0]]
     return [Clause(occur, node)]
 
 
