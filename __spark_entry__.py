@@ -5157,6 +5157,56 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def rel_expr_ternary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional compiled expressions (lucene/expressions
+    JavascriptCompiler.java boolean/ternary operators, Javascript.g):
+    comparisons yield 1/0 doubles, ternaries pick per-row — one
+    codegen'd Catalyst Column, no Python per row."""
+    from lucene_spark.relational.expressions import compile_expression
+
+    o = _t(spark, sf_dir, "orders")
+    score = compile_expression(
+        "o_totalprice > 150000 ? sqrt(o_totalprice)"
+        " : (o_totalprice > 50000 && o_orderkey < 30000)"
+        " * ln(1 + o_totalprice) + 1")
+    scored = o.select("o_orderkey", F.round(score, 4).alias("expr_score"))
+    w = Window.orderBy(F.col("expr_score").desc(), F.col("o_orderkey").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 15))
+
+
+REL_EXPR_TERNARY_SQL = """
+SELECT o_orderkey, expr_score,
+       row_number() OVER (ORDER BY expr_score DESC, o_orderkey ASC) AS rank
+FROM (
+  SELECT o_orderkey,
+         round(CASE WHEN o_totalprice > 150000 THEN sqrt(o_totalprice)
+               ELSE (CASE WHEN o_totalprice > 50000 AND o_orderkey < 30000
+                     THEN 1.0 ELSE 0.0 END) * ln(1 + o_totalprice) + 1
+               END, 4) AS expr_score
+  FROM orders
+) QUALIFY rank <= 15 ORDER BY rank
+"""
+
+
+def ft_function_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionMatchQuery (queries/function/FunctionMatchQuery.java:33-60):
+    docs whose doc-values predicate holds, constant score = boost."""
+    from lucene_spark.search.features import function_match
+
+    s = _searcher(spark, sf_dir)
+    m = function_match(
+        s, "n_chars > 420 && n_chars < 520", columns=("n_chars",), boost=3.0)
+    return _to_ext(m, s.reader).select(
+        "doc_id", F.col("score").cast("double").alias("score_r"))
+
+
+FT_FUNCTION_MATCH_SQL = """
+SELECT doc_id, 3.0 AS score_r FROM documents
+WHERE n_chars > 420 AND n_chars < 520
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5340,6 +5390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_geo_heatmap": rel_geo_heatmap,
         "rel_facet_sampled": rel_facet_sampled,
         "ft_edismax": ft_edismax,
+        "rel_expr_ternary": rel_expr_ternary,
+        "ft_function_match": ft_function_match,
     }
 
 
@@ -5509,4 +5561,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_geo_heatmap": REL_GEO_HEATMAP_SQL,
         "rel_facet_sampled": REL_FACET_SAMPLED_SQL,
         "ft_edismax": FT_EDISMAX_SQL,
+        "rel_expr_ternary": REL_EXPR_TERNARY_SQL,
+        "ft_function_match": FT_FUNCTION_MATCH_SQL,
     }

@@ -11,12 +11,25 @@ codegen'd JVM arithmetic, exactly the role the ASM-compiled bytecode
 plays in Lucene. The parser is driver-side only (runs once per query,
 like JavascriptCompiler.compile); no Python executes per row.
 
-Grammar (a practical subset of both syntaxes):
+Grammar (a practical subset of both syntaxes; precedence per
+JavascriptCompiler's C-style table, Javascript.g:56-118):
 
+    cond   := or ('?' cond ':' cond)?
+    or     := and ('||' and)*
+    and    := cmp ('&&' cmp)*
+    cmp    := expr (('<'|'<='|'>'|'>='|'=='|'!=') expr)*
     expr   := term (('+'|'-') term)*
     term   := factor (('*'|'/') factor)*
-    factor := NUMBER | IDENT | IDENT '(' args ')' | '(' expr ')' | '-' factor
-    args   := expr (',' expr)*
+    factor := NUMBER | IDENT | IDENT '(' args ')' | '(' cond ')'
+            | '-' factor | '!' factor
+    args   := cond (',' cond)*
+
+Boolean semantics follow the reference exactly (JavascriptCompiler
+evaluates everything as double): comparisons and &&/||/! yield 1.0 or
+0.0, a ternary condition is true iff it is nonzero. A null operand
+(missing doc value) makes a comparison false, so it selects the
+ternary's else branch — Catalyst's three-valued logic collapsed to
+the reference's two-valued doubles.
 
 IDENT alone resolves to a DataFrame column; IDENT(...) resolves through
 the ValueSource registry (relational/functions.py FUNCTIONS) first, then
@@ -34,7 +47,7 @@ from lucene_spark.relational.functions import FUNCTIONS
 
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)|(?P<ident>[A-Za-z_][A-Za-z0-9_.]*)"
-    r"|(?P<op>[-+*/(),]))")
+    r"|(?P<op><=|>=|==|!=|&&|\|\||[-+*/(),<>?:!]))")
 
 
 class ExpressionError(ValueError):
@@ -75,6 +88,50 @@ class _Parser:
         self.i += 1
         return v
 
+    def cond(self) -> Column:
+        c = self.or_()
+        if self.peek() == ("op", "?"):
+            self.eat("op", "?")
+            t = self.cond()
+            self.eat("op", ":")
+            f = self.cond()
+            return F.when(c.cast("double") != F.lit(0.0), t).otherwise(f)
+        return c
+
+    def or_(self) -> Column:
+        node = self.and_()
+        while self.peek() == ("op", "||"):
+            self.eat("op", "||")
+            rhs = self.and_()
+            node = F.when(
+                (node.cast("double") != F.lit(0.0))
+                | (rhs.cast("double") != F.lit(0.0)),
+                F.lit(1.0)).otherwise(F.lit(0.0))
+        return node
+
+    def and_(self) -> Column:
+        node = self.cmp()
+        while self.peek() == ("op", "&&"):
+            self.eat("op", "&&")
+            rhs = self.cmp()
+            node = F.when(
+                (node.cast("double") != F.lit(0.0))
+                & (rhs.cast("double") != F.lit(0.0)),
+                F.lit(1.0)).otherwise(F.lit(0.0))
+        return node
+
+    def cmp(self) -> Column:
+        node = self.expr()
+        while self.peek()[0] == "op" and self.peek()[1] in (
+                "<", "<=", ">", ">=", "==", "!="):
+            op = self.eat("op")
+            rhs = self.expr()
+            c = {"<": node < rhs, "<=": node <= rhs, ">": node > rhs,
+                 ">=": node >= rhs, "==": node == rhs,
+                 "!=": node != rhs}[op]
+            node = F.when(c, F.lit(1.0)).otherwise(F.lit(0.0))
+        return node
+
     def expr(self) -> Column:
         node = self.term()
         while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
@@ -96,9 +153,14 @@ class _Parser:
         if (k, v) == ("op", "-"):
             self.eat("op", "-")
             return -self.factor()
+        if (k, v) == ("op", "!"):
+            self.eat("op", "!")
+            x = self.factor()
+            return F.when(x.cast("double") != F.lit(0.0),
+                          F.lit(0.0)).otherwise(F.lit(1.0))
         if (k, v) == ("op", "("):
             self.eat("op", "(")
-            node = self.expr()
+            node = self.cond()
             self.eat("op", ")")
             return node
         if k == "num":
@@ -117,10 +179,10 @@ class _Parser:
         self.eat("op", "(")
         args: list[Column] = []
         if self.peek() != ("op", ")"):
-            args.append(self.expr())
+            args.append(self.cond())
             while self.peek() == ("op", ","):
                 self.eat("op", ",")
-                args.append(self.expr())
+                args.append(self.cond())
         self.eat("op", ")")
         fn = FUNCTIONS.get(name)
         if fn is None:
@@ -138,7 +200,7 @@ def compile_expression(source: str, cols: dict[str, Column] | None = None) -> Co
     Catalyst Column. `cols` optionally maps variable names to Columns
     (Bindings in Lucene terms); unmapped identifiers become F.col(name)."""
     p = _Parser(_tokenize(source), cols or {})
-    out = p.expr()
+    out = p.cond()
     if p.peek()[0] != "end":
         raise ExpressionError(f"trailing input at token {p.i}: {p.peek()[1]!r}")
     return out

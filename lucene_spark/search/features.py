@@ -141,6 +141,36 @@ def function_score(searcher, query, source: str,
             .select("doc_id", "score"))
 
 
+def function_match(searcher, source: str,
+                   columns: tuple[str, ...] = (),
+                   boost: float = 1.0) -> DataFrame:
+    """FunctionMatchQuery (queries/function/FunctionMatchQuery.java:33-60):
+    match every live doc where the double values source passes the
+    predicate; constant score (the reference scorer emits score() =
+    boost — it is a filter wrapped as a query). The predicate IS the
+    expression here: comparison/boolean operators compile to 1.0/0.0
+    per JavascriptCompiler semantics and nonzero means match, so
+    `function_match(s, "n_chars > 400 && n_chars < 600")` is
+    FunctionMatchQuery(DoubleValuesSource, v -> inRange). Docs whose
+    doc value is missing evaluate null → no match (the reference's
+    advanceExact-false case). Columns resolve through
+    reader.doc_values() so committed DV updates are honored; a raw
+    single-column predicate stays pushdown-eligible."""
+    from lucene_spark.relational.expressions import compile_expression
+
+    out = searcher.reader.docstats().select("doc_id")
+    cols: dict = {}
+    for i, c in enumerate(columns):
+        dv = searcher.reader.doc_values(c).withColumnRenamed(
+            "value", f"__fv{i}")
+        out = out.join(dv, "doc_id", "left")
+        cols[c] = F.col(f"__fv{i}")
+    expr = compile_expression(source, cols)
+    out = (out.filter(expr.cast("double") != F.lit(0.0))
+           .select("doc_id", F.lit(float(boost)).cast("float").alias("score")))
+    return searcher._mask_deleted(out)
+
+
 def function_range(searcher, source: str, lower: float | None = None,
                    upper: float | None = None,
                    columns: tuple[str, ...] = (),

@@ -529,6 +529,64 @@ def test_expression_compiler(spark):
             compile_expression(bad)
 
 
+def test_expression_conditionals(spark):
+    """JavascriptCompiler boolean/comparison/ternary semantics
+    (Javascript.g:56-118): comparisons and &&/||/! yield 1.0/0.0 over
+    doubles; ternary conditions are true iff nonzero; null operands
+    compare false (advanceExact-missing collapses to the else branch)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lucene_spark.relational.expressions import (
+        ExpressionError, compile_expression)
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 10.0), (2, 3.0, 100.0), (3, None, 5.0)],
+        "id long, a double, b double")
+
+    def ev(src):
+        out = df.withColumn("r", compile_expression(src))
+        return {r["id"]: r["r"] for r in out.collect()}
+
+    assert ev("a > 2") == {1: 0.0, 2: 1.0, 3: 0.0}          # null → false
+    assert ev("a >= 2 && b < 50") == {1: 1.0, 2: 0.0, 3: 0.0}
+    assert ev("a > 2 || b > 50") == {1: 0.0, 2: 1.0, 3: 0.0}
+    assert ev("!(a > 2)") == {1: 1.0, 2: 0.0, 3: 1.0}
+    assert ev("a == 3") == {1: 0.0, 2: 1.0, 3: 0.0}
+    assert ev("a != 3") == {1: 1.0, 2: 0.0, 3: 0.0}
+    # ternary picks per-row; nested in the false arm (right-assoc)
+    assert ev("a > 2 ? b * 2 : b + 1") == {1: 11.0, 2: 200.0, 3: 6.0}
+    assert ev("b >= 100 ? 1 : b >= 10 ? 2 : 3") == {1: 2.0, 2: 1.0, 3: 3.0}
+    # arithmetic over boolean results (1/0 doubles, the reference's model)
+    assert ev("(a > 2) + (b > 2)") == {1: 1.0, 2: 2.0, 3: 1.0}
+    # conditionals inside function args
+    assert ev("sqrt(a > 2 ? 16 : 4)") == {1: 2.0, 2: 4.0, 3: 2.0}
+    # chained comparison is left-assoc over 1/0 like C
+    assert ev("5 > 4 > 1") == {1: 0.0, 2: 0.0, 3: 0.0}
+    for bad in ["a ? 1", "a ? 1 :", "a <", "a &&", "? 1 : 2"]:
+        with pytest.raises(ExpressionError):
+            compile_expression(bad)
+
+
+def test_function_match(spark, searcher):
+    """FunctionMatchQuery (queries/function/FunctionMatchQuery.java:33-60):
+    predicate over a doc-values column, constant score, live docs only."""
+    from lucene_spark.search.features import function_match
+
+    ds = searcher.reader.docstats().select("doc_id", "doclen")
+    want = {r["doc_id"] for r in ds.collect() if r["doclen"] > 300}
+    got = function_match(searcher, "doclen > 300", columns=("doclen",),
+                         boost=2.5).collect()
+    assert {r["doc_id"] for r in got} == want
+    assert want and all(r["score"] == 2.5 for r in got)
+    # compound predicate = intersection
+    both = function_match(
+        searcher, "doclen > 300 && doclen < 400", columns=("doclen",))
+    lens = {r["doc_id"]: r["doclen"] for r in ds.collect()}
+    assert {r["doc_id"] for r in both.collect()} == {
+        d for d, L in lens.items() if 300 < L < 400}
+
+
 def test_knn_classify_majority_vote(spark):
     """knn_classify (KNearestNeighborClassifier role): matches a numpy
     vote oracle — count desc, summed-cosine desc, label asc."""
