@@ -5207,6 +5207,34 @@ WHERE n_chars > 420 AND n_chars < 520
 """
 
 
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr StatsComponent percentiles (StatsValuesFactory.java) — exact
+    interpolated percentiles per group, one distributed aggregate."""
+    from lucene_spark.relational.facets import percentiles_facet
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = percentiles_facet(li, "l_extendedprice", by="l_returnflag",
+                            ps=(0.25, 0.5, 0.75, 0.99))
+    p = F.col("percentiles")
+    return out.select(
+        "l_returnflag",
+        F.round(p.getItem(0), 2).alias("p25"),
+        F.round(p.getItem(1), 2).alias("p50"),
+        F.round(p.getItem(2), 2).alias("p75"),
+        F.round(p.getItem(3), 2).alias("p99"),
+    ).orderBy("l_returnflag")
+
+
+REL_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5392,6 +5420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_edismax": ft_edismax,
         "rel_expr_ternary": rel_expr_ternary,
         "ft_function_match": ft_function_match,
+        "rel_percentiles": rel_percentiles,
     }
 
 
@@ -5563,4 +5592,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_edismax": FT_EDISMAX_SQL,
         "rel_expr_ternary": REL_EXPR_TERNARY_SQL,
         "ft_function_match": FT_FUNCTION_MATCH_SQL,
+        "rel_percentiles": REL_PERCENTILES_SQL,
     }

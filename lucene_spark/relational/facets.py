@@ -92,6 +92,26 @@ def stats_facet(matches: DataFrame, col: str) -> DataFrame:
     )
 
 
+def percentiles_facet(matches: DataFrame, col: str, by: str | None = None,
+                      ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+                      exact: bool = True) -> DataFrame:
+    """Solr StatsComponent percentiles (solr/handler/component/
+    StatsValuesFactory.java `percentiles` + PercentileAgg in JSON
+    facets). The reference computes t-digest approximations because a
+    single node cannot hold the field; Spark can do the EXACT
+    interpolated percentile distributedly (`percentile`, the reference's
+    own definition of the statistic), so exact=True is the default and
+    exact=False selects the t-digest-role `percentile_approx` — the
+    scale path when the value domain per group is huge. One aggregate
+    per group either way (no per-percentile passes)."""
+    fn = "percentile" if exact else "percentile_approx"
+    arr = ", ".join(repr(float(p)) for p in ps)
+    agg = F.expr(f"{fn}({col}, array({arr}))").alias("percentiles")
+    if by is None:
+        return matches.agg(agg)
+    return matches.groupBy(by).agg(agg)
+
+
 def pivot_facets(matches: DataFrame, dims: list[str]) -> DataFrame:
     """Pivot facets (handler/component/PivotFacetProcessor.java):
     hierarchical multi-field counts via rollup."""

@@ -59,6 +59,21 @@ def test_stats_facet(people):
     assert r["sum"] == 21.0 and abs(r["mean"] - 3.5) < 1e-9
 
 
+def test_percentiles_facet(people):
+    """StatsComponent percentiles: exact interpolated (R-7) values; the
+    approx path returns the same count of percentiles per group."""
+    from lucene_spark.relational.facets import percentiles_facet
+
+    r = percentiles_facet(people, "v", ps=(0.5, 1.0)).collect()[0]
+    # v = 1..6 → median 3.5 (interpolated), max 6
+    assert list(r["percentiles"]) == [3.5, 6.0]
+    g = {row[0]: list(row["percentiles"]) for row in
+         percentiles_facet(people, "v", by="grp", ps=(0.5,)).collect()}
+    assert g == {"a": [2.0], "b": [4.5], "c": [6.0]}
+    a = percentiles_facet(people, "v", ps=(0.5,), exact=False).collect()[0]
+    assert len(a["percentiles"]) == 1
+
+
 def test_pivot_facets(people):
     from lucene_spark.relational.facets import pivot_facets
 
