@@ -5235,6 +5235,65 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def tx_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (arXiv:2302.03169): target = the 'en'
+    slice, raw = all documents; unigram+bigram smoothed log-ratio
+    weights, Gumbel-top-20 with the deterministic Lehmer noise stream.
+    Ranked in rounded space per the gate convention (raw-float ties
+    must not decide membership)."""
+    from lucene_spark.pipeline.dsir import (
+        fit_importance_model, gumbel_key, importance_weights)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = _t(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en").select("text")
+    lr, unseen = fit_importance_model(target, docs, "text",
+                                      ns=(1, 2), alpha=0.5)
+    w = importance_weights(docs, "text", "doc_id", lr, unseen, ns=(1, 2))
+    keyed = w.select(
+        "doc_id",
+        F.round(gumbel_key("doc_id", "weight", seed=0), 4).alias("key_r"))
+    return _ranked(keyed, "key_r", "doc_id", 20).select(
+        "doc_id", "key_r", "rank")
+
+
+TX_DSIR_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, unnest(t) AS g FROM tok
+  UNION ALL
+  SELECT doc_id, t[r.i] || ' ' || t[r.i + 1] AS g
+  FROM tok, range(1, 100000) r(i) WHERE r.i <= len(t) - 1),
+tgt AS (SELECT f.g FROM feats f JOIN documents d ON f.doc_id = d.doc_id
+        WHERE d.lang = 'en'),
+ct AS (SELECT g, count(*)::DOUBLE AS c FROM tgt GROUP BY g),
+cr AS (SELECT g, count(*)::DOUBLE AS c FROM feats GROUP BY g),
+j AS (SELECT coalesce(ct.g, cr.g) AS g,
+             coalesce(ct.c, 0) AS ct, coalesce(cr.c, 0) AS cr
+      FROM ct FULL OUTER JOIN cr ON ct.g = cr.g),
+tot AS (SELECT sum(ct) AS t, sum(cr) AS r, count(*)::DOUBLE AS v FROM j),
+lr AS (SELECT g, ln((ct + 0.5) / (tot.t + 0.5 * tot.v))
+               - ln((cr + 0.5) / (tot.r + 0.5 * tot.v)) AS log_ratio
+       FROM j CROSS JOIN tot),
+w AS (SELECT f.doc_id, sum(lr.log_ratio) AS weight
+      FROM feats f JOIN lr ON f.g = lr.g GROUP BY f.doc_id),
+allw AS (SELECT d.doc_id, coalesce(w.weight, 0) AS weight
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN w ON d.doc_id = w.doc_id),
+keyed AS (
+  SELECT doc_id,
+         round(weight - ln(-ln((((doc_id * 48271) % 2147483647) + 0.5)
+                               / 2147483647)), 4) AS key_r
+  FROM allw)
+SELECT doc_id, key_r,
+       row_number() OVER (ORDER BY key_r DESC, doc_id ASC) AS rank
+FROM keyed QUALIFY rank <= 20 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5421,6 +5480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_expr_ternary": rel_expr_ternary,
         "ft_function_match": ft_function_match,
         "rel_percentiles": rel_percentiles,
+        "tx_dsir": tx_dsir,
     }
 
 
@@ -5593,4 +5653,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_expr_ternary": REL_EXPR_TERNARY_SQL,
         "ft_function_match": FT_FUNCTION_MATCH_SQL,
         "rel_percentiles": REL_PERCENTILES_SQL,
+        "tx_dsir": TX_DSIR_SQL,
     }
