@@ -602,6 +602,62 @@ def test_function_match(spark, searcher):
         d for d, L in lens.items() if 300 < L < 400}
 
 
+def test_scalar_quantization(spark):
+    """int7 scalar quantization: reconstruction bounded by delta/2 per
+    component, corrected dot-product estimate matches the numpy twin,
+    and top-k over a clustered set recalls the exact top-k."""
+    import numpy as np
+
+    from lucene_spark.pipeline.similarity import (
+        scalar_quantize, scalar_quantize_fit, sq_dot_topk)
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    base[7] = base[0] + 0.01   # near-dup of the query → must rank top
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mn, mx = scalar_quantize_fit(df, "embedding")
+    assert mn == float(base.min()) and mx == float(base.max())
+
+    q = scalar_quantize(df, "embedding", mn, mx, bits=7)
+    got = {r["vec_id"]: (list(r["qvec"]), r["qvec_sum"]) for r in q.collect()}
+    delta = (mx - mn) / 127
+    for i in range(40):
+        qv, qs = got[i]
+        assert qs == sum(qv)
+        recon = np.array(qv) * delta + mn
+        assert np.abs(recon - base[i].astype(np.float64)).max() <= delta / 2 + 1e-12
+
+    query = [float(x) for x in base[0]]
+    topk = sq_dot_topk(df, "embedding", "vec_id", query, mn, mx, k=5).collect()
+    # numpy twin of the corrected estimate
+    qq = np.floor((np.clip(base.astype(np.float64), mn, mx) - mn) / delta + 0.5)
+    qb = np.floor((np.clip(np.array(query), mn, mx) - mn) / delta + 0.5)
+    est = (8 * mn * mn + mn * delta * (qq.sum(1) + qb.sum())
+           + delta * delta * (qq @ qb))
+    exp = sorted(range(40), key=lambda i: (-est[i], i))[:5]
+    assert [r["key"] for r in topk] == exp
+    for r in topk:
+        assert abs(r["sq_dot"] - est[r["key"]]) < 1e-9
+    # approximate ranking finds the exact-dot winners (clustered case)
+    exact = base.astype(np.float64) @ np.array(query)
+    assert set(r["key"] for r in topk) >= set(
+        sorted(range(40), key=lambda i: (-exact[i], i))[:2])
+
+
+def test_scalar_quantization_degenerate_range(spark):
+    from lucene_spark.pipeline.similarity import scalar_quantize, sq_dot_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<float>")
+    q = scalar_quantize(df, "embedding", 1.0, 1.0).collect()
+    assert all(list(r["qvec"]) == [0, 0] for r in q)
+    out = sq_dot_topk(df, "embedding", "vec_id", [1.0, 1.0], 1.0, 1.0, k=2).collect()
+    # all-constant vectors: estimate = d·mn² exactly
+    assert [r["key"] for r in out] == [0, 1]
+    assert all(abs(r["sq_dot"] - 2.0) < 1e-12 for r in out)
+
+
 def test_knn_classify_majority_vote(spark):
     """knn_classify (KNearestNeighborClassifier role): matches a numpy
     vote oracle — count desc, summed-cosine desc, label asc."""
