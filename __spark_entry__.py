@@ -5216,21 +5216,27 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = percentiles_facet(li, "l_extendedprice", by="l_returnflag",
                             ps=(0.25, 0.5, 0.75, 0.99))
     p = F.col("percentiles")
+    # compare in scaled integers (1e4 = quarter-cent grid): interpolated
+    # percentiles of 2-decimal prices land EXACTLY on decimal-rounding
+    # midpoints (e.g. a median of 52724.245), where Spark's
+    # BigDecimal-of-double HALF_UP and DuckDB's round() disagree by one
+    # ulp of intent; ×10000 makes the value integral ± float noise so
+    # both engines round to the same integer
     return out.select(
         "l_returnflag",
-        F.round(p.getItem(0), 2).alias("p25"),
-        F.round(p.getItem(1), 2).alias("p50"),
-        F.round(p.getItem(2), 2).alias("p75"),
-        F.round(p.getItem(3), 2).alias("p99"),
+        F.round(p.getItem(0) * 10000).cast("bigint").alias("p25_e4"),
+        F.round(p.getItem(1) * 10000).cast("bigint").alias("p50_e4"),
+        F.round(p.getItem(2) * 10000).cast("bigint").alias("p75_e4"),
+        F.round(p.getItem(3) * 10000).cast("bigint").alias("p99_e4"),
     ).orderBy("l_returnflag")
 
 
 REL_PERCENTILES_SQL = """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+       round(quantile_cont(l_extendedprice, 0.25) * 10000)::BIGINT AS p25_e4,
+       round(quantile_cont(l_extendedprice, 0.5) * 10000)::BIGINT AS p50_e4,
+       round(quantile_cont(l_extendedprice, 0.75) * 10000)::BIGINT AS p75_e4,
+       round(quantile_cont(l_extendedprice, 0.99) * 10000)::BIGINT AS p99_e4
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -5265,8 +5271,10 @@ WITH tok AS (
 feats AS (
   SELECT doc_id, unnest(t) AS g FROM tok
   UNION ALL
-  SELECT doc_id, t[r.i] || ' ' || t[r.i + 1] AS g
-  FROM tok, range(1, 100000) r(i) WHERE r.i <= len(t) - 1),
+  -- list comprehension keeps the oracle unbounded (no fixed range cap:
+  -- the engine side has none either)
+  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS g
+  FROM tok),
 tgt AS (SELECT f.g FROM feats f JOIN documents d ON f.doc_id = d.doc_id
         WHERE d.lang = 'en'),
 ct AS (SELECT g, count(*)::DOUBLE AS c FROM tgt GROUP BY g),
@@ -5333,6 +5341,35 @@ est AS (
 SELECT key, sq_dot_r,
        row_number() OVER (ORDER BY sq_dot_r DESC, key ASC) AS rank
 FROM est QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def rel_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToChildBlockJoinQuery (lucene/join ToChildBlockJoinQuery.java:43-60):
+    the inverse block join — children of matching parents, each child
+    carrying its parent's score. Parents = high-value orders; children =
+    their lineitems; top-10 children by (parent score, child key)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    parents = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", F.round(F.col("o_totalprice") / 100000, 4).alias("pscore"))
+    j = li.join(F.broadcast(parents), li.l_orderkey == parents.o_orderkey)
+    out = j.select("l_orderkey", "l_linenumber", "pscore")
+    w = Window.orderBy(F.col("pscore").desc(), F.col("l_orderkey").asc(),
+                       F.col("l_linenumber").asc())
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10))
+
+
+REL_CHILD_JOIN_SQL = """
+WITH p AS (
+  SELECT o_orderkey, round(o_totalprice / 100000, 4) AS pscore
+  FROM orders WHERE o_totalprice > 400000)
+SELECT l.l_orderkey, l.l_linenumber, p.pscore,
+       row_number() OVER (ORDER BY p.pscore DESC, l.l_orderkey ASC,
+                          l.l_linenumber ASC) AS rank
+FROM lineitem l JOIN p ON l.l_orderkey = p.o_orderkey
+QUALIFY rank <= 10 ORDER BY rank
 """
 
 
@@ -5524,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_percentiles": rel_percentiles,
         "tx_dsir": tx_dsir,
         "sim_sq_topk": sim_sq_topk,
+        "rel_child_join": rel_child_join,
     }
 
 
@@ -5698,4 +5736,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_percentiles": REL_PERCENTILES_SQL,
         "tx_dsir": TX_DSIR_SQL,
         "sim_sq_topk": SIM_SQ_SQL,
+        "rel_child_join": REL_CHILD_JOIN_SQL,
     }

@@ -104,6 +104,12 @@ def fit_importance_model(
         "feature",
         F.coalesce("ct", F.lit(0)).alias("ct"),
         F.coalesce("cr", F.lit(0)).alias("cr"))
+    # the totals collect() below and the returned log-ratio table both
+    # consume `joined` — persist so the tokenize/count/outer-join phase
+    # (the expensive half of the fit) runs once, not twice
+    from pyspark.storagelevel import StorageLevel
+
+    joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
     tot = joined.agg(
         F.sum("ct").alias("t"), F.sum("cr").alias("r"),
         F.count("*").alias("v")).collect()[0]

@@ -16,8 +16,9 @@ JavascriptCompiler's C-style table, Javascript.g:56-118):
 
     cond   := or ('?' cond ':' cond)?
     or     := and ('||' and)*
-    and    := cmp ('&&' cmp)*
-    cmp    := expr (('<'|'<='|'>'|'>='|'=='|'!=') expr)*
+    and    := eq ('&&' eq)*
+    eq     := cmp (('=='|'!=') cmp)*
+    cmp    := expr (('<'|'<='|'>'|'>=') expr)*
     expr   := term (('+'|'-') term)*
     term   := factor (('*'|'/') factor)*
     factor := NUMBER | IDENT | IDENT '(' args ')' | '(' cond ')'
@@ -110,25 +111,35 @@ class _Parser:
         return node
 
     def and_(self) -> Column:
-        node = self.cmp()
+        node = self.eq()
         while self.peek() == ("op", "&&"):
             self.eat("op", "&&")
-            rhs = self.cmp()
+            rhs = self.eq()
             node = F.when(
                 (node.cast("double") != F.lit(0.0))
                 & (rhs.cast("double") != F.lit(0.0)),
                 F.lit(1.0)).otherwise(F.lit(0.0))
         return node
 
+    def eq(self) -> Column:
+        # equality binds looser than relational (Javascript.g C-style
+        # table): 'a == b < c' is a == (b < c)
+        node = self.cmp()
+        while self.peek()[0] == "op" and self.peek()[1] in ("==", "!="):
+            op = self.eat("op")
+            rhs = self.cmp()
+            c = node == rhs if op == "==" else node != rhs
+            node = F.when(c, F.lit(1.0)).otherwise(F.lit(0.0))
+        return node
+
     def cmp(self) -> Column:
         node = self.expr()
         while self.peek()[0] == "op" and self.peek()[1] in (
-                "<", "<=", ">", ">=", "==", "!="):
+                "<", "<=", ">", ">="):
             op = self.eat("op")
             rhs = self.expr()
             c = {"<": node < rhs, "<=": node <= rhs, ">": node > rhs,
-                 ">=": node >= rhs, "==": node == rhs,
-                 "!=": node != rhs}[op]
+                 ">=": node >= rhs}[op]
             node = F.when(c, F.lit(1.0)).otherwise(F.lit(0.0))
         return node
 

@@ -128,17 +128,26 @@ def function_score(searcher, query, source: str,
     from lucene_spark.relational.expressions import compile_expression
 
     hits = searcher.matches(query)
-    cols: dict = {"score": F.col("score").cast("double")}
-    out = hits
+    out, cols = _join_doc_values(searcher, hits, columns)
+    cols["score"] = F.col("score").cast("double")
+    expr = compile_expression(source, cols)
+    return (out.withColumn("score",
+                           F.coalesce(expr, F.lit(0.0)).cast("float"))
+            .select("doc_id", "score"))
+
+
+def _join_doc_values(searcher, out: DataFrame,
+                     columns: tuple[str, ...]) -> tuple[DataFrame, dict]:
+    """Left-join each named doc-values column (reader overlay — committed
+    DV updates honored) and return (joined_df, bindings) for
+    compile_expression. Shared by function_score/match/range."""
+    cols: dict = {}
     for i, c in enumerate(columns):
         dv = searcher.reader.doc_values(c).withColumnRenamed(
             "value", f"__fv{i}")
         out = out.join(dv, "doc_id", "left")
         cols[c] = F.col(f"__fv{i}")
-    expr = compile_expression(source, cols)
-    return (out.withColumn("score",
-                           F.coalesce(expr, F.lit(0.0)).cast("float"))
-            .select("doc_id", "score"))
+    return out, cols
 
 
 def function_match(searcher, source: str,
@@ -158,13 +167,8 @@ def function_match(searcher, source: str,
     single-column predicate stays pushdown-eligible."""
     from lucene_spark.relational.expressions import compile_expression
 
-    out = searcher.reader.docstats().select("doc_id")
-    cols: dict = {}
-    for i, c in enumerate(columns):
-        dv = searcher.reader.doc_values(c).withColumnRenamed(
-            "value", f"__fv{i}")
-        out = out.join(dv, "doc_id", "left")
-        cols[c] = F.col(f"__fv{i}")
+    out, cols = _join_doc_values(
+        searcher, searcher.reader.docstats().select("doc_id"), columns)
     expr = compile_expression(source, cols)
     out = (out.filter(expr.cast("double") != F.lit(0.0))
            .select("doc_id", F.lit(float(boost)).cast("float").alias("score")))
@@ -184,13 +188,8 @@ def function_range(searcher, source: str, lower: float | None = None,
     predicate when the expression is a raw column."""
     from lucene_spark.relational.expressions import compile_expression
 
-    out = searcher.reader.docstats().select("doc_id")
-    cols: dict = {}
-    for i, c in enumerate(columns):
-        dv = searcher.reader.doc_values(c).withColumnRenamed(
-            "value", f"__fv{i}")
-        out = out.join(dv, "doc_id", "left")
-        cols[c] = F.col(f"__fv{i}")
+    out, cols = _join_doc_values(
+        searcher, searcher.reader.docstats().select("doc_id"), columns)
     expr = compile_expression(source, cols)
     # filter in float64 (the expression's native precision) so range
     # boundaries are exact; narrow to float32 only for the emitted score

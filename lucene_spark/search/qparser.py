@@ -108,7 +108,7 @@ def parse_query(text: str, analyzer: Analyzer,
 
 def _parse_or(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
               pf=None) -> Node | None:
-    left = _parse_and(lx, an, fa, pf)
+    left, lmod = _parse_and(lx, an, fa, pf)
     clauses: list[Clause] = []
     while True:
         t = lx.peek()
@@ -116,21 +116,37 @@ def _parse_or(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
             break
         if t[0] == "or":
             lx.next()
-            right = _parse_and(lx, an, fa, pf)
-        else:
-            # juxtaposition — default operator OR (QueryParserBase.java:59-64)
-            right = _parse_and(lx, an, fa, pf)
+        # else: juxtaposition — default operator OR (QueryParserBase.java:59-64)
+        right, rmod = _parse_and(lx, an, fa, pf)
         if right is None:
             break
         if not clauses:
             if left is None:
-                left = right
+                left, lmod = right, rmod
                 continue
-            clauses = _as_clauses(left, Occur.SHOULD)
-        clauses.extend(_as_clauses(right, Occur.SHOULD))
+            clauses = _mod_clauses(left, lmod, Occur.SHOULD)
+        clauses.extend(_mod_clauses(right, rmod, Occur.SHOULD))
     if clauses:
         return BooleanNode(clauses=tuple(clauses))
+    if left is not None and lmod is not None:
+        # a lone modified item ('+a' / '-a') keeps its modifier through a
+        # wrapper boolean (QueryParserBase.addClause); rewrite unwraps a
+        # single-MUST wrapper exactly like BooleanQuery.rewrite does
+        return BooleanNode(clauses=(Clause(lmod, left),))
     return left
+
+
+def _mod_clauses(node: Node, mod: Occur | None, default: Occur) -> list[Clause]:
+    """Clause list for one parsed item at a boolean level: an explicit
+    +/-/NOT modifier seen AT PARSE TIME wins over the level's default
+    operator (QueryParserBase.addClause MOD_REQ/MOD_NOT — the classic
+    '+a b c' = MUST(a) SHOULD(b) SHOULD(c)). A parenthesized group has
+    no modifier — '(+a) b' keeps the group as an ordinary SHOULD clause,
+    unlike '+a b' — so the modifier is tracked beside the node rather
+    than pattern-matched from the built tree."""
+    if mod is not None:
+        return [Clause(mod, node)]
+    return _as_clauses(node, default)
 
 
 def _as_clauses(node: Node, occur: Occur) -> list[Clause]:
@@ -139,62 +155,54 @@ def _as_clauses(node: Node, occur: Occur) -> list[Clause]:
     ):
         # bare negation at this level keeps its MUST_NOT clauses
         return list(node.clauses)
-    if (
-        isinstance(node, BooleanNode) and node.boost == 1.0
-        and node.minimum_should_match == 0 and len(node.clauses) == 1
-        and node.clauses[0].occur is Occur.MUST
-    ):
-        # `+term` modifier: the required wrapper survives juxtaposition —
-        # QueryParserBase.addClause keeps MOD_REQ regardless of the
-        # default operator (classic "+a b c" = MUST(a) SHOULD(b) SHOULD(c))
-        return [node.clauses[0]]
     return [Clause(occur, node)]
 
 
 def _parse_and(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
-               pf=None) -> Node | None:
-    left = _parse_unary(lx, an, fa, pf)
+               pf=None) -> tuple[Node | None, Occur | None]:
+    left, lmod = _parse_unary(lx, an, fa, pf)
     clauses: list[Clause] = []
     while True:
         t = lx.peek()
         if t is None or t[0] != "and":
             break
         lx.next()
-        right = _parse_unary(lx, an, fa, pf)
+        right, rmod = _parse_unary(lx, an, fa, pf)
         if right is None:
             break
         if not clauses:
             if left is None:
-                left = right
+                left, lmod = right, rmod
                 continue
-            clauses = _as_clauses(left, Occur.MUST)
-        clauses.extend(_as_clauses(right, Occur.MUST))
+            clauses = _mod_clauses(left, lmod, Occur.MUST)
+        clauses.extend(_mod_clauses(right, rmod, Occur.MUST))
     if clauses:
         # promote bare SHOULDs that came from _as_clauses of negations
         fixed = [Clause(Occur.MUST, c.node) if c.occur is Occur.SHOULD else c for c in clauses]
-        return BooleanNode(clauses=tuple(fixed))
-    return left
+        return BooleanNode(clauses=tuple(fixed)), None
+    return left, lmod
 
 
 def _parse_unary(lx: _Lexer, an: Analyzer, fa: dict[str, Analyzer] = {},
-                 pf=None) -> Node | None:
+                 pf=None) -> tuple[Node | None, Occur | None]:
     t = lx.peek()
     if t is None:
-        return None
+        return None, None
     kind, _ = t
     if kind in ("not", "minus"):
         lx.next()
-        child = _parse_unary(lx, an, fa, pf)
+        child, _ = _parse_unary(lx, an, fa, pf)
         if child is None:
-            return None
-        return BooleanNode(clauses=(Clause(Occur.MUST_NOT, child),))
+            return None, None
+        return child, Occur.MUST_NOT
     if kind == "plus":
         lx.next()
-        child = _parse_unary(lx, an, fa, pf)
+        child, inner = _parse_unary(lx, an, fa, pf)
         if child is None:
-            return None
-        return BooleanNode(clauses=(Clause(Occur.MUST, child),))
-    return _parse_primary(lx, an, fa, pf)
+            return None, None
+        # '+-a': the negation wins (MOD_NOT is terminal in the classic lexer)
+        return child, (Occur.MUST_NOT if inner is Occur.MUST_NOT else Occur.MUST)
+    return _parse_primary(lx, an, fa, pf), None
 
 
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")

@@ -24,17 +24,24 @@ WS = get_analyzer("whitespace")
 # --- mm spec (SolrPluginUtils.calculateMinShouldMatch:670-711) -----------
 
 @pytest.mark.parametrize("n,spec,want", [
-    (5, "3", 3),
-    (5, "-2", 3),
-    (5, "75%", 3),          # int(3.75)
-    (5, "-25%", 4),         # 5 + int(-1.25) = 5 - 1
-    (3, "5", 3),            # clamp to optional count
-    (5, "-6", 0),           # floor at 0
-    (3, "2<-25% 9<-3", 3),  # 3 > 2 → -25% of 3 = 3+int(-0.75)=3; 3 ≤ 9 stop
-    (10, "2<-25% 9<-3", 7),  # 10>2 → 8; 10>9 → 7
-    (1, "2<-25% 9<-3", 1),  # 1 ≤ 2 → untouched
-    (4, "100%", 4),
-    (4, "0%", 0),
+    # SolrPluginUtilsTest.testMinShouldMatchCalculator:261-313, verbatim
+    (5, "0", 0), (5, "0%", 0), (5, " -5 ", 0), (5, "\n -100% \n", 0),
+    (5, " \n3\n ", 3), (5, "-3", 2), (3, "3", 3), (3, "-3", 0),
+    (3, "5", 3), (3, "-5", 0),
+    (3, " \n25% \n", 0), (4, "25%", 1), (5, " 25% ", 1), (10, "25%", 2),
+    (3, " \n-25%\n ", 3), (4, "-25%", 3), (5, "-25%", 4), (10, "-25%", 8),
+    (1, "3<0", 1), (2, "3<0", 2), (3, "3<0", 3), (4, "3<0", 0), (5, "3<0", 0),
+    (1, "3<25%", 1), (2, " 3\n<\n25% ", 2), (3, "3<25%", 3),
+    (4, "\n 3 < \n25%\n ", 1), (5, "3<25%", 1),
+    (1, "\n3 < -25% 10 < -3 \n", 1), (2, " 3 < -25% 10 < -3\n", 2),
+    (3, " 3 < -25% \n 10 < -3 \n", 3), (4, " 3 < -25% 10 < -3 ", 3),
+    (5, " 3 < -25% 10 < -3", 4), (6, "3<-25% 10<-3", 5),
+    (7, " 3 < -25% 10 < -3 ", 6), (8, " 3 < -25% 10 \n < -3\n", 6),
+    (9, " 3 < -25% 10 < -3 \n", 7), (10, " 3 < -25% 10 < -3", 8),
+    (11, "3<-25% 10<-3", 8), (12, "3<-25% 10<-3", 9),
+    (100, "3<-25% 10<-3", 97),
+    # local additions
+    (5, "3", 3), (5, "75%", 3), (4, "100%", 4),
 ])
 def test_mm_spec(n, spec, want):
     assert calculate_min_should_match(n, spec) == want

@@ -38,6 +38,32 @@ def test_nested():
     assert all(c.occur is P.Occur.SHOULD for c in inner[0].clauses)
 
 
+def test_plus_modifier_survives_juxtaposition():
+    # QueryParserBase.addClause MOD_REQ: '+a b c' = MUST(a) SHOULD(b) SHOULD(c)
+    n = parse("+score boost merge")
+    assert isinstance(n, P.BooleanNode)
+    occ = {c.node.term: c.occur for c in n.clauses}
+    assert occ == {"score": P.Occur.MUST, "boost": P.Occur.SHOULD,
+                   "merge": P.Occur.SHOULD}
+
+
+def test_parenthesized_required_group_stays_optional():
+    # '(+a) b': the + applies INSIDE the group; the group itself is an
+    # ordinary SHOULD clause (and a one-MUST boolean rewrites to its
+    # child, per BooleanQuery.rewrite) — a doc with only 'b' matches
+    n = parse("(+score) boost")
+    assert isinstance(n, P.BooleanNode)
+    assert all(c.occur is P.Occur.SHOULD for c in n.clauses)
+    assert {c.node.term for c in n.clauses} == {"score", "boost"}
+
+
+def test_plus_minus_compose():
+    # '+-a b': negation is terminal
+    n = parse("+-score boost")
+    occ = {c.node.term: c.occur for c in n.clauses}
+    assert occ["score"] is P.Occur.MUST_NOT
+
+
 def test_not_and_minus():
     for q in ("index AND NOT writer", "index AND -writer"):
         n = parse(q)

@@ -578,6 +578,11 @@ def test_expression_conditionals(spark):
     assert ev("sqrt(a > 2 ? 16 : 4)") == {1: 2.0, 2: 4.0, 3: 2.0}
     # chained comparison is left-assoc over 1/0 like C
     assert ev("5 > 4 > 1") == {1: 0.0, 2: 0.0, 3: 0.0}
+    # equality binds looser than relational (Javascript.g): x == (b < 50),
+    # NOT (x == b) < 50 — the left-assoc reading would make every row 1.0
+    # for '0 == b < 50' (0-or-1 compared < 50)
+    assert ev("0 == b < 50") == {1: 0.0, 2: 1.0, 3: 0.0}
+    assert ev("1 == b < 50") == {1: 1.0, 2: 0.0, 3: 1.0}
     for bad in ["a ? 1", "a ? 1 :", "a <", "a &&", "? 1 : 2"]:
         with pytest.raises(ExpressionError):
             compile_expression(bad)
