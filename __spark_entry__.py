@@ -5373,6 +5373,56 @@ QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011; IVF-ADC role):
+    m=4 subspaces × 8 centroids. Codebooks are DETERMINISTIC — the
+    subvectors of embeddings vec_id 1..8 — so the assignment + table
+    lookups replay exactly in SQL (k-means-trained codebooks are the
+    pytest-verified path, pq_train)."""
+    from lucene_spark.pipeline.similarity import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    rows = (e.filter(F.col("vec_id").between(1, 8))
+            .orderBy("vec_id").select("embedding").collect())
+    sub = len(rows[0][0]) // 4
+    books = [[[float(x) for x in r[0][j * sub:(j + 1) * sub]] for r in rows]
+             for j in range(4)]
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    out = pq_adc_topk(e, "embedding", "vec_id", q, books, k=400)
+    out = out.select("key", F.round(F.col("pq_dist"), 5).alias("pq_dist_r"))
+    w = Window.orderBy(F.col("pq_dist_r").asc(), F.col("key").asc())
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10))
+
+
+SIM_PQ_SQL = """
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+cent AS (SELECT vec_id - 1 AS code, ((i - 1) // 16)::INT AS j, i, x
+         FROM comp WHERE vec_id BETWEEN 1 AND 8),
+dists AS (
+  SELECT a.vec_id, c.j, c.code, sum((a.x - c.x) * (a.x - c.x)) AS d2
+  FROM comp a JOIN cent c ON a.i = c.i GROUP BY a.vec_id, c.j, c.code),
+assign AS (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY d2 ASC, code ASC) AS rn
+  FROM dists),
+qtab AS (SELECT j, code, d2 FROM dists WHERE vec_id = 0),
+adc AS (
+  SELECT a.vec_id AS key, sum(q.d2) AS pq_dist
+  FROM assign a JOIN qtab q ON a.j = q.j AND a.code = q.code
+  WHERE a.rn = 1 GROUP BY a.vec_id),
+r AS (SELECT key, round(pq_dist, 5) AS pq_dist_r FROM adc)
+SELECT key, pq_dist_r,
+       row_number() OVER (ORDER BY pq_dist_r ASC, key ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5562,6 +5612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dsir": tx_dsir,
         "sim_sq_topk": sim_sq_topk,
         "rel_child_join": rel_child_join,
+        "sim_pq_topk": sim_pq_topk,
     }
 
 
@@ -5737,4 +5788,5 @@ def oracle_sql() -> dict[str, str]:
         "tx_dsir": TX_DSIR_SQL,
         "sim_sq_topk": SIM_SQ_SQL,
         "rel_child_join": REL_CHILD_JOIN_SQL,
+        "sim_pq_topk": SIM_PQ_SQL,
     }

@@ -650,6 +650,56 @@ def test_scalar_quantization(spark):
         sorted(range(40), key=lambda i: (-exact[i], i))[:2])
 
 
+def test_product_quantization(spark):
+    """PQ (Jégou et al. 2011): deterministic per-subspace Lloyd, codegen
+    argmin encoding identical to numpy, ADC distances equal the table
+    lookups, and a clustered near-dup of the query survives top-1."""
+    import numpy as np
+
+    from lucene_spark.pipeline.similarity import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 5
+    base = np.vstack([centers[i % 4] + 0.1 * rng.standard_normal(16)
+                      for i in range(48)]).astype(np.float32)
+    base[13] = base[0] + 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = pq_train(df, "embedding", "vec_id", m=4, k=4, iters=3)
+    assert len(books) == 4 and all(len(b) == 4 and len(b[0]) == 4
+                                   for b in books)
+
+    # encode matches numpy argmin per subspace
+    enc = {r["vec_id"]: list(r["pq_codes"]) for r in
+           pq_encode(df, "embedding", books).collect()}
+    xs = base.astype(np.float64)
+    for i in range(48):
+        for j in range(4):
+            sv = xs[i, j * 4:(j + 1) * 4]
+            d2 = [((sv - np.array(c)) ** 2).sum() for c in books[j]]
+            assert enc[i][j] == int(np.argmin(d2)), (i, j)
+
+    # ADC = sum of query-table lookups; ordering matches the numpy twin
+    q = [float(x) for x in base[0]]
+    got = pq_adc_topk(df, "embedding", "vec_id", q, books, k=5).collect()
+    dist = {}
+    for i in range(48):
+        s = 0.0
+        for j in range(4):
+            qj = np.array(q[j * 4:(j + 1) * 4])
+            cj = np.array(books[j][enc[i][j]])
+            s += ((qj - cj) ** 2).sum()
+        dist[i] = s
+    exp = sorted(dist, key=lambda i: (dist[i], i))[:5]
+    assert [r["key"] for r in got] == exp
+    for r in got:
+        assert abs(r["pq_dist"] - dist[r["key"]]) < 1e-9
+    # the near-dup (13) and the query itself share codes → both in top
+    assert {0, 13} <= {r["key"] for r in got}
+
+
 def test_scalar_quantization_degenerate_range(spark):
     from lucene_spark.pipeline.similarity import scalar_quantize, sq_dot_topk
 
