@@ -5423,6 +5423,33 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def sim_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorSimilarityFunction.EUCLIDEAN brute-force top-10 vs the
+    vec_id=0 embedding (ascending distance)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = similarity.euclidean_topk_bruteforce(
+        e, "embedding", "vec_id", list(q), k=400)
+    out = out.select("key", F.round(F.col("distance"), 5).alias("dist_r"))
+    w = Window.orderBy(F.col("dist_r").asc(), F.col("key").asc())
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10))
+
+
+SIM_L2_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id AS key,
+         sqrt(list_sum(list_transform(
+             list_zip(embedding::DOUBLE[], q.qv),
+             p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
+  FROM embeddings, q
+), r AS (SELECT key, round(d, 5) AS dist_r FROM s)
+SELECT key, dist_r, row_number() OVER (ORDER BY dist_r ASC, key ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5613,6 +5640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sq_topk": sim_sq_topk,
         "rel_child_join": rel_child_join,
         "sim_pq_topk": sim_pq_topk,
+        "sim_l2_topk": sim_l2_topk,
     }
 
 
@@ -5789,4 +5817,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_sq_topk": SIM_SQ_SQL,
         "rel_child_join": REL_CHILD_JOIN_SQL,
         "sim_pq_topk": SIM_PQ_SQL,
+        "sim_l2_topk": SIM_L2_SQL,
     }

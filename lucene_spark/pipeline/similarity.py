@@ -49,6 +49,36 @@ def cosine_topk_bruteforce(
     )
 
 
+def euclidean_topk_bruteforce(
+    df: DataFrame, vec_col: str, key_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by Euclidean distance (VectorSimilarityFunction.
+    EUCLIDEAN, core/index/VectorSimilarityFunction.java) — ASCENDING
+    distance, tie-break key asc. Same single-scan zip_with/aggregate
+    plan as the cosine path."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), q,
+                   lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (df.select(F.col(key_col).alias("key"),
+                      F.sqrt(d2).alias("distance"))
+            .orderBy(F.col("distance").asc(), F.col("key").asc())
+            .limit(k))
+
+
+def dot_topk_bruteforce(
+    df: DataFrame, vec_col: str, key_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by raw dot product (VectorSimilarityFunction.
+    DOT_PRODUCT / MAXIMUM_INNER_PRODUCT) — descending, tie-break key."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (df.select(F.col(key_col).alias("key"),
+                      _dot(F.col(vec_col), q).alias("dot"))
+            .orderBy(F.col("dot").desc(), F.col("key").asc())
+            .limit(k))
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).astype(np.float64)

@@ -650,6 +650,34 @@ def test_scalar_quantization(spark):
         sorted(range(40), key=lambda i: (-exact[i], i))[:2])
 
 
+def test_euclidean_and_dot_topk(spark):
+    """VectorSimilarityFunction EUCLIDEAN / DOT_PRODUCT brute-force
+    twins against numpy."""
+    import numpy as np
+
+    from lucene_spark.pipeline.similarity import (
+        dot_topk_bruteforce, euclidean_topk_bruteforce)
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in base[4]]
+    x = base.astype(np.float64)
+    d = np.sqrt(((x - np.array(q)) ** 2).sum(1))
+    exp = sorted(range(30), key=lambda i: (d[i], i))[:5]
+    got = euclidean_topk_bruteforce(df, "embedding", "vec_id", q, k=5).collect()
+    assert [r["key"] for r in got] == exp
+    assert got[0]["key"] == 4 and abs(got[0]["distance"]) < 1e-9
+    dots = x @ np.array(q)
+    expd = sorted(range(30), key=lambda i: (-dots[i], i))[:5]
+    gotd = dot_topk_bruteforce(df, "embedding", "vec_id", q, k=5).collect()
+    assert [r["key"] for r in gotd] == expd
+    for r in gotd:
+        assert abs(r["dot"] - dots[r["key"]]) < 1e-9
+
+
 def test_product_quantization(spark):
     """PQ (Jégou et al. 2011): deterministic per-subspace Lloyd, codegen
     argmin encoding identical to numpy, ADC distances equal the table
