@@ -360,6 +360,46 @@ def main() -> None:
         ],
     ))
 
+    # DSIR importance weights: the model fit is two map-side-combined
+    # groupBys + one outer join; scoring is an explode + key join + one
+    # re-aggregation — no Python anywhere, partial aggs before finals.
+    from lucene_spark.pipeline.dsir import (
+        fit_importance_model, importance_weights)
+
+    target = docs.limit(50).select("text")
+    lr, unseen = fit_importance_model(target, docs, "text", ns=(1, 2))
+    p = plan_of(importance_weights(docs, "text", "doc_id", lr, unseen))
+    sections.append((
+        "DSIR importance weights", p,
+        [
+            ("no python UDF (stays JVM-side)",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            ("map-side combine before the final agg (partial_)",
+             "partial_" in p),
+            ("feature join keyed (SortMergeJoin or shuffled hash — "
+             "web-scale vocab must not broadcast the feature table)",
+             "SortMergeJoin" in p or "ShuffledHashJoin" in p
+             or "BroadcastHashJoin" in p),
+        ],
+    ))
+
+    # PQ encode: generated argmin expressions are a NARROW projection —
+    # no shuffle, no Python; the quantized scan carries only codes.
+    from lucene_spark.pipeline.similarity import pq_encode
+
+    emb = gate._t(spark, sf_dir, "embeddings")
+    books = [[[0.0] * 16 for _ in range(4)] for _ in range(4)]
+    p = plan_of(pq_encode(emb, "embedding", books))
+    sections.append((
+        "PQ encode (codegen argmin projection)", p,
+        [
+            ("no python UDF (stays JVM-side)",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            ("narrow (no Exchange): encoding never shuffles",
+             "Exchange" not in p),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
