@@ -382,6 +382,37 @@ def ivf_topk(
     return cosine_topk_bruteforce(cand, vec_col, key_col, query_vec, k)
 
 
+def ivf_pq_topk(
+    assigned: DataFrame, centroids: np.ndarray, vec_col: str, key_col: str,
+    query_vec: list[float], codebooks: list[list[list[float]]],
+    k: int = 10, nprobe: int = 4, refine: int = 0,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN composition (FAISS
+    IndexIVFPQ; Jégou et al. 2011 §IV): the IVF coarse quantizer prunes
+    the scan to `nprobe` inverted lists, then candidates are scored by
+    the PQ asymmetric distance (m table lookups each) instead of the
+    full float dot product — the scan cost drops by BOTH the list
+    pruning factor and the dim/m code compression. With `refine` > 0,
+    the top `refine` ADC candidates are re-scored with exact cosine
+    (the re-ranking stage of IVFADC+R) and the top-k of THAT is
+    returned (descending cosine); refine=0 returns ascending ADC
+    distance. At scale, persist `pq_encode`'s codes column next to the
+    cluster assignment and the probe never touches float vectors."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    order = np.argsort(-(centroids @ qn))
+    probe = [int(c) for c in order[:nprobe]]
+    cand = assigned.filter(F.col("cluster").isin(probe))
+    if refine <= 0:
+        return pq_adc_topk(cand, vec_col, key_col, query_vec, codebooks, k)
+    short = pq_adc_topk(cand, vec_col, key_col, query_vec, codebooks,
+                        k=max(refine, k))
+    shortlist = cand.join(
+        F.broadcast(short.select("key")),
+        cand[key_col] == F.col("key"), "leftsemi")
+    return cosine_topk_bruteforce(shortlist, vec_col, key_col, query_vec, k)
+
+
 def knn_join(
     queries_df: DataFrame, corpus_df: DataFrame, vec_col: str, key_col: str,
     k: int = 10, query_chunk: int = 4096,

@@ -474,6 +474,26 @@ def test_ivf_ann(spark):
                                 k=10, nprobe=3).collect()}
     recall = len(part & set(exact)) / 10
     assert recall >= 0.6, recall
+
+    # IVF-PQ composition (IndexIVFPQ role): ADC shortlist within the
+    # probed lists; full-probe + exact refine recovers brute force, the
+    # pruned+refined path reaches measured recall
+    books = similarity.pq_train(e, "embedding", "vec_id", m=4, k=8)
+    full = [r["key"] for r in
+            similarity.ivf_pq_topk(assigned, cent, "embedding", "vec_id",
+                                   q, books, k=10, nprobe=8,
+                                   refine=e.count()).collect()]
+    assert full == exact
+    adc = similarity.ivf_pq_topk(assigned, cent, "embedding", "vec_id",
+                                 q, books, k=10, nprobe=3).collect()
+    assert len(adc) == 10
+    dists = [r["pq_dist"] for r in adc]
+    assert dists == sorted(dists)
+    ref = {r["key"] for r in
+           similarity.ivf_pq_topk(assigned, cent, "embedding", "vec_id",
+                                  q, books, k=10, nprobe=3,
+                                  refine=50).collect()}
+    assert len(ref & set(exact)) / 10 >= 0.6
     assigned.unpersist()
 
 
