@@ -5450,6 +5450,25 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def rel_facet_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association facets (facet/taxonomy/TaxonomyFacetSumIntAssociations
+    .java): children of the 'en' taxonomy node weighted by each doc's
+    association value (n_chars) instead of 1."""
+    from lucene_spark.relational.facets import association_facets
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "cat_path", F.concat_ws("/", F.col("lang"), F.col("source")))
+    return association_facets(docs, "cat_path", "n_chars",
+                              path=("en",), top_n=10)
+
+
+REL_FACET_ASSOC_SQL = """
+SELECT source AS label, sum(n_chars)::BIGINT AS value
+FROM documents WHERE lang = 'en'
+GROUP BY source ORDER BY value DESC, label ASC LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5641,6 +5660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_child_join": rel_child_join,
         "sim_pq_topk": sim_pq_topk,
         "sim_l2_topk": sim_l2_topk,
+        "rel_facet_assoc": rel_facet_assoc,
     }
 
 
@@ -5818,4 +5838,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_child_join": REL_CHILD_JOIN_SQL,
         "sim_pq_topk": SIM_PQ_SQL,
         "sim_l2_topk": SIM_L2_SQL,
+        "rel_facet_assoc": REL_FACET_ASSOC_SQL,
     }

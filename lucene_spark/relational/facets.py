@@ -60,6 +60,35 @@ def taxonomy_facets(matches: DataFrame, path_col: str,
     )
 
 
+def association_facets(matches: DataFrame, path_col: str, value_col: str,
+                       path: tuple[str, ...] = (), top_n: int = 10,
+                       delim: str = "/", agg: str = "sum") -> DataFrame:
+    """Association facets — facet/taxonomy/TaxonomyFacetSumIntAssociations
+    .java / TaxonomyFacetSumFloatAssociations.java: like getTopChildren
+    but each doc contributes its per-category ASSOCIATION VALUE instead
+    of 1 (confidence weights, prices, click counts...). Same one-shuffle
+    child groupBy as taxonomy_facets; `agg` picks sum (the reference
+    classes) or max/min/avg (the FloatAssociationFacetField variants
+    users layer on). Ordered value desc, label asc."""
+    import re
+
+    fn = {"sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg}.get(agg)
+    if fn is None:
+        raise ValueError(f"unknown association agg {agg!r}")
+    parts = F.split(F.col(path_col), re.escape(delim))
+    cond = F.size(parts) > len(path)
+    for i, seg in enumerate(path):
+        cond = cond & (F.element_at(parts, i + 1) == F.lit(seg))
+    child = F.element_at(parts, len(path) + 1)
+    return (
+        matches.filter(cond)
+        .groupBy(child.alias("label"))
+        .agg(fn(F.col(value_col)).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("label").asc())
+        .limit(top_n)
+    )
+
+
 def range_facets(matches: DataFrame, col: str, start: float, end: float, gap: float) -> DataFrame:
     """Numeric range facet (facet/range/LongRangeFacetCounts): fixed-width
     buckets; bucket id computed JVM-side, no UDF."""

@@ -44,6 +44,26 @@ def test_taxonomy_facets(spark):
     assert taxonomy_facets(df, "p", path=("a", "b", "c")).count() == 0
 
 
+def test_association_facets(spark):
+    """TaxonomyFacetSumIntAssociations: children weighted by each doc's
+    association value; sum/max variants; value-desc label-asc order."""
+    import pytest
+
+    from lucene_spark.relational.facets import association_facets
+
+    rows = [("a/b", 5), ("a/b/c", 2), ("a/d", 10), ("a", 99), ("e/f", 1)]
+    df = spark.createDataFrame(rows, "p string, v long")
+    under_a = [(r["label"], r["value"]) for r in
+               association_facets(df, "p", "v", path=("a",)).collect()]
+    # b: 5+2 = 7; d: 10; bare 'a' (no child) contributes nowhere
+    assert under_a == [("d", 10), ("b", 7)]
+    mx = [(r["label"], r["value"]) for r in
+          association_facets(df, "p", "v", path=("a",), agg="max").collect()]
+    assert mx == [("d", 10), ("b", 5)]
+    with pytest.raises(ValueError):
+        association_facets(df, "p", "v", agg="median")
+
+
 def test_range_facets(people):
     from lucene_spark.relational.facets import range_facets
 
