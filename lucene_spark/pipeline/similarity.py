@@ -63,7 +63,10 @@ def euclidean_topk_bruteforce(
         F.lit(0.0), lambda acc, x: acc + x)
     return (df.select(F.col(key_col).alias("key"),
                       F.sqrt(d2).alias("distance"))
-            .orderBy(F.col("distance").asc(), F.col("key").asc())
+            # asc is NULLS FIRST in Spark: a null embedding (or a
+            # wrong-dimension row, which zip_with null-pads into a null
+            # distance) must sink, not displace the real top-k
+            .orderBy(F.col("distance").asc_nulls_last(), F.col("key").asc())
             .limit(k))
 
 
@@ -177,7 +180,8 @@ def sq_dot_topk(df: DataFrame, vec_col: str, key_col: str,
 
 
 def pq_train(df: DataFrame, vec_col: str, key_col: str, m: int = 4,
-             k: int = 8, iters: int = 3, sample: int = 2048) -> list[list[list[float]]]:
+             k: int = 8, iters: int = 3, sample: int = 2048,
+             normalize: bool = False) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split the dimension into m
     contiguous subspaces and run Lloyd k-means per subspace on a bounded
     key-ordered sample (deterministic: init = the first k sample
@@ -187,10 +191,19 @@ def pq_train(df: DataFrame, vec_col: str, key_col: str, m: int = 4,
     PQ is the classic IVF-ADC companion (Jégou et al., PAMI 2011 —
     public); with m bytes per vector instead of 4·dim, the candidate
     scan reads ~dim/m× less, the same memory-bandwidth lever as
-    scalar quantization but with a learned, much coarser codebook."""
+    scalar quantization but with a learned, much coarser codebook.
+
+    `normalize=True` trains in the L2-normalized space — REQUIRED when
+    the codebooks feed `ivf_pq_topk`, whose coarse quantizer and refine
+    stage are cosine: over unit vectors ADC L2 is monotone with cosine
+    (||x̂−q̂||² = 2−2cos), so the whole composition agrees on one metric.
+    Raw-space codebooks (the default) pair with the raw-L2
+    `pq_adc_topk`/`euclidean_topk_bruteforce` metric instead."""
     rows = (df.select(key_col, vec_col).orderBy(key_col)
             .limit(int(sample)).collect())
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if normalize:
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -262,7 +275,8 @@ def pq_adc_topk(df: DataFrame, vec_col: str, key_col: str,
         term = F.element_at(lut, F.element_at("__pqc", j + 1) + 1)
         total = term if total is None else total + term
     return (enc.select(F.col(key_col).alias("key"), total.alias("pq_dist"))
-            .orderBy(F.col("pq_dist").asc(), F.col("key").asc())
+            # nulls last: a null vector column yields null codes/distance
+            .orderBy(F.col("pq_dist").asc_nulls_last(), F.col("key").asc())
             .limit(k))
 
 
@@ -365,6 +379,21 @@ def ivf_build(
     return assigned, cent
 
 
+def _probe_candidates(
+    assigned: DataFrame, centroids: np.ndarray, query_vec: list[float],
+    nprobe: int,
+) -> DataFrame:
+    """Coarse-probe selection shared by ivf_topk / ivf_pq_topk: normalize
+    the query driver-side, rank centroids by cosine, filter the assigned
+    table to the `nprobe` nearest inverted lists (a partition-prunable
+    predicate when `assigned` is written partitioned by cluster)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    order = np.argsort(-(centroids @ qn))
+    probe = [int(c) for c in order[:nprobe]]
+    return assigned.filter(F.col("cluster").isin(probe))
+
+
 def ivf_topk(
     assigned: DataFrame, centroids: np.ndarray, vec_col: str, key_col: str,
     query_vec: list[float], k: int = 10, nprobe: int = 4,
@@ -374,11 +403,7 @@ def ivf_topk(
     when `assigned` is written partitioned by cluster), exact cosine
     within. nprobe = n_clusters degenerates to the exact brute-force
     result; recall at smaller nprobe is measured in tests."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-30)
-    order = np.argsort(-(centroids @ qn))
-    probe = [int(c) for c in order[:nprobe]]
-    cand = assigned.filter(F.col("cluster").isin(probe))
+    cand = _probe_candidates(assigned, centroids, query_vec, nprobe)
     return cosine_topk_bruteforce(cand, vec_col, key_col, query_vec, k)
 
 
@@ -397,15 +422,28 @@ def ivf_pq_topk(
     (the re-ranking stage of IVFADC+R) and the top-k of THAT is
     returned (descending cosine); refine=0 returns ascending ADC
     distance. At scale, persist `pq_encode`'s codes column next to the
-    cluster assignment and the probe never touches float vectors."""
+    cluster assignment and the probe never touches float vectors.
+
+    Metric coherence: the coarse probe and the refine stage are COSINE,
+    so the ADC stage runs in the L2-NORMALIZED space too — candidates
+    are normalized JVM-side and the query driver-side before the table
+    lookups (unit-vector L2 is monotone with cosine). `codebooks` MUST
+    be trained with `pq_train(..., normalize=True)`; raw-space codebooks
+    would make the shortlist favor small-norm vectors regardless of
+    angle (||x−q||² = ||x||² − 2x·q + ||q||²) and the refine stage could
+    only re-rank the mis-selected survivors."""
+    cand = _probe_candidates(assigned, centroids, query_vec, nprobe)
+    # normalize candidates into a temp column (scale-invariant for the
+    # refine cosine; required for the ADC stage to approximate cosine)
+    nv = "__nvec"
+    inv = F.lit(1.0) / F.greatest(_norm(F.col(vec_col)), F.lit(1e-30))
+    cand = cand.withColumn(
+        nv, F.transform(F.col(vec_col), lambda x: x.cast("double") * inv))
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-30)
-    order = np.argsort(-(centroids @ qn))
-    probe = [int(c) for c in order[:nprobe]]
-    cand = assigned.filter(F.col("cluster").isin(probe))
+    qn = [float(v) for v in q / max(np.linalg.norm(q), 1e-30)]
     if refine <= 0:
-        return pq_adc_topk(cand, vec_col, key_col, query_vec, codebooks, k)
-    short = pq_adc_topk(cand, vec_col, key_col, query_vec, codebooks,
+        return pq_adc_topk(cand, nv, key_col, qn, codebooks, k)
+    short = pq_adc_topk(cand, nv, key_col, qn, codebooks,
                         k=max(refine, k))
     shortlist = cand.join(
         F.broadcast(short.select("key")),

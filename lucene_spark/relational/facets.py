@@ -32,6 +32,22 @@ def facet_counts(matches: DataFrame, dim: str, top_n: int = 10) -> DataFrame:
     )
 
 
+def _facet_children(path_col: str, path: tuple[str, ...], delim: str):
+    """Shared taxonomy-path decomposition: returns (cond, child) where
+    `cond` keeps rows whose path is strictly under `path` and `child` is
+    the immediate-child segment column. Single source of truth for
+    taxonomy_facets / association_facets (delimiter escaping, depth
+    arithmetic live here only)."""
+    import re
+
+    parts = F.split(F.col(path_col), re.escape(delim))
+    cond = F.size(parts) > len(path)
+    for i, seg in enumerate(path):
+        cond = cond & (F.element_at(parts, i + 1) == F.lit(seg))
+    child = F.element_at(parts, len(path) + 1)
+    return cond, child
+
+
 def taxonomy_facets(matches: DataFrame, path_col: str,
                     path: tuple[str, ...] = (), top_n: int = 10,
                     delim: str = "/") -> DataFrame:
@@ -44,13 +60,7 @@ def taxonomy_facets(matches: DataFrame, path_col: str,
     asc. One JVM-side split + groupBy — map-side combinable, no UDF; the
     prefix filter runs in whole-stage codegen above the scan (split() of
     a path column is not a parquet-pushable predicate)."""
-    import re
-
-    parts = F.split(F.col(path_col), re.escape(delim))
-    cond = F.size(parts) > len(path)
-    for i, seg in enumerate(path):
-        cond = cond & (F.element_at(parts, i + 1) == F.lit(seg))
-    child = F.element_at(parts, len(path) + 1)
+    cond, child = _facet_children(path_col, path, delim)
     return (
         matches.filter(cond)
         .groupBy(child.alias("label"))
@@ -70,16 +80,10 @@ def association_facets(matches: DataFrame, path_col: str, value_col: str,
     child groupBy as taxonomy_facets; `agg` picks sum (the reference
     classes) or max/min/avg (the FloatAssociationFacetField variants
     users layer on). Ordered value desc, label asc."""
-    import re
-
     fn = {"sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg}.get(agg)
     if fn is None:
         raise ValueError(f"unknown association agg {agg!r}")
-    parts = F.split(F.col(path_col), re.escape(delim))
-    cond = F.size(parts) > len(path)
-    for i, seg in enumerate(path):
-        cond = cond & (F.element_at(parts, i + 1) == F.lit(seg))
-    child = F.element_at(parts, len(path) + 1)
+    cond, child = _facet_children(path_col, path, delim)
     return (
         matches.filter(cond)
         .groupBy(child.alias("label"))

@@ -498,7 +498,8 @@ def test_ivf_ann(spark):
     # IVF-PQ composition (IndexIVFPQ role): ADC shortlist within the
     # probed lists; full-probe + exact refine recovers brute force, the
     # pruned+refined path reaches measured recall
-    books = similarity.pq_train(e, "embedding", "vec_id", m=4, k=8)
+    books = similarity.pq_train(e, "embedding", "vec_id", m=4, k=8,
+                                normalize=True)
     full = [r["key"] for r in
             similarity.ivf_pq_topk(assigned, cent, "embedding", "vec_id",
                                    q, books, k=10, nprobe=8,
