@@ -2260,6 +2260,192 @@ SELECT key, label, votes, round(score, 5) AS score_r FROM (
 """
 
 
+def tx_bm25nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-approximated naive Bayes (lucene/classification
+    BM25NBClassifier.java): P(w|c) = top-1 score of (MUST class:c,
+    SHOULD text:w) = classScore(c) + best in-class BM25 of w; prior =
+    ln(classScore). Train on (text, lang), re-classify the corpus, emit
+    the confusion matrix. Per-class log scores rounded to 4dp before the
+    argmax on BOTH sides (the tx_classify convention)."""
+    from lucene_spark.pipeline.classify import bm25_nb_classify
+
+    d = _t(spark, sf_dir, "documents")
+    pred = bm25_nb_classify(d, d, "text", "lang", "doc_id", round_to=4)
+    return (pred.join(d.select(F.col("doc_id").alias("key"), "lang"), "key")
+            .groupBy("lang", "predicted").agg(F.count("*").alias("n")))
+
+
+TX_BM25NB_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_text, sum(dl)/count(*) AS avgdl FROM dl),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfv AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+lab AS (SELECT doc_id, lang AS label FROM documents),
+classes AS (
+  SELECT c.label,
+         ln(1 + (nd.n - c.df_c + 0.5)/(c.df_c + 0.5)) / (1 + 1.2) AS class_score
+  FROM (SELECT label, count(*)::DOUBLE AS df_c FROM lab GROUP BY 1) c CROSS JOIN nd
+),
+cw AS (
+  SELECT l.label, tf.term,
+         max( ln(1 + (st.n_text - dfv.df + 0.5)/(dfv.df + 0.5))
+              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl)) ) AS best
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN dfv ON tf.term = dfv.term
+          JOIN lab l ON tf.doc_id = l.doc_id
+          CROSS JOIN st
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.doc_id, c.label,
+         round(sum(ln(c.class_score + coalesce(w.best, 0.0)))
+               + any_value(ln(c.class_score)), 4) AS s
+  FROM tok2 t CROSS JOIN classes c
+  LEFT JOIN cw w ON w.label = c.label AND w.term = t.term
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, label AS predicted,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT d.lang, p.predicted, count(*)::BIGINT AS n
+FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+WHERE p.rn = 1 GROUP BY 1, 2
+"""
+
+
+def tx_knn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-kNN classification (KNearestFuzzyClassifier.java +
+    NearestFuzzyQuery.java): every test term expands to prefix-sharing
+    vocabulary terms within edit distance 1, variants score boost²·idf,
+    docs score Σ variant·BM25(df forced to 1), top-5 docs vote. Doc
+    scores rounded to 6dp before the top-k cut, class scores to 6dp
+    (summation-order guard); the per-variant scores are pure expressions
+    and need no rounding."""
+    from lucene_spark.pipeline.classify import knn_fuzzy_classify
+
+    d = _t(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 13 == 0)
+    out = knn_fuzzy_classify(d, test, "text", "lang", "doc_id",
+                             k=5, round_to=6)
+    return out.select("key", "predicted", F.col("score").alias("score_r"))
+
+
+TX_KNN_FUZZY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id AS key, term, count(*)::DOUBLE AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id AS key, count(*)::DOUBLE AS dl FROM tok2 GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_text, sum(dl)/count(*) AS avgdl FROM dl),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+vocab AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+candk AS (
+  SELECT term AS cand, df, 1 AS plen, substr(term, 1, 1) AS pfx FROM vocab
+  UNION ALL
+  SELECT term, df, 2, substr(term, 1, 2) FROM vocab
+),
+qt AS (
+  SELECT DISTINCT doc_id AS tkey, term AS qterm FROM tok2
+  WHERE doc_id % 13 = 0
+),
+qt2 AS (
+  SELECT tkey, qterm, least(2, length(qterm)) AS plen,
+         substr(qterm, 1, least(2, length(qterm))) AS pfx
+  FROM qt
+),
+var0 AS (
+  SELECT q.tkey, q.qterm, c.cand, c.df,
+         levenshtein(q.qterm, c.cand) AS ed
+  FROM qt2 q JOIN candk c ON q.plen = c.plen AND q.pfx = c.pfx
+  WHERE levenshtein(q.qterm, c.cand) <= 1
+),
+var1 AS (
+  SELECT *, CASE WHEN ed = 0 THEN 1.0
+                 ELSE 1.0 - 1.0/least(length(qterm), length(cand)) END AS boost
+  FROM var0
+),
+var2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tkey, qterm
+                                 ORDER BY boost DESC, cand ASC) AS rn
+    FROM var1) WHERE rn <= 50
+),
+var3 AS (
+  SELECT tkey, qterm, cand, boost,
+         coalesce(max(CASE WHEN ed = 0 THEN df END) OVER w,
+                  floor(sum(df) OVER w / count(*) OVER w)) AS idf_df
+  FROM var2
+  WINDOW w AS (PARTITION BY tkey, qterm)
+),
+var4 AS (
+  SELECT tkey, cand,
+         boost*boost*(ln((nd.n + 1)/(idf_df + 1)) + 1.0) AS st_score
+  FROM var3 CROSS JOIN nd
+),
+var5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tkey
+                                 ORDER BY st_score DESC, cand ASC) AS rn
+    FROM var4) WHERE rn <= 300
+),
+docscore AS (
+  SELECT v.tkey, tf.key,
+         round(sum(v.st_score * ln(1 + (st.n_text - 1 + 0.5)/1.5)
+                   * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl))), 6) AS score
+  FROM var5 v JOIN tf ON v.cand = tf.term
+              JOIN dl ON tf.key = dl.key
+              CROSS JOIN st
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tkey
+                                 ORDER BY score DESC, key ASC) AS rn
+    FROM docscore) WHERE rn <= 5
+),
+mx AS (
+  SELECT tkey, max(score) AS maxscore, count(*) AS hits FROM topk GROUP BY 1
+),
+voted AS (
+  SELECT t.tkey, d.lang AS label,
+         round(sum(t.score / m.maxscore) / least(5, m.hits), 6) AS cscore
+  FROM topk t JOIN documents d ON t.key = d.doc_id
+              JOIN mx m ON t.tkey = m.tkey
+  GROUP BY t.tkey, d.lang, m.maxscore, m.hits
+)
+SELECT tkey AS key, label AS predicted, cscore AS score_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY tkey
+                               ORDER BY cscore DESC, label ASC) AS rn
+  FROM voted) WHERE rn = 1
+"""
+
+
+def tx_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean perceptron (BooleanPerceptronClassifier.java): weights
+    start at term ttf, one sequential key-ordered pass, misclassified
+    docs shift their terms by ±tf clamped at 0 against the batched-FST
+    snapshot. Trained single-partition (the reference's exact sequential
+    semantics) on y = (doc_id % 3 == 0), then the corpus re-classified.
+    Sequential fold — not SQL-expressible, rows-only check (like
+    tx_logit)."""
+    from lucene_spark.pipeline.classify import (perceptron_classify,
+                                                perceptron_train)
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.withColumn("y", (F.col("doc_id") % 3 == 0))
+    w, bias = perceptron_train(train, "text", "y", "doc_id",
+                               batch_size=32, num_partitions=1)
+    out = perceptron_classify(w, d, "text", "doc_id", bias)
+    return out.select("key", "assigned",
+                      F.round(F.col("score"), 6).alias("score_r"))
+
+
 TX_CLASSIFY_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
@@ -5661,6 +5847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": sim_pq_topk,
         "sim_l2_topk": sim_l2_topk,
         "rel_facet_assoc": rel_facet_assoc,
+        "tx_bm25nb": tx_bm25nb,
+        "tx_knn_fuzzy": tx_knn_fuzzy,
+        "tx_perceptron": tx_perceptron,
     }
 
 
@@ -5796,6 +5985,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_fingerprint": TX_FINGERPRINT_SQL,
         "tx_classify": TX_CLASSIFY_SQL,
         "tx_knn_classify": TX_KNN_CLASSIFY_SQL,
+        "tx_bm25nb": TX_BM25NB_SQL,
+        "tx_knn_fuzzy": TX_KNN_FUZZY_SQL,
         "ft_termvectors": FT_TERMVECTORS_SQL,
         "sim_cosine_topk": SIM_COSINE_SQL,
         "sim_gemm_topk": SIM_GEMM_SQL,
