@@ -2426,6 +2426,60 @@ SELECT tkey AS key, label AS predicted, cscore AS score_r FROM (
 """
 
 
+def tx_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) over the corpus via
+    the DISTRIBUTED merge loop: word-frequency table in one shuffle,
+    then per merge one pair-count aggregation over the dictionary and a
+    narrow greedy apply. First 4 merges emitted as (rank, l, r, freq) —
+    pure integer arithmetic, deterministic tie-break (count desc, left
+    asc, right asc). The oracle unrolls the identical 4 iterations with
+    a list_reduce greedy apply."""
+    from lucene_spark.pipeline.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=4, min_pair_count=1)
+    rows = [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, l string, r string, freq long")
+
+
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Unrolled-iteration DuckDB twin of bpe_train: pair counts from
+    zipped symbol-list slices; greedy left-to-right apply as a
+    list_reduce over a chr(1)-delimited accumulator (the merged symbol
+    is spliced in place of its trailing-left + current-right)."""
+    parts = ["""
+WITH w0 AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY 1
+),
+s0 AS (SELECT cnt, list_append(string_split_regex(word, ''), '</w>') AS syms FROM w0)"""]
+    for i in range(1, num_merges + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT pr[1] AS l, pr[2] AS r, sum(cnt)::BIGINT AS c
+  FROM (SELECT cnt, unnest(list_zip(syms[1:-2], syms[2:])) AS pr FROM s{i - 1})
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+s{i} AS (
+  SELECT cnt, string_split(
+    list_reduce(syms, (acc, x) -> CASE
+      WHEN (acc = b.l OR right(acc, length(b.l)+1) = chr(1) || b.l) AND x = b.r
+      THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+      ELSE acc || chr(1) || x END), chr(1)) AS syms
+  FROM s{i - 1} CROSS JOIN b{i} b
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l, r, c AS freq FROM b{i}"
+        for i in range(1, num_merges + 1))
+    parts.append("\n" + sel + "\nORDER BY rank")
+    return "".join(parts)
+
+
+TX_BPE_SQL = _bpe_oracle_sql(4)
+
+
 def tx_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean perceptron (BooleanPerceptronClassifier.java): weights
     start at term ttf, one sequential key-ordered pass, misclassified
@@ -5850,6 +5904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bm25nb": tx_bm25nb,
         "tx_knn_fuzzy": tx_knn_fuzzy,
         "tx_perceptron": tx_perceptron,
+        "tx_bpe": tx_bpe,
     }
 
 
@@ -5987,6 +6042,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_knn_classify": TX_KNN_CLASSIFY_SQL,
         "tx_bm25nb": TX_BM25NB_SQL,
         "tx_knn_fuzzy": TX_KNN_FUZZY_SQL,
+        "tx_bpe": TX_BPE_SQL,
         "ft_termvectors": FT_TERMVECTORS_SQL,
         "sim_cosine_topk": SIM_COSINE_SQL,
         "sim_gemm_topk": SIM_GEMM_SQL,

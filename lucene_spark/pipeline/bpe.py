@@ -1,0 +1,188 @@
+"""Byte-pair-encoding tokenizer training and encoding over a corpus —
+the tokenizer-training primitive of a training-data pipeline (BPE per
+Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units" — a public algorithm; the reference engine's analysis
+chains stop at stemming, so this extends the §2.2 analysis surface the
+way a 100 TB pretraining pipeline needs).
+
+Scale shape: the corpus collapses to a WORD-FREQUENCY table in one
+shuffle (distinct words ≪ corpus — the standard trick every BPE trainer
+uses); every merge iteration is then
+
+  pair counts  = explode adjacent symbol pairs weighted by word count
+                 → groupBy(pair).sum (map-side combinable, one shuffle
+                 over the word table, never the corpus)
+  best pair    = top-1 by (count desc, left asc, right asc) — ties pinned
+                 lexicographically (public implementations tie-break by
+                 insertion order, which is not reproducible across
+                 engines; we document the divergence)
+  apply        = greedy left-to-right merge per word, a NARROW
+                 mapInPandas over the dictionary-sized word table
+
+`local=True` collects the word table (bounded by distinct words) and
+runs the identical loop in-process — the fast path when the dictionary
+fits one machine, producing byte-identical merges (tested).
+
+Encoding applies the merge list in rank order greedily per DISTINCT
+word (dictionary-scale work), then joins tokens back to documents — the
+cost is O(distinct words × merges) regardless of corpus size.
+
+Symbols are the word's characters plus a standalone end-of-word marker
+symbol (Sennrich's '</w>', kept as ONE list element so it never
+collides with character symbols).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EOW = "</w>"
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+
+
+def _greedy_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """One greedy left-to-right merge pass (the BPE apply step)."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_rounds(pairs_of, apply_merge, num_merges: int,
+                  min_pair_count: int) -> list[tuple[str, str, int]]:
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best = pairs_of()
+        if best is None or best[2] < min_pair_count:
+            break
+        merges.append(best)
+        apply_merge(best[0], best[1])
+    return merges
+
+
+def bpe_train(df: DataFrame, text_col: str, num_merges: int,
+              min_pair_count: int = 2, word_limit: int | None = None,
+              local: bool = False, eow: str = EOW) -> list[tuple[str, str, int]]:
+    """Train `num_merges` BPE merges on the corpus; returns
+    [(left, right, pair_count), ...] in rank order. `word_limit` keeps
+    only the top-N words by (count desc, word asc) before training (the
+    standard dictionary truncation for web-scale corpora). `local=True`
+    runs the merge loop in-process on the collected word table —
+    identical merges, no per-iteration Spark jobs."""
+    words = _words(df, text_col)
+    if word_limit is not None:
+        words = (words.orderBy(F.col("cnt").desc(), F.col("word").asc())
+                 .limit(int(word_limit)))
+
+    if local:
+        rows = words.collect()
+        tab = [(list(r["word"]) + [eow], int(r["cnt"])) for r in rows]
+
+        def pairs_of():
+            counts: dict[tuple[str, str], int] = {}
+            for syms, cnt in tab:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + cnt
+            if not counts:
+                return None
+            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            return l, r, c
+
+        def apply_merge(l, r):
+            for i, (syms, cnt) in enumerate(tab):
+                tab[i] = (_greedy_merge(syms, l, r), cnt)
+
+        return _train_rounds(pairs_of, apply_merge, num_merges, min_pair_count)
+
+    syms = words.withColumn(
+        "syms", F.concat(F.split("word", ""), F.array(F.lit(eow)))
+    ).select("cnt", "syms").persist()
+    syms.count()
+    state = {"syms": syms}
+
+    def pairs_of():
+        cur = state["syms"]
+        pairs = (
+            cur.withColumn("a", F.expr("slice(syms, 1, size(syms)-1)"))
+            .withColumn("b", F.expr("slice(syms, 2, size(syms)-1)"))
+            .select("cnt", F.explode(F.arrays_zip("a", "b")).alias("p"))
+            .select("cnt", F.col("p.a").alias("l"), F.col("p.b").alias("r"))
+            .groupBy("l", "r").agg(F.sum("cnt").alias("c"))
+        )
+        row = pairs.orderBy(F.col("c").desc(), F.col("l").asc(),
+                            F.col("r").asc()).head()
+        return (row["l"], row["r"], int(row["c"])) if row else None
+
+    def apply_merge(l, r):
+        cur = state["syms"]
+
+        def run(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["syms"] = [ _greedy_merge(list(s), l, r)
+                                for s in pdf["syms"] ]
+                yield pdf
+
+        nxt = cur.mapInPandas(run, "cnt long, syms array<string>").persist()
+        nxt.count()
+        cur.unpersist()
+        state["syms"] = nxt
+
+    try:
+        return _train_rounds(pairs_of, apply_merge, num_merges, min_pair_count)
+    finally:
+        state["syms"].unpersist()
+
+
+def bpe_encode(df: DataFrame, text_col: str, key_col: str,
+               merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+               eow: str = EOW) -> DataFrame:
+    """Tokenize each document with a trained merge list: merges applied
+    in rank order, each greedily left-to-right (identical to how
+    training saw the words). Work is per DISTINCT word (mapInPandas over
+    the dictionary), joined back positionally — corpus-size-independent
+    apart from the word join. Returns (key, tokens array<string>)."""
+    ms = [(m[0], m[1]) for m in merges]
+
+    wd = (df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+          .filter(F.col("word") != "").distinct())
+
+    def run(batches):
+        for pdf in batches:
+            toks = []
+            for w in pdf["word"]:
+                syms = list(w) + [eow]
+                for l, r in ms:
+                    syms = _greedy_merge(syms, l, r)
+                toks.append(syms)
+            pdf = pdf.copy()
+            pdf["toks"] = toks
+            yield pdf
+
+    wtok = wd.mapInPandas(run, "word string, toks array<string>")
+    exploded = (
+        df.select(F.col(key_col).alias("key"),
+                  F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                  .alias("pos", "word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        exploded.join(wtok, "word")
+        .groupBy("key")
+        .agg(F.flatten(F.array_sort(F.collect_list(F.struct("pos", "toks")))
+                       .getField("toks")).alias("tokens"))
+    )

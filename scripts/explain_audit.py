@@ -396,6 +396,35 @@ def main() -> None:
         ],
     ))
 
+    # BPE pair counting: one iteration's pair-count aggregation runs over
+    # the word-frequency table (NOT the corpus — exactly one scan of the
+    # docs feeds the word table) with map-side partial aggregation.
+    from lucene_spark.pipeline.bpe import _words
+
+    words = _words(docs, "text")
+    syms = words.withColumn(
+        "syms", F.concat(F.split("word", ""), F.array(F.lit("</w>"))))
+    pairs = (
+        syms.withColumn("a", F.expr("slice(syms, 1, size(syms)-1)"))
+        .withColumn("b", F.expr("slice(syms, 2, size(syms)-1)"))
+        .select("cnt", F.explode(F.arrays_zip("a", "b")).alias("p"))
+        .select("cnt", F.col("p.a").alias("l"), F.col("p.b").alias("r"))
+        .groupBy("l", "r").agg(F.sum("cnt").alias("c"))
+    )
+    p = plan_of(pairs)
+    sections.append((
+        "BPE pair counting (tokenizer training iteration)", p,
+        [
+            ("no python UDF in the counting plan",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            ("map-side combine on both aggs (partial_)", "partial_" in p),
+            ("corpus scanned once (a single parquet scan node feeds the "
+             "word table)",
+             sum(1 for ln in p.splitlines()
+                 if ln.strip().startswith("(") and "Scan parquet" in ln) == 1),
+        ],
+    ))
+
     # PQ encode: generated argmin expressions are a NARROW projection —
     # no shuffle, no Python; the quantized scan carries only codes.
     from lucene_spark.pipeline.similarity import pq_encode
