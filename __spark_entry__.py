@@ -5709,6 +5709,62 @@ GROUP BY source ORDER BY value DESC, label ASC LIMIT 10
 """
 
 
+def ft_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent (solr/handler/component/TermsComponent.java):
+    dictionary enumeration under terms.prefix + terms.mincount, ranked
+    by count (df desc, term asc — the BoundedTreeSet order). Exercises
+    the termdict's prefix pushdown + distributed top-k
+    (TakeOrderedAndProject, no global window)."""
+    from lucene_spark.search.terms import terms_enum
+
+    r = _reader(spark, sf_dir)
+    out = terms_enum(r, prefix="s", mincount=3, limit=15, sort="count")
+    return _ranked(out, "df", "term", 15).select("term", "df", "rank")
+
+
+FT_TERMS_ENUM_SQL = f"""
+WITH td AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM ({_TOK2}) WHERE term LIKE 's%' GROUP BY term HAVING df >= 3)
+SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+FROM td QUALIFY rank <= 15 ORDER BY rank
+"""
+
+
+def rel_dv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocValuesStats collector (lucene/misc/search/DocValuesStats.java):
+    count / missing / min / max / sum / mean / POPULATION variance+stdev
+    over the matching set in ONE map-side-combinable aggregate. Missing
+    docs (field absent) synthesized deterministically: every doc_id
+    divisible by 7 drops its n_chars."""
+    from lucene_spark.relational.facets import docvalues_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    m = docs.withColumn(
+        "nc", F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+               .otherwise(F.col("n_chars")))
+    out = docvalues_stats(m, "nc")
+    return out.select(
+        "count", "missing", "min", "max", "sum",
+        F.round(F.col("mean"), 4).alias("mean_r"),
+        F.round(F.col("variance") / 1000, 3).alias("var_k_r"),
+        F.round(F.col("stdev"), 3).alias("stdev_r"))
+
+
+REL_DV_STATS_SQL = """
+WITH m AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS nc
+  FROM documents WHERE lang = 'en')
+SELECT count(nc)::BIGINT AS count,
+       (count(*) - count(nc))::BIGINT AS missing,
+       min(nc) AS min, max(nc) AS max, sum(nc)::BIGINT AS sum,
+       round(avg(nc), 4) AS mean_r,
+       round(var_pop(nc) / 1000, 3) AS var_k_r,
+       round(stddev_pop(nc), 3) AS stdev_r
+FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5905,6 +5961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_knn_fuzzy": tx_knn_fuzzy,
         "tx_perceptron": tx_perceptron,
         "tx_bpe": tx_bpe,
+        "ft_terms_enum": ft_terms_enum,
+        "rel_dv_stats": rel_dv_stats,
     }
 
 
@@ -6086,4 +6144,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_topk": SIM_PQ_SQL,
         "sim_l2_topk": SIM_L2_SQL,
         "rel_facet_assoc": REL_FACET_ASSOC_SQL,
+        "ft_terms_enum": FT_TERMS_ENUM_SQL,
+        "rel_dv_stats": REL_DV_STATS_SQL,
     }

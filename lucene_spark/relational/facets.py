@@ -125,6 +125,27 @@ def stats_facet(matches: DataFrame, col: str) -> DataFrame:
     )
 
 
+def docvalues_stats(matches: DataFrame, col: str) -> DataFrame:
+    """DocValuesStats collector (lucene/misc/src/java/org/apache/lucene/
+    misc/search/DocValuesStats.java): one pass over the matching set
+    accumulating count, MISSING (matched docs without the field —
+    :64-73), min/max/sum, and Welford mean/variance where variance is
+    POPULATION variance (variance/count — :129-137, unlike Solr's
+    sample-variance StatsComponent), stdev = sqrt. One aggregation, all
+    map-side combinable."""
+    c = F.col(col)
+    return matches.agg(
+        F.count(c).alias("count"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("mean"),
+        F.coalesce(F.var_pop(c), F.lit(0.0)).alias("variance"),
+        F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("stdev"),
+    )
+
+
 def percentiles_facet(matches: DataFrame, col: str, by: str | None = None,
                       ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
                       exact: bool = True) -> DataFrame:
