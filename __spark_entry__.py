@@ -5765,6 +5765,34 @@ FROM m
 """
 
 
+def rel_scale_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScaleFloatFunction (queries/function/valuesource/ScaleFloatFunction
+    .java): min-max rescale of a field into [1, 5] over the full result
+    set — the global min/max is ONE tiny scalar agg, then a codegen
+    projection (no second shuffle). Top-10 by scaled value."""
+    from lucene_spark.relational.functions import FUNCTIONS
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    sc = FUNCTIONS["scale"](docs, F.col("n_chars"), 1.0, 5.0)
+    out = docs.select("doc_id", F.round(sc, 5).alias("scaled_r"))
+    return _ranked(out, "scaled_r", "doc_id", 10).select(
+        "doc_id", "scaled_r", "rank")
+
+
+REL_SCALE_FUNC_SQL = """
+WITH d AS (SELECT doc_id, n_chars::DOUBLE AS x FROM documents
+           WHERE lang = 'en'),
+st AS (SELECT min(x) AS mn,
+              CASE WHEN max(x) = min(x) THEN 1.0 ELSE max(x) - min(x) END
+                AS rng FROM d),
+s AS (SELECT doc_id, round((x - st.mn) / st.rng * 4.0 + 1.0, 5) AS scaled_r
+      FROM d CROSS JOIN st)
+SELECT doc_id, scaled_r,
+       row_number() OVER (ORDER BY scaled_r DESC, doc_id ASC) AS rank
+FROM s QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5963,6 +5991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bpe": tx_bpe,
         "ft_terms_enum": ft_terms_enum,
         "rel_dv_stats": rel_dv_stats,
+        "rel_scale_func": rel_scale_func,
     }
 
 
@@ -6146,4 +6175,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_facet_assoc": REL_FACET_ASSOC_SQL,
         "ft_terms_enum": FT_TERMS_ENUM_SQL,
         "rel_dv_stats": REL_DV_STATS_SQL,
+        "rel_scale_func": REL_SCALE_FUNC_SQL,
     }
