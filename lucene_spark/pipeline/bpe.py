@@ -180,9 +180,18 @@ def bpe_encode(df: DataFrame, text_col: str, key_col: str,
                   .alias("pos", "word"))
         .filter(F.col("word") != "")
     )
-    return (
+    encoded = (
         exploded.join(wtok, "word")
         .groupBy("key")
         .agg(F.flatten(F.array_sort(F.collect_list(F.struct("pos", "toks")))
                        .getField("toks")).alias("tokens"))
     )
+    # Empty / whitespace-only documents have no exploded rows and would
+    # vanish from the keyed output; left-join the key universe back so
+    # every input doc survives with tokens = [] (same convention as
+    # perceptron_classify's zero-token handling).
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    return keys.join(encoded, "key", "left").select(
+        "key",
+        F.coalesce(F.col("tokens"),
+                   F.array().cast("array<string>")).alias("tokens"))

@@ -31,6 +31,22 @@ def _tokens(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     )
 
 
+def _corpus_stats(train_df: DataFrame, text_col: str, key_col: str):
+    """Shared BM25 corpus prelude: per-doc term frequencies, doc
+    lengths, and the scalar (n_text, avgdl, n_docs) triple. avgdl's
+    denominator is the number of docs WITH tokens (n_text), matching
+    Lucene's sumTotalTermFreq/docCount convention."""
+    tok = _tokens(train_df, text_col, key_col)
+    tf = tok.groupBy("key", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("key").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_text"),
+                   F.sum("dl").alias("toks")).head()
+    n_text = stats["n_text"]
+    avgdl = float(stats["toks"]) / max(n_text, 1)
+    n_docs = train_df.count()
+    return tf, dl, n_text, avgdl, n_docs
+
+
 def train_naive_bayes(df: DataFrame, text_col: str, label_col: str,
                       key_col: str) -> dict:
     """Returns the model as small DataFrames: {'cond': (label, term,
@@ -228,13 +244,7 @@ def knn_fuzzy_classify(train_df: DataFrame, test_df: DataFrame,
     order can't flip rank ties across engines — the oracle-gate
     convention. The per-variant scores need no rounding: they are pure
     per-row expressions, bit-identical on any IEEE engine."""
-    tok = _tokens(train_df, text_col, key_col)
-    tf = tok.groupBy("key", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("key").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_text"), F.sum("dl").alias("toks")).head()
-    n_text = stats["n_text"]
-    avgdl = float(stats["toks"]) / max(n_text, 1)
-    n_docs = train_df.count()
+    tf, dl, n_text, avgdl, n_docs = _corpus_stats(train_df, text_col, key_col)
     vocab = tf.groupBy("term").agg(F.count("*").alias("df"))
     # vocabulary exploded by prefix keys (plen 1 and 2); a 1-char term's
     # 2-char substr is itself, which correctly only meets 1-char queries
@@ -341,13 +351,7 @@ def bm25_nb_classify(train_df: DataFrame, test_df: DataFrame, text_col: str,
     unspecified; we pin it). `round_to` rounds the per-class log score
     before the argmax (and prob after) so float summation order can
     never flip a near-tie across engines — the oracle-gate convention."""
-    tok = _tokens(train_df, text_col, key_col)
-    tf = tok.groupBy("key", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("key").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_text"),
-                   F.sum("dl").alias("toks")).head()
-    n_text, avgdl = stats["n_text"], float(stats["toks"]) / max(stats["n_text"], 1)
-    n_docs = train_df.count()
+    tf, dl, n_text, avgdl, n_docs = _corpus_stats(train_df, text_col, key_col)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_text)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
@@ -392,6 +396,8 @@ def bm25_nb_classify(train_df: DataFrame, test_df: DataFrame, text_col: str,
               .withColumn("lse", F.col("smax") + F.log(
                   F.sum(F.exp(F.col("s") - F.col("smax"))).over(wmax)))
               .withColumn("prob", F.exp(F.col("s") - F.col("lse"))))
+    if round_to is not None:
+        scored = scored.withColumn("prob", F.round("prob", round_to))
     w = Window.partitionBy("key").orderBy(F.col("s").desc(), F.col("label").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -132,17 +132,24 @@ def docvalues_stats(matches: DataFrame, col: str) -> DataFrame:
     :64-73), min/max/sum, and Welford mean/variance where variance is
     POPULATION variance (variance/count — :129-137, unlike Solr's
     sample-variance StatsComponent), stdev = sqrt. One aggregation, all
-    map-side combinable."""
+    map-side combinable.
+
+    Empty matching set: count=0 and missing=0 (the collector's
+    accumulators start at 0 — :64-73); min/max/sum/mean/variance/stdev
+    are NULL (SQL convention, matching any SQL oracle's var_pop over
+    zero rows). With count >= 1 var_pop is never NULL, so no coalesce
+    is needed there."""
     c = F.col(col)
     return matches.agg(
         F.count(c).alias("count"),
-        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing"),
+        F.coalesce(F.sum(F.when(c.isNull(), 1).otherwise(0)),
+                   F.lit(0)).alias("missing"),
         F.min(c).alias("min"),
         F.max(c).alias("max"),
         F.sum(c).alias("sum"),
         F.avg(c).alias("mean"),
-        F.coalesce(F.var_pop(c), F.lit(0.0)).alias("variance"),
-        F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("stdev"),
+        F.var_pop(c).alias("variance"),
+        F.stddev_pop(c).alias("stdev"),
     )
 
 

@@ -36,7 +36,10 @@ def terms_enum(reader, field: str | None = None, prefix: str | None = None,
     if upper is not None:
         td = td.filter(t <= upper if include_upper else t < upper)
     if regex is not None:
-        td = td.filter(t.rlike(regex))
+        # Solr applies Pattern.matcher(term).matches() — a FULL match
+        # (TermsComponent.java, terms.regex) — while rlike is a
+        # substring find; anchor unless the caller already did.
+        td = td.filter(t.rlike("^(?:" + regex + ")$"))
     td = td.filter(F.col("df") >= mincount)
     if maxcount is not None and maxcount >= 0:
         td = td.filter(F.col("df") <= maxcount)

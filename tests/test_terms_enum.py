@@ -52,7 +52,10 @@ def test_range_include_flags(reader):
 def test_regex_and_maxcount(reader):
     from lucene_spark.search.terms import terms_enum
 
-    got = terms_enum(reader, regex="^[a-f]+$", mincount=1, maxcount=5,
+    # Unanchored on purpose: Solr's terms.regex is a FULL match
+    # (Pattern.matches), so [a-f]+ must NOT return terms merely
+    # containing an a-f run.
+    got = terms_enum(reader, regex="[a-f]+", mincount=1, maxcount=5,
                      limit=1000, sort="index").toPandas()
     td = _twin(reader)
     want = td[td.term.str.fullmatch("[a-f]+") & (td.df <= 5)].sort_values(
@@ -97,4 +100,17 @@ def test_docvalues_stats_all_missing(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
     row = docvalues_stats(df, "v").head()
     assert row["count"] == 0 and row["missing"] == 2
-    assert row["variance"] == 0.0 and row["stdev"] == 0.0
+    # SQL convention (matches var_pop over zero values in any oracle)
+    assert row["variance"] is None and row["stdev"] is None
+
+
+def test_docvalues_stats_empty_match_set(spark):
+    """Zero matched docs: count=0 AND missing=0 (the collector's
+    accumulators start at 0 — DocValuesStats.java:64-73), aggregates
+    NULL — identical to the SQL-oracle shape."""
+    from lucene_spark.relational.facets import docvalues_stats
+
+    df = spark.createDataFrame([], "id long, v double")
+    row = docvalues_stats(df, "v").head()
+    assert row["count"] == 0 and row["missing"] == 0
+    assert row["variance"] is None and row["mean"] is None
