@@ -5793,6 +5793,75 @@ FROM s QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def rel_interval_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr interval faceting (facet.interval — solr/request/
+    IntervalFacets.java): overlapping + unbounded + open/closed interval
+    counts over one match set in a SINGLE aggregation pass (the class's
+    documented advantage over N facet.query range filters, :58-64).
+    Exercises every bracket form: closed, half-open, open, unbounded
+    both sides, and a {!key=} output label."""
+    from lucene_spark.relational.facets import interval_facets
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return interval_facets(
+        docs, "n_chars",
+        ["[0,500)", "[500,1500]", "(1500,*]", "[*,*]",
+         "{!key=midband}(250,750)"])
+
+
+REL_INTERVAL_FACET_SQL = """
+WITH d AS (SELECT n_chars::DOUBLE AS x FROM documents WHERE lang = 'en')
+SELECT '[0,500)' AS interval, count(*)::BIGINT AS count
+  FROM d WHERE x >= 0 AND x < 500
+UNION ALL
+SELECT '[500,1500]', count(*)::BIGINT FROM d WHERE x >= 500 AND x <= 1500
+UNION ALL
+SELECT '(1500,*]', count(*)::BIGINT FROM d WHERE x > 1500
+UNION ALL
+SELECT '[*,*]', count(*)::BIGINT FROM d WHERE x IS NOT NULL
+UNION ALL
+SELECT 'midband', count(*)::BIGINT FROM d WHERE x > 250 AND x < 750
+"""
+
+
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup over the embeddings
+    table: 4 fixed centroids (the lowest-vec_id rows, so the oracle can
+    replay the clustering), distance-to-centroid-descending order within
+    each cluster, a member removed iff an EARLIER member has cosine >=
+    0.4 (rounded to 6dp on both engines). Emits the removed set."""
+    from lucene_spark.pipeline.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [[float(v) for v in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(4).collect()]
+    out = semdedup(emb, "embedding", "vec_id", threshold=0.4,
+                   centroids=cents)
+    return (out.filter(F.col("removed"))
+            .select(F.col("key").alias("vec_id"), "cluster"))
+
+
+DD_SEMDEDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT 4),
+d AS (SELECT e.vec_id, e.v, c.cid, list_distance(e.v, c.cv) AS dist
+      FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cid ASC) AS pick
+      FROM d),
+r AS (SELECT vec_id, v, cid, round(dist, 6) AS cd FROM a WHERE pick = 1),
+o AS (SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY cd DESC, vec_id ASC) AS rn
+      FROM r)
+SELECT DISTINCT a.vec_id, a.cid::INT AS cluster
+FROM o a JOIN o b ON a.cid = b.cid AND b.rn < a.rn
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -5992,6 +6061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_enum": ft_terms_enum,
         "rel_dv_stats": rel_dv_stats,
         "rel_scale_func": rel_scale_func,
+        "rel_interval_facet": rel_interval_facet,
+        "dd_semdedup": dd_semdedup,
     }
 
 
@@ -6176,4 +6247,6 @@ def oracle_sql() -> dict[str, str]:
         "ft_terms_enum": FT_TERMS_ENUM_SQL,
         "rel_dv_stats": REL_DV_STATS_SQL,
         "rel_scale_func": REL_SCALE_FUNC_SQL,
+        "rel_interval_facet": REL_INTERVAL_FACET_SQL,
+        "dd_semdedup": DD_SEMDEDUP_SQL,
     }

@@ -109,6 +109,92 @@ def range_facets(matches: DataFrame, col: str, start: float, end: float, gap: fl
     )
 
 
+def _parse_interval(spec: str) -> tuple[str, str | None, str | None, bool, bool]:
+    """Parse one Solr interval-facet string (solr/request/IntervalFacets
+    .java:520-700 getInterval): `[`/`(` start `,` end `)`/`]`; `*` =
+    unbounded on either side (open/closed equivalent there); `\\` escapes
+    `,[]()*`; whitespace around values trimmed; optional local-params
+    output key `{!key='X'}[a,b)`. Returns (key, start, end, start_open,
+    end_open) with None for an unbounded limit."""
+    raw = spec.strip()
+    key = raw
+    if raw.startswith("{!"):
+        end_lp = raw.index("}")
+        lp = raw[2:end_lp].strip()
+        if lp.startswith("key="):
+            key = lp[4:].strip("'\"")
+        raw = raw[end_lp + 1:].strip()
+        if key == spec.strip():
+            key = raw
+    if len(raw) < 3 or raw[0] not in "([" or raw[-1] not in ")]":
+        raise ValueError(f"invalid interval syntax: {spec!r}")
+    start_open = raw[0] == "("
+    end_open = raw[-1] == ")"
+    body, cur, esc, comma_at = raw[1:-1], [], False, None
+    parts = []
+    for ch in body:
+        if esc:
+            cur.append(ch)
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch == "," and comma_at is None:
+            parts.append("".join(cur))
+            cur = []
+            comma_at = True
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    if len(parts) != 2:
+        raise ValueError(f"interval needs exactly one unescaped comma: {spec!r}")
+    start = parts[0].strip()
+    end = parts[1].strip()
+    if not start or not end:
+        raise ValueError(f"interval limits can't be empty: {spec!r}")
+    return (key, None if start == "*" else start,
+            None if end == "*" else end, start_open, end_open)
+
+
+def interval_facets(matches: DataFrame, col: str,
+                    intervals: list[str], numeric: bool = True) -> DataFrame:
+    """Solr interval faceting (facet.interval —
+    solr/core/src/java/org/apache/solr/request/IntervalFacets.java).
+    Each interval's count equals the count of the equivalent range query
+    over the match set (the class's documented contract, :58-64), but
+    like the reference all intervals are counted in ONE pass: each is a
+    conditional sum in a single aggregate (map-side combinable, no
+    per-interval scan). Intervals may overlap and may be unbounded
+    (`*`). Returns (interval, count) in the caller's order. String
+    intervals compare case-sensitively (numeric=False), the reference's
+    only string mode."""
+    parsed = [_parse_interval(s) for s in intervals]
+    c = F.col(col).cast("double") if numeric else F.col(col)
+
+    def lim(v):
+        return F.lit(float(v)) if numeric else F.lit(v)
+
+    aggs, keys = [], []
+    for i, (key, start, end, s_open, e_open) in enumerate(parsed):
+        if (start is not None and end is not None and numeric
+                and float(start) > float(end)):
+            raise ValueError(f"start > end in interval {key!r}")
+        cond = c.isNotNull()
+        if start is not None:
+            cond = cond & ((c > lim(start)) if s_open else (c >= lim(start)))
+        if end is not None:
+            cond = cond & ((c < lim(end)) if e_open else (c <= lim(end)))
+        aggs.append(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
+                               F.lit(0)).alias(f"_iv{i}"))
+        keys.append(key)
+    counted = matches.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("interval"),
+                 F.col(f"_iv{i}").cast("long").alias("count"))
+        for i, k in enumerate(keys)])
+    return (counted.select(F.explode(pairs).alias("p"))
+            .select("p.interval", "p.count"))
+
+
 def stats_facet(matches: DataFrame, col: str) -> DataFrame:
     """Solr StatsComponent / JSON facet aggs over one field."""
     c = F.col(col)
