@@ -123,6 +123,12 @@ def perceptron_train(df: DataFrame, text_col: str, label_col: str,
     tables — the standard parallel-perceptron shard merge. Weight values
     stay integral (the reference stores longs in an FST).
 
+    Scale bound: the weight table (one float per vocab term) lives on
+    the driver during the fold — the same in-RAM bound as the
+    reference's FST (:80-104). For corpora whose vocabulary exceeds
+    driver memory, truncate the feature space first (e.g. igain_terms /
+    top-df terms), as every in-memory perceptron must.
+
     Returns (weights DataFrame(term, weight), bias)."""
     tok = _tokens(df, text_col, key_col)
     init_rows = tok.groupBy("term").agg(F.count("*").alias("ttf")).collect()

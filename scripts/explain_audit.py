@@ -442,6 +442,47 @@ def main() -> None:
         ],
     ))
 
+    # Interval facets: EVERY interval is a conditional sum inside ONE
+    # aggregate — one scan, map-side combined, no per-interval jobs.
+    from lucene_spark.relational.facets import interval_facets
+
+    docs = gate._t(spark, sf_dir, "documents")
+    p = plan_of(interval_facets(
+        docs, "n_chars", ["[0,500)", "[500,1500]", "(1500,*]"]))
+    sections.append((
+        "Interval facets (single-pass conditional sums)", p,
+        [
+            ("no python UDF",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            # the formatted plan prints each node in the tree AND in the
+            # detail list — count the tree section only
+            ("one aggregation pass (<=2 HashAggregate: partial+final)",
+             p.split("\n\n", 1)[0].count("HashAggregate") <= 2),
+            ("column pruned to the faceted field",
+             "ReadSchema" in p and "n_chars" in p and "text" not in
+             p.split("ReadSchema", 1)[1].split("\n", 1)[0]),
+        ],
+    ))
+
+    # SemDeDup: cluster assignment is a NARROW JVM expression (no UDF,
+    # no shuffle before the per-cluster grouping); the only Exchange is
+    # the groupBy(cluster) that feeds the per-cluster GEMM.
+    from lucene_spark.pipeline.semdedup import semdedup
+
+    emb = gate._t(spark, sf_dir, "embeddings")
+    cents = [[0.0] * 64, [1.0] * 64]
+    p = plan_of(semdedup(emb, "embedding", "vec_id", centroids=cents))
+    sections.append((
+        "SemDeDup (narrow assignment, one cluster shuffle)", p,
+        [
+            ("assignment stays JVM-side (python only in the per-cluster "
+             "GEMM stage)",
+             "BatchEvalPython" not in p),
+            ("exactly one Exchange (the groupBy(cluster))",
+             p.split("\n\n", 1)[0].count("Exchange") == 1),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
