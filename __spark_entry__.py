@@ -1400,7 +1400,8 @@ FROM r QUALIFY rank <= 10 ORDER BY rank
 
 
 def ft_f2exp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Axiomatic F2EXP (AxiomaticF2EXP.java: idf^k=0.35, s=0.5)."""
+    """Axiomatic F2EXP (AxiomaticF2EXP.java; reference defaults via
+    Axiomatic.java:91-93 — s=0.25, k=0.35)."""
     return _sim_topk(spark, sf_dir, "axiomatic_f2exp", "group")
 
 
@@ -1413,7 +1414,33 @@ qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
 sc AS (
   SELECT tf.doc_id,
          pow((st.n + 1) / qd.df, 0.35)
-         * tf.tf / (tf.tf + 0.5 + 0.5 * dl.dl / st.avgdl) AS s
+         * tf.tf / (tf.tf + 0.25 + 0.25 * dl.dl / st.avgdl) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
+), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
+SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM r QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def ft_f3log_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axiomatic F3LOG (AxiomaticF3LOG.java): the log-idf variant WITH
+    the gamma length penalty and the max(0,·) clamp
+    (Axiomatic.java:96-106) — the component shapes F2EXP never
+    exercises."""
+    return _sim_topk(spark, sf_dir, "axiomatic_f3log", "group")
+
+
+FT_F3LOG_SQL = f"""
+WITH tok AS ({_TOK2}),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'group' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qd AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           (1 + ln(1 + ln(tf.tf + 1))) * ln((st.n + 1) / qd.df)
+           - (dl.dl - 1) * 0.25 * 1 / st.avgdl) AS s
   FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qd
 ), r AS (SELECT doc_id, round(s, 2) AS score_r FROM sc)
 SELECT doc_id, score_r, row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
@@ -5993,6 +6020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dfi_topk": ft_dfi_topk,
         "ft_ib_topk": ft_ib_topk,
         "ft_f2exp_topk": ft_f2exp_topk,
+        "ft_f3log_topk": ft_f3log_topk,
         "ft_dfr_g_topk": ft_dfr_g_topk,
         "ft_spellcheck": ft_spellcheck,
         "ft_suggest_infix": ft_suggest_infix,
@@ -6142,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_dfi_topk": FT_DFI_SQL,
         "ft_ib_topk": FT_IB_SQL,
         "ft_f2exp_topk": FT_F2EXP_SQL,
+        "ft_f3log_topk": FT_F3LOG_SQL,
         "ft_dfr_g_topk": FT_DFR_G_SQL,
         "ft_spellcheck": FT_SPELLCHECK_SQL,
         "ft_suggest_infix": FT_SUGGEST_INFIX_SQL,

@@ -285,27 +285,60 @@ class IBLLSimilarity:
 
 
 @dataclass(frozen=True)
-class AxiomaticF2EXP:
-    """Axiomatic F2EXP — search/similarities/AxiomaticF2EXP.java:
-    score = boost · ((N+1)/df)^k · tf/(tf + s + s·dl/avgdl),
-    defaults s=0.5, k=0.35 (tf/ln components are 1, gamma 0)."""
+class AxiomaticSimilarity:
+    """The Axiomatic retrieval family — search/similarities/
+    Axiomatic.java:96-106 plus the six concrete models
+    AxiomaticF1EXP/F1LOG/F2EXP/F2LOG/F3EXP/F3LOG.java:
 
-    s: float = 0.5
+        score = max(0, boost · (tf · ln · tfln · idf − gamma))
+
+    with per-variant components (each subclass overrides exactly these):
+        tf    (F1*, F3*) = 1 + ln(1 + ln(freq + 1));      (F2*) = 1
+        ln    (F1*) = (avgdl + s) / (avgdl + dl·s);       else  = 1
+        tfln  (F2*) = freq / (freq + s + s·dl/avgdl);     else  = 1
+        idf   (*EXP) = ((N+1)/df)^k;   (*LOG) = ln((N+1)/df)
+        gamma (F3*) = (dl − queryLen) · s · queryLen / avgdl;  else 0
+
+    Reference defaults s=0.25, queryLen=1, k=0.35 (Axiomatic.java:91-93;
+    every no-arg subclass constructor delegates to them). The max(0, ·)
+    clamp only bites for the F3 models, whose gamma can exceed the
+    retrieval term (AxiomaticF3EXP.java:24-26 note)."""
+
+    variant: str = "F2EXP"
+    s: float = 0.25
+    query_len: int = 1
     k: float = 0.35
+
+    def __post_init__(self):
+        if self.variant not in ("F1EXP", "F1LOG", "F2EXP", "F2LOG",
+                                "F3EXP", "F3LOG"):
+            raise ValueError(f"unknown axiomatic variant {self.variant!r}")
 
     def weight(self, df: int, doc_count: int, boost: float = 1.0,
                cf: int = 0, sum_ttf: int = 0):
-        idf = ((doc_count + 1.0) / df) ** self.k
+        ratio = (doc_count + 1.0) / df
+        idf = ratio ** self.k if self.variant.endswith("EXP") else math.log(ratio)
         return (np.float32(boost), np.float64(idf))
 
     def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
         boost, idf = weight
         tff = np.asarray(tf, dtype=np.float64)
         dl = np.asarray(doclen, dtype=np.float64)
-        tfln = tff / (tff + self.s + self.s * dl / float(avgdl))
-        return (np.float64(boost) * idf * tfln).astype(np.float32)
+        av = float(avgdl)
+        fam = self.variant[:2]
+        tfc = (1.0 + np.log(1.0 + np.log(tff + 1.0))) if fam in ("F1", "F3") \
+            else 1.0
+        lnc = (av + self.s) / (av + dl * self.s) if fam == "F1" else 1.0
+        tflnc = tff / (tff + self.s + self.s * dl / av) if fam == "F2" else 1.0
+        gamma = ((dl - self.query_len) * self.s * self.query_len / av) \
+            if fam == "F3" else 0.0
+        s = np.float64(boost) * (tfc * lnc * tflnc * idf - gamma)
+        return np.maximum(0.0, s).astype(np.float32)
 
     def max_score(self, max_tf, min_doclen, weight, avgdl):
+        # every component is non-decreasing in tf and non-increasing in
+        # dl (gamma grows with dl, entering negated), so (max_tf,
+        # min_doclen) bounds the block
         return self.score(max_tf, min_doclen, weight, avgdl)
 
 
@@ -615,8 +648,13 @@ SIMILARITIES = {
     "lmjelinekmercer": LMJelinekMercerSimilarity(),
     "dfi": DFISimilarity(),
     "ib_ll": IBLLSimilarity(),
-    "axiomatic_f2exp": AxiomaticF2EXP(),
+    "axiomatic_f2exp": AxiomaticSimilarity("F2EXP"),
 }
+
+# the rest of the axiomatic family (AxiomaticF1EXP/F1LOG/F2LOG/F3EXP/
+# F3LOG.java) — same reference defaults s=0.25, queryLen=1, k=0.35
+for _ax in ("F1EXP", "F1LOG", "F2LOG", "F3EXP", "F3LOG"):
+    SIMILARITIES[f"axiomatic_{_ax.lower()}"] = AxiomaticSimilarity(_ax)
 
 # the full DFR BasicModel×AfterEffect×Normalization and IB
 # Distribution×Lambda×Normalization matrices (DFRSimilarity.java:33-80,

@@ -67,6 +67,38 @@ def test_registry_complete():
         for lam in ("df", "ttf"):
             for nz in ("h1", "h2", "h3", "z"):
                 assert f"ib_{dist}_{lam}_{nz}" in SIMILARITIES
+    # full axiomatic family (AxiomaticF{1,2}{EXP,LOG}, F3{EXP,LOG})
+    for ax in ("f1exp", "f1log", "f2exp", "f2log", "f3exp", "f3log"):
+        assert f"axiomatic_{ax}" in SIMILARITIES
+
+
+def test_axiomatic_reference_points():
+    """Hand-computed reference values for the per-variant components
+    (Axiomatic.java:96-106 with the defaults s=0.25, queryLen=1,
+    k=0.35)."""
+    import math
+
+    N, df, tf, dl, avgdl = 1000, 10, 4.0, 50.0, 100.0
+    exp_idf = ((N + 1) / df) ** 0.35
+    log_idf = math.log((N + 1) / df)
+    tf_c = 1 + math.log(1 + math.log(tf + 1))
+    ln_c = (avgdl + 0.25) / (avgdl + dl * 0.25)
+    tfln_c = tf / (tf + 0.25 + 0.25 * dl / avgdl)
+    gamma = (dl - 1) * 0.25 * 1 / avgdl
+    want = {
+        "axiomatic_f1exp": tf_c * ln_c * exp_idf,
+        "axiomatic_f1log": tf_c * ln_c * log_idf,
+        "axiomatic_f2exp": tfln_c * exp_idf,
+        "axiomatic_f2log": tfln_c * log_idf,
+        "axiomatic_f3exp": max(0.0, tf_c * exp_idf - gamma),
+        "axiomatic_f3log": max(0.0, tf_c * log_idf - gamma),
+    }
+    for name, w in want.items():
+        sim = SIMILARITIES[name]
+        wt = sim.weight(df, N, 1.0, cf=50, sum_ttf=int(avgdl * N))
+        got = sim.score(np.array([tf]), np.array([dl]), wt,
+                        np.float32(avgdl))[0]
+        assert abs(got - w) < 1e-5, (name, got, w)
 
 
 def test_dfr_matrix_matches_dedicated_combos():
