@@ -1022,6 +1022,70 @@ ST_STREAM_BUILD_SQL = bm25_topk_oracle_sql(
 )
 
 
+_ST_DEDUP_CACHE: dict[str, list] = {}
+
+
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (streaming/dedup_stream.py —
+    SignatureUpdateProcessorFactory role on an ingest stream via
+    applyInPandasWithState): the documents table fed as two ORDERED
+    micro-batches (even doc_ids, then odd); dedup key = a deliberately
+    collision-rich signature (lang | n_chars mod 97). First-seen wins:
+    within a batch the lowest doc_id, across batches the earlier batch —
+    the state store carries batch-0 hashes into batch 1. Oracle: min by
+    (parity, doc_id) per signature."""
+    if sf_dir not in _ST_DEDUP_CACHE:
+        import hashlib
+        import shutil
+        import tempfile
+
+        from lucene_spark.streaming import streaming_exact_dedup
+
+        tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        base = os.path.join(tempfile.gettempdir(),
+                            f"lucene_spark_gate_stdedup_{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        src, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat_ws("|", F.col("lang"),
+                        (F.col("n_chars") % 97).cast("string")).alias("sig"))
+        # batch 0 must exist on disk before the file source is defined
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("doc_id long, sig string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = streaming_exact_dedup(stream, "doc_id", hash_col="sig")
+        qname = f"st_dedup_{tag}"
+        q = (out.writeStream.format("memory").queryName(qname)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+            rows = spark.sql(f"select * from {qname}").collect()
+        finally:
+            q.stop()
+        _ST_DEDUP_CACHE[sf_dir] = [(r["key"], r["h"]) for r in rows]
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(_ST_DEDUP_CACHE[sf_dir],
+                                 "doc_id long, sig string")
+
+
+ST_STREAM_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, lang || '|' || (n_chars % 97)::VARCHAR AS sig
+  FROM documents),
+r AS (SELECT doc_id, sig,
+             row_number() OVER (PARTITION BY sig
+                                ORDER BY doc_id % 2, doc_id) AS rn
+      FROM d)
+SELECT doc_id, sig FROM r WHERE rn = 1
+"""
+
+
 def st_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolator / monitor (lucene/monitor/Monitor.java): three stored
     queries matched against the whole documents table in ONE broadcast-
@@ -5932,6 +5996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_csv_roundtrip": rel_csv_roundtrip,
         "st_percolate": st_percolate,
         "st_stream_build": st_stream_build,
+        "st_stream_dedup": st_stream_dedup,
         "ft_checkindex": ft_checkindex,
         "rel_significant_terms": rel_significant_terms,
         "rel_expr_score": rel_expr_score,
@@ -6214,6 +6279,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_csv_roundtrip": REL_CSV_SQL,
         "st_percolate": ST_PERCOLATE_SQL,
         "st_stream_build": ST_STREAM_BUILD_SQL,
+        "st_stream_dedup": ST_STREAM_DEDUP_SQL,
         "ft_checkindex": FT_CHECKINDEX_SQL,
         "rel_significant_terms": REL_SIGNIFICANT_SQL,
         "rel_expr_score": REL_EXPR_SCORE_SQL,
