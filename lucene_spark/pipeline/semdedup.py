@@ -23,7 +23,10 @@ Spark shape, sized for 100 TB:
     cluster). At scale, k grows with n to keep the average cluster
     size bounded (the paper runs 50k clusters); `max_cluster_size`
     fails fast with that advice instead of letting one skewed cluster
-    OOM a task.
+    OOM a task. The default cap of 10k keeps the per-task c×c float64
+    similarity matrix at ~0.8 GB (rounded in place, compared row-by-row
+    — no second matrix-sized allocation), which fits a 4 GB task slot;
+    raise it only with matching executor memory.
   - Floats: distances and similarities are rounded to `round_to`
     decimals before every comparison, so the order and the
     threshold test are reproducible bit-for-bit by a SQL oracle
@@ -50,7 +53,7 @@ def semdedup(
     centroids: list[list[float]] | None = None,
     iterations: int = 5,
     round_to: int = 6,
-    max_cluster_size: int = 200_000,
+    max_cluster_size: int = 10_000,
 ) -> DataFrame:
     """Returns (key, cluster, removed) — one row per input row. Callers
     keep `removed = false`. Pass `centroids` to skip the k-means fit
@@ -86,12 +89,15 @@ def semdedup(
         norms = np.linalg.norm(v, axis=1)
         norms[norms == 0.0] = 1.0
         vn = v / norms[:, None]
-        sims = np.round(vn @ vn.T, rt)
-        # each row judged against strictly EARLIER rows in the order
-        # (mask, not tril-zeroing: a threshold <= 0 must not match the
-        # zeroed-out cells)
-        mask = np.tril(np.ones(sims.shape, dtype=bool), k=-1)
-        removed = ((sims >= thr) & mask).any(axis=1)
+        sims = vn @ vn.T
+        np.round(sims, rt, out=sims)  # in place: no 2nd c×c allocation
+        # each row judged against strictly EARLIER rows in the order;
+        # row slices (not a full tril mask) so peak memory stays at one
+        # c×c matrix, and a threshold <= 0 still compares real sims
+        n_rows = sims.shape[0]
+        removed = np.zeros(n_rows, dtype=bool)
+        for i in range(1, n_rows):
+            removed[i] = bool((sims[i, :i] >= thr).any())
         return pd.DataFrame({"key": keys, "cluster": cid,
                              "removed": removed})
 

@@ -18,6 +18,8 @@ math stays 100% JVM-side.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -117,20 +119,24 @@ def _parse_interval(spec: str) -> tuple[str, str | None, str | None, bool, bool]
     output key `{!key='X'}[a,b)`. Returns (key, start, end, start_open,
     end_open) with None for an unbounded limit."""
     raw = spec.strip()
-    key = raw
+    key = None
     if raw.startswith("{!"):
         end_lp = raw.index("}")
-        lp = raw[2:end_lp].strip()
-        if lp.startswith("key="):
-            key = lp[4:].strip("'\"")
+        lp = raw[2:end_lp]
         raw = raw[end_lp + 1:].strip()
-        if key == spec.strip():
-            key = raw
+        # k=v pairs; values may be '…'/"…"-quoted (QueryParsing
+        # .getLocalParams role — only the output key is consumed here)
+        for m in re.finditer(r"(\w+)=('[^']*'|\"[^\"]*\"|\S+)", lp):
+            if m.group(1) == "key":
+                v = m.group(2)
+                key = v[1:-1] if v[0] in "'\"" else v
+    if key is None:
+        key = raw
     if len(raw) < 3 or raw[0] not in "([" or raw[-1] not in ")]":
         raise ValueError(f"invalid interval syntax: {spec!r}")
     start_open = raw[0] == "("
     end_open = raw[-1] == ")"
-    body, cur, esc, comma_at = raw[1:-1], [], False, None
+    body, cur, esc = raw[1:-1], [], False
     parts = []
     for ch in body:
         if esc:
@@ -138,10 +144,12 @@ def _parse_interval(spec: str) -> tuple[str, str | None, str | None, bool, bool]
             esc = False
         elif ch == "\\":
             esc = True
-        elif ch == "," and comma_at is None:
+        elif ch == ",":
+            # every unescaped comma splits — a third part below means
+            # the reference's "Extra unescaped comma" SyntaxError
+            # (IntervalFacets.java:~583)
             parts.append("".join(cur))
             cur = []
-            comma_at = True
         else:
             cur.append(ch)
     parts.append("".join(cur))
@@ -175,9 +183,13 @@ def interval_facets(matches: DataFrame, col: str,
 
     aggs, keys = [], []
     for i, (key, start, end, s_open, e_open) in enumerate(parsed):
-        if (start is not None and end is not None and numeric
-                and float(start) > float(end)):
-            raise ValueError(f"start > end in interval {key!r}")
+        if start is not None and end is not None:
+            # the reference rejects inverted limits for EVERY field type
+            # (IntervalFacets.java: start.compareTo(end) > 0 → SyntaxError)
+            inverted = (float(start) > float(end)) if numeric \
+                else (start > end)
+            if inverted:
+                raise ValueError(f"start > end in interval {key!r}")
         cond = c.isNotNull()
         if start is not None:
             cond = cond & ((c > lim(start)) if s_open else (c >= lim(start)))

@@ -52,8 +52,11 @@ def streaming_exact_dedup(stream_df: DataFrame, key_col: str,
         raise ValueError("pass exactly one of text_col / hash_col")
     h = F.sha2(F.col(text_col), 256) if text_col is not None \
         else F.col(hash_col).cast("string")
-    keyed = stream_df.select(F.col(key_col).cast("long").alias("key"),
-                             h.alias("h"))
+    keyed = stream_df.select(F.col(key_col).alias("key"), h.alias("h"))
+    # preserve the caller's key type (long ids, string UUIDs, …) — a
+    # forced numeric cast would null out non-numeric keys and corrupt
+    # the min-key election
+    key_ddl = keyed.schema["key"].dataType.simpleString()
 
     def first_seen(key: tuple, pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
@@ -61,9 +64,10 @@ def streaming_exact_dedup(stream_df: DataFrame, key_col: str,
             return  # hash already seen in an earlier micro-batch
         best = None
         for pdf in pdfs:
-            if len(pdf):
-                m = int(pdf["key"].min())
-                best = m if best is None else min(best, m)
+            for v in pdf["key"]:
+                if pd.isna(v):
+                    continue
+                best = v if best is None or v < best else best
         if best is None:
             return
         state.update((True,))
@@ -71,7 +75,7 @@ def streaming_exact_dedup(stream_df: DataFrame, key_col: str,
 
     return (keyed.groupBy("h").applyInPandasWithState(
         first_seen,
-        outputStructType="key long, h string",
+        outputStructType=f"key {key_ddl}, h string",
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

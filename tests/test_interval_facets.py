@@ -36,6 +36,23 @@ def test_parse_rejects():
         _parse_interval("[1 10]")        # no comma
     with pytest.raises(ValueError):
         _parse_interval("[,10]")         # empty limit (:78)
+    with pytest.raises(ValueError):
+        _parse_interval("[A,B,C]")       # extra unescaped comma (:~583)
+
+
+def test_parse_multi_local_params():
+    """key= is found among other local params, and extra params don't
+    leak into the label (ex= tags are standard with interval facets)."""
+    assert _parse_interval("{!key='First' ex=dt}[0,5)")[0] == "First"
+    assert _parse_interval("{!ex=dt key=x}[0,5)")[0] == "x"
+    # no key param at all → the interval itself is the label
+    assert _parse_interval("{!ex=dt}[0,5)")[0] == "[0,5)"
+
+
+def test_string_inverted_interval_rejected(spark):
+    df = spark.createDataFrame([(1, "m")], "id long, v string")
+    with pytest.raises(ValueError):
+        interval_facets(df, "v", ["[zebra,apple]"], numeric=False).collect()
 
 
 def test_counts_match_range_queries(spark):

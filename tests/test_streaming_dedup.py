@@ -74,6 +74,28 @@ def test_streaming_dedup_hash_col_batch_semantics(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_string_keys(spark, tmp_path):
+    """Non-numeric keys (UUID-style ids) survive: the key column keeps
+    its type; min-key election is lexicographic."""
+    from lucene_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "in3")
+    ckpt = str(tmp_path / "ck3")
+    pdf = pd.DataFrame({"uid": ["b-2", "a-1", "c-3"],
+                        "text": ["same", "same", "other"]})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("uid string, text string").parquet(src)
+    out = streaming_exact_dedup(stream, "uid", text_col="text")
+    q = (out.writeStream.format("memory").queryName("dedup_s")
+         .option("checkpointLocation", ckpt).outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["key"] for r in spark.sql("select * from dedup_s").collect()}
+        assert got == {"a-1", "c-3"}
+    finally:
+        q.stop()
+
+
 def test_streaming_facet_counts_watermark(spark, tmp_path):
     from lucene_spark.streaming import streaming_facet_counts
 
