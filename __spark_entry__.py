@@ -5953,6 +5953,59 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """
 
 
+def rel_range_facet_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.other=all (RangeFacetProcessor.java:150-200): the
+    fixed-gap buckets plus before/between/after, all from one scan."""
+    from lucene_spark.relational.facets import range_facets_with_other
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    # bounds sit INSIDE the en n_chars range (49..540 at sf0.01) so
+    # before, buckets, between AND after are all non-trivial
+    return range_facets_with_other(docs, "n_chars", 100.0, 400.0, 100.0)
+
+
+REL_RANGE_FACET_OTHER_SQL = """
+WITH d AS (SELECT n_chars::DOUBLE AS x FROM documents
+           WHERE lang = 'en' AND n_chars IS NOT NULL),
+b AS (
+  SELECT CASE WHEN x < 100 THEN 'before'
+              WHEN x >= 400 THEN 'after'
+              ELSE (100.0 + floor((x - 100.0)/100.0)*100.0)::VARCHAR
+         END AS label
+  FROM d),
+g AS (SELECT label, count(*)::BIGINT AS count FROM b GROUP BY label)
+SELECT label, count FROM g
+UNION ALL
+SELECT 'between', coalesce(sum(count), 0)::BIGINT FROM g
+WHERE label NOT IN ('before', 'after')
+"""
+
+
+def rel_query_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.query (SimpleFacets.getFacetQueryCount): three arbitrary
+    filter counts over one match set, ONE aggregation pass."""
+    from lucene_spark.relational.facets import query_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    return query_facets(docs, {
+        "short_en": (F.col("lang") == "en") & (F.col("n_chars") < 400),
+        "has_table": F.col("text").contains("table"),
+        "long_any": F.col("n_chars") >= 1200,
+    })
+
+
+REL_QUERY_FACET_SQL = """
+SELECT 'short_en' AS facet,
+       count(*) FILTER (lang = 'en' AND n_chars < 400)::BIGINT AS count
+FROM documents
+UNION ALL
+SELECT 'has_table', count(*) FILTER (contains(text, 'table'))::BIGINT
+FROM documents
+UNION ALL
+SELECT 'long_any', count(*) FILTER (n_chars >= 1200)::BIGINT FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6156,6 +6209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scale_func": rel_scale_func,
         "rel_interval_facet": rel_interval_facet,
         "dd_semdedup": dd_semdedup,
+        "rel_range_facet_other": rel_range_facet_other,
+        "rel_query_facet": rel_query_facet,
     }
 
 
@@ -6344,4 +6399,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_scale_func": REL_SCALE_FUNC_SQL,
         "rel_interval_facet": REL_INTERVAL_FACET_SQL,
         "dd_semdedup": DD_SEMDEDUP_SQL,
+        "rel_range_facet_other": REL_RANGE_FACET_OTHER_SQL,
+        "rel_query_facet": REL_QUERY_FACET_SQL,
     }

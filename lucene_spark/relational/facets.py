@@ -111,6 +111,53 @@ def range_facets(matches: DataFrame, col: str, start: float, end: float, gap: fl
     )
 
 
+def range_facets_with_other(matches: DataFrame, col: str, start: float,
+                            end: float, gap: float) -> DataFrame:
+    """facet.range with facet.range.other=all (solr/handler/component/
+    RangeFacetProcessor.java:150-200): the fixed-width buckets PLUS the
+    before / between / after counts, default include semantics (lower
+    inclusive, upper exclusive → before = x < start, between = start <=
+    x < end, after = x >= end). Returns (label, count) where bucket
+    labels are their numeric lower bound rendered as a string.
+
+    One scan: before/after/buckets come out of a single groupBy on a
+    computed label; `between` is the sum of the bucket rows, folded from
+    the (tiny) grouped result — no second pass over the data."""
+    c = F.col(col).cast("double")
+    bucket_lo = (F.lit(float(start))
+                 + F.floor((c - F.lit(float(start))) / F.lit(float(gap)))
+                 * F.lit(float(gap))).cast("double")
+    label = (F.when(c < start, F.lit("before"))
+             .when(c >= end, F.lit("after"))
+             .otherwise(bucket_lo.cast("string")))
+    grouped = (matches.filter(c.isNotNull())
+               .groupBy(label.alias("label"))
+               .agg(F.count("*").alias("count")))
+    between = (grouped.filter(~F.col("label").isin("before", "after"))
+               .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("count"))
+               .select(F.lit("between").alias("label"), "count"))
+    return grouped.unionByName(between)
+
+
+def query_facets(matches: DataFrame, facet_queries: dict[str, Column]) -> DataFrame:
+    """facet.query (solr/handler/component/FacetComponent.java /
+    SimpleFacets.getFacetQueryCount): the count of each arbitrary filter
+    over the SAME match set. All queries are counted in ONE aggregation
+    pass — each is a conditional sum — instead of one job per facet
+    query. Returns (facet, count) in the caller's order."""
+    names = list(facet_queries)
+    counted = matches.agg(*[
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .alias(f"_fq{i}")
+        for i, cond in enumerate(facet_queries.values())])
+    pairs = F.array(*[
+        F.struct(F.lit(n).alias("facet"),
+                 F.col(f"_fq{i}").cast("long").alias("count"))
+        for i, n in enumerate(names)])
+    return (counted.select(F.explode(pairs).alias("p"))
+            .select("p.facet", "p.count"))
+
+
 def _parse_interval(spec: str) -> tuple[str, str | None, str | None, bool, bool]:
     """Parse one Solr interval-facet string (solr/request/IntervalFacets
     .java:520-700 getInterval): `[`/`(` start `,` end `)`/`]`; `*` =
