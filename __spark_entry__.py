@@ -6006,6 +6006,85 @@ SELECT 'long_any', count(*) FILTER (n_chars >= 1200)::BIGINT FROM documents
 """
 
 
+def tx_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style curation (pipeline/ccnet.py — Wenzek et al. 2020):
+    exact dedup → language ID → bigram-LM perplexity with per-language
+    head/middle/tail terciles. Every stage is an already-gated
+    primitive; this gate proves the COMPOSITION (including the
+    per-language exact-percentile split) end-to-end against a full SQL
+    replay."""
+    from lucene_spark.pipeline.ccnet import ccnet_curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ccnet_curate(docs, "text", "doc_id")
+    return out.select(F.col("key").alias("doc_id"), "detected_lang",
+                      "n_bigrams", "ppl_r", "bucket")
+
+
+TX_CCNET_SQL = r"""
+WITH dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+h AS (
+  SELECT doc_id,
+    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        ['the','and','of','to','is','in','that','it'])) AS h_en,
+    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        ['der','die','und','das','ist','nicht','ein','zu'])) AS h_de,
+    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        ['le','la','les','et','est','une','pour','que'])) AS h_fr,
+    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        ['el','la','los','y','es','una','por','que'])) AS h_es
+  FROM dd),
+det AS (
+  SELECT doc_id,
+    CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+         WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+         ELSE 'de' END AS detected_lang
+  FROM h),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM dd),
+bg AS (
+  SELECT doc_id, t[CAST(r.i AS INT) + 1] AS w1,
+         t[CAST(r.i AS INT) + 2] AS w2
+  FROM toks, range(0, 100000) r(i) WHERE r.i < len(t) - 1),
+cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c)::BIGINT AS cx FROM cnt GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(t) AS w FROM toks)),
+sc AS (
+  SELECT b.doc_id, ln((c.c + 0.1) / (x.cx + 0.1 * v.v)) AS lp
+  FROM bg b JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1), v),
+agg AS (
+  SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_bigrams,
+         CASE WHEN s.n > 0 THEN round(exp(-s.slp / s.n), 4) END AS ppl_r
+  FROM dd d LEFT JOIN (
+    SELECT doc_id, count(*) AS n, sum(lp) AS slp FROM sc GROUP BY doc_id
+  ) s USING (doc_id)),
+joined AS (
+  SELECT a.doc_id, det.detected_lang, a.n_bigrams, a.ppl_r
+  FROM agg a JOIN det USING (doc_id)),
+th AS (
+  SELECT detected_lang,
+         quantile_cont(ppl_r, 0.3333333333333333) AS t1,
+         quantile_cont(ppl_r, 0.6666666666666666) AS t2
+  FROM joined WHERE n_bigrams > 0 GROUP BY detected_lang)
+SELECT j.doc_id, j.detected_lang, j.n_bigrams, j.ppl_r,
+       CASE WHEN j.n_bigrams = 0 THEN 'head'
+            WHEN j.ppl_r <= th.t1 THEN 'head'
+            WHEN j.ppl_r <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM joined j LEFT JOIN th USING (detected_lang)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6211,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semdedup": dd_semdedup,
         "rel_range_facet_other": rel_range_facet_other,
         "rel_query_facet": rel_query_facet,
+        "tx_ccnet": tx_ccnet,
     }
 
 
@@ -6401,4 +6481,5 @@ def oracle_sql() -> dict[str, str]:
         "dd_semdedup": DD_SEMDEDUP_SQL,
         "rel_range_facet_other": REL_RANGE_FACET_OTHER_SQL,
         "rel_query_facet": REL_QUERY_FACET_SQL,
+        "tx_ccnet": TX_CCNET_SQL,
     }
