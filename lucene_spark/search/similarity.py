@@ -341,6 +341,33 @@ class AxiomaticSimilarity:
         # min_doclen) bounds the block
         return self.score(max_tf, min_doclen, weight, avgdl)
 
+    def explain_components(self, tf: float, dl: float, weight, avgdl) -> list[dict]:
+        """Sub-explanations mirroring Axiomatic.explain's five-function
+        breakdown (search/similarities/Axiomatic.java:109-131 — tfExpl /
+        lnExpl / tflnExpl / idfExpl and the gamma term)."""
+        _, idf = weight
+        av = float(avgdl)
+        fam = self.variant[:2]
+        tfc = (1.0 + math.log(1.0 + math.log(tf + 1.0))) \
+            if fam in ("F1", "F3") else 1.0
+        lnc = (av + self.s) / (av + dl * self.s) if fam == "F1" else 1.0
+        tflnc = tf / (tf + self.s + self.s * dl / av) if fam == "F2" else 1.0
+        gamma = ((dl - self.query_len) * self.s * self.query_len / av) \
+            if fam == "F3" else 0.0
+        return [
+            {"value": float(tfc), "description":
+                f"tf, {self.variant} term-frequency function"},
+            {"value": float(lnc), "description":
+                f"ln, {self.variant} length-normalization (s={self.s})"},
+            {"value": float(tflnc), "description":
+                f"tfln, {self.variant} mixed tf/length function (s={self.s})"},
+            {"value": float(idf), "description":
+                f"idf, {'((N+1)/df)^k' if self.variant.endswith('EXP') else 'ln((N+1)/df)'}"
+                f" (k={self.k})"},
+            {"value": float(gamma), "description":
+                f"gamma, query-length penalty (queryLen={self.query_len})"},
+        ]
+
 
 @dataclass(frozen=True)
 class DFRGL2Similarity:

@@ -144,3 +144,41 @@ def test_explain_dfr_ib_matrix_components(spark, corpus_pdf, tmp_path_factory):
             descs = " ".join(str(dd["description"])
                              for dd in term_leaves[0]["details"])
             assert "tfn" in descs, descs
+
+
+def test_explain_axiomatic_components(spark, corpus_pdf, tmp_path_factory):
+    """CheckHits contract + the five-function breakdown
+    Axiomatic.explain exposes (Axiomatic.java:109-131) for every family
+    shape (F1=ln, F2=tfln, F3=gamma)."""
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.similarity import AxiomaticSimilarity
+
+    d = str(tmp_path_factory.mktemp("explain_ax") / "idx")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    src = spark.createDataFrame(corpus_pdf)
+    IndexBuilder(spark, IndexConfig(partitions=2, num_buckets=8)).build(
+        src, d, overwrite=True)
+    reader = IndexReader(spark, d)
+    for variant in ("F1EXP", "F2LOG", "F3LOG"):
+        s = IndexSearcher(reader, similarity=AxiomaticSimilarity(variant))
+        hits = s.search("index OR writer", k=3).collect()
+        assert hits, variant
+        for h in hits:
+            exp = s.explain("index OR writer", h["doc_id"])
+            assert np.float32(exp["value"]) == np.float32(h["score"]), \
+                (variant, h)
+
+        def leaves(e):
+            if e.get("description", "").startswith("score(term="):
+                yield e
+            for c in e.get("details", []):
+                if isinstance(c, dict):
+                    yield from leaves(c)
+
+        leaf = s.explain("index", hits[0]["doc_id"])
+        tl = [l for l in leaves(leaf) if l.get("match")]
+        assert tl, variant
+        descs = " ".join(str(dd["description"]) for dd in tl[0]["details"])
+        for comp in ("tf,", "ln,", "tfln,", "idf,", "gamma,"):
+            assert comp in descs, (variant, descs)
