@@ -2232,9 +2232,11 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "detected_lang").agg(F.count("*").alias("n"))
 
 
-TX_LANGID_SQL = """
-WITH h AS (
-  SELECT doc_id, lang,
+# ---- shared oracle fragments (single source of truth — used by the
+# langid, perplexity AND ccnet oracles; textstats._LANG_MARKERS and
+# pipeline/lm.py changes must land HERE once, not per-oracle) ----
+
+_LANGID_HITS = """
     len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
         ['the','and','of','to','is','in','that','it'])) AS h_en,
     len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
@@ -2242,15 +2244,45 @@ WITH h AS (
     len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
         ['le','la','les','et','est','une','pour','que'])) AS h_fr,
     len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
-        ['el','la','los','y','es','una','por','que'])) AS h_es
-  FROM documents
-), det AS (
-  SELECT lang,
+        ['el','la','los','y','es','una','por','que'])) AS h_es"""
+
+# tie-break order mirrors textstats.detect_language's array_max over
+# (hits, lang) structs: max hits, then lexicographically-last language
+_LANGID_CASE = """
     CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
          WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
          WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
          WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
-         ELSE 'de' END AS detected_lang
+         ELSE 'de' END AS detected_lang"""
+
+
+def _lm_ctes(src: str) -> str:
+    """The bigram-LM CTE block (toks/bg/cnt/ctx/v/sc — the add-alpha
+    model of pipeline/lm.py) trained on and scoring `src`."""
+    return rf"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM {src}),
+bg AS (
+  SELECT doc_id, t[CAST(r.i AS INT) + 1] AS w1,
+         t[CAST(r.i AS INT) + 2] AS w2
+  FROM toks, range(0, 100000) r(i) WHERE r.i < len(t) - 1),
+cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c)::BIGINT AS cx FROM cnt GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(t) AS w FROM toks)),
+sc AS (
+  SELECT b.doc_id, ln((c.c + 0.1) / (x.cx + 0.1 * v.v)) AS lp
+  FROM bg b JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1), v)"""
+
+
+TX_LANGID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,{_LANGID_HITS}
+  FROM documents
+), det AS (
+  SELECT lang,{_LANGID_CASE}
   FROM h
 )
 SELECT lang, detected_lang, count(*)::BIGINT AS n FROM det GROUP BY 1, 2
@@ -4603,23 +4635,8 @@ def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("perplexity", 4).alias("ppl_r")))
 
 
-TX_PERPLEXITY_SQL = r"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\s+'),
-                     x -> x <> '') AS t
-  FROM documents),
-bg AS (
-  SELECT doc_id, t[CAST(r.i AS INT) + 1] AS w1,
-         t[CAST(r.i AS INT) + 2] AS w2
-  FROM toks, range(0, 100000) r(i) WHERE r.i < len(t) - 1),
-cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
-ctx AS (SELECT w1, sum(c)::BIGINT AS cx FROM cnt GROUP BY w1),
-v AS (SELECT count(DISTINCT w)::BIGINT AS v
-      FROM (SELECT unnest(t) AS w FROM toks)),
-sc AS (
-  SELECT b.doc_id, ln((c.c + 0.1) / (x.cx + 0.1 * v.v)) AS lp
-  FROM bg b JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1), v),
+TX_PERPLEXITY_SQL = f"""
+WITH {_lm_ctes("documents")},
 agg AS (
   SELECT doc_id, count(*)::BIGINT AS n_bigrams, -avg(lp) AS ce
   FROM sc GROUP BY doc_id)
@@ -5965,19 +5982,13 @@ def rel_range_facet_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REL_RANGE_FACET_OTHER_SQL = """
-WITH d AS (SELECT n_chars::DOUBLE AS x FROM documents
-           WHERE lang = 'en' AND n_chars IS NOT NULL),
-b AS (
-  SELECT CASE WHEN x < 100 THEN 'before'
-              WHEN x >= 400 THEN 'after'
-              ELSE (100.0 + floor((x - 100.0)/100.0)*100.0)::VARCHAR
-         END AS label
-  FROM d),
-g AS (SELECT label, count(*)::BIGINT AS count FROM b GROUP BY label)
-SELECT label, count FROM g
-UNION ALL
-SELECT 'between', coalesce(sum(count), 0)::BIGINT FROM g
-WHERE label NOT IN ('before', 'after')
+WITH d AS (SELECT n_chars::DOUBLE AS x FROM documents WHERE lang = 'en')
+SELECT '100.0' AS label, count(*) FILTER (x >= 100 AND x < 200)::BIGINT AS count FROM d
+UNION ALL SELECT '200.0', count(*) FILTER (x >= 200 AND x < 300)::BIGINT FROM d
+UNION ALL SELECT '300.0', count(*) FILTER (x >= 300 AND x < 400)::BIGINT FROM d
+UNION ALL SELECT 'before', count(*) FILTER (x < 100)::BIGINT FROM d
+UNION ALL SELECT 'after', count(*) FILTER (x >= 400)::BIGINT FROM d
+UNION ALL SELECT 'between', count(*) FILTER (x >= 100 AND x < 400)::BIGINT FROM d
 """
 
 
@@ -6021,47 +6032,19 @@ def tx_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_bigrams", "ppl_r", "bucket")
 
 
-TX_CCNET_SQL = r"""
+TX_CCNET_SQL = f"""
 WITH dd AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1),
 h AS (
-  SELECT doc_id,
-    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
-        ['the','and','of','to','is','in','that','it'])) AS h_en,
-    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
-        ['der','die','und','das','ist','nicht','ein','zu'])) AS h_de,
-    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
-        ['le','la','les','et','est','une','pour','que'])) AS h_fr,
-    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
-        ['el','la','los','y','es','una','por','que'])) AS h_es
+  SELECT doc_id,{_LANGID_HITS}
   FROM dd),
 det AS (
-  SELECT doc_id,
-    CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
-         WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
-         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
-         ELSE 'de' END AS detected_lang
+  SELECT doc_id,{_LANGID_CASE}
   FROM h),
-toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\s+'),
-                     x -> x <> '') AS t
-  FROM dd),
-bg AS (
-  SELECT doc_id, t[CAST(r.i AS INT) + 1] AS w1,
-         t[CAST(r.i AS INT) + 2] AS w2
-  FROM toks, range(0, 100000) r(i) WHERE r.i < len(t) - 1),
-cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
-ctx AS (SELECT w1, sum(c)::BIGINT AS cx FROM cnt GROUP BY w1),
-v AS (SELECT count(DISTINCT w)::BIGINT AS v
-      FROM (SELECT unnest(t) AS w FROM toks)),
-sc AS (
-  SELECT b.doc_id, ln((c.c + 0.1) / (x.cx + 0.1 * v.v)) AS lp
-  FROM bg b JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1), v),
+{_lm_ctes("dd")},
 agg AS (
   SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_bigrams,
          CASE WHEN s.n > 0 THEN round(exp(-s.slp / s.n), 4) END AS ppl_r
@@ -6073,8 +6056,8 @@ joined AS (
   FROM agg a JOIN det USING (doc_id)),
 th AS (
   SELECT detected_lang,
-         quantile_cont(ppl_r, 0.3333333333333333) AS t1,
-         quantile_cont(ppl_r, 0.6666666666666666) AS t2
+         round(quantile_cont(ppl_r, 0.3333333333333333), 4) AS t1,
+         round(quantile_cont(ppl_r, 0.6666666666666666), 4) AS t2
   FROM joined WHERE n_bigrams > 0 GROUP BY detected_lang)
 SELECT j.doc_id, j.detected_lang, j.n_bigrams, j.ppl_r,
        CASE WHEN j.n_bigrams = 0 THEN 'head'

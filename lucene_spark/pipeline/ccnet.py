@@ -66,10 +66,16 @@ def ccnet_curate(
     j = lid.join(scored.select("key", "n_bigrams", "ppl_r"), "key")
     # per-language terciles: an exact interpolated percentile is ONE
     # tiny aggregate (rows = distinct languages), broadcast back
+    # thresholds are ROUNDED to round_to as well: Spark's percentile and
+    # a SQL oracle's quantile_cont use algebraically-equal-but-different
+    # interpolation expressions (lower*(1-g)+higher*g vs
+    # lower+(higher-lower)*g) whose last-ulp difference could otherwise
+    # flip a doc sitting exactly on a bucket boundary
     th = (j.filter(F.col("n_bigrams") > 0)
           .groupBy("detected_lang")
-          .agg(F.expr(f"percentile(ppl_r, array({_T1!r}, {_T2!r}))")
-               .alias("__t")))
+          .agg(F.expr(
+              f"transform(percentile(ppl_r, array({_T1!r}, {_T2!r})),"
+              f" t -> round(t, {int(round_to)}))").alias("__t")))
     out = j.join(F.broadcast(th), "detected_lang", "left")
     bucket = (F.when(F.col("n_bigrams") == 0, F.lit("head"))
               .when(F.col("ppl_r") <= F.col("__t")[0], F.lit("head"))

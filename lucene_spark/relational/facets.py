@@ -111,51 +111,69 @@ def range_facets(matches: DataFrame, col: str, start: float, end: float, gap: fl
     )
 
 
-def range_facets_with_other(matches: DataFrame, col: str, start: float,
-                            end: float, gap: float) -> DataFrame:
-    """facet.range with facet.range.other=all (solr/handler/component/
-    RangeFacetProcessor.java:150-200): the fixed-width buckets PLUS the
-    before / between / after counts, default include semantics (lower
-    inclusive, upper exclusive → before = x < start, between = start <=
-    x < end, after = x >= end). Returns (label, count) where bucket
-    labels are their numeric lower bound rendered as a string.
+def _conditional_counts(matches: DataFrame,
+                        labeled_conds: list[tuple[str, Column]],
+                        label_name: str) -> DataFrame:
+    """Shared single-pass counting core for query / interval / range
+    faceting: EVERY labeled condition becomes a conditional sum in ONE
+    aggregate (map-side combinable — no per-label job, no groupBy
+    shuffle beyond the scalar agg), then the scalar row unfolds to
+    (label, count) rows in the caller's order."""
+    if not labeled_conds:
+        raise ValueError("at least one facet condition is required")
+    counted = matches.agg(*[
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .alias(f"_c{i}")
+        for i, (_, cond) in enumerate(labeled_conds)])
+    pairs = F.array(*[
+        F.struct(F.lit(label).alias(label_name),
+                 F.col(f"_c{i}").cast("long").alias("count"))
+        for i, (label, _) in enumerate(labeled_conds)])
+    return (counted.select(F.explode(pairs).alias("p"))
+            .select(f"p.{label_name}", "p.count"))
 
-    One scan: before/after/buckets come out of a single groupBy on a
-    computed label; `between` is the sum of the bucket rows, folded from
-    the (tiny) grouped result — no second pass over the data."""
+
+def range_facets_with_other(matches: DataFrame, col: str, start: float,
+                            end: float, gap: float,
+                            hardend: bool = False) -> DataFrame:
+    """facet.range with facet.range.other=all (solr/handler/component/
+    RangeFacetProcessor.java:150-200 + RangeFacetRequest bucket
+    enumeration): the fixed-width buckets PLUS before / between / after,
+    default include semantics (lower inclusive, upper exclusive).
+
+    Reference-faithful details: EVERY bucket in [start, end) is emitted,
+    zero-count buckets included (Solr returns the complete bucket list);
+    with the default hardend=false a (end-start) not divisible by gap
+    EXTENDS the last bucket to its full gap width, and `after` counts
+    x >= that actual end (hardend=true clips the last bucket at `end`).
+    before = x < start; between = [start, actual_end).
+
+    Returns (label, count), bucket labels = the bucket's numeric lower
+    bound rendered as a string. One aggregation pass for everything."""
+    start, end, gap = float(start), float(end), float(gap)
+    if gap <= 0 or end <= start:
+        raise ValueError("need gap > 0 and end > start")
     c = F.col(col).cast("double")
-    bucket_lo = (F.lit(float(start))
-                 + F.floor((c - F.lit(float(start))) / F.lit(float(gap)))
-                 * F.lit(float(gap))).cast("double")
-    label = (F.when(c < start, F.lit("before"))
-             .when(c >= end, F.lit("after"))
-             .otherwise(bucket_lo.cast("string")))
-    grouped = (matches.filter(c.isNotNull())
-               .groupBy(label.alias("label"))
-               .agg(F.count("*").alias("count")))
-    between = (grouped.filter(~F.col("label").isin("before", "after"))
-               .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("count"))
-               .select(F.lit("between").alias("label"), "count"))
-    return grouped.unionByName(between)
+    conds: list[tuple[str, Column]] = []
+    lo = start
+    while lo < end:
+        hi = min(lo + gap, end) if hardend else lo + gap
+        conds.append((str(lo), (c >= lo) & (c < hi)))
+        lo = hi if hardend else lo + gap
+    actual_end = lo
+    conds.append(("before", c < start))
+    conds.append(("after", c >= actual_end))
+    conds.append(("between", (c >= start) & (c < actual_end)))
+    return _conditional_counts(matches, conds, "label")
 
 
 def query_facets(matches: DataFrame, facet_queries: dict[str, Column]) -> DataFrame:
     """facet.query (solr/handler/component/FacetComponent.java /
     SimpleFacets.getFacetQueryCount): the count of each arbitrary filter
-    over the SAME match set. All queries are counted in ONE aggregation
-    pass — each is a conditional sum — instead of one job per facet
-    query. Returns (facet, count) in the caller's order."""
-    names = list(facet_queries)
-    counted = matches.agg(*[
-        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
-        .alias(f"_fq{i}")
-        for i, cond in enumerate(facet_queries.values())])
-    pairs = F.array(*[
-        F.struct(F.lit(n).alias("facet"),
-                 F.col(f"_fq{i}").cast("long").alias("count"))
-        for i, n in enumerate(names)])
-    return (counted.select(F.explode(pairs).alias("p"))
-            .select("p.facet", "p.count"))
+    over the SAME match set, all in one aggregation pass. Returns
+    (facet, count) in the caller's order."""
+    return _conditional_counts(
+        matches, list(facet_queries.items()), "facet")
 
 
 def _parse_interval(spec: str) -> tuple[str, str | None, str | None, bool, bool]:
@@ -228,8 +246,8 @@ def interval_facets(matches: DataFrame, col: str,
     def lim(v):
         return F.lit(float(v)) if numeric else F.lit(v)
 
-    aggs, keys = [], []
-    for i, (key, start, end, s_open, e_open) in enumerate(parsed):
+    conds: list[tuple[str, Column]] = []
+    for key, start, end, s_open, e_open in parsed:
         if start is not None and end is not None:
             # the reference rejects inverted limits for EVERY field type
             # (IntervalFacets.java: start.compareTo(end) > 0 → SyntaxError)
@@ -242,16 +260,8 @@ def interval_facets(matches: DataFrame, col: str,
             cond = cond & ((c > lim(start)) if s_open else (c >= lim(start)))
         if end is not None:
             cond = cond & ((c < lim(end)) if e_open else (c <= lim(end)))
-        aggs.append(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
-                               F.lit(0)).alias(f"_iv{i}"))
-        keys.append(key)
-    counted = matches.agg(*aggs)
-    pairs = F.array(*[
-        F.struct(F.lit(k).alias("interval"),
-                 F.col(f"_iv{i}").cast("long").alias("count"))
-        for i, k in enumerate(keys)])
-    return (counted.select(F.explode(pairs).alias("p"))
-            .select("p.interval", "p.count"))
+        conds.append((key, cond))
+    return _conditional_counts(matches, conds, "interval")
 
 
 def stats_facet(matches: DataFrame, col: str) -> DataFrame:

@@ -320,11 +320,11 @@ class AxiomaticSimilarity:
         idf = ratio ** self.k if self.variant.endswith("EXP") else math.log(ratio)
         return (np.float32(boost), np.float64(idf))
 
-    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
-        boost, idf = weight
-        tff = np.asarray(tf, dtype=np.float64)
-        dl = np.asarray(doclen, dtype=np.float64)
-        av = float(avgdl)
+    def _components(self, tff, dl, av: float):
+        """The five per-variant functions (tf, ln, tfln, gamma) — the
+        ONE implementation both score() and explain_components() use, so
+        explain can never drift from scoring. Vectorized over numpy
+        arrays and exact for python floats alike."""
         fam = self.variant[:2]
         tfc = (1.0 + np.log(1.0 + np.log(tff + 1.0))) if fam in ("F1", "F3") \
             else 1.0
@@ -332,6 +332,13 @@ class AxiomaticSimilarity:
         tflnc = tff / (tff + self.s + self.s * dl / av) if fam == "F2" else 1.0
         gamma = ((dl - self.query_len) * self.s * self.query_len / av) \
             if fam == "F3" else 0.0
+        return tfc, lnc, tflnc, gamma
+
+    def score(self, tf, doclen, weight, avgdl) -> np.ndarray:
+        boost, idf = weight
+        tff = np.asarray(tf, dtype=np.float64)
+        dl = np.asarray(doclen, dtype=np.float64)
+        tfc, lnc, tflnc, gamma = self._components(tff, dl, float(avgdl))
         s = np.float64(boost) * (tfc * lnc * tflnc * idf - gamma)
         return np.maximum(0.0, s).astype(np.float32)
 
@@ -344,16 +351,11 @@ class AxiomaticSimilarity:
     def explain_components(self, tf: float, dl: float, weight, avgdl) -> list[dict]:
         """Sub-explanations mirroring Axiomatic.explain's five-function
         breakdown (search/similarities/Axiomatic.java:109-131 — tfExpl /
-        lnExpl / tflnExpl / idfExpl and the gamma term)."""
+        lnExpl / tflnExpl / idfExpl and the gamma term). Values come
+        from the same _components() score() uses."""
         _, idf = weight
-        av = float(avgdl)
-        fam = self.variant[:2]
-        tfc = (1.0 + math.log(1.0 + math.log(tf + 1.0))) \
-            if fam in ("F1", "F3") else 1.0
-        lnc = (av + self.s) / (av + dl * self.s) if fam == "F1" else 1.0
-        tflnc = tf / (tf + self.s + self.s * dl / av) if fam == "F2" else 1.0
-        gamma = ((dl - self.query_len) * self.s * self.query_len / av) \
-            if fam == "F3" else 0.0
+        tfc, lnc, tflnc, gamma = self._components(
+            np.float64(tf), np.float64(dl), float(avgdl))
         return [
             {"value": float(tfc), "description":
                 f"tf, {self.variant} term-frequency function"},

@@ -176,9 +176,17 @@ def test_explain_axiomatic_components(spark, corpus_pdf, tmp_path_factory):
                 if isinstance(c, dict):
                     yield from leaves(c)
 
-        leaf = s.explain("index", hits[0]["doc_id"])
+        # explain the top hit of a search for the SAME single term, so
+        # the explained doc is guaranteed to contain it
+        term_hits = s.search("index", k=1).collect()
+        assert term_hits, variant
+        leaf = s.explain("index", term_hits[0]["doc_id"])
         tl = [l for l in leaves(leaf) if l.get("match")]
         assert tl, variant
         descs = " ".join(str(dd["description"]) for dd in tl[0]["details"])
-        for comp in ("tf,", "ln,", "tfln,", "idf,", "gamma,"):
+        # the generic leaf always has a "tf, term frequency" detail —
+        # assert on the Axiomatic-specific wording so this test actually
+        # exercises explain_components
+        for comp in ("term-frequency function", "length-normalization",
+                     "mixed tf/length", "idf,", "gamma,"):
             assert comp in descs, (variant, descs)

@@ -43,8 +43,37 @@ def test_range_other_partition(spark):
     assert out["30.0"] == 2            # 35, 45
 
 
-def test_range_other_empty_between(spark):
+def test_range_other_emits_zero_count_buckets(spark):
+    """Solr returns the COMPLETE bucket list — empty gaps appear with
+    count 0 (RangeFacetRequest bucket enumeration)."""
     df = spark.createDataFrame([(1, 100.0)], "id long, v double")
     out = {r["label"]: r["count"]
            for r in range_facets_with_other(df, "v", 10.0, 50.0, 20.0).collect()}
-    assert out == {"after": 1, "between": 0}
+    assert out == {"10.0": 0, "30.0": 0, "after": 1, "before": 0,
+                   "between": 0}
+
+
+def test_range_other_hardend_false_extends_last_bucket(spark):
+    """Default hardend=false: (end-start) not divisible by gap extends
+    the last bucket to its full width, and `after` starts at the ACTUAL
+    end (RangeFacetProcessor default)."""
+    df = spark.createDataFrame(
+        [(1, 55.0), (2, 61.0)], "id long, v double")
+    out = {r["label"]: r["count"]
+           for r in range_facets_with_other(df, "v", 0.0, 50.0, 20.0).collect()}
+    # buckets 0,20,40 — the last covers [40,60): 55 lands IN it
+    assert out["40.0"] == 1 and out["after"] == 1  # 61 >= 60
+    assert out["between"] == 1
+    # hardend=true clips at end: 55 becomes 'after'
+    out_h = {r["label"]: r["count"]
+             for r in range_facets_with_other(df, "v", 0.0, 50.0, 20.0,
+                                              hardend=True).collect()}
+    assert out_h["40.0"] == 0 and out_h["after"] == 2
+
+
+def test_query_facets_empty_rejected(spark):
+    import pytest
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        query_facets(df, {})
