@@ -245,6 +245,65 @@ def tokenize_scalar(text: str | None, a: Analyzer) -> list[str]:
     return toks
 
 
+def analyze_stages(text: str | None, a: Analyzer) -> list[tuple[str, list[str]]]:
+    """Per-stage token traces — Solr's field-analysis debugging surface
+    (/analysis/field, solr/core/src/java/org/apache/solr/handler/
+    AnalysisRequestHandlerBase.java: the response carries one entry per
+    tokenizer/filter with the token stream AS OF that stage). Returns
+    [(stage_name, tokens), ...] in chain order; the LAST stage's tokens
+    are exactly `tokenize_one(text)` (asserted by the test suite, so the
+    trace can never drift from the real chain).
+
+    Stage granularity note: this chain case-folds the raw STRING before
+    pattern tokenization (output-identical to Lucene's tokenizer →
+    LowerCaseFilter for word-character patterns), so the case fold is
+    reported as part of the tokenizer stage rather than as a separate
+    filter entry."""
+    stages: list[tuple[str, list[str]]] = []
+    s = "" if text is None or (isinstance(text, float) and pd.isna(text)) else text
+    if a.word_delimiter:
+        toks = _wd_pairs(s.split(), a)[0]
+        stages.append(("whitespace_tokenizer+word_delimiter_graph", list(toks)))
+    elif a.custom_tokenizer:
+        toks = list(CUSTOM_TOKENIZERS[a.custom_tokenizer](pd.Series([s])).iloc[0])
+        stages.append((f"tokenizer:{a.custom_tokenizer}", list(toks)))
+    else:
+        if a.split_camel:
+            s = _CAMEL_1.sub(r"\1 \2", s)
+            s = _CAMEL_2.sub(r"\1 \2", s)
+        if a.lowercase:
+            s = s.lower()
+        toks = re.findall(a.token_pattern, s)
+        name = "pattern_tokenizer"
+        if a.split_camel:
+            name = "code_tokenizer(camel_split+" + name + ")"
+        if a.lowercase:
+            name += "+lowercase"
+        stages.append((name, list(toks)))
+    if a.normalizer:
+        from lucene_spark.analysis.stem import NORMALIZERS
+
+        fn = NORMALIZERS[a.normalizer]
+        toks = [fn(t) for t in toks]
+        stages.append((f"normalizer:{a.normalizer}", list(toks)))
+    if a.stopwords or a.max_token_length:
+        stop, maxlen = a.stopwords, a.max_token_length
+        toks = [t for t in toks if len(t) <= maxlen and t not in stop]
+        stages.append(("stop+length_filter", list(toks)))
+    if a.stemmer:
+        from lucene_spark.analysis.stem import STEMMERS
+
+        stem_fn = STEMMERS[a.stemmer]
+        toks = [stem_fn(t) for t in toks]
+        stages.append((f"stemmer:{a.stemmer}", list(toks)))
+    if a.shingle_size > 1:
+        n = a.shingle_size
+        toks = toks + [" ".join(toks[i:i + n])
+                       for i in range(len(toks) - n + 1)]
+        stages.append((f"shingle_filter(n={n})", list(toks)))
+    return stages
+
+
 def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
     toks = _raw_token_lists(content, a)
     if a.normalizer:
