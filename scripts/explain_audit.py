@@ -483,6 +483,23 @@ def main() -> None:
         ],
     ))
 
+    # CCNet curation: langid + LM scoring stay JVM-side; the tiny
+    # per-language tercile table is BROADCAST back (never a shuffle of
+    # the scored rows against an aggregate).
+    from lucene_spark.pipeline.ccnet import ccnet_curate
+
+    docs = gate._t(spark, sf_dir, "documents")
+    p = plan_of(ccnet_curate(docs, "text", "doc_id"))
+    sections.append((
+        "CCNet curation (JVM stages, broadcast terciles)", p,
+        [
+            ("no python UDF anywhere in the composition",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            ("tercile thresholds broadcast (BroadcastHashJoin present)",
+             "BroadcastHashJoin" in p),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",

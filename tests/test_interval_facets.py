@@ -55,6 +55,38 @@ def test_string_inverted_interval_rejected(spark):
         interval_facets(df, "v", ["[zebra,apple]"], numeric=False).collect()
 
 
+def test_parse_roundtrip_property():
+    """Hypothesis: any generated (bounds, brackets) combination parses
+    back to exactly its components — including escape-needing limit
+    strings."""
+    from hypothesis import given, settings, strategies as st
+
+    limit = st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        min_size=1, max_size=12).map(str.strip).filter(
+        lambda s: s and s != "*")
+
+    def esc(s):
+        out = []
+        for ch in s:
+            if ch in ",[]()\\":
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=limit, b=limit, so=st.booleans(), eo=st.booleans())
+    def check(a, b, so, eo):
+        spec = ("(" if so else "[") + esc(a) + "," + esc(b) + \
+               (")" if eo else "]")
+        key, start, end, s_open, e_open = _parse_interval(spec)
+        assert (start, end) == (a, b)
+        assert (s_open, e_open) == (so, eo)
+
+    check()
+
+
 def test_counts_match_range_queries(spark):
     rows = [(i, None if v is None else float(v))
             for i, v in enumerate([1, 2, 3, 5, 5, 8, 10, 12, None])]
