@@ -6068,6 +6068,49 @@ FROM joined j LEFT JOIN th USING (detected_lang)
 """
 
 
+_IDX_SORT_CACHE: dict[str, IndexReader] = {}
+
+
+def ft_sorted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time sort (index/IndexSorter.java / IndexWriterConfig.
+    setIndexSort; IndexConfig(sort_by=...)): a build sorted by n_chars
+    must yield EXACTLY the unsorted build's BM25 top-k — doc_id
+    assignment follows the sort inside each partition (docstats
+    row-group min/max become prunable = sorted-segment early
+    termination), but the searchable state is identical. The oracle is
+    the plain full-corpus BM25 twin — any sort-induced stats/scoring
+    drift fails the hash."""
+    import hashlib
+    import shutil
+
+    if sf_dir not in _IDX_SORT_CACHE:
+        tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        idx_dir = os.path.join(
+            "/tmp/lucene_spark_gate_sorted",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        cfg = IndexConfig(
+            key_cols=("ext_id",), content_col="text", analyzer="whitespace",
+            partitions=2, num_groups=1, num_buckets=4, termdict_partitions=1,
+            carry_cols=("n_chars",), sort_by=("n_chars",),
+        )
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("ext_id"), "text", "n_chars")
+        IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+        _IDX_SORT_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    r = _IDX_SORT_CACHE[sf_dir]
+    s = IndexSearcher(r)
+    m = _to_ext(s.matches("merge"), r).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select(
+        "doc_id", "score_r", "rank")
+
+
+FT_SORTED_BUILD_SQL = bm25_topk_oracle_sql(
+    "documents", "doc_id", "text", ["merge"], k=10, round_to=2
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6274,6 +6317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_facet_other": rel_range_facet_other,
         "rel_query_facet": rel_query_facet,
         "tx_ccnet": tx_ccnet,
+        "ft_sorted_build": ft_sorted_build,
     }
 
 
@@ -6465,4 +6509,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_facet_other": REL_RANGE_FACET_OTHER_SQL,
         "rel_query_facet": REL_QUERY_FACET_SQL,
         "tx_ccnet": TX_CCNET_SQL,
+        "ft_sorted_build": FT_SORTED_BUILD_SQL,
     }
