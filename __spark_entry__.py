@@ -6111,6 +6111,58 @@ FT_SORTED_BUILD_SQL = bm25_topk_oracle_sql(
 )
 
 
+_IDX_DELC_CACHE: dict[str, IndexReader] = {}
+
+
+def ft_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TieredMergePolicy compaction folding DELETES (index/compaction.py
+    — merge-applies-deletes semantics, FreqProxTermsWriter.java:51-79):
+    a 4-group build, every doc_id % 7 == 0 tombstoned, all groups
+    merged with the tombstones folded (the policy needs >2 groups over
+    budget before it merges). The post-compaction BM25 top-k
+    must hash-match the oracle computed over the LIVE SUBSET only —
+    proving the fold rewrote postings AND recomputed df/avgdl/docCount
+    (stats drift is exactly what this gate would catch)."""
+    import hashlib
+    import shutil
+
+    from lucene_spark.index.compaction import compact
+
+    if sf_dir not in _IDX_DELC_CACHE:
+        tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        idx_dir = os.path.join(
+            "/tmp/lucene_spark_gate_delc",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        cfg = IndexConfig(
+            key_cols=("ext_id",), content_col="text", analyzer="whitespace",
+            partitions=2, num_groups=4, num_buckets=4, termdict_partitions=1,
+        )
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("ext_id"), "text")
+        IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+        r0 = IndexReader(spark, idx_dir)
+        dead = [r["doc_id"] for r in r0.docstats()
+                .filter(F.col("ext_id") % 7 == 0)
+                .select("doc_id").collect()]
+        res = compact(spark, idx_dir, segs_per_tier=1,
+                      max_merge_at_once=10, deletes=dead)
+        assert res["merged"], "compaction must have folded the groups"
+        _IDX_DELC_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    r = _IDX_DELC_CACHE[sf_dir]
+    s = IndexSearcher(r)
+    m = _to_ext(s.matches("merge"), r).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select(
+        "doc_id", "score_r", "rank")
+
+
+FT_DELETE_COMPACT_SQL = bm25_topk_oracle_sql(
+    "(SELECT * FROM documents WHERE doc_id % 7 <> 0) live",
+    "doc_id", "text", ["merge"], k=10, round_to=2
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6318,6 +6370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_query_facet": rel_query_facet,
         "tx_ccnet": tx_ccnet,
         "ft_sorted_build": ft_sorted_build,
+        "ft_delete_compact": ft_delete_compact,
     }
 
 
@@ -6510,4 +6563,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_query_facet": REL_QUERY_FACET_SQL,
         "tx_ccnet": TX_CCNET_SQL,
         "ft_sorted_build": FT_SORTED_BUILD_SQL,
+        "ft_delete_compact": FT_DELETE_COMPACT_SQL,
     }
