@@ -6163,6 +6163,42 @@ FT_DELETE_COMPACT_SQL = bm25_topk_oracle_sql(
 )
 
 
+def rel_date_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range over a DATE field with a date-math gap + other=all
+    (relational/facets.py date_range_facets; RangeFacetRequest date
+    endpoints, solr/util/DateMathParser.java math): +5DAYS buckets over
+    events.ts, soft end (the last bucket keeps its full gap width, so
+    `after` starts at the ACTUAL end, 2024-01-28). The oracle derives
+    the calendar buckets independently via generate_series."""
+    from lucene_spark.relational.facets import date_range_facets
+
+    return date_range_facets(
+        _t(spark, sf_dir, "events"), "ts",
+        start="2024-01-03T00:00:00Z", end="2024-01-27T00:00:00Z",
+        gap="+5DAYS", other=True)
+
+
+REL_DATE_RANGE_FACET_SQL = """
+WITH edges AS (
+  SELECT generate_series AS lo FROM generate_series(
+    TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-23 00:00:00',
+    INTERVAL 5 DAY)
+),
+actual_end AS (SELECT max(lo) + INTERVAL 5 DAY AS e FROM edges)
+SELECT strftime(lo, '%Y-%m-%dT%H:%M:%SZ') AS label,
+       (SELECT count(*) FROM events e
+         WHERE e.ts >= lo AND e.ts < lo + INTERVAL 5 DAY)::BIGINT AS count
+FROM edges
+UNION ALL SELECT 'before', count(*)::BIGINT FROM events
+  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+UNION ALL SELECT 'after', count(*)::BIGINT FROM events
+  WHERE ts >= (SELECT e FROM actual_end)
+UNION ALL SELECT 'between', count(*)::BIGINT FROM events
+  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+    AND ts < (SELECT e FROM actual_end)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6371,6 +6407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_ccnet": tx_ccnet,
         "ft_sorted_build": ft_sorted_build,
         "ft_delete_compact": ft_delete_compact,
+        "rel_date_range_facet": rel_date_range_facet,
     }
 
 
@@ -6564,4 +6601,5 @@ def oracle_sql() -> dict[str, str]:
         "tx_ccnet": TX_CCNET_SQL,
         "ft_sorted_build": FT_SORTED_BUILD_SQL,
         "ft_delete_compact": FT_DELETE_COMPACT_SQL,
+        "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
     }

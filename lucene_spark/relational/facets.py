@@ -167,6 +167,63 @@ def range_facets_with_other(matches: DataFrame, col: str, start: float,
     return _conditional_counts(matches, conds, "label")
 
 
+def date_range_facets(matches: DataFrame, col: str, start: str, end: str,
+                      gap: str, now=None, tz=None, hardend: bool = False,
+                      other: bool = False,
+                      max_buckets: int = 10_000) -> DataFrame:
+    """facet.range over a date field with a date-math gap
+    (solr/handler/component/RangeFacetRequest.java DateRangeEndpoint
+    calculator + RangeFacetProcessor): start/end are Solr date strings
+    (`NOW/YEAR`, `2020-01-01T00:00:00Z`), gap is a date-math expression
+    (`+1MONTH`) applied SUCCESSIVELY — each bucket's upper bound is
+    parseMath(gap) with "now" = that bucket's lower bound, so
+    calendar-length months/years produce variable-width buckets exactly
+    as the reference does.
+
+    Same hardend / other semantics as range_facets_with_other: zero-count
+    buckets are emitted, hardend=False lets the last bucket extend to its
+    full gap width and `after` starts at that ACTUAL end.
+
+    Bucket labels are the ISO-8601 lower bounds (Solr's response shape).
+    Everything is ONE map-side-combinable aggregation pass; the bucket
+    boundary enumeration is driver-side date math over at most
+    `max_buckets` edges (a non-advancing gap or an absurd range raises
+    rather than looping)."""
+    from .datemath import iso_z, parse_math, parse_math_expr
+
+    lo_dt = parse_math(now, start, tz=tz)
+    end_dt = parse_math(now, end, tz=tz)
+    if end_dt <= lo_dt:
+        raise ValueError("need end > start")
+    c = F.col(col)
+    conds: list[tuple[str, Column]] = []
+    while lo_dt < end_dt:
+        hi_dt = parse_math_expr(lo_dt, gap.removeprefix("NOW"), tz=tz)
+        if hi_dt <= lo_dt:
+            raise ValueError(f"gap {gap!r} does not advance from {lo_dt}")
+        if len(conds) >= max_buckets:
+            raise ValueError(f"more than {max_buckets} date buckets")
+        hi_eff = min(hi_dt, end_dt) if hardend else hi_dt
+        conds.append((iso_z(lo_dt),
+                      (c >= F.lit(_naive(lo_dt))) & (c < F.lit(_naive(hi_eff)))))
+        lo_dt = hi_eff if hardend else hi_dt
+    if other:
+        start_dt = parse_math(now, start, tz=tz)
+        conds.append(("before", c < F.lit(_naive(start_dt))))
+        conds.append(("after", c >= F.lit(_naive(lo_dt))))
+        conds.append(("between",
+                      (c >= F.lit(_naive(start_dt))) & (c < F.lit(_naive(lo_dt)))))
+    return _conditional_counts(matches, conds, "label")
+
+
+def _naive(t):
+    """Timestamp literals for comparison against TimestampNTZ-ish parquet
+    columns: strip the tzinfo after normalizing to UTC (the corpus stores
+    wall-clock UTC instants)."""
+    from datetime import timezone as _tz
+    return t.astimezone(_tz.utc).replace(tzinfo=None)
+
+
 def query_facets(matches: DataFrame, facet_queries: dict[str, Column]) -> DataFrame:
     """facet.query (solr/handler/component/FacetComponent.java /
     SimpleFacets.getFacetQueryCount): the count of each arbitrary filter
