@@ -6199,6 +6199,55 @@ UNION ALL SELECT 'between', count(*)::BIGINT FROM events
 """
 
 
+def ft_termfreq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-stat function queries (queries/function/valuesource/
+    TermFreqValueSource.java zero-freq stub, TFValueSource sqrt,
+    NormValueSource exact lengthNorm, DocFreqValueSource +
+    ClassicSimilarity.idf, TotalTermFreqValueSource — Solr's
+    termfreq()/tf()/norm()/docfreq()/idf()/totaltermfreq() functions):
+    the per-document value columns for 'merge', top-10 by termfreq with
+    doc_id tie-break."""
+    from lucene_spark.search.functionvalues import term_function_values
+
+    r = _reader(spark, sf_dir)
+    fv = term_function_values(r, "merge").select(
+        "doc_id", "termfreq",
+        F.round("tf", 4).alias("tf_r"),
+        F.round("norm", 4).alias("norm_r"),
+        "docfreq", F.round("idf", 4).alias("idf_r"), "totaltermfreq")
+    return _ranked(_to_ext(fv, r), "termfreq", "doc_id", 10).select(
+        "doc_id", "termfreq", "tf_r", "norm_r", "docfreq", "idf_r",
+        "totaltermfreq", "rank")
+
+
+FT_TERMFREQ_FN_SQL = f"""
+WITH tok AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+tfp AS (SELECT doc_id, count(*) AS termfreq FROM tok
+        WHERE term = 'merge' GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+st AS (SELECT count(*)::BIGINT AS df,
+              coalesce(sum(termfreq), 0)::BIGINT AS cf FROM tfp),
+base AS (
+  SELECT d.doc_id,
+         coalesce(t.termfreq, 0)::BIGINT AS termfreq,
+         round(sqrt(coalesce(t.termfreq, 0)), 4) AS tf_r,
+         round(1.0 / sqrt(dl.doclen), 4) AS norm_r,
+         st.df AS docfreq,
+         round(ln((n.n + 1) / (st.df + 1)) + 1.0, 4) AS idf_r,
+         st.cf AS totaltermfreq
+  FROM documents d
+  JOIN dl ON d.doc_id = dl.doc_id
+  LEFT JOIN tfp t ON d.doc_id = t.doc_id, n, st
+)
+SELECT doc_id, termfreq, tf_r, norm_r, docfreq, idf_r, totaltermfreq,
+       rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY termfreq DESC, doc_id ASC)
+        AS rank FROM base)
+WHERE rank <= 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6408,6 +6457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sorted_build": ft_sorted_build,
         "ft_delete_compact": ft_delete_compact,
         "rel_date_range_facet": rel_date_range_facet,
+        "ft_termfreq_fn": ft_termfreq_fn,
     }
 
 
@@ -6602,4 +6652,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_sorted_build": FT_SORTED_BUILD_SQL,
         "ft_delete_compact": FT_DELETE_COMPACT_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
+        "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
     }
