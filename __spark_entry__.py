@@ -6248,6 +6248,30 @@ WHERE rank <= 10
 """
 
 
+def rel_ord_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ord()/rord() function queries (solr/search/function/
+    OrdFieldSource.java, ReverseOrdFieldSource.java): 0-based ordinal of
+    each document's `source` value in the binary-collated distinct-value
+    list; rord = valueCount - ord - 1."""
+    from lucene_spark.relational.functions import with_ord
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = with_ord(d, "source")
+    return with_ord(a, "source", out="rord", reverse=True).select(
+        "doc_id", "ord", "rord")
+
+
+REL_ORD_FN_SQL = """
+WITH vals AS (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL),
+o AS (SELECT source, (row_number() OVER (ORDER BY source) - 1)::INT AS ord
+      FROM vals),
+n AS (SELECT count(*)::INT AS n FROM vals)
+SELECT d.doc_id, coalesce(o.ord, -1)::INT AS ord,
+       (CASE WHEN o.ord IS NULL THEN n.n ELSE n.n - o.ord - 1 END)::INT AS rord
+FROM documents d LEFT JOIN o USING(source), n
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6458,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_delete_compact": ft_delete_compact,
         "rel_date_range_facet": rel_date_range_facet,
         "ft_termfreq_fn": ft_termfreq_fn,
+        "rel_ord_fn": rel_ord_fn,
     }
 
 
@@ -6653,4 +6678,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_delete_compact": FT_DELETE_COMPACT_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
+        "rel_ord_fn": REL_ORD_FN_SQL,
     }

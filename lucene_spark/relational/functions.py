@@ -87,6 +87,35 @@ FUNCTIONS: dict[str, object] = {
 }
 
 
+def with_ord(df, col: str, out: str = "ord", reverse: bool = False):
+    """ord()/rord() function queries (solr/search/function/
+    OrdFieldSource.java:64-120, ReverseOrdFieldSource.java:95-120):
+    the document's value's ordinal in the lexicographic (binary-collated,
+    BytesRef-order) list of the field's DISTINCT values.
+
+    Matches the code, not the stale javadoc: ord is the raw
+    SortedDocValues ordinal (0-based), a missing value is -1;
+    rord = valueCount - ord - 1, missing = valueCount.
+
+    Scale shape: the window runs over the DISTINCT value list only
+    (cardinality-bounded — the same top-level ordinal map the reference
+    builds), then joins back; AQE picks broadcast for small dictionaries.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(col).filter(F.col(col).isNotNull()).distinct()
+    ords = vals.withColumn(
+        "__ord", F.row_number().over(Window.orderBy(F.col(col))) - 1)
+    n = ords.count()  # valueCount — one scalar, the ordinal map's size
+    joined = df.join(ords, col, "left")
+    if reverse:
+        expr = F.when(F.col("__ord").isNotNull(),
+                      F.lit(n) - F.col("__ord") - 1).otherwise(F.lit(n))
+    else:
+        expr = F.coalesce(F.col("__ord"), F.lit(-1))
+    return joined.withColumn(out, expr.cast("int")).drop("__ord")
+
+
 def index_stat_columns(reader):
     """Index-stat ValueSources (TFValueSource/IDFValueSource/
     DocFreqValueSource/NumDocsValueSource...): returned as joinable
