@@ -6272,6 +6272,62 @@ FROM documents d LEFT JOIN o USING(source), n
 """
 
 
+_IDX_SPLIT_CACHE: dict[str, "IndexReader"] = {}
+
+
+def ft_index_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PKIndexSplitter (lucene/misc/index/PKIndexSplitter.java — matching
+    docs to dir1, the rest to dir2; index/split.py restates each side as
+    a delete-fold rewrite): the gate index is split on lang == 'en' and
+    BOTH sides are queried — side1's BM25 top-5 for 'merge' must equal
+    the live-subset oracle over lang='en' documents, side2's over the
+    rest, proving the split rewrote postings AND recomputed collection
+    stats per side. Returned as (side, doc_id, score_r, rank)."""
+    import hashlib
+    import shutil
+
+    from lucene_spark.index.split import split_index
+
+    key = sf_dir
+    if key not in _IDX_SPLIT_CACHE:
+        src = _reader(spark, sf_dir)
+        tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        base = os.path.join(
+            "/tmp/lucene_spark_gate_split",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        d1, d2 = os.path.join(base, "en"), os.path.join(base, "rest")
+        m = src.docstats().filter(F.col("lang") == "en").select("doc_id")
+        split_index(spark, src.index_dir, d1, d2, m)
+        _IDX_SPLIT_CACHE[key] = (IndexReader(spark, d1), IndexReader(spark, d2))
+    r1, r2 = _IDX_SPLIT_CACHE[key]
+    outs = []
+    for side, r in (("en", r1), ("rest", r2)):
+        s = IndexSearcher(r)
+        m = _to_ext(s.matches("merge"), r).select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 2).alias("score_r"))
+        outs.append(_ranked(m, "score_r", "doc_id", 5)
+                    .select(F.lit(side).alias("side"), "doc_id",
+                            "score_r", "rank"))
+    return outs[0].unionByName(outs[1])
+
+
+_SPLIT_SIDE_SQLS = [
+    bm25_topk_oracle_sql(
+        "(SELECT * FROM documents WHERE lang = 'en') s1",
+        "doc_id", "text", ["merge"], k=5, round_to=2),
+    bm25_topk_oracle_sql(
+        "(SELECT * FROM documents WHERE lang <> 'en') s2",
+        "doc_id", "text", ["merge"], k=5, round_to=2),
+]
+FT_INDEX_SPLIT_SQL = f"""
+SELECT 'en' AS side, * FROM ({_SPLIT_SIDE_SQLS[0]})
+UNION ALL
+SELECT 'rest' AS side, * FROM ({_SPLIT_SIDE_SQLS[1]})
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6483,6 +6539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_date_range_facet": rel_date_range_facet,
         "ft_termfreq_fn": ft_termfreq_fn,
         "rel_ord_fn": rel_ord_fn,
+        "ft_index_split": ft_index_split,
     }
 
 
@@ -6679,4 +6736,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,
+        "ft_index_split": FT_INDEX_SPLIT_SQL,
     }

@@ -165,6 +165,22 @@ def plan_compaction(
     return smallest[:max_merge_at_once]
 
 
+def config_from_manifest(mcfg: dict) -> IndexConfig:
+    """Reconstruct the build-time IndexConfig from a manifest's `config`
+    block — used by every index-rewriting job (compaction, splitting)."""
+    return IndexConfig(
+        key_cols=tuple(mcfg["key_cols"]), content_col=mcfg["content_col"],
+        analyzer=mcfg["analyzer"], num_buckets=mcfg["num_buckets"],
+        block_size=mcfg["block_size"], partitions=mcfg["partitions"],
+        carry_cols=tuple(mcfg.get("carry_cols", ())),
+        index_positions=mcfg.get("index_positions", False),
+        termdict_partitions=mcfg.get("termdict_partitions", 4)
+        if isinstance(mcfg.get("termdict_partitions", 4), int) else 4,
+        fields=tuple(FieldSpec(**f) for f in mcfg.get("fields", [])),
+        sort_by=tuple(mcfg.get("sort_by", ())),
+    )
+
+
 def _rewrite_with_deletes(src: DataFrame, deletes_df: DataFrame, block_size: int):
     """Rewrite victim-group raw rows dropping tombstoned docs — the
     merge-applies-deletes semantic (index/FreqProxTermsWriter.java:51-79):
@@ -308,17 +324,7 @@ def compact(
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     mcfg = manifest["config"]
-    cfg = cfg or IndexConfig(
-        key_cols=tuple(mcfg["key_cols"]), content_col=mcfg["content_col"],
-        analyzer=mcfg["analyzer"], num_buckets=mcfg["num_buckets"],
-        block_size=mcfg["block_size"], partitions=mcfg["partitions"],
-        carry_cols=tuple(mcfg.get("carry_cols", ())),
-        index_positions=mcfg.get("index_positions", False),
-        termdict_partitions=mcfg.get("termdict_partitions", 4)
-        if isinstance(mcfg.get("termdict_partitions", 4), int) else 4,
-        fields=tuple(FieldSpec(**f) for f in mcfg.get("fields", [])),
-        sort_by=tuple(mcfg.get("sort_by", ())),
-    )
+    cfg = cfg or config_from_manifest(mcfg)
     recovered = _recover_incomplete_merges(index_dir)
     raw_dir = os.path.join(index_dir, "raw")
     groups = {

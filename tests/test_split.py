@@ -1,91 +1,93 @@
-"""Deterministic holdout split (pipeline/split.py)."""
+"""Index splitting (PKIndexSplitter role): each side must behave exactly
+like a fresh index built from only its documents — BM25 scores included
+(df/cf/doc_count/sum_doclen all recomputed for the half)."""
 
 from __future__ import annotations
 
-import hashlib
+import os
 
 import pytest
-
 from pyspark.sql import functions as F
 
-from lucene_spark.pipeline.split import holdout_flag, train_holdout_split
+from lucene_spark.index import (IndexBuilder, IndexConfig, IndexReader,
+                                check_index, split_index)
+from lucene_spark.search import IndexSearcher
 
 
-def test_matches_reference_sha_and_partitioning_invariant(spark):
-    df = spark.range(0, 2000).withColumnRenamed("id", "k")
-    train, hold = train_holdout_split(df, "k", 0.25, salt="s1")
-    got = {r["k"] for r in hold.collect()}
-    exp = {i for i in range(2000)
-           if hashlib.sha256(f"{i}s1".encode()).hexdigest()[:8]
-           < format(int(0.25 * (1 << 32)), "08x")}
-    assert got == exp
-    # fraction lands near 0.25 on 2000 uniform keys
-    assert 0.20 < len(got) / 2000 < 0.30
-    # partitioning does not change the assignment
-    got2 = {r["k"] for r in
-            train_holdout_split(df.repartition(13), "k", 0.25, "s1")[1]
-            .collect()}
-    assert got2 == got
-    # the two sides are a disjoint cover
-    assert {r["k"] for r in train.collect()} | got == set(range(2000))
-    assert {r["k"] for r in train.collect()} & got == set()
+@pytest.fixture(scope="module")
+def split_setup(spark, tmp_path_factory):
+    from lucene_spark.corpus import make_corpus
+
+    base = tmp_path_factory.mktemp("split")
+    src_dir = str(base / "src")
+    pdf = make_corpus(200, seed=11)
+    cfg = IndexConfig(partitions=2, num_groups=2, num_buckets=4,
+                      index_positions=True)
+    src = spark.createDataFrame(pdf)
+    IndexBuilder(spark, cfg).build(src, src_dir, overwrite=True)
+    r = IndexReader(spark, src_dir)
+
+    # "query": every doc whose path hash is even (a PK-style predicate)
+    matches = (r.docstats()
+               .filter(F.abs(F.xxhash64("path")) % 2 == 0)
+               .select("doc_id"))
+    d1, d2 = str(base / "even"), str(base / "odd")
+    res = split_index(spark, src_dir, d1, d2, matches)
+    return spark, pdf, cfg, r, matches, d1, d2, res
 
 
-def test_salt_rotates_the_split(spark):
-    df = spark.range(0, 500).withColumnRenamed("id", "k")
-    a = {r["k"] for r in train_holdout_split(df, "k", 0.5, "a")[1].collect()}
-    b = {r["k"] for r in train_holdout_split(df, "k", 0.5, "b")[1].collect()}
-    assert a != b
+def test_doc_counts_partition(split_setup):
+    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
+    assert res["docs1"] + res["docs2"] == r.doc_count == 200
+    assert res["docs1"] == matches.count()
+    assert IndexReader(spark, d1).doc_count == res["docs1"]
+    assert IndexReader(spark, d2).doc_count == res["docs2"]
 
 
-def test_edge_fractions_and_validation(spark):
-    df = spark.range(0, 100).withColumnRenamed("id", "k")
-    assert train_holdout_split(df, "k", 0.0)[1].count() == 0
-    assert train_holdout_split(df, "k", 1.0)[0].count() == 0
+def test_sides_pass_checkindex_against_their_subsets(split_setup):
+    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
+    keys = {(row["repo"], row["path"], row["commit"])
+            for row in r.docstats().join(matches, "doc_id")
+            .select("repo", "path", "commit").collect()}
+    sdf = spark.createDataFrame(pdf)
+    side1_src = sdf.join(
+        spark.createDataFrame(sorted(keys), "repo string, path string, commit string"),
+        ["repo", "path", "commit"], "left_semi")
+    side2_src = sdf.join(
+        spark.createDataFrame(sorted(keys), "repo string, path string, commit string"),
+        ["repo", "path", "commit"], "left_anti")
+    c1 = check_index(IndexReader(spark, d1), source=side1_src)
+    c2 = check_index(IndexReader(spark, d2), source=side2_src)
+    assert c1["sha256_ok"] and c2["sha256_ok"]
+    assert c1["docs"] + c2["docs"] == 200
+
+
+def test_bm25_matches_fresh_filtered_build(split_setup, tmp_path_factory):
+    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
+    s1 = IndexSearcher(IndexReader(spark, d1))
+    # fresh build over EXACTLY side1's documents
+    keys = spark.createDataFrame(
+        sorted({(row["repo"], row["path"], row["commit"]) for row in
+                r.docstats().join(matches, "doc_id")
+                .select("repo", "path", "commit").collect()}),
+        "repo string, path string, commit string")
+    twin_dir = str(tmp_path_factory.mktemp("split_twin") / "idx")
+    twin_src = spark.createDataFrame(pdf).join(
+        keys, ["repo", "path", "commit"], "left_semi")
+    IndexBuilder(spark, cfg).build(twin_src, twin_dir, overwrite=True)
+    s2 = IndexSearcher(IndexReader(spark, twin_dir))
+
+    for q in ["merge", "index AND writer", "merge OR scan"]:
+        a = {(row["repo"], row["path"]): round(row["score"], 5)
+             for row in s1.hydrate(s1.matches(q)).collect()}
+        b = {(row["repo"], row["path"]): round(row["score"], 5)
+             for row in s2.hydrate(s2.matches(q)).collect()}
+        assert a == b, q
+
+
+def test_refuses_overwrite_and_self(split_setup):
+    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
+    with pytest.raises(FileExistsError):
+        split_index(spark, os.path.dirname(d1) + "/src", d1, d2, matches)
     with pytest.raises(ValueError):
-        holdout_flag(F.col("k"), 1.5)
-
-
-def test_stratified_sample_exact_n_and_stable(spark):
-    import hashlib
-
-    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
-    rows += [(1000, "rare")]  # stratum smaller than n
-    df = spark.createDataFrame(rows, "doc_id long, lang string")
-    from lucene_spark.pipeline.split import stratified_sample
-
-    out = stratified_sample(df, "lang", "doc_id", 5, salt="s1")
-    got = {}
-    for r in out.collect():
-        got.setdefault(r["lang"], set()).add(r["doc_id"])
-    assert {k: len(v) for k, v in got.items()} == {
-        "en": 5, "de": 5, "fr": 5, "rare": 1}
-
-    # pure function of (stratum members, keys): matches hashlib replay
-    for lang, members in [("en", range(0, 90, 3)), ("de", range(1, 90, 3)),
-                          ("fr", range(2, 90, 3))]:
-        ranked = sorted(
-            members,
-            key=lambda i: (hashlib.sha256(f"{i}s1".encode()).hexdigest(), i))
-        assert got[lang] == set(ranked[:5])
-
-    # stable under repartitioning
-    out2 = stratified_sample(df.repartition(17), "lang", "doc_id", 5,
-                             salt="s1")
-    assert sorted((r["doc_id"], r["lang"]) for r in out2.collect()) == \
-        sorted((d, l) for l, v in got.items() for d in v)
-
-
-def test_null_keys_land_in_train_not_dropped(spark):
-    from lucene_spark.pipeline.split import train_holdout_split
-
-    df = spark.createDataFrame(
-        [(i, f"k{i}") for i in range(20)] + [(98, None), (99, None)],
-        "doc_id long, key string")
-    train, hold = train_holdout_split(df, "key", fraction=0.5, salt="z")
-    train_ids = {r["doc_id"] for r in train.collect()}
-    hold_ids = {r["doc_id"] for r in hold.collect()}
-    # every row on exactly one side; NULL keys never held out
-    assert train_ids | hold_ids == set(range(20)) | {98, 99}
-    assert not train_ids & hold_ids
-    assert {98, 99} <= train_ids
+        split_index(spark, d1, d1, d2 + "_x", matches, overwrite=True)
