@@ -91,3 +91,55 @@ def test_refuses_overwrite_and_self(split_setup):
         split_index(spark, os.path.dirname(d1) + "/src", d1, d2, matches)
     with pytest.raises(ValueError):
         split_index(spark, d1, d1, d2 + "_x", matches, overwrite=True)
+
+
+def test_multipass_round_robin(split_setup, tmp_path_factory):
+    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
+    from lucene_spark.index.split import _doc_ordinals, split_index_multi
+
+    base = tmp_path_factory.mktemp("multi")
+    outs = [str(base / f"p{i}") for i in range(3)]
+    src_dir = r.index_dir
+    mres = split_index_multi(spark, src_dir, outs)
+    # 200 docs / 3 parts round-robin: ordinals 0,3,.. / 1,4,.. / 2,5,..
+    assert mres["docs"] == [67, 67, 66]
+    # parts are disjoint and cover everything
+    all_ids = set()
+    for o in outs:
+        ids = {row["doc_id"] for row in
+               IndexReader(spark, o).docstats().select("doc_id").collect()}
+        assert not (all_ids & ids)
+        all_ids |= ids
+    assert len(all_ids) == 200
+    # round-robin follows doc_id order exactly
+    ords = {row["doc_id"]: row["ord"] for row in
+            _doc_ordinals(r.docstats().select("doc_id")).collect()}
+    p0 = {row["doc_id"] for row in
+          IndexReader(spark, outs[0]).docstats().select("doc_id").collect()}
+    assert p0 == {d for d, o in ords.items() if o % 3 == 0}
+
+
+def test_multipass_seq(split_setup, tmp_path_factory):
+    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
+    from lucene_spark.index.split import _doc_ordinals, split_index_multi
+
+    base = tmp_path_factory.mktemp("multiseq")
+    outs = [str(base / f"p{i}") for i in range(3)]
+    mres = split_index_multi(spark, r.index_dir, outs, seq=True)
+    # partLen = 200//3 = 66; last part collects the remainder
+    assert mres["docs"] == [66, 66, 68]
+    ords = {row["doc_id"]: row["ord"] for row in
+            _doc_ordinals(r.docstats().select("doc_id")).collect()}
+    p0 = {row["doc_id"] for row in
+          IndexReader(spark, outs[0]).docstats().select("doc_id").collect()}
+    assert p0 == {d for d, o in ords.items() if o < 66}
+
+
+def test_ordinals_are_dense_and_ordered(split_setup):
+    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
+    from lucene_spark.index.split import _doc_ordinals
+
+    rows = _doc_ordinals(r.docstats().select("doc_id")).collect()
+    by_ord = sorted(rows, key=lambda x: x["ord"])
+    assert [x["ord"] for x in by_ord] == list(range(200))
+    assert [x["doc_id"] for x in by_ord] == sorted(x["doc_id"] for x in rows)
