@@ -6328,6 +6328,54 @@ SELECT 'rest' AS side, * FROM ({_SPLIT_SIDE_SQLS[1]})
 """
 
 
+_IDX_ADD_CACHE: dict[str, "IndexReader"] = {}
+
+
+def ft_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexWriter.addIndexes(Directory...) (index/addindexes.py — docID
+    remap via part-id offset, one-integer-per-row posting shift, derived
+    rebuild over the union): documents is built as TWO independent
+    indexes (lang='en' and the rest) that are then merged; BM25 top-10
+    for 'merge' on the merged index must hash-match the whole-corpus
+    oracle, proving the remap kept postings intact and the union's
+    df/avgdl/docCount were recomputed."""
+    import hashlib
+    import shutil
+
+    from lucene_spark.index.addindexes import add_indexes
+
+    if sf_dir not in _IDX_ADD_CACHE:
+        tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        base = os.path.join(
+            "/tmp/lucene_spark_gate_add",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        cfg = IndexConfig(
+            key_cols=("ext_id",), content_col="text", analyzer="whitespace",
+            partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1,
+        )
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("ext_id"), "text", "lang")
+        d1, d2 = os.path.join(base, "en"), os.path.join(base, "rest")
+        IndexBuilder(spark, cfg).build(
+            docs.filter(F.col("lang") == "en"), d1, overwrite=True)
+        IndexBuilder(spark, cfg).build(
+            docs.filter(F.col("lang") != "en"), d2, overwrite=True)
+        add_indexes(spark, d1, [d2])
+        _IDX_ADD_CACHE[sf_dir] = IndexReader(spark, d1)
+    r = _IDX_ADD_CACHE[sf_dir]
+    s = IndexSearcher(r)
+    m = _to_ext(s.matches("merge"), r).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select(
+        "doc_id", "score_r", "rank")
+
+
+FT_ADD_INDEXES_SQL = bm25_topk_oracle_sql(
+    "documents", "doc_id", "text", ["merge"], k=10, round_to=2
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6540,6 +6588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_termfreq_fn": ft_termfreq_fn,
         "rel_ord_fn": rel_ord_fn,
         "ft_index_split": ft_index_split,
+        "ft_add_indexes": ft_add_indexes,
     }
 
 
@@ -6737,4 +6786,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,
         "ft_index_split": FT_INDEX_SPLIT_SQL,
+        "ft_add_indexes": FT_ADD_INDEXES_SQL,
     }
