@@ -6256,8 +6256,7 @@ def rel_ord_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.relational.functions import with_ord
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    a = with_ord(d, "source")
-    return with_ord(a, "source", out="rord", reverse=True).select(
+    return with_ord(d, "source", rord_out="rord").select(
         "doc_id", "ord", "rord")
 
 
@@ -6272,7 +6271,7 @@ FROM documents d LEFT JOIN o USING(source), n
 """
 
 
-_IDX_SPLIT_CACHE: dict[str, "IndexReader"] = {}
+_IDX_SPLIT_CACHE: dict[str, tuple["IndexReader", "IndexReader"]] = {}
 
 
 def ft_index_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,7 +36,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from lucene_spark.codec.vbyte import vbyte_decode, vbyte_encode
 from lucene_spark.index.builder import PART_ID_SHIFT
 from lucene_spark.index.compaction import (COMPACT_BASE, _rebuild_derived,
                                            config_from_manifest)
@@ -68,6 +67,33 @@ def _check_compatible(dst: dict, src: dict, src_dir: str) -> None:
                 f"incompatible")
 
 
+def _shift_first_vbyte(blob: bytes, k: int) -> bytes:
+    """Add `k` to the FIRST value of a VByte blob without touching the
+    rest: VByte is self-delimiting (high bit = continuation), so the
+    first value ends at the first byte with the high bit clear; the tail
+    bytes (all the deltas) concatenate back verbatim.  Plain-int ops —
+    no numpy fixed cost per tiny blob."""
+    v, shift, i = 0, 0, 0
+    while True:
+        b = blob[i]
+        v |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            break
+        shift += 7
+    v += k
+    out = bytearray()
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b7 | 0x80)
+        else:
+            out.append(b7)
+            break
+    return bytes(out) + blob[i:]
+
+
 def _shift_rows(shift_parts: int):
     """mapInPandas rewriter: bump part ids (and therefore doc_ids) by
     `shift_parts` across posting, docstat and fieldstat rows."""
@@ -86,11 +112,9 @@ def _shift_rows(shift_parts: int):
                 pdf["doc_id"] = pdf["doc_id"].astype("Int64") + int(k)
             post = pdf["kind"] == "posting"
             if post.any():
-                new_blobs = []
-                for blob in pdf.loc[post, "doc_blob"]:
-                    d = vbyte_decode(bytes(blob))
-                    d[0] += k          # first value is absolute
-                    new_blobs.append(vbyte_encode(d))
+                ki = int(k)
+                new_blobs = [_shift_first_vbyte(bytes(blob), ki)
+                             for blob in pdf.loc[post, "doc_blob"]]
                 pdf.loc[post, "doc_blob"] = pd.Series(
                     new_blobs, index=pdf.index[post], dtype=object)
                 pdf.loc[post, "block_last"] = pdf.loc[post, "block_last"].map(
@@ -119,7 +143,9 @@ def add_indexes(spark: SparkSession, dst_dir: str,
             raise ValueError("cannot add an index to itself")
         _check_compatible(manifest, _load_manifest(s), s)
 
-    dst_raw = spark.read.parquet(raw_dir)
+    # `group` is partition-discovery metadata, never a data column in
+    # the appended files (the directory name carries the new group id)
+    dst_raw = spark.read.parquet(raw_dir).drop("group")
     next_part = int(
         dst_raw.filter(F.col("kind") == "docstat")
         .agg(F.max(F.shiftright("doc_id", PART_ID_SHIFT))).collect()[0][0]
@@ -131,7 +157,7 @@ def add_indexes(spark: SparkSession, dst_dir: str,
 
     added = []
     for s in src_dirs:
-        src_raw = spark.read.parquet(os.path.join(s, "raw"))
+        src_raw = spark.read.parquet(os.path.join(s, "raw")).drop("group")
         parts = src_raw.filter(F.col("kind") == "docstat").agg(
             F.min(F.shiftright("doc_id", PART_ID_SHIFT)),
             F.max(F.shiftright("doc_id", PART_ID_SHIFT))).collect()[0]

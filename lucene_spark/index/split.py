@@ -41,6 +41,10 @@ def _write_side(spark: SparkSession, manifest: dict, cfg, raw: DataFrame,
                 index_dir: str) -> int:
     """Rewrite `raw` minus `dels` into a fresh one-group index at
     `out_dir`; returns the side's live doc count."""
+    # `group` is the source's partition-discovery column — never a data
+    # column in the output (the new group id comes from the directory)
+    if "group" in raw.columns:
+        raw = raw.drop("group")
     side = _rewrite_with_deletes(raw, dels, cfg.block_size)
     raw_out = os.path.join(out_dir, "raw", "group=0")
     (side.coalesce(max(1, cfg.partitions // 4))
@@ -65,11 +69,24 @@ def _write_side(spark: SparkSession, manifest: dict, cfg, raw: DataFrame,
 
 
 def _check_targets(index_dir: str, out_dirs, overwrite: bool) -> None:
+    """Validate and (under overwrite=True) CLEAR the target dirs: a
+    leftover index in the target would otherwise contribute stale raw
+    groups to the derived rebuild, silently polluting the split."""
+    import shutil
+
+    seen = set()
     for d in out_dirs:
-        if os.path.exists(os.path.join(d, "manifest.json")) and not overwrite:
-            raise FileExistsError(f"{d} already holds an index")
-        if os.path.abspath(d) == os.path.abspath(index_dir):
+        ad = os.path.abspath(d)
+        if ad == os.path.abspath(index_dir):
             raise ValueError("cannot split an index onto itself")
+        if ad in seen:
+            raise ValueError(f"duplicate output dir {d}")
+        seen.add(ad)
+    for d in out_dirs:
+        if os.path.exists(d):
+            if not overwrite:
+                raise FileExistsError(f"{d} already exists")
+            shutil.rmtree(d)
 
 
 def _doc_ordinals(ids: DataFrame, buckets: int = 32) -> DataFrame:

@@ -58,7 +58,9 @@ def parse_iso_instant(s: str) -> datetime:
     if m is None:
         raise ValueError(f"Invalid Date String:'{s}'")
     frac = m.group(7)
-    micros = int(float(frac) * 1_000_000) if frac else 0
+    # digit parsing, not float math: float('.250206')*1e6 = 250205.999…
+    # would floor a microsecond away for ~0.2% of 6-digit fractions
+    micros = int(frac[1:7].ljust(6, "0")) if frac else 0
     return datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)),
                     int(m.group(4)), int(m.group(5)), int(m.group(6)),
                     micros, tzinfo=timezone.utc)
@@ -176,7 +178,12 @@ def parse_math_expr(now: datetime, math: str, tz=None) -> datetime:
 
 def parse_math(now: datetime | None, val: str, tz=None) -> datetime:
     """DateMathParser.parseMath(Date,String) (:238-269): `val` is either
-    `NOW<math>` or `<ISO-8601-instant>Z<math>`."""
+    `NOW<math>` or `<ISO-8601-instant>Z<math>`.
+
+    Reference parity note: the instant/math split is `val.indexOf('Z')`
+    — UPPERCASE only, exactly like the reference (:245) — so a
+    lowercase-z instant is rejected HERE even though parse_iso_instant
+    (the parseNoMath twin) accepts it when called directly."""
     if val.startswith("NOW"):
         if now is None:
             raise ValueError("NOW-relative date math needs an explicit now")

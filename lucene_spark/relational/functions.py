@@ -87,7 +87,8 @@ FUNCTIONS: dict[str, object] = {
 }
 
 
-def with_ord(df, col: str, out: str = "ord", reverse: bool = False):
+def with_ord(df, col: str, out: str = "ord", reverse: bool = False,
+             rord_out: str | None = None):
     """ord()/rord() function queries (solr/search/function/
     OrdFieldSource.java:64-120, ReverseOrdFieldSource.java:95-120):
     the document's value's ordinal in the lexicographic (binary-collated,
@@ -96,6 +97,10 @@ def with_ord(df, col: str, out: str = "ord", reverse: bool = False):
     Matches the code, not the stale javadoc: ord is the raw
     SortedDocValues ordinal (0-based), a missing value is -1;
     rord = valueCount - ord - 1, missing = valueCount.
+
+    `rord_out` additionally emits the reverse ordinal from the SAME
+    dictionary pass (asking for both otherwise costs two distinct scans
+    and two counts).
 
     Scale shape: the window runs over the DISTINCT value list only
     (cardinality-bounded — the same top-level ordinal map the reference
@@ -108,12 +113,13 @@ def with_ord(df, col: str, out: str = "ord", reverse: bool = False):
         "__ord", F.row_number().over(Window.orderBy(F.col(col))) - 1)
     n = ords.count()  # valueCount — one scalar, the ordinal map's size
     joined = df.join(ords, col, "left")
-    if reverse:
-        expr = F.when(F.col("__ord").isNotNull(),
-                      F.lit(n) - F.col("__ord") - 1).otherwise(F.lit(n))
-    else:
-        expr = F.coalesce(F.col("__ord"), F.lit(-1))
-    return joined.withColumn(out, expr.cast("int")).drop("__ord")
+    fwd = F.coalesce(F.col("__ord"), F.lit(-1))
+    rev = F.when(F.col("__ord").isNotNull(),
+                 F.lit(n) - F.col("__ord") - 1).otherwise(F.lit(n))
+    joined = joined.withColumn(out, (rev if reverse else fwd).cast("int"))
+    if rord_out is not None:
+        joined = joined.withColumn(rord_out, rev.cast("int"))
+    return joined.drop("__ord")
 
 
 def index_stat_columns(reader):

@@ -150,3 +150,19 @@ def test_iso_parse_and_render_roundtrip():
         "2020-01-02T03:04:05.250")
     assert iso_z(dt("2020-01-02T03:04:05")) == "2020-01-02T03:04:05Z"
     assert iso_z(dt("2020-01-02T03:04:05.250")) == "2020-01-02T03:04:05.250Z"
+
+
+def test_fraction_digit_exactness():
+    # float('.250206')*1e6 floors to 250205 — digit parsing must not
+    assert parse_iso_instant("2020-01-02T03:04:05.250206Z").microsecond == 250206
+    assert parse_iso_instant("2020-01-02T03:04:05.1Z").microsecond == 100000
+    # >6 digits: floored to micros (Java keeps nanos; we keep micros)
+    assert parse_iso_instant("2020-01-02T03:04:05.123456789Z").microsecond == 123456
+
+
+def test_lowercase_z_split_parity():
+    # reference parity: parseMath splits on UPPERCASE 'Z' only (:245),
+    # while the parseNoMath twin is case-insensitive when called directly
+    assert parse_iso_instant("2020-01-02t03:04:05z") is not None
+    with pytest.raises(ValueError):
+        parse_math(None, "2020-01-02t03:04:05z+1DAY")

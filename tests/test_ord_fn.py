@@ -42,3 +42,10 @@ def test_ord_rord_sum_invariant(fruit_df):
     for r in j.values():
         if r["ord"] >= 0:
             assert r["ord"] + r["rord"] == 2  # valueCount - 1
+
+
+def test_combined_ord_rord_single_pass(fruit_df):
+    out = {r["id"]: (r["ord"], r["rord"]) for r in
+           with_ord(fruit_df, "v", rord_out="rord").collect()}
+    assert out == {0: (2, 0), 1: (0, 2), 2: (1, 1), 3: (0, 2),
+                   4: (-1, 3), 5: (1, 1)}

@@ -1,145 +1,91 @@
-"""Index splitting (PKIndexSplitter role): each side must behave exactly
-like a fresh index built from only its documents — BM25 scores included
-(df/cf/doc_count/sum_doclen all recomputed for the half)."""
+"""Deterministic holdout split (pipeline/split.py)."""
 
 from __future__ import annotations
 
-import os
+import hashlib
 
 import pytest
+
 from pyspark.sql import functions as F
 
-from lucene_spark.index import (IndexBuilder, IndexConfig, IndexReader,
-                                check_index, split_index)
-from lucene_spark.search import IndexSearcher
+from lucene_spark.pipeline.split import holdout_flag, train_holdout_split
 
 
-@pytest.fixture(scope="module")
-def split_setup(spark, tmp_path_factory):
-    from lucene_spark.corpus import make_corpus
-
-    base = tmp_path_factory.mktemp("split")
-    src_dir = str(base / "src")
-    pdf = make_corpus(200, seed=11)
-    cfg = IndexConfig(partitions=2, num_groups=2, num_buckets=4,
-                      index_positions=True)
-    src = spark.createDataFrame(pdf)
-    IndexBuilder(spark, cfg).build(src, src_dir, overwrite=True)
-    r = IndexReader(spark, src_dir)
-
-    # "query": every doc whose path hash is even (a PK-style predicate)
-    matches = (r.docstats()
-               .filter(F.abs(F.xxhash64("path")) % 2 == 0)
-               .select("doc_id"))
-    d1, d2 = str(base / "even"), str(base / "odd")
-    res = split_index(spark, src_dir, d1, d2, matches)
-    return spark, pdf, cfg, r, matches, d1, d2, res
+def test_matches_reference_sha_and_partitioning_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    train, hold = train_holdout_split(df, "k", 0.25, salt="s1")
+    got = {r["k"] for r in hold.collect()}
+    exp = {i for i in range(2000)
+           if hashlib.sha256(f"{i}s1".encode()).hexdigest()[:8]
+           < format(int(0.25 * (1 << 32)), "08x")}
+    assert got == exp
+    # fraction lands near 0.25 on 2000 uniform keys
+    assert 0.20 < len(got) / 2000 < 0.30
+    # partitioning does not change the assignment
+    got2 = {r["k"] for r in
+            train_holdout_split(df.repartition(13), "k", 0.25, "s1")[1]
+            .collect()}
+    assert got2 == got
+    # the two sides are a disjoint cover
+    assert {r["k"] for r in train.collect()} | got == set(range(2000))
+    assert {r["k"] for r in train.collect()} & got == set()
 
 
-def test_doc_counts_partition(split_setup):
-    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
-    assert res["docs1"] + res["docs2"] == r.doc_count == 200
-    assert res["docs1"] == matches.count()
-    assert IndexReader(spark, d1).doc_count == res["docs1"]
-    assert IndexReader(spark, d2).doc_count == res["docs2"]
+def test_salt_rotates_the_split(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = {r["k"] for r in train_holdout_split(df, "k", 0.5, "a")[1].collect()}
+    b = {r["k"] for r in train_holdout_split(df, "k", 0.5, "b")[1].collect()}
+    assert a != b
 
 
-def test_sides_pass_checkindex_against_their_subsets(split_setup):
-    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
-    keys = {(row["repo"], row["path"], row["commit"])
-            for row in r.docstats().join(matches, "doc_id")
-            .select("repo", "path", "commit").collect()}
-    sdf = spark.createDataFrame(pdf)
-    side1_src = sdf.join(
-        spark.createDataFrame(sorted(keys), "repo string, path string, commit string"),
-        ["repo", "path", "commit"], "left_semi")
-    side2_src = sdf.join(
-        spark.createDataFrame(sorted(keys), "repo string, path string, commit string"),
-        ["repo", "path", "commit"], "left_anti")
-    c1 = check_index(IndexReader(spark, d1), source=side1_src)
-    c2 = check_index(IndexReader(spark, d2), source=side2_src)
-    assert c1["sha256_ok"] and c2["sha256_ok"]
-    assert c1["docs"] + c2["docs"] == 200
-
-
-def test_bm25_matches_fresh_filtered_build(split_setup, tmp_path_factory):
-    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
-    s1 = IndexSearcher(IndexReader(spark, d1))
-    # fresh build over EXACTLY side1's documents
-    keys = spark.createDataFrame(
-        sorted({(row["repo"], row["path"], row["commit"]) for row in
-                r.docstats().join(matches, "doc_id")
-                .select("repo", "path", "commit").collect()}),
-        "repo string, path string, commit string")
-    twin_dir = str(tmp_path_factory.mktemp("split_twin") / "idx")
-    twin_src = spark.createDataFrame(pdf).join(
-        keys, ["repo", "path", "commit"], "left_semi")
-    IndexBuilder(spark, cfg).build(twin_src, twin_dir, overwrite=True)
-    s2 = IndexSearcher(IndexReader(spark, twin_dir))
-
-    for q in ["merge", "index AND writer", "merge OR scan"]:
-        a = {(row["repo"], row["path"]): round(row["score"], 5)
-             for row in s1.hydrate(s1.matches(q)).collect()}
-        b = {(row["repo"], row["path"]): round(row["score"], 5)
-             for row in s2.hydrate(s2.matches(q)).collect()}
-        assert a == b, q
-
-
-def test_refuses_overwrite_and_self(split_setup):
-    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
-    with pytest.raises(FileExistsError):
-        split_index(spark, os.path.dirname(d1) + "/src", d1, d2, matches)
+def test_edge_fractions_and_validation(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert train_holdout_split(df, "k", 0.0)[1].count() == 0
+    assert train_holdout_split(df, "k", 1.0)[0].count() == 0
     with pytest.raises(ValueError):
-        split_index(spark, d1, d1, d2 + "_x", matches, overwrite=True)
+        holdout_flag(F.col("k"), 1.5)
 
 
-def test_multipass_round_robin(split_setup, tmp_path_factory):
-    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
-    from lucene_spark.index.split import _doc_ordinals, split_index_multi
+def test_stratified_sample_exact_n_and_stable(spark):
+    import hashlib
 
-    base = tmp_path_factory.mktemp("multi")
-    outs = [str(base / f"p{i}") for i in range(3)]
-    src_dir = r.index_dir
-    mres = split_index_multi(spark, src_dir, outs)
-    # 200 docs / 3 parts round-robin: ordinals 0,3,.. / 1,4,.. / 2,5,..
-    assert mres["docs"] == [67, 67, 66]
-    # parts are disjoint and cover everything
-    all_ids = set()
-    for o in outs:
-        ids = {row["doc_id"] for row in
-               IndexReader(spark, o).docstats().select("doc_id").collect()}
-        assert not (all_ids & ids)
-        all_ids |= ids
-    assert len(all_ids) == 200
-    # round-robin follows doc_id order exactly
-    ords = {row["doc_id"]: row["ord"] for row in
-            _doc_ordinals(r.docstats().select("doc_id")).collect()}
-    p0 = {row["doc_id"] for row in
-          IndexReader(spark, outs[0]).docstats().select("doc_id").collect()}
-    assert p0 == {d for d, o in ords.items() if o % 3 == 0}
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    rows += [(1000, "rare")]  # stratum smaller than n
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    from lucene_spark.pipeline.split import stratified_sample
 
+    out = stratified_sample(df, "lang", "doc_id", 5, salt="s1")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in got.items()} == {
+        "en": 5, "de": 5, "fr": 5, "rare": 1}
 
-def test_multipass_seq(split_setup, tmp_path_factory):
-    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
-    from lucene_spark.index.split import _doc_ordinals, split_index_multi
+    # pure function of (stratum members, keys): matches hashlib replay
+    for lang, members in [("en", range(0, 90, 3)), ("de", range(1, 90, 3)),
+                          ("fr", range(2, 90, 3))]:
+        ranked = sorted(
+            members,
+            key=lambda i: (hashlib.sha256(f"{i}s1".encode()).hexdigest(), i))
+        assert got[lang] == set(ranked[:5])
 
-    base = tmp_path_factory.mktemp("multiseq")
-    outs = [str(base / f"p{i}") for i in range(3)]
-    mres = split_index_multi(spark, r.index_dir, outs, seq=True)
-    # partLen = 200//3 = 66; last part collects the remainder
-    assert mres["docs"] == [66, 66, 68]
-    ords = {row["doc_id"]: row["ord"] for row in
-            _doc_ordinals(r.docstats().select("doc_id")).collect()}
-    p0 = {row["doc_id"] for row in
-          IndexReader(spark, outs[0]).docstats().select("doc_id").collect()}
-    assert p0 == {d for d, o in ords.items() if o < 66}
+    # stable under repartitioning
+    out2 = stratified_sample(df.repartition(17), "lang", "doc_id", 5,
+                             salt="s1")
+    assert sorted((r["doc_id"], r["lang"]) for r in out2.collect()) == \
+        sorted((d, l) for l, v in got.items() for d in v)
 
 
-def test_ordinals_are_dense_and_ordered(split_setup):
-    spark, pdf, cfg, r, matches, d1, d2, res = split_setup
-    from lucene_spark.index.split import _doc_ordinals
+def test_null_keys_land_in_train_not_dropped(spark):
+    from lucene_spark.pipeline.split import train_holdout_split
 
-    rows = _doc_ordinals(r.docstats().select("doc_id")).collect()
-    by_ord = sorted(rows, key=lambda x: x["ord"])
-    assert [x["ord"] for x in by_ord] == list(range(200))
-    assert [x["doc_id"] for x in by_ord] == sorted(x["doc_id"] for x in rows)
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(20)] + [(98, None), (99, None)],
+        "doc_id long, key string")
+    train, hold = train_holdout_split(df, "key", fraction=0.5, salt="z")
+    train_ids = {r["doc_id"] for r in train.collect()}
+    hold_ids = {r["doc_id"] for r in hold.collect()}
+    # every row on exactly one side; NULL keys never held out
+    assert train_ids | hold_ids == set(range(20)) | {98, 99}
+    assert not train_ids & hold_ids
+    assert {98, 99} <= train_ids
