@@ -6375,6 +6375,64 @@ FT_ADD_INDEXES_SQL = bm25_topk_oracle_sql(
 )
 
 
+_IDX_CG_CACHE: dict[str, "IndexReader"] = {}
+
+
+def _reader_cg(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """CommonGrams gate index: whitespace + CommonGramsFilter over the
+    English stop set (stopwords kept as unigrams, '_'-joined bigrams
+    wherever either neighbor is a stop word)."""
+    if sf_dir in _IDX_CG_CACHE:
+        return _IDX_CG_CACHE[sf_dir]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "text")
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_cg",
+        os.path.basename(os.path.normpath(sf_dir)))
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="text",
+        analyzer="whitespace_common_grams",
+        partitions=1, num_groups=1, num_buckets=4, termdict_partitions=1)
+    IndexBuilder(spark, cfg).build(docs, idx_dir, overwrite=True)
+    _IDX_CG_CACHE[sf_dir] = IndexReader(spark, idx_dir)
+    return _IDX_CG_CACHE[sf_dir]
+
+
+def ft_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java:
+    97-121, every TestCommonGramsFilter vector golden-matched in
+    test_common_grams.py): stop-adjacent bigrams indexed alongside
+    unigrams; top-10 grams by df straight from the term dictionary."""
+    td = _reader_cg(spark, sf_dir).termdict()
+    out = td.filter(F.col("term").contains("_")).select("term", "df", "cf")
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10)
+
+
+_CG_STOPSET_SQL = ", ".join(
+    f"'{w}'" for w in sorted(
+        """a an and are as at be but by for if in into is it no not of on or
+        such that the their then there these they this to was will
+        with""".split()))
+FT_COMMON_GRAMS_SQL = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || '_' || ws[i+1])) AS term,
+         unnest(list_transform(range(1, len(ws)),
+                 i -> (ws[i] IN ({_CG_STOPSET_SQL}))
+                   OR (ws[i+1] IN ({_CG_STOPSET_SQL})))) AS keep
+  FROM w
+),
+td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+              count(*)::BIGINT AS cf
+       FROM bg WHERE keep GROUP BY term)
+SELECT term, df, cf, row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+FROM td QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6588,6 +6646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ord_fn": rel_ord_fn,
         "ft_index_split": ft_index_split,
         "ft_add_indexes": ft_add_indexes,
+        "ft_common_grams": ft_common_grams,
     }
 
 
@@ -6786,4 +6845,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_ord_fn": REL_ORD_FN_SQL,
         "ft_index_split": FT_INDEX_SPLIT_SQL,
         "ft_add_indexes": FT_ADD_INDEXES_SQL,
+        "ft_common_grams": FT_COMMON_GRAMS_SQL,
     }

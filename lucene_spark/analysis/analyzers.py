@@ -100,6 +100,27 @@ class Analyzer:
                                  # shingles vs discountOverlaps).
     protected_words: frozenset[str] = field(default_factory=frozenset)
                                  # WDGF protWords: tokens never delimited
+    common_grams: frozenset[str] = field(default_factory=frozenset)
+                                 # nonempty → CommonGramsFilter analogue
+                                 # (analysis/commongrams/CommonGramsFilter
+                                 # .java:97-121): for every adjacent pair
+                                 # where either member is a common word,
+                                 # emit "left_right" ALONGSIDE the
+                                 # unigrams, positioned at the left
+                                 # member (posInc 0 in the reference
+                                 # stream). Runs after stop/length/stem,
+                                 # before shingles; typically used with
+                                 # an EMPTY stopword set (the common
+                                 # words stay indexed as unigrams).
+    common_grams_query: bool = False
+                                 # CommonGramsQueryFilter analogue
+                                 # (commongrams/CommonGramsQueryFilter
+                                 # .java:84-130): the QUERY-side chain —
+                                 # one token per position: each bigram
+                                 # replaces its left member, and a final
+                                 # unigram already covered by the
+                                 # preceding bigram is dropped. Only
+                                 # meaningful with common_grams set.
     shingle_size: int = 0        # >1 → ShingleFilter analogue (analysis/
                                  # shingle/ShingleFilter.java): word
                                  # n-grams (space-joined) emitted ALONGSIDE
@@ -206,6 +227,58 @@ def _raw_token_lists(content: pd.Series, a: Analyzer) -> pd.Series:
     return s.str.findall(a.token_pattern)
 
 
+def _common_grams(toks: list[str], common: frozenset,
+                  query: bool) -> list[str]:
+    """CommonGramsFilter / CommonGramsQueryFilter stream shapes
+    (commongrams/CommonGramsFilter.java:97-121, CommonGramsQueryFilter
+    .java:84-130), validated against every TestCommonGramsFilter vector.
+
+    Index mode: unigrams in order, each gram "l_r" inserted right after
+    its left member (the reference emits it with posInc 0 before the
+    right member). Query mode: one token per position — the gram
+    replaces its left member; a final unigram covered by the preceding
+    gram is dropped."""
+    n = len(toks)
+    pair = [i < n - 1 and (toks[i] in common or toks[i + 1] in common)
+            for i in range(n)]
+    if not query:
+        out = []
+        for i, t in enumerate(toks):
+            out.append(t)
+            if pair[i]:
+                out.append(f"{t}_{toks[i + 1]}")
+        return out
+    out = []
+    for i, t in enumerate(toks):
+        if pair[i]:
+            out.append(f"{t}_{toks[i + 1]}")
+        elif not (i == n - 1 and n > 1 and pair[i - 1]):
+            out.append(t)
+    return out
+
+
+def _common_grams_positions(toks: list[str], ps: list[int],
+                            common: frozenset,
+                            query: bool) -> tuple[list[str], list[int]]:
+    """Position-carrying twin of _common_grams: index-mode grams take
+    their LEFT member's position (the posInc-0 stream), query-mode
+    output renumbers one position per emitted token."""
+    n = len(toks)
+    pair = [i < n - 1 and (toks[i] in common or toks[i + 1] in common)
+            for i in range(n)]
+    if not query:
+        out_t, out_p = [], []
+        for i, t in enumerate(toks):
+            out_t.append(t)
+            out_p.append(ps[i])
+            if pair[i]:
+                out_t.append(f"{t}_{toks[i + 1]}")
+                out_p.append(ps[i])
+        return out_t, out_p
+    out_t = _common_grams(toks, common, True)
+    return out_t, list(range(len(out_t)))
+
+
 def tokenize_scalar(text: str | None, a: Analyzer) -> list[str]:
     """Scalar twin of tokenize_pandas: same stages, same order, same
     output for any input (the pandas .str ops below are per-element
@@ -238,6 +311,8 @@ def tokenize_scalar(text: str | None, a: Analyzer) -> list[str]:
 
         stem_fn = STEMMERS[a.stemmer]
         toks = [stem_fn(t) for t in toks]
+    if a.common_grams:
+        toks = _common_grams(toks, a.common_grams, a.common_grams_query)
     if a.shingle_size > 1:
         n = a.shingle_size
         toks = toks + [" ".join(toks[i:i + n])
@@ -296,6 +371,10 @@ def analyze_stages(text: str | None, a: Analyzer) -> list[tuple[str, list[str]]]
         stem_fn = STEMMERS[a.stemmer]
         toks = [stem_fn(t) for t in toks]
         stages.append((f"stemmer:{a.stemmer}", list(toks)))
+    if a.common_grams:
+        toks = _common_grams(toks, a.common_grams, a.common_grams_query)
+        kind = "common_grams_query" if a.common_grams_query else "common_grams"
+        stages.append((f"{kind}_filter", list(toks)))
     if a.shingle_size > 1:
         n = a.shingle_size
         toks = toks + [" ".join(toks[i:i + n])
@@ -319,6 +398,9 @@ def tokenize_pandas(content: pd.Series, a: Analyzer) -> pd.Series:
         toks = toks.map(lambda ts: [t for t in ts if len(t) <= maxlen and t not in stop])
     if a.stemmer:
         toks = _stem_lists(toks, a.stemmer)
+    if a.common_grams:
+        cg, q = a.common_grams, a.common_grams_query
+        toks = toks.map(lambda ts: _common_grams(ts, cg, q))
     if a.shingle_size > 1:
         n = a.shingle_size
         toks = toks.map(lambda ts: ts + [
@@ -400,6 +482,12 @@ def tokenize_pandas_positions(
     out_y = pays if want_payloads else None
     if a.stemmer:
         out_t = _stem_lists(out_t, a.stemmer)
+    if a.common_grams:
+        cg, q = a.common_grams, a.common_grams_query
+        both_cg = pd.Series(list(zip(out_t, out_p)), index=out_t.index).map(
+            lambda tp: _common_grams_positions(list(tp[0]), list(tp[1]), cg, q))
+        out_t = both_cg.map(lambda p: p[0])
+        out_p = both_cg.map(lambda p: p[1])
     if a.shingle_size > 1:
         n = a.shingle_size
         both = pd.Series(list(zip(out_t, out_p)), index=out_t.index)
@@ -920,6 +1008,24 @@ register_analyzer(
 register_analyzer(
     Analyzer(name="whitespace_shingle2", token_pattern=r"\S+", lowercase=False,
              stopwords=frozenset(), max_token_length=1 << 20, shingle_size=2)
+)
+
+# Whitespace + CommonGrams over the English stop set (the classic Solr
+# text_cg fieldType shape: commongrams of stopwords WITHOUT removing
+# them). Index chain emits stop-adjacent bigrams alongside unigrams;
+# the _query twin is the CommonGramsQueryFilter side (one token per
+# position). SQL-reproducible: '_'-joined adjacent pairs filtered on
+# stop membership.
+register_analyzer(
+    Analyzer(name="whitespace_common_grams", token_pattern=r"\S+",
+             lowercase=False, stopwords=frozenset(),
+             max_token_length=1 << 20, common_grams=ENGLISH_STOP_WORDS)
+)
+register_analyzer(
+    Analyzer(name="whitespace_common_grams_query", token_pattern=r"\S+",
+             lowercase=False, stopwords=frozenset(),
+             max_token_length=1 << 20, common_grams=ENGLISH_STOP_WORDS,
+             common_grams_query=True)
 )
 
 # Whitespace + lowercase + bigram shingles: the FreeTextSuggester model
