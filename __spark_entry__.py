@@ -6433,6 +6433,45 @@ FROM td QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def ft_completion_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """suggest/document completion with ContextQuery (ContextQuery.java:
+    30-147, CompletionScorer.java:105 weight*boost): suggestions are
+    (source, lang) pairs from documents with weight = total chars;
+    PrefixCompletionQuery 'src1' filtered+boosted by contexts
+    {en: 2.0, zh: 1.5, prefix 'd': 1.0} — es/fr suggestions drop out,
+    the rest score weight*boost. Top-10 (suggestion, weight, score)."""
+    from lucene_spark.search.completion import complete
+
+    d = _t(spark, sf_dir, "documents")
+    sugg = (d.groupBy(F.concat_ws("_", "source", "lang").alias("suggestion"),
+                      F.col("lang"))
+            .agg(F.sum("n_chars").alias("weight"))
+            .select("suggestion", "weight",
+                    F.array("lang").alias("contexts")))
+    return complete(sugg, "src1", n=10,
+                    contexts=[("en", 2.0, True), ("zh", 1.5, True),
+                              ("d", 1.0, False)])
+
+
+FT_COMPLETION_CTX_SQL = """
+WITH sugg AS (
+  SELECT source || '_' || lang AS suggestion, lang,
+         sum(n_chars)::BIGINT AS weight
+  FROM documents GROUP BY source, lang
+),
+boosted AS (
+  SELECT suggestion, weight,
+         CASE WHEN lang = 'en' THEN 2.0
+              WHEN lang = 'zh' THEN 1.5
+              WHEN lang LIKE 'd%' THEN 1.0 END AS boost
+  FROM sugg WHERE suggestion LIKE 'src1%'
+)
+SELECT suggestion, weight, (weight * boost)::DOUBLE AS score
+FROM boosted WHERE boost IS NOT NULL
+ORDER BY score DESC, suggestion ASC LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6647,6 +6686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_index_split": ft_index_split,
         "ft_add_indexes": ft_add_indexes,
         "ft_common_grams": ft_common_grams,
+        "ft_completion_ctx": ft_completion_ctx,
     }
 
 
@@ -6846,4 +6886,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_index_split": FT_INDEX_SPLIT_SQL,
         "ft_add_indexes": FT_ADD_INDEXES_SQL,
         "ft_common_grams": FT_COMMON_GRAMS_SQL,
+        "ft_completion_ctx": FT_COMPLETION_CTX_SQL,
     }
