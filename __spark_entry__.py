@@ -6472,6 +6472,36 @@ ORDER BY score DESC, suggestion ASC LIMIT 10
 """
 
 
+def ft_fvh_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastVectorHighlighter (vectorhighlight/FastVectorHighlighter.java
+    + FieldPhraseList.java): phrase-ADJACENT highlighting from term-
+    vector offsets, no re-analysis — docs where 'table hash' occurs as
+    consecutive tokens get a 40-char-margin fragment with every
+    in-fragment occurrence wrapped; docs with both words non-adjacent
+    produce no row. Ordered by doc_id, first 20."""
+    from lucene_spark.search.fvh import fvh_highlight
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = fvh_highlight(d, "text", "doc_id", ["table hash"],
+                        analyzer="whitespace", margin=40)
+    return (out.withColumnRenamed("key", "doc_id")
+            .orderBy("doc_id").limit(20))
+
+
+FT_FVH_PHRASE_SQL = r"""
+WITH hit AS (
+  SELECT doc_id,
+         regexp_extract(text,
+           '(?:.{0,40})table\s+hash(?:.{0,40})', 0) AS frag
+  FROM documents
+  WHERE regexp_matches(text, '(^|\s)table\s+hash(\s|$)')
+)
+SELECT doc_id,
+       regexp_replace(frag, '\btable\s+hash\b', '<b>\0</b>', 'g') AS snippet
+FROM hit ORDER BY doc_id LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6687,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_add_indexes": ft_add_indexes,
         "ft_common_grams": ft_common_grams,
         "ft_completion_ctx": ft_completion_ctx,
+        "ft_fvh_phrase": ft_fvh_phrase,
     }
 
 
@@ -6887,4 +6918,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_add_indexes": FT_ADD_INDEXES_SQL,
         "ft_common_grams": FT_COMMON_GRAMS_SQL,
         "ft_completion_ctx": FT_COMPLETION_CTX_SQL,
+        "ft_fvh_phrase": FT_FVH_PHRASE_SQL,
     }

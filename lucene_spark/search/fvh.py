@@ -1,0 +1,117 @@
+"""FastVectorHighlighter — offset-exact, phrase-aware highlighting.
+
+Role analogue: lucene/highlighter/src/java/org/apache/lucene/search/
+vectorhighlight/ — FastVectorHighlighter.java builds fragments from the
+term vectors' stored POSITIONS AND OFFSETS (FieldTermStack reads
+TermVectorsReader, no re-analysis of the stored text), and
+FieldPhraseList.java matches PHRASES against consecutive vector
+positions so "quick brown" only highlights where the words are
+adjacent — the two properties that distinguish FVH from the plain
+highlighter.
+
+Spark restatement: a mapInPandas pass tokenizes with offsets (the
+re.finditer twin of the index chain's pattern tokenizer — character
+offsets index the ORIGINAL text, with per-token lowercasing exactly
+like Tokenizer → LowerCaseFilter), builds the per-document term stack,
+walks phrase matches position-consecutively, and emits one fragment
+around the first phrase hit with EVERY in-fragment occurrence wrapped.
+Zero shuffles — highlighting is embarrassingly per-row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from lucene_spark.analysis import get_analyzer
+
+__all__ = ["fvh_highlight", "tokens_with_offsets"]
+
+
+def tokens_with_offsets(text: str, an) -> list[tuple[str, int, int]]:
+    """(term, start, end) triples over the ORIGINAL text — the
+    storeTermVectorOffsets channel.  Pattern-tokenizer chains only
+    (custom/WDGF tokenizers own their offsets and are out of scope
+    here, like FVH requires offsets to have been stored)."""
+    if an.custom_tokenizer or an.word_delimiter or an.split_camel:
+        raise ValueError(
+            f"analyzer {an.name!r} does not produce character offsets")
+    # the chain case-folds the string BEFORE pattern matching
+    # (tokenize_pandas); matching the lowered twin keeps the emitted
+    # terms chain-identical while offsets index the original text
+    # (str.lower is length-preserving for the BMP text this serves;
+    # length-changing folds would need true offset correction à la
+    # Lucene's offset attributes)
+    hay = text.lower() if an.lowercase else text
+    out = []
+    for m in re.finditer(an.token_pattern, hay):
+        t = m.group(0)
+        if len(t) > an.max_token_length or t in an.stopwords:
+            continue
+        out.append((t, m.start(), m.end()))
+    return out
+
+
+def _phrase_spans(toks: list[tuple[str, int, int]],
+                  phrase: list[str]) -> list[tuple[int, int]]:
+    """Character spans where `phrase` occurs with CONSECUTIVE tokens —
+    FieldPhraseList's adjacency walk."""
+    n, k = len(toks), len(phrase)
+    return [
+        (toks[i][1], toks[i + k - 1][2])
+        for i in range(n - k + 1)
+        if all(toks[i + j][0] == phrase[j] for j in range(k))
+    ]
+
+
+def fvh_highlight(docs: DataFrame, text_col: str, key_col: str,
+                  phrases: list[str], analyzer: str = "whitespace",
+                  margin: int = 40, pre: str = "<b>",
+                  post: str = "</b>") -> DataFrame:
+    """(key, snippet) for documents matching ANY of `phrases` (each a
+    space-separated word sequence, analyzed with the field's chain).
+    The fragment spans [first_hit_start - margin, first_hit_end +
+    margin]; every phrase occurrence inside it is wrapped.  Documents
+    with no phrase-adjacent hit produce NO row (FVH returns null
+    fragments for them)."""
+    an = get_analyzer(analyzer)
+    qseqs = []
+    for p in phrases:
+        seq = an.tokenize_one(p)
+        if seq:
+            qseqs.append(seq)
+    if not qseqs:
+        raise ValueError("no analyzable phrase")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, snips = [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                if not isinstance(text, str) or not text:
+                    continue
+                toks = tokens_with_offsets(text, an)
+                spans = sorted(
+                    s for q in qseqs for s in _phrase_spans(toks, q))
+                if not spans:
+                    continue
+                lo = max(0, spans[0][0] - margin)
+                hi = min(len(text), spans[0][1] + margin)
+                inside = [(s, e) for s, e in spans if s >= lo and e <= hi]
+                parts, cur = [], lo
+                for s, e in inside:
+                    if s < cur:          # overlapping phrase hits: keep first
+                        continue
+                    parts.append(text[cur:s])
+                    parts.append(pre + text[s:e] + post)
+                    cur = e
+                parts.append(text[cur:hi])
+                keys.append(key)
+                snips.append("".join(parts))
+            yield pd.DataFrame({"key": keys, "snippet": snips})
+
+    key_type = docs.schema[key_col].dataType.simpleString()
+    return docs.select(key_col, text_col).mapInPandas(
+        run, f"key {key_type}, snippet string")

@@ -1,0 +1,67 @@
+"""FastVectorHighlighter: offset-exact fragments, phrase adjacency
+(FieldPhraseList), margin windows, in-fragment multi-wrap."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.search.fvh import (_phrase_spans, fvh_highlight,
+                                     tokens_with_offsets)
+
+
+def test_offsets_index_original_text():
+    an = get_analyzer("simple")          # lowercasing chain
+    toks = tokens_with_offsets("Quick  brown FOX", an)
+    # chain-identical terms, offsets over the RAW string
+    assert toks == [("quick", 0, 5), ("brown", 7, 12), ("fox", 13, 16)]
+    an2 = get_analyzer("whitespace")     # raw-case chain
+    assert tokens_with_offsets("Quick FOX", an2) == [
+        ("Quick", 0, 5), ("FOX", 6, 9)]
+
+
+def test_phrase_requires_adjacency():
+    an = get_analyzer("whitespace")
+    toks = tokens_with_offsets("quick brown dog quick red brown", an)
+    assert _phrase_spans(toks, ["quick", "brown"]) == [(0, 11)]
+    assert _phrase_spans(toks, ["quick", "red", "brown"]) == [(16, 31)]
+    assert _phrase_spans(toks, ["brown", "dog"]) == [(6, 15)]
+    assert _phrase_spans(toks, ["dog", "red"]) == []   # not adjacent
+
+
+def test_highlight_phrase_only(spark):
+    rows = [
+        (1, "alpha the quick brown fox jumped"),
+        (2, "quick dog and a brown cat"),          # words present, not adjacent
+        (3, "say quick brown twice: quick brown!"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["key"]: r["snippet"] for r in
+           fvh_highlight(df, "text", "id", ["quick brown"],
+                         analyzer="simple", margin=20).collect()}
+    assert set(out) == {1, 3}                       # doc 2: no adjacency
+    assert "<b>quick brown</b>" in out[1]
+    # both in-fragment occurrences wrapped when within the margin window
+    assert out[3].count("<b>quick brown</b>") == 2
+
+
+def test_margin_window_exact(spark):
+    text = "x" * 50 + " quick brown " + "y" * 50
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    snip = fvh_highlight(df, "text", "id", ["quick brown"],
+                         margin=5).collect()[0]["snippet"]
+    assert snip == "xxxx <b>quick brown</b> yyyy"
+
+
+def test_multiple_phrases_and_no_match_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "merge scan here"), (2, "nothing relevant")],
+        "id long, text string")
+    out = fvh_highlight(df, "text", "id", ["merge scan", "zz qq"]).collect()
+    assert len(out) == 1 and out[0]["key"] == 1
+
+
+def test_stopword_chain_shifts_positions_not_offsets():
+    an = get_analyzer("standard")   # English stops dropped
+    toks = tokens_with_offsets("the quick fox", an)
+    assert toks == [("quick", 4, 9), ("fox", 10, 13)]
