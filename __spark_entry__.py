@@ -6502,6 +6502,34 @@ FROM hit ORDER BY doc_id LIMIT 20
 """
 
 
+def ft_spellcheck_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spellcheck.distanceMeasure (DirectSolrSpellChecker setDistance +
+    spell/JaroWinklerDistance.java:40-108, vectors golden-matched in
+    test_stringdist.py): DirectSpellChecker candidates for 'mrege'
+    REORDERED by Jaro-Winkler. The oracle recomputes candidates AND the
+    measure with DuckDB's independent jaro_winkler_similarity."""
+    from lucene_spark.search.spellcheck import suggest_similar
+
+    r = _reader(spark, sf_dir)
+    return suggest_similar(r, "mrege", n=5, distance="jaro_winkler")
+
+
+FT_SPELLCHECK_JW_SQL = f"""
+WITH tok AS ({_TOK2}),
+td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+       FROM tok GROUP BY term),
+cand AS (
+  SELECT term, df, levenshtein(term, 'mrege')::INT AS ed,
+         jaro_winkler_similarity(term, 'mrege') AS sim
+  FROM td
+  WHERE length(term) BETWEEN 3 AND 7 AND term LIKE 'm%'
+    AND term <> 'mrege' AND levenshtein(term, 'mrege') BETWEEN 1 AND 2
+)
+SELECT term, df, ed, round(sim, 4) AS similarity
+FROM cand ORDER BY sim DESC, df DESC, term ASC LIMIT 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6718,6 +6746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_common_grams": ft_common_grams,
         "ft_completion_ctx": ft_completion_ctx,
         "ft_fvh_phrase": ft_fvh_phrase,
+        "ft_spellcheck_jw": ft_spellcheck_jw,
     }
 
 
@@ -6919,4 +6948,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_common_grams": FT_COMMON_GRAMS_SQL,
         "ft_completion_ctx": FT_COMPLETION_CTX_SQL,
         "ft_fvh_phrase": FT_FVH_PHRASE_SQL,
+        "ft_spellcheck_jw": FT_SPELLCHECK_JW_SQL,
     }

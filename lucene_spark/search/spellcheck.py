@@ -22,6 +22,7 @@ predicates Catalyst pushes into the parquet scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from lucene_spark.index.reader import IndexReader
@@ -35,6 +36,7 @@ def suggest_similar(
     max_edits: int = 2,
     min_prefix: int = 1,
     more_popular_than: int = 0,
+    distance: str = "internal",
 ) -> DataFrame:
     """Top-n corrections for `term`: (term, df, ed, similarity) ordered by
     (similarity desc, df desc, term asc) — DirectSpellChecker's ScoreTerm
@@ -42,7 +44,16 @@ def suggest_similar(
 
     `more_popular_than` implements SuggestMode.SUGGEST_MORE_POPULAR:
     pass the query term's own df to only surface more frequent terms.
-    """
+
+    `distance` selects the similarity that ORDERS the results — Solr's
+    spellcheck.distanceMeasure (DirectSolrSpellChecker wires
+    setDistance): "internal" is DirectSpellChecker's own
+    1 - ed/min(len); "levenshtein" / "lucene_levenshtein" /
+    "jaro_winkler" / "ngram" rescore the edit-bounded candidate set
+    with the matching spell.StringDistance (search/stringdist.py),
+    Arrow-batched. Candidate GENERATION stays the Levenshtein automaton
+    bound either way, exactly like the reference (the measure only
+    reorders)."""
     if not 1 <= max_edits <= 2:
         raise ValueError("max_edits must be 1 or 2 (LevenshteinAutomata bound)")
     f = field or reader.default_field
@@ -68,9 +79,22 @@ def suggest_similar(
     cand = (
         cand.withColumn("ed", F.levenshtein(F.col("term"), F.lit(term), int(max_edits)))
         .filter(F.col("ed") >= 1)
-        .withColumn("__sim", sim)
-        .withColumn("similarity", F.round(F.col("__sim"), 4))
     )
+    if distance != "internal":
+        from lucene_spark.search.stringdist import STRING_DISTANCES
+
+        if distance not in STRING_DISTANCES:
+            raise ValueError(f"unknown distance measure {distance!r}")
+        fn = STRING_DISTANCES[distance]
+
+        @F.pandas_udf("double")
+        def _dist(terms: pd.Series) -> pd.Series:
+            return terms.map(lambda t: float(fn(t, term)))
+
+        cand = cand.withColumn("__sim", _dist(F.col("term")))
+    else:
+        cand = cand.withColumn("__sim", sim)
+    cand = cand.withColumn("similarity", F.round(F.col("__sim"), 4))
     return (
         cand.orderBy(F.col("__sim").desc(), F.col("df").desc(), F.col("term").asc())
         .select("term", "df", "ed", "similarity")
