@@ -500,6 +500,82 @@ def main() -> None:
         ],
     ))
 
+    # Date-gap range facets: every calendar bucket + other=all counts in
+    # ONE map-side-combinable aggregate over a column-pruned scan (the
+    # IntervalFacets conditional-count shape, applied to dates).
+    from lucene_spark.relational.facets import date_range_facets
+
+    ev = gate._t(spark, sf_dir, "events")
+    p = plan_of(date_range_facets(ev, "ts", start="2024-01-03T00:00:00Z",
+                                  end="2024-01-27T00:00:00Z", gap="+5DAYS",
+                                  other=True))
+    sections.append((
+        "date range facets (one conditional-count aggregate)", p,
+        [
+            ("single partial+final aggregate pass",
+             p.split("\n\n", 1)[0].count("HashAggregate") <= 2),
+            ("scan pruned to the ts column",
+             "ReadSchema" in p and "ts" in p and "props" not in
+             p.split("ReadSchema", 1)[1].split("\n", 1)[0]),
+        ],
+    ))
+
+    # ord()/rord(): the window runs over the DISTINCT value list only
+    # (the top-level ordinal map), and the dictionary joins back via
+    # broadcast for small cardinalities (AQE picks it at runtime).
+    from lucene_spark.relational.functions import with_ord
+
+    docs_src = gate._t(spark, sf_dir, "documents").select("doc_id", "source")
+    p = plan_of(with_ord(docs_src, "source", rord_out="rord"))
+    sections.append((
+        "ord()/rord() (distinct-dictionary window, no global window on rows)", p,
+        [
+            ("window input is the aggregated DISTINCT list "
+             "(HashAggregate feeds Window)",
+             "Window" in p and "HashAggregate" in p),
+            ("exactly ONE Window node — over the dictionary, never a "
+             "per-row global Window",
+             p.split("\n\n", 1)[0].count("Window (") == 1),
+        ],
+    ))
+
+    # term-stat function values: ONE bucket-pruned postings scan, decode
+    # in mapInPandas, a single join against docstats; constants ride as
+    # literals (no extra jobs).
+    from lucene_spark.search.functionvalues import term_function_values
+
+    p = plan_of(term_function_values(reader, "merge"))
+    sections.append((
+        "term-stat function values (pruned scan + one join)", p,
+        [
+            ("postings term filter pushed to parquet",
+             "PushedFilters:" in p and "term" in
+             p.split("PushedFilters:")[1][:200]),
+            ("exactly one join (docstats left join)",
+             p.split("\n\n", 1)[0].count("Join") == 1),
+        ],
+    ))
+
+    # completion suggester: predicate + literal boost table + ordered
+    # limit — Spark plans the top-n as TakeOrderedAndProject (no global
+    # sort materialization), and no python appears anywhere.
+    from lucene_spark.search.completion import complete
+
+    sugg = docs.groupBy(
+        F.concat_ws("_", "source", "lang").alias("suggestion"),
+        F.col("lang")).agg(F.sum("n_chars").alias("weight")).select(
+        "suggestion", "weight", F.array("lang").alias("contexts"))
+    p = plan_of(complete(sugg, "src1", contexts={"en": 2.0, "zh": 1.5}))
+    sections.append((
+        "completion suggester (JVM boost table, top-n without global sort)", p,
+        [
+            ("no python UDF (transform/array_max stay JVM-side)",
+             "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+            ("top-n is TakeOrderedAndProject",
+             "TakeOrderedAndProject" in p),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
