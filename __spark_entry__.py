@@ -518,7 +518,8 @@ def ft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FT_FUZZY_SQL = f"""
-WITH ft AS (SELECT DISTINCT term FROM ({_TOK2}) WHERE levenshtein(term, 'merg') <= 1)
+WITH ft AS (SELECT DISTINCT term FROM ({_TOK2})
+            WHERE damerau_levenshtein(term, 'merg') <= 1)
 SELECT DISTINCT doc_id FROM ({_TOK2}) WHERE term IN (SELECT term FROM ft)
 """
 
@@ -2913,7 +2914,7 @@ FT_SPELLCHECK_SQL = f"""
 WITH td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK2}) GROUP BY term),
 ty(typo) AS (VALUES {_TYPO_SQL_ROWS}),
 c AS (
-  SELECT ty.typo, td.term, td.df, levenshtein(td.term, ty.typo)::INT AS ed
+  SELECT ty.typo, td.term, td.df, damerau_levenshtein(td.term, ty.typo)::INT AS ed
   FROM td CROSS JOIN ty
   WHERE length(td.term) BETWEEN length(ty.typo) - 2 AND length(ty.typo) + 2
     AND substr(td.term, 1, 1) = substr(ty.typo, 1, 1) AND td.term <> ty.typo
@@ -6519,11 +6520,11 @@ WITH tok AS ({_TOK2}),
 td AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
        FROM tok GROUP BY term),
 cand AS (
-  SELECT term, df, levenshtein(term, 'mrege')::INT AS ed,
+  SELECT term, df, damerau_levenshtein(term, 'mrege')::INT AS ed,
          jaro_winkler_similarity(term, 'mrege') AS sim
   FROM td
   WHERE length(term) BETWEEN 3 AND 7 AND term LIKE 'm%'
-    AND term <> 'mrege' AND levenshtein(term, 'mrege') BETWEEN 1 AND 2
+    AND term <> 'mrege' AND damerau_levenshtein(term, 'mrege') BETWEEN 1 AND 2
 )
 SELECT term, df, ed, round(sim, 4) AS similarity
 FROM cand ORDER BY sim DESC, df DESC, term ASC LIMIT 5

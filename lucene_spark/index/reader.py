@@ -15,6 +15,8 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
+
 from lucene_spark.index.layout import derived_path as _derived_path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -263,28 +265,47 @@ class IndexReader:
         return self._expand_memo(("regexp", pattern, max_terms, field), compute)
 
     def expand_fuzzy(self, term: str, max_edits: int = 2, max_terms: int = 50,
-                     field: str | None = None) -> list[str]:
-        """FuzzyQuery expansion: Levenshtein ≤ max_edits over the dictionary
-        (search/FuzzyQuery.java). Uses Spark's levenshtein with a cheap
-        length pre-filter; top terms by df like TopTermsRewrite."""
+                     field: str | None = None,
+                     transpositions: bool = True) -> list[str]:
+        """FuzzyQuery expansion: edit distance ≤ max_edits over the
+        dictionary (search/FuzzyQuery.java). Default transpositions=True
+        matches the reference default (FuzzyQuery.java:77): a swap of
+        adjacent characters counts as ONE edit (the
+        LuceneLevenshteinDistance.java:75-103 recurrence), so 'baca'
+        matches 'abca' at maxEdits=1. Top terms by df, TopTermsRewrite.
+
+        Plan shape either way: length band + JVM thresholded levenshtein
+        prefilter prune the dictionary scan; the transposition-aware
+        exact distance runs Arrow-batched over the surviving sliver only
+        (every OSA-match has plain distance ≤ 2·max_edits, since one
+        transposition costs at most two plain edits)."""
         def compute():
             tlen = len(term)
             # threshold form early-exits each comparison once the running
-            # distance exceeds max_edits (returns -1) — the banded-DP
+            # distance exceeds the bound (returns -1) — the banded-DP
             # trick a Levenshtein automaton exploits, in one JVM expression
-            rows = (
+            plain_bound = 2 * max_edits if transpositions else max_edits
+            cand = (
                 self._field_dict(field)
                 .filter(F.length("term").between(tlen - max_edits, tlen + max_edits))
                 .withColumn("ed", F.levenshtein(F.col("term"), F.lit(term),
-                                                int(max_edits)))
-                .filter((F.col("ed") >= 0) & (F.col("ed") <= max_edits))
-                .orderBy(F.col("df").desc(), "term")
-                .limit(max_terms)
-                .collect()
+                                                int(plain_bound)))
+                .filter((F.col("ed") >= 0) & (F.col("ed") <= plain_bound))
             )
+            if transpositions:
+                from lucene_spark.search.stringdist import osa_distance
+
+                @F.pandas_udf("int")
+                def _osa(terms: pd.Series) -> pd.Series:
+                    return terms.map(lambda t: osa_distance(t, term))
+
+                cand = (cand.withColumn("ed", _osa(F.col("term")))
+                        .filter(F.col("ed") <= max_edits))
+            rows = (cand.orderBy(F.col("df").desc(), "term")
+                    .limit(max_terms).collect())
             return [r["term"] for r in rows]
-        return self._expand_memo(("fuzzy", term, max_edits, max_terms, field),
-                                 compute)
+        return self._expand_memo(("fuzzy", term, max_edits, max_terms, field,
+                                  transpositions), compute)
 
     def expand_range(
         self, lower: str | None, upper: str | None,

@@ -69,16 +69,29 @@ def suggest_similar(
     if more_popular_than > 0:
         cand = cand.filter(F.col("df") > int(more_popular_than))
     # thresholded levenshtein (returns -1 past the threshold) keeps the
-    # comparison O(len·maxEdits); threshold must be a Python int.
+    # JVM prefilter O(len·maxEdits); the exact candidate distance is the
+    # transposition-aware OSA recurrence, because DirectSpellChecker's
+    # FuzzyTermsEnum runs with transpositions=true
+    # (DirectSpellChecker.java:415) — every OSA-match has plain distance
+    # ≤ 2·maxEdits, so the prefilter is lossless.
     # EXACT similarity orders the results (ScoreTerm.compareTo compares
     # the raw float score first — rounding before sorting would let df
     # outrank a strictly more similar term on a rounding tie); the
     # returned column is rounded for display only.
     sim = (F.lit(1.0) - F.col("ed").cast("double")
            / F.least(F.length("term"), F.lit(tlen)).cast("double"))
+    from lucene_spark.search.stringdist import osa_distance
+
+    @F.pandas_udf("int")
+    def _osa(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: osa_distance(t, term))
+
     cand = (
-        cand.withColumn("ed", F.levenshtein(F.col("term"), F.lit(term), int(max_edits)))
-        .filter(F.col("ed") >= 1)
+        cand.withColumn("ed", F.levenshtein(F.col("term"), F.lit(term),
+                                            int(2 * max_edits)))
+        .filter((F.col("ed") >= 1) & (F.col("ed") <= 2 * max_edits))
+        .withColumn("ed", _osa(F.col("term")))
+        .filter((F.col("ed") >= 1) & (F.col("ed") <= max_edits))
     )
     if distance != "internal":
         from lucene_spark.search.stringdist import STRING_DISTANCES

@@ -26,7 +26,8 @@ TestLevenshteinDistance / TestJaroWinklerDistance / TestNGramDistance
 from __future__ import annotations
 
 __all__ = ["levenshtein_distance", "lucene_levenshtein_distance",
-           "jaro_winkler_distance", "ngram_distance", "STRING_DISTANCES"]
+           "jaro_winkler_distance", "ngram_distance", "osa_distance",
+           "STRING_DISTANCES"]
 
 
 def levenshtein_distance(target: str, other: str) -> float:
@@ -46,15 +47,16 @@ def levenshtein_distance(target: str, other: str) -> float:
     return 1.0 - p[n] / max(m, n)
 
 
-def lucene_levenshtein_distance(target: str, other: str) -> float:
-    """LuceneLevenshteinDistance.getDistance (spell/
-    LuceneLevenshteinDistance.java:44-110): codepoint Damerau,
-    1 - d/min(len); empty-side quirk returns max(n, m) verbatim."""
-    tp = [ord(c) for c in target]
-    op = [ord(c) for c in other]
+def osa_distance(target: str, other: str) -> int:
+    """Transposition-as-primitive edit distance (optimal string
+    alignment) — the LuceneLevenshteinDistance.java:75-103 recurrence,
+    which is also what LevenshteinAutomata accepts when FuzzyQuery /
+    DirectSpellChecker run with their DEFAULT transpositions=true
+    (FuzzyQuery.java:77, DirectSpellChecker.java:415)."""
+    tp, op = target, other
     n, m = len(tp), len(op)
     if n == 0 or m == 0:
-        return 0.0 if n == m else float(max(n, m))
+        return max(n, m)
     d = [[0] * (m + 1) for _ in range(n + 1)]
     for i in range(n + 1):
         d[i][0] = i
@@ -69,7 +71,17 @@ def lucene_levenshtein_distance(target: str, other: str) -> float:
             if (i > 1 and j > 1 and tp[i - 1] == op[j - 2]
                     and tp[i - 2] == op[j - 1]):
                 d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
-    return 1.0 - d[n][m] / min(m, n)
+    return d[n][m]
+
+
+def lucene_levenshtein_distance(target: str, other: str) -> float:
+    """LuceneLevenshteinDistance.getDistance (spell/
+    LuceneLevenshteinDistance.java:44-110): codepoint Damerau,
+    1 - d/min(len); empty-side quirk returns max(n, m) verbatim."""
+    n, m = len(target), len(other)
+    if n == 0 or m == 0:
+        return 0.0 if n == m else float(max(n, m))
+    return 1.0 - osa_distance(target, other) / min(m, n)
 
 
 def jaro_winkler_distance(s1: str, s2: str,
