@@ -24,6 +24,7 @@ import os
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from lucene_spark.index.builder import FieldSpec, IndexBuilder, IndexConfig
@@ -6531,6 +6532,37 @@ FROM cand ORDER BY sim DESC, df DESC, term ASC LIMIT 5
 """
 
 
+def ft_uax29_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UAX29URLEmailTokenizer (analysis/email/UAX29URLEmailTokenizer.java
+    — word-break scanner + URL/EMAIL productions, every exercised
+    reference vector golden-matched in test_uax29.py): a URL+email+
+    number-bearing text synthesized per document is tokenized by the
+    raw chain and the FULL token sequence is compared ('|'-joined)
+    against the oracle's string-constructed expectation — emails and
+    URLs survive whole, doc_id.5 joins via MidNumLet."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("mail "), F.col("source"), F.lit("@ex.org visit www."),
+                 F.col("lang"), F.lit("-site.com id "),
+                 F.col("doc_id").cast("string"), F.lit(".5 ok")).alias("t"))
+
+    @F.pandas_udf("string")
+    def _toks(texts: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.uax29 import uax29_tokens
+
+        return texts.map(lambda s: "|".join(uax29_tokens(s)))
+
+    return d.select("doc_id", _toks(F.col("t")).alias("tokens"))
+
+
+FT_UAX29_SQL = """
+SELECT doc_id,
+       'mail|' || source || '@ex.org' || '|visit|www.' || lang ||
+       '-site.com|id|' || doc_id || '.5|ok' AS tokens
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6748,6 +6780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_completion_ctx": ft_completion_ctx,
         "ft_fvh_phrase": ft_fvh_phrase,
         "ft_spellcheck_jw": ft_spellcheck_jw,
+        "ft_uax29_tokens": ft_uax29_tokens,
     }
 
 
@@ -6950,4 +6983,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_completion_ctx": FT_COMPLETION_CTX_SQL,
         "ft_fvh_phrase": FT_FVH_PHRASE_SQL,
         "ft_spellcheck_jw": FT_SPELLCHECK_JW_SQL,
+        "ft_uax29_tokens": FT_UAX29_SQL,
     }

@@ -982,6 +982,37 @@ def _char_ngram_tokenizer(n: int):
 
 CUSTOM_TOKENIZERS["char_ngram2"] = _char_ngram_tokenizer(2)
 CUSTOM_TOKENIZERS["char_ngram3"] = _char_ngram_tokenizer(3)
+
+# UAX#29 URL/email tokenizer (analysis/email/UAX29URLEmailTokenizer.java
+# role — see analysis/uax29.py for the word-break scanner + rule map).
+# `uax29_url_email` keeps raw case (parity tests read types/case);
+# `_lc` lowercases tokens (the UAX29URLEmailAnalyzer chain shape:
+# tokenizer → LowerCaseFilter) so the stop filter matches.
+def _uax29_token_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.uax29 import uax29_tokens
+
+    return content.map(lambda s: uax29_tokens(s) if isinstance(s, str) else [])
+
+
+def _uax29_token_lists_lc(content: pd.Series) -> pd.Series:
+    return _uax29_token_lists(content).map(lambda ts: [t.lower() for t in ts])
+
+
+CUSTOM_TOKENIZERS["uax29_url_email"] = _uax29_token_lists
+CUSTOM_TOKENIZERS["uax29_url_email_lc"] = _uax29_token_lists_lc
+
+register_analyzer(
+    Analyzer(name="url_email_raw", custom_tokenizer="uax29_url_email",
+             lowercase=False, stopwords=frozenset(),
+             max_token_length=1 << 20)
+)
+# the UAX29URLEmailAnalyzer chain: tokenizer → lowercase → English stops
+register_analyzer(
+    Analyzer(name="url_email", custom_tokenizer="uax29_url_email_lc",
+             lowercase=False, stopwords=ENGLISH_STOP_WORDS,
+             max_token_length=1 << 20)
+)
+
 register_analyzer(Analyzer(name="ngram2", custom_tokenizer="char_ngram2"))
 register_analyzer(Analyzer(name="ngram3", custom_tokenizer="char_ngram3"))
 
@@ -1043,17 +1074,9 @@ register_analyzer(
              stopwords=frozenset(), max_token_length=1 << 20, stemmer="porter")
 )
 
-# URL/email-aware tokenizer — the UAX29URLEmailTokenizer role
-# (analysis/email/UAX29URLEmailTokenizer.java): URLs and e-mail
-# addresses are kept as single tokens instead of being split at
-# punctuation; everything else tokenizes like the standard chain.
-# Alternation order matters: URL | email | word-run.
-register_analyzer(Analyzer(
-    name="url_email",
-    token_pattern=(r"https?://[^\s<>\"')\]]+"
-                   r"|[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-                   r"|[a-z0-9_]+"),
-))
+# url_email now registers above from the UAX#29 scanner chain
+# (analysis/uax29.py) — the earlier regex-alternation approximation is
+# superseded.
 
 # Phonetic / folding chains (analysis/phonetic PhoneticFilter role with
 # inject=false; miscellaneous/ASCIIFoldingFilter role).

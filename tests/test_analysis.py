@@ -145,8 +145,13 @@ def test_url_email_analyzer():
     toks = list(an.tokenize_series(pd.Series(
         ["Visit https://Example.com/a?b=1 or mail Bob.smith+x@Example.COM now!"]
     )).iloc[0])
-    assert toks == ["visit", "https://example.com/a?b=1", "or", "mail",
+    # the UAX29URLEmailAnalyzer chain: scanner → lowercase → English
+    # stops ('or' is a stop word and drops; URLs/emails survive whole)
+    assert toks == ["visit", "https://example.com/a?b=1", "mail",
                     "bob.smith+x@example.com", "now"]
+    raw = get_analyzer("url_email_raw")
+    assert raw.tokenize_one("A:B_A:B or O'Reilly") == \
+        ["A:B_A:B", "or", "O'Reilly"]
 
 
 def test_decontaminate_op(spark):
