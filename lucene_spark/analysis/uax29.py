@@ -166,11 +166,11 @@ def _scan_words(text: str, out: list) -> None:
         tok = text[start:i]
         if kinds & {_HANG}:
             out.append((tok, HANGUL))
-        elif kinds <= {_KAT, _EXTNUMLET}:
+        elif _KAT in kinds and kinds <= {_KAT, _EXTNUMLET}:
             out.append((tok, KATAKANA))
-        elif kinds <= {_NUMC, _EXTNUMLET}:
+        elif _NUMC in kinds and kinds <= {_NUMC, _EXTNUMLET}:
             out.append((tok, NUM))
-        else:
+        else:                       # incl. a lone ExtendNumLet run ("_")
             out.append((tok, ALPHANUM))
 
 

@@ -117,3 +117,8 @@ def test_num_vs_alphanum_types():
     out = dict(tokenize_uax29("abc 123 a1 1.2"))
     assert out["123"] == "<NUM>" and out["1.2"] == "<NUM>"
     assert out["abc"] == "<ALPHANUM>" and out["a1"] == "<ALPHANUM>"
+
+
+def test_lone_extendnumlet_types_alphanum():
+    assert tokenize_uax29("_ _a a_") == [
+        ("_", "<ALPHANUM>"), ("_a", "<ALPHANUM>"), ("a_", "<ALPHANUM>")]
