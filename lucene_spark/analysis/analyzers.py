@@ -1081,5 +1081,8 @@ register_analyzer(
 # Phonetic / folding chains (analysis/phonetic PhoneticFilter role with
 # inject=false; miscellaneous/ASCIIFoldingFilter role).
 register_analyzer(Analyzer(name="phonetic_soundex", stemmer="soundex"))
+register_analyzer(Analyzer(name="phonetic_metaphone", stemmer="metaphone"))
+register_analyzer(Analyzer(name="phonetic_caverphone2", stemmer="caverphone2"))
+register_analyzer(Analyzer(name="phonetic_nysiis", stemmer="nysiis"))
 register_analyzer(Analyzer(name="standard_folded", stopwords=ENGLISH_STOP_WORDS,
                            token_pattern=r"[^\W_]+|_+[^\W_]*", stemmer="ascii_fold"))

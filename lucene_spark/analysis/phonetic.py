@@ -19,6 +19,7 @@ scope for the BM25-norm contract.)
 from __future__ import annotations
 
 import functools
+import re
 import unicodedata
 
 # American Soundex digit map (commons-codec Soundex.US_ENGLISH_MAPPING):
@@ -126,3 +127,218 @@ def nfkc_cf(tok: str) -> str:
     import unicodedata as ud
 
     return ud.normalize("NFKC", ud.normalize("NFKC", tok).casefold())
+
+
+@functools.lru_cache(maxsize=65536)
+def metaphone(word: str, max_code_len: int = 4) -> str:
+    """Metaphone (Lawrence Philips 1990; the commons-codec variant the
+    reference's PhoneticFilter wraps — analysis/phonetic/PhoneticFilter
+    .java + TestPhoneticFilter vectors). Letters-only input; adjacent
+    duplicates collapse except C; vowels survive only word-initially;
+    default code length 4 (commons DEFAULT_MAX_CODE_LEN)."""
+    w = [c for c in word.upper() if "A" <= c <= "Z"]
+    if not w:
+        return ""
+    if len(w) == 1:
+        return w[0]
+    VOWELS, FRONTV, VARSON = set("AEIOU"), set("EIY"), set("CSPTG")
+    first2 = "".join(w[:2])
+    if first2 in ("AE", "GN", "KN", "PN", "WR"):
+        w = w[1:]
+    elif w[0] == "X":
+        w = ["S"] + w[1:]
+    elif first2 == "WH":
+        w = ["W"] + w[2:]
+    n = len(w)
+    code: list[str] = []
+    i = 0
+    while i < n and len(code) < max_code_len:
+        c = w[i]
+        if c != "C" and i > 0 and w[i - 1] == c:
+            i += 1
+            continue
+        nxt = w[i + 1] if i + 1 < n else ""
+        nxt2 = w[i + 2] if i + 2 < n else ""
+        if c in VOWELS:
+            if i == 0:
+                code.append(c)
+        elif c == "B":
+            if not (i == n - 1 and i > 0 and w[i - 1] == "M"):
+                code.append("B")
+        elif c == "C":
+            if nxt == "I" and nxt2 == "A":
+                code.append("X")
+            elif nxt in FRONTV:
+                code.append("S")
+            elif nxt == "H":
+                # SCH → K; word-initial CH + consonant → K; else CH → X
+                if i > 0 and w[i - 1] == "S":
+                    code.append("K")
+                elif i == 0 and nxt2 and nxt2 not in VOWELS:
+                    code.append("K")
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif c == "D":
+            if nxt == "G" and nxt2 in FRONTV:
+                code.append("J")
+                i += 2
+            else:
+                code.append("T")
+        elif c == "G":
+            silent = (nxt == "H" and nxt2 and nxt2 not in VOWELS) or \
+                (i == n - 2 and nxt == "N") or \
+                (i == n - 4 and "".join(w[i + 1:i + 4]) == "NED")
+            if not silent:
+                if nxt in FRONTV:
+                    code.append("J")
+                else:
+                    code.append("K")
+            if nxt == "H" and not (nxt2 and nxt2 not in VOWELS):
+                i += 1          # GH before vowel: H handled here
+        elif c == "H":
+            if i > 0 and w[i - 1] in VARSON:
+                pass
+            elif i > 0 and w[i - 1] in VOWELS and (not nxt or nxt not in VOWELS):
+                pass
+            else:
+                code.append("H")
+        elif c == "K":
+            if not (i > 0 and w[i - 1] == "C"):
+                code.append("K")
+        elif c in "FJLMNR":
+            code.append(c)
+        elif c == "P":
+            code.append("F" if nxt == "H" else "P")
+        elif c == "Q":
+            code.append("K")
+        elif c == "S":
+            if nxt == "I" and nxt2 in "OA":
+                code.append("X")
+            elif nxt == "H":
+                code.append("X")
+            else:
+                code.append("S")
+        elif c == "T":
+            if nxt == "I" and nxt2 in ("O", "A"):
+                code.append("X")
+            elif nxt == "H":
+                code.append("0")
+            elif not (nxt == "C" and nxt2 == "H"):
+                code.append("T")
+        elif c == "V":
+            code.append("F")
+        elif c == "W":
+            if nxt in VOWELS:
+                code.append("W")
+        elif c == "X":
+            code.append("K")
+            if len(code) < max_code_len:
+                code.append("S")
+        elif c == "Y":
+            if nxt in VOWELS:
+                code.append("Y")
+        elif c == "Z":
+            code.append("S")
+        i += 1
+    return "".join(code[:max_code_len])
+
+
+# Caverphone 2.0 replacement pipeline (David Hood 2004, the revision
+# commons-codec Caverphone2 implements; reference vectors in
+# TestPhoneticFilter.testAlgorithms).
+_CAVERPHONE2_STEPS: list[tuple[str, str]] = [
+    (r"e$", ""),
+    (r"^cough", "cou2f"), (r"^rough", "rou2f"), (r"^tough", "tou2f"),
+    (r"^enough", "enou2f"), (r"^trough", "trou2f"), (r"^gn", "2n"),
+    (r"mb$", "m2"),
+    (r"cq", "2q"), (r"ci", "si"), (r"ce", "se"), (r"cy", "sy"),
+    (r"tch", "2ch"), (r"c", "k"), (r"q", "k"), (r"x", "k"), (r"v", "f"),
+    (r"dg", "2g"), (r"tio", "sio"), (r"tia", "sia"), (r"d", "t"),
+    (r"ph", "fh"), (r"b", "p"), (r"sh", "s2"), (r"z", "s"),
+    (r"^[aeiou]", "A"), (r"[aeiou]", "3"),
+    (r"j", "y"), (r"^y3", "Y3"), (r"^y", "A"), (r"y", "3"),
+    (r"3gh3", "3kh3"), (r"gh", "22"), (r"g", "k"),
+    (r"s+", "S"), (r"t+", "T"), (r"p+", "P"), (r"k+", "K"),
+    (r"f+", "F"), (r"m+", "M"), (r"n+", "N"),
+    (r"w3", "W3"), (r"wh3", "Wh3"), (r"w$", "3"), (r"w", "2"),
+    (r"^h", "A"), (r"h", "2"),
+    (r"r3", "R3"), (r"r$", "3"), (r"r", "2"),
+    (r"l3", "L3"), (r"l$", "3"), (r"l", "2"),
+    (r"2", ""), (r"3$", "A"), (r"3", ""),
+]
+
+
+@functools.lru_cache(maxsize=65536)
+def caverphone2(word: str) -> str:
+    """Caverphone 2.0: the published replacement pipeline, 1-padded to
+    10 characters."""
+    t = "".join(c for c in word.lower() if c.isalpha())
+    if not t:
+        return ""
+    for pat, rep in _CAVERPHONE2_STEPS:
+        t = re.sub(pat, rep, t)
+    return (t + "1" * 10)[:10]
+
+
+@functools.lru_cache(maxsize=65536)
+def nysiis(word: str, strict: bool = True) -> str:
+    """NYSIIS (Taft 1970; commons-codec Nysiis, strict=True caps the
+    code at 6 chars)."""
+    w = "".join(c for c in word.upper() if "A" <= c <= "Z")
+    if not w:
+        return ""
+    # first-character transcodes
+    for a, b in (("MAC", "MCC"), ("KN", "NN"), ("K", "C"), ("PH", "FF"),
+                 ("PF", "FF"), ("SCH", "SSS")):
+        if w.startswith(a):
+            w = b + w[len(a):]
+            break
+    for a, b in (("EE", "Y"), ("IE", "Y"), ("DT", "D"), ("RT", "D"),
+                 ("RD", "D"), ("NT", "D"), ("ND", "D")):
+        if w.endswith(a):
+            w = w[:-len(a)] + b
+            break
+    key = [w[0]]
+    i = 1
+    n = len(w)
+    while i < n:
+        if w[i:i + 2] == "EV":
+            rep = "AF"
+            step = 2
+        elif w[i] in "AEIOU":
+            rep, step = "A", 1
+        elif w[i] == "Q":
+            rep, step = "G", 1
+        elif w[i] == "Z":
+            rep, step = "S", 1
+        elif w[i] == "M":
+            rep, step = "N", 1
+        elif w[i:i + 2] == "KN":
+            rep, step = "N", 2
+        elif w[i] == "K":
+            rep, step = "C", 1
+        elif w[i:i + 3] == "SCH":
+            rep, step = "SSS", 3
+        elif w[i:i + 2] == "PH":
+            rep, step = "FF", 2
+        elif w[i] == "H" and (w[i - 1] not in "AEIOU" or
+                              (i + 1 < n and w[i + 1] not in "AEIOU")):
+            rep, step = w[i - 1], 1
+        elif w[i] == "W" and w[i - 1] in "AEIOU":
+            rep, step = w[i - 1], 1
+        else:
+            rep, step = w[i], 1
+        for ch in rep:
+            if ch != key[-1]:
+                key.append(ch)
+        i += step
+    out = "".join(key)
+    if out.endswith("S") and len(out) > 1:
+        out = out[:-1]
+    if out.endswith("AY"):
+        out = out[:-2] + "Y"
+    if out.endswith("A") and len(out) > 1:
+        out = out[:-1]
+    return out[:6] if strict else out

@@ -960,6 +960,9 @@ from lucene_spark.analysis.phonetic import (   # noqa: E402 (registry tail)
     ascii_fold,
     icu_fold,
     nfkc_cf,
+    caverphone2,
+    metaphone,
+    nysiis,
     refined_soundex,
     soundex,
 )
@@ -977,6 +980,9 @@ STEMMERS = {
     "porter": porter_stem,
     "soundex": soundex,
     "refined_soundex": refined_soundex,
+    "metaphone": metaphone,
+    "caverphone2": caverphone2,
+    "nysiis": nysiis,
     "ascii_fold": ascii_fold,
     "german_light": german_light_stem,
     "german_light_norm": german_light_norm_stem,

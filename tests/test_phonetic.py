@@ -1,0 +1,40 @@
+
+
+# ---- reference vectors from TestPhoneticFilter.testAlgorithms ----------
+def test_metaphone_reference_vectors():
+    from lucene_spark.analysis.phonetic import metaphone
+
+    assert [metaphone(w) for w in "aaa bbb ccc easgasg".split()] == \
+        ["A", "B", "KKK", "ESKS"]
+    assert metaphone("") == ""
+    assert metaphone("x") == "X"           # single char returns itself
+    assert metaphone("international", max_code_len=8) != ""
+
+
+def test_caverphone2_reference_vectors():
+    from lucene_spark.analysis.phonetic import caverphone2
+
+    assert [caverphone2(w) for w in "Darda Karleen Datha Carlene".split()] \
+        == ["TTA1111111", "KLN1111111", "TTA1111111", "KLN1111111"]
+    assert all(len(caverphone2(w)) == 10
+               for w in ["a", "thompson", "x", "Stevenson"])
+
+
+def test_nysiis_reference_vectors():
+    from lucene_spark.analysis.phonetic import nysiis
+
+    assert [nysiis(w) for w in "aaa bbb ccc easgasg".split()] == \
+        ["A", "B", "C", "EASGAS"]
+    assert len(nysiis("knickerbocker")) <= 6   # strict cap
+    assert nysiis("knight").startswith("N")    # KN -> NN transcode
+
+
+def test_phonetic_chains_registered():
+    from lucene_spark.analysis import get_analyzer
+
+    assert get_analyzer("phonetic_metaphone").tokenize_one(
+        "ccc easgasg") == ["KKK", "ESKS"]
+    assert get_analyzer("phonetic_caverphone2").tokenize_one(
+        "Darda Carlene") == ["TTA1111111", "KLN1111111"]
+    assert get_analyzer("phonetic_nysiis").tokenize_one(
+        "easgasg") == ["EASGAS"]
