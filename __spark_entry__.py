@@ -6480,7 +6480,13 @@ def ft_fvh_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector offsets, no re-analysis — docs where 'table hash' occurs as
     consecutive tokens get a 40-char-margin fragment with every
     in-fragment occurrence wrapped; docs with both words non-adjacent
-    produce no row. Ordered by doc_id, first 20."""
+    produce no row. Ordered by doc_id, first 20.
+
+    Oracle-equivalence preconditions (verified at sf0.001/0.01/0.1):
+    documents.text has no newlines (SQL '.' vs Python slice) and every
+    'table hash' substring occurrence is whitespace-delimited (the
+    regex fragment extraction and the token-offset fragment then pick
+    the same first occurrence)."""
     from lucene_spark.search.fvh import fvh_highlight
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

@@ -429,6 +429,13 @@ def tokenize_pandas_positions(
         # downstream filters see — DelimitedPayloadTokenFilter.java:30)
         if a.shingle_size > 1:
             raise ValueError("payload_delimiter is incompatible with shingles")
+        if a.common_grams:
+            # a gram spans two tokens with distinct payloads — the same
+            # single-token-scope restriction as shingles; silently
+            # emitting grams would shift every later payload onto the
+            # wrong token
+            raise ValueError(
+                "payload_delimiter is incompatible with common_grams")
         delim = a.payload_delimiter
 
         def split_pay(ts: list[str]) -> tuple[list[str], list[float]]:
@@ -544,6 +551,11 @@ def analyzer_fingerprint(name: str) -> str:
         # a field must not make old indexes warn "chain has changed"
         ident += "|wd=%s|prot=%s" % (
             a.word_delimiter, ",".join(sorted(a.protected_words)))
+    if a.common_grams:
+        # same non-default-only rule: the gram word SET and the
+        # index/query mode are both observable term-stream behavior
+        ident += "|cg=%s|cgq=%s" % (
+            ",".join(sorted(a.common_grams)), a.common_grams_query)
     return hashlib.sha256(ident.encode("utf-8")).hexdigest()[:16]
 
 

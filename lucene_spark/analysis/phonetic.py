@@ -166,15 +166,18 @@ def metaphone(word: str, max_code_len: int = 4) -> str:
             if not (i == n - 1 and i > 0 and w[i - 1] == "M"):
                 code.append("B")
         elif c == "C":
-            if nxt == "I" and nxt2 == "A":
+            if i > 0 and w[i - 1] == "S" and nxt in FRONTV:
+                pass               # SCE/SCI/SCY: C silent after S
+            elif nxt == "I" and nxt2 == "A":
                 code.append("X")
             elif nxt in FRONTV:
                 code.append("S")
             elif nxt == "H":
-                # SCH → K; word-initial CH + consonant → K; else CH → X
+                # SCH → K; commons: word-initial CH → K when the char at
+                # index 2 IS a vowel (CHIA/CHEMISTRY shapes), else X
                 if i > 0 and w[i - 1] == "S":
                     code.append("K")
-                elif i == 0 and nxt2 and nxt2 not in VOWELS:
+                elif i == 0 and n >= 3 and w[2] in VOWELS:
                     code.append("K")
                 else:
                     code.append("X")
@@ -187,15 +190,18 @@ def metaphone(word: str, max_code_len: int = 4) -> str:
             else:
                 code.append("T")
         elif c == "G":
-            silent = (nxt == "H" and nxt2 and nxt2 not in VOWELS) or \
-                (i == n - 2 and nxt == "N") or \
-                (i == n - 4 and "".join(w[i + 1:i + 4]) == "NED")
+            # commons-codec silences: -GH at word end; GH before a
+            # consonant; mid-word GN / GNED
+            silent = (nxt == "H" and (i + 1 == n - 1 or
+                                      (nxt2 and nxt2 not in VOWELS))) or \
+                (i > 0 and ("".join(w[i:i + 2]) == "GN" or
+                            "".join(w[i:i + 4]) == "GNED"))
             if not silent:
                 if nxt in FRONTV:
                     code.append("J")
                 else:
                     code.append("K")
-            if nxt == "H" and not (nxt2 and nxt2 not in VOWELS):
+            if nxt == "H" and i + 1 < n - 1 and nxt2 in VOWELS:
                 i += 1          # GH before vowel: H handled here
         elif c == "H":
             if i > 0 and w[i - 1] in VARSON:
@@ -274,7 +280,7 @@ _CAVERPHONE2_STEPS: list[tuple[str, str]] = [
 def caverphone2(word: str) -> str:
     """Caverphone 2.0: the published replacement pipeline, 1-padded to
     10 characters."""
-    t = "".join(c for c in word.lower() if c.isalpha())
+    t = "".join(c for c in word.lower() if "a" <= c <= "z")
     if not t:
         return ""
     for pat, rep in _CAVERPHONE2_STEPS:

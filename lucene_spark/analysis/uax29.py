@@ -58,11 +58,19 @@ _MIDNUMLET_CHARS = {".", "'", "‘", "’", "․", "﹒",
 
 
 def _cls(ch: str) -> int:
+    # Extend/Format FIRST (WB4): combining marks inside any script block
+    # (e.g. U+3099 voiced-sound mark in the hiragana block) must attach
+    # to the current token, never start one
+    cat = unicodedata.category(ch)
+    if cat in ("Mn", "Mc", "Me", "Cf"):
+        return _EXTEND
     cp = ord(ch)
-    if 0x3040 <= cp <= 0x309F:
+    if 0x3041 <= cp <= 0x309F:
         return _HIRA
-    if 0x30A0 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF or \
-            0xFF66 <= cp <= 0xFF9D:
+    # katakana LETTERS only: U+30A0 (double hyphen, Pd) and U+30FB
+    # (middle dot, Word_Break=MidLetter) are NOT part of a run
+    if 0x30A1 <= cp <= 0x30FA or 0x30FC <= cp <= 0x30FF or \
+            0x31F0 <= cp <= 0x31FF or 0xFF66 <= cp <= 0xFF9D:
         return _KAT
     if 0x3400 <= cp <= 0x9FFF or 0xF900 <= cp <= 0xFAFF or \
             0x20000 <= cp <= 0x2FA1F or cp == 0x3007:
@@ -76,13 +84,10 @@ def _cls(ch: str) -> int:
         return _MIDNUM
     if ch in _MIDNUMLET_CHARS:
         return _MIDNUMLET
-    cat = unicodedata.category(ch)
     if cat == "Nd":
         return _NUMC
     if cat.startswith("L"):
         return _AL
-    if cat in ("Mn", "Mc", "Me", "Cf"):
-        return _EXTEND
     if cat == "Pc":               # '_' and friends
         return _EXTNUMLET
     return _OTHER
@@ -113,8 +118,10 @@ def _mid_ok(prev: int, mid: int, nxt: int) -> bool:
 EMAIL_RE = re.compile(
     r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~.\-]+@"
     r"(?:[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?\.)+[A-Za-z]{2,}")
+# scheme matching is case-insensitive, like the reference's JFlex URL
+# production (HTTPS://EXAMPLE.COM is one <URL> token)
 URL_RE = re.compile(
-    r"(?:(?:https?|ftp|file)://|www\.)"
+    r"(?:(?i:https?|ftp|file)://|(?i:www)\.)"
     r"""[^\s<>"']*[^\s<>"'.,;:!?)\]}]""")
 _PREPASS = re.compile(f"(?P<url>{URL_RE.pattern})|(?P<email>{EMAIL_RE.pattern})")
 

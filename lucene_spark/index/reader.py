@@ -270,9 +270,11 @@ class IndexReader:
         """FuzzyQuery expansion: edit distance ≤ max_edits over the
         dictionary (search/FuzzyQuery.java). Default transpositions=True
         matches the reference default (FuzzyQuery.java:77): a swap of
-        adjacent characters counts as ONE edit (the
-        LuceneLevenshteinDistance.java:75-103 recurrence), so 'baca'
-        matches 'abca' at maxEdits=1. Top terms by df, TopTermsRewrite.
+        adjacent characters counts as ONE edit. The exact measure is the
+        UNRESTRICTED Damerau-Levenshtein (stringdist.damerau_distance) —
+        a transposition-primitive automaton accepts edits inside a
+        transposed pair, unlike the OSA recurrence. Top terms by df,
+        TopTermsRewrite.
 
         Plan shape either way: length band + JVM thresholded levenshtein
         prefilter prune the dictionary scan; the transposition-aware
@@ -293,13 +295,13 @@ class IndexReader:
                 .filter((F.col("ed") >= 0) & (F.col("ed") <= plain_bound))
             )
             if transpositions:
-                from lucene_spark.search.stringdist import osa_distance
+                from lucene_spark.search.stringdist import damerau_distance
 
                 @F.pandas_udf("int")
-                def _osa(terms: pd.Series) -> pd.Series:
-                    return terms.map(lambda t: osa_distance(t, term))
+                def _dam(terms: pd.Series) -> pd.Series:
+                    return terms.map(lambda t: damerau_distance(t, term))
 
-                cand = (cand.withColumn("ed", _osa(F.col("term")))
+                cand = (cand.withColumn("ed", _dam(F.col("term")))
                         .filter(F.col("ed") <= max_edits))
             rows = (cand.orderBy(F.col("df").desc(), "term")
                     .limit(max_terms).collect())

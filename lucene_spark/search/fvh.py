@@ -39,6 +39,16 @@ def tokens_with_offsets(text: str, an) -> list[tuple[str, int, int]]:
     if an.custom_tokenizer or an.word_delimiter or an.split_camel:
         raise ValueError(
             f"analyzer {an.name!r} does not produce character offsets")
+    if an.stemmer or an.normalizer or an.common_grams or an.shingle_size > 1:
+        # these stages change the TERMS (stem/normalize) or add tokens
+        # with no character span of their own (grams/shingles) — the
+        # offset stream would silently disagree with tokenize_one's
+        # terms and every phrase lookup would miss. FVH requires offsets
+        # for the exact indexed terms; reject rather than return nothing.
+        raise ValueError(
+            f"analyzer {an.name!r} rewrites terms after tokenization "
+            "(stemmer/normalizer/common_grams/shingles) — offsets would "
+            "not align with its term stream")
     # the chain case-folds the string BEFORE pattern matching
     # (tokenize_pandas); matching the lowered twin keeps the emitted
     # terms chain-identical while offsets index the original text

@@ -70,9 +70,10 @@ def suggest_similar(
         cand = cand.filter(F.col("df") > int(more_popular_than))
     # thresholded levenshtein (returns -1 past the threshold) keeps the
     # JVM prefilter O(len·maxEdits); the exact candidate distance is the
-    # transposition-aware OSA recurrence, because DirectSpellChecker's
+    # unrestricted Damerau-Levenshtein, because DirectSpellChecker's
     # FuzzyTermsEnum runs with transpositions=true
-    # (DirectSpellChecker.java:415) — every OSA-match has plain distance
+    # (DirectSpellChecker.java:415) and the transposition automaton has
+    # no OSA restriction — every Damerau-match has plain distance
     # ≤ 2·maxEdits, so the prefilter is lossless.
     # EXACT similarity orders the results (ScoreTerm.compareTo compares
     # the raw float score first — rounding before sorting would let df
@@ -80,11 +81,11 @@ def suggest_similar(
     # returned column is rounded for display only.
     sim = (F.lit(1.0) - F.col("ed").cast("double")
            / F.least(F.length("term"), F.lit(tlen)).cast("double"))
-    from lucene_spark.search.stringdist import osa_distance
+    from lucene_spark.search.stringdist import damerau_distance
 
     @F.pandas_udf("int")
     def _osa(terms: pd.Series) -> pd.Series:
-        return terms.map(lambda t: osa_distance(t, term))
+        return terms.map(lambda t: damerau_distance(t, term))
 
     cand = (
         cand.withColumn("ed", F.levenshtein(F.col("term"), F.lit(term),

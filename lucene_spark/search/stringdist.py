@@ -27,6 +27,7 @@ from __future__ import annotations
 
 __all__ = ["levenshtein_distance", "lucene_levenshtein_distance",
            "jaro_winkler_distance", "ngram_distance", "osa_distance",
+           "damerau_distance",
            "STRING_DISTANCES"]
 
 
@@ -48,11 +49,12 @@ def levenshtein_distance(target: str, other: str) -> float:
 
 
 def osa_distance(target: str, other: str) -> int:
-    """Transposition-as-primitive edit distance (optimal string
-    alignment) — the LuceneLevenshteinDistance.java:75-103 recurrence,
-    which is also what LevenshteinAutomata accepts when FuzzyQuery /
-    DirectSpellChecker run with their DEFAULT transpositions=true
-    (FuzzyQuery.java:77, DirectSpellChecker.java:415)."""
+    """RESTRICTED transposition edit distance (optimal string
+    alignment) — exactly the LuceneLevenshteinDistance.java:75-103
+    recurrence (used for merging distributed spellcheck results).  For
+    the automaton semantics of FuzzyQuery/DirectSpellChecker candidate
+    matching use `damerau_distance` (the unrestricted variant; they
+    differ at pairs like 'xabc'/'xca': OSA 3, Damerau 2)."""
     tp, op = target, other
     n, m = len(tp), len(op)
     if n == 0 or m == 0:
@@ -72,6 +74,49 @@ def osa_distance(target: str, other: str) -> int:
                     and tp[i - 2] == op[j - 1]):
                 d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
     return d[n][m]
+
+
+def damerau_distance(target: str, other: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein — transposition as a primitive
+    edit with further edits allowed inside a transposed pair
+    ('xca'→'xac'→'xabc' is 2).  This is what a Schulz-Mihov automaton
+    with transposition-primitives accepts (FuzzyQuery's documented
+    Damerau-Levenshtein; the automaton applies primitives sequentially
+    and carries no OSA adjacency restriction), and what DuckDB's
+    damerau_levenshtein computes — unlike `osa_distance`, which is the
+    RESTRICTED recurrence LuceneLevenshteinDistance.java uses for
+    result merging.  Lowrance-Wagner DP with per-character last-seen
+    rows."""
+    a, b = target, other
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return max(n, m)
+    inf = n + m
+    # charset map for the "last occurrence in a" row index
+    da: dict[str, int] = {}
+    d = [[inf] * (m + 2) for _ in range(n + 2)]
+    d[1][1] = 0
+    for i in range(1, n + 1):
+        d[i + 1][1] = i
+    for j in range(1, m + 1):
+        d[1][j + 1] = j
+    for i in range(1, n + 1):
+        db = 0
+        for j in range(1, m + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,                     # substitute
+                d[i + 1][j] + 1,                    # insert
+                d[i][j + 1] + 1,                    # delete
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[n + 1][m + 1]
 
 
 def lucene_levenshtein_distance(target: str, other: str) -> float:

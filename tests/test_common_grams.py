@@ -124,3 +124,29 @@ def test_positions_enable_gram_phrases():
     t, p, _ = tokenize_pandas_positions(pd.Series(["of the fox"]), IDX)
     assert list(t.iloc[0]) == ["of", "of_the", "the", "the_fox", "fox"]
     assert list(p.iloc[0]) == [0, 0, 1, 1, 2]
+
+
+def test_fingerprint_covers_common_grams():
+    from lucene_spark.analysis.analyzers import (analyzer_fingerprint,
+                                                 register_analyzer)
+
+    register_analyzer(Analyzer(name="_cg_fp_a", token_pattern=r"\S+",
+                               lowercase=False))
+    register_analyzer(Analyzer(name="_cg_fp_b", token_pattern=r"\S+",
+                               lowercase=False, common_grams=COMMON))
+    register_analyzer(Analyzer(name="_cg_fp_c", token_pattern=r"\S+",
+                               lowercase=False, common_grams=COMMON,
+                               common_grams_query=True))
+    fps = {analyzer_fingerprint(n) for n in ("_cg_fp_a", "_cg_fp_b",
+                                             "_cg_fp_c")}
+    assert len(fps) == 3     # word set AND query mode both observable
+
+
+def test_payloads_incompatible_with_common_grams():
+    from lucene_spark.analysis.analyzers import tokenize_pandas_positions
+
+    bad = Analyzer(name="_cg_pay", token_pattern=r"\S+", lowercase=False,
+                   common_grams=COMMON, payload_delimiter="|")
+    with pytest.raises(ValueError):
+        tokenize_pandas_positions(pd.Series(["the|1 fox|2"]), bad,
+                                  want_payloads=True)

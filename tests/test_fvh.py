@@ -65,3 +65,13 @@ def test_stopword_chain_shifts_positions_not_offsets():
     an = get_analyzer("standard")   # English stops dropped
     toks = tokens_with_offsets("the quick fox", an)
     assert toks == [("quick", 4, 9), ("fox", 10, 13)]
+
+
+def test_term_rewriting_chains_rejected():
+    from lucene_spark.analysis.analyzers import Analyzer
+
+    for an in (Analyzer(name="_fvh_stem", stemmer="porter"),
+               Analyzer(name="_fvh_shingle", shingle_size=2),
+               Analyzer(name="_fvh_cg", common_grams=frozenset({"the"}))):
+        with pytest.raises(ValueError):
+            tokens_with_offsets("quick brown", an)

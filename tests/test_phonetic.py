@@ -38,3 +38,19 @@ def test_phonetic_chains_registered():
         "Darda Carlene") == ["TTA1111111", "KLN1111111"]
     assert get_analyzer("phonetic_nysiis").tokenize_one(
         "easgasg") == ["EASGAS"]
+
+
+def test_metaphone_commons_rules():
+    from lucene_spark.analysis.phonetic import metaphone
+
+    assert metaphone("science") == "SNS"   # SCE/SCI/SCY: silent C
+    assert metaphone("laugh") == "L"       # word-final GH silent
+    assert metaphone("school") == "SKL"    # SCH -> K
+    assert metaphone("magnet") == "MNT"    # mid-word GN silent (commons)
+    assert metaphone("chair") == "KR"      # initial CH + vowel@2 -> K
+
+
+def test_caverphone2_ascii_only():
+    from lucene_spark.analysis.phonetic import caverphone2
+
+    assert caverphone2("café") == "KF11111111"   # non-ASCII stripped

@@ -9,7 +9,7 @@ import pytest
 from lucene_spark.search.stringdist import (jaro_winkler_distance,
                                             levenshtein_distance,
                                             lucene_levenshtein_distance,
-                                            ngram_distance)
+                                            ngram_distance, osa_distance)
 
 A = 0.001
 
@@ -122,3 +122,15 @@ def test_spellcheck_distance_measure_option(reader):
     assert all(r["ed"] <= 2 for r in jw)
     with pytest.raises(ValueError):
         suggest_similar(reader, "mrege", distance="nope").collect()
+
+
+def test_damerau_vs_osa_distinction():
+    from lucene_spark.search.stringdist import damerau_distance
+
+    # edits inside a transposed pair: Damerau 2, OSA 3
+    assert damerau_distance("xabc", "xca") == 2
+    assert osa_distance("xabc", "xca") == 3
+    # simple swaps agree
+    assert damerau_distance("emrge", "merge") == osa_distance(
+        "emrge", "merge") == 1
+    assert damerau_distance("", "ab") == 2

@@ -122,3 +122,19 @@ def test_num_vs_alphanum_types():
 def test_lone_extendnumlet_types_alphanum():
     assert tokenize_uax29("_ _a a_") == [
         ("_", "<ALPHANUM>"), ("_a", "<ALPHANUM>"), ("a_", "<ALPHANUM>")]
+
+
+def test_combining_mark_in_kana_block_attaches():
+    # U+3099 (combining voiced mark, hiragana block) is WB Extend
+    assert tok("ガki") == ["ガ", "ki"]
+
+
+def test_katakana_middle_dot_splits():
+    assert tok("ア・イ") == ["ア", "イ"]   # U+30FB is MidLetter, not Katakana
+
+
+def test_uppercase_url_scheme():
+    out = tokenize_uax29("see HTTPS://EXAMPLE.COM now")
+    assert [t for t, ty in out if ty == "<URL>"] == ["HTTPS://EXAMPLE.COM"]
+    out2 = tokenize_uax29("WWW.EXAMPLE.COM rocks")
+    assert [t for t, ty in out2 if ty == "<URL>"] == ["WWW.EXAMPLE.COM"]
