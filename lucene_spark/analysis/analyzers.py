@@ -1096,5 +1096,21 @@ register_analyzer(Analyzer(name="phonetic_soundex", stemmer="soundex"))
 register_analyzer(Analyzer(name="phonetic_metaphone", stemmer="metaphone"))
 register_analyzer(Analyzer(name="phonetic_caverphone2", stemmer="caverphone2"))
 register_analyzer(Analyzer(name="phonetic_nysiis", stemmer="nysiis"))
+
+
+# Daitch-Mokotoff emits MULTIPLE codes per token (branching) — a custom
+# tokenizer, not a 1:1 stemmer entry (phonetic/DaitchMokotoffSoundexFilter
+# .java inject=false shape).
+def _dm_token_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.phonetic import daitch_mokotoff
+
+    return content.map(
+        lambda s: [c for t in (s.split() if isinstance(s, str) else [])
+                   for c in daitch_mokotoff(t)])
+
+
+CUSTOM_TOKENIZERS["dm_soundex"] = _dm_token_lists
+register_analyzer(Analyzer(name="phonetic_dm", custom_tokenizer="dm_soundex",
+                           stopwords=frozenset()))
 register_analyzer(Analyzer(name="standard_folded", stopwords=ENGLISH_STOP_WORDS,
                            token_pattern=r"[^\W_]+|_+[^\W_]*", stemmer="ascii_fold"))

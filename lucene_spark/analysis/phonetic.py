@@ -348,3 +348,136 @@ def nysiis(word: str, strict: bool = True) -> str:
     if out.endswith("A") and len(out) > 1:
         out = out[:-1]
     return out[:6] if strict else out
+
+
+# Daitch-Mokotoff Soundex rule table (the published Avotaynu standard
+# the reference's DaitchMokotoffSoundexFilter encodes via commons-codec
+# dmrules.txt): sequence -> (code at word start, code before a vowel,
+# code otherwise); None = not coded; a tuple of alternatives = a branch
+# (every combination yields a code — the filter's multi-token output).
+_DM_VOWELS = set("aeiouy")
+_DM_RULES: list[tuple[str, tuple]] = sorted([
+    ("ai", ("0", "1", None)), ("aj", ("0", "1", None)),
+    ("ay", ("0", "1", None)), ("au", ("0", "7", None)),
+    ("a", ("0", None, None)),
+    ("b", ("7", "7", "7")),
+    ("chs", ("5", "54", "54")),
+    ("ch", (("5", "4"), ("5", "4"), ("5", "4"))),
+    ("ck", (("5", "45"), ("5", "45"), ("5", "45"))),
+    ("cz", ("4", "4", "4")), ("cs", ("4", "4", "4")),
+    ("csz", ("4", "4", "4")), ("czs", ("4", "4", "4")),
+    ("c", (("5", "4"), ("5", "4"), ("5", "4"))),
+    ("drz", ("4", "4", "4")), ("drs", ("4", "4", "4")),
+    ("ds", ("4", "4", "4")), ("dsh", ("4", "4", "4")),
+    ("dsz", ("4", "4", "4")),
+    ("dz", ("4", "4", "4")), ("dzh", ("4", "4", "4")),
+    ("dzs", ("4", "4", "4")),
+    ("d", ("3", "3", "3")), ("dt", ("3", "3", "3")),
+    ("ei", ("0", "1", None)), ("ej", ("0", "1", None)),
+    ("ey", ("0", "1", None)), ("eu", ("1", "1", None)),
+    ("e", ("0", None, None)),
+    ("fb", ("7", "7", "7")), ("f", ("7", "7", "7")),
+    ("g", ("5", "5", "5")),
+    ("h", ("5", "5", None)),
+    ("ia", ("1", None, None)), ("ie", ("1", None, None)),
+    ("io", ("1", None, None)), ("iu", ("1", None, None)),
+    ("i", ("0", None, None)),
+    ("j", (("1", "4"), (None, "4"), (None, "4"))),
+    ("ks", ("5", "54", "54")), ("kh", ("5", "5", "5")),
+    ("k", ("5", "5", "5")),
+    ("l", ("8", "8", "8")),
+    ("mn", (None, "66", "66")), ("m", ("6", "6", "6")),
+    ("nm", (None, "66", "66")), ("n", ("6", "6", "6")),
+    ("oi", ("0", "1", None)), ("oj", ("0", "1", None)),
+    ("oy", ("0", "1", None)), ("o", ("0", None, None)),
+    ("p", ("7", "7", "7")), ("pf", ("7", "7", "7")),
+    ("ph", ("7", "7", "7")),
+    ("q", ("5", "5", "5")),
+    ("rz", (("94", "4"), ("94", "4"), ("94", "4"))),
+    ("rs", (("94", "4"), ("94", "4"), ("94", "4"))),
+    ("r", ("9", "9", "9")),
+    ("schtsch", ("2", "4", "4")), ("schtsh", ("2", "4", "4")),
+    ("schtch", ("2", "4", "4")),
+    ("scht", ("2", "43", "43")), ("schd", ("2", "43", "43")),
+    ("sch", ("4", "4", "4")),
+    ("shtch", ("2", "4", "4")), ("shch", ("2", "4", "4")),
+    ("shtsh", ("2", "4", "4")),
+    ("sht", ("2", "43", "43")), ("shd", ("2", "43", "43")),
+    ("sh", ("4", "4", "4")),
+    ("stch", ("2", "4", "4")), ("stsch", ("2", "4", "4")),
+    ("sc", ("2", "4", "4")),
+    ("strz", ("2", "4", "4")), ("strs", ("2", "4", "4")),
+    ("stsh", ("2", "4", "4")),
+    ("st", ("2", "43", "43")),
+    ("szcz", ("2", "4", "4")), ("szcs", ("2", "4", "4")),
+    ("szt", ("2", "43", "43")), ("szd", ("2", "43", "43")),
+    ("sd", ("2", "43", "43")),
+    ("sz", ("4", "4", "4")), ("s", ("4", "4", "4")),
+    ("tch", ("4", "4", "4")), ("ttch", ("4", "4", "4")),
+    ("ttsch", ("4", "4", "4")),
+    ("th", ("3", "3", "3")),
+    ("trz", ("4", "4", "4")), ("trs", ("4", "4", "4")),
+    ("tsch", ("4", "4", "4")), ("tsh", ("4", "4", "4")),
+    ("ts", ("4", "4", "4")), ("tts", ("4", "4", "4")),
+    ("ttsz", ("4", "4", "4")), ("tc", ("4", "4", "4")),
+    ("tz", ("4", "4", "4")), ("ttz", ("4", "4", "4")),
+    ("tzs", ("4", "4", "4")), ("tsz", ("4", "4", "4")),
+    ("t", ("3", "3", "3")),
+    ("ui", ("0", "1", None)), ("uj", ("0", "1", None)),
+    ("uy", ("0", "1", None)), ("ue", ("0", None, None)),
+    ("u", ("0", None, None)),
+    ("v", ("7", "7", "7")), ("w", ("7", "7", "7")),
+    ("x", ("5", "54", "54")),
+    ("y", ("1", None, None)),
+    ("zdz", ("2", "4", "4")), ("zdzh", ("2", "4", "4")),
+    ("zhdzh", ("2", "4", "4")),
+    ("zd", ("2", "43", "43")), ("zhd", ("2", "43", "43")),
+    ("zh", ("4", "4", "4")), ("zs", ("4", "4", "4")),
+    ("zsch", ("4", "4", "4")), ("zsh", ("4", "4", "4")),
+    ("z", ("4", "4", "4")),
+], key=lambda kv: -len(kv[0]))       # longest match first
+
+
+@functools.lru_cache(maxsize=65536)
+def daitch_mokotoff(word: str) -> tuple[str, ...]:
+    """Daitch-Mokotoff Soundex (analysis/phonetic/
+    DaitchMokotoffSoundexFilter.java wrapping commons-codec
+    DaitchMokotoffSoundex; TestDaitchMokotoffSoundexFilter vectors):
+    6-digit zero-padded codes, ONE OR MORE per word (ambiguous
+    sequences like C/CH/CK/J/RS branch into every alternative).
+    Adjacent identical codes collapse unless a vowel separates them."""
+    w = "".join(c for c in word.lower() if "a" <= c <= "z")
+    if not w:
+        return ()
+    branches: list[tuple[str, str | None]] = [("", None)]  # (digits, last)
+    i = 0
+    n = len(w)
+    while i < n:
+        for seq, codes in _DM_RULES:
+            if w.startswith(seq, i):
+                if i == 0:
+                    code = codes[0]
+                elif i + len(seq) < n and w[i + len(seq)] in _DM_VOWELS:
+                    code = codes[1]
+                else:
+                    code = codes[2]
+                alts = code if isinstance(code, tuple) else (code,)
+                is_vowel = seq[0] in _DM_VOWELS
+                nxt: list[tuple[str, str | None]] = []
+                for digits, last in branches:
+                    for alt in alts:
+                        if alt is None:
+                            # uncoded; a vowel breaks code adjacency
+                            nxt.append((digits, None if is_vowel else last))
+                        elif alt != last:
+                            nxt.append((digits + alt, alt))
+                        else:
+                            nxt.append((digits, last))
+                # dedupe branch states to bound the product
+                branches = list(dict.fromkeys(nxt))[:16]
+                i += len(seq)
+                break
+        else:
+            i += 1
+    return tuple(dict.fromkeys(
+        (d + "000000")[:6] for d, _ in branches))

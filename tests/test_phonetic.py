@@ -54,3 +54,22 @@ def test_caverphone2_ascii_only():
     from lucene_spark.analysis.phonetic import caverphone2
 
     assert caverphone2("café") == "KF11111111"   # non-ASCII stripped
+
+
+def test_daitch_mokotoff_reference_vectors():
+    from lucene_spark.analysis.phonetic import daitch_mokotoff as dm
+
+    # TestDaitchMokotoffSoundexFilter.testAlgorithms
+    assert dm("aaa") == ("000000",)
+    assert dm("bbb") == ("700000",)
+    assert set(dm("ccc")) == {"400000", "450000", "454000",
+                              "540000", "545000", "500000"}
+    assert dm("easgasg") == ("045450",)
+    assert dm("") == ()
+
+
+def test_daitch_mokotoff_chain():
+    from lucene_spark.analysis import get_analyzer
+
+    out = get_analyzer("phonetic_dm").tokenize_one("bbb easgasg")
+    assert out == ["700000", "045450"]
