@@ -6569,6 +6569,50 @@ FROM documents
 """
 
 
+def dd_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (pipeline/decontaminate.py
+    fuzzy_contaminated_docs — MinHash+LSH cross-side candidates + exact
+    Jaccard verify, the near-dup analogue of the 13-gram exact check):
+    benchmark = every doc_id % 37 == 0 document; flag corpus docs whose
+    3-gram Jaccard with any benchmark doc ≥ 0.5. 32x2 banding makes the
+    LSH result equal the EXACT cross-side Jaccard, which is the SQL
+    oracle."""
+    from lucene_spark.pipeline.decontaminate import fuzzy_contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    out = fuzzy_contaminated_docs(d, bench, "text", "doc_id",
+                                  threshold=0.5)
+    return out.select(F.col("key").alias("doc_id"),
+                      F.round("max_jaccard", 4).alias("max_jaccard_r"))
+
+
+DD_FUZZY_DECON_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(words) - 2, 1) + 1),
+           i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS shingle
+  FROM w
+), sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS corp, b.doc_id AS ben, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle
+  WHERE b.doc_id % 37 = 0
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT corp, i / (sa.sz + sb.sz - i) AS jac
+  FROM inter JOIN sz sa ON corp = sa.doc_id JOIN sz sb ON ben = sb.doc_id
+  WHERE i / (sa.sz + sb.sz - i) >= 0.5
+)
+SELECT corp AS doc_id, round(max(jac), 4) AS max_jaccard_r
+FROM j GROUP BY corp
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6787,6 +6831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fvh_phrase": ft_fvh_phrase,
         "ft_spellcheck_jw": ft_spellcheck_jw,
         "ft_uax29_tokens": ft_uax29_tokens,
+        "dd_fuzzy_decontaminate": dd_fuzzy_decontaminate,
     }
 
 
@@ -6990,4 +7035,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_fvh_phrase": FT_FVH_PHRASE_SQL,
         "ft_spellcheck_jw": FT_SPELLCHECK_JW_SQL,
         "ft_uax29_tokens": FT_UAX29_SQL,
+        "dd_fuzzy_decontaminate": DD_FUZZY_DECON_SQL,
     }
