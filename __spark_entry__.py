@@ -6613,6 +6613,91 @@ FROM j GROUP BY corp
 """
 
 
+def rel_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority — the Solr SQL / Calcite role
+    on a 3-way join): customer ⋈ orders ⋈ lineitem with selective
+    per-side filters, revenue aggregation, top-10 by (revenue desc,
+    orderdate asc, orderkey asc). Exercises broadcast-vs-shuffle join
+    selection with AQE over the two dimension-ish sides."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >
+                                              F.lit("1998-06-01").cast("timestamp"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    agg = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.round(F.sum(F.col("l_extendedprice") *
+                              (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                       F.col("l_orderkey").asc())
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_date"), "o_orderpriority", "revenue", "rank"))
+
+
+REL_Q3_SQL = """
+WITH j AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+),
+agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(rev), 2) AS revenue
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_orderpriority, revenue,
+       row_number() OVER (ORDER BY revenue DESC, o_orderdate ASC,
+                          l_orderkey ASC) AS rank
+FROM agg QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
+def rel_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 5-way star join
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation) with the
+    customer-and-supplier-same-nation constraint, revenue per nation,
+    ordered desc. The three dimension tables broadcast; lineitem-orders
+    is the single shuffle join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
+REL_Q5_SQL = """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+       AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6832,6 +6917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_spellcheck_jw": ft_spellcheck_jw,
         "ft_uax29_tokens": ft_uax29_tokens,
         "dd_fuzzy_decontaminate": dd_fuzzy_decontaminate,
+        "rel_q3_shipping": rel_q3_shipping,
+        "rel_q5_local": rel_q5_local,
     }
 
 
@@ -7036,4 +7123,6 @@ def oracle_sql() -> dict[str, str]:
         "ft_spellcheck_jw": FT_SPELLCHECK_JW_SQL,
         "ft_uax29_tokens": FT_UAX29_SQL,
         "dd_fuzzy_decontaminate": DD_FUZZY_DECON_SQL,
+        "rel_q3_shipping": REL_Q3_SQL,
+        "rel_q5_local": REL_Q5_SQL,
     }
