@@ -5,6 +5,7 @@ from lucene_spark.index.compaction import compact, plan_compaction  # noqa: F401
 from lucene_spark.index.split import split_index, split_index_multi  # noqa: F401
 from lucene_spark.index.addindexes import add_indexes  # noqa: F401
 from lucene_spark.index.snapshot import snapshot_index  # noqa: F401
+from lucene_spark.index.info import get_by_keys, index_info  # noqa: F401
 from lucene_spark.index.docvalues import (  # noqa: F401
     doc_values, fold_doc_values, update_doc_values,
 )

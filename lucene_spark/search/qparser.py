@@ -15,7 +15,16 @@ Parity notes:
 - the DEFAULT OPERATOR IS OR: `a b` parses as `a OR b`
   (queryparser/classic/QueryParserBase.java:59-64)
 - query text runs through the same analyzer as the index
-- NOT binds tighter than AND/OR; AND binds tighter than OR
+- NOT binds tighter than AND/OR; AND binds tighter than OR.
+  DOCUMENTED DIVERGENCE: this is the PrecedenceQueryParser behavior
+  (queryparser/flexible/precedence/PrecedenceQueryParser.java — "AND
+  has higher precedence than OR"), chosen deliberately over the classic
+  parser's flat left-to-right clause building, where `a AND b OR c`
+  yields the single BooleanQuery `+a +b c` (b both MUST'ed by the AND
+  and followed by a SHOULD c — widely considered a trap; the flexible
+  parser exists to fix it). Here `a AND b OR c` = `(+a +b) c`, i.e. a
+  doc matching only c qualifies. Every SQL oracle mirrors this
+  precedence reading.
 """
 
 from __future__ import annotations
