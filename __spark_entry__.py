@@ -6698,6 +6698,50 @@ GROUP BY n.n_name ORDER BY revenue DESC, n_name ASC
 """
 
 
+def dd_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout split (pipeline/split.leakage_safe_split —
+    near-dup clusters land on ONE side): pairs = the exact-Jaccard
+    near-dups (the dd_jaccard gate set), components via min-label
+    propagation, side = sha256(cluster_rep||salt) threshold at 0.3.
+    Oracle replays components with a recursive CTE and the same sha
+    threshold. Returns (doc_id, side)."""
+    from lucene_spark.pipeline import dedup
+    from lucene_spark.pipeline.split import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    tr, ho = leakage_safe_split(d.select("doc_id"), pairs, "doc_id",
+                                0.3, salt="v1")
+    return (tr.select("doc_id", F.lit("train").alias("side"))
+            .unionByName(ho.select("doc_id", F.lit("holdout").alias("side"))))
+
+
+DD_LEAKAGE_SPLIT_SQL = f"""
+WITH pairs AS (
+  SELECT key_a, key_b FROM ({{jac}})
+), edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION SELECT key_b, key_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a
+), rep AS (
+  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT doc_id,
+       CASE WHEN substr(sha256(CAST(rep AS VARCHAR) || 'v1'), 1, 8)
+                 < '4ccccccc'
+            THEN 'holdout' ELSE 'train' END AS side
+FROM rep
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full index build → BM25 top-10 on sf0.001 documents."""
     s = _searcher(spark, SF_DEFAULT)
@@ -6919,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fuzzy_decontaminate": dd_fuzzy_decontaminate,
         "rel_q3_shipping": rel_q3_shipping,
         "rel_q5_local": rel_q5_local,
+        "dd_leakage_split": dd_leakage_split,
     }
 
 
@@ -7125,4 +7170,5 @@ def oracle_sql() -> dict[str, str]:
         "dd_fuzzy_decontaminate": DD_FUZZY_DECON_SQL,
         "rel_q3_shipping": REL_Q3_SQL,
         "rel_q5_local": REL_Q5_SQL,
+        "dd_leakage_split": DD_LEAKAGE_SPLIT_SQL.format(jac=DD_JACCARD_SQL),
     }

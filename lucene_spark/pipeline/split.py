@@ -62,6 +62,39 @@ def train_holdout_split(
     return df.filter(~flag), df.filter(flag)
 
 
+def leakage_safe_split(
+    df: DataFrame, pairs: DataFrame, key_col: str, fraction: float,
+    salt: str = "", max_iter: int = 25,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) split that keeps every NEAR-DUPLICATE CLUSTER on
+    one side — the train/test-leakage guard a plain per-document hash
+    split lacks: with A≈B, hashing doc keys independently can put A in
+    train and B in holdout, leaking evaluation content into training
+    (the contamination the fuzzy-decontamination and dedup ops exist to
+    catch, applied to the split itself).
+
+    Composition of gated primitives: `pairs` (e.g.
+    dedup.exact_jaccard_pairs or minhash_lsh_pairs+jaccard_verify) →
+    dedup.duplicate_clusters connected components → every doc hashes by
+    its CLUSTER REPRESENTATIVE (min key of its component; singletons by
+    their own key) through the same sha-based holdout_flag, so the
+    assignment stays stable under repartitioning/appends and the whole
+    cluster lands together.  One broadcast-friendly left join beyond
+    the CC labels; the label table is bounded by the number of
+    non-singleton docs."""
+    from lucene_spark.pipeline.dedup import duplicate_clusters
+
+    labels = duplicate_clusters(pairs, max_iter=max_iter)
+    joined = df.join(
+        labels.select(F.col("key").alias(key_col),
+                      F.col("cluster").alias("__rep")),
+        key_col, "left")
+    rep = F.coalesce(F.col("__rep"), F.col(key_col))
+    flag = holdout_flag(rep, fraction, salt)
+    return (joined.filter(~flag).drop("__rep"),
+            joined.filter(flag).drop("__rep"))
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

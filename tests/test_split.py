@@ -89,3 +89,35 @@ def test_null_keys_land_in_train_not_dropped(spark):
     assert train_ids | hold_ids == set(range(20)) | {98, 99}
     assert not train_ids & hold_ids
     assert {98, 99} <= train_ids
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from lucene_spark.pipeline import dedup
+    from lucene_spark.pipeline.split import (leakage_safe_split,
+                                             train_holdout_split)
+
+    base = "alpha beta gamma delta epsilon zeta eta"
+    rows = []
+    # 40 near-dup pairs (2k, 2k+1 share text) + 20 singletons
+    for k in range(40):
+        rows.append((2 * k, f"{base} group{k} filler one"))
+        rows.append((2 * k + 1, f"{base} group{k} filler two"))
+    for k in range(100, 120):
+        rows.append((k, f"unique text number {k} with nothing shared {k}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.exact_jaccard_pairs(df, "text", "doc_id", threshold=0.5)
+    tr, ho = leakage_safe_split(df, pairs, "doc_id", 0.3, salt="s1")
+    tr_ids = {r["doc_id"] for r in tr.collect()}
+    ho_ids = {r["doc_id"] for r in ho.collect()}
+    assert tr_ids.isdisjoint(ho_ids)
+    assert tr_ids | ho_ids == {r[0] for r in rows}
+    # the leakage guarantee: both members of every pair on ONE side
+    for k in range(40):
+        a, b = 2 * k, 2 * k + 1
+        assert (a in tr_ids) == (b in tr_ids), k
+    # a plain per-doc split DOES split some pair (the failure this fixes)
+    ptr, pho = train_holdout_split(df, "doc_id", 0.3, salt="s1")
+    p_tr = {r["doc_id"] for r in ptr.collect()}
+    split_pairs = [k for k in range(40)
+                   if (2 * k in p_tr) != (2 * k + 1 in p_tr)]
+    assert split_pairs, "fixture should demonstrate the leak"
