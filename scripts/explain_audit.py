@@ -576,6 +576,34 @@ def main() -> None:
         ],
     ))
 
+    # TPC-H Q5 star join: all three dimension sides broadcast; the only
+    # shuffle join is lineitem ⋈ orders (fact-fact).
+    p = plan_of(gate.rel_q5_local(spark, sf_dir))
+    sections.append((
+        "TPC-H Q5 star join (dims broadcast, one shuffle join)", p,
+        [
+            ("three BroadcastHashJoins (customer/supplier/nation)",
+             p.split("\n\n", 1)[0].count("BroadcastHashJoin") >= 3),
+            ("at most one SortMergeJoin/ShuffledHashJoin (the fact-fact "
+             "lineitem-orders join)",
+             (p.split("\n\n", 1)[0].count("SortMergeJoin")
+              + p.split("\n\n", 1)[0].count("ShuffledHashJoin")) <= 1),
+        ],
+    ))
+
+    # TPC-H Q3: selective filters pushed into every parquet scan
+    p = plan_of(gate.rel_q3_shipping(spark, sf_dir))
+    sections.append((
+        "TPC-H Q3 (filters pushed to every side's scan)", p,
+        [
+            ("mktsegment filter pushed to the customer scan",
+             "c_mktsegment" in p and "PushedFilters" in p),
+            ("date filters pushed (orderdate / shipdate appear in "
+             "pushed filters)",
+             p.count("PushedFilters") >= 3),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
