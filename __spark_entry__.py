@@ -6493,6 +6493,7 @@ def ft_fvh_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fvh_highlight(d, "text", "doc_id", ["table hash"],
                         analyzer="whitespace", margin=40)
     return (out.withColumnRenamed("key", "doc_id")
+            .select("doc_id", "snippet")
             .orderBy("doc_id").limit(20))
 
 

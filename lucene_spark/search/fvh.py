@@ -80,13 +80,17 @@ def _phrase_spans(toks: list[tuple[str, int, int]],
 def fvh_highlight(docs: DataFrame, text_col: str, key_col: str,
                   phrases: list[str], analyzer: str = "whitespace",
                   margin: int = 40, pre: str = "<b>",
-                  post: str = "</b>") -> DataFrame:
-    """(key, snippet) for documents matching ANY of `phrases` (each a
-    space-separated word sequence, analyzed with the field's chain).
-    The fragment spans [first_hit_start - margin, first_hit_end +
-    margin]; every phrase occurrence inside it is wrapped.  Documents
-    with no phrase-adjacent hit produce NO row (FVH returns null
-    fragments for them)."""
+                  post: str = "</b>", max_fragments: int = 1) -> DataFrame:
+    """(key, fragment, snippet) rows for documents matching ANY of
+    `phrases` (each a space-separated word sequence, analyzed with the
+    field's chain).  Fragments are built greedily in document order
+    (SimpleFragListBuilder's forward walk): each starts at
+    [hit_start - margin, hit_end + margin], swallows every later hit
+    that fits, and the next fragment starts at the first hit beyond it;
+    up to `max_fragments` per document (hl.snippets), numbered 0..n in
+    document order.  Every phrase occurrence inside a fragment is
+    wrapped.  Documents with no phrase-adjacent hit produce NO row
+    (FVH returns null fragments for them)."""
     an = get_analyzer(analyzer)
     qseqs = []
     for p in phrases:
@@ -98,30 +102,38 @@ def fvh_highlight(docs: DataFrame, text_col: str, key_col: str,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys, snips = [], []
+            keys, frags, snips = [], [], []
             for key, text in zip(pdf[key_col], pdf[text_col]):
                 if not isinstance(text, str) or not text:
                     continue
                 toks = tokens_with_offsets(text, an)
                 spans = sorted(
                     s for q in qseqs for s in _phrase_spans(toks, q))
-                if not spans:
-                    continue
-                lo = max(0, spans[0][0] - margin)
-                hi = min(len(text), spans[0][1] + margin)
-                inside = [(s, e) for s, e in spans if s >= lo and e <= hi]
-                parts, cur = [], lo
-                for s, e in inside:
-                    if s < cur:          # overlapping phrase hits: keep first
-                        continue
-                    parts.append(text[cur:s])
-                    parts.append(pre + text[s:e] + post)
-                    cur = e
-                parts.append(text[cur:hi])
-                keys.append(key)
-                snips.append("".join(parts))
-            yield pd.DataFrame({"key": keys, "snippet": snips})
+                fi = 0
+                si = 0
+                while si < len(spans) and fi < max_fragments:
+                    lo = max(0, spans[si][0] - margin)
+                    hi = min(len(text), spans[si][1] + margin)
+                    inside = [(s, e) for s, e in spans[si:]
+                              if s >= lo and e <= hi]
+                    parts, cur = [], lo
+                    for s, e in inside:
+                        if s < cur:      # overlapping phrase hits: keep first
+                            continue
+                        parts.append(text[cur:s])
+                        parts.append(pre + text[s:e] + post)
+                        cur = e
+                    parts.append(text[cur:hi])
+                    keys.append(key)
+                    frags.append(fi)
+                    snips.append("".join(parts))
+                    fi += 1
+                    # next fragment starts at the first hit beyond this one
+                    si = next((k for k in range(si, len(spans))
+                               if spans[k][0] >= hi), len(spans))
+            yield pd.DataFrame({"key": keys, "fragment": frags,
+                                "snippet": snips})
 
     key_type = docs.schema[key_col].dataType.simpleString()
     return docs.select(key_col, text_col).mapInPandas(
-        run, f"key {key_type}, snippet string")
+        run, f"key {key_type}, fragment int, snippet string")

@@ -75,3 +75,28 @@ def test_term_rewriting_chains_rejected():
                Analyzer(name="_fvh_cg", common_grams=frozenset({"the"}))):
         with pytest.raises(ValueError):
             tokens_with_offsets("quick brown", an)
+
+
+def test_multiple_fragments(spark):
+    text = ("quick brown " + "x" * 120 + " quick brown " + "y" * 120 +
+            " quick brown end")
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    out = fvh_highlight(df, "text", "id", ["quick brown"], margin=10,
+                        max_fragments=3).collect()
+    assert [r["fragment"] for r in out] == [0, 1, 2]
+    assert all(r["snippet"].count("<b>quick brown</b>") == 1 for r in out)
+    # default stays single-fragment
+    one = fvh_highlight(df, "text", "id", ["quick brown"],
+                        margin=10).collect()
+    assert len(one) == 1 and one[0]["fragment"] == 0
+
+
+def test_fragment_swallows_close_hits(spark):
+    text = "quick brown and quick brown far " + "z" * 200 + " quick brown"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    out = fvh_highlight(df, "text", "id", ["quick brown"], margin=30,
+                        max_fragments=5).collect()
+    # first two hits share fragment 0; the far one is fragment 1
+    assert len(out) == 2
+    assert out[0]["snippet"].count("<b>") == 2
+    assert out[1]["snippet"].count("<b>") == 1
