@@ -6,6 +6,7 @@ from lucene_spark.index.split import split_index, split_index_multi  # noqa: F40
 from lucene_spark.index.addindexes import add_indexes  # noqa: F401
 from lucene_spark.index.snapshot import snapshot_index  # noqa: F401
 from lucene_spark.index.info import get_by_keys, index_info  # noqa: F401
+from lucene_spark.index.bloom import build_term_bloom, load_term_bloom  # noqa: F401
 from lucene_spark.index.docvalues import (  # noqa: F401
     doc_values, fold_doc_values, update_doc_values,
 )

@@ -200,6 +200,18 @@ class IndexReader:
         return [(self.default_field, t) if isinstance(t, str) else tuple(t)
                 for t in terms]
 
+    def use_term_bloom(self) -> bool:
+        """Opt into the bloom term-existence sidecar
+        (index/bloom.py, BloomFilteringPostingsFormat role): term_stats
+        then answers definitely-absent terms driver-side with ZERO
+        Spark jobs (no false negatives — maybe-present terms fall
+        through to the normal probe). Returns False when the sidecar
+        was never built."""
+        from lucene_spark.index.bloom import load_term_bloom
+
+        self._term_bloom = load_term_bloom(self)
+        return self._term_bloom is not None
+
     def term_stats(self, terms) -> dict[tuple[str, str], tuple[int, int]]:
         """(field, term) -> (df, cf); missing terms are absent from the
         result; bare strings target the default field. Results are
@@ -211,6 +223,15 @@ class IndexReader:
             return {}
         if not hasattr(self, "_stats_cache"):
             self._stats_cache: dict[tuple[str, str], tuple[int, int] | None] = {}
+        bloom = getattr(self, "_term_bloom", None)
+        if bloom is not None:
+            # fast-fail for definitely-absent terms: cache the miss so
+            # no Spark job ever runs for them (no false negatives, so
+            # this can never hide a real term)
+            for t in terms:
+                if t not in self._stats_cache and \
+                        not bloom.might_contain(t[0], t[1]):
+                    self._stats_cache[t] = None
         todo = sorted({t for t in terms if t not in self._stats_cache})
         if todo:
             fields = sorted({f for f, _ in todo})

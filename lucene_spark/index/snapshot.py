@@ -69,9 +69,9 @@ def snapshot_index(index_dir: str, dest_dir: str,
     for name in DERIVED_NAMES:
         cur = os.path.basename(derived_path(index_dir, manifest, name))
         _copy(cur)
-    # doc-values update generations ride along when present
+    # doc-values update generations and the bloom sidecar ride along
     for entry in os.listdir(index_dir):
-        if entry.startswith("dv_updates"):
+        if entry.startswith("dv_updates") or entry.startswith("term_bloom"):
             _copy(entry)
     with open(os.path.join(dest_dir, "manifest.json"), "w") as fh:
         json.dump({**manifest, "snapshot_of": os.path.abspath(index_dir),
