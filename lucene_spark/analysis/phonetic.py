@@ -455,6 +455,13 @@ def daitch_mokotoff(word: str) -> tuple[str, ...]:
     while i < n:
         for seq, codes in _DM_RULES:
             if w.startswith(seq, i):
+                if i == 0 and codes[0] is None and len(seq) > 1:
+                    # a multi-letter sequence that is UNCODED at word
+                    # start (mn/nm) must not swallow its letters —
+                    # fall through to the single-letter rules so
+                    # 'Mniszek' codes its leading nasal (6) like
+                    # commons-codec, instead of dropping it
+                    continue
                 if i == 0:
                     code = codes[0]
                 elif i + len(seq) < n and w[i + len(seq)] in _DM_VOWELS:

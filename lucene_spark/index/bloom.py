@@ -45,7 +45,16 @@ def build_term_bloom(reader, bits_per_term: int = 16) -> dict:
     counts = {r["field"]: int(r["n"]) for r in
               td.groupBy("field").agg(F.count("*").alias("n")).collect()}
     k = max(1, round(0.6931 * bits_per_term))
-    meta = {}
+    # staleness fingerprint: any rebuild (compaction, addIndexes,
+    # streaming publish) swaps the termdict generation name, so a
+    # sidecar built against an older dictionary is detectably stale
+    fingerprint = {
+        "termdict_gen": (reader.manifest.get("derived") or {}).get(
+            "termdict", "termdict"),
+        "doc_count": reader.doc_count,
+        "sum_doclen": reader.sum_doclen,
+    }
+    meta = {"_fingerprint": fingerprint}
     outs = []
     for fld, n in sorted(counts.items()):
         m = max(64, ((bits_per_term * n + 63) // 64) * 64)
@@ -61,9 +70,13 @@ def build_term_bloom(reader, bits_per_term: int = 16) -> dict:
                      "cast(pmod(pos, 64) as int))")).alias("bits"))
                  .select(F.lit(fld).alias("field"), "word_idx", "bits"))
         outs.append(words)
-    allw = outs[0]
-    for w in outs[1:]:
-        allw = allw.unionByName(w)
+    if outs:
+        allw = outs[0]
+        for w in outs[1:]:
+            allw = allw.unionByName(w)
+    else:                              # empty termdict: empty sidecar
+        allw = reader.spark.createDataFrame(
+            [], "field string, word_idx long, bits long")
     path = os.path.join(reader.index_dir, _DIR)
     allw.write.mode("overwrite").parquet(path)
     tmp = os.path.join(reader.index_dir, _META + ".tmp")
@@ -80,7 +93,7 @@ class TermBloom:
 
     def might_contain(self, field: str, term: str) -> bool:
         fm = self.meta.get(field)
-        if fm is None:
+        if fm is None or field == "_fingerprint":
             return True                      # unknown field: no claim
         w = self.words[field]
         m = fm["m"]
@@ -99,10 +112,25 @@ def load_term_bloom(reader) -> TermBloom | None:
         return None
     with open(mpath) as fh:
         meta = json.load(fh)
+    # STALENESS GUARD: a sidecar built against an older term dictionary
+    # would fast-fail terms that now exist — a false negative. Any
+    # rebuild (compaction / addIndexes / streaming publish) swaps the
+    # termdict generation, so comparing the fingerprint catches it;
+    # treat stale as never-built.
+    fp = meta.get("_fingerprint") or {}
+    cur = {
+        "termdict_gen": (reader.manifest.get("derived") or {}).get(
+            "termdict", "termdict"),
+        "doc_count": reader.doc_count,
+        "sum_doclen": reader.sum_doclen,
+    }
+    if fp != cur:
+        return None
+    fields = {f: v for f, v in meta.items() if f != "_fingerprint"}
     rows = reader.spark.read.parquet(
         os.path.join(reader.index_dir, _DIR)).collect()
-    words = {f: np.zeros(meta[f]["m"] // 64, dtype=np.uint64)
-             for f in meta}
+    words = {f: np.zeros(fields[f]["m"] // 64, dtype=np.uint64)
+             for f in fields}
     for r in rows:
         words[r["field"]][int(r["word_idx"])] = np.uint64(
             np.int64(r["bits"]).astype(np.uint64))

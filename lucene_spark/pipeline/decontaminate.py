@@ -66,7 +66,7 @@ def contaminated_docs(
 def fuzzy_contaminated_docs(
     docs, bench, text_col: str, key_col: str, n: int = 3,
     threshold: float = 0.5, num_hashes: int = 64, bands: int = 32,
-    rows_per_band: int = 2,
+    rows_per_band: int = 2, max_bucket: int = 500,
 ):
     """FUZZY benchmark decontamination: flag corpus documents whose
     n-gram Jaccard similarity with ANY benchmark document reaches
@@ -75,8 +75,8 @@ def fuzzy_contaminated_docs(
     benchmark copies the exact check misses.
 
     Composition of the gated dedup primitives: shingle both sides
-    (corpus keys mapped to 2k, benchmark to 2k+1 so sides never
-    collide), OPH MinHash signatures, LSH band-bucket join restricted
+    (side-tagged keys so sides never collide), OPH MinHash signatures,
+    LSH band-bucket join restricted
     to CROSS-side pairs, exact-Jaccard verification of the candidates.
     Same scale shape as dedup_minhash: signatures are one xxhash64 per
     shingle, the only quadratic work happens inside capped LSH buckets.
@@ -84,29 +84,50 @@ def fuzzy_contaminated_docs(
     on fixture-sized corpora the result EQUALS exact cross-side
     Jaccard — the oracle the driver gate uses.
 
+    `max_bucket` caps LSH bucket size (the quadratic-blowup guard
+    inherited from minhash_lsh_pairs), defaulting HIGHER here (500)
+    because a benchmark document mass-copied into the corpus puts all
+    its copies in ONE bucket in every band — dropping that bucket
+    would hide exactly the most-contaminated content. Exact-dedup the
+    corpus first (dd_exact) when floods beyond the cap are possible.
+
+    Keys are side-tagged as strings ('c:'/'b:' prefixes — works for ANY
+    key type: numeric, sha-hex, url) and the ORIGINAL key values are
+    restored by joining back to `docs`, so no cast can silently null or
+    overflow them.
+
     Returns DataFrame(key, max_jaccard) — one row per contaminated
-    corpus document."""
+    corpus document (key column named after key_col, original type)."""
     from pyspark.sql import functions as F
 
     from lucene_spark.pipeline import dedup
 
-    d2 = docs.select((F.col(key_col).cast("long") * 2).alias(key_col),
-                     text_col)
-    b2 = bench.select((F.col(key_col).cast("long") * 2 + 1).alias(key_col),
-                      text_col)
-    both = d2.unionByName(b2)
+    tag = lambda side, df: df.select(  # noqa: E731
+        F.concat(F.lit(side), F.col(key_col).cast("string"))
+        .alias(key_col), text_col)
+    both = tag("c:", docs).unionByName(tag("b:", bench))
     sh = dedup.shingles(both, text_col, key_col, n=n)
     sig = dedup.minhash_signatures(sh, num_hashes=num_hashes)
     pairs = dedup.minhash_lsh_pairs(sig, bands=bands,
-                                    rows_per_band=rows_per_band)
-    cross = pairs.filter(F.pmod("key_a", F.lit(2)) !=
-                         F.pmod("key_b", F.lit(2)))
+                                    rows_per_band=rows_per_band,
+                                    max_bucket=max_bucket)
+    cross = pairs.filter(F.substring("key_a", 1, 2) !=
+                         F.substring("key_b", 1, 2))
     verified = dedup.jaccard_verify(sh, cross, threshold=threshold)
-    corp_key = F.when(F.pmod("key_a", F.lit(2)) == 0,
+    corp_key = F.when(F.col("key_a").startswith("c:"),
                       F.col("key_a")).otherwise(F.col("key_b"))
-    return (verified.select((corp_key / 2).cast("long").alias("key"),
-                            "jaccard")
-            .groupBy("key").agg(F.max("jaccard").alias("max_jaccard")))
+    flagged = (verified
+               .select(corp_key.alias("__ck"), "jaccard")
+               .select(F.expr("substring(__ck, 3)").alias("__key_str"),
+                       "jaccard")
+               .groupBy("__key_str")
+               .agg(F.max("jaccard").alias("max_jaccard")))
+    # restore the caller's native key type/values via a join on the
+    # string form (distinct keys — one row out per flagged doc)
+    keys = docs.select(key_col).distinct().withColumn(
+        "__key_str", F.col(key_col).cast("string"))
+    return (keys.join(flagged, "__key_str")
+            .select(F.col(key_col).alias("key"), "max_jaccard"))
 
 
 def decontaminate(

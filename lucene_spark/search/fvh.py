@@ -128,9 +128,14 @@ def fvh_highlight(docs: DataFrame, text_col: str, key_col: str,
                     frags.append(fi)
                     snips.append("".join(parts))
                     fi += 1
-                    # next fragment starts at the first hit beyond this one
+                    # next fragment starts at the first hit NOT fully
+                    # consumed by this window — a hit that starts inside
+                    # but ends beyond it (straddler) must open the next
+                    # fragment, not vanish
                     si = next((k for k in range(si, len(spans))
-                               if spans[k][0] >= hi), len(spans))
+                               if not (spans[k][0] >= lo
+                                       and spans[k][1] <= hi)),
+                              len(spans))
             yield pd.DataFrame({"key": keys, "fragment": frags,
                                 "snippet": snips})
 

@@ -596,11 +596,16 @@ def main() -> None:
     sections.append((
         "TPC-H Q3 (filters pushed to every side's scan)", p,
         [
-            ("mktsegment filter pushed to the customer scan",
-             "c_mktsegment" in p and "PushedFilters" in p),
-            ("date filters pushed (orderdate / shipdate appear in "
-             "pushed filters)",
-             p.count("PushedFilters") >= 3),
+            ("mktsegment equality pushed to the customer scan "
+             "(inside a PushedFilters bracket)",
+             any("c_mktsegment" in seg.split("]", 1)[0]
+                 for seg in p.split("PushedFilters: [")[1:])),
+            ("date filters pushed (shipdate and orderdate appear inside "
+             "PushedFilters brackets)",
+             any("l_shipdate" in seg.split("]", 1)[0]
+                 for seg in p.split("PushedFilters: [")[1:])
+             and any("o_orderdate" in seg.split("]", 1)[0]
+                     for seg in p.split("PushedFilters: [")[1:])),
         ],
     ))
 

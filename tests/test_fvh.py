@@ -100,3 +100,14 @@ def test_fragment_swallows_close_hits(spark):
     assert len(out) == 2
     assert out[0]["snippet"].count("<b>") == 2
     assert out[1]["snippet"].count("<b>") == 1
+
+
+def test_straddling_hit_opens_next_fragment(spark):
+    # review regression: a hit starting inside the window but ending
+    # beyond it must open the NEXT fragment, never vanish
+    df = spark.createDataFrame([(1, "quick brown xx quick brown")],
+                               "id long, text string")
+    out = fvh_highlight(df, "text", "id", ["quick brown"], margin=5,
+                        max_fragments=5).collect()
+    total = sum(r["snippet"].count("<b>quick brown</b>") for r in out)
+    assert total == 2

@@ -73,3 +73,10 @@ def test_daitch_mokotoff_chain():
 
     out = get_analyzer("phonetic_dm").tokenize_one("bbb easgasg")
     assert out == ["700000", "045450"]
+
+
+def test_dm_initial_mn_codes_nasal():
+    from lucene_spark.analysis.phonetic import daitch_mokotoff as dm
+
+    # review regression: word-initial Mn-/Nm- must code the nasal
+    assert dm("mniszek") == dm("niszek") == ("645000",)
