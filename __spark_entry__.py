@@ -6165,6 +6165,66 @@ FT_DELETE_COMPACT_SQL = bm25_topk_oracle_sql(
 )
 
 
+def ft_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY-TIME tombstones at scale — DataFrame delete set on the
+    roaring-container path (search/searcher.py DeleteSet;
+    codecs/LiveDocsFormat.java contract: the live-docs set travels with
+    the segment, never through the coordinator as an id list). Every doc
+    with ext_id % 7 == 0 is tombstoned via delete_by_keys — a DataFrame
+    join with NO driver collect of ids; the collect cap is forced to 0 so
+    the distributed per-64K-range container build runs even at gate
+    scale — then BM25 top-10 for 'merge'. Lucene until-merge stats
+    semantics: df/avgdl/docCount still include tombstoned docs, so the
+    oracle scores over the FULL corpus and only filters the hit list
+    (contrast ft_delete_compact, whose fold recomputes stats)."""
+    r = _reader(spark, sf_dir)
+    s = IndexSearcher(r)
+    s.max_collected_deletes = 0
+    keys = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0).select(F.col("doc_id").alias("ext_id"))
+    s2 = s.delete_by_keys(keys)
+    assert s2._deleted.containers is not None, "container path must engage"
+    m = _to_ext(s2.matches("merge"), r).select(
+        "doc_id", F.round(F.col("score").cast("double"), 2).alias("score_r"))
+    return _ranked(m, "score_r", "doc_id", 10).select(
+        "doc_id", "score_r", "rank")
+
+
+FT_DELETE_QUERY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2 GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id
+), st AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+), qdf AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ('merge') GROUP BY term
+), sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - qdf.df + 0.5)/(qdf.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tf JOIN qdf ON tf.term = qdf.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN st
+  GROUP BY tf.doc_id
+), flt AS (
+  -- stats above run over the FULL corpus (until-merge semantics);
+  -- only the hit list excludes the tombstoned docs
+  SELECT doc_id, round(s, 2) AS score_r FROM sc WHERE doc_id % 7 <> 0
+)
+SELECT doc_id, score_r,
+       row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank
+FROM flt
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
 def rel_date_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.range over a DATE field with a date-math gap + other=all
     (relational/facets.py date_range_facets; RangeFacetRequest date
@@ -6752,65 +6812,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the correctness driver samples the FIRST 50
-    # entries, so gates that have never produced a driver-oracle row (or whose
-    # last driver row failed) come first; long-proven gates rotate to the back.
-    # Blocks: (a) round-1 fails with round-2 fixes, (b) never-driver-tested,
-    # (c) new round-3 gates, (d) core ft sentinels for regression cover,
-    # (e) previously-proven gates.
+    # entries. Round-4 rotation (per VERDICT r3 item 1): the 81 gates that have
+    # NEVER produced a driver-oracle row come first (positions 1-81) so the
+    # round-4 sample covers 50 of them and a round-5 rotation covers the rest;
+    # the 121 driver-green gates follow. New round-4 gates are appended to the
+    # never-sampled block's tail (positions 51+) for round-5 coverage.
     return {
-        # (a) r01 fails, fixed in r02, awaiting driver re-test
-        "rel_range_facet": rel_range_facet,
-        "dd_minhash_lsh": dd_minhash_lsh,
-        "dd_simhash": dd_simhash,
-        "tx_fingerprint": tx_fingerprint,
-        "sim_neardup_lsh": sim_neardup_lsh,
-        # (b) never driver-tested
-        "ft_freetext_suggest": ft_freetext_suggest,
-        "ft_simple_qp": ft_simple_qp,
-        "ft_surround_near": ft_surround_near,
-        "ft_complex_phrase": ft_complex_phrase,
-        "ft_xml_query": ft_xml_query,
-        "ft_span_first": ft_span_first,
-        "ft_span_not": ft_span_not,
-        "ft_point_range": ft_point_range,
-        "dd_decontaminate": dd_decontaminate,
-        "tx_html_strip": tx_html_strip,
-        "tx_repetition": tx_repetition,
-        "rel_geo_box": rel_geo_box,
-        "rel_geo_distance": rel_geo_distance,
-        "rel_geo_nearest": rel_geo_nearest,
-        "rel_geo_polygon": rel_geo_polygon,
-        "rel_parent_child": rel_parent_child,
-        "rel_drill_sideways": rel_drill_sideways,
-        "ft_suggest_fuzzy": ft_suggest_fuzzy,
-        "rel_csv_roundtrip": rel_csv_roundtrip,
-        "st_percolate": st_percolate,
-        "st_stream_build": st_stream_build,
-        "st_stream_dedup": st_stream_dedup,
-        "ft_checkindex": ft_checkindex,
-        "rel_significant_terms": rel_significant_terms,
-        "rel_expr_score": rel_expr_score,
-        "tx_classify": tx_classify,
-        "tx_knn_classify": tx_knn_classify,
-        "ft_termvectors": ft_termvectors,
-        "sim_ivf_topk": sim_ivf_topk,
-        "sim_nsw_topk": sim_nsw_topk,
-        "sim_knn_join": sim_knn_join,
-        "mm_features": mm_features,
-        # (c) new round-3 gates
-        "ft_multipart_topk": ft_multipart_topk,
-        "ft_interval_containing": ft_interval_containing,
-        "ft_interval_within": ft_interval_within,
-        "ft_interval_notwithin": ft_interval_notwithin,
-        "ft_dfr_ine_b_h1_topk": ft_dfr_ine_b_h1_topk,
-        "ft_ib_spl_topk": ft_ib_spl_topk,
-        "dd_dup_clusters": dd_dup_clusters,
-        "ft_payload_score": ft_payload_score,
-        "ft_payload_check": ft_payload_check,
-        "ft_combined_field": ft_combined_field,
-        "ft_covering": ft_covering,
-        "ft_dv_terms": ft_dv_terms,
-        "ft_multirange": ft_multirange,
+        # --- never driver-sampled (r1-r3), local validate_gate green ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
         "ft_blended_topk": ft_blended_topk,
@@ -6829,81 +6837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pii": tx_pii,
         "dd_line_dedup": dd_line_dedup,
         "tx_chunks": tx_chunks,
-        # (d) core ft sentinels (driver-green in r02; kept in-window)
-        "ft_term_topk": ft_term_topk,
-        "ft_blockmax_topk": ft_blockmax_topk,
-        # (e) previously-proven gates (driver-green r01/r02)
-        "ft_bool_and": ft_bool_and,
-        "ft_phrase": ft_phrase,
-        "ft_count": ft_count,
-        "ft_dv_update": ft_dv_update,
-        "ft_termdict_stats": ft_termdict_stats,
-        "ft_docstats_sha": ft_docstats_sha,
-        "ft_bool_or_not": ft_bool_or_not,
-        "ft_prefix": ft_prefix,
-        "ft_topk_or_sql": ft_topk_or_sql,
-        "ft_topk_and_sql": ft_topk_and_sql,
-        "ft_phrase_sloppy": ft_phrase_sloppy,
-        "ft_stemmed_topk": ft_stemmed_topk,
-        "ft_multiphrase": ft_multiphrase,
-        "ft_phrase_repeat_sloppy": ft_phrase_repeat_sloppy,
-        "ft_interval_near": ft_interval_near,
-        "ft_interval_ordered": ft_interval_ordered,
-        "ft_fuzzy": ft_fuzzy,
-        "ft_wildcard": ft_wildcard,
-        "ft_range": ft_range,
-        "ft_dismax": ft_dismax,
-        "ft_synonym": ft_synonym,
-        "ft_synonym_qtime": ft_synonym_qtime,
-        "ft_shingle_topdf": ft_shingle_topdf,
-        "ft_suggest": ft_suggest,
-        "ft_highfreq": ft_highfreq,
-        "ft_field_term": ft_field_term,
-        "ft_field_bool": ft_field_bool,
-        "ft_feature_boost": ft_feature_boost,
-        "ft_sort_field": ft_sort_field,
-        "ft_boost": ft_boost,
-        "ft_mlt": ft_mlt,
-        "ft_highlight": ft_highlight,
-        "ft_search_after": ft_search_after,
-        "ft_explain_topk": ft_explain_topk,
-        "ft_matchall": ft_matchall,
-        "ft_facet_combo": ft_facet_combo,
-        "ft_classic_topk": ft_classic_topk,
-        "ft_lmd_topk": ft_lmd_topk,
-        "ft_lmjm_topk": ft_lmjm_topk,
-        "ft_dfi_topk": ft_dfi_topk,
-        "ft_ib_topk": ft_ib_topk,
-        "ft_f2exp_topk": ft_f2exp_topk,
         "ft_f3log_topk": ft_f3log_topk,
-        "ft_dfr_g_topk": ft_dfr_g_topk,
-        "ft_spellcheck": ft_spellcheck,
-        "ft_suggest_infix": ft_suggest_infix,
-        "ft_join_fromto": ft_join_fromto,
-        "ft_ltr_rerank": ft_ltr_rerank,
-        "ft_sweetspot_topk": ft_sweetspot_topk,
-        "rel_q1": rel_q1,
-        "rel_join_topn": rel_join_topn,
-        "rel_part_join": rel_part_join,
-        "rel_group_topn": rel_group_topn,
-        "rel_facet_lang": rel_facet_lang,
         "rel_facet_taxonomy": rel_facet_taxonomy,
-        "rel_stats_facet": rel_stats_facet,
-        "rel_pivot_rollup": rel_pivot_rollup,
-        "rel_supplier_region": rel_supplier_region,
-        "rel_intersect": rel_intersect,
-        "rel_complement": rel_complement,
-        "rel_unique": rel_unique,
-        "rel_timeseries": rel_timeseries,
-        "rel_json_extract": rel_json_extract,
-        "dd_exact": dd_exact,
-        "dd_jaccard_pairs": dd_jaccard_pairs,
-        "tx_token_counts": tx_token_counts,
-        "tx_quality": tx_quality,
-        "tx_langid": tx_langid,
-        "sim_cosine_topk": sim_cosine_topk,
-        "sim_gemm_topk": sim_gemm_topk,
-        "sim_neardup": sim_neardup,
         "rel_json_facet": rel_json_facet,
         "rel_relatedness": rel_relatedness,
         "tx_igain": tx_igain,
@@ -6965,6 +6900,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_shipping": rel_q3_shipping,
         "rel_q5_local": rel_q5_local,
         "dd_leakage_split": dd_leakage_split,
+        # --- new round-4 gates (no driver evidence yet) ---
+        "ft_delete_query": ft_delete_query,
+        # --- driver-green in r1-r3 (regression tail) ---
+        "rel_range_facet": rel_range_facet,
+        "dd_minhash_lsh": dd_minhash_lsh,
+        "dd_simhash": dd_simhash,
+        "tx_fingerprint": tx_fingerprint,
+        "sim_neardup_lsh": sim_neardup_lsh,
+        "ft_freetext_suggest": ft_freetext_suggest,
+        "ft_simple_qp": ft_simple_qp,
+        "ft_surround_near": ft_surround_near,
+        "ft_complex_phrase": ft_complex_phrase,
+        "ft_xml_query": ft_xml_query,
+        "ft_span_first": ft_span_first,
+        "ft_span_not": ft_span_not,
+        "ft_point_range": ft_point_range,
+        "dd_decontaminate": dd_decontaminate,
+        "tx_html_strip": tx_html_strip,
+        "tx_repetition": tx_repetition,
+        "rel_geo_box": rel_geo_box,
+        "rel_geo_distance": rel_geo_distance,
+        "rel_geo_nearest": rel_geo_nearest,
+        "rel_geo_polygon": rel_geo_polygon,
+        "rel_parent_child": rel_parent_child,
+        "rel_drill_sideways": rel_drill_sideways,
+        "ft_suggest_fuzzy": ft_suggest_fuzzy,
+        "rel_csv_roundtrip": rel_csv_roundtrip,
+        "st_percolate": st_percolate,
+        "st_stream_build": st_stream_build,
+        "st_stream_dedup": st_stream_dedup,
+        "ft_checkindex": ft_checkindex,
+        "rel_significant_terms": rel_significant_terms,
+        "rel_expr_score": rel_expr_score,
+        "tx_classify": tx_classify,
+        "tx_knn_classify": tx_knn_classify,
+        "ft_termvectors": ft_termvectors,
+        "sim_ivf_topk": sim_ivf_topk,
+        "sim_nsw_topk": sim_nsw_topk,
+        "sim_knn_join": sim_knn_join,
+        "mm_features": mm_features,
+        "ft_multipart_topk": ft_multipart_topk,
+        "ft_interval_containing": ft_interval_containing,
+        "ft_interval_within": ft_interval_within,
+        "ft_interval_notwithin": ft_interval_notwithin,
+        "ft_dfr_ine_b_h1_topk": ft_dfr_ine_b_h1_topk,
+        "ft_ib_spl_topk": ft_ib_spl_topk,
+        "dd_dup_clusters": dd_dup_clusters,
+        "ft_payload_score": ft_payload_score,
+        "ft_payload_check": ft_payload_check,
+        "ft_combined_field": ft_combined_field,
+        "ft_covering": ft_covering,
+        "ft_dv_terms": ft_dv_terms,
+        "ft_multirange": ft_multirange,
+        "ft_term_topk": ft_term_topk,
+        "ft_blockmax_topk": ft_blockmax_topk,
+        "ft_bool_and": ft_bool_and,
+        "ft_phrase": ft_phrase,
+        "ft_count": ft_count,
+        "ft_dv_update": ft_dv_update,
+        "ft_termdict_stats": ft_termdict_stats,
+        "ft_docstats_sha": ft_docstats_sha,
+        "ft_bool_or_not": ft_bool_or_not,
+        "ft_prefix": ft_prefix,
+        "ft_topk_or_sql": ft_topk_or_sql,
+        "ft_topk_and_sql": ft_topk_and_sql,
+        "ft_phrase_sloppy": ft_phrase_sloppy,
+        "ft_stemmed_topk": ft_stemmed_topk,
+        "ft_multiphrase": ft_multiphrase,
+        "ft_phrase_repeat_sloppy": ft_phrase_repeat_sloppy,
+        "ft_interval_near": ft_interval_near,
+        "ft_interval_ordered": ft_interval_ordered,
+        "ft_fuzzy": ft_fuzzy,
+        "ft_wildcard": ft_wildcard,
+        "ft_range": ft_range,
+        "ft_dismax": ft_dismax,
+        "ft_synonym": ft_synonym,
+        "ft_synonym_qtime": ft_synonym_qtime,
+        "ft_shingle_topdf": ft_shingle_topdf,
+        "ft_suggest": ft_suggest,
+        "ft_highfreq": ft_highfreq,
+        "ft_field_term": ft_field_term,
+        "ft_field_bool": ft_field_bool,
+        "ft_feature_boost": ft_feature_boost,
+        "ft_sort_field": ft_sort_field,
+        "ft_boost": ft_boost,
+        "ft_mlt": ft_mlt,
+        "ft_highlight": ft_highlight,
+        "ft_search_after": ft_search_after,
+        "ft_explain_topk": ft_explain_topk,
+        "ft_matchall": ft_matchall,
+        "ft_facet_combo": ft_facet_combo,
+        "ft_classic_topk": ft_classic_topk,
+        "ft_lmd_topk": ft_lmd_topk,
+        "ft_lmjm_topk": ft_lmjm_topk,
+        "ft_dfi_topk": ft_dfi_topk,
+        "ft_ib_topk": ft_ib_topk,
+        "ft_f2exp_topk": ft_f2exp_topk,
+        "ft_dfr_g_topk": ft_dfr_g_topk,
+        "ft_spellcheck": ft_spellcheck,
+        "ft_suggest_infix": ft_suggest_infix,
+        "ft_join_fromto": ft_join_fromto,
+        "ft_ltr_rerank": ft_ltr_rerank,
+        "ft_sweetspot_topk": ft_sweetspot_topk,
+        "rel_q1": rel_q1,
+        "rel_join_topn": rel_join_topn,
+        "rel_part_join": rel_part_join,
+        "rel_group_topn": rel_group_topn,
+        "rel_facet_lang": rel_facet_lang,
+        "rel_stats_facet": rel_stats_facet,
+        "rel_pivot_rollup": rel_pivot_rollup,
+        "rel_supplier_region": rel_supplier_region,
+        "rel_intersect": rel_intersect,
+        "rel_complement": rel_complement,
+        "rel_unique": rel_unique,
+        "rel_timeseries": rel_timeseries,
+        "rel_json_extract": rel_json_extract,
+        "dd_exact": dd_exact,
+        "dd_jaccard_pairs": dd_jaccard_pairs,
+        "tx_token_counts": tx_token_counts,
+        "tx_quality": tx_quality,
+        "tx_langid": tx_langid,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_gemm_topk": sim_gemm_topk,
+        "sim_neardup": sim_neardup,
     }
 
 
@@ -7158,6 +7217,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_ccnet": TX_CCNET_SQL,
         "ft_sorted_build": FT_SORTED_BUILD_SQL,
         "ft_delete_compact": FT_DELETE_COMPACT_SQL,
+        "ft_delete_query": FT_DELETE_QUERY_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,

@@ -56,6 +56,128 @@ _ASM_CACHE: "OrderedDict[tuple, TermPostings]" = OrderedDict()
 _ASM_CACHE_BYTES = [0]
 
 
+class DeleteSet:
+    """Query-time tombstones — the LiveDocsFormat analogue
+    (codecs/LiveDocsFormat.java: the live-docs bitset travels with the
+    segment, never through a coordinator). Two physical forms:
+
+    - ``ids``: a sorted int64 array of deleted doc_ids. Used when the
+      delete count is under the collect cap; ships in the kernel closure
+      and masks postings via searchsorted. O(|deletes|) memory.
+    - ``containers``: a roaring-bitmap-style map {doc_id >> 16 → container
+      over the low 16 bits}, each container either a sorted uint16 id
+      array (sparse, ≤4096 entries → ≤8 KiB) or an 8 KiB packed bitmap
+      (dense). Built DISTRIBUTEDLY (one applyInPandas group per 64K-id
+      range, see IndexSearcher._build_delete_containers), so the driver
+      only ever holds the finished containers — ≤ min(2 bytes × deletes,
+      maxdoc/8 bytes): never worse than Lucene's per-segment livedocs
+      bound, and the 64K-range keying natively handles our sparse packed
+      doc_id space (part_id << 40 | local_id, builder.py PART_ID_SHIFT).
+
+    `size` is the delete count either way, so call sites keep the cheap
+    `if deleted.size:` guards. Kernel closures capturing a big DeleteSet
+    ride PySpark's automatic command broadcast (>1 MB pickled commands
+    ship via broadcast, once per executor)."""
+
+    __slots__ = ("ids", "containers", "count", "_digest")
+
+    def __init__(self, ids: np.ndarray | None = None,
+                 containers: dict[int, np.ndarray] | None = None,
+                 count: int = 0):
+        self.ids = ids if ids is not None else np.empty(0, dtype=np.int64)
+        self.containers = containers      # {high48: uint16 ids | uint8 bitmap}
+        self.count = int(count if (count or containers is not None)
+                         else self.ids.size)
+        self._digest: str | None = None
+
+    # -- compat with the previous plain-ndarray representation ----------
+    @property
+    def size(self) -> int:
+        return self.count
+
+    @property
+    def bitmap(self):
+        """Truthy when the distributed (containers) form is active —
+        kept for call sites/tests probing which path was taken."""
+        return self.containers
+
+    def nbytes(self) -> int:
+        n = self.ids.nbytes
+        if self.containers:
+            n += sum(c.nbytes for c in self.containers.values())
+        return n
+
+    def __getitem__(self, i):
+        if self.containers is not None:
+            flat = []
+            for key in sorted(self.containers):
+                c = self.containers[key]
+                lows = (np.flatnonzero(np.unpackbits(c, bitorder="little"))
+                        if c.dtype == np.uint8 else c.astype(np.int64))
+                flat.append((key << 16) | lows)
+            return np.sort(np.concatenate(flat + [self.ids]))[i]
+        return self.ids[i]
+
+    def dead_mask(self, docs: np.ndarray) -> np.ndarray | None:
+        """Boolean array marking tombstoned entries of `docs` (sorted or
+        not), or None when nothing can be dead."""
+        if not self.count or not docs.size:
+            return None
+        dead = None
+        if self.containers:
+            dead = np.zeros(docs.size, dtype=bool)
+            keys = docs >> 16
+            lows = (docs & 0xFFFF).astype(np.uint16)
+            # distinct 64K-ranges touched by one posting list is small
+            # (local ids are dense per partition)
+            for key in np.unique(keys):
+                c = self.containers.get(int(key))
+                if c is None:
+                    continue
+                m = keys == key
+                lo = lows[m]
+                if c.dtype == np.uint8:       # packed bitmap container
+                    dead[m] = (c[lo >> 3] >> (lo & 7).astype(np.uint8)) & 1
+                else:                          # sorted uint16 ids
+                    idx = np.clip(np.searchsorted(c, lo), 0, c.size - 1)
+                    dead[m] = c[idx] == lo
+        if self.ids.size:
+            idx = np.clip(np.searchsorted(self.ids, docs), 0,
+                          self.ids.size - 1)
+            m2 = self.ids[idx] == docs
+            dead = m2 if dead is None else (dead | m2)
+        return dead
+
+    def digest(self) -> str:
+        if self._digest is None:
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=8)
+            h.update(self.ids.tobytes())
+            if self.containers:
+                for key in sorted(self.containers):
+                    c = self.containers[key]
+                    h.update(int(key).to_bytes(8, "little"))
+                    h.update(c.dtype.char.encode())
+                    h.update(c.tobytes())
+            self._digest = h.hexdigest()
+        return self._digest
+
+
+_EMPTY_DELETES = DeleteSet()
+
+
+def _dead_mask(deleted, docs: np.ndarray) -> np.ndarray | None:
+    """dead-entries mask accepting either a DeleteSet or the legacy sorted
+    int64 ndarray (direct _assemble_postings callers/tests)."""
+    if isinstance(deleted, DeleteSet):
+        return deleted.dead_mask(docs)
+    if deleted is None or not deleted.size or not docs.size:
+        return None
+    idx = np.clip(np.searchsorted(deleted, docs), 0, deleted.size - 1)
+    return deleted[idx] == docs
+
+
 def _as_interval_source(n: P.Node | None) -> P.Node:
     """plan.py contract: term leaves inside the interval algebra are
     wrapped as single-slot intervals — done at plan time so hand-built
@@ -327,13 +449,11 @@ def _assemble_postings(pdf: pd.DataFrame, want_pos: bool, deleted: np.ndarray,
             if not any(b is None for b in pblobs):
                 # raw float32 bytes parallel to the positions stream
                 pay = np.frombuffer(b"".join(pblobs), dtype=np.float32)
-        if deleted.size:
+        if deleted is not None and deleted.size:
             # liveDocs mask (LiveDocsFormat role): drop tombstoned postings
-            # before evaluation
-            idx = np.searchsorted(deleted, docs)
-            idx_c = np.clip(idx, 0, deleted.size - 1)
-            dead = deleted[idx_c] == docs
-            if dead.any():
+            # before evaluation; ids (searchsorted) or bitmap (bit probe)
+            dead = _dead_mask(deleted, docs)
+            if dead is not None and dead.any():
                 keep = ~dead
                 if pos is not None:
                     pos = pos[np.repeat(keep, tfs)]
@@ -383,7 +503,15 @@ class IndexSearcher:
             f["name"]: get_analyzer(f["analyzer"]) for f in reader.fields}
         self.analyzer = self.field_analyzers.get(
             reader.default_field, get_analyzer(reader.analyzer_name))
-        self._deleted: np.ndarray = np.empty(0, dtype=np.int64)
+        self._deleted: DeleteSet = _EMPTY_DELETES
+        # the delete set AS A DATAFRAME (None when empty): _mask_deleted
+        # anti-joins against this directly, so huge tombstone sets never
+        # materialize driver-side on the DataFrame-mask path
+        self._deleted_df: DataFrame | None = None
+        # with_deletes(DataFrame) collects ids up to this count (8 MB of
+        # int64); beyond it the set is folded into a distributed-built
+        # bitmap bounded by maxdoc/8 bytes (see DeleteSet)
+        self.max_collected_deletes: int = 1_000_000
         # decoded-postings cache epoch (see _assemble_postings_cached):
         # reader identity + manifest stats + derived generation names;
         # the deletes digest is appended at query time (with_deletes
@@ -438,42 +566,113 @@ class IndexSearcher:
     # ------------------------------------------------------------- deletes
     def with_deletes(self, doc_ids) -> "IndexSearcher":
         """Tombstone deletes — the LiveDocs analogue
-        (codecs/LiveDocsFormat.java): the sorted deleted-id set is
-        broadcast into the scoring kernel, which masks postings before
-        evaluation, so top-k/count/facets are exact over live docs.
-        Collection/term statistics deliberately still include deleted
-        docs — exactly Lucene's semantics until a merge rewrites the
-        segment (deletes are applied at merge; our compaction job is the
-        place to fold them in permanently). Returns a new searcher."""
+        (codecs/LiveDocsFormat.java): the deleted-id set masks postings
+        inside the scoring kernel before evaluation, so top-k/count/
+        facets are exact over live docs. Collection/term statistics
+        deliberately still include deleted docs — exactly Lucene's
+        semantics until a merge rewrites the segment (deletes are applied
+        at merge; our compaction job is the place to fold them in
+        permanently). Returns a new searcher.
+
+        `doc_ids` is an iterable of ints (small sets) OR a DataFrame with
+        a `doc_id` column (the scale path). The DataFrame form never
+        materializes the raw id list driver-side past the collect cap:
+        above `max_collected_deletes` the set is folded into a packed
+        bitmap built DISTRIBUTEDLY (per-chunk bitwise-OR groupBy, ≤1 MiB
+        per chunk row), so driver memory is bounded by maxdoc/8 bytes —
+        the Lucene livedocs bound — not by the delete count."""
         s = IndexSearcher(self.reader)
         s.sim = self.sim
         s.field_sims = self.field_sims
         s.synonyms = self.synonyms
         s.local_topk_max_postings = self.local_topk_max_postings
         s.kernel_partitions = self.kernel_partitions
-        s._deleted = np.unique(np.concatenate(
-            [self._deleted, np.asarray(list(doc_ids), dtype=np.int64)]))
+        s.max_collected_deletes = self.max_collected_deletes
+        if isinstance(doc_ids, DataFrame):
+            dels_df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+            if self._deleted_df is not None:
+                dels_df = dels_df.unionByName(self._deleted_df).distinct()
+            n = int(dels_df.agg(F.count("*").alias("n")).first()["n"])
+            if n <= self.max_collected_deletes:
+                ids = np.sort(np.array(
+                    [r["doc_id"] for r in dels_df.collect()], dtype=np.int64))
+                s._deleted = DeleteSet(ids=np.unique(np.concatenate(
+                    [self._deleted.ids, ids])) if self._deleted.ids.size
+                    else ids)
+            else:
+                containers = self._build_delete_containers(dels_df)
+                ids = self._deleted.ids      # prior collected ids still mask
+                s._deleted = DeleteSet(ids=ids, containers=containers,
+                                       count=n)
+            s._deleted_df = dels_df
+            return s
+        new = np.unique(np.concatenate(
+            [self._deleted.ids, np.asarray(list(doc_ids), dtype=np.int64)]))
+        s._deleted = DeleteSet(ids=new, containers=self._deleted.containers,
+                               count=(self._deleted.count
+                                      - self._deleted.ids.size + new.size))
+        s._deleted_df = self._deleted_df
         return s
+
+    def _build_delete_containers(self, dels_df: DataFrame) -> dict[int, np.ndarray]:
+        """Distributed livedocs build, roaring-style: one applyInPandas
+        group per 64K-id range (doc_id >> 16) emits that range's container
+        — sorted uint16 ids when ≤4096 deletes fall in it, an 8 KiB packed
+        bitmap when more. Handles our packed sparse doc_id space
+        (part_id << 40 | local_id) natively: empty ranges cost nothing.
+        The driver never sees the raw id list; peak driver memory is the
+        finished container map, ≤ min(2 B × deletes, maxdoc/8 B)."""
+
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            lows = np.unique(pdf["low"].to_numpy(np.int64)).astype(np.uint16)
+            if lows.size <= 4096:
+                kind, payload = 0, lows.tobytes()
+            else:
+                arr = np.zeros(8192, dtype=np.uint8)
+                np.bitwise_or.at(arr, lows.astype(np.int64) >> 3,
+                                 (1 << (lows & 7)).astype(np.uint8))
+                kind, payload = 1, arr.tobytes()
+            return pd.DataFrame({"key": [int(pdf["key"].iloc[0])],
+                                 "kind": [kind], "bits": [payload]})
+
+        rows = (dels_df
+                .select(F.shiftright("doc_id", 16).alias("key"),
+                        (F.col("doc_id").bitwiseAND(F.lit(0xFFFF))).alias("low"))
+                .groupBy("key")
+                .applyInPandas(_pack, "key long, kind int, bits binary")
+                .collect())
+        return {int(r["key"]): np.frombuffer(
+                    r["bits"],
+                    dtype=np.uint8 if r["kind"] else np.uint16)
+                for r in rows}
 
     def delete_by_keys(self, keys_df: DataFrame) -> "IndexSearcher":
         """Resolve external keys (the reader's key columns) to doc_ids via
-        the docstats sidecar, then tombstone them."""
+        the docstats sidecar, then tombstone them. Fully DataFrame-shaped:
+        the resolved id set goes to with_deletes as a DataFrame, so a
+        billion-key delete never collects raw ids to the driver (the join
+        strategy is AQE's call — keys may be the big side)."""
         cols = self.reader.key_cols
-        rows = (
-            self.reader.docstats()
-            .join(F.broadcast(keys_df.select(*cols)), list(cols))
-            .select("doc_id").collect()
-        )
-        return self.with_deletes([r["doc_id"] for r in rows])
+        dels = (self.reader.docstats()
+                .join(keys_df.select(*cols).distinct(), list(cols))
+                .select("doc_id"))
+        return self.with_deletes(dels)
 
     def _mask_deleted(self, df: DataFrame) -> DataFrame:
         """Filter tombstoned docs from a (doc_id, ...) DataFrame via an
         anti-join against the deletes set — NOT a driver-side isin list,
-        which would inline millions of literals into the plan at scale."""
+        which would inline millions of literals into the plan at scale.
+        Prefers the retained delete DataFrame (zero driver materialization,
+        AQE picks the join strategy); falls back to the collected ids."""
+        if self._deleted_df is not None:
+            dels = self._deleted_df
+            if self._deleted.count <= self.max_collected_deletes:
+                dels = F.broadcast(dels)
+            return df.join(dels, "doc_id", "left_anti")
         if not self._deleted.size:
             return df
         dels = self.reader.spark.createDataFrame(
-            [(int(d),) for d in self._deleted], "doc_id long")
+            [(int(d),) for d in self._deleted.ids], "doc_id long")
         return df.join(F.broadcast(dels), "doc_id", "left_anti")
 
     # ------------------------------------------------------------------ API
@@ -997,13 +1196,7 @@ class IndexSearcher:
         identity + the current delete set's digest (deletes are masked
         during assembly, so two searchers over one reader with different
         tombstones must never share entries)."""
-        if self._deleted.size:
-            import hashlib
-
-            d = hashlib.blake2b(self._deleted.tobytes(),
-                                digest_size=8).hexdigest()
-        else:
-            d = "0"
+        d = self._deleted.digest() if self._deleted.size else "0"
         return f"{self._asm_epoch_base}|del:{d}"
 
     def hydrate(self, topk: DataFrame) -> DataFrame:

@@ -1,7 +1,12 @@
 """Local stand-in for the driver's correctness gate: runs every
 __spark_entry__ queries() entry and its oracle_sql() twin on the same
 sf dir, and compares row count + column names + order-insensitive values
-exactly. Usage: python scripts/validate_gate.py [sf_dir] [name ...]"""
+exactly. Usage: python scripts/validate_gate.py [sf_dir] [name ...]
+
+Writes a machine-readable per-gate report to GATES_LOCAL.json (same row shape
+as the driver's CORRECTNESS_r*.json) so the judge can diff local claims
+against driver evidence. Partial runs (explicit name args) merge into any
+existing report rather than truncating it."""
 
 from __future__ import annotations
 
@@ -52,6 +57,24 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     return errs
 
 
+REPORT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "GATES_LOCAL.json")
+
+
+def _write_report(report: dict) -> None:
+    import json
+    merged = {}
+    if os.path.exists(REPORT_PATH):
+        try:
+            with open(REPORT_PATH) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(report)
+    with open(REPORT_PATH, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -63,6 +86,7 @@ def main() -> int:
     spark = get_spark("validate_gate")
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,19 +96,40 @@ def main() -> int:
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "sec": round(time.time() - t0, 2),
+                            "err": f"spark: {type(e).__name__}: {e}"[:500]}
             continue
         if name not in osql:
             print(f"ok   {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             if len(sdf) == 0 and name != "dd_exact":
                 print(f"     WARNING: 0 rows")
+            report[name] = {"rows_match": len(sdf) > 0 or name == "dd_exact",
+                            "schema_match": None, "hash_match": None,
+                            "spark_rows": len(sdf), "oracle_rows": None,
+                            "sec": round(time.time() - t0, 2), "err": None,
+                            "note": "rows-only (no oracle by design)"}
             continue
         try:
             odf = con.execute(osql[name]).fetchdf()
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(sdf),
+                            "oracle_rows": None, "sec": round(time.time() - t0, 2),
+                            "err": f"oracle: {type(e).__name__}: {e}"[:500]}
             continue
         errs = compare(name, sdf, odf)
+        report[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not errs,
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+            "sec": round(time.time() - t0, 2),
+            "err": "; ".join(errs)[:500] or None,
+        }
         if errs:
             failed.append(name)
             print(f"FAIL {name} ({len(sdf)} vs {len(odf)} rows) [{time.time()-t0:.1f}s]")
@@ -92,6 +137,7 @@ def main() -> int:
                 print(f"     {e}")
         else:
             print(f"ok   {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
+    _write_report(report)
     print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 1 if failed else 0
 
