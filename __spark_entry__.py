@@ -6630,6 +6630,248 @@ FROM documents
 """
 
 
+_JA_SENTS = [
+    "すもももももももものうち", "関西国際空港と東京大学", "シニアソフトウェアエンジニア",
+    "カレーのうちabc123", "魔女狩大将マシュー・ホプキンス。", "ＡＢＣ１２３、もものうち",
+    "アイウエオかきくけこ", "𩬅艱鍟䇹愯瀛",
+]
+_JA_NORMAL = [
+    "すもも|も|もも|も|もも|の|うち", "関西国際空港|と|東京大学", "シニアソフトウェアエンジニア",
+    "カレー|の|うち|abc|123", "魔|女|狩|大|将|マシュー|ホプキンス", "ＡＢＣ|１２３|もも|の|うち",
+    "アイウエオ|かきくけこ", "𩬅|艱|鍟|䇹|愯|瀛",
+]
+_JA_SEARCH = [
+    "すもも|も|もも|も|もも|の|うち", "関西|国際|空港|と|東京|大学", "シニアソフトウェアエンジニア",
+    "カレー|の|うち|abc|123", "魔|女|狩|大|将|マシュー|ホプキンス", "ＡＢＣ|１２３|もも|の|うち",
+    "アイウエオ|かきくけこ", "𩬅|艱|鍟|䇹|愯|瀛",
+]
+
+
+def ft_ja_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese Viterbi lattice tokenization (kuromoji JapaneseTokenizer
+    role — analysis/ja.py; JapaneseTokenizer.java:494-1013 cost/unknown
+    semantics, brute-force-oracle-tested in test_ja.py): each doc picks a
+    deterministic sentence (doc_id % 8) mixing dictionary words, unknown
+    katakana/alpha/numeric runs, per-char kanji and punctuation; both the
+    NORMAL and SEARCH segmentations run distributed (pandas UDF over the
+    Arrow batch) and the '|'-joined token sequences must equal the
+    hand-verified expectations the oracle carries as literals (NORMAL
+    keeps 関西国際空港/東京大学 whole; SEARCH's decomposition penalty
+    splits them — TestJapaneseTokenizer.java:179-202 behavior)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _ja_n(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.ja import JapaneseTokenizer, demo_dictionary
+
+        tok = JapaneseTokenizer(demo_dictionary())
+        return vs.map(lambda v: "|".join(tok.tokens(_JA_SENTS[int(v)])))
+
+    @F.pandas_udf("string")
+    def _ja_s(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.ja import JapaneseTokenizer, demo_dictionary
+
+        tok = JapaneseTokenizer(demo_dictionary(), mode="search")
+        return vs.map(lambda v: "|".join(tok.tokens(_JA_SENTS[int(v)])))
+
+    return d.select("doc_id", _ja_n(F.col("v")).alias("normal_tokens"),
+                    _ja_s(F.col("v")).alias("search_tokens"))
+
+
+def _ja_case(col_vals: list[str]) -> str:
+    arms = "\n".join(
+        f"  WHEN {i} THEN '{v}'" for i, v in enumerate(col_vals))
+    return f"CASE doc_id % 8\n{arms}\nEND"
+
+
+FT_JA_TOKENS_SQL = f"""
+SELECT doc_id,
+       {_ja_case(_JA_NORMAL)} AS normal_tokens,
+       {_ja_case(_JA_SEARCH)} AS search_tokens
+FROM documents
+"""
+
+
+_IDX_VEC_CACHE: dict[str, tuple] = {}
+
+
+def _vec_searcher(spark: SparkSession, sf_dir: str):
+    """Gate index with a VECTOR FIELD: the embeddings table's vector
+    rides the docstats sidecar as a carry column (document/VectorField
+    role — search/knnfield.py module docstring maps the reference
+    files), so KNN queries run against the INDEX, not a side table."""
+    if sf_dir in _IDX_VEC_CACHE:
+        return _IDX_VEC_CACHE[sf_dir]
+    import hashlib
+    import shutil
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "text")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("ext_id"), "embedding")
+    src = docs.join(emb, "ext_id")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx_dir = os.path.join(
+        "/tmp/lucene_spark_gate_vec",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{tag}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(
+        key_cols=("ext_id",), content_col="text", analyzer="whitespace",
+        partitions=2, num_groups=1, num_buckets=4, termdict_partitions=1,
+        carry_cols=("embedding",),
+    )
+    IndexBuilder(spark, cfg).build(src, idx_dir, overwrite=True)
+    r = IndexReader(spark, idx_dir)
+    _IDX_VEC_CACHE[sf_dir] = (r, IndexSearcher(r))
+    return _IDX_VEC_CACHE[sf_dir]
+
+
+def ft_knn_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN over an INDEXED vector field (KnnVectorQuery role): the query
+    arrives through the XML query parser (<KnnVectorQuery>), dispatches
+    to the per-partition NSW searcher over the carry-column sidecar
+    (search/knnfield.py), ef omitted = exact (beam saturates each
+    shard, pipeline/ann.py chain-connectivity invariant), so the result
+    must hash-match the brute-force cosine SQL oracle; tombstone masking
+    and the TopDocs-merge window are on the query path."""
+    from lucene_spark.search.xmlparser import parse_xml_query
+    from lucene_spark.analysis import get_analyzer
+
+    r, s = _vec_searcher(spark, sf_dir)
+    qv = (_t(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    xml = ("<KnnVectorQuery fieldName='embedding' k='10'>"
+           + " ".join(repr(float(x)) for x in qv) + "</KnnVectorQuery>")
+    node = parse_xml_query(xml, get_analyzer("whitespace"), {}, "text")
+    out = _to_ext(s.search(node, k=10), r).select(
+        F.col("doc_id").alias("key"),
+        F.round(F.col("score").cast("double"), 5).alias("cosine_r"))
+    return _ranked(out, "cosine_r", "key", 10).select(
+        "key", "cosine_r", "rank")
+
+
+FT_KNN_FIELD_SQL = SIM_COSINE_SQL
+
+
+_PL_SENTS = [
+    "Studenci byli najlepsi", "Książki w komputerze",
+    "Polskiego studenta nie ma", "Najlepszych komputerów mamy",
+    "Prowadzi do uczelni", "Studentom i studentkom",
+]
+_PL_EXPECT = [
+    "student|lepszy", "książek|komputer", "polski|student",
+    "najlepszy|komputer", "prowadzić|uczelnia", "student|student",
+]
+
+
+def ft_pl_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polish analyzer chain (stempel/pl/PolishAnalyzer.java role:
+    tokenize → lowercase → carrot2 stop list → Egothor trie stemmer over
+    the reference's trained table — analysis/stempel.py, table extracted
+    by scripts/gen_stempel_table.py): deterministic Polish sentences per
+    doc (doc_id % 6) run the full chain distributed; the '|'-joined
+    output must equal the hand-verified expectations the oracle carries
+    (TestPolishAnalyzer.java:33-36 vectors studenci/studenta → student
+    included)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("v"))
+
+    @F.pandas_udf("string")
+    def _pl(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("polish")
+        sents = vs.map(lambda v: _PL_SENTS[int(v)])
+        return a.tokenize_series(sents).map("|".join)
+
+    return d.select("doc_id", _pl(F.col("v")).alias("tokens"))
+
+
+FT_PL_STEM_SQL = ("SELECT doc_id, CASE doc_id % 6\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_PL_EXPECT))
+    + "\nEND AS tokens FROM documents")
+
+
+def ft_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Tagger (handler/tagger/TaggerRequestHandler.java:1-386;
+    search/tagger.py — trie longest-match + TagClusterReducer
+    LONGEST_DOMINANT_RIGHT): dictionary {table hash, table, hash, merge}
+    tags every document; per-doc per-entity match counts. The LDR policy
+    is what the oracle pins: a 'table hash' bigram suppresses both its
+    contained 'table' and 'hash' single-token tags, so
+    emitted(table) = tok(table) − bigram and likewise for hash."""
+    from lucene_spark.search.tagger import tag_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dictionary = [("e_table_hash", "table hash"), ("e_table", "table"),
+                  ("e_hash", "hash"), ("e_merge", "merge")]
+    tags = tag_documents(d, "text", "doc_id", dictionary,
+                         token_pattern=r"\S+")
+    return (tags.groupBy(F.col("key").alias("doc_id"), "entity")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+FT_TAGGER_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
+), t2 AS (
+  SELECT doc_id, unnest(ts) AS a, unnest(ts[2:] || ['']) AS b FROM tok
+), c AS (
+  SELECT doc_id,
+         sum(CASE WHEN a='table' AND b='hash' THEN 1 ELSE 0 END) AS n_bg,
+         sum(CASE WHEN a='table' THEN 1 ELSE 0 END) AS n_table,
+         sum(CASE WHEN a='hash' THEN 1 ELSE 0 END) AS n_hash,
+         sum(CASE WHEN a='merge' THEN 1 ELSE 0 END) AS n_merge
+  FROM t2 GROUP BY doc_id
+)
+SELECT doc_id, entity, n::BIGINT AS n FROM (
+  SELECT doc_id, 'e_table_hash' AS entity, n_bg AS n FROM c
+  UNION ALL SELECT doc_id, 'e_table', n_table - n_bg FROM c
+  UNION ALL SELECT doc_id, 'e_hash', n_hash - n_bg FROM c
+  UNION ALL SELECT doc_id, 'e_merge', n_merge FROM c
+) WHERE n > 0
+"""
+
+
+_COLL_WORDS = [
+    "zebra", "älg", "apple", "Örn", "okay", "Apple", "côte", "cote",
+    "über", "uber", "Ärlig", "årlig", "resume", "résumé", "muller",
+    "müller", "Müller", "banan", "Ångström", "angstrom", "ceļš", "čar",
+    "nação", "pena", "peña",
+]
+
+
+def ft_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale collation keys (analysis/icu/ICUCollationKeyAnalyzer.java
+    role — analysis/collation.py, a documented pure-Python UCA subset):
+    every doc derives a word (doc_id % 25), the Swedish collation key is
+    computed DISTRIBUTED (pandas UDF), and the distinct words rank by
+    key. The oracle is REAL ICU: DuckDB's `ORDER BY w COLLATE sv` — a
+    live independent collator, not hand-written expectations (å ä ö
+    after z, accent secondaries in CLDR order, case tertiary)."""
+    from lucene_spark.analysis.collation import collation_key_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 25).alias("v"))
+    words = F.array(*[F.lit(w) for w in _COLL_WORDS])
+    dw = d.select(F.element_at(
+        words, (F.col("v") + 1).cast("int")).alias("w")).distinct()
+    key = collation_key_udf("sv")
+    ranked = (dw.select("w", key("w").alias("k"))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("k").asc(), F.col("w").asc())))
+              .select("w", "rank"))
+    return ranked
+
+
+FT_COLLATION_SQL = (
+    "SELECT w, row_number() OVER (ORDER BY w COLLATE sv, w) AS rank\n"
+    "FROM (SELECT DISTINCT (["
+    + ", ".join(f"'{w}'" for w in _COLL_WORDS)
+    + "])[(doc_id % 25) + 1] AS w FROM documents)\nORDER BY rank")
+
+
 def dd_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination (pipeline/decontaminate.py
     fuzzy_contaminated_docs — MinHash+LSH cross-side candidates + exact
@@ -6902,6 +7144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_leakage_split": dd_leakage_split,
         # --- new round-4 gates (no driver evidence yet) ---
         "ft_delete_query": ft_delete_query,
+        "ft_ja_tokens": ft_ja_tokens,
+        "ft_knn_field": ft_knn_field,
+        "ft_pl_stem": ft_pl_stem,
+        "ft_tagger": ft_tagger,
+        "ft_collation_sort": ft_collation_sort,
         # --- driver-green in r1-r3 (regression tail) ---
         "rel_range_facet": rel_range_facet,
         "dd_minhash_lsh": dd_minhash_lsh,
@@ -7218,6 +7465,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_sorted_build": FT_SORTED_BUILD_SQL,
         "ft_delete_compact": FT_DELETE_COMPACT_SQL,
         "ft_delete_query": FT_DELETE_QUERY_SQL,
+        "ft_ja_tokens": FT_JA_TOKENS_SQL,
+        "ft_knn_field": FT_KNN_FIELD_SQL,
+        "ft_pl_stem": FT_PL_STEM_SQL,
+        "ft_tagger": FT_TAGGER_SQL,
+        "ft_collation_sort": FT_COLLATION_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,

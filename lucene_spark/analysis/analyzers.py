@@ -971,6 +971,35 @@ CUSTOM_TOKENIZERS["cjk_bigram"] = cjk_token_lists
 register_analyzer(Analyzer(name="cjk", custom_tokenizer="cjk_bigram",
                            stopwords=CJK_STOP_WORDS))
 
+# Japanese dictionary segmentation (kuromoji JapaneseAnalyzer role):
+# Viterbi lattice over a seeded MeCab-style lexicon + exact unknown-word
+# semantics (analysis/ja.py, JapaneseTokenizer.java:494-1013). `japanese`
+# = NORMAL mode (compounds kept), `japanese_search` = SEARCH mode
+# (decomposition penalty splits long compounds, JapaneseAnalyzer's
+# default mode). Golden vectors: tests/test_ja.py incl. a brute-force
+# all-segmentations oracle.
+from lucene_spark.analysis.ja import (  # noqa: E402
+    ja_search_token_lists,
+    ja_token_lists,
+)
+
+CUSTOM_TOKENIZERS["ja_normal"] = ja_token_lists
+CUSTOM_TOKENIZERS["ja_search"] = ja_search_token_lists
+register_analyzer(Analyzer(name="japanese", custom_tokenizer="ja_normal"))
+register_analyzer(Analyzer(name="japanese_search",
+                           custom_tokenizer="ja_search"))
+
+# Polish (stempel/pl/PolishAnalyzer.java: StandardTokenizer → LowerCase →
+# Stop(carrot2 list) → StempelFilter over the trained Egothor trie table).
+# The stemmer runs the reference's own table (extracted data, see
+# scripts/gen_stempel_table.py) through a re-implemented Egothor
+# algorithm — analysis/stempel.py; vectors in tests/test_stempel.py.
+from lucene_spark.analysis.stopwords_i18n import POLISH_STOP_WORDS  # noqa: E402
+
+register_analyzer(Analyzer(name="polish", token_pattern=r"\w+",
+                           stopwords=POLISH_STOP_WORDS,
+                           stemmer="stempel_pl"))
+
 
 def _char_ngram_tokenizer(n: int):
     """Per-word character n-grams — the NGramTokenizer role (analysis/

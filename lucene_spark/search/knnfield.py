@@ -1,0 +1,139 @@
+"""Vector fields on the index — the VectorField / vector-format role.
+
+Reference mapping:
+- document/VectorField.java (a per-document float vector as a FIELD of
+  the index, declared at indexing time) → `IndexConfig.carry_cols`: the
+  vector source column rides the docstats sidecar, co-partitioned with
+  the doc ids — exactly where the reference's vector file lives
+  (alongside the segment; codecs/lucene90/Lucene90VectorWriter.java
+  writes `.vec` next to the postings).
+- util/hnsw/HnswGraphSearcher (beam search over a proximity graph) →
+  the per-partition NSW graphs of pipeline/ann.py, run inside ONE
+  mapInPandas pass over the docstats partitions: each task builds (or
+  cache-hits) its shard's graph, beam-searches the broadcast query, and
+  emits shard top-k; a windowed merge picks the global k (the
+  TopDocs.merge shape every searcher path uses).
+- Lucene builds the graph at INDEX time (Lucene90VectorWriter); here the
+  graph is built lazily on first search and kept in a worker-resident
+  LRU keyed by (reader epoch, field, partition) — the decoded-postings
+  cache pattern (searcher._ASM_CACHE). Tradeoff documented: first query
+  per partition pays the build; every later query (the serving steady
+  state) rides the cache. The corpus is never shuffled for a KNN query.
+- search/KnnVectorQuery semantics: `ef >= partition size` saturates the
+  beam, so the search is EXACT over the chain-connected graph
+  (pipeline/ann.py build invariant) — the oracle gate pins this
+  degenerate mode against brute-force cosine SQL; partial-ef recall is
+  a measured property (tests).
+
+Hybrid retrieval: `knn_rescore` blends a BM25 candidate set with vector
+cosine (the KnnVectorQuery-plus-rescore pattern), joining kernel scores
+with the vector sidecar — broadcast on the k-row side.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lucene_spark.pipeline.ann import _normalize_rows, build_nsw, search_nsw
+
+# worker-resident shard graph LRU: (epoch, field, partition_id, n) →
+# (unit_matrix, adjacency, doc_ids). Bounded by entry count — graphs are
+# O(n · m_neighbors) ints + the unit matrix the task already held.
+_GRAPH_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_GRAPH_CACHE_MAX = 64
+
+
+def _graph_for(key, unit: np.ndarray, m_neighbors: int, ef_c: int):
+    g = _GRAPH_CACHE.get(key)
+    if g is not None:
+        _GRAPH_CACHE.move_to_end(key)
+        return g
+    adj = build_nsw(unit, m_neighbors=m_neighbors, ef_construction=ef_c)
+    _GRAPH_CACHE[key] = adj
+    while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
+        _GRAPH_CACHE.popitem(last=False)
+    return adj
+
+
+def knn_field_topk(searcher, field: str, query_vec, k: int = 10,
+                   ef: int | None = None, m_neighbors: int = 8,
+                   ef_construction: int = 64) -> DataFrame:
+    """Top-k (doc_id, score=cosine) for one query vector over the indexed
+    vector field. `ef=None` → exact (beam covers each shard). Returns the
+    standard result shape ordered (score desc, doc_id asc)."""
+    reader = searcher.reader
+    ds = reader.docstats().select("doc_id", field).filter(
+        F.col(field).isNotNull())
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-30)
+    epoch = searcher._asm_epoch_base
+    kk, eff = int(k), ef
+
+    def shard(batches):
+        from pyspark import TaskContext
+
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in pdf[field]])
+        unit = _normalize_rows(vecs)
+        n = unit.shape[0]
+        beam = n if eff is None else min(eff, n)
+        tc = TaskContext.get()
+        key = (epoch, field, tc.partitionId() if tc else -1, n)
+        adj = _graph_for(key, unit, m_neighbors, ef_construction)
+        ids, sims = search_nsw(unit, adj, qn, ef=beam, n_nodes=n)
+        top = min(kk, len(ids))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy()[ids[:top]],
+            "score": sims[:top].astype(np.float64),
+        })
+
+    cand = ds.mapInPandas(shard, "doc_id long, score double")
+    cand = searcher._mask_deleted(cand)
+    return (cand.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+def knn_rescore(searcher, query, field: str, query_vec, k: int = 10,
+                n_candidates: int = 100, alpha: float = 0.5) -> DataFrame:
+    """Hybrid BM25 + vector retrieval: take the BM25 top-n_candidates,
+    join their vectors from the docstats sidecar (broadcast on the
+    candidate side — the hydrate() direction), and rerank by
+    alpha·cosine + (1-alpha)·minmax-normalized BM25. The
+    KnnVectorQuery-rescoring pattern with the blend explicit."""
+    reader = searcher.reader
+    cand = searcher.search(query, k=n_candidates)
+    ds = reader.docstats().select("doc_id", field)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-30)
+
+    joined = ds.join(F.broadcast(cand), "doc_id")
+
+    @F.pandas_udf("double")
+    def _cos(vs: pd.Series) -> pd.Series:
+        def one(v):
+            a = np.asarray(v, dtype=np.float64)
+            nrm = float(np.linalg.norm(a))
+            return float(a @ qn / nrm) if nrm > 0 else 0.0
+        return vs.map(one)
+
+    scored = joined.withColumn("cosine", _cos(F.col(field)))
+    stats = scored.agg(F.min("score").alias("lo"),
+                       F.max("score").alias("hi")).first()
+    lo, hi = float(stats["lo"] or 0.0), float(stats["hi"] or 1.0)
+    span = (hi - lo) or 1.0
+    blended = scored.withColumn(
+        "blend",
+        F.lit(alpha) * F.col("cosine")
+        + F.lit(1.0 - alpha) * (F.col("score") - F.lit(lo)) / F.lit(span))
+    return (blended.select("doc_id", F.col("blend").alias("score"),
+                           "cosine")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))

@@ -548,6 +548,19 @@ class MatchNoneNode(Node):
 
 
 @dataclass(frozen=True)
+class KnnVectorNode(Node):
+    """Top-k vector query over an indexed vector field — the
+    KnnVectorQuery role (document/VectorField.java + the HNSW searcher;
+    search/knnfield.py executes it: per-partition NSW beam + global
+    merge). `ef=None` saturates the beam → exact over each shard (the
+    oracle-checkable degenerate mode)."""
+    field: str = ""
+    vector: tuple[float, ...] = ()
+    k: int = 10
+    ef: int | None = None
+
+
+@dataclass(frozen=True)
 class ConstantScoreNode(Node):
     """search/ConstantScoreQuery.java — wrap, fixed score = boost."""
     child: Node | None = None

@@ -280,6 +280,24 @@ def _build(e: ET.Element, ctx: _Ctx, inherited_field: str) -> P.Node:
                 "Could not parse lowerTerm or upperTerm into a number") from exc
         return P.DocValuesRangeNode(column=fld, lower=lo, upper=hi,
                                     boost=_boost(e))
+    if tag == "KnnVectorQuery":
+        # vector-field top-k (KnnVectorQuery role; no reference XML
+        # builder exists — attribute shape mirrors PointRangeQuery's):
+        # <KnnVectorQuery fieldName="emb" k="10" ef="64">0.1 0.2 ...
+        # </KnnVectorQuery>; ef absent = exact (beam saturates)
+        fld = _field(e, inherited_field)
+        try:
+            vec = tuple(float(x) for x in _text(e).split())
+        except ValueError as exc:
+            raise XmlParserError(
+                "KnnVectorQuery text must be whitespace-separated floats"
+            ) from exc
+        if not vec:
+            raise XmlParserError("KnnVectorQuery requires a query vector")
+        k = _num(e, "k", "10", int)
+        ef = _num(e, "ef", "0", int) or None
+        return P.KnnVectorNode(field=fld, vector=vec, k=k, ef=ef,
+                               boost=_boost(e))
     if tag == "SpanNot":
         # SpanNotBuilder.java: <Include>/<Exclude> child elements, each
         # wrapping one span query → SpanNotQuery(include, exclude)

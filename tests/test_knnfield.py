@@ -1,0 +1,125 @@
+"""Vector fields on the index (VectorField / KnnVectorQuery role) —
+search/knnfield.py: carry-column sidecar, per-partition NSW search,
+XML-parser entry, tombstone masking, hybrid rescoring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def vec_index(spark, tmp_path_factory):
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+
+    rng = np.random.default_rng(11)
+    n, dim = 120, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, f"doc {i} term{i % 7} payload", [float(x) for x in vecs[i]])
+            for i in range(n)]
+    src = spark.createDataFrame(
+        rows, "id long, text string, emb array<float>")
+    idx = str(tmp_path_factory.mktemp("vecidx") / "index")
+    cfg = IndexConfig(key_cols=("id",), content_col="text",
+                      analyzer="whitespace", partitions=3, num_groups=1,
+                      num_buckets=4, carry_cols=("emb",))
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    r = IndexReader(spark, idx)
+    return r, IndexSearcher(r), vecs
+
+
+def _brute_topk(vecs: np.ndarray, q: np.ndarray, k: int):
+    u = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    qn = q / max(float(np.linalg.norm(q)), 1e-30)
+    cos = u.astype(np.float64) @ qn.astype(np.float64)
+    order = np.lexsort((np.arange(len(cos)), -cos))
+    return order[:k], cos[order[:k]]
+
+
+def test_knn_exact_matches_bruteforce(vec_index):
+    from lucene_spark.search.knnfield import knn_field_topk
+
+    r, s, vecs = vec_index
+    q = vecs[5].astype(np.float64)
+    hits = knn_field_topk(s, "emb", q, k=10).collect()   # ef=None → exact
+    ds = {row["doc_id"]: row["id"] for row in
+          r.docstats().select("doc_id", "id").collect()}
+    got = [(ds[h["doc_id"]], round(h["score"], 6)) for h in hits]
+    ids, cos = _brute_topk(vecs, q, 10)
+    want = [(int(i), round(float(c), 6)) for i, c in zip(ids, cos)]
+    assert got == want
+
+
+def test_knn_via_parser_and_search(vec_index):
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.xmlparser import parse_xml_query
+
+    r, s, vecs = vec_index
+    q = vecs[7]
+    xml = ("<KnnVectorQuery fieldName='emb' k='5'>"
+           + " ".join(str(float(x)) for x in q) + "</KnnVectorQuery>")
+    node = parse_xml_query(xml, get_analyzer("whitespace"), {}, "text")
+    hits = s.search(node, k=5).collect()
+    assert len(hits) == 5
+    # doc 7 itself is the top hit with cosine ~1
+    ds = {row["doc_id"]: row["id"] for row in
+          r.docstats().select("doc_id", "id").collect()}
+    assert ds[hits[0]["doc_id"]] == 7
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_masks_tombstones(vec_index):
+    from lucene_spark.search.knnfield import knn_field_topk
+
+    r, s, vecs = vec_index
+    q = vecs[3].astype(np.float64)
+    top = knn_field_topk(s, "emb", q, k=3).collect()
+    victim = top[0]["doc_id"]
+    s2 = s.with_deletes([victim])
+    hits = knn_field_topk(s2, "emb", q, k=10).collect()
+    assert victim not in {h["doc_id"] for h in hits}
+    assert len(hits) == 10
+
+
+def test_partial_ef_recall(vec_index):
+    from lucene_spark.search.knnfield import knn_field_topk
+
+    r, s, vecs = vec_index
+    q = vecs[9].astype(np.float64)
+    exact = {h["doc_id"] for h in knn_field_topk(s, "emb", q, k=10).collect()}
+    approx = {h["doc_id"]
+              for h in knn_field_topk(s, "emb", q, k=10, ef=24).collect()}
+    # recall of the bounded beam is a measured property, not a contract;
+    # the chain-connected graph keeps it high on 40-row shards
+    assert len(exact & approx) >= 6
+
+
+def test_hybrid_rescore(vec_index):
+    from lucene_spark.search.knnfield import knn_rescore
+
+    r, s, vecs = vec_index
+    q = vecs[12].astype(np.float64)
+    out = knn_rescore(s, "term5", "emb", q, k=5, n_candidates=20).collect()
+    assert 0 < len(out) <= 5
+    # candidates all match the BM25 query (term5 → ids ≡ 5 mod 7)
+    ds = {row["doc_id"]: row["id"] for row in
+          r.docstats().select("doc_id", "id").collect()}
+    assert all(ds[h["doc_id"]] % 7 == 5 for h in out)
+    # ordered by blended score desc
+    scores = [h["score"] for h in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_xml_knn_errors(vec_index):
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.search.xmlparser import XmlParserError, parse_xml_query
+
+    with pytest.raises(XmlParserError):
+        parse_xml_query("<KnnVectorQuery fieldName='emb'>not floats"
+                        "</KnnVectorQuery>", get_analyzer("whitespace"),
+                        {}, "text")
+    with pytest.raises(XmlParserError):
+        parse_xml_query("<KnnVectorQuery fieldName='emb'></KnnVectorQuery>",
+                        get_analyzer("whitespace"), {}, "text")
