@@ -609,6 +609,61 @@ def main() -> None:
         ],
     ))
 
+    # N. round-4: vector field KNN — the corpus is never shuffled (one
+    # mapInPandas over the vector sidecar, shard top-k, tiny global
+    # reduce), and the scan prunes to (doc_id, vector)
+    vr, vs = gate._vec_searcher(spark, sf_dir)
+    qv = list(gate._t(spark, sf_dir, "embeddings")
+              .filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    from lucene_spark.search.knnfield import knn_field_topk, knn_rescore
+
+    kdf = knn_field_topk(vs, "embedding", qv, k=10)
+    p = plan_of(kdf)
+    sections.append((
+        "vector-field KNN (per-partition NSW)", p,
+        [
+            ("no shuffle before the shard search (single Exchange only "
+             "for the global top-k reduce)",
+             p.count("Exchange") <= 1),
+            ("global reduce is TakeOrderedAndProject (k rows, no full sort)",
+             "TakeOrderedAndProject" in p),
+            ("sidecar scan prunes to doc_id + vector column (ReadSchema)",
+             "ReadSchema" in p and "embedding" in p
+             and "text" not in p.split("ReadSchema")[1][:400]),
+        ],
+    ))
+
+    # N+1. hybrid rescore: the k-row candidate side must be the broadcast
+    # build side (the hydrate() direction), never the vector sidecar
+    rdf = knn_rescore(vs, "merge", "embedding", qv, k=5, n_candidates=20)
+    p = plan_of(rdf)
+    sections.append((
+        "hybrid BM25+vector rescore", p,
+        [
+            ("candidates broadcast as the build side "
+             "(BroadcastHashJoin BuildRight, no SortMergeJoin)",
+             "BroadcastHashJoin" in p and "BuildRight" in p
+             and "SortMergeJoin" not in p),
+        ],
+    ))
+
+    # N+2. tagger: ONE narrow pass — no Exchange, no join; corpus scan
+    # prunes to (doc_id, text)
+    from lucene_spark.search.tagger import tag_documents
+
+    tdf = tag_documents(gate._t(spark, sf_dir, "documents"), "text",
+                        "doc_id", [("e", "table hash"), ("m", "merge")])
+    p = plan_of(tdf)
+    sections.append((
+        "dictionary tagger (one mapInPandas pass)", p,
+        [
+            ("no shuffle and no join (zero Exchange/Join nodes)",
+             "Exchange" not in p and "Join" not in p),
+            ("corpus scan prunes to doc_id + text (ReadSchema)",
+             "ReadSchema" in p and "lang" not in p.split("ReadSchema")[1][:400]),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
