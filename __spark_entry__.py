@@ -6834,6 +6834,37 @@ SELECT doc_id, entity, n::BIGINT AS n FROM (
 """
 
 
+_KO_SENTS = ["삼성전자는 한국에 있다", "주식회사 대학교를", "한국어 text123 테스트", "삼성전자 전자"]
+_KO_EXPECT = ["삼성|전자|한국|있다", "주식회사|대학교", "한국|어|text|123|테스트", "삼성|전자|전자"]
+
+
+def ft_ko_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Korean lattice tokenization (nori KoreanTokenizer role —
+    analysis/ko.py: Viterbi + DISCARD decompound + POS stop filter +
+    script-grouped unknowns; KoreanTokenizer.java:840-1086 semantics):
+    each doc picks a deterministic sentence (doc_id % 4); the full
+    KoreanAnalyzer chain runs distributed and the '|'-joined token
+    stream must equal the hand-verified expectations (삼성전자 decompounds
+    to 삼성+전자; josa particles 는/에/를 POS-stopped; 한국어 splits at the
+    dictionary boundary 한국 + unknown 어)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("v"))
+
+    @F.pandas_udf("string")
+    def _ko(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("korean")
+        return a.tokenize_series(vs.map(lambda v: _KO_SENTS[int(v)])).map("|".join)
+
+    return d.select("doc_id", _ko(F.col("v")).alias("tokens"))
+
+
+FT_KO_TOKENS_SQL = ("SELECT doc_id, CASE doc_id % 4\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_KO_EXPECT))
+    + "\nEND AS tokens FROM documents")
+
+
 _COLL_WORDS = [
     "zebra", "älg", "apple", "Örn", "okay", "Apple", "côte", "cote",
     "über", "uber", "Ärlig", "årlig", "resume", "résumé", "muller",
@@ -7149,6 +7180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pl_stem": ft_pl_stem,
         "ft_tagger": ft_tagger,
         "ft_collation_sort": ft_collation_sort,
+        "ft_ko_tokens": ft_ko_tokens,
         # --- driver-green in r1-r3 (regression tail) ---
         "rel_range_facet": rel_range_facet,
         "dd_minhash_lsh": dd_minhash_lsh,
@@ -7470,6 +7502,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_pl_stem": FT_PL_STEM_SQL,
         "ft_tagger": FT_TAGGER_SQL,
         "ft_collation_sort": FT_COLLATION_SQL,
+        "ft_ko_tokens": FT_KO_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,

@@ -989,6 +989,16 @@ register_analyzer(Analyzer(name="japanese", custom_tokenizer="ja_normal"))
 register_analyzer(Analyzer(name="japanese_search",
                            custom_tokenizer="ja_search"))
 
+# Korean (nori/ko/KoreanAnalyzer.java:72-79: KoreanTokenizer DISCARD
+# decompound → KoreanPartOfSpeechStopFilter(default tags) → reading form
+# → lowercase). Same lattice family as `japanese`; analysis/ko.py maps
+# the reference semantics (script-grouped unknowns, compound morpheme
+# emission, POS stop set) over a seeded lexicon.
+from lucene_spark.analysis.ko import ko_token_lists  # noqa: E402
+
+CUSTOM_TOKENIZERS["ko_nori"] = ko_token_lists
+register_analyzer(Analyzer(name="korean", custom_tokenizer="ko_nori"))
+
 # Polish (stempel/pl/PolishAnalyzer.java: StandardTokenizer → LowerCase →
 # Stop(carrot2 list) → StempelFilter over the trained Egothor trie table).
 # The stemmer runs the reference's own table (extracted data, see
