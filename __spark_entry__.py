@@ -6865,6 +6865,35 @@ FT_KO_TOKENS_SQL = ("SELECT doc_id, CASE doc_id % 4\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_CN_SENTS = ["研究生命起源", "中国人民", "北京大学, hello 123", "研究 中国人民 起源"]
+_CN_EXPECT = ["研究|生命|起源", "中国|人民", "北京大学|hello|123", "研究|中国|人民|起源"]
+
+
+def ft_cn_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinese HHMM segmentation (smartcn role — analysis/smartcn.py:
+    SegGraph candidates + the exact BiSegGraph smoothing formula +
+    token-DAG Viterbi, brute-force-oracle-tested): deterministic
+    sentences per doc (doc_id % 4) run the full chain distributed; the
+    '|'-joined streams must equal the hand-verified expectations (the
+    classic 研究生命起源 → 研究|生命|起源 ambiguity resolution among them)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("v"))
+
+    @F.pandas_udf("string")
+    def _cn(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("smartcn")
+        return a.tokenize_series(vs.map(lambda v: _CN_SENTS[int(v)])).map("|".join)
+
+    return d.select("doc_id", _cn(F.col("v")).alias("tokens"))
+
+
+FT_CN_TOKENS_SQL = ("SELECT doc_id, CASE doc_id % 4\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_CN_EXPECT))
+    + "\nEND AS tokens FROM documents")
+
+
 _COLL_WORDS = [
     "zebra", "älg", "apple", "Örn", "okay", "Apple", "côte", "cote",
     "über", "uber", "Ärlig", "årlig", "resume", "résumé", "muller",
@@ -7181,6 +7210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_tagger": ft_tagger,
         "ft_collation_sort": ft_collation_sort,
         "ft_ko_tokens": ft_ko_tokens,
+        "ft_cn_tokens": ft_cn_tokens,
         # --- driver-green in r1-r3 (regression tail) ---
         "rel_range_facet": rel_range_facet,
         "dd_minhash_lsh": dd_minhash_lsh,
@@ -7503,6 +7533,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_tagger": FT_TAGGER_SQL,
         "ft_collation_sort": FT_COLLATION_SQL,
         "ft_ko_tokens": FT_KO_TOKENS_SQL,
+        "ft_cn_tokens": FT_CN_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,

@@ -999,6 +999,15 @@ from lucene_spark.analysis.ko import ko_token_lists  # noqa: E402
 CUSTOM_TOKENIZERS["ko_nori"] = ko_token_lists
 register_analyzer(Analyzer(name="korean", custom_tokenizer="ko_nori"))
 
+# Chinese (smartcn SmartChineseAnalyzer role): HHMM bigram segmentation
+# with the reference's exact smoothing formula (BiSegGraph.java:101-107)
+# over a seeded coredict/bigramdict — analysis/smartcn.py; brute-force
+# all-paths oracle in tests/test_smartcn.py.
+from lucene_spark.analysis.smartcn import cn_token_lists  # noqa: E402
+
+CUSTOM_TOKENIZERS["cn_hhmm"] = cn_token_lists
+register_analyzer(Analyzer(name="smartcn", custom_tokenizer="cn_hhmm"))
+
 # Polish (stempel/pl/PolishAnalyzer.java: StandardTokenizer → LowerCase →
 # Stop(carrot2 list) → StempelFilter over the trained Egothor trie table).
 # The stemmer runs the reference's own table (extracted data, see

@@ -1,0 +1,116 @@
+"""smartcn HHMM segmenter (hhmm/HHMMSegmenter.java role) — exact bigram
+weight formula, Viterbi vs a brute-force all-paths oracle, canonical
+segmentations."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from lucene_spark.analysis.smartcn import (
+    END_MARK,
+    MAX_FREQUENCE,
+    START_MARK,
+    ChineseModel,
+    HHMMSegmenter,
+    SmartChineseTokenizer,
+    demo_model,
+)
+
+
+def test_canonical_ambiguity_resolution():
+    # the classic: 研究生命起源 must NOT segment as 研究生|命|起源
+    t = SmartChineseTokenizer(demo_model())
+    assert t.tokens("研究生命起源") == ["研究", "生命", "起源"]
+    assert t.tokens("中国人民") == ["中国", "人民"]
+
+
+def test_mixed_scripts_and_delimiters():
+    t = SmartChineseTokenizer(demo_model())
+    assert t.tokens("北京大学, hello 123") == ["北京大学", "hello", "123"]
+    keep = SmartChineseTokenizer(demo_model(), keep_delimiters=True)
+    assert "," in keep.tokens("北京大学, hello")
+
+
+def test_empty_model_falls_to_single_chars():
+    assert SmartChineseTokenizer().tokens("中国人") == ["中", "国", "人"]
+
+
+def test_edge_weight_formula_exact():
+    # BiSegGraph.java:101-107 verbatim
+    m = ChineseModel(words={"a": 10}, bigrams={("a", "b"): 7})
+    seg = HHMMSegmenter(m)
+    from lucene_spark.analysis.smartcn import SegToken
+
+    t1 = SegToken(0, 1, "a", 10, "WORD")
+    t2 = SegToken(1, 2, "b", 3, "WORD")
+    smooth, tiny = 0.1, 1.0 / MAX_FREQUENCE
+    want = -math.log(smooth * 11 / MAX_FREQUENCE
+                     + 0.9 * ((1 - tiny) * 7 / 11 + tiny))
+    assert seg.edge_weight(t1, t2) == want
+
+
+def _brute_best(seg: HHMMSegmenter, s: str):
+    toks = seg._seg_graph(s)
+    import bisect
+
+    starts = sorted({t.start for t in toks})
+    by_start = {}
+    for i, t in enumerate(toks):
+        by_start.setdefault(t.start, []).append(i)
+
+    best = [None]
+
+    def walk(i, cost, path):
+        t = toks[i]
+        if t.kind == "END":
+            if best[0] is None or cost < best[0][0]:
+                best[0] = (cost, list(path))
+            return
+        k = bisect.bisect_left(starts, t.end)
+        if k >= len(starts):
+            return
+        for j in by_start[starts[k]]:
+            path.append(j)
+            walk(j, cost + seg.edge_weight(t, toks[j]), path)
+            path.pop()
+
+    walk(0, 0.0, [])
+    assert best[0] is not None
+    return [ (toks[j].start, toks[j].end) for j in best[0][1]
+             if toks[j].kind not in ("START", "END") ]
+
+
+def test_viterbi_equals_bruteforce():
+    rng = random.Random(3)
+    chars = "研究生命起源中国人民北京大学"
+    for trial in range(6):
+        words = {}
+        for _ in range(10):
+            ln = rng.randint(1, 3)
+            w = "".join(rng.choice(chars) for _ in range(ln))
+            words[w] = rng.randint(100, 9000)
+        for c in chars:
+            words.setdefault(c, rng.randint(10, 500))
+        words[START_MARK] = words[END_MARK] = 10000
+        bigrams = {}
+        keys = list(words)
+        for _ in range(12):
+            bigrams[(rng.choice(keys), rng.choice(keys))] = rng.randint(1, 3000)
+        seg = HHMMSegmenter(ChineseModel(words=words, bigrams=bigrams))
+        for _ in range(5):
+            s = "".join(rng.choice(chars) for _ in range(rng.randint(1, 8)))
+            want = _brute_best(seg, s)
+            got = [(a, b) for a, b, _ in seg.segment(s)]
+            assert got == want, (s, got, want)
+
+
+def test_analyzer_registered(spark):
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    a = get_analyzer("smartcn")
+    toks = a.tokenize_series(pd.Series(["研究生命起源 Hello"])).iloc[0]
+    assert toks[:3] == ["研究", "生命", "起源"]
+    assert "hello" in toks
