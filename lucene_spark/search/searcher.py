@@ -1162,13 +1162,16 @@ class IndexSearcher:
         a driver-side EvalContext — the shared engine of the local top-k
         and local count paths (keep them in lockstep: delete masking,
         block_size and weight wiring live only here). None = no rows."""
-        rows = self.reader.postings_for_terms(live).collect()
-        if not rows:
+        pdf = self.reader.postings_for_terms(live).toPandas()
+        if not len(pdf):
             return None
-        pdf = pd.DataFrame([r.asDict() for r in rows])
         bs = int(self.reader.manifest["config"].get("block_size", 128))
-        postings = _assemble_postings(
-            pdf, self._check_positions(node), self._deleted, bs)
+        # assemble through the per-term cache (the driver runs the same
+        # _ASM_CACHE the executors use): a batch or later query whose
+        # term set overlaps this one reuses every unchanged term's decode
+        postings = _assemble_postings_cached(
+            pdf, self._check_positions(node), self._deleted, bs,
+            self._asm_epoch())
         weights, syn_w, phrase_w, blend_w = self._weights(node, stats)
         return EvalContext(postings=postings, weights=weights,
                            syn_weights=syn_w,
@@ -1204,12 +1207,13 @@ class IndexSearcher:
             postings = self._local_rows_cache[key]
             self._local_rows_cache.move_to_end(key)
         if postings is None:
-            rows = self.reader.postings_for_terms(live).collect()
-            if not rows:
+            pdf = self.reader.postings_for_terms(live).toPandas()
+            if not len(pdf):
                 return None
-            pdf = pd.DataFrame([r.asDict() for r in rows])
-            postings = _assemble_postings(pdf, want_pos, self._deleted,
-                                          block_size)
+            # per-term cache reuse: single-query local paths and earlier
+            # batches have usually decoded the hot terms already
+            postings = _assemble_postings_cached(
+                pdf, want_pos, self._deleted, block_size, epoch)
             if key is not None:
                 self._local_rows_cache[key] = postings
                 while len(self._local_rows_cache) > 4:
