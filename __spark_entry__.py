@@ -6894,6 +6894,48 @@ FT_CN_TOKENS_SQL = ("SELECT doc_id, CASE doc_id % 4\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_SHAPE_RINGS = {
+    1: _GEO_POLY,
+    2: [(-30.0, -100.0), (0.0, -100.0), (0.0, -60.0), (-30.0, -60.0)],
+    3: [(-80.0, 60.0), (-40.0, 100.0), (-80.0, 140.0)],
+}
+
+
+def rel_shape_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED shapes (document/LatLonShape.java:1-217 + the Tessellator
+    — relational/shapes.py): three rings (the concave pentagon among
+    them) tessellate DISTRIBUTED into the triangle-per-row sidecar, and
+    point-in-shape runs as a grid-cell equi-join + codegen'd sign test
+    — no crossJoin, no UDFs after tessellation. The oracle is the
+    INDEPENDENT ray-cast SQL (the rel_geo_polygon predicate per ring),
+    so the ear-clipper itself is under test: tessellated containment
+    must equal crossing-number containment for every (point, ring) pair
+    (the synthetic grid is verified edge-collision-free)."""
+    from lucene_spark.relational.shapes import point_in_shapes, shape_triangles
+
+    shapes = spark.createDataFrame(
+        [(sid, [[v[0], v[1]] for v in ring])
+         for sid, ring in _SHAPE_RINGS.items()],
+        "sid long, ring array<array<double>>")
+    tri = shape_triangles(shapes, "sid", "ring")
+    pts = _geo_points(spark, sf_dir)
+    return (point_in_shapes(pts, "lat", "lon", "c_custkey", tri)
+            .select(F.col("pkey").alias("c_custkey"), "shape_id"))
+
+
+def _shape_sql_one(sid: int, ring) -> str:
+    lat_lo = min(v[0] for v in ring); lat_hi = max(v[0] for v in ring)
+    lon_lo = min(v[1] for v in ring); lon_hi = max(v[1] for v in ring)
+    return (f"SELECT c_custkey, {sid} AS shape_id FROM ({_GEO_PTS_SQL}) "
+            f"WHERE lat >= {lat_lo!r} AND lat <= {lat_hi!r} "
+            f"AND lon >= {lon_lo!r} AND lon <= {lon_hi!r} "
+            f"AND {_poly_crossing_sql(list(ring))}")
+
+
+REL_SHAPE_CONTAINS_SQL = " UNION ALL ".join(
+    _shape_sql_one(sid, ring) for sid, ring in _SHAPE_RINGS.items())
+
+
 _COLL_WORDS = [
     "zebra", "älg", "apple", "Örn", "okay", "Apple", "côte", "cote",
     "über", "uber", "Ärlig", "årlig", "resume", "résumé", "muller",
@@ -7211,6 +7253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_collation_sort": ft_collation_sort,
         "ft_ko_tokens": ft_ko_tokens,
         "ft_cn_tokens": ft_cn_tokens,
+        "rel_shape_contains": rel_shape_contains,
         # --- driver-green in r1-r3 (regression tail) ---
         "rel_range_facet": rel_range_facet,
         "dd_minhash_lsh": dd_minhash_lsh,
@@ -7534,6 +7577,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_collation_sort": FT_COLLATION_SQL,
         "ft_ko_tokens": FT_KO_TOKENS_SQL,
         "ft_cn_tokens": FT_CN_TOKENS_SQL,
+        "rel_shape_contains": REL_SHAPE_CONTAINS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,
