@@ -32,6 +32,7 @@ returned `cosine` values are exact for every emitted candidate.
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -75,18 +76,20 @@ def build_nsw(unit: np.ndarray, m_neighbors: int = 8,
 
 
 def search_nsw(unit: np.ndarray, adj: list[list[int]], q: np.ndarray,
-               ef: int, n_nodes: int | None = None):
-    """Beam (ef) search from entry node 0. Returns (ids, sims) sorted by
-    (cosine desc, id asc). When ef >= n the early-exit never fires and the
-    whole connected component is visited (exact search)."""
+               ef: int, n_nodes: int | None = None, entry: int = 0):
+    """Beam (ef) search from `entry` (default node 0). Returns (ids,
+    sims) sorted by (cosine desc, id asc). When ef >= n the early-exit
+    never fires and the whole connected component is visited (exact
+    search)."""
     n = len(adj) if n_nodes is None else n_nodes
     if n <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    d0 = float(unit[0] @ q)
+    e = int(entry) if 0 <= int(entry) < n else 0
+    d0 = float(unit[e] @ q)
     visited = np.zeros(n, dtype=bool)
-    visited[0] = True
-    cand = [(-d0, 0)]      # min-heap on -sim: best candidate first
-    result = [(d0, 0)]     # min-heap on sim: worst kept result on top
+    visited[e] = True
+    cand = [(-d0, e)]      # min-heap on -sim: best candidate first
+    result = [(d0, e)]     # min-heap on sim: worst kept result on top
     while cand:
         neg, c = heapq.heappop(cand)
         if len(result) >= ef and -neg < result[0][0]:
@@ -168,3 +171,80 @@ def nsw_topk(
         F.col("cosine").desc(), F.col("key").asc())
     return (out.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
+
+
+# -------------------------- hierarchical HNSW ----------------------------
+# The reference's HnswGraphBuilder/HnswGraphSearcher shape
+# (lucene/core/src/java/org/apache/lucene/util/hnsw/HnswGraphBuilder.java
+# :1-282): nodes get a geometric random level (mL = 1/ln(M)); search
+# greedily descends the sparse upper layers to a good entry point, then
+# beam-searches the bottom layer. Our determinism twist: the level comes
+# from a hash of the node id (splitmix-style), not an RNG — identical
+# graphs on every rebuild, which the cache/oracle story needs. Layer 0
+# keeps the sequential-chain invariant, so full-ef search remains EXACT
+# regardless of which entry the upper layers chose (the degenerate mode
+# the ft_knn_field gate pins).
+
+def _hnsw_level(i: int, m_l: float, max_level: int = 8) -> int:
+    x = (i + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    u = ((x >> 11) + 1) / float(1 << 53)          # (0, 1]
+    lvl = int(-math.log(u) * m_l)
+    return min(lvl, max_level)
+
+
+def build_hnsw(unit: np.ndarray, m_neighbors: int = 8,
+               ef_construction: int = 64):
+    """Hierarchical graph: returns (layers, entry, levels) where
+    layers[L] is an adjacency list over ALL node ids (empty lists for
+    nodes below level L), entry is the highest-level node. Layer 0 is
+    the chain-connected NSW (build_nsw); upper layers link each member
+    to its m nearest same-layer predecessors (beam-searched)."""
+    n = unit.shape[0]
+    layer0 = build_nsw(unit, m_neighbors=m_neighbors,
+                       ef_construction=ef_construction)
+    m_l = 1.0 / math.log(max(2, m_neighbors))
+    levels = [_hnsw_level(i, m_l) for i in range(n)]
+    max_level = max(levels) if n else 0
+    layers = [layer0]
+    entry = int(np.argmax(levels)) if n else 0
+    for lvl in range(1, max_level + 1):
+        members = [i for i in range(n) if levels[i] >= lvl]
+        adj: list[list[int]] = [[] for _ in range(n)]
+        if len(members) > 1:
+            mu = unit[members]
+            for a_pos, i in enumerate(members):
+                if a_pos == 0:
+                    continue
+                sims = mu[:a_pos] @ unit[i]
+                order = np.argsort(-sims)[:m_neighbors]
+                for b_pos in order.tolist():
+                    j = members[b_pos]
+                    adj[i].append(j)
+                    adj[j].append(i)
+        layers.append(adj)
+    return layers, entry, levels
+
+
+def search_hnsw(unit: np.ndarray, graph, q: np.ndarray, ef: int):
+    """HnswGraphSearcher shape: greedy 1-beam descent through the upper
+    layers picks the bottom-layer entry; the ef-beam on layer 0 does the
+    real work. ef >= n ⇒ exact (layer-0 chain connectivity)."""
+    layers, entry, _ = graph
+    n = unit.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    cur = entry
+    for lvl in range(len(layers) - 1, 0, -1):
+        adj = layers[lvl]
+        improved = True
+        best = float(unit[cur] @ q)
+        while improved:
+            improved = False
+            for j in adj[cur]:
+                s = float(unit[j] @ q)
+                if s > best or (s == best and j < cur):
+                    best, cur, improved = s, j, True
+    return search_nsw(unit, layers[0], q, ef=ef, entry=cur)

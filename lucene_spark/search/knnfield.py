@@ -38,11 +38,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from lucene_spark.pipeline.ann import _normalize_rows, build_nsw, search_nsw
+from lucene_spark.pipeline.ann import (
+    _normalize_rows,
+    build_hnsw,
+    search_hnsw,
+)
 
 # worker-resident shard graph LRU: (epoch, field, partition_id, n) →
-# (unit_matrix, adjacency, doc_ids). Bounded by entry count — graphs are
-# O(n · m_neighbors) ints + the unit matrix the task already held.
+# hierarchical graph (layers, entry, levels). Bounded by entry count —
+# graphs are O(n · m_neighbors · levels) ints beside the unit matrix the
+# task already held.
 _GRAPH_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _GRAPH_CACHE_MAX = 64
 
@@ -52,11 +57,11 @@ def _graph_for(key, unit: np.ndarray, m_neighbors: int, ef_c: int):
     if g is not None:
         _GRAPH_CACHE.move_to_end(key)
         return g
-    adj = build_nsw(unit, m_neighbors=m_neighbors, ef_construction=ef_c)
-    _GRAPH_CACHE[key] = adj
+    graph = build_hnsw(unit, m_neighbors=m_neighbors, ef_construction=ef_c)
+    _GRAPH_CACHE[key] = graph
     while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
         _GRAPH_CACHE.popitem(last=False)
-    return adj
+    return graph
 
 
 def knn_field_topk(searcher, field: str, query_vec, k: int = 10,
@@ -87,8 +92,8 @@ def knn_field_topk(searcher, field: str, query_vec, k: int = 10,
         beam = n if eff is None else min(eff, n)
         tc = TaskContext.get()
         key = (epoch, field, tc.partitionId() if tc else -1, n)
-        adj = _graph_for(key, unit, m_neighbors, ef_construction)
-        ids, sims = search_nsw(unit, adj, qn, ef=beam, n_nodes=n)
+        graph = _graph_for(key, unit, m_neighbors, ef_construction)
+        ids, sims = search_hnsw(unit, graph, qn, ef=beam)
         top = min(kk, len(ids))
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"].to_numpy()[ids[:top]],

@@ -123,3 +123,49 @@ def test_xml_knn_errors(vec_index):
     with pytest.raises(XmlParserError):
         parse_xml_query("<KnnVectorQuery fieldName='emb'></KnnVectorQuery>",
                         get_analyzer("whitespace"), {}, "text")
+
+
+# ---- hierarchical HNSW (util/hnsw role, pipeline/ann.py round 4) ----------
+
+def test_hnsw_exact_equals_bruteforce():
+    from lucene_spark.pipeline.ann import (_normalize_rows, build_hnsw,
+                                           search_hnsw)
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(300, 12))
+    unit = _normalize_rows(vecs)
+    graph = build_hnsw(unit, m_neighbors=6, ef_construction=32)
+    layers, entry, levels = graph
+    assert len(layers) >= 1 and levels[entry] == max(levels)
+    for qi in (0, 7, 123):
+        ids, sims = search_hnsw(unit, graph, unit[qi], ef=300)  # exact
+        cos = unit @ unit[qi]
+        order = np.lexsort((np.arange(300), -cos))
+        assert np.array_equal(ids, order)          # full exact ordering
+
+
+def test_hnsw_deterministic_rebuild():
+    from lucene_spark.pipeline.ann import _normalize_rows, build_hnsw
+
+    rng = np.random.default_rng(3)
+    unit = _normalize_rows(rng.normal(size=(120, 8)))
+    a = build_hnsw(unit, 6, 24)
+    b = build_hnsw(unit, 6, 24)
+    assert a[1] == b[1] and a[2] == b[2]
+    assert all(x == y for x, y in zip(a[0], b[0]))
+
+
+def test_hnsw_partial_ef_recall():
+    from lucene_spark.pipeline.ann import (_normalize_rows, build_hnsw,
+                                           search_hnsw)
+
+    rng = np.random.default_rng(5)
+    unit = _normalize_rows(rng.normal(size=(500, 16)))
+    graph = build_hnsw(unit, m_neighbors=8, ef_construction=64)
+    hits = 0
+    for qi in range(20):
+        ids, _ = search_hnsw(unit, graph, unit[qi], ef=48)
+        cos = unit @ unit[qi]
+        want = set(np.lexsort((np.arange(500), -cos))[:10])
+        hits += len(want & set(ids[:10].tolist()))
+    assert hits / 200 >= 0.85          # measured recall, generous floor
