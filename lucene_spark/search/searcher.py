@@ -632,12 +632,19 @@ class IndexSearcher:
                                        count=n)
             s._deleted_df = dels_df
             return s
-        new = np.unique(np.concatenate(
-            [self._deleted.ids, np.asarray(list(doc_ids), dtype=np.int64)]))
+        add = np.asarray(list(doc_ids), dtype=np.int64)
+        new = np.unique(np.concatenate([self._deleted.ids, add]))
         s._deleted = DeleteSet(ids=new, containers=self._deleted.containers,
                                count=(self._deleted.count
                                       - self._deleted.ids.size + new.size))
-        s._deleted_df = self._deleted_df
+        # keep the DataFrame form in lockstep: _mask_deleted prefers it,
+        # so ids added on top of a DataFrame delete set must join it too
+        if self._deleted_df is not None and add.size:
+            extra = self.reader.spark.createDataFrame(
+                [(int(d),) for d in add], "doc_id long")
+            s._deleted_df = self._deleted_df.unionByName(extra).distinct()
+        else:
+            s._deleted_df = self._deleted_df
         return s
 
     def _build_delete_containers(self, dels_df: DataFrame) -> dict[int, np.ndarray]:

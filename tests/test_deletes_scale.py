@@ -127,3 +127,19 @@ def test_hundred_million_tombstones_bounded_driver(searcher, spark):
     s3 = _with_cap(searcher, cap=1000).with_deletes(dels2)
     got3 = {r["doc_id"] for r in s3.search("index", k=5).collect()}
     assert base[0][0] not in got3
+
+
+def test_mixed_dataframe_then_list_deletes(searcher, spark):
+    """Layering with_deletes(list) on top of with_deletes(DataFrame):
+    BOTH the kernel mask and the DataFrame mask (_mask_deleted, used by
+    facets/hydrate/features) must see the union."""
+    top = searcher.search("index", k=4).collect()
+    v1, v2 = int(top[0]["doc_id"]), int(top[1]["doc_id"])
+    s1 = searcher.with_deletes(
+        spark.createDataFrame([(v1,)], "doc_id long"))
+    s2 = s1.with_deletes([v2])
+    hits = {r["doc_id"] for r in s2.search("index", k=10).collect()}
+    assert v1 not in hits and v2 not in hits
+    masked = {r["doc_id"] for r in s2._mask_deleted(
+        searcher.reader.docstats().select("doc_id")).collect()}
+    assert v1 not in masked and v2 not in masked
