@@ -201,7 +201,11 @@ def build_hnsw(unit: np.ndarray, m_neighbors: int = 8,
     layers[L] is an adjacency list over ALL node ids (empty lists for
     nodes below level L), entry is the highest-level node. Layer 0 is
     the chain-connected NSW (build_nsw); upper layers link each member
-    to its m nearest same-layer predecessors (beam-searched)."""
+    to its m nearest same-layer predecessors via exact partial GEMVs —
+    cost O(|members|²·dim/2) per layer, and with mL = 1/ln(M) only
+    ~1/e² of nodes reach level 1, so the upper layers stay a small
+    fraction of the layer-0 build; the whole build runs once per
+    partition per snapshot behind the worker graph cache."""
     n = unit.shape[0]
     layer0 = build_nsw(unit, m_neighbors=m_neighbors,
                        ef_construction=ef_construction)

@@ -664,6 +664,33 @@ def main() -> None:
         ],
     ))
 
+    # N+3. indexed shapes: the containment join must be a grid-cell
+    # equi-join — never a cartesian/broadcast-nested-loop over
+    # points × triangles
+    from lucene_spark.relational.shapes import point_in_shapes, shape_triangles
+
+    shp = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [45.0, 10.0], [15.0, 20.0], [45.0, 40.0],
+              [0.0, 30.0]])],
+        "sid long, ring array<array<double>>")
+    tri = shape_triangles(shp, "sid", "ring")
+    pts = gate._geo_points(spark, sf_dir)
+    sdf = point_in_shapes(pts, "lat", "lon", "c_custkey", tri)
+    p = plan_of(sdf)
+    sections.append((
+        "indexed shapes containment (grid-cell equi-join)", p,
+        [
+            ("no cartesian / nested-loop join (grid-cell keys make it a "
+             "hash-joinable equi-join)",
+             "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+            ("customer scan prunes to the point columns (ReadSchema has "
+             "no name/address cols)",
+             "ReadSchema" in p
+             and "c_name" not in p.split("ReadSchema")[1][:500]),
+        ],
+    ))
+
     # ---- report ----
     lines = ["# Physical plan audit", "",
              f"Generated by `scripts/explain_audit.py` at `{sf_dir}`.",
