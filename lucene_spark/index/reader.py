@@ -244,9 +244,17 @@ class IndexReader:
     @staticmethod
     def _prefix_slice(terms: np.ndarray, prefix: str) -> slice:
         """Index range of `terms` (sorted asc) starting with `prefix` —
-        the FST common-prefix seek."""
+        the FST common-prefix seek. Upper bound = the prefix's string
+        SUCCESSOR (last char incremented, U+10FFFF overflow carried), so
+        terms containing U+10FFFF right after the prefix are included."""
         lo = int(np.searchsorted(terms, prefix))
-        hi = int(np.searchsorted(terms, prefix + "\U0010ffff"))
+        succ = prefix
+        while succ and succ[-1] == "\U0010ffff":
+            succ = succ[:-1]
+        if not succ:
+            return slice(lo, terms.size)
+        succ = succ[:-1] + chr(ord(succ[-1]) + 1)
+        hi = int(np.searchsorted(terms, succ))
         return slice(lo, hi)
 
     def use_term_bloom(self) -> bool:
@@ -366,6 +374,18 @@ class IndexReader:
                 # the char BEFORE a quantifier is not literal either
                 if i < len(pattern) and pattern[i] in "?*+{" and lit:
                     lit.pop()
+                # a TOP-LEVEL alternation makes any leading literal
+                # unsound ('foo|bar' must also match 'bar...'): if an
+                # unescaped '|' exists anywhere, scan the whole dict
+                esc = False
+                for c in pattern:
+                    if esc:
+                        esc = False
+                    elif c == "\\":
+                        esc = True
+                    elif c == "|":
+                        lit = []
+                        break
                 try:
                     rx = _re.compile(f"^(?:{pattern})$")
                 except _re.error:
@@ -412,6 +432,12 @@ class IndexReader:
                 tms, lens, dfs, _ = arr
                 band = np.flatnonzero(
                     (lens >= tlen - max_edits) & (lens <= tlen + max_edits))
+                if band.size > 50_000:
+                    # pure-Python DP over a huge band would be slower
+                    # than the JVM thresholded-levenshtein prefilter —
+                    # fall through to the distributed path
+                    arr = None
+            if arr is not None:
                 # resident path: the length band over a capped dictionary
                 # is small; exact (transposition-aware) DP runs driver-
                 # side with the same measure as the distributed path

@@ -114,7 +114,19 @@ def knn_rescore(searcher, query, field: str, query_vec, k: int = 10,
     alpha·cosine + (1-alpha)·minmax-normalized BM25. The
     KnnVectorQuery-rescoring pattern with the blend explicit."""
     reader = searcher.reader
-    cand = searcher.search(query, k=n_candidates)
+    # collect the k-row candidate list ONCE (n_candidates rows — driver-
+    # trivial); the BM25 search never re-executes, and the min/max for
+    # the blend normalization come from the same rows
+    cand_rows = searcher.search(query, k=n_candidates).collect()
+    if not cand_rows:
+        return searcher.reader.spark.createDataFrame(
+            [], "doc_id long, score float, cosine double")
+    scores = [float(r["score"]) for r in cand_rows]
+    lo, hi = min(scores), max(scores)
+    span = (hi - lo) or 1.0
+    cand = reader.spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in cand_rows],
+        "doc_id long, score float")
     ds = reader.docstats().select("doc_id", field)
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-30)
@@ -130,10 +142,6 @@ def knn_rescore(searcher, query, field: str, query_vec, k: int = 10,
         return vs.map(one)
 
     scored = joined.withColumn("cosine", _cos(F.col(field)))
-    stats = scored.agg(F.min("score").alias("lo"),
-                       F.max("score").alias("hi")).first()
-    lo, hi = float(stats["lo"] or 0.0), float(stats["hi"] or 1.0)
-    span = (hi - lo) or 1.0
     blended = scored.withColumn(
         "blend",
         F.lit(alpha) * F.col("cosine")

@@ -612,12 +612,19 @@ class IndexSearcher:
         s.field_sims = self.field_sims
         s.synonyms = self.synonyms
         s.local_topk_max_postings = self.local_topk_max_postings
+        s.local_batch_max_postings = self.local_batch_max_postings
         s.kernel_partitions = self.kernel_partitions
         s.max_collected_deletes = self.max_collected_deletes
         if isinstance(doc_ids, DataFrame):
             dels_df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
             if self._deleted_df is not None:
                 dels_df = dels_df.unionByName(self._deleted_df).distinct()
+            if self._deleted_df is None and self._deleted.ids.size:
+                # prior list-based ids must fold into the DataFrame form
+                # too — _mask_deleted prefers it once it exists
+                prior = self.reader.spark.createDataFrame(
+                    [(int(d),) for d in self._deleted.ids], "doc_id long")
+                dels_df = dels_df.unionByName(prior).distinct()
             n = int(dels_df.agg(F.count("*").alias("n")).first()["n"])
             if n <= self.max_collected_deletes:
                 ids = np.sort(np.array(
@@ -713,9 +720,12 @@ class IndexSearcher:
         return parse_query(query, self.analyzer,
                            field_analyzers=self.field_analyzers)
 
-    def search(self, query: str | P.Node, k: int = 10, two_pass: bool = False) -> DataFrame:
+    def search(self, query: str | P.Node, k: int | None = None,
+               two_pass: bool = False) -> DataFrame:
         """Top-k → DataFrame(doc_id long, score float) ordered by
-        (score desc, doc_id asc), exactly k rows or fewer.
+        (score desc, doc_id asc), exactly k rows or fewer. `k=None`
+        defaults to 10 — except a KnnVectorNode carries its own k (the
+        parser's k= attribute), which an explicit argument overrides.
 
         two_pass=True (term queries): first a cheap pass scores only the
         best-upper-bound blocks per partition, and the global kth-best of
@@ -730,11 +740,20 @@ class IndexSearcher:
             return self._empty_result()
         if isinstance(node, P.KnnVectorNode):
             # vector field query (KnnVectorQuery role) — dispatches to
-            # the per-partition NSW searcher over the vector sidecar
+            # the per-partition NSW searcher over the vector sidecar;
+            # the node's own k (parser attribute) applies unless the
+            # caller passed one, and the boost scales the cosine scores
             from lucene_spark.search.knnfield import knn_field_topk
 
-            return knn_field_topk(self, node.field, node.vector,
-                                  k=k or node.k, ef=node.ef)
+            out = knn_field_topk(self, node.field, node.vector,
+                                 k=node.k if k is None else k, ef=node.ef)
+            if node.boost != 1.0:
+                out = out.select(
+                    "doc_id",
+                    (F.col("score") * F.lit(float(node.boost))).alias("score"))
+            return out
+        if k is None:
+            k = 10
         node, dv = self._extract_dv_filters(node)
         if dv:
             m = self._apply_dv_filters(self._matches(node, need_scores=True), dv)

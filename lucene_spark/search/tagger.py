@@ -90,9 +90,12 @@ def _reduce_ldr(tags: list) -> list:
 def tag_text(text: str, trie: dict, rx: re.Pattern,
              lowercase: bool, overlaps: str) -> list[tuple]:
     """All dictionary tags in one text → [(start, end, substring,
-    entity)], offsets in characters, reduced per the overlap policy."""
-    s = text.lower() if lowercase else text
-    toks = [(m.group(0), m.start(), m.end()) for m in rx.finditer(s)]
+    entity)], offsets in characters, reduced per the overlap policy.
+    Tokenization runs on the ORIGINAL text (offsets must index it);
+    only each token's trie key is case-folded — str.lower() can change
+    string length (e.g. İ → i̇), which would shift every later offset."""
+    toks = [(m.group(0).lower() if lowercase else m.group(0),
+             m.start(), m.end()) for m in rx.finditer(text)]
     raw: list[tuple] = []       # (start_char, end_char, entities)
     for i in range(len(toks)):
         node = trie

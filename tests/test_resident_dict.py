@@ -57,3 +57,23 @@ def test_resident_stats_cost_zero_jobs(reader, spark):
     reader.term_stats(["index", "merge", "nope_x"])
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+
+def test_regexp_alternation_matches_distributed(reader, dist_reader):
+    # top-level alternation must not be narrowed to the left branch's
+    # literal prefix (review finding): both branches' terms returned
+    for pat in ["index|merge", "ind.*|mer.*", "in(d|x)ex"]:
+        assert reader.expand_regexp(pat, 1024) == \
+            dist_reader.expand_regexp(pat, 1024), pat
+
+
+def test_prefix_successor_handles_max_codepoint():
+    import numpy as np
+
+    from lucene_spark.index.reader import IndexReader
+
+    terms = np.array(sorted(["ab", "ab\U0010ffff", "ab\U0010ffffz",
+                             "abc", "ac"]), dtype=object)
+    sl = IndexReader._prefix_slice(terms, "ab")
+    got = set(terms[sl])
+    assert got == {"ab", "ab\U0010ffff", "ab\U0010ffffz", "abc"}

@@ -96,3 +96,13 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+def test_offsets_survive_length_changing_lowercase():
+    # review finding: 'İ'.lower() has length 2 — offsets must index the
+    # ORIGINAL text, so tags after such a character stay aligned
+    pairs = [("e", "table hash")]
+    text = "İstanbul table hash"
+    got = _tags(text, pairs)
+    assert got == [(9, 19, "table hash", "e")]
+    assert text[9:19] == "table hash"
