@@ -68,3 +68,38 @@ def term_vectors_nested(df: DataFrame, text_col: str, key_col: str,
         .agg(F.array_sort(F.collect_list(F.struct("term", "tf", "positions")))
              .alias("tv"))
     )
+
+
+def term_vectors_with_offsets(df: DataFrame, text_col: str, key_col: str,
+                              analyzer: str = "whitespace") -> DataFrame:
+    """Offset-bearing term vectors — the storeTermVectorOffsets channel
+    (TermVectorsWriter with FieldType.setStoreTermVectorOffsets(true)):
+    per document, the ORDERED token stream with character offsets into
+    the stored text, as parallel arrays (key, tv_terms, tv_starts,
+    tv_ends). Built once at index time by the same offset-aware
+    tokenization FVH would otherwise run per query
+    (search/fvh.tokens_with_offsets); query-time highlighting then reads
+    the arrays (fvh_highlight_from_vectors) — no re-analysis, exactly
+    FieldTermStack's contract. Purely map-side, partitioned like the
+    source."""
+    from lucene_spark.search.fvh import tokens_with_offsets
+
+    an = get_analyzer(analyzer)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, terms, starts, ends = [], [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                toks = tokens_with_offsets(text, an) \
+                    if isinstance(text, str) and text else []
+                keys.append(key)
+                terms.append([t for t, _, _ in toks])
+                starts.append([s for _, s, _ in toks])
+                ends.append([e for _, _, e in toks])
+            yield pd.DataFrame({"key": keys, "tv_terms": terms,
+                                "tv_starts": starts, "tv_ends": ends})
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, text_col).mapInPandas(
+        run, f"key {key_type}, tv_terms array<string>, "
+             "tv_starts array<int>, tv_ends array<int>")

@@ -107,38 +107,92 @@ def fvh_highlight(docs: DataFrame, text_col: str, key_col: str,
                 if not isinstance(text, str) or not text:
                     continue
                 toks = tokens_with_offsets(text, an)
-                spans = sorted(
-                    s for q in qseqs for s in _phrase_spans(toks, q))
-                fi = 0
-                si = 0
-                while si < len(spans) and fi < max_fragments:
-                    lo = max(0, spans[si][0] - margin)
-                    hi = min(len(text), spans[si][1] + margin)
-                    inside = [(s, e) for s, e in spans[si:]
-                              if s >= lo and e <= hi]
-                    parts, cur = [], lo
-                    for s, e in inside:
-                        if s < cur:      # overlapping phrase hits: keep first
-                            continue
-                        parts.append(text[cur:s])
-                        parts.append(pre + text[s:e] + post)
-                        cur = e
-                    parts.append(text[cur:hi])
+                for fi, snip in _build_fragments(
+                        text, toks, qseqs, margin, pre, post, max_fragments):
                     keys.append(key)
                     frags.append(fi)
-                    snips.append("".join(parts))
-                    fi += 1
-                    # next fragment starts at the first hit NOT fully
-                    # consumed by this window — a hit that starts inside
-                    # but ends beyond it (straddler) must open the next
-                    # fragment, not vanish
-                    si = next((k for k in range(si, len(spans))
-                               if not (spans[k][0] >= lo
-                                       and spans[k][1] <= hi)),
-                              len(spans))
+                    snips.append(snip)
             yield pd.DataFrame({"key": keys, "fragment": frags,
                                 "snippet": snips})
 
     key_type = docs.schema[key_col].dataType.simpleString()
     return docs.select(key_col, text_col).mapInPandas(
+        run, f"key {key_type}, fragment int, snippet string")
+
+
+def _build_fragments(text: str, toks, qseqs, margin: int, pre: str,
+                     post: str, max_fragments: int) -> list[tuple[int, str]]:
+    """Greedy document-order fragment walk (SimpleFragListBuilder) —
+    shared by the re-tokenizing and stored-vector paths."""
+    spans = sorted(s for q in qseqs for s in _phrase_spans(toks, q))
+    out: list[tuple[int, str]] = []
+    fi = 0
+    si = 0
+    while si < len(spans) and fi < max_fragments:
+        lo = max(0, spans[si][0] - margin)
+        hi = min(len(text), spans[si][1] + margin)
+        inside = [(s, e) for s, e in spans[si:] if s >= lo and e <= hi]
+        parts, cur = [], lo
+        for s, e in inside:
+            if s < cur:          # overlapping phrase hits: keep first
+                continue
+            parts.append(text[cur:s])
+            parts.append(pre + text[s:e] + post)
+            cur = e
+        parts.append(text[cur:hi])
+        out.append((fi, "".join(parts)))
+        fi += 1
+        # next fragment starts at the first hit NOT fully consumed by
+        # this window — a straddler must open the next fragment
+        si = next((k for k in range(si, len(spans))
+                   if not (spans[k][0] >= lo and spans[k][1] <= hi)),
+                  len(spans))
+    return out
+
+
+def fvh_highlight_from_vectors(docs: DataFrame, text_col: str,
+                               key_col: str, terms_col: str,
+                               starts_col: str, ends_col: str,
+                               phrases: list[str],
+                               analyzer: str = "whitespace",
+                               margin: int = 40, pre: str = "<b>",
+                               post: str = "</b>",
+                               max_fragments: int = 1) -> DataFrame:
+    """FVH from STORED term vectors — the actual FieldTermStack contract
+    (vectorhighlight/FieldTermStack.java reads TermVectorsReader's
+    positions+offsets; the text is never re-analyzed at query time).
+    `docs` carries the stored field (`text_col`) plus the offset-bearing
+    vector columns (`terms_col`/`starts_col`/`ends_col` — produced at
+    index time by index/termvectors.term_vectors_with_offsets). Only the
+    QUERY phrases run the analyzer; each document's term stack comes
+    straight from its stored arrays. Output and semantics are identical
+    to fvh_highlight (tested), which remains the re-analysis fallback
+    for fields indexed without vectors."""
+    an = get_analyzer(analyzer)
+    qseqs = [an.tokenize_one(p) for p in phrases]
+    qseqs = [q for q in qseqs if q]
+    if not qseqs:
+        raise ValueError("no analyzable phrase")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, frags, snips = [], [], []
+            for key, text, terms, starts, ends in zip(
+                    pdf[key_col], pdf[text_col], pdf[terms_col],
+                    pdf[starts_col], pdf[ends_col]):
+                if not isinstance(text, str) or not text or terms is None:
+                    continue
+                toks = [(t, int(s), int(e))
+                        for t, s, e in zip(terms, starts, ends)]
+                for fi, snip in _build_fragments(
+                        text, toks, qseqs, margin, pre, post, max_fragments):
+                    keys.append(key)
+                    frags.append(fi)
+                    snips.append(snip)
+            yield pd.DataFrame({"key": keys, "fragment": frags,
+                                "snippet": snips})
+
+    key_type = docs.schema[key_col].dataType.simpleString()
+    return docs.select(key_col, text_col, terms_col, starts_col,
+                       ends_col).mapInPandas(
         run, f"key {key_type}, fragment int, snippet string")

@@ -111,3 +111,29 @@ def test_straddling_hit_opens_next_fragment(spark):
                         max_fragments=5).collect()
     total = sum(r["snippet"].count("<b>quick brown</b>") for r in out)
     assert total == 2
+
+
+def test_fvh_from_stored_vectors_matches_reanalysis(spark):
+    """The stored-vector path (FieldTermStack contract) must produce
+    byte-identical output to the re-analysis path."""
+    from lucene_spark.index.termvectors import term_vectors_with_offsets
+    from lucene_spark.search.fvh import (fvh_highlight,
+                                         fvh_highlight_from_vectors)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the quick brown dog"),
+         (2, "nothing to see here"),
+         (3, "quick brown at the start and quick brown at the end "
+             "quick brown")],
+        "id long, text string")
+    tv = term_vectors_with_offsets(docs, "text", "id")
+    joined = docs.join(tv.withColumnRenamed("key", "id"), "id")
+    a = sorted((r["key"], r["fragment"], r["snippet"]) for r in
+               fvh_highlight(docs, "text", "id", ["quick brown"],
+                             max_fragments=3).collect())
+    b = sorted((r["key"], r["fragment"], r["snippet"]) for r in
+               fvh_highlight_from_vectors(
+                   joined, "text", "id", "tv_terms", "tv_starts",
+                   "tv_ends", ["quick brown"], max_fragments=3).collect())
+    assert a == b and len(a) > 0
+    assert all(k != 2 for k, _, _ in a)
