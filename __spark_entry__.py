@@ -6936,6 +6936,38 @@ REL_SHAPE_CONTAINS_SQL = " UNION ALL ".join(
     _shape_sql_one(sid, ring) for sid, ring in _SHAPE_RINGS.items())
 
 
+_TH_SENTS = ["การที่ได้ต้องแสดงว่างานดี", "ประเทศไทย ภาษาไทย",
+             "บริษัทพัฒนาระบบข้อมูล ๑๒๓", "งานดี the end"]
+_TH_EXPECT = ["แสดง|งาน|ดี", "ประเทศ|ไทย|ภาษา|ไทย",
+              "บริษัท|พัฒนา|ระบบ|ข้อมูล|123", "งาน|ดี|the|end"]
+
+
+def ft_th_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thai dictionary segmentation (th/ThaiAnalyzer.java:93-100 role —
+    analysis/th.py: maximal matching + DecimalDigitFilter + the
+    reference's th stop list): deterministic sentences per doc
+    (doc_id % 4) run the full chain distributed; the '|'-joined streams
+    must equal the hand-verified expectations — sentence 0 is the
+    reference's own TestThaiAnalyzer stop-word vector (แสดง|งาน|ดี),
+    sentence 2 folds Thai digits ๑๒๓ → 123."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("v"))
+
+    @F.pandas_udf("string")
+    def _th(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("thai")
+        return a.tokenize_series(vs.map(lambda v: _TH_SENTS[int(v)])).map("|".join)
+
+    return d.select("doc_id", _th(F.col("v")).alias("tokens"))
+
+
+FT_TH_TOKENS_SQL = ("SELECT doc_id, CASE doc_id % 4\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_TH_EXPECT))
+    + "\nEND AS tokens FROM documents")
+
+
 _COLL_WORDS = [
     "zebra", "älg", "apple", "Örn", "okay", "Apple", "côte", "cote",
     "über", "uber", "Ärlig", "årlig", "resume", "résumé", "muller",
@@ -7254,6 +7286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ko_tokens": ft_ko_tokens,
         "ft_cn_tokens": ft_cn_tokens,
         "rel_shape_contains": rel_shape_contains,
+        "ft_th_tokens": ft_th_tokens,
         # --- driver-green in r1-r3 (regression tail) ---
         "rel_range_facet": rel_range_facet,
         "dd_minhash_lsh": dd_minhash_lsh,
@@ -7578,6 +7611,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ko_tokens": FT_KO_TOKENS_SQL,
         "ft_cn_tokens": FT_CN_TOKENS_SQL,
         "rel_shape_contains": REL_SHAPE_CONTAINS_SQL,
+        "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
         "rel_ord_fn": REL_ORD_FN_SQL,

@@ -989,6 +989,17 @@ register_analyzer(Analyzer(name="japanese", custom_tokenizer="ja_normal"))
 register_analyzer(Analyzer(name="japanese_search",
                            custom_tokenizer="ja_search"))
 
+# Thai (th/ThaiAnalyzer.java:93-100: ThaiTokenizer → LowerCase →
+# DecimalDigitFilter → Stop(th list)). analysis/th.py: dictionary
+# maximal-matching over a seeded lexicon (the ICU Thai engine's own
+# baseline algorithm); reference vectors incl. offsets in tests/test_th.py.
+from lucene_spark.analysis.th import th_token_lists  # noqa: E402
+from lucene_spark.analysis.stopwords_i18n import THAI_STOP_WORDS  # noqa: E402
+
+CUSTOM_TOKENIZERS["thai_dict"] = th_token_lists
+register_analyzer(Analyzer(name="thai", custom_tokenizer="thai_dict",
+                           stopwords=THAI_STOP_WORDS))
+
 # Korean (nori/ko/KoreanAnalyzer.java:72-79: KoreanTokenizer DISCARD
 # decompound → KoreanPartOfSpeechStopFilter(default tags) → reading form
 # → lowercase). Same lattice family as `japanese`; analysis/ko.py maps
