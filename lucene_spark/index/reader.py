@@ -387,7 +387,11 @@ class IndexReader:
                         lit = []
                         break
                 try:
-                    rx = _re.compile(f"^(?:{pattern})$")
+                    # re.ASCII: Java's \d/\w/\s/\b are ASCII by default
+                    # (java.util.regex without UNICODE_CHARACTER_CLASS);
+                    # Python's are Unicode — compile ASCII so the resident
+                    # fast path matches rlike's expansions exactly
+                    rx = _re.compile(f"^(?:{pattern})$", _re.ASCII)
                 except _re.error:
                     rx = None    # exotic Java-only syntax → distributed
                 if rx is not None:

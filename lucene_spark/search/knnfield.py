@@ -77,6 +77,14 @@ def knn_field_topk(searcher, field: str, query_vec, k: int = 10,
     qn = q / max(float(np.linalg.norm(q)), 1e-30)
     epoch = searcher._asm_epoch_base
     kk, eff = int(k), ef
+    # liveDocs travel INTO the shard search (KnnVectorQuery passes
+    # liveDocs to the graph searcher) so tombstoned docs never consume
+    # the per-shard k budget; the graph itself is built over ALL docs
+    # (delete-independent — the cache key stays valid across delete sets)
+    # and the beam over-fetches by the delete count so k LIVE results
+    # survive the mask. Rides PySpark's automatic command broadcast.
+    deleted = searcher._deleted
+    n_dead = int(deleted.size)
 
     def shard(batches):
         from pyspark import TaskContext
@@ -89,19 +97,25 @@ def knn_field_topk(searcher, field: str, query_vec, k: int = 10,
                          for v in pdf[field]])
         unit = _normalize_rows(vecs)
         n = unit.shape[0]
-        beam = n if eff is None else min(eff, n)
+        # num_candidates >= k (KnnFloatVectorQuery requires it), plus the
+        # delete over-fetch; saturates to n (exact) when deletes dominate
+        beam = n if eff is None else min(max(eff, kk) + n_dead, n)
         tc = TaskContext.get()
         key = (epoch, field, tc.partitionId() if tc else -1, n)
         graph = _graph_for(key, unit, m_neighbors, ef_construction)
         ids, sims = search_hnsw(unit, graph, qn, ef=beam)
-        top = min(kk, len(ids))
+        docs = pdf["doc_id"].to_numpy()[ids]
+        if n_dead:
+            dead = deleted.dead_mask(docs)
+            if dead is not None and dead.any():
+                docs, sims = docs[~dead], sims[~dead]
+        top = min(kk, len(docs))
         yield pd.DataFrame({
-            "doc_id": pdf["doc_id"].to_numpy()[ids[:top]],
+            "doc_id": docs[:top],
             "score": sims[:top].astype(np.float64),
         })
 
     cand = ds.mapInPandas(shard, "doc_id long, score double")
-    cand = searcher._mask_deleted(cand)
     return (cand.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
 

@@ -641,9 +641,19 @@ class IndexSearcher:
             return s
         add = np.asarray(list(doc_ids), dtype=np.int64)
         new = np.unique(np.concatenate([self._deleted.ids, add]))
+        # count only ids genuinely new to the set: ids already present in
+        # the ids array dropped out via unique; ids already tombstoned in
+        # the containers must not be double-counted either (an inflated
+        # count can flip the _mask_deleted broadcast-vs-shuffle gating)
+        fresh = np.setdiff1d(new, self._deleted.ids, assume_unique=True)
+        extra = int(fresh.size)
+        if self._deleted.containers and fresh.size:
+            probe = DeleteSet(containers=self._deleted.containers, count=1)
+            dup = probe.dead_mask(fresh)
+            if dup is not None:
+                extra -= int(dup.sum())
         s._deleted = DeleteSet(ids=new, containers=self._deleted.containers,
-                               count=(self._deleted.count
-                                      - self._deleted.ids.size + new.size))
+                               count=self._deleted.count + extra)
         # keep the DataFrame form in lockstep: _mask_deleted prefers it,
         # so ids added on top of a DataFrame delete set must join it too
         if self._deleted_df is not None and add.size:

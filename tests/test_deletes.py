@@ -155,3 +155,28 @@ def test_compaction_folds_dataframe_deletes_at_scale(spark, tmp_path):
     r1 = IndexReader(spark, idx)
     assert r1.doc_count == len(pdf) - len(dead)
     assert IndexSearcher(r1).count("merge") == 0
+
+
+def test_with_deletes_count_not_inflated_over_containers(spark, searcher):
+    """ADVICE r4 (low): adding iterable ids that are ALREADY tombstoned in
+    the container form must not inflate DeleteSet.size (an inflated count
+    can flip the _mask_deleted broadcast-vs-shuffle gating)."""
+    from pyspark.sql import functions as F
+
+    all_ids = [r["doc_id"] for r in
+               searcher.reader.docstats().select("doc_id").collect()]
+    dels = sorted(all_ids)[:6]
+    s = searcher
+    s = s.__class__(s.reader)
+    s.max_collected_deletes = 3          # force the container path
+    dels_df = spark.createDataFrame([(int(d),) for d in dels], "doc_id long")
+    s2 = s.with_deletes(dels_df)
+    assert s2._deleted.containers is not None
+    assert s2._deleted.size == len(dels)
+    # re-add 2 already-deleted ids + 1 genuinely new one
+    new_id = sorted(all_ids)[6]
+    s3 = s2.with_deletes([dels[0], dels[1], new_id])
+    assert s3._deleted.size == len(dels) + 1
+    # idempotent: adding the same ids again changes nothing
+    s4 = s3.with_deletes([dels[0], new_id])
+    assert s4._deleted.size == len(dels) + 1

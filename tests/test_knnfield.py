@@ -169,3 +169,58 @@ def test_hnsw_partial_ef_recall():
         want = set(np.lexsort((np.arange(500), -cos))[:10])
         hits += len(want & set(ids[:10].tolist()))
     assert hits / 200 >= 0.85          # measured recall, generous floor
+
+
+def test_knn_deletes_inside_shard_budget(spark, tmp_path_factory):
+    """ADVICE r4 (high): liveDocs must be applied INSIDE the shard search
+    before the per-shard top-k cut (KnnVectorQuery passes liveDocs into
+    the graph searcher). With a SINGLE partition, deleting members of the
+    top-k must not shrink the result below k or drop live docs ranked
+    just past k."""
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.knnfield import knn_field_topk
+
+    rng = np.random.default_rng(23)
+    n, dim = 40, 6
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, f"doc {i}", [float(x) for x in vecs[i]]) for i in range(n)]
+    src = spark.createDataFrame(rows, "id long, text string, emb array<float>")
+    idx = str(tmp_path_factory.mktemp("vecidx1p") / "index")
+    cfg = IndexConfig(key_cols=("id",), content_col="text",
+                      analyzer="whitespace", partitions=1, num_groups=1,
+                      num_buckets=2, carry_cols=("emb",))
+    IndexBuilder(spark, cfg).build(src, idx, overwrite=True)
+    r = IndexReader(spark, idx)
+    s = IndexSearcher(r)
+    q = vecs[0].astype(np.float64)
+    top = knn_field_topk(s, "emb", q, k=5).collect()
+    victims = [h["doc_id"] for h in top[:3]]
+    s2 = s.with_deletes(victims)
+    hits = knn_field_topk(s2, "emb", q, k=5).collect()
+    assert len(hits) == 5
+    assert not (set(victims) & {h["doc_id"] for h in hits})
+    # exact parity with brute-force over the LIVE subset
+    ds = {row["doc_id"]: row["id"] for row in
+          r.docstats().select("doc_id", "id").collect()}
+    dead = {ds[v] for v in victims}
+    live = np.array([i for i in range(n) if i not in dead])
+    ids, cos = _brute_topk(vecs[live], q, 5)
+    want = [(int(live[i]), round(float(c), 6)) for i, c in zip(ids, cos)]
+    got = [(ds[h["doc_id"]], round(h["score"], 6)) for h in hits]
+    assert got == want
+    # partial-ef path: beam over-fetches by the delete count, still k rows
+    hits_ef = knn_field_topk(s2, "emb", q, k=5, ef=5).collect()
+    assert len(hits_ef) == 5
+    assert not (set(victims) & {h["doc_id"] for h in hits_ef})
+
+
+def test_knn_ef_below_k_clamped(vec_index):
+    """ADVICE r4 (low): KnnFloatVectorQuery requires num_candidates >= k —
+    an ef below k must be clamped up so k rows still come back."""
+    from lucene_spark.search.knnfield import knn_field_topk
+
+    r, s, vecs = vec_index
+    q = vecs[2].astype(np.float64)
+    hits = knn_field_topk(s, "emb", q, k=10, ef=2).collect()
+    assert len(hits) == 10

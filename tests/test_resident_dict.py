@@ -77,3 +77,31 @@ def test_prefix_successor_handles_max_codepoint():
     sl = IndexReader._prefix_slice(terms, "ab")
     got = set(terms[sl])
     assert got == {"ab", "ab\U0010ffff", "ab\U0010ffffz", "abc"}
+
+
+def test_regexp_class_escapes_ascii_parity(spark, tmp_path_factory):
+    """ADVICE r4 (medium): \\d/\\w/\\s/\\b are Unicode in Python re but
+    ASCII in java.util.regex (rlike) — the resident fast path must agree
+    with the distributed scan on non-ASCII terms."""
+    from lucene_spark.index import IndexBuilder, IndexConfig, IndexReader
+
+    rows = [
+        (1, "café caf7 cafe"),
+        (2, "naïve naive nai٣e"),     # ï word char; ٣ Arabic digit
+        (3, "word wörd w0rd"),
+    ]
+    src = spark.createDataFrame(rows, "id long, text string")
+    d = str(tmp_path_factory.mktemp("uidx") / "index")
+    cfg = IndexConfig(key_cols=("id",), content_col="text",
+                      analyzer="whitespace", partitions=1, num_groups=1,
+                      num_buckets=2)
+    IndexBuilder(spark, cfg).build(src, d, overwrite=True)
+    res = IndexReader(spark, d)
+    dist = IndexReader(spark, d)
+    dist.dict_cache_max_terms = 0
+    assert res._dict_arrays(None) is not None
+    assert dist._dict_arrays(None) is None
+    for pat in [r"caf\w", r"caf\d", r"na\wve", r"nai\we", r"nai\de",
+                r"w\wrd", r"\w+", r"caf."]:
+        assert res.expand_regexp(pat, 1024) == \
+            dist.expand_regexp(pat, 1024), pat
