@@ -6827,6 +6827,9 @@ def _vec_searcher(spark: SparkSession, sf_dir: str):
         key_cols=("ext_id",), content_col="text", analyzer="whitespace",
         partitions=2, num_groups=1, num_buckets=4, termdict_partitions=1,
         carry_cols=("embedding",),
+        # index-time persisted graph sidecar (index/vecgraph.py): the
+        # gate query serves from STORED graphs, zero query-time builds
+        vector_graph_fields=("embedding",),
     )
     IndexBuilder(spark, cfg).build(src, idx_dir, overwrite=True)
     r = IndexReader(spark, idx_dir)

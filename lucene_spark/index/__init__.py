@@ -10,3 +10,4 @@ from lucene_spark.index.bloom import build_term_bloom, load_term_bloom  # noqa: 
 from lucene_spark.index.docvalues import (  # noqa: F401
     doc_values, fold_doc_values, update_doc_values,
 )
+from lucene_spark.index.vecgraph import build_vector_graphs  # noqa: F401

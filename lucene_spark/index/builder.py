@@ -102,6 +102,12 @@ class IndexConfig:
                                       # analogue (TopFieldCollector
                                       # early-exit). Columns must be key or
                                       # carry columns.
+    vector_graph_fields: tuple[str, ...] = ()
+                                      # carry_cols holding float vectors to
+                                      # build INDEX-TIME graph sidecars for
+                                      # (index/vecgraph.py — the
+                                      # Lucene90VectorWriter .vec role):
+                                      # search never builds graphs lazily
 
     def field_specs(self) -> tuple[FieldSpec, ...]:
         """Resolved per-field specs; the FIRST field is the default search
@@ -659,6 +665,20 @@ class IndexBuilder:
         # grace: the highest of them was the PREVIOUS manifest's current
         # generation, and a pinned reader may still be scanning it
         gc_derived(index_dir, manifest)
+        # vector fields get their graph sidecar at INDEX time (the flush
+        # that writes .vec in Lucene90VectorWriter) — the query path then
+        # only ever decodes stored graphs
+        if cfg.vector_graph_fields:
+            from lucene_spark.index.reader import IndexReader
+            from lucene_spark.index.vecgraph import build_vector_graphs
+
+            r = IndexReader(self.spark, index_dir)
+            for vf in cfg.vector_graph_fields:
+                if vf not in cfg.carry_cols:
+                    raise ValueError(
+                        f"vector_graph_fields entry {vf!r} must be a "
+                        "carry column")
+                build_vector_graphs(r, vf)
         return manifest
 
     def _build_group(

@@ -487,3 +487,21 @@ def _rebuild_derived(spark: SparkSession, index_dir: str, cfg: IndexConfig,
                     json.dump(gm, fh)
                 os.replace(gp + ".tmp", gp)
     gc_derived(index_dir, manifest, gc_min_age_seconds)
+    # vector-graph sidecars (index/vecgraph.py) are keyed to the docstats
+    # generation that just changed — rebuild them so queries keep riding
+    # stored graphs (Lucene rebuilds the .vec graph at merge too)
+    vg_dir = os.path.join(index_dir, "vecgraph")
+    if os.path.isdir(vg_dir):
+        from lucene_spark.index.reader import IndexReader
+        from lucene_spark.index.vecgraph import (build_vector_graphs,
+                                                 load_manifest)
+
+        r = IndexReader(spark, index_dir)
+        for name in os.listdir(vg_dir):
+            if not name.endswith(".json"):
+                continue
+            vman = load_manifest(index_dir, name[:-5])
+            if vman:
+                build_vector_graphs(r, vman["field"],
+                                    m_neighbors=vman["m_neighbors"],
+                                    ef_construction=vman["ef_construction"])

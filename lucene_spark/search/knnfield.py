@@ -32,6 +32,7 @@ with the vector sidecar — broadcast on the k-row side.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 
 import numpy as np
@@ -64,27 +65,113 @@ def _graph_for(key, unit: np.ndarray, m_neighbors: int, ef_c: int):
     return graph
 
 
+def _shard_topk(unit, doc_ids, graph, qn, kk, eff, n_dead, deleted):
+    """Shared per-shard search core: beam search + liveDocs mask + top-k.
+    liveDocs travel INTO the shard search (KnnVectorQuery passes them to
+    the graph searcher) so tombstoned docs never consume the k budget;
+    the beam over-fetches by the delete count (clamped to n = exact)."""
+    n = unit.shape[0]
+    # num_candidates >= k (KnnFloatVectorQuery requires it)
+    beam = n if eff is None else min(max(eff, kk) + n_dead, n)
+    ids, sims = search_hnsw(unit, graph, qn, ef=beam)
+    docs = doc_ids[ids]
+    if n_dead:
+        dead = deleted.dead_mask(docs)
+        if dead is not None and dead.any():
+            docs, sims = docs[~dead], sims[~dead]
+    top = min(kk, len(docs))
+    return docs[:top], sims[:top]
+
+
 def knn_field_topk(searcher, field: str, query_vec, k: int = 10,
                    ef: int | None = None, m_neighbors: int = 8,
-                   ef_construction: int = 64) -> DataFrame:
+                   ef_construction: int = 64,
+                   strict_sidecar: bool = False) -> DataFrame:
     """Top-k (doc_id, score=cosine) for one query vector over the indexed
     vector field. `ef=None` → exact (beam covers each shard). Returns the
-    standard result shape ordered (score desc, doc_id asc)."""
+    standard result shape ordered (score desc, doc_id asc).
+
+    When an index-time graph sidecar generation exists for this field
+    (index/vecgraph.py — the Lucene90VectorWriter `.vec` role) and
+    matches the reader's current docstats generation + graph params, the
+    search maps over the sidecar's per-file shards: each task does a
+    targeted pyarrow read of its docstats file and DECODES the stored
+    graph (worker LRU = decode cache) — zero graph builds on the query
+    path, surviving executor restarts. A digest mismatch falls back to
+    an in-task build (`strict_sidecar=True` raises instead — the test
+    hook proving the zero-build property). Without a sidecar the graph
+    is built lazily per scan partition as before."""
+    from lucene_spark.index import vecgraph as vg
+
     reader = searcher.reader
-    ds = reader.docstats().select("doc_id", field).filter(
-        F.col(field).isNotNull())
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-30)
     epoch = searcher._asm_epoch_base
     kk, eff = int(k), ef
-    # liveDocs travel INTO the shard search (KnnVectorQuery passes
-    # liveDocs to the graph searcher) so tombstoned docs never consume
-    # the per-shard k budget; the graph itself is built over ALL docs
-    # (delete-independent — the cache key stays valid across delete sets)
-    # and the beam over-fetches by the delete count so k LIVE results
-    # survive the mask. Rides PySpark's automatic command broadcast.
     deleted = searcher._deleted
     n_dead = int(deleted.size)
+    spark = reader.spark
+
+    man = vg.sidecar_current(reader, field, m_neighbors, ef_construction)
+    if man is not None:
+        from lucene_spark.index.layout import derived_path
+
+        ds_dir = derived_path(reader.index_dir, reader.manifest, "docstats")
+        npz_dir = os.path.join(reader.index_dir, "vecgraph", man["dir"])
+        rows = [(s["file"], s["digest"]) for s in man["shards"]
+                if s["n"] > 0]
+        if not rows:
+            return spark.createDataFrame([], "doc_id long, score double")
+
+        def stored(batches):
+            for pdf in batches:
+                for file, digest in zip(pdf["file"], pdf["digest"]):
+                    doc_ids, vecs = vg._read_shard(
+                        os.path.join(ds_dir, file), field)
+                    if not doc_ids.size:
+                        continue
+                    unit = _normalize_rows(vecs)
+                    if vg._doc_digest(doc_ids) != digest:
+                        # stale shard (docstats rewritten under the
+                        # manifest): detected, never silently wrong
+                        if strict_sidecar:
+                            raise RuntimeError(
+                                f"vecgraph sidecar stale for {file}")
+                        graph = _graph_for(
+                            (epoch, field, file, unit.shape[0]),
+                            unit, m_neighbors, ef_construction)
+                    else:
+                        key = ("vec", field, file, digest)
+                        graph = _GRAPH_CACHE.get(key)
+                        if graph is None:
+                            with np.load(os.path.join(
+                                    npz_dir, file + ".npz")) as z:
+                                graph = vg._unpack_graph(z)
+                            _GRAPH_CACHE[key] = graph
+                            while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
+                                _GRAPH_CACHE.popitem(last=False)
+                        else:
+                            _GRAPH_CACHE.move_to_end(key)
+                    docs, sims = _shard_topk(unit, doc_ids, graph, qn,
+                                             kk, eff, n_dead, deleted)
+                    yield pd.DataFrame({
+                        "doc_id": docs,
+                        "score": sims.astype(np.float64)})
+
+        src = spark.createDataFrame(rows, "file string, digest string")
+        cand = (src.repartition(len(rows))
+                .mapInPandas(stored, "doc_id long, score double"))
+        return (cand.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
+    if strict_sidecar:
+        raise RuntimeError(
+            f"no current vecgraph sidecar for field {field!r} "
+            "(build_vector_graphs not run, stale docstats generation, "
+            "or graph params differ)")
+
+    ds = reader.docstats().select("doc_id", field).filter(
+        F.col(field).isNotNull())
 
     def shard(batches):
         from pyspark import TaskContext
@@ -97,22 +184,14 @@ def knn_field_topk(searcher, field: str, query_vec, k: int = 10,
                          for v in pdf[field]])
         unit = _normalize_rows(vecs)
         n = unit.shape[0]
-        # num_candidates >= k (KnnFloatVectorQuery requires it), plus the
-        # delete over-fetch; saturates to n (exact) when deletes dominate
-        beam = n if eff is None else min(max(eff, kk) + n_dead, n)
         tc = TaskContext.get()
         key = (epoch, field, tc.partitionId() if tc else -1, n)
         graph = _graph_for(key, unit, m_neighbors, ef_construction)
-        ids, sims = search_hnsw(unit, graph, qn, ef=beam)
-        docs = pdf["doc_id"].to_numpy()[ids]
-        if n_dead:
-            dead = deleted.dead_mask(docs)
-            if dead is not None and dead.any():
-                docs, sims = docs[~dead], sims[~dead]
-        top = min(kk, len(docs))
+        docs, sims = _shard_topk(unit, pdf["doc_id"].to_numpy(), graph,
+                                 qn, kk, eff, n_dead, deleted)
         yield pd.DataFrame({
-            "doc_id": docs[:top],
-            "score": sims[:top].astype(np.float64),
+            "doc_id": docs,
+            "score": sims.astype(np.float64),
         })
 
     cand = ds.mapInPandas(shard, "doc_id long, score double")
