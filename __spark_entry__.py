@@ -7046,6 +7046,91 @@ REL_SHAPE_CONTAINS_SQL = " UNION ALL ".join(
     _shape_sql_one(sid, ring) for sid, ring in _SHAPE_RINGS.items())
 
 
+# query multipolygon for rel_shape_relate: two rects, each with a hole;
+# hole margins (>= 6 deg) and the inter-part gap (8 deg) exceed the max
+# square size (1.4 deg), so bbox arithmetic is an EXACT oracle while the
+# engine side exercises bridge-edge hole elimination + the triangle
+# relate kernel on every shape
+_RELATE_QUERY = [
+    [[(-40.0, -40.0), (-40.0, -4.0), (40.0, -4.0), (40.0, -40.0)],
+     [(-8.0, -30.0), (-8.0, -14.0), (8.0, -14.0), (8.0, -30.0)]],
+    [[(-40.0, 4.0), (-40.0, 40.0), (40.0, 40.0), (40.0, 4.0)],
+     [(-8.0, 14.0), (-8.0, 30.0), (8.0, 30.0), (8.0, 14.0)]],
+]
+
+
+def rel_shape_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-vs-shape relations over INDEXED triangles (r5 — the
+    LatLonShape.newPolygonQuery QueryRelation role, VERDICT r4 item 6):
+    every doc derives an axis-aligned square (lattice center from
+    doc_id), tessellated distributed into the triangle sidecar; the
+    query is a MULTIPOLYGON of two rects each carrying a HOLE —
+    tessellated driver-side through bridge-edge hole elimination
+    (Tessellator.java eliminateHoles) — and relate_polygon's vectorized
+    kernel labels every shape WITHIN / INTERSECTS / DISJOINT. Margins
+    make bbox arithmetic an exact independent oracle (see
+    _RELATE_QUERY), so the bridge splicing, the triangle soup, and the
+    Jordan-curve relate conditions are all under test."""
+    from lucene_spark.relational.shapes import (relate_polygon,
+                                                shape_triangles)
+
+    h = 0.7
+    # independent grid coords (doc_id mod 31 x doc_id div 31): centers
+    # land on, inside, and across every query boundary class
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 31) * 2.9 - 43.5).alias("cx"),
+        ((F.expr("doc_id div 31") % 31) * 5.9 - 44.5).alias("cy"))
+    ring = F.array(
+        F.array(F.col("cy") - h, F.col("cx") - h),
+        F.array(F.col("cy") - h, F.col("cx") + h),
+        F.array(F.col("cy") + h, F.col("cx") + h),
+        F.array(F.col("cy") + h, F.col("cx") - h))
+    sq = d.select(F.col("doc_id").alias("sid"), ring.alias("ring"))
+    tris = shape_triangles(sq, "sid", "ring").localCheckpoint(eager=True)
+    w = (relate_polygon(tris, _RELATE_QUERY, "within")
+         .select(F.col("shape_id").alias("doc_id"),
+                 F.lit(True).alias("w")))
+    i = (relate_polygon(tris, _RELATE_QUERY, "intersects")
+         .select(F.col("shape_id").alias("doc_id"),
+                 F.lit(True).alias("i")))
+    return (d.select("doc_id")
+            .join(F.broadcast(w), "doc_id", "left")
+            .join(F.broadcast(i), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("w"), F.lit("within"))
+                    .when(F.col("i"), F.lit("intersects"))
+                    .otherwise(F.lit("disjoint")).alias("rel")))
+
+
+REL_SHAPE_RELATE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         (doc_id % 31) * 2.9 - 43.5 AS cx,
+         ((doc_id // 31) % 31) * 5.9 - 44.5 AS cy
+  FROM documents),
+b AS (
+  SELECT doc_id, cx - 0.7 AS x0, cx + 0.7 AS x1,
+                 cy - 0.7 AS y0, cy + 0.7 AS y1 FROM s),
+f AS (
+  SELECT doc_id,
+    (-40 <= x0 AND x1 <= -4 AND -40 <= y0 AND y1 <= 40
+     AND (x1 <= -30 OR x0 >= -14 OR y1 <= -8 OR y0 >= 8)) AS w1,
+    (NOT (x1 < -40 OR x0 > -4 OR y1 < -40 OR y0 > 40)
+     AND NOT (-30 < x0 AND x1 < -14 AND -8 < y0 AND y1 < 8)) AS i1,
+    (4 <= x0 AND x1 <= 40 AND -40 <= y0 AND y1 <= 40
+     AND (x1 <= 14 OR x0 >= 30 OR y1 <= -8 OR y0 >= 8)) AS w2,
+    (NOT (x1 < 4 OR x0 > 40 OR y1 < -40 OR y0 > 40)
+     AND NOT (14 < x0 AND x1 < 30 AND -8 < y0 AND y1 < 8)) AS i2
+  FROM b)
+SELECT doc_id,
+       CASE WHEN w1 OR w2 THEN 'within'
+            WHEN i1 OR i2 THEN 'intersects'
+            ELSE 'disjoint' END AS rel
+FROM f
+"""
+
+
 _TH_SENTS = ["การที่ได้ต้องแสดงว่างานดี", "ประเทศไทย ภาษาไทย",
              "บริษัทพัฒนาระบบข้อมูล ๑๒๓", "งานดี the end"]
 _TH_EXPECT = ["แสดง|งาน|ดี", "ประเทศ|ไทย|ภาษา|ไทย",
@@ -7362,6 +7447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cn_tokens": ft_cn_tokens,
         "rel_shape_contains": rel_shape_contains,
         "ft_th_tokens": ft_th_tokens,
+        # --- new round-5 gates (no driver evidence yet) ---
+        "rel_shape_relate": rel_shape_relate,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -7735,6 +7822,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ko_tokens": FT_KO_TOKENS_SQL,
         "ft_cn_tokens": FT_CN_TOKENS_SQL,
         "rel_shape_contains": REL_SHAPE_CONTAINS_SQL,
+        "rel_shape_relate": REL_SHAPE_RELATE_SQL,
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
