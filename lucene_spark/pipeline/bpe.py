@@ -27,8 +27,34 @@ producing byte-identical merges to the naive loop (tested). This is how
 production BPE trainers run at 100 TB: the CORPUS pass (word counting)
 is the distributed part; training is dictionary-scale. `local="auto"`
 (the default) collects when the distinct-word count fits
-`max_local_words` and falls back to the distributed per-merge loop
-(2 Spark jobs per merge — the documented bound) only beyond it.
+`max_local_words`.
+
+`local=False` (word table beyond driver RAM) now runs DISTRIBUTED
+DELTA training (r5, VERDICT r4 item 7): pair COUNTS live on the driver
+(pair TYPES ≪ words — the reference-style in-RAM stats bound, like the
+tagger's dictionary cap), the word table stays partitioned, and merges
+commit in OPTIMISTIC BATCHES of `batch_merges`:
+
+  1. candidates = top-B pairs of the driver counts (rank order)
+  2. ONE job applies the candidates sequentially inside every
+     partition through the same pair→words inverted index the local
+     trainer uses (only affected words are touched) and emits the
+     per-step count DELTAS (small: pairs touched per step)
+  3. the driver VALIDATES the batch exactly: replaying the deltas,
+     candidate i must still be the argmax (count desc, pair asc) when
+     its turn comes — a merge that created a better pair, or deflated
+     a later candidate, truncates the batch to the longest valid
+     prefix (exactness is never sacrificed; misprediction only costs
+     a shorter batch)
+  4. a fully-valid batch's merged table came out of the SAME job (tag
+     rows); only a truncated batch pays one extra map-only apply
+
+so K merges cost ~2·R jobs where R is the round count (R → K/B on
+flat-tailed corpora where batches validate; R → K on adversarially
+chained ones — exactness is the invariant, batching the optimization),
+byte-identical to the sequential trainer (path-identity tested against
+both the local delta trainer and the naive recount loop). Batch size
+adapts AIMD-style between rounds.
 
 Encoding applies the merge list in rank order greedily per DISTINCT
 word (dictionary-scale work), then joins tokens back to documents — the
@@ -136,10 +162,203 @@ def _train_local_delta(tab: list[tuple[list[str], int]], num_merges: int,
     return merges
 
 
+def _apply_batch_with_deltas(tab: list[tuple[list[str], int]],
+                             seq: list[tuple[str, str]]):
+    """Apply a merge sequence to a word table through the pair→words
+    inverted index (only affected words touched), recording the pair
+    count DELTA of every step. Returns (deltas, tab) where deltas[i] is
+    {pair: delta} for step i. The per-word work is byte-identical to
+    _train_local_delta's — this is the same delta trick, parameterized
+    by an externally chosen merge sequence (the distributed batch)."""
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, _) in enumerate(tab):
+        for a, b in zip(syms, syms[1:]):
+            where.setdefault((a, b), set()).add(i)
+
+    deltas: list[dict] = []
+    for l, r in seq:
+        d: dict[tuple[str, str], int] = {}
+        touched = list(where.get((l, r), ()))
+        for i in touched:
+            syms, cnt = tab[i]
+            for a, b in zip(syms, syms[1:]):
+                p = (a, b)
+                d[p] = d.get(p, 0) - cnt
+                s = where.get(p)
+                if s is not None:
+                    s.discard(i)
+            merged = _greedy_merge(syms, l, r)
+            tab[i] = (merged, cnt)
+            for a, b in zip(merged, merged[1:]):
+                p = (a, b)
+                d[p] = d.get(p, 0) + cnt
+                where.setdefault(p, set()).add(i)
+        deltas.append({p: v for p, v in d.items() if v != 0})
+    return deltas, tab
+
+
+def _best_pair(counts: dict) -> tuple | None:
+    if not counts:
+        return None
+    (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return (l, r, c)
+
+
+#: stats of the last _train_distributed_delta run (tests/bench
+#: introspection): {"rounds": n, "committed": [per-round counts]}
+LAST_DISTRIBUTED_STATS: dict = {}
+
+
+def _train_distributed_delta(words: DataFrame, num_merges: int,
+                             min_pair_count: int, eow: str,
+                             batch_merges: int = 32
+                             ) -> list[tuple[str, str, int]]:
+    """Distributed delta training (see module docstring): driver-resident
+    pair counts + optimistic batches validated exactly against the
+    per-step deltas. Two jobs per round (eager checkpoint of the
+    delta+merged-table frame, then the small delta collect) — the delta
+    job emits the merged word table alongside the deltas (tag rows), so
+    a fully-valid batch needs no separate apply; truncation adds one
+    map-only job for the committed prefix."""
+    syms = words.withColumn(
+        "syms", F.concat(F.split("word", ""), F.array(F.lit(eow)))
+    ).select("cnt", "syms").persist()
+    syms.count()
+
+    # initial pair counts: ONE explode+groupBy over the word table;
+    # pair TYPES are the driver bound (documented in-RAM stats table,
+    # like the tagger's dictionary cap)
+    init = (
+        syms.withColumn("a", F.expr("slice(syms, 1, size(syms)-1)"))
+        .withColumn("b", F.expr("slice(syms, 2, size(syms)-1)"))
+        .select("cnt", F.explode(F.arrays_zip("a", "b")).alias("p"))
+        .select(F.col("p.a").alias("l"), F.col("p.b").alias("r"), "cnt")
+        .groupBy("l", "r").agg(F.sum("cnt").alias("c")).collect())
+    counts: dict[tuple[str, str], int] = {
+        (row["l"], row["r"]): int(row["c"]) for row in init}
+
+    schema = ("step int, l string, r string, d long, "
+              "cnt long, syms array<string>")
+    merges: list[tuple[str, str, int]] = []
+    cur = syms
+    # AIMD batch sizing: a fully-valid batch doubles the next one (up
+    # to 8x the requested size), a truncated batch halves it — natural
+    # corpora converge to long batches, adversarially interactive ones
+    # to short exact steps
+    bsz = max(int(batch_merges), 1)
+    bmax = max(bsz * 8, 64)
+    stats = LAST_DISTRIBUTED_STATS
+    stats.clear()
+    stats.update({"rounds": 0, "committed": []})
+    try:
+        while len(merges) < num_merges:
+            want = min(bsz, num_merges - len(merges))
+            cands = sorted(counts.items(),
+                           key=lambda kv: (-kv[1], kv[0]))[:want]
+            cands = [(p, c) for p, c in cands if c >= min_pair_count]
+            if not cands:
+                break
+            seq = [p for p, _ in cands]
+
+            def delta_job(batches, seq=seq):
+                import pandas as pd
+
+                tab = []
+                for pdf in batches:
+                    tab.extend((list(s), int(c))
+                               for s, c in zip(pdf["syms"], pdf["cnt"]))
+                if not tab:
+                    return
+                deltas, tab = _apply_batch_with_deltas(tab, seq)
+                rows = [(i, l, r, v, None, None)
+                        for i, d in enumerate(deltas)
+                        for (l, r), v in d.items()]
+                rows.extend((-1, None, None, 0, c, s) for s, c in tab)
+                yield pd.DataFrame(rows, columns=[
+                    "step", "l", "r", "d", "cnt", "syms"])
+
+            # eager localCheckpoint: materializes the round AND truncates
+            # lineage — iterative plans otherwise grow unboundedly (the
+            # dup-clusters pattern)
+            both = (cur.mapInPandas(delta_job, schema)
+                    .localCheckpoint(eager=True))
+            drows = (both.filter(F.col("step") >= 0)
+                     .groupBy("step", "l", "r").agg(F.sum("d").alias("d"))
+                     .collect())
+            step_deltas: list[dict] = [dict() for _ in seq]
+            for row in drows:
+                step_deltas[int(row["step"])][(row["l"], row["r"])] = \
+                    int(row["d"])
+
+            # exact validation: candidate i must still be the argmax
+            # (count desc, pair asc) when its turn comes under the
+            # accumulated deltas — a pair a previous step created or
+            # deflated wins instead, truncating the batch there
+            valid = 0
+            snapshot = dict(counts)
+            for i, (p, _) in enumerate(cands):
+                best = _best_pair(snapshot)
+                if best is None or best[2] < min_pair_count:
+                    break
+                if (best[0], best[1]) != p:
+                    break
+                merges.append(best)
+                for q, v in step_deltas[i].items():
+                    nv = snapshot.get(q, 0) + v
+                    if nv:
+                        snapshot[q] = nv
+                    else:
+                        snapshot.pop(q, None)
+                valid += 1
+            if valid == 0:
+                # cands[0] is counts' argmax under the same ordering;
+                # only min_pair_count can stop it
+                break
+
+            if valid == len(seq):
+                counts = snapshot
+                cur = both.filter(F.col("step") == -1).select("cnt", "syms")
+            else:
+                # replay only the committed prefix onto the driver
+                # counts, then one map-only apply job
+                for i in range(valid):
+                    for q, v in step_deltas[i].items():
+                        nv = counts.get(q, 0) + v
+                        if nv:
+                            counts[q] = nv
+                        else:
+                            counts.pop(q, None)
+                committed = seq[:valid]
+
+                def apply_job(batches, committed=committed):
+                    for pdf in batches:
+                        pdf = pdf.copy()
+                        out = []
+                        for s in pdf["syms"]:
+                            w = list(s)
+                            for l, r in committed:
+                                w = _greedy_merge(w, l, r)
+                            out.append(w)
+                        pdf["syms"] = out
+                        yield pdf
+
+                cur = (cur.mapInPandas(
+                    apply_job, "cnt long, syms array<string>")
+                    .localCheckpoint(eager=True))
+            stats["rounds"] += 1
+            stats["committed"].append(valid)
+            bsz = min(bsz * 2, bmax) if valid == len(seq) else \
+                max(max(valid, 1), bsz // 2)
+    finally:
+        syms.unpersist()
+    return merges
+
+
 def bpe_train(df: DataFrame, text_col: str, num_merges: int,
               min_pair_count: int = 2, word_limit: int | None = None,
               local: bool | str = "auto", eow: str = EOW,
-              max_local_words: int = 2_000_000) -> list[tuple[str, str, int]]:
+              max_local_words: int = 2_000_000,
+              batch_merges: int = 32) -> list[tuple[str, str, int]]:
     """Train `num_merges` BPE merges on the corpus; returns
     [(left, right, pair_count), ...] in rank order. `word_limit` keeps
     only the top-N words by (count desc, word asc) before training (the
@@ -149,8 +368,9 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int,
     in-process with delta counting when the distinct-word count fits
     `max_local_words` (the production shape: one distributed corpus
     pass, dictionary-scale training); True forces collection; False
-    forces the distributed per-merge loop (2 Spark jobs per merge —
-    correct at any dictionary size, priced for small merge counts)."""
+    forces the DISTRIBUTED DELTA trainer (optimistic validated batches,
+    ~1-2 jobs per `batch_merges` merges — correct at any dictionary
+    size, byte-identical to the sequential trainer)."""
     words = _words(df, text_col)
     if word_limit is not None:
         words = (words.orderBy(F.col("cnt").desc(), F.col("word").asc())
@@ -165,44 +385,8 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int,
         tab = [(list(r["word"]) + [eow], int(r["cnt"])) for r in rows]
         return _train_local_delta(tab, num_merges, min_pair_count)
 
-    syms = words.withColumn(
-        "syms", F.concat(F.split("word", ""), F.array(F.lit(eow)))
-    ).select("cnt", "syms").persist()
-    syms.count()
-    state = {"syms": syms}
-
-    def pairs_of():
-        cur = state["syms"]
-        pairs = (
-            cur.withColumn("a", F.expr("slice(syms, 1, size(syms)-1)"))
-            .withColumn("b", F.expr("slice(syms, 2, size(syms)-1)"))
-            .select("cnt", F.explode(F.arrays_zip("a", "b")).alias("p"))
-            .select("cnt", F.col("p.a").alias("l"), F.col("p.b").alias("r"))
-            .groupBy("l", "r").agg(F.sum("cnt").alias("c"))
-        )
-        row = pairs.orderBy(F.col("c").desc(), F.col("l").asc(),
-                            F.col("r").asc()).head()
-        return (row["l"], row["r"], int(row["c"])) if row else None
-
-    def apply_merge(l, r):
-        cur = state["syms"]
-
-        def run(batches):
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["syms"] = [ _greedy_merge(list(s), l, r)
-                                for s in pdf["syms"] ]
-                yield pdf
-
-        nxt = cur.mapInPandas(run, "cnt long, syms array<string>").persist()
-        nxt.count()
-        cur.unpersist()
-        state["syms"] = nxt
-
-    try:
-        return _train_rounds(pairs_of, apply_merge, num_merges, min_pair_count)
-    finally:
-        state["syms"].unpersist()
+    return _train_distributed_delta(words, num_merges, min_pair_count,
+                                    eow, batch_merges=batch_merges)
 
 
 def bpe_encode(df: DataFrame, text_col: str, key_col: str,
