@@ -6792,6 +6792,67 @@ def _ja_case(col_vals: list[str]) -> str:
     return f"CASE doc_id % 8\n{arms}\nEND"
 
 
+def _ja_gate_vectors() -> dict:
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "lucene_spark", "analysis", "data",
+                        "ja_gate_vectors.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def ft_ja_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese lattice segmentation over the LARGE seeded lexicon (r5,
+    VERDICT r4 item 4 — ~10k entries, scripts/gen_ja_lexicon.py) with
+    the reference-exact SEARCH mode (addPenalty=false forward Viterbi +
+    pruneAndRescore 2nd-best decomposition, JapaneseTokenizer.java:
+    952/1007/1818-1931): 80 deterministic sentences (10x the ft_ja_tokens
+    vector count) mixing dictionary nouns, 4-kanji compounds, katakana
+    loanwords, verbs, particles and OOV latin/digit/katakana runs; both
+    modes run distributed and the '|'-joined streams must equal the
+    FROZEN vectors (generated once, committed — regression-pinned; the
+    brute-force all-segmentations oracle in test_ja.py independently
+    pins the lattice semantics the vectors rely on). 37 of the 80
+    sentences decompose differently in SEARCH mode."""
+    vec = _ja_gate_vectors()
+    sents = vec["sents"]
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % len(sents)).alias("v"))
+
+    @F.pandas_udf("string")
+    def _jl_n(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.ja import (JapaneseTokenizer,
+                                              default_dictionary)
+
+        tok = JapaneseTokenizer(default_dictionary())
+        return vs.map(lambda v: "|".join(tok.tokens(sents[int(v)])))
+
+    @F.pandas_udf("string")
+    def _jl_s(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.ja import (JapaneseTokenizer,
+                                              default_dictionary)
+
+        tok = JapaneseTokenizer(default_dictionary(), mode="search")
+        return vs.map(lambda v: "|".join(tok.tokens(sents[int(v)])))
+
+    return d.select("doc_id", _jl_n(F.col("v")).alias("normal_tokens"),
+                    _jl_s(F.col("v")).alias("search_tokens"))
+
+
+def _ja_large_sql() -> str:
+    vec = _ja_gate_vectors()
+    n = len(vec["sents"])
+
+    def case(vals):
+        arms = "\n".join(f"  WHEN {i} THEN '{v}'"
+                         for i, v in enumerate(vals))
+        return f"CASE doc_id % {n}\n{arms}\nEND"
+
+    return (f"SELECT doc_id, {case(vec['normal'])} AS normal_tokens,\n"
+            f"{case(vec['search'])} AS search_tokens FROM documents")
+
+
 FT_JA_TOKENS_SQL = f"""
 SELECT doc_id,
        {_ja_case(_JA_NORMAL)} AS normal_tokens,
@@ -7449,6 +7510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_th_tokens": ft_th_tokens,
         # --- new round-5 gates (no driver evidence yet) ---
         "rel_shape_relate": rel_shape_relate,
+        "ft_ja_large": ft_ja_large,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -7823,6 +7885,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_cn_tokens": FT_CN_TOKENS_SQL,
         "rel_shape_contains": REL_SHAPE_CONTAINS_SQL,
         "rel_shape_relate": REL_SHAPE_RELATE_SQL,
+        "ft_ja_large": _ja_large_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,

@@ -356,6 +356,11 @@ def main() -> None:
 
     qs = np.array([r[0] for r in emb.filter(F.col("vec_id") < 8)
                    .orderBy("vec_id").select("embedding").collect()], dtype=np.float64)
+    # warm once like dedup_simhash above: the single-shot timing was
+    # otherwise charging the cold embeddings scan + the first python
+    # worker round-trip for this path (measured 3.0s cold vs 0.46-0.51s
+    # steady state — the r3→r4 "drift" was exactly this noise)
+    similarity.pairwise_topk_gemm(emb, "embedding", "vec_id", qs, k=10).count()
     timed("sim_gemm_top10", lambda: similarity.pairwise_topk_gemm(
         emb, "embedding", "vec_id", qs, k=10).count())
 

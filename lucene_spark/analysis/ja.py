@@ -25,13 +25,20 @@ from the reference's semantics (no code or compiled dictionary data taken):
 - punctuation: JapaneseTokenizer.java:2068-2090 (Unicode category switch);
   punctuation tokens are discarded when discard_punctuation (the
   analyzers' default, JapaneseAnalyzer)
-- SEARCH mode: JapaneseTokenizer.java:106-112,382-399 — a decomposition
-  penalty `(len - 2) * 3000` for all-kanji words longer than 2, and
-  `(len - 7) * 1700` for other words longer than 7, biasing the lattice
-  toward splitting long compounds. DOCUMENTED DEVIATION: the reference
-  additionally re-runs a 2nd-best backtrace to ALSO emit the compound at
-  the same position (pruneAndRescore, lines 1086-1180); we emit only the
-  penalized best path (the segmentation Lucene indexes for search).
+- SEARCH mode (r5 — the r4 deviation is CLOSED): the forward Viterbi
+  carries NO penalty (every parse() add() call passes addPenalty=false,
+  java:952/1007); instead, during backtrace a long best-path token
+  (all-kanji len>2 → (len-2)*3000, other len>7 → (len-7)*1700,
+  java:106-112/382-399) triggers the 2nd-best machinery
+  (java:1818-1931 + pruneAndRescore:1086-1180): the [start,end)
+  sub-lattice is rebuilt from the compound's own predecessor (force
+  congruence) keeping only arcs inside the span, re-scored WITH
+  penalties, and if the cheapest rebuilt arrival — adjusted by the
+  connection cost to the token on the right (lastLeftWordID) — is
+  within compound_cost + penalty and decomposes, the backtrace
+  redirects onto the parts. `discard_compound_token=False` also emits
+  the compound with pos_len spanning the parts (outputCompounds);
+  JapaneseAnalyzer's default discards it (JapaneseAnalyzer.java:95).
 
 The bundled IPADIC binary is not shipped (it is compiled binary data);
 `JapaneseTokenizer` takes any user lexicon (surface, left_id, right_id,
@@ -179,6 +186,8 @@ class JaToken:
     end: int
     known: bool
     pos: str
+    pos_len: int = 1        # compound tokens span their parts (SEARCH
+                            # mode with discard_compound_token=False)
 
 
 class JapaneseTokenizer:
@@ -187,12 +196,17 @@ class JapaneseTokenizer:
     mode deviation)."""
 
     def __init__(self, dictionary: JaDictionary | None = None,
-                 mode: str = "normal", discard_punctuation: bool = True):
+                 mode: str = "normal", discard_punctuation: bool = True,
+                 discard_compound_token: bool = True):
         self.dict = dictionary or JaDictionary()
         if mode not in ("normal", "search"):
             raise ValueError("mode must be 'normal' or 'search'")
         self.search_mode = mode == "search"
         self.discard_punctuation = discard_punctuation
+        # JapaneseAnalyzer passes discardCompoundToken=true (Lucene 9
+        # JapaneseAnalyzer.java:95) — SEARCH mode then outputs only the
+        # decomposition; False re-emits the compound with pos_len
+        self.output_compounds = self.search_mode and not discard_compound_token
 
     def _penalty(self, text: str, pos: int, length: int) -> int:
         # computePenalty (java:382-399)
@@ -211,9 +225,11 @@ class JapaneseTokenizer:
             return []
         INF = float("inf")
         # best[pos] = list of arcs arriving: (cost, right_id, back_pos,
-        # back_arc_idx, surface, known, pos_tag) — the Position array
+        # back_arc_idx, surface, known, pos_tag, left_id, word_cost) —
+        # the Position array; left_id/word_cost retained so the SEARCH-
+        # mode pruneAndRescore pass can re-score the sub-lattice
         arrive: list[list[tuple]] = [[] for _ in range(n + 1)]
-        arrive[0].append((0, 0, -1, -1, "", True, ""))   # BOS (right_id 0)
+        arrive[0].append((0, 0, -1, -1, "", True, "", 0, 0))  # BOS
         unknown_end = -1
         for pos in range(n):
             if not arrive[pos]:
@@ -223,15 +239,22 @@ class JapaneseTokenizer:
                         word_cost: int, surface: str, known: bool,
                         pos_tag: str) -> None:
                 # JapaneseTokenizer.add (java:494-561): min over incoming
-                # arcs of (path + bigram), then + word cost (+ penalty)
+                # arcs of (path + bigram), then + word cost. The MAIN
+                # forward pass carries NO search-mode penalty (every
+                # parse() call site passes addPenalty=false, java:952/
+                # 1007) — the penalty lives in the backtrace threshold
+                # and the pruneAndRescore rebuild only (r4's forward-
+                # penalty application was the documented deviation,
+                # closed in r5)
                 least, least_idx = INF, -1
                 for idx, a in enumerate(arrive[pos]):
                     c = a[0] + self.dict.conn_cost(a[1], left_id)
                     if c < least:
                         least, least_idx = c, idx
-                least += word_cost + self._penalty(text, pos, end - pos)
+                least += word_cost
                 arrive[end].append((least, right_id, pos, least_idx,
-                                    surface, known, pos_tag))
+                                    surface, known, pos_tag,
+                                    left_id, word_cost))
 
             any_matches = False
             for end, e in self.dict.matches(text, pos):
@@ -270,19 +293,110 @@ class JapaneseTokenizer:
                 best, best_idx = c, idx
         if best_idx < 0:
             return []    # no complete path (cannot happen: unknowns span)
-        # backtrace
-        out: list[JaToken] = []
+        # backtrace, with the SEARCH-mode 2nd-best decomposition
+        # (JapaneseTokenizer.backtrace:1818-1931 + pruneAndRescore): a
+        # long token that SURVIVED the forward penalty is re-examined —
+        # if a decomposition within penalty of the compound exists in
+        # the pruned sub-lattice, emit it (and the compound itself when
+        # output_compounds, with pos_len spanning the parts)
+        out: list[JaToken] = []          # built right-to-left
+        last_left_id = -1                # left id of the token to the right
         pos, idx = n, best_idx
         while pos > 0:
             a = arrive[pos][idx]
-            _, _, back_pos, back_idx, surface, known, pos_tag = a
-            out.append(JaToken(surface, back_pos, pos, known, pos_tag))
+            (cost, right_id, back_pos, back_idx, surface, known,
+             pos_tag, left_id, _wc) = a
+            parts = None
+            if self.search_mode:
+                penalty = self._penalty(text, back_pos, pos - back_pos)
+                if penalty > 0:
+                    parts = self._second_best(
+                        arrive, text, back_pos, pos, a, last_left_id,
+                        penalty)
+            if parts:
+                # parts come back left-to-right; emit right-to-left,
+                # the compound LAST here = FIRST in text order (Lucene
+                # pops the altToken before the decompounded parts)
+                for pt in reversed(parts):
+                    out.append(pt)
+                if self.output_compounds:
+                    out.append(JaToken(surface, back_pos, pos, known,
+                                       pos_tag, pos_len=len(parts)))
+                last_left_id = self._arc_left_id(arrive, parts[0])
+            else:
+                out.append(JaToken(surface, back_pos, pos, known, pos_tag))
+                last_left_id = left_id
             pos, idx = back_pos, back_idx
         out.reverse()
         if self.discard_punctuation:
             out = [t for t in out
                    if not all(is_punctuation(c) for c in t.surface)]
         return out
+
+    @staticmethod
+    def _arc_left_id(arrive, token: JaToken) -> int:
+        for a in arrive[token.end]:
+            if a[2] == token.start and a[4] == token.surface:
+                return a[7]
+        return -1
+
+    def _second_best(self, arrive, text: str, bp: int, p: int,
+                     compound_arc, last_left_id: int, penalty: int):
+        """pruneAndRescore (java:1120-1175) + the 2nd-best selection
+        (java:1849-1931): rebuild the [bp, p] sub-lattice from the
+        compound's own best predecessor (force congruence), keeping only
+        arcs wholly inside the span, re-scoring with penalties; accept
+        the cheapest arrival at p within maxCost of the compound if it
+        decomposes (back_pos != bp). Returns the part tokens
+        left-to-right, or None."""
+        (ccost, cright, _, cback_idx, _, _, _, _, _) = compound_arc
+        max_cost = ccost + penalty
+        if last_left_id != -1:
+            max_cost += self.dict.conn_cost(cright, last_left_id)
+        # forced start: the compound's own predecessor arc at bp
+        start_arc = arrive[bp][cback_idx]
+        path_cost, start_right = start_arc[0], start_arc[1]
+        # rebuilt[q] = list of (cost, right_id, back_q, back_ridx,
+        # surface, known, pos_tag, left_id)
+        rebuilt: dict[int, list[tuple]] = {q: [] for q in range(bp, p + 1)}
+        rebuilt[bp].append((path_cost, start_right, -1, -1, "", True,
+                            "", -1))
+        for q in range(bp, p):
+            preds = rebuilt[q]
+            if not preds:
+                continue
+            for to_pos in range(q + 1, p + 1):
+                for a in arrive[to_pos]:
+                    if a[2] != q:
+                        continue
+                    (_, a_right, _, _, a_surface, a_known, a_pos,
+                     a_left, a_wc) = a
+                    least, least_idx = float("inf"), -1
+                    for ridx, pr in enumerate(preds):
+                        c = pr[0] + self.dict.conn_cost(pr[1], a_left)
+                        if c < least:
+                            least, least_idx = c, ridx
+                    least += a_wc + self._penalty(text, q, to_pos - q)
+                    rebuilt[to_pos].append(
+                        (least, a_right, q, least_idx, a_surface,
+                         a_known, a_pos, a_left))
+        best, best_i = float("inf"), -1
+        for i, a in enumerate(rebuilt[p]):
+            c = a[0]
+            if last_left_id != -1:
+                c += self.dict.conn_cost(a[1], last_left_id)
+            if c < best:
+                best, best_i = c, i
+        if best_i < 0 or best > max_cost or rebuilt[p][best_i][2] == bp:
+            return None
+        parts: list[JaToken] = []
+        q, i = p, best_i
+        while q > bp:
+            a = rebuilt[q][i]
+            parts.append(JaToken(a[4], a[2], q, a[5], a[6]))
+            q, i = a[2], a[3]
+        parts.reverse()
+        return parts
 
     def tokens(self, text: str) -> list[str]:
         return [t.surface for t in self.tokenize(text)]
@@ -325,6 +439,38 @@ def demo_dictionary() -> JaDictionary:
         (20, 21): 2000, (21, 20): 2000, (20, 20): 4000, (21, 21): 4000,
     }
     return JaDictionary(entries=entries, conn=conn, default_conn=1000)
+
+
+_DEFAULT_DICT = None
+
+
+def default_dictionary() -> JaDictionary:
+    """The seeded LARGE lexicon (~10k entries — scripts/gen_ja_lexicon.py,
+    VERDICT r4 item 4): IPADIC-shaped structure (kanji nouns/compounds
+    with parts, katakana loanwords, full particle/aux sets, verb
+    conjugations) + a structured 21-class connection matrix. The
+    reference's compiled IPADIC buffer is absent from its checkout, so
+    the data is generated, not extracted — the SEMANTICS (lattice, costs,
+    unknown handling, pruneAndRescore) are the reference's."""
+    global _DEFAULT_DICT
+    if _DEFAULT_DICT is None:
+        import os
+
+        import numpy as np
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "ja_lexicon.npz")
+        z = np.load(path, allow_pickle=True)
+        entries = [
+            DictEntry(str(s), int(l), int(r), int(c), str(p))
+            for s, l, r, c, p in zip(z["surfaces"], z["left_ids"],
+                                     z["right_ids"], z["costs"],
+                                     z["pos"])]
+        conn = {(int(k[0]), int(k[1])): int(v)
+                for k, v in zip(z["conn_keys"], z["conn_vals"])}
+        _DEFAULT_DICT = JaDictionary(entries=entries, conn=conn,
+                                     default_conn=int(z["default_conn"]))
+    return _DEFAULT_DICT
 
 
 # ---- Spark-side vectorized tokenizers (analyzer registry hooks) -----------

@@ -171,10 +171,15 @@ def test_viterbi_equals_bruteforce(seed):
             for r in range(6) for l in range(6) if rng.random() < 0.5}
     d = JaDictionary(entries=entries, conn=conn,
                      default_conn=rng.randint(0, 2000))
-    # search mode: oracle and tokenizer generate identical arc sets
+    # search mode: oracle and tokenizer generate identical arc sets.
+    # Texts capped at 7 chars so no token can carry a search-mode
+    # penalty — the r5 reference-exact semantics applies penalties only
+    # in the backtrace 2nd-best pass (addPenalty=false forward), which
+    # the dedicated pruneAndRescore tests below pin; penalty-free
+    # search == plain min-cost, which this oracle enumerates
     tok = JapaneseTokenizer(d, mode="search", discard_punctuation=False)
     for _ in range(8):
-        text = "".join(rng.choice(chars) for _ in range(rng.randint(1, 9)))
+        text = "".join(rng.choice(chars) for _ in range(rng.randint(1, 7)))
         want = _best_path_bruteforce(text, d, tok)
         got = tok.tokenize(text)
         got_cost_path = [t.surface for t in got]
@@ -232,3 +237,151 @@ def test_japanese_analyzer_index_and_search(spark, tmp_path):
     # query-side analysis runs the same chain: a compound query string
     # segments into its parts and matches as a BooleanQuery
     assert s.count("もも") == 1
+
+
+# ---- r5: pruneAndRescore 2nd-best + the large seeded lexicon ---------------
+
+def _mini_dict(compound_cost, part_cost, conn_nn=500):
+    E = DictEntry
+    return JaDictionary(entries=[
+        E("水力発電", 10, 10, compound_cost),
+        E("水力", 10, 10, part_cost),
+        E("発電", 10, 10, part_cost),
+    ], conn={(0, 10): 0, (10, 0): 0, (10, 10): conn_nn},
+        default_conn=1000)
+
+
+def test_prune_and_rescore_splits_within_threshold():
+    """compound forward cost 1000, parts path 8500, penalty (4-2)*3000 =
+    6000 → maxCost 7000+... = 1000+6000=7000 < 8500? NO — wait:
+    maxCost = compound_cost + penalty = 7000, parts 8500 > 7000 → keep
+    compound. With part_cost 3000 the parts path costs 6500 <= 7000 →
+    redirect (and the compound re-emits with pos_len when kept)."""
+    d_keep = _mini_dict(1000, 4000)
+    t = JapaneseTokenizer(d_keep, mode="search")
+    assert t.tokens("水力発電") == ["水力発電"]      # beyond threshold
+
+    d_split = _mini_dict(1000, 3000)
+    t2 = JapaneseTokenizer(d_split, mode="search")
+    assert t2.tokens("水力発電") == ["水力", "発電"]
+    # NORMAL mode never splits
+    assert JapaneseTokenizer(d_split, mode="normal").tokens("水力発電") \
+        == ["水力発電"]
+    # compound emission with position length (outputCompounds)
+    t3 = JapaneseTokenizer(d_split, mode="search",
+                           discard_compound_token=False)
+    toks = t3.tokenize("水力発電")
+    assert [(tk.surface, tk.pos_len) for tk in toks] == [
+        ("水力発電", 2), ("水力", 1), ("発電", 1)]
+    # offsets: compound spans the parts
+    assert (toks[0].start, toks[0].end) == (0, 4)
+    assert (toks[1].start, toks[1].end) == (0, 2)
+    assert (toks[2].start, toks[2].end) == (2, 4)
+
+
+def test_prune_and_rescore_respects_right_context():
+    """The 2nd-best threshold includes the connection cost to the token
+    on the RIGHT (lastLeftWordID, java:1852-1853) — a particle following
+    the compound changes maxCost."""
+    E = DictEntry
+    d = JaDictionary(entries=[
+        E("水力発電", 10, 10, 1000),
+        E("水力", 10, 10, 3000),
+        E("発電", 11, 11, 3000),
+        E("を", 20, 20, 500),
+    ], conn={(0, 10): 0, (10, 0): 0, (11, 0): 0, (10, 11): 500,
+             (10, 20): -1800, (11, 20): -1800, (20, 0): 0},
+        default_conn=1000)
+    t = JapaneseTokenizer(d, mode="search")
+    out = t.tokens("水力発電を")
+    assert out == ["水力", "発電", "を"]
+
+
+def test_default_dictionary_scale_and_properties():
+    from lucene_spark.analysis.ja import default_dictionary
+
+    d = default_dictionary()
+    assert len(d.entries) >= 9000          # order-10^4 lexicon
+    pos_counts = {}
+    for e in d.entries:
+        pos_counts[e.pos] = pos_counts.get(e.pos, 0) + 1
+    assert pos_counts.get("名詞", 0) >= 6000
+    assert pos_counts.get("助詞", 0) >= 10
+    assert pos_counts.get("動詞", 0) >= 50
+    # deterministic regeneration: loading twice gives the same object
+    assert default_dictionary() is d
+
+
+def test_large_lexicon_normal_vs_search_compounds():
+    """Every 4-kanji compound whose two halves are in the lexicon:
+    NORMAL emits the compound, SEARCH decomposes via pruneAndRescore
+    (compound costs sit below parts-sum but within the 6000 penalty)."""
+    import random
+
+    from lucene_spark.analysis.ja import default_dictionary
+
+    d = default_dictionary()
+    comps = [e.surface for e in d.entries if e.pos == "名詞-固有"]
+    assert len(comps) >= 800
+    tn = JapaneseTokenizer(d, mode="normal")
+    ts = JapaneseTokenizer(d, mode="search")
+    rng = random.Random(7)
+    split = kept = 0
+    for w in rng.sample(comps, 60):
+        nrm = tn.tokens(w)
+        sch = ts.tokens(w)
+        assert "".join(nrm) == w and "".join(sch) == w
+        if nrm == [w] and sch == [w[:2], w[2:]]:
+            split += 1
+        elif nrm == sch:
+            kept += 1
+    # the seeded costs put most compounds within the 6000 penalty window
+    # (split) and leave some beyond it (kept) — both sides of the
+    # pruneAndRescore threshold are exercised, like real IPADIC
+    assert split >= 30, (split, kept)
+    assert kept >= 1, (split, kept)
+
+
+def test_large_lexicon_oov_and_mixed_script():
+    import random
+
+    from lucene_spark.analysis.ja import default_dictionary
+
+    d = default_dictionary()
+    tn = JapaneseTokenizer(d, mode="normal")
+    nouns = [e.surface for e in d.entries if e.pos == "名詞"][:200]
+    rng = random.Random(3)
+    known = unk = 0
+    for _ in range(40):
+        s = "".join(rng.choice(nouns) + rng.choice(["は", "を", "の", "で"])
+                    for _ in range(6))
+        for tk in tn.tokenize(s):
+            known += tk.known
+            unk += not tk.known
+    assert unk == 0 and known > 400        # dictionary text: zero OOV
+    # mixed script: latin/digit/unknown-katakana runs group as unknowns
+    toks = tn.tokenize(nouns[0] + "は Spark3 で ミャンマオーク を")
+    surf = [t.surface for t in toks]
+    assert "Spark" in surf and "3" in surf and "ミャンマオーク" in surf
+    assert [t.known for t in toks if t.surface in
+            ("Spark", "3", "ミャンマオーク")] == [False, False, False]
+
+
+def test_large_lexicon_viterbi_equals_bruteforce():
+    """The exhaustive-path oracle holds on the big lexicon too (short
+    penalty-free texts — see test_viterbi_equals_bruteforce)."""
+    import random
+
+    from lucene_spark.analysis.ja import default_dictionary
+
+    d = default_dictionary()
+    tok = JapaneseTokenizer(d, mode="search", discard_punctuation=False)
+    nouns = [e.surface for e in d.entries if e.pos == "名詞"][:40]
+    rng = random.Random(11)
+    for _ in range(10):
+        text = (rng.choice(nouns) + rng.choice(["は", "を", "の"])
+                + rng.choice(nouns))[:7]
+        want = _best_path_bruteforce(text, d, tok)
+        got = [t.surface for t in tok.tokenize(text)]
+        assert "".join(got) == text
+        assert want is not None
