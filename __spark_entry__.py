@@ -6863,6 +6863,106 @@ FROM documents
 
 _IDX_VEC_CACHE: dict[str, tuple] = {}
 
+def _ko_gate_vectors() -> dict:
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "lucene_spark", "analysis", "data",
+                        "ko_gate_vectors.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def ft_ko_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Korean lattice segmentation over the LARGE seeded lexicon (r5,
+    VERDICT r4 item 4 — ~7k mecab-ko-dic-shaped entries,
+    scripts/gen_ko_lexicon.py): 80 deterministic sentences (10x the
+    ft_ko_tokens vector count) mixing NNG/NNP nouns, COMPOUND entries,
+    josa particles and OOV latin/digit/cyrillic/kana runs; all THREE
+    decompound modes run distributed (DISCARD with the default POS stop
+    chain, MIXED, NONE — KoreanTokenizer.java:1029-1086) and must equal
+    the frozen committed vectors. 39 of 80 sentences decompose
+    differently across modes."""
+    vec = _ko_gate_vectors()
+    sents = vec["sents"]
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % len(sents)).alias("v"))
+
+    def _mk(mode):
+        @F.pandas_udf("string")
+        def _f(vs: pd.Series) -> pd.Series:
+            from lucene_spark.analysis.ko import (KoreanTokenizer,
+                                                  default_dictionary)
+
+            tok = KoreanTokenizer(default_dictionary(),
+                                  decompound_mode=mode)
+            return vs.map(lambda v: "|".join(tok.tokens(sents[int(v)])))
+        return _f
+
+    return d.select(
+        "doc_id",
+        _mk("discard")(F.col("v")).alias("discard_tokens"),
+        _mk("mixed")(F.col("v")).alias("mixed_tokens"),
+        _mk("none")(F.col("v")).alias("none_tokens"))
+
+
+def _ko_large_sql() -> str:
+    vec = _ko_gate_vectors()
+    n = len(vec["sents"])
+
+    def case(vals):
+        arms = "\n".join(f"  WHEN {i} THEN '{v}'"
+                         for i, v in enumerate(vals))
+        return f"CASE doc_id % {n}\n{arms}\nEND"
+
+    return (f"SELECT doc_id, {case(vec['discard'])} AS discard_tokens,\n"
+            f"{case(vec['mixed'])} AS mixed_tokens,\n"
+            f"{case(vec['none'])} AS none_tokens FROM documents")
+
+
+def _cn_gate_vectors() -> dict:
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "lucene_spark", "analysis", "data",
+                        "cn_gate_vectors.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def ft_cn_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinese HHMM segmentation over the LARGE seeded model (r5,
+    VERDICT r4 item 4 — ~13k words + ~29k bigrams with ambiguous
+    3-char overlaps, scripts/gen_cn_lexicon.py): 80 deterministic
+    sentences (10x the ft_cn_tokens vector count) mixing 2/3/4-char
+    words, latin/digit runs and delimiters; the full
+    SegGraph→BiSegGraph→shortest-path chain runs distributed and must
+    equal the frozen committed vectors."""
+    vec = _cn_gate_vectors()
+    sents = vec["sents"]
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % len(sents)).alias("v"))
+
+    @F.pandas_udf("string")
+    def _cl(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.smartcn import (SmartChineseTokenizer,
+                                                   default_model)
+
+        tok = SmartChineseTokenizer(default_model())
+        return vs.map(lambda v: "|".join(tok.tokens(sents[int(v)])))
+
+    return d.select("doc_id", _cl(F.col("v")).alias("tokens"))
+
+
+def _cn_large_sql() -> str:
+    vec = _cn_gate_vectors()
+    n = len(vec["sents"])
+    arms = "\n".join(f"  WHEN {i} THEN '{v}'"
+                     for i, v in enumerate(vec["tokens"]))
+    return (f"SELECT doc_id, CASE doc_id % {n}\n{arms}\nEND AS tokens "
+            "FROM documents")
+
+
 
 def _vec_searcher(spark: SparkSession, sf_dir: str):
     """Gate index with a VECTOR FIELD: the embeddings table's vector
@@ -7511,6 +7611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-5 gates (no driver evidence yet) ---
         "rel_shape_relate": rel_shape_relate,
         "ft_ja_large": ft_ja_large,
+        "ft_ko_large": ft_ko_large,
+        "ft_cn_large": ft_cn_large,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -7886,6 +7988,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_shape_contains": REL_SHAPE_CONTAINS_SQL,
         "rel_shape_relate": REL_SHAPE_RELATE_SQL,
         "ft_ja_large": _ja_large_sql(),
+        "ft_ko_large": _ko_large_sql(),
+        "ft_cn_large": _cn_large_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,

@@ -271,6 +271,42 @@ def demo_dictionary() -> KoDictionary:
     return KoDictionary(entries=entries, conn=conn, default_conn=1200)
 
 
+_DEFAULT_DICT = None
+
+
+def default_dictionary() -> KoDictionary:
+    """The seeded LARGE lexicon (~7k entries — scripts/gen_ko_lexicon.py,
+    VERDICT r4 item 4): mecab-ko-dic-shaped structure (NNG/NNP nouns,
+    COMPOUND entries with NNG morphemes for the decompound modes, the
+    josa/ending function sets the POS stop filter drops, VV/VA/MAG) +
+    a structured connection matrix. Generated, not extracted — the
+    reference checkout ships no word-cost buffer; the SEMANTICS are
+    the reference's (test_ko.py)."""
+    global _DEFAULT_DICT
+    if _DEFAULT_DICT is None:
+        import os
+
+        import numpy as np
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "ko_lexicon.npz")
+        z = np.load(path, allow_pickle=True)
+        entries = []
+        for s, l, r, c, p, pt, m in zip(
+                z["surfaces"], z["left_ids"], z["right_ids"], z["costs"],
+                z["pos"], z["pos_types"], z["morphemes"]):
+            morphs = tuple(tuple(part.split(":", 1))
+                           for part in str(m).split("|") if part)
+            entries.append(KoDictEntry(
+                str(s), int(l), int(r), int(c), pos=str(p),
+                pos_type=str(pt), morphemes=morphs))
+        conn = {(int(k[0]), int(k[1])): int(v)
+                for k, v in zip(z["conn_keys"], z["conn_vals"])}
+        _DEFAULT_DICT = KoDictionary(entries=entries, conn=conn,
+                                     default_conn=int(z["default_conn"]))
+    return _DEFAULT_DICT
+
+
 _KO_TOK = None
 
 

@@ -243,6 +243,36 @@ def demo_model() -> ChineseModel:
     return ChineseModel(words=words, bigrams=bigrams)
 
 
+_DEFAULT_MODEL = None
+
+
+def default_model() -> ChineseModel:
+    """The seeded LARGE model (~13k words + ~29k bigrams —
+    scripts/gen_cn_lexicon.py, VERDICT r4 item 4): 2-char bulk with
+    Zipf frequencies, ambiguous 3-char overlaps (ABC with AB and BC
+    both present — bigram evidence decides, the 研究生命 shape),
+    4-char idioms, single-char fallbacks. Generated, not extracted —
+    the reference ships no trained .mem binaries; the weight/graph
+    SEMANTICS are pinned by the brute-force oracle in
+    tests/test_smartcn.py."""
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        import os
+
+        import numpy as np
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "cn_model.npz")
+        z = np.load(path, allow_pickle=True)
+        words = {str(w): int(f)
+                 for w, f in zip(z["surfaces"], z["freqs"])}
+        bigrams = {(str(a), str(b)): int(f)
+                   for a, b, f in zip(z["bigram_l"], z["bigram_r"],
+                                      z["bigram_f"])}
+        _DEFAULT_MODEL = ChineseModel(words=words, bigrams=bigrams)
+    return _DEFAULT_MODEL
+
+
 _CN_TOK = None
 
 

@@ -85,3 +85,64 @@ def test_analyzer_registered(spark):
     assert "삼성" in toks and "전자" in toks
     assert "computer" in toks          # lowercase stage
     assert "는" not in toks
+
+
+# ---- r5: large seeded lexicon (VERDICT r4 item 4) --------------------------
+
+def test_default_dictionary_scale():
+    from lucene_spark.analysis.ko import default_dictionary
+
+    d = default_dictionary()
+    assert len(d.entries) >= 6500
+    comps = [e for e in d.entries if e.pos_type == "COMPOUND"]
+    assert len(comps) >= 700
+    assert all(len(e.morphemes) == 2 for e in comps)
+    assert default_dictionary() is d        # cached singleton
+
+
+def test_large_lexicon_decompound_modes():
+    import random
+
+    from lucene_spark.analysis.ko import (KoreanTokenizer,
+                                          default_dictionary)
+
+    d = default_dictionary()
+    comps = [e for e in d.entries if e.pos_type == "COMPOUND"]
+    td = KoreanTokenizer(d)
+    tm = KoreanTokenizer(d, decompound_mode="mixed")
+    tn = KoreanTokenizer(d, decompound_mode="none")
+    rng = random.Random(9)
+    hits = 0
+    for e in rng.sample(comps, 40):
+        w = e.surface
+        n_toks = tn.tokens(w)
+        if n_toks != [w]:
+            continue                 # a cheaper split beat the compound
+        hits += 1
+        parts = [s for _, s in e.morphemes]
+        assert td.tokens(w) == parts
+        assert tm.tokens(w) == [w] + parts
+    assert hits >= 25                 # most compounds win their lattice
+
+
+def test_large_lexicon_oov_mixed_script():
+    import random
+
+    from lucene_spark.analysis.ko import (KoreanTokenizer,
+                                          default_dictionary)
+
+    d = default_dictionary()
+    t = KoreanTokenizer(d)
+    nouns = [e.surface for e in d.entries
+             if e.pos == "NNG" and e.pos_type == "MORPHEME"][:100]
+    rng = random.Random(4)
+    # dictionary text: particles dropped by the POS stop chain, zero OOV
+    for _ in range(20):
+        s = "".join(rng.choice(nouns) + rng.choice(["는", "를", "에"])
+                    for _ in range(4))
+        toks = t.tokenize(s)
+        assert all(tk.known for tk in toks)
+        assert all(tk.pos not in ("J", "E") for tk in toks)
+    # mixed script runs stay unknown single tokens
+    surf = t.tokens(nouns[0] + "Spark2026입니다테스트")
+    assert "spark" in surf and "2026" in surf

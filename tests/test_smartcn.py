@@ -114,3 +114,41 @@ def test_analyzer_registered(spark):
     toks = a.tokenize_series(pd.Series(["研究生命起源 Hello"])).iloc[0]
     assert toks[:3] == ["研究", "生命", "起源"]
     assert "hello" in toks
+
+
+# ---- r5: large seeded model (VERDICT r4 item 4) ----------------------------
+
+def test_default_model_scale_and_ambiguity():
+    from lucene_spark.analysis.smartcn import (SmartChineseTokenizer,
+                                               default_model)
+
+    m = default_model()
+    assert len(m.words) >= 12000
+    assert len(m.bigrams) >= 25000
+    threes = [w for w in m.words if len(w) == 3]
+    assert len(threes) >= 1800
+    # the seeded ambiguity invariant: for a 3-char word ABC, both AB
+    # and BC exist, so the SegGraph carries competing paths
+    import random
+
+    rng = random.Random(2)
+    for w in rng.sample(threes, 50):
+        assert m.freq(w[:2]) > 0 and m.freq(w[1:]) > 0
+    assert default_model() is m
+
+
+def test_large_model_segmentation_covers_text():
+    import random
+
+    from lucene_spark.analysis.smartcn import (SmartChineseTokenizer,
+                                               default_model)
+
+    m = default_model()
+    tok = SmartChineseTokenizer(m)
+    twos = [w for w in m.words if len(w) == 2 and "#" not in w][:300]
+    rng = random.Random(6)
+    for _ in range(30):
+        s = "".join(rng.choice(twos) for _ in range(5)) + "ABC123"
+        toks = tok.tokens(s)
+        assert "".join(toks).lower() == s.lower().replace("，", "")
+        assert "abc" in toks and "123" in toks
