@@ -6963,6 +6963,60 @@ def _cn_large_sql() -> str:
             "FROM documents")
 
 
+_MORFO_SENTS = [
+    "liście danych",
+    "Poznania poznania",
+    "Aarona aarona nieznanetoken",
+    "AGD agd",
+    "Liście Danych",
+    "berbliach berborlisach berchoach",
+    "berkahoranych berruhoranych tom",
+    "a ęóąśłżźćń",
+]
+_MORFO_EXPECT = [
+    "liście|liść|list|lista|dany|dana|dane|dać",
+    "Poznań|poznanie|poznać",
+    "Aaron|aarona|nieznanetoken",
+    "AGD|artykuły gospodarstwa domowego|artykuły gospodarstwa domowego",
+    "liście|liść|list|lista|dany|dana|dane|dać",
+    "berbli|berborlisa|bercho",
+    "berkahorać|berruhorać|tom|tona",
+    "a|ęóąśłżźćń",
+]
+
+
+def ft_morfologik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polish Morfologik dictionary lemmatization (r5, VERDICT r4 item
+    9 — morfologik/MorfologikFilter.java: exact-then-lowercase lookup,
+    ALL lemmas at one position, pass-through on miss; the seeded
+    dictionary carries the reference's own TestMorfologikAnalyzer
+    vectors verbatim plus ~2k generated paradigms —
+    analysis/morfologik.py + scripts/gen_pl_morfodict.py): each doc
+    runs a deterministic sentence (doc_id % 8) through the analyzer
+    chain distributed; rows 0/1/2/3/4 ARE the reference's published
+    expectations (liście/danych, Poznania-vs-poznania case handling,
+    Aarona with no lowercase entry, the AGD expansion, uppercase
+    fold), rows 5/6 exercise the generated declension/conjugation
+    paradigms, row 7 the miss pass-through."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _mf(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("morfologik")
+        return a.tokenize_series(
+            vs.map(lambda v: _MORFO_SENTS[int(v)])).map("|".join)
+
+    return d.select("doc_id", _mf(F.col("v")).alias("lemmas"))
+
+
+FT_MORFOLOGIK_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_MORFO_EXPECT))
+    + "\nEND AS lemmas FROM documents")
+
+
 
 def _vec_searcher(spark: SparkSession, sf_dir: str):
     """Gate index with a VECTOR FIELD: the embeddings table's vector
@@ -7613,6 +7667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ja_large": ft_ja_large,
         "ft_ko_large": ft_ko_large,
         "ft_cn_large": ft_cn_large,
+        "ft_morfologik": ft_morfologik,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -7990,6 +8045,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ja_large": _ja_large_sql(),
         "ft_ko_large": _ko_large_sql(),
         "ft_cn_large": _cn_large_sql(),
+        "ft_morfologik": FT_MORFOLOGIK_SQL,
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,

@@ -1019,6 +1019,17 @@ from lucene_spark.analysis.smartcn import cn_token_lists  # noqa: E402
 CUSTOM_TOKENIZERS["cn_hhmm"] = cn_token_lists
 register_analyzer(Analyzer(name="smartcn", custom_tokenizer="cn_hhmm"))
 
+# Polish Morfologik lemmatizer (morfologik/MorfologikFilter.java:
+# exact-then-lowercase dictionary lookup, ALL lemmas emitted at the same
+# position, pass-through on miss) — analysis/morfologik.py over the
+# seeded Polimorf-role dictionary (the reference's own
+# TestMorfologikAnalyzer vectors seeded verbatim).
+from lucene_spark.analysis.morfologik import morfologik_token_lists  # noqa: E402
+
+CUSTOM_TOKENIZERS["pl_morfologik"] = morfologik_token_lists
+register_analyzer(Analyzer(name="morfologik",
+                           custom_tokenizer="pl_morfologik"))
+
 # Polish (stempel/pl/PolishAnalyzer.java: StandardTokenizer → LowerCase →
 # Stop(carrot2 list) → StempelFilter over the trained Egothor trie table).
 # The stemmer runs the reference's own table (extracted data, see
