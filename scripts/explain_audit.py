@@ -609,18 +609,21 @@ def main() -> None:
         ],
     ))
 
-    # N. round-4: vector field KNN — the corpus is never shuffled (one
-    # mapInPandas over the vector sidecar, shard top-k, tiny global
-    # reduce), and the scan prunes to (doc_id, vector)
+    # N. round-4: vector field KNN LAZY fallback — the corpus is never
+    # shuffled (one mapInPandas over the vector sidecar, shard top-k,
+    # tiny global reduce), and the scan prunes to (doc_id, vector).
+    # Since r5 the gate index carries a graph sidecar, so the lazy path
+    # is forced here with non-sidecar graph params (m_neighbors=9);
+    # the stored-graph serving plan has its own section below.
     vr, vs = gate._vec_searcher(spark, sf_dir)
     qv = list(gate._t(spark, sf_dir, "embeddings")
               .filter(F.col("vec_id") == 0).select("embedding").head()[0])
     from lucene_spark.search.knnfield import knn_field_topk, knn_rescore
 
-    kdf = knn_field_topk(vs, "embedding", qv, k=10)
+    kdf = knn_field_topk(vs, "embedding", qv, k=10, m_neighbors=9)
     p = plan_of(kdf)
     sections.append((
-        "vector-field KNN (per-partition NSW)", p,
+        "vector-field KNN (lazy per-partition NSW fallback)", p,
         [
             ("no shuffle before the shard search (single Exchange only "
              "for the global top-k reduce)",
@@ -688,6 +691,68 @@ def main() -> None:
              "no name/address cols)",
              "ReadSchema" in p
              and "c_name" not in p.split("ReadSchema")[1][:500]),
+        ],
+    ))
+
+    # ---- round 5: shape-vs-shape relate (broadcast query, no corpus
+    # shuffle beyond the per-shape bool aggregation) ----
+    from lucene_spark.relational.shapes import (relate_polygon,
+                                                shape_triangles)
+
+    sq = gate._t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("sid"),
+        F.array(F.array(F.lit(0.0), F.lit(0.0)),
+                F.array(F.lit(0.0), F.lit(1.0)),
+                F.array(F.lit(1.0), F.lit(1.0)),
+                F.array(F.lit(1.0), F.lit(0.0))).alias("ring"))
+    tris = shape_triangles(sq, "sid", "ring")
+    rel = relate_polygon(tris, gate._RELATE_QUERY, "within")
+    p = plan_of(rel)
+    sections.append((
+        "shape-vs-shape relate (broadcast query + triangle kernel)", p,
+        [
+            ("no join at all: the query rides the task closure "
+             "(broadcast), the only shuffle is the per-shape bool "
+             "aggregate",
+             "Join" not in p and "CartesianProduct" not in p),
+            ("per-shape aggregation is partial (map-side combine "
+             "before the exchange)",
+             "partial_min" in p or "partial_max" in p),
+            ("relate kernel is Arrow-vectorized (no row-at-a-time "
+             "python)", "BatchEvalPython" not in p),
+        ],
+    ))
+
+    # ---- round 5: KNN field serving from the persisted graph sidecar ----
+    p = plan_of(knn_field_topk(vs, "embedding", qv, k=10,
+                               strict_sidecar=True))
+    sections.append((
+        "KNN field top-k (stored-graph sidecar serving)", p,
+        [
+            ("global reduce is TakeOrderedAndProject over shard "
+             "candidates (no full sort, no corpus scan in the plan — "
+             "tasks do targeted per-file pyarrow reads)",
+             "TakeOrderedAndProject" in p and "docstats" not in p),
+            ("no join / corpus shuffle on the query path",
+             "Join" not in p and "CartesianProduct" not in p),
+        ],
+    ))
+
+    # ---- round 5: collation keys are one vectorized kernel per batch ----
+    from lucene_spark.analysis.collation import collation_key_udf
+
+    dw = gate._t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("w")).distinct()
+    p = plan_of(dw.select("w", collation_key_udf("da")("w").alias("k")))
+    sections.append((
+        "collation key projection (numpy-LUT batch kernel)", p,
+        [
+            ("Arrow-vectorized UDF (ArrowEvalPython, not row-at-a-time "
+             "BatchEvalPython)",
+             "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+            ("scan prunes to the keyed column only",
+             "ReadSchema" in p and "text" not in
+             p.split("ReadSchema")[1][:300]),
         ],
     ))
 
