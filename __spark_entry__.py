@@ -6984,6 +6984,61 @@ _MORFO_EXPECT = [
     "a|ęóąśłżźćń",
 ]
 
+_MH_SENTS = [
+    "the quick brown fox jumps over the lazy dog and the quick cat",
+    "a slow green turtle walks under the lazy dog slowly",
+    "quick quick quick repetition of the word quick here",
+    "nothing matches in this sentence at all",
+    "the lazy dog sleeps while the quick fox watches the lazy dog",
+    "prefix terms like jumping and jumps and jumped match the wildcard",
+    "lazy dog at the start lazy dog in the middle and at the end lazy dog",
+    "one quick word",
+]
+_MH_EXPECT = [
+    (" <b>jumps</b> over the <b>lazy dog</b> and the <b>quick</b> c", 4),
+    ("n turtle walks under the <b>lazy dog</b> slowly", 1),
+    ("<b>quick</b> <b>quick</b> <b>quick</b> repetition of the word", 4),
+    ("", 0),
+    ("while the <b>quick</b> fox watches the <b>lazy dog</b>", 3),
+    (" like <b>jumping</b> and <b>jumps</b> and <b>jumped</b> match", 3),
+    ("<b>lazy dog</b> at the start <b>lazy dog</b> in the mi", 3),
+    ("one <b>quick</b> word", 1),
+]
+
+
+def ft_match_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-region highlighter (r5 — lucene/highlighter/matchhighlight:
+    MatchRegionRetriever + PassageSelector + MatchHighlighter,
+    search/matchhighlight.py): regions come from the QUERY'S OWN match
+    structure (the phrase "lazy dog" is ONE region; the prefix jum*
+    matches per expanded token; boolean = union of positive clauses),
+    offsets via the shared re-analysis tokenizer (OffsetsFromPositions
+    role), passages picked by the reference's DEFAULT_SCORER (marker
+    count, covered length) in a bounded queue with overlap dedup.
+    Frozen expectations per doc_id % 8; `n_regions` pins the raw
+    region count independent of passage selection."""
+    from lucene_spark.search.matchhighlight import match_highlight
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+    sents = F.array(*[F.lit(s) for s in _MH_SENTS])
+    dd = d.select("doc_id", F.element_at(
+        sents, (F.col("v") + 1).cast("int")).alias("sent"))
+    out = match_highlight(dd, "sent", '"lazy dog" OR quick OR jum*',
+                          analyzer="whitespace",
+                          max_passage_window=40, max_passages=2)
+    return out.select("doc_id",
+                      F.col("match_snippet").alias("snippet"),
+                      F.size("match_regions").alias("n_regions"))
+
+
+FT_MATCH_HIGHLIGHT_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v[0]}'" for i, v in enumerate(_MH_EXPECT))
+    + "\nEND AS snippet, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN {v[1]}" for i, v in enumerate(_MH_EXPECT))
+    + "\nEND AS n_regions FROM documents")
+
+
 
 def ft_morfologik(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polish Morfologik dictionary lemmatization (r5, VERDICT r4 item
@@ -7668,6 +7723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ko_large": ft_ko_large,
         "ft_cn_large": ft_cn_large,
         "ft_morfologik": ft_morfologik,
+        "ft_match_highlight": ft_match_highlight,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8046,6 +8102,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ko_large": _ko_large_sql(),
         "ft_cn_large": _cn_large_sql(),
         "ft_morfologik": FT_MORFOLOGIK_SQL,
+        "ft_match_highlight": FT_MATCH_HIGHLIGHT_SQL,
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
