@@ -7434,12 +7434,12 @@ FT_TH_TOKENS_SQL = ("SELECT doc_id, CASE doc_id % 4\n" + "\n".join(
 
 
 _COLL_WORDS = [
-    "zebra", "älg", "Örn", "côte", "cote", "über", "uber", "Ärlig",
-    "årlig", "résumé", "müller", "Müller", "Ångström", "angstrom",
-    "čar", "peña", "ırmak", "ilk", "hız", "Istanbul", "İzmir",
-    "aalborg", "Aalborg", "ål", "æble",
+    "zebra", "älg", "Örn", "über", "uber", "Ärlig", "årlig", "résumé",
+    "müller", "Müller", "čar", "ırmak", "ilk", "Istanbul", "İzmir",
+    "aalborg", "ål", "æble", "chata", "hrad", "ihned", "łaska", "las",
+    "kocsma", "kocka",
 ]
-_COLL_LOCALES = ("sv", "tr", "da")
+_COLL_LOCALES = ("sv", "tr", "da", "pl", "cs", "hu")
 
 
 def ft_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7448,10 +7448,12 @@ def ft_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc derives a word (doc_id % 25), its collation key is
     computed DISTRIBUTED (ONE numpy-LUT kernel per Arrow batch, no
     per-char Python — VERDICT r4 item 5), and the distinct words rank by
-    key under THREE tailorings: sv (å ä ö after z), tr (the dotless-i
-    trap: ASCII I sorts with ı before i — CLDR &H<ı<<<I), and da (æ ø å
-    after z, caseFirst=upper, and the aa digraph equal to å — the two
-    classic tailoring traps). The oracle is REAL ICU: DuckDB's
+    key under SIX tailorings: sv (å ä ö after z), tr (the dotless-i
+    trap: ASCII I sorts with ı before i — CLDR &H<ı<<<I), da (æ ø å
+    after z, caseFirst=upper, the aa digraph equal to å), pl (ą ć ę ł
+    ń ó ś ź ż as separate primaries), cs (the ch digraph between h and
+    i: duha < duch < chyba), and hu (the nine digraph letters incl.
+    kocka < kocsma). The oracle is REAL ICU: DuckDB's
     `ORDER BY w COLLATE <locale>` — a live independent collator, not
     hand-written expectations."""
     from lucene_spark.analysis.collation import collation_key_udf

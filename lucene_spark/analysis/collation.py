@@ -41,7 +41,10 @@ per-character loop on the hot path. Only stray combining marks (rare
 after NFC) take a short loop over the mark positions, and the final
 per-row assembly is numpy slice + tobytes.
 
-Supported locales: "root"/"en", "sv", "fi", "de", "tr", "da".
+Supported locales: "root"/"en", "sv", "fi", "de", "tr", "da",
+"pl", "cs" (incl. the ch-digraph trap: duha < duch < chyba), "hu"
+(all nine digraph letters cs dz dzs gy ly ny sz ty zs as separate
+primaries, ö/ü separate with ő/ű secondary).
 Unsupported locales raise — a silent wrong order is worse than an
 error. DUCET specials ı/ø/ð/đ/þ/æ/œ/ß are placed per locale (all
 verified against ICU; see tests/test_collation.py's cross-locale
@@ -55,7 +58,7 @@ import unicodedata
 import numpy as np
 import pandas as pd
 
-_LOCALES = ("root", "en", "sv", "fi", "de", "tr", "da")
+_LOCALES = ("root", "en", "sv", "fi", "de", "tr", "da", "pl", "cs", "hu")
 
 # CLDR root secondary ordering of Latin combining marks (NOT codepoint
 # order): acute < grave < breve < circumflex < caron < ring < diaeresis
@@ -66,7 +69,7 @@ _MARK_ORDER = [0x313, 0x314, 0x301, 0x300, 0x306, 0x302, 0x30C, 0x30A,
                0x30E, 0x312, 0x305, 0x309, 0x30F, 0x310, 0x311]
 _MARK_SEC = {cp: 0x21 + i for i, cp in enumerate(_MARK_ORDER)}
 
-_LUT_SIZE = 0xE030            # BMP Latin + private-use digraph/ligature slots
+_LUT_SIZE = 0xE060            # BMP Latin + private-use digraph/ligature slots
 _MARK_P = 0xFFFF              # primary sentinel: fold into prev secondary
 _SEC_BASE = 0x20
 _TER_LO, _TER_UP = 0x02, 0x08
@@ -78,6 +81,25 @@ _DA_DIGRAPH = {"aa": "", "Aa": "", "AA": "",
 import re as _re
 
 _DA_RE = _re.compile("aa|AA|Aa|aA")
+
+# Czech ch digraph (CLDR cs &H<ch<<<Ch<<<CH — its own primary between
+# h and i, contraction applies mid-word: duha < duch < chyba) and the
+# nine Hungarian digraphs (CLDR hu: cs dz dzs gy ly ny sz ty zs are
+# separate primaries after their base letter: kocka < kocsma < kod).
+# One regex pass per batch substitutes private-use element chars;
+# longest alternatives first so dzs beats dz. Double digraphs (hu
+# ccs = cs+cs) are a documented omission.
+_CS_MAP = {"ch": "\ue004", "Ch": "\ue005", "CH": "\ue006",
+           "cH": "\ue007"}
+_CS_RE = _re.compile("ch|Ch|CH|cH")
+_HU_DIGRAPHS = ["dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs"]
+_HU_MAP = {}
+for _i, _d in enumerate(_HU_DIGRAPHS):
+    _HU_MAP[_d] = chr(0xE040 + 3 * _i)
+    _HU_MAP[_d.capitalize()] = chr(0xE040 + 3 * _i + 1)
+    _HU_MAP[_d.upper()] = chr(0xE040 + 3 * _i + 2)
+_HU_RE = _re.compile("|".join(
+    sorted(_HU_MAP, key=len, reverse=True)))
 
 
 def _mark_secondary(cp: int) -> int:
@@ -156,8 +178,48 @@ def _entry(cp: int, locale: str):
             return 0x300 + 8 * off, _SEC_BASE, ter
         if lo == "ü":                      # CLDR sv/fi &y<<ü
             return _base_prim("y"), 0x90, ter
+        if locale == "sv" and lo == "ő":   # CLDR sv &ö<<ő (fi keeps root)
+            return 0x300 + 8 * 28, 0x91, ter
+        if locale == "sv" and lo == "ű":   # CLDR sv &ü<<ű
+            return _base_prim("y"), 0x91, ter
+        if locale == "sv" and lo == "ę":   # ICU sv: ä << æ << ę
+            return 0x300 + 8 * 27, 0x91, ter
         if locale == "sv" and lo == "œ":   # CLDR sv &ö<<ø<<œ
             return 0x300 + 8 * 28, 0x91, ter
+    if locale == "pl":
+        # CLDR pl: ą ć ę ł ń ó ś ź ż are separate primaries after their
+        # base letter (…z < ź < ż)
+        ins = {"ą": ("a", 4), "ć": ("c", 4), "ę": ("e", 4),
+               "ł": ("l", 4), "ń": ("n", 4), "ó": ("o", 4),
+               "ś": ("s", 4), "ź": ("z", 2), "ż": ("z", 4)}
+        if lo in ins:
+            base, off = ins[lo]
+            return _base_prim(base) + off, _SEC_BASE, ter
+    if locale == "cs":
+        ins = {"č": ("c", 4), "ř": ("r", 4), "š": ("s", 4),
+               "ž": ("z", 4)}
+        if lo in ins:
+            base, off = ins[lo]
+            return _base_prim(base) + off, _SEC_BASE, ter
+        if 0xE004 <= cp <= 0xE007:        # ch digraph, primary after h
+            ters = {0xE004: 0x02, 0xE005: 0x05, 0xE006: 0x08,
+                    0xE007: 0x06}
+            return _base_prim("h") + 4, _SEC_BASE, ters[cp]
+    if locale == "hu":
+        if lo == "ö":                      # CLDR hu &o<ö<<ő
+            return _base_prim("o") + 4, _SEC_BASE, ter
+        if lo == "ő":
+            return _base_prim("o") + 4, 0x90, ter
+        if lo == "ü":                      # CLDR hu &u<ü<<ű
+            return _base_prim("u") + 4, _SEC_BASE, ter
+        if lo == "ű":
+            return _base_prim("u") + 4, 0x90, ter
+        if 0xE040 <= cp < 0xE040 + 3 * len(_HU_DIGRAPHS):
+            k, case = divmod(cp - 0xE040, 3)
+            d = _HU_DIGRAPHS[k]
+            off = {"dz": 2, "dzs": 4}.get(d, 4)
+            return (_base_prim(d[0]) + off, _SEC_BASE,
+                    (0x02, 0x05, 0x08)[case])
     if locale == "da":
         if lo in ("æ", "ø", "å"):
             off = {"æ": 26, "ø": 27, "å": 28}[lo]
@@ -168,6 +230,10 @@ def _entry(cp: int, locale: str):
             return 0x300 + 8 * 27, 0x90, ter
         if lo == "ü":                      # CLDR da &y<<ü
             return _base_prim("y"), 0x90, ter
+        if lo == "ő":                      # CLDR da &ø<<ö<<ő
+            return 0x300 + 8 * 27, 0x91, ter
+        if lo == "ű":                      # CLDR da &y<<ü<<ű
+            return _base_prim("y"), 0x91, ter
         if 0xE000 <= cp <= 0xE003:
             # aa digraph, tertiary-after å with upper-first case order
             # (CLDR da &å<<<aa<<<Aa<<<AA + caseFirst=upper):
@@ -196,6 +262,8 @@ def _entry(cp: int, locale: str):
         return _base_prim("d"), 0x9C, ter
     if lo == "đ":
         return _base_prim("d"), 0x9A, ter
+    if lo == "ł":                          # l-stroke: secondary on l
+        return _base_prim("l"), 0x9A, ter
 
     d = unicodedata.decomposition(ch)
     base, marks = ch, []
@@ -213,9 +281,6 @@ def _entry(cp: int, locale: str):
             mcp = ord(m)
             if 0x300 <= mcp <= 0x36F:
                 sec = max(sec, _mark_secondary(mcp))
-        if locale == "de" and lo in "äöü" and ch in "äöüÄÖÜ":
-            # CLDR de: umlaut secondary above every combining-mark accent
-            sec = 0x90
         if locale == "da":
             return prim, sec, _TER_LO if base.isupper() else 0x04
         return prim, sec, _TER_UP if base.isupper() else _TER_LO
@@ -260,6 +325,10 @@ def collation_keys(texts, locale: str = "root") -> list[str]:
     joined = unicodedata.normalize("NFC", "\x00".join(vals))
     if locale == "da":
         joined = _DA_RE.sub(lambda m: _DA_DIGRAPH[m.group(0)], joined)
+    elif locale == "cs":
+        joined = _CS_RE.sub(lambda m: _CS_MAP[m.group(0)], joined)
+    elif locale == "hu":
+        joined = _HU_RE.sub(lambda m: _HU_MAP[m.group(0)], joined)
     table = _EXP_CACHE.get(locale)
     if table is None:
         table = _EXP_CACHE.setdefault(locale, _expansion_table(locale))

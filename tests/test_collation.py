@@ -68,14 +68,34 @@ SPECIAL_WORDS = ["aeble", "æble", "aebla", "Aeble", "Æble", "oe", "œ",
                  "i", "ı", "iz", "ıa", "j", "o", "ø", "oz", "øa", "ö", "p"]
 
 
-@pytest.mark.parametrize("locale", ["sv", "de", "en", "fi", "tr", "da"])
+PL_WORDS = ["las", "łaska", "luk", "ma", "mą", "można", "nic", "ński",
+            "oko", "ósemka", "pora", "sad", "śad", "worek", "zima",
+            "źle", "żaba", "ze", "za", "cena", "ćma", "da", "eko",
+            "ęk", "Łaska", "ŁASKA", "źrebak", "żart", "Zima"]
+CS_WORDS = ["hrad", "chata", "ihned", "cena", "čas", "cibule", "rada",
+            "řada", "sama", "šance", "zima", "žena", "chyba", "hory",
+            "Chata", "CHata", "duha", "duch", "ducha", "cukr", "ěšte"]
+HU_WORDS = ["cukor", "csak", "dal", "gaz", "gyar", "nap", "nyak",
+            "szel", "tel", "tyuk", "zeb", "zsir", "sor", "oz", "öz",
+            "őz", "pa", "ón", "on", "uj", "üj", "űj", "ár", "ax", "az",
+            "éld", "elem", "ív", "ipar", "dzeta", "dzsem", "kocka",
+            "kocsma", "kod", "Csak", "CSAK", "madzag", "nagy", "nagyi",
+            "nany"]
+
+
+@pytest.mark.parametrize("locale", ["sv", "de", "en", "fi", "tr", "da",
+                                    "pl", "cs", "hu"])
 @pytest.mark.parametrize("words", [WORDS, TR_WORDS, DA_WORDS,
-                                   SPECIAL_WORDS],
-                         ids=["base", "tr", "da", "special"])
+                                   SPECIAL_WORDS, PL_WORDS, CS_WORDS,
+                                   HU_WORDS],
+                         ids=["base", "tr", "da", "special", "pl",
+                              "cs", "hu"])
 def test_cross_locale_matrix_matches_icu(locale, words):
-    """r5: every locale over every vocabulary — the tr dotless-i and da
-    å/aa tailoring traps (VERDICT r4 item 5) plus the DUCET specials
-    (æ œ ß þ ð đ ı ø) under every supported tailoring."""
+    """r5: every locale over every vocabulary — the tr dotless-i, da
+    å/aa, cs ch-digraph and hu nine-digraph tailoring traps (VERDICT r4
+    item 5) plus the DUCET specials (æ œ ß þ ð đ ı ø ł) under every
+    supported tailoring — 63 locale x vocabulary combinations, each
+    compared order-exactly against real ICU."""
     con = duckdb.connect()
     vals = ", ".join(f"'{w}'" for w in words)
     icu = [r[0] for r in con.execute(
