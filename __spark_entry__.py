@@ -6810,8 +6810,9 @@ def ft_ja_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     952/1007/1818-1931): 80 deterministic sentences (10x the ft_ja_tokens
     vector count) mixing dictionary nouns, 4-kanji compounds, katakana
     loanwords, verbs, particles and OOV latin/digit/katakana runs; both
-    modes run distributed and the '|'-joined streams must equal the
-    FROZEN vectors (generated once, committed — regression-pinned; the
+    modes run distributed — incl. r5's EXTENDED mode (unknown words as
+    character unigrams, JapaneseTokenizer.java:2007-2032) — and the
+    '|'-joined streams must equal the FROZEN vectors (generated once, committed — regression-pinned; the
     brute-force all-segmentations oracle in test_ja.py independently
     pins the lattice semantics the vectors rely on). 37 of the 80
     sentences decompose differently in SEARCH mode."""
@@ -6836,8 +6837,17 @@ def ft_ja_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok = JapaneseTokenizer(default_dictionary(), mode="search")
         return vs.map(lambda v: "|".join(tok.tokens(sents[int(v)])))
 
+    @F.pandas_udf("string")
+    def _jl_e(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.ja import (JapaneseTokenizer,
+                                              default_dictionary)
+
+        tok = JapaneseTokenizer(default_dictionary(), mode="extended")
+        return vs.map(lambda v: "|".join(tok.tokens(sents[int(v)])))
+
     return d.select("doc_id", _jl_n(F.col("v")).alias("normal_tokens"),
-                    _jl_s(F.col("v")).alias("search_tokens"))
+                    _jl_s(F.col("v")).alias("search_tokens"),
+                    _jl_e(F.col("v")).alias("extended_tokens"))
 
 
 def _ja_large_sql() -> str:
@@ -6850,7 +6860,8 @@ def _ja_large_sql() -> str:
         return f"CASE doc_id % {n}\n{arms}\nEND"
 
     return (f"SELECT doc_id, {case(vec['normal'])} AS normal_tokens,\n"
-            f"{case(vec['search'])} AS search_tokens FROM documents")
+            f"{case(vec['search'])} AS search_tokens,\n"
+            f"{case(vec['extended'])} AS extended_tokens FROM documents")
 
 
 FT_JA_TOKENS_SQL = f"""

@@ -979,15 +979,19 @@ register_analyzer(Analyzer(name="cjk", custom_tokenizer="cjk_bigram",
 # default mode). Golden vectors: tests/test_ja.py incl. a brute-force
 # all-segmentations oracle.
 from lucene_spark.analysis.ja import (  # noqa: E402
+    ja_extended_token_lists,
     ja_search_token_lists,
     ja_token_lists,
 )
 
 CUSTOM_TOKENIZERS["ja_normal"] = ja_token_lists
 CUSTOM_TOKENIZERS["ja_search"] = ja_search_token_lists
+CUSTOM_TOKENIZERS["ja_extended"] = ja_extended_token_lists
 register_analyzer(Analyzer(name="japanese", custom_tokenizer="ja_normal"))
 register_analyzer(Analyzer(name="japanese_search",
                            custom_tokenizer="ja_search"))
+register_analyzer(Analyzer(name="japanese_extended",
+                           custom_tokenizer="ja_extended"))
 
 # Thai (th/ThaiAnalyzer.java:93-100: ThaiTokenizer → LowerCase →
 # DecimalDigitFilter → Stop(th list)). analysis/th.py: dictionary

@@ -39,6 +39,11 @@ from the reference's semantics (no code or compiled dictionary data taken):
   redirects onto the parts. `discard_compound_token=False` also emits
   the compound with pos_len spanning the parts (outputCompounds);
   JapaneseAnalyzer's default discards it (JapaneseAnalyzer.java:95).
+- EXTENDED mode (r5): SEARCH plus unknown-word unigram emission —
+  every UNKNOWN token converts to per-character tokens
+  (java:2007-2032; punctuation unigrams drop under
+  discard_punctuation). Python strings make the surrogate-pair
+  special case vacuous.
 
 The bundled IPADIC binary is not shipped (it is compiled binary data);
 `JapaneseTokenizer` takes any user lexicon (surface, left_id, right_id,
@@ -199,9 +204,13 @@ class JapaneseTokenizer:
                  mode: str = "normal", discard_punctuation: bool = True,
                  discard_compound_token: bool = True):
         self.dict = dictionary or JaDictionary()
-        if mode not in ("normal", "search"):
-            raise ValueError("mode must be 'normal' or 'search'")
-        self.search_mode = mode == "search"
+        if mode not in ("normal", "search", "extended"):
+            raise ValueError("mode must be 'normal', 'search' or "
+                             "'extended'")
+        # EXTENDED = SEARCH + unknown-word unigram emission
+        # (JapaneseTokenizer.java:309-313 / 2007-2032)
+        self.search_mode = mode in ("search", "extended")
+        self.extended = mode == "extended"
         self.discard_punctuation = discard_punctuation
         # JapaneseAnalyzer passes discardCompoundToken=true (Lucene 9
         # JapaneseAnalyzer.java:95) — SEARCH mode then outputs only the
@@ -318,19 +327,38 @@ class JapaneseTokenizer:
                 # the compound LAST here = FIRST in text order (Lucene
                 # pops the altToken before the decompounded parts)
                 for pt in reversed(parts):
-                    out.append(pt)
+                    out.extend(self._emit(pt))
                 if self.output_compounds:
                     out.append(JaToken(surface, back_pos, pos, known,
                                        pos_tag, pos_len=len(parts)))
                 last_left_id = self._arc_left_id(arrive, parts[0])
             else:
-                out.append(JaToken(surface, back_pos, pos, known, pos_tag))
+                out.extend(self._emit(
+                    JaToken(surface, back_pos, pos, known, pos_tag)))
                 last_left_id = left_id
             pos, idx = back_pos, back_idx
         out.reverse()
         if self.discard_punctuation:
             out = [t for t in out
                    if not all(is_punctuation(c) for c in t.surface)]
+        return out
+
+    def _emit(self, tok: JaToken) -> list[JaToken]:
+        """EXTENDED mode converts UNKNOWN tokens into character unigrams
+        (JapaneseTokenizer.java:2007-2032, emitted right-to-left there —
+        here the caller is already building right-to-left); punctuation
+        unigrams drop under discard_punctuation. Python strings are
+        codepoint sequences, so supplementary characters are single
+        unigrams (the surrogate-pair special case handles itself)."""
+        if not (self.extended and not tok.known):
+            return [tok]
+        out = []
+        for i in range(len(tok.surface) - 1, -1, -1):
+            ch = tok.surface[i]
+            if self.discard_punctuation and is_punctuation(ch):
+                continue
+            out.append(JaToken(ch, tok.start + i, tok.start + i + 1,
+                               False, tok.pos))
         return out
 
     @staticmethod
@@ -494,3 +522,14 @@ def ja_search_token_lists(content) -> "pd.Series":
     if _SEARCH_TOK is None:
         _SEARCH_TOK = JapaneseTokenizer(demo_dictionary(), mode="search")
     return content.map(lambda s: _SEARCH_TOK.tokens(s or ""))
+
+
+_EXTENDED_TOK = None
+
+
+def ja_extended_token_lists(content) -> "pd.Series":
+    global _EXTENDED_TOK
+    if _EXTENDED_TOK is None:
+        _EXTENDED_TOK = JapaneseTokenizer(demo_dictionary(),
+                                          mode="extended")
+    return content.map(lambda s: _EXTENDED_TOK.tokens(s or ""))

@@ -385,3 +385,23 @@ def test_large_lexicon_viterbi_equals_bruteforce():
         got = [t.surface for t in tok.tokenize(text)]
         assert "".join(got) == text
         assert want is not None
+
+
+def test_extended_mode_unknown_unigrams():
+    """EXTENDED mode (JapaneseTokenizer.java:309-313/2007-2032):
+    unknown words emit as character unigrams; dictionary tokens and the
+    SEARCH decomposition behavior are unchanged; punctuation unigrams
+    drop under discard_punctuation."""
+    d = demo_dictionary()
+    te = JapaneseTokenizer(d, mode="extended")
+    assert te.tokens("カレーのうち") == ["カ", "レ", "ー", "の", "うち"]
+    assert te.tokens("すもももももももものうち") == \
+        ["すもも", "も", "もも", "も", "もも", "の", "うち"]
+    assert te.tokens("関西国際空港") == ["関西", "国際", "空港"]
+    # offsets per unigram
+    toks = te.tokenize("abcの")
+    assert [(t.surface, t.start, t.end) for t in toks] == \
+        [("a", 0, 1), ("b", 1, 2), ("c", 2, 3), ("の", 3, 4)]
+    # punctuation inside an unknown run drops
+    tp = JapaneseTokenizer(d, mode="extended", discard_punctuation=False)
+    assert "、" in tp.tokens("ラー、メン")
