@@ -228,10 +228,10 @@ class JapaneseTokenizer:
             return (length - SEARCH_MODE_OTHER_LENGTH) * SEARCH_MODE_OTHER_PENALTY
         return 0
 
-    def tokenize(self, text: str) -> list[JaToken]:
+    def _build_lattice(self, text: str) -> list:
+        """Forward Viterbi pass; shared by tokenize() and
+        tokenize_nbest()."""
         n = len(text)
-        if n == 0:
-            return []
         INF = float("inf")
         # best[pos] = list of arcs arriving: (cost, right_id, back_pos,
         # back_arc_idx, surface, known, pos_tag, left_id, word_cost) —
@@ -293,6 +293,14 @@ class JapaneseTokenizer:
                 add_arc(pos + length, left, right, cost,
                         text[pos:pos + length], False, "未知語")
                 unknown_end = pos + length
+        return arrive
+
+    def tokenize(self, text: str) -> list[JaToken]:
+        n = len(text)
+        if n == 0:
+            return []
+        INF = float("inf")
+        arrive = self._build_lattice(text)
 
         # EOS: min over arcs at n of cost + conn(right_id, 0) (java:1023-1039)
         best, best_idx = INF, -1
@@ -338,6 +346,61 @@ class JapaneseTokenizer:
                 last_left_id = left_id
             pos, idx = back_pos, back_idx
         out.reverse()
+        if self.discard_punctuation:
+            out = [t for t in out
+                   if not all(is_punctuation(c) for c in t.surface)]
+        return out
+
+    def tokenize_nbest(self, text: str, nbest_cost: int) -> list[JaToken]:
+        """N-best output (setNBestCost, JapaneseTokenizer.java:1714 +
+        backtraceNBest/Lattice): a token is emitted when its best
+        THROUGH-path cost — leftCost + wordCost + rightCost, i.e. the
+        cheapest full path using that arc (Lattice.cost(node)) — is
+        within `nbest_cost` of the 1-best path. Spans dedupe
+        (markSameSpanNode) and emit in (start, end) order, the
+        reference's output order (TestJapaneseTokenizer:165-170:
+        シニア before the longer same-start compound)."""
+        n = len(text)
+        if n == 0:
+            return []
+        arrive = self._build_lattice(text)
+        INF = float("inf")
+        # suffix cost of each arc (right cost): min continuation from
+        # the arc's end through EOS, memoized right-to-left
+        by_start: dict[int, list[tuple[int, int]]] = {}
+        for pos in range(n + 1):
+            for idx, a in enumerate(arrive[pos]):
+                if a[2] >= 0:                 # skip BOS
+                    by_start.setdefault(a[2], []).append((pos, idx))
+        suffix: dict[tuple[int, int], float] = {}
+        for end in range(n, -1, -1):
+            for idx, a in enumerate(arrive[end]):
+                right_id = a[1]
+                if end == n:
+                    suffix[(end, idx)] = self.dict.conn_cost(right_id, 0)
+                    continue
+                best = INF
+                for (e2, i2) in by_start.get(end, ()):
+                    b = arrive[e2][i2]
+                    c = (self.dict.conn_cost(right_id, b[7])
+                         + b[8] + suffix[(e2, i2)])
+                    if c < best:
+                        best = c
+                suffix[(end, idx)] = best
+        best_total = min(
+            (a[0] + suffix[(n, i)] for i, a in enumerate(arrive[n])),
+            default=INF)
+        spans: dict[tuple[int, int], tuple] = {}
+        for pos in range(1, n + 1):
+            for idx, a in enumerate(arrive[pos]):
+                through = a[0] + suffix[(pos, idx)]
+                if through <= best_total + nbest_cost:
+                    key = (a[2], pos)
+                    if key not in spans or through < spans[key][0]:
+                        spans[key] = (through, a[4], a[5], a[6])
+        out = [JaToken(surf, s, e, known, pos_tag)
+               for (s, e), (_, surf, known, pos_tag)
+               in sorted(spans.items())]
         if self.discard_punctuation:
             out = [t for t in out
                    if not all(is_punctuation(c) for c in t.surface)]

@@ -405,3 +405,67 @@ def test_extended_mode_unknown_unigrams():
     # punctuation inside an unknown run drops
     tp = JapaneseTokenizer(d, mode="extended", discard_punctuation=False)
     assert "、" in tp.tokens("ラー、メン")
+
+
+def test_nbest_emits_within_threshold_paths():
+    """setNBestCost role (java:1714 + Lattice.cost): tokens on any path
+    within nbest_cost of the best path emit once per span, in
+    (start, end) order — the TestJapaneseTokenizer:165-170 shape
+    (same-start shorter token before the longer compound)."""
+    d = demo_dictionary()
+    t = JapaneseTokenizer(d)
+    assert [tk.surface for tk in t.tokenize_nbest("関西国際空港", 0)] == \
+        ["関西国際空港"]
+    # parts path sits 9300 above the compound path in the demo costs
+    assert [tk.surface for tk in t.tokenize_nbest("関西国際空港", 9299)] == \
+        ["関西国際空港"]
+    assert [tk.surface for tk in t.tokenize_nbest("関西国際空港", 9300)] == \
+        ["関西", "関西国際空港", "国際", "空港"]
+    # 1-best path unchanged vs tokenize() on an unambiguous sentence
+    assert [tk.surface for tk in
+            t.tokenize_nbest("すもももももももものうち", 0)] == \
+        t.tokens("すもももももももものうち")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_nbest_equals_bruteforce_union(seed):
+    """Oracle: enumerate EVERY path; the nbest token set must equal the
+    union of spans on paths with cost <= best + nbest_cost."""
+    rng = random.Random(seed + 100)
+    chars = "あいうえお"
+    entries = []
+    for _ in range(10):
+        ln = rng.randint(1, 3)
+        w = "".join(rng.choice(chars) for _ in range(ln))
+        entries.append(DictEntry(w, rng.randint(1, 4), rng.randint(1, 4),
+                                 rng.randint(1000, 8000)))
+    conn = {(r, l): rng.randint(-1500, 3000)
+            for r in range(5) for l in range(5) if rng.random() < 0.6}
+    d = JaDictionary(entries=entries, conn=conn,
+                     default_conn=rng.randint(0, 1500))
+    # search mode: the oracle's _arcs enumerates the same superset
+    # (normal mode suppresses unknown re-invocation inside a previous
+    # unknown span, which backtraceNBest inherits from parse)
+    tok = JapaneseTokenizer(d, mode="search", discard_punctuation=False)
+    for _ in range(5):
+        text = "".join(rng.choice(chars) for _ in range(rng.randint(2, 6)))
+        nbest = rng.choice([0, 1000, 4000, 10**6])
+        arcs = _arcs(text, d, tok)
+
+        paths = []
+
+        def walk(pos, right_id, cost, path):
+            if pos == len(text):
+                paths.append((cost + d.conn_cost(right_id, 0), path))
+                return
+            for (end, lid, rid, wcost, surf) in arcs[pos]:
+                walk(end, rid, cost + d.conn_cost(right_id, lid) + wcost,
+                     path + [(pos, end, surf)])
+
+        walk(0, 0, 0, [])
+        best = min(c for c, _ in paths)
+        want = {(s, e) for c, p in paths if c <= best + nbest
+                for (s, e, _) in p}
+        got = {(t2.start, t2.end)
+               for t2 in tok.tokenize_nbest(text, nbest)}
+        assert got == want, (text, nbest)
