@@ -7016,6 +7016,54 @@ _MH_EXPECT = [
     ("one <b>quick</b> word", 1),
 ]
 
+_JNUM_IN = [
+    "三千2百２十三", "六百二万五千一", "〇〇七", "十兆六百万五千一",
+    "１０百", "垓京兆億万千百十一", "千千千千", "一京一",
+]
+_JNUM_OUT = [
+    "3223", "6025001", "7", "10000006005001",
+    "1000", "100010001000100011111", "4000", "10000000000000001",
+]
+
+
+def ft_ja_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese number normalization (r5 — JapaneseNumberFilter.java
+    recursive-descent grammar, analysis/janumber.py): every input below
+    is a TestJapaneseNumberFilter.java vector (mixed kanji/Arabic,
+    full-width digits, the additive oddities 千千千千 → 4000, and the
+    large-exponent ladder up to 垓); plus the katakana stem column
+    (JapaneseKatakanaStemFilter: one trailing U+30FC dropped from
+    katakana tokens of length >= 4)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _num(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.janumber import normalize_number
+
+        return vs.map(lambda v: normalize_number(_JNUM_IN[int(v)]))
+
+    @F.pandas_udf("string")
+    def _kstem(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.janumber import katakana_stem
+
+        kat = ["コーヒー", "タクシー", "コピー", "パーティー",
+               "サッカー", "ター", "ラーメン", "メーカー"]
+        return vs.map(lambda v: katakana_stem(kat[int(v)]))
+
+    return d.select("doc_id", _num(F.col("v")).alias("number"),
+                    _kstem(F.col("v")).alias("kstem"))
+
+
+_KSTEM_OUT = ["コーヒ", "タクシ", "コピー", "パーティ",
+              "サッカ", "ター", "ラーメン", "メーカ"]
+FT_JA_NUMBER_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_JNUM_OUT))
+    + "\nEND AS number, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_KSTEM_OUT))
+    + "\nEND AS kstem FROM documents")
+
+
 
 def ft_match_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match-region highlighter (r5 — lucene/highlighter/matchhighlight:
@@ -7737,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cn_large": ft_cn_large,
         "ft_morfologik": ft_morfologik,
         "ft_match_highlight": ft_match_highlight,
+        "ft_ja_number": ft_ja_number,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8116,6 +8165,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_cn_large": _cn_large_sql(),
         "ft_morfologik": FT_MORFOLOGIK_SQL,
         "ft_match_highlight": FT_MATCH_HIGHLIGHT_SQL,
+        "ft_ja_number": FT_JA_NUMBER_SQL,
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,
