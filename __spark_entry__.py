@@ -7025,6 +7025,41 @@ _JNUM_OUT = [
     "1000", "100010001000100011111", "4000", "10000000000000001",
 ]
 
+def ft_ja_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE JapaneseAnalyzer chain (r5 —
+    JapaneseAnalyzer.java:95-101: tokenizer SEARCH → JapaneseBaseForm
+    → JapanesePartOfSpeechStop (the reference's stoptags.txt, extracted)
+    → CJKWidth → Stop (the reference's ja stopwords.txt, extracted) →
+    JapaneseKatakanaStem → LowerCase) over the large seeded lexicon with
+    base forms and readings: the 80 ft_ja_large sentences run the full
+    chain distributed and must equal the frozen vectors (particles and
+    auxiliaries POS-stopped, conjugations reduced to dictionary form,
+    width folded, katakana stemmed)."""
+    vec = _ja_gate_vectors()
+    sents = vec["sents"]
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % len(sents)).alias("v"))
+
+    @F.pandas_udf("string")
+    def _jfa(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("japanese_full")
+        return a.tokenize_series(
+            vs.map(lambda v: sents[int(v)])).map("|".join)
+
+    return d.select("doc_id", _jfa(F.col("v")).alias("tokens"))
+
+
+def _ja_analyzer_sql() -> str:
+    vec = _ja_gate_vectors()
+    n = len(vec["sents"])
+    arms = "\n".join(f"  WHEN {i} THEN '{v}'"
+                     for i, v in enumerate(vec["analyzer"]))
+    return (f"SELECT doc_id, CASE doc_id % {n}\n{arms}\nEND AS tokens "
+            "FROM documents")
+
+
 
 def ft_ja_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Japanese number normalization (r5 — JapaneseNumberFilter.java
@@ -7786,6 +7821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_morfologik": ft_morfologik,
         "ft_match_highlight": ft_match_highlight,
         "ft_ja_number": ft_ja_number,
+        "ft_ja_analyzer": ft_ja_analyzer,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8166,6 +8202,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_morfologik": FT_MORFOLOGIK_SQL,
         "ft_match_highlight": FT_MATCH_HIGHLIGHT_SQL,
         "ft_ja_number": FT_JA_NUMBER_SQL,
+        "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,

@@ -992,6 +992,15 @@ register_analyzer(Analyzer(name="japanese_search",
                            custom_tokenizer="ja_search"))
 register_analyzer(Analyzer(name="japanese_extended",
                            custom_tokenizer="ja_extended"))
+# the COMPLETE JapaneseAnalyzer chain (JapaneseAnalyzer.java:95-101:
+# tokenizer SEARCH → base form → POS stop (reference stoptags.txt) →
+# CJK width → stop words (reference stopwords.txt) → katakana stem →
+# lowercase) over the large seeded lexicon
+from lucene_spark.analysis.ja import ja_full_token_lists  # noqa: E402
+
+CUSTOM_TOKENIZERS["ja_full"] = ja_full_token_lists
+register_analyzer(Analyzer(name="japanese_full",
+                           custom_tokenizer="ja_full"))
 
 # Thai (th/ThaiAnalyzer.java:93-100: ThaiTokenizer → LowerCase →
 # DecimalDigitFilter → Stop(th list)). analysis/th.py: dictionary

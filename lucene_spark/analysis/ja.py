@@ -152,6 +152,10 @@ class DictEntry:
     right_id: int
     cost: int
     pos: str = "名詞"
+    base_form: str = ""       # dictionary form ("" = surface itself) —
+                              # the JapaneseBaseFormFilter source
+    reading: str = ""         # katakana reading ("" = none known) —
+                              # the JapaneseReadingFormFilter source
 
 
 @dataclass
@@ -193,6 +197,8 @@ class JaToken:
     pos: str
     pos_len: int = 1        # compound tokens span their parts (SEARCH
                             # mode with discard_compound_token=False)
+    base_form: str = ""     # dictionary form ("" = surface)
+    reading: str = ""       # katakana reading ("" = unknown)
 
 
 class JapaneseTokenizer:
@@ -234,11 +240,12 @@ class JapaneseTokenizer:
         n = len(text)
         INF = float("inf")
         # best[pos] = list of arcs arriving: (cost, right_id, back_pos,
-        # back_arc_idx, surface, known, pos_tag, left_id, word_cost) —
-        # the Position array; left_id/word_cost retained so the SEARCH-
-        # mode pruneAndRescore pass can re-score the sub-lattice
+        # back_arc_idx, surface, known, pos_tag, left_id, word_cost,
+        # entry) — the Position array; left_id/word_cost retained so the
+        # SEARCH-mode pruneAndRescore pass can re-score the sub-lattice,
+        # entry so tokens carry base form / reading
         arrive: list[list[tuple]] = [[] for _ in range(n + 1)]
-        arrive[0].append((0, 0, -1, -1, "", True, "", 0, 0))  # BOS
+        arrive[0].append((0, 0, -1, -1, "", True, "", 0, 0, None))  # BOS
         unknown_end = -1
         for pos in range(n):
             if not arrive[pos]:
@@ -246,7 +253,7 @@ class JapaneseTokenizer:
 
             def add_arc(end: int, left_id: int, right_id: int,
                         word_cost: int, surface: str, known: bool,
-                        pos_tag: str) -> None:
+                        pos_tag: str, entry=None) -> None:
                 # JapaneseTokenizer.add (java:494-561): min over incoming
                 # arcs of (path + bigram), then + word cost. The MAIN
                 # forward pass carries NO search-mode penalty (every
@@ -263,12 +270,12 @@ class JapaneseTokenizer:
                 least += word_cost
                 arrive[end].append((least, right_id, pos, least_idx,
                                     surface, known, pos_tag,
-                                    left_id, word_cost))
+                                    left_id, word_cost, entry))
 
             any_matches = False
             for end, e in self.dict.matches(text, pos):
                 add_arc(end, e.left_id, e.right_id, e.cost, e.surface,
-                        True, e.pos)
+                        True, e.pos, e)
                 any_matches = True
 
             # normal mode: no unknown re-invocation inside a previous
@@ -322,7 +329,7 @@ class JapaneseTokenizer:
         while pos > 0:
             a = arrive[pos][idx]
             (cost, right_id, back_pos, back_idx, surface, known,
-             pos_tag, left_id, _wc) = a
+             pos_tag, left_id, _wc, entry) = a
             parts = None
             if self.search_mode:
                 penalty = self._penalty(text, back_pos, pos - back_pos)
@@ -341,8 +348,10 @@ class JapaneseTokenizer:
                                        pos_tag, pos_len=len(parts)))
                 last_left_id = self._arc_left_id(arrive, parts[0])
             else:
-                out.extend(self._emit(
-                    JaToken(surface, back_pos, pos, known, pos_tag)))
+                out.extend(self._emit(JaToken(
+                    surface, back_pos, pos, known, pos_tag,
+                    base_form=getattr(entry, "base_form", "") or "",
+                    reading=getattr(entry, "reading", "") or "")))
                 last_left_id = left_id
             pos, idx = back_pos, back_idx
         out.reverse()
@@ -440,7 +449,8 @@ class JapaneseTokenizer:
         the cheapest arrival at p within maxCost of the compound if it
         decomposes (back_pos != bp). Returns the part tokens
         left-to-right, or None."""
-        (ccost, cright, _, cback_idx, _, _, _, _, _) = compound_arc
+        ccost, cright, cback_idx = (compound_arc[0], compound_arc[1],
+                                    compound_arc[3])
         max_cost = ccost + penalty
         if last_left_id != -1:
             max_cost += self.dict.conn_cost(cright, last_left_id)
@@ -461,7 +471,8 @@ class JapaneseTokenizer:
                     if a[2] != q:
                         continue
                     (_, a_right, _, _, a_surface, a_known, a_pos,
-                     a_left, a_wc) = a
+                     a_left, a_wc) = a[:9]
+                    a_entry = a[9]
                     least, least_idx = float("inf"), -1
                     for ridx, pr in enumerate(preds):
                         c = pr[0] + self.dict.conn_cost(pr[1], a_left)
@@ -470,7 +481,7 @@ class JapaneseTokenizer:
                     least += a_wc + self._penalty(text, q, to_pos - q)
                     rebuilt[to_pos].append(
                         (least, a_right, q, least_idx, a_surface,
-                         a_known, a_pos, a_left))
+                         a_known, a_pos, a_left, a_entry))
         best, best_i = float("inf"), -1
         for i, a in enumerate(rebuilt[p]):
             c = a[0]
@@ -484,7 +495,11 @@ class JapaneseTokenizer:
         q, i = p, best_i
         while q > bp:
             a = rebuilt[q][i]
-            parts.append(JaToken(a[4], a[2], q, a[5], a[6]))
+            ent = a[8]
+            parts.append(JaToken(
+                a[4], a[2], q, a[5], a[6],
+                base_form=getattr(ent, "base_form", "") or "",
+                reading=getattr(ent, "reading", "") or ""))
             q, i = a[2], a[3]
         parts.reverse()
         return parts
@@ -553,15 +568,57 @@ def default_dictionary() -> JaDictionary:
                             "data", "ja_lexicon.npz")
         z = np.load(path, allow_pickle=True)
         entries = [
-            DictEntry(str(s), int(l), int(r), int(c), str(p))
-            for s, l, r, c, p in zip(z["surfaces"], z["left_ids"],
-                                     z["right_ids"], z["costs"],
-                                     z["pos"])]
+            DictEntry(str(s), int(l), int(r), int(c), str(p),
+                      base_form=str(b), reading=str(rd))
+            for s, l, r, c, p, b, rd in zip(
+                z["surfaces"], z["left_ids"], z["right_ids"],
+                z["costs"], z["pos"], z["base_forms"], z["readings"])]
         conn = {(int(k[0]), int(k[1])): int(v)
                 for k, v in zip(z["conn_keys"], z["conn_vals"])}
         _DEFAULT_DICT = JaDictionary(entries=entries, conn=conn,
                                      default_conn=int(z["default_conn"]))
     return _DEFAULT_DICT
+
+
+def base_form(tok: JaToken) -> str:
+    """JapaneseBaseFormFilter.java: replace the term with its dictionary
+    form when the token carries one."""
+    return tok.base_form or tok.surface
+
+
+def reading_form(tok: JaToken) -> str:
+    """JapaneseReadingFormFilter.java (katakana output): replace the
+    term with its reading; tokens without one keep the surface."""
+    return tok.reading or tok.surface
+
+
+def japanese_analyzer_tokens(text: str,
+                             tokenizer: "JapaneseTokenizer | None" = None
+                             ) -> list[str]:
+    """The FULL JapaneseAnalyzer chain (JapaneseAnalyzer.java:95-101):
+    JapaneseTokenizer(SEARCH, discardPunctuation, discardCompoundToken)
+    → JapaneseBaseFormFilter → JapanesePartOfSpeechStopFilter (the
+    reference's stoptags.txt, exact POS match) → CJKWidthFilter →
+    StopFilter (the reference's ja stopwords.txt) →
+    JapaneseKatakanaStemFilter → LowerCaseFilter."""
+    from lucene_spark.analysis.cjk import cjk_width_fold
+    from lucene_spark.analysis.janumber import katakana_stem
+    from lucene_spark.analysis.stopwords_i18n import (
+        JAPANESE_STOP_WORDS,
+        JAPANESE_STOPTAGS_STOP_WORDS,
+    )
+
+    tok = tokenizer or JapaneseTokenizer(default_dictionary(),
+                                         mode="search")
+    out: list[str] = []
+    for t in tok.tokenize(text):
+        if t.pos in JAPANESE_STOPTAGS_STOP_WORDS:
+            continue
+        term = cjk_width_fold(base_form(t))
+        if term in JAPANESE_STOP_WORDS:
+            continue
+        out.append(katakana_stem(term).lower())
+    return out
 
 
 # ---- Spark-side vectorized tokenizers (analyzer registry hooks) -----------
@@ -596,3 +653,16 @@ def ja_extended_token_lists(content) -> "pd.Series":
         _EXTENDED_TOK = JapaneseTokenizer(demo_dictionary(),
                                           mode="extended")
     return content.map(lambda s: _EXTENDED_TOK.tokens(s or ""))
+
+
+_FULL_TOK = None
+
+
+def ja_full_token_lists(content) -> "pd.Series":
+    """CUSTOM_TOKENIZERS hook: the complete JapaneseAnalyzer chain over
+    the LARGE seeded lexicon."""
+    global _FULL_TOK
+    if _FULL_TOK is None:
+        _FULL_TOK = JapaneseTokenizer(default_dictionary(), mode="search")
+    return content.map(
+        lambda s: japanese_analyzer_tokens(s or "", _FULL_TOK))

@@ -54,17 +54,40 @@ IDS = [N_NOUN, N_PROP, N_KATA, N_NUM, N_SUF, V_STEM, V_MASU, V_TA,
        P_NO, P_HE, P_KARA]
 
 
+def _kata_reading(rng) -> str:
+    return "".join(rng.choice(KATA) for _ in range(2))
+
+
+def _hira_to_kata(s: str) -> str:
+    return "".join(chr(ord(c) + 0x60) if 0x3041 <= ord(c) <= 0x3096 else c
+                   for c in s)
+
+
 def main() -> None:
     rng = random.Random(SEED)
-    entries: list[tuple[str, int, int, int, str]] = []
+    entries: list[tuple[str, int, int, int, str, str, str]] = []
     seen: set[tuple[str, int]] = set()
+    kanji_read: dict[str, str] = {}      # per-kanji seeded reading
 
-    def add(surface, lid, rid, cost, pos):
+    def read_of(word: str) -> str:
+        out = []
+        for ch in word:
+            if ch in KANJI:
+                if ch not in kanji_read:
+                    kanji_read[ch] = _kata_reading(rng)
+                out.append(kanji_read[ch])
+            else:
+                out.append(_hira_to_kata(ch))
+        return "".join(out)
+
+    def add(surface, lid, rid, cost, pos, base="", reading=""):
         key = (surface, lid)
         if key in seen:
             return
         seen.add(key)
-        entries.append((surface, lid, rid, cost, pos))
+        if not reading:
+            reading = read_of(surface)
+        entries.append((surface, lid, rid, cost, pos, base, reading))
 
     # 2-kanji nouns (the IPADIC bulk)
     two_kanji = set()
@@ -121,14 +144,15 @@ def main() -> None:
              "売", "作", "使", "待", "持", "思", "知", "住", "働"]
     for st in stems:
         base = rng.randint(4500, 6500)
-        add(st + "く" if st in ("行", "書", "聞") else st + "る",
-            V_STEM, V_STEM, base, "動詞")
+        dict_form = st + "く" if st in ("行", "書", "聞") else st + "る"
+        add(dict_form, V_STEM, V_STEM, base, "動詞")
+        # conjugations carry the dictionary form (JapaneseBaseFormFilter)
         add(st + "きます" if st in ("行", "書", "聞") else st + "ます",
-            V_MASU, V_MASU, base + 300, "動詞")
+            V_MASU, V_MASU, base + 300, "動詞", base=dict_form)
         add(st + "った" if st in ("行", "買", "待", "持") else st + "た",
-            V_TA, V_TA, base + 200, "動詞")
+            V_TA, V_TA, base + 200, "動詞", base=dict_form)
         add(st + "って" if st in ("行", "買", "待", "持") else st + "て",
-            V_TE, V_TE, base + 250, "動詞")
+            V_TE, V_TE, base + 250, "動詞", base=dict_form)
     # adjectives
     for surf in ["高い", "安い", "大きい", "小さい", "新しい", "古い",
                  "良い", "悪い", "早い", "遅い", "長い", "短い",
@@ -181,12 +205,15 @@ def main() -> None:
     rids = np.array([e[2] for e in entries], dtype=np.int32)
     costs = np.array([e[3] for e in entries], dtype=np.int32)
     poss = np.array([e[4] for e in entries], dtype=object)
+    bases = np.array([e[5] for e in entries], dtype=object)
+    readings = np.array([e[6] for e in entries], dtype=object)
     ckeys = np.array(sorted(conn), dtype=np.int32)
     cvals = np.array([conn[tuple(k)] for k in sorted(conn)],
                      dtype=np.int32)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, surfaces=surfaces, left_ids=lids,
                         right_ids=rids, costs=costs, pos=poss,
+                        base_forms=bases, readings=readings,
                         conn_keys=ckeys, conn_vals=cvals,
                         default_conn=np.int32(1300))
     print(f"wrote {OUT}: {len(entries)} entries, {len(conn)} conn pairs")

@@ -469,3 +469,49 @@ def test_nbest_equals_bruteforce_union(seed):
         got = {(t2.start, t2.end)
                for t2 in tok.tokenize_nbest(text, nbest)}
         assert got == want, (text, nbest)
+
+
+def test_full_analyzer_chain():
+    """JapaneseAnalyzer.java:95-101 chain: tokenizer(SEARCH) → base form
+    → POS stop (reference stoptags.txt) → CJK width → stop words
+    (reference stopwords.txt) → katakana stem → lowercase."""
+    from lucene_spark.analysis.ja import (JapaneseTokenizer,
+                                          default_dictionary,
+                                          japanese_analyzer_tokens)
+
+    d = default_dictionary()
+    tok = JapaneseTokenizer(d, mode="search")
+    nouns = [e.surface for e in d.entries if e.pos == "名詞"][:3]
+    conj = [(e.surface, e.base_form) for e in d.entries if e.base_form][0]
+    out = japanese_analyzer_tokens(
+        nouns[0] + "は" + conj[0] + "。ＡＢＣコーヒーの" + nouns[1] + "です",
+        tok)
+    assert nouns[0] in out and nouns[1] in out
+    assert conj[1] in out and conj[0] not in out     # base form applied
+    assert "abc" in out                              # width fold + lower
+    assert "コーヒ" in out                           # katakana stem
+    assert "は" not in out and "の" not in out       # POS-stopped (助詞)
+    assert "です" not in out                         # POS-stopped (助動詞)
+    # the reference stopword list also drops base forms like ある/いる
+    out2 = japanese_analyzer_tokens("ある" + nouns[0], tok)
+    assert "ある" not in out2
+
+
+def test_base_and_reading_forms():
+    from lucene_spark.analysis.ja import (JapaneseTokenizer, base_form,
+                                          default_dictionary,
+                                          reading_form)
+
+    d = default_dictionary()
+    t = JapaneseTokenizer(d)
+    conj = [e for e in d.entries if e.base_form][0]
+    toks = t.tokenize(conj.surface)
+    assert base_form(toks[0]) == conj.base_form
+    # every known dictionary token carries a katakana reading
+    noun = [e for e in d.entries if e.pos == "名詞"][0]
+    tk = t.tokenize(noun.surface)[0]
+    assert tk.known and reading_form(tk) == noun.reading
+    assert all(0x30A0 <= ord(c) <= 0x30FF for c in noun.reading)
+    # unknown tokens fall back to the surface
+    unk = t.tokenize("ミャンマオーク")[0]
+    assert not unk.known and reading_form(unk) == unk.surface
