@@ -7061,6 +7061,50 @@ def _ja_analyzer_sql() -> str:
 
 
 
+def _cn_analyzer_vectors() -> dict:
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "lucene_spark", "analysis", "data",
+                        "cn_analyzer_vectors.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def ft_cn_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE SmartChineseAnalyzer chain (r5 —
+    SmartChineseAnalyzer.java:123-133: HMMChineseTokenizer (latin runs
+    lowercased by the SegTokenFilter role) → PorterStemFilter (the
+    reference applies Porter to the latin tokens; "too strict... this
+    is a feature") → StopFilter over the punctuation stop list) over
+    the large seeded model: 8 mixed CJK/latin sentences with
+    porter-able English vocabulary and CJK punctuation run the full
+    chain distributed and must equal the frozen vectors."""
+    vec = _cn_analyzer_vectors()
+    sents = vec["sents"]
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % len(sents)).alias("v"))
+
+    @F.pandas_udf("string")
+    def _cfa(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("smartcn_full")
+        return a.tokenize_series(
+            vs.map(lambda v: sents[int(v)])).map("|".join)
+
+    return d.select("doc_id", _cfa(F.col("v")).alias("tokens"))
+
+
+def _cn_analyzer_sql() -> str:
+    vec = _cn_analyzer_vectors()
+    n = len(vec["sents"])
+    arms = "\n".join(f"  WHEN {i} THEN '{v}'"
+                     for i, v in enumerate(vec["tokens"]))
+    return (f"SELECT doc_id, CASE doc_id % {n}\n{arms}\nEND AS tokens "
+            "FROM documents")
+
+
 def ft_ja_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Japanese number normalization (r5 — JapaneseNumberFilter.java
     recursive-descent grammar, analysis/janumber.py): every input below
@@ -7822,6 +7866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_match_highlight": ft_match_highlight,
         "ft_ja_number": ft_ja_number,
         "ft_ja_analyzer": ft_ja_analyzer,
+        # --- local-evidence tail additions (outside the 50-window) ---
+        "ft_cn_analyzer": ft_cn_analyzer,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8203,6 +8249,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_match_highlight": FT_MATCH_HIGHLIGHT_SQL,
         "ft_ja_number": FT_JA_NUMBER_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
+        "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
         "rel_date_range_facet": REL_DATE_RANGE_FACET_SQL,
         "ft_termfreq_fn": FT_TERMFREQ_FN_SQL,

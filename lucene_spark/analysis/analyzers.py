@@ -1031,6 +1031,13 @@ from lucene_spark.analysis.smartcn import cn_token_lists  # noqa: E402
 
 CUSTOM_TOKENIZERS["cn_hhmm"] = cn_token_lists
 register_analyzer(Analyzer(name="smartcn", custom_tokenizer="cn_hhmm"))
+# the COMPLETE SmartChineseAnalyzer chain (:123-133: HHMM tokenizer →
+# PorterStemFilter → punctuation StopFilter) over the large model
+from lucene_spark.analysis.smartcn import cn_full_token_lists  # noqa: E402
+
+CUSTOM_TOKENIZERS["cn_full"] = cn_full_token_lists
+register_analyzer(Analyzer(name="smartcn_full",
+                           custom_tokenizer="cn_full"))
 
 # Polish Morfologik lemmatizer (morfologik/MorfologikFilter.java:
 # exact-then-lowercase dictionary lookup, ALL lemmas emitted at the same

@@ -273,6 +273,36 @@ def default_model() -> ChineseModel:
     return _DEFAULT_MODEL
 
 
+# SmartChineseAnalyzer stop list (smartcn/src/resources/.../stopwords.txt
+# — 59 punctuation tokens, extracted like the other published stop lists)
+SMARTCN_STOP = frozenset(
+    ", . ` - _ = ? ' | \" ( ) { } [ ] < > * # & ^ $ @ ! ~ : ; +".split()
+    + ["\\", "《", "》", "—", "－", "，", "。", "、", "：", "；", "！",
+       "·", "？", "“", "”", "）", "（", "【", "】", "［", "］", "●",
+       "\u3000"])
+
+
+def smartcn_analyzer_tokens(text: str,
+                            tok: "SmartChineseTokenizer | None" = None
+                            ) -> list[str]:
+    """The FULL SmartChineseAnalyzer chain
+    (SmartChineseAnalyzer.java:123-133): HMMChineseTokenizer (latin
+    already lowercased by the SegTokenFilter role) → PorterStemFilter
+    ("too strict... this is a feature") → StopFilter over the
+    punctuation stop list."""
+    from lucene_spark.analysis.stem import porter_stem
+
+    tok = tok or SmartChineseTokenizer(default_model())
+    out = []
+    for t in tok.tokens(text):
+        if t.isascii() and t.isalpha():
+            t = porter_stem(t)
+        if t in SMARTCN_STOP:
+            continue
+        out.append(t)
+    return out
+
+
 _CN_TOK = None
 
 
@@ -282,3 +312,16 @@ def cn_token_lists(content) -> "pd.Series":
     if _CN_TOK is None:
         _CN_TOK = SmartChineseTokenizer(demo_model())
     return content.map(lambda s: _CN_TOK.tokens(s or ""))
+
+
+_CN_FULL_TOK = None
+
+
+def cn_full_token_lists(content) -> "pd.Series":
+    """CUSTOM_TOKENIZERS hook: the complete SmartChineseAnalyzer chain
+    over the LARGE seeded model."""
+    global _CN_FULL_TOK
+    if _CN_FULL_TOK is None:
+        _CN_FULL_TOK = SmartChineseTokenizer(default_model())
+    return content.map(
+        lambda s: smartcn_analyzer_tokens(s or "", _CN_FULL_TOK))

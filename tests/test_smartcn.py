@@ -152,3 +152,21 @@ def test_large_model_segmentation_covers_text():
         toks = tok.tokens(s)
         assert "".join(toks).lower() == s.lower().replace("，", "")
         assert "abc" in toks and "123" in toks
+
+
+def test_full_analyzer_chain():
+    """SmartChineseAnalyzer.java:123-133: HHMM tokenizer → Porter
+    ("too strict... this is a feature") → punctuation StopFilter."""
+    from lucene_spark.analysis.smartcn import (SmartChineseTokenizer,
+                                               default_model,
+                                               smartcn_analyzer_tokens)
+
+    m = default_model()
+    tok = SmartChineseTokenizer(m)
+    twos = [w for w in m.words if len(w) == 2 and "#" not in w][:2]
+    out = smartcn_analyzer_tokens(
+        twos[0] + "building，。walked《" + twos[1] + "》ABC", tok)
+    assert twos[0] in out and twos[1] in out
+    assert "build" in out and "walk" in out         # porter applied
+    assert "abc" in out                             # tokenizer lowercases
+    assert "，" not in out and "《" not in out      # punctuation stopped
