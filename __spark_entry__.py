@@ -7144,6 +7144,41 @@ FT_JA_NUMBER_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
 
 
 
+_KONUM_IN = [
+    "삼천2백２십삼", "육백이만오천일", "영영칠", "십조육백만오천일",
+    "１．２만３４５．６７", "해경조억만천백십일", "천천천천", "일경일",
+]
+_KONUM_OUT = [
+    "3223", "6025001", "7", "10000006005001",
+    "12345.67", "100010001000100011111", "4000", "10000000000000001",
+]
+
+
+def ft_ko_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Korean number normalization (r5 — KoreanNumberFilter.java, the
+    nori twin of the kuromoji grammar; analysis/konumber.py shares the
+    recursive-descent NumberGrammar with janumber, swapping the hangul
+    digit row 영일이삼사오육칠팔구 and exponent ladder 십백천만억조경해
+    — KoreanNumberFilter.java:99-121). Vectors are
+    TestKoreanNumberFilter.java cases: mixed hangul/Arabic/full-width,
+    decimals with 만-group splits, and the additive oddities."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _num(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.konumber import normalize_number
+
+        return vs.map(lambda v: normalize_number(_KONUM_IN[int(v)]))
+
+    return d.select("doc_id", _num(F.col("v")).alias("number"))
+
+
+FT_KO_NUMBER_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_KONUM_OUT))
+    + "\nEND AS number FROM documents")
+
+
 def ft_match_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match-region highlighter (r5 — lucene/highlighter/matchhighlight:
     MatchRegionRetriever + PassageSelector + MatchHighlighter,
@@ -7868,6 +7903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ja_analyzer": ft_ja_analyzer,
         # --- local-evidence tail additions (outside the 50-window) ---
         "ft_cn_analyzer": ft_cn_analyzer,
+        "ft_ko_number": ft_ko_number,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8248,6 +8284,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_morfologik": FT_MORFOLOGIK_SQL,
         "ft_match_highlight": FT_MATCH_HIGHLIGHT_SQL,
         "ft_ja_number": FT_JA_NUMBER_SQL,
+        "ft_ko_number": FT_KO_NUMBER_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
