@@ -7144,6 +7144,63 @@ FT_JA_NUMBER_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
 
 
 
+_JAITER_IN = [
+    "時々、東京に行きます。", "馬鹿々々しい話です。",
+    "人々の生活は様々です。", "ところゞゝゝ雨が降る。",
+    "みすゞの詩を読んだ。", "日々の仕事を続ける。",
+    "国々の代表が集まった。", "おゝのさんと寿司を食べた。",
+]
+_JAITER_FOLD = [
+    "時時、東京に行きます。", "馬鹿馬鹿しい話です。",
+    "人人の生活は様様です。", "ところどころ雨が降る。",
+    "みすずの詩を読んだ。", "日日の仕事を続ける。",
+    "国国の代表が集まった。", "おおのさんと寿司を食べた。",
+]
+_JAITER_TOKENS = [
+    "時|時|東|京|行く", "馬|鹿|馬|鹿|しい|話",
+    "人人|生|活|様|様", "ころどころ|雨|降|る",
+    "みすずの|詩|読|んだ", "日|日|仕|事|続|ける",
+    "国国|代|表|集|まった", "おおのさんと|寿|司|食べる",
+]
+
+
+def ft_ja_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese iteration-mark char filter (r5 —
+    JapaneseIterationMarkCharFilter.java, analysis/jaiteration.py):
+    `folded` runs the bare char filter (kanji 々 repetition, kana ゝ/ゞ
+    with dakuten voicing, span semantics) — expectations are
+    TestJapaneseIterationMarkCharFilter.java-exact; `tokens` runs the
+    charFilter→JapaneseAnalyzer composition (`japanese_iteration`
+    analyzer) distributed over the large seeded lexicon against frozen
+    vectors."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _fold(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.jaiteration import iteration_mark
+
+        return vs.map(lambda v: iteration_mark(_JAITER_IN[int(v)]))
+
+    @F.pandas_udf("string")
+    def _toks(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("japanese_iteration")
+        return a.tokenize_series(
+            vs.map(lambda v: _JAITER_IN[int(v)])).map("|".join)
+
+    return d.select("doc_id", _fold(F.col("v")).alias("folded"),
+                    _toks(F.col("v")).alias("tokens"))
+
+
+FT_JA_ITERATION_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_JAITER_FOLD))
+    + "\nEND AS folded, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_JAITER_TOKENS))
+    + "\nEND AS tokens FROM documents")
+
+
 _KONUM_IN = [
     "삼천2백２십삼", "육백이만오천일", "영영칠", "십조육백만오천일",
     "１．２만３４５．６７", "해경조억만천백십일", "천천천천", "일경일",
@@ -7904,6 +7961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- local-evidence tail additions (outside the 50-window) ---
         "ft_cn_analyzer": ft_cn_analyzer,
         "ft_ko_number": ft_ko_number,
+        "ft_ja_iteration": ft_ja_iteration,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8285,6 +8343,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_match_highlight": FT_MATCH_HIGHLIGHT_SQL,
         "ft_ja_number": FT_JA_NUMBER_SQL,
         "ft_ko_number": FT_KO_NUMBER_SQL,
+        "ft_ja_iteration": FT_JA_ITERATION_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,

@@ -1002,6 +1002,15 @@ CUSTOM_TOKENIZERS["ja_full"] = ja_full_token_lists
 register_analyzer(Analyzer(name="japanese_full",
                            custom_tokenizer="ja_full"))
 
+# JapaneseIterationMarkCharFilter (odoriji 々ゝゞヽヾ expansion,
+# analysis/jaiteration.py) composed before the full chain — the
+# reference's char-filter + JapaneseAnalyzer stack
+from lucene_spark.analysis.ja import ja_iteration_token_lists  # noqa: E402
+
+CUSTOM_TOKENIZERS["ja_iteration"] = ja_iteration_token_lists
+register_analyzer(Analyzer(name="japanese_iteration",
+                           custom_tokenizer="ja_iteration"))
+
 # Thai (th/ThaiAnalyzer.java:93-100: ThaiTokenizer → LowerCase →
 # DecimalDigitFilter → Stop(th list)). analysis/th.py: dictionary
 # maximal-matching over a seeded lexicon (the ICU Thai engine's own

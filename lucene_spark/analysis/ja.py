@@ -666,3 +666,19 @@ def ja_full_token_lists(content) -> "pd.Series":
         _FULL_TOK = JapaneseTokenizer(default_dictionary(), mode="search")
     return content.map(
         lambda s: japanese_analyzer_tokens(s or "", _FULL_TOK))
+
+
+def ja_iteration_token_lists(content) -> "pd.Series":
+    """CUSTOM_TOKENIZERS hook: JapaneseIterationMarkCharFilter →
+    the complete JapaneseAnalyzer chain — the reference's
+    charFilter+analyzer composition
+    (TestJapaneseIterationMarkCharFilter.java:40-56 builds exactly
+    this stack; the char filter is 1:1 so offsets are unchanged)."""
+    from lucene_spark.analysis.jaiteration import iteration_mark
+
+    global _FULL_TOK
+    if _FULL_TOK is None:
+        _FULL_TOK = JapaneseTokenizer(default_dictionary(), mode="search")
+    return content.map(
+        lambda s: japanese_analyzer_tokens(iteration_mark(s or ""),
+                                           _FULL_TOK))
