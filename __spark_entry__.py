@@ -7201,6 +7201,99 @@ FT_JA_ITERATION_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_JA_USERDICT_LINES = [
+    "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",
+    "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,テスト名詞",
+    "朝青龍,朝青龍,アサショウリュウ,カスタム人名",
+    "abcd,a b cd,foo1 foo2 foo3,bar",
+]
+_JA_UD_IN = [
+    "関西国際空港に行った", "日本経済新聞を読んだ", "朝青龍は強い",
+    "abcdを見た", "関西国際空港と日本経済新聞", "空港に行った",
+    "朝青龍とabcd", "日本経済新聞の記事",
+]
+_JA_UD_TOKENS = [
+    "関西|国際|空港|に|行った", "日本|経済|新聞|を|読|んだ",
+    "朝青龍|は|強|い", "a|b|cd|を|見た",
+    "関西|国際|空港|と|日本|経済|新聞", "空|港|に|行った",
+    "朝青龍|と|a|b|cd", "日本|経済|新聞|の|記|事",
+]
+
+
+def ft_ja_userdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuromoji user dictionary (r5 — ja/dict/UserDictionary.java +
+    JapaneseTokenizer.java:873-911/1973-2000, analysis/userdict.py):
+    the reference test fixture's own entries (userdict.txt) drive
+    custom segmentations (関西国際空港 → 関西 国際 空港), single-token
+    overrides (朝青龍), and user-before-system precedence; tokenization
+    runs distributed over the large seeded lexicon against frozen
+    vectors."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _toks(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.ja import (JapaneseTokenizer,
+                                              default_dictionary)
+        from lucene_spark.analysis.userdict import JaUserDictionary
+
+        tok = JapaneseTokenizer(
+            default_dictionary(), mode="search",
+            user_dictionary=JaUserDictionary(_JA_USERDICT_LINES))
+        return vs.map(lambda v: "|".join(
+            t.surface for t in tok.tokenize(_JA_UD_IN[int(v)])))
+
+    return d.select("doc_id", _toks(F.col("v")).alias("tokens"))
+
+
+FT_JA_USERDICT_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_JA_UD_TOKENS))
+    + "\nEND AS tokens FROM documents")
+
+
+_KO_USERDICT_LINES = [
+    "c++", "C샤프", "세종", "세종시 세종 시", "대한민국날씨",
+    "대한민국", "날씨", "21세기대한민국", "세기",
+]
+_KO_UD_IN = [
+    "c++ 프로그래밍 언어", "세종시", "대한민국날씨", "21세기대한민국",
+    "세종시 날씨", "c++", "대한민국 날씨", "세기",
+]
+_KO_UD_TOKENS = [
+    "c++|프로그래밍|언어", "세종|시", "대한민국날씨", "21세기대한민국",
+    "세종|시|날씨", "c++", "대한민국|날씨", "세기",
+]
+
+
+def ft_ko_userdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nori user dictionary (r5 — ko/dict/UserDictionary.java +
+    KoreanTokenizer.java:745-785, analysis/userdict.py): the reference
+    fixture's entries (ko/userdict.txt) drive NNG nouns (c++ survives
+    as one token), compound decomposition under DISCARD (세종시 →
+    세종 시), and the longest-user-match rule (대한민국날씨 stays
+    whole); frozen vectors, distributed."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _toks(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.ko import KoreanTokenizer
+        from lucene_spark.analysis.userdict import KoUserDictionary
+
+        tok = KoreanTokenizer(
+            decompound_mode="discard",
+            user_dictionary=KoUserDictionary(_KO_USERDICT_LINES))
+        return vs.map(lambda v: "|".join(
+            t.surface for t in tok.tokenize(_KO_UD_IN[int(v)])))
+
+    return d.select("doc_id", _toks(F.col("v")).alias("tokens"))
+
+
+FT_KO_USERDICT_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_KO_UD_TOKENS))
+    + "\nEND AS tokens FROM documents")
+
+
 _KONUM_IN = [
     "삼천2백２십삼", "육백이만오천일", "영영칠", "십조육백만오천일",
     "１．２만３４５．６７", "해경조억만천백십일", "천천천천", "일경일",
@@ -7962,6 +8055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cn_analyzer": ft_cn_analyzer,
         "ft_ko_number": ft_ko_number,
         "ft_ja_iteration": ft_ja_iteration,
+        "ft_ja_userdict": ft_ja_userdict,
+        "ft_ko_userdict": ft_ko_userdict,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8344,6 +8439,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_ja_number": FT_JA_NUMBER_SQL,
         "ft_ko_number": FT_KO_NUMBER_SQL,
         "ft_ja_iteration": FT_JA_ITERATION_SQL,
+        "ft_ja_userdict": FT_JA_USERDICT_SQL,
+        "ft_ko_userdict": FT_KO_USERDICT_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,

@@ -56,6 +56,10 @@ from __future__ import annotations
 import unicodedata
 from dataclasses import dataclass, field
 
+from lucene_spark.analysis.userdict import (JA_USER_LEFT_ID,
+                                            JA_USER_RIGHT_ID,
+                                            JA_USER_WORD_COST, JaUserEntry)
+
 # character classes (CharacterDefinition.java:52-66)
 NGRAM, DEFAULT, SPACE, SYMBOL, NUMERIC, ALPHA, CYRILLIC, GREEK, \
     HIRAGANA, KATAKANA, KANJI, KANJINUMERIC = range(12)
@@ -208,8 +212,13 @@ class JapaneseTokenizer:
 
     def __init__(self, dictionary: JaDictionary | None = None,
                  mode: str = "normal", discard_punctuation: bool = True,
-                 discard_compound_token: bool = True):
+                 discard_compound_token: bool = True,
+                 user_dictionary=None):
         self.dict = dictionary or JaDictionary()
+        # kuromoji user dictionary (analysis/userdict.JaUserDictionary):
+        # consulted before the system dictionary; a user match
+        # suppresses system lookups at that position (java:873-911)
+        self.user_dict = user_dictionary
         if mode not in ("normal", "search", "extended"):
             raise ValueError("mode must be 'normal', 'search' or "
                              "'extended'")
@@ -272,11 +281,20 @@ class JapaneseTokenizer:
                                     surface, known, pos_tag,
                                     left_id, word_cost, entry))
 
+            # user dictionary first; any user match suppresses system
+            # lookups at this position (JapaneseTokenizer.java:873-911)
             any_matches = False
-            for end, e in self.dict.matches(text, pos):
-                add_arc(end, e.left_id, e.right_id, e.cost, e.surface,
-                        True, e.pos, e)
-                any_matches = True
+            if self.user_dict is not None:
+                for end, ue in self.user_dict.matches(text, pos):
+                    add_arc(end, JA_USER_LEFT_ID, JA_USER_RIGHT_ID,
+                            JA_USER_WORD_COST, ue.surface, True, ue.pos,
+                            ue)
+                    any_matches = True
+            if not any_matches:
+                for end, e in self.dict.matches(text, pos):
+                    add_arc(end, e.left_id, e.right_id, e.cost, e.surface,
+                            True, e.pos, e)
+                    any_matches = True
 
             # normal mode: no unknown re-invocation inside a previous
             # unknown span (java:963-966)
@@ -330,6 +348,20 @@ class JapaneseTokenizer:
             a = arrive[pos][idx]
             (cost, right_id, back_pos, back_idx, surface, known,
              pos_tag, left_id, _wc, entry) = a
+            if isinstance(entry, JaUserEntry):
+                # USER arcs expand into their recorded segmentation and
+                # are exempt from SEARCH-mode decomposition
+                # (JapaneseTokenizer.java:1973-2000; :548/:1818)
+                cur = pos
+                for seg, rd in zip(reversed(entry.segments),
+                                   reversed(entry.readings)):
+                    out.extend(self._emit(JaToken(
+                        seg, cur - len(seg), cur, True, entry.pos,
+                        reading=rd)))
+                    cur -= len(seg)
+                last_left_id = left_id
+                pos, idx = back_pos, back_idx
+                continue
             parts = None
             if self.search_mode:
                 penalty = self._penalty(text, back_pos, pos - back_pos)

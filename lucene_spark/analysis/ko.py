@@ -135,10 +135,15 @@ class KoreanTokenizer:
     def __init__(self, dictionary: KoDictionary | None = None,
                  decompound_mode: str = "discard",
                  discard_punctuation: bool = True,
-                 stop_tags: frozenset | None = DEFAULT_STOP_TAGS):
+                 stop_tags: frozenset | None = DEFAULT_STOP_TAGS,
+                 user_dictionary=None):
         if decompound_mode not in ("none", "discard", "mixed"):
             raise ValueError("decompound_mode must be none|discard|mixed")
         self.dict = dictionary or KoDictionary()
+        # nori user dictionary (analysis/userdict.KoUserDictionary):
+        # longest user match per position, consulted before the system
+        # dictionary (KoreanTokenizer.java:745-785)
+        self.user_dict = user_dictionary
         self.mode = decompound_mode
         self.discard_punctuation = discard_punctuation
         self.stop_tags = stop_tags or frozenset()
@@ -173,6 +178,7 @@ class KoreanTokenizer:
         INF = float("inf")
         arrive: list[list[tuple]] = [[] for _ in range(n + 1)]
         arrive[0].append((0, 0, -1, -1, None))      # BOS
+        user_max_pos_ahead = -1     # userWordMaxPosAhead (java:741)
         for pos in range(n):
             if not arrive[pos]:
                 continue
@@ -186,10 +192,24 @@ class KoreanTokenizer:
                 arrive[end].append((least + word_cost, right_id, pos,
                                     least_idx, entry))
 
+            # user dictionary first: longest match only, added only when
+            # it reaches past every earlier user match; ANY user final
+            # suppresses system lookups here (KoreanTokenizer.java:
+            # 745-785 — anyMatches is set even when the arc is dropped
+            # by the userWordMaxPosAhead rule)
             any_matches = False
-            for end, e in self.dict.matches(text, pos):
-                add_arc(end, e.left_id, e.right_id, e.cost, e)
-                any_matches = True
+            if self.user_dict is not None:
+                m = self.user_dict.longest_match(text, pos)
+                if m is not None:
+                    any_matches = True
+                    end, ue = m
+                    if end - 1 > user_max_pos_ahead:
+                        add_arc(end, ue.left_id, ue.right_id, ue.cost, ue)
+                        user_max_pos_ahead = end - 1
+            if not any_matches:
+                for end, e in self.dict.matches(text, pos):
+                    add_arc(end, e.left_id, e.right_id, e.cost, e)
+                    any_matches = True
             cls = _script(text[pos])
             if not any_matches or _INVOKE[cls]:
                 length, script = self._unknown_length(text, pos)
