@@ -7294,6 +7294,46 @@ FT_KO_USERDICT_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_KO_AN_IN = [
+    "韓國의 大學校에서 經濟를 공부한다", "車丞相은 新聞을 읽었다",
+    "世界 經濟가 어렵다", "學校에 간다", "삼성전자는 한국 회사다",
+    "新聞과 世界", "大學 시절의 친구", "韓國 날씨",
+]
+_KO_AN_TOKENS = [
+    "한국|대학|校|경제|공부한다", "차|승상|신문|읽", "세계|경제|어렵다",
+    "학교|간다", "삼|성전자는|한국|회사다", "신문|세계",
+    "대학|시절의|친구", "한국|날씨",
+]
+
+
+def ft_ko_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE KoreanAnalyzer chain (r5 — KoreanAnalyzer.java:72-79:
+    KoreanTokenizer DISCARD → KoreanPartOfSpeechStopFilter →
+    KoreanReadingFormFilter → LowerCaseFilter) over the large seeded
+    lexicon extended with hanja reading entries (ko.hanja_entries —
+    includes the TestKoreanReadingFormFilter.java vector 車丞相 →
+    차 승상): mixed hanja/hangul sentences run the chain distributed
+    and must equal the frozen vectors (hanja terms replaced by their
+    hangul transcriptions)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _kfa(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("korean_full")
+        return a.tokenize_series(
+            vs.map(lambda v: _KO_AN_IN[int(v)])).map("|".join)
+
+    return d.select("doc_id", _kfa(F.col("v")).alias("tokens"))
+
+
+FT_KO_ANALYZER_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_KO_AN_TOKENS))
+    + "\nEND AS tokens FROM documents")
+
+
 _KONUM_IN = [
     "삼천2백２십삼", "육백이만오천일", "영영칠", "십조육백만오천일",
     "１．２만３４５．６７", "해경조억만천백십일", "천천천천", "일경일",
@@ -8057,6 +8097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ja_iteration": ft_ja_iteration,
         "ft_ja_userdict": ft_ja_userdict,
         "ft_ko_userdict": ft_ko_userdict,
+        "ft_ko_analyzer": ft_ko_analyzer,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8441,6 +8482,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ja_iteration": FT_JA_ITERATION_SQL,
         "ft_ja_userdict": FT_JA_USERDICT_SQL,
         "ft_ko_userdict": FT_KO_USERDICT_SQL,
+        "ft_ko_analyzer": FT_KO_ANALYZER_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,

@@ -1031,6 +1031,14 @@ from lucene_spark.analysis.ko import ko_token_lists  # noqa: E402
 
 CUSTOM_TOKENIZERS["ko_nori"] = ko_token_lists
 register_analyzer(Analyzer(name="korean", custom_tokenizer="ko_nori"))
+# the COMPLETE KoreanAnalyzer chain over the LARGE seeded lexicon with
+# hanja readings (KoreanAnalyzer.java:72-79: tokenizer DISCARD → POS
+# stop → KoreanReadingFormFilter → lowercase)
+from lucene_spark.analysis.ko import ko_full_token_lists  # noqa: E402
+
+CUSTOM_TOKENIZERS["ko_full"] = ko_full_token_lists
+register_analyzer(Analyzer(name="korean_full",
+                           custom_tokenizer="ko_full"))
 
 # Chinese (smartcn SmartChineseAnalyzer role): HHMM bigram segmentation
 # with the reference's exact smoothing formula (BiSegGraph.java:101-107)

@@ -94,6 +94,10 @@ class KoDictEntry:
     pos_type: str = "MORPHEME"          # MORPHEME | COMPOUND | INFLECT
     morphemes: tuple = ()               # ((pos_tag, surface), ...) for
                                         # COMPOUND/INFLECT entries
+    reading: str = ""                   # hangul transcription for hanja
+                                        # entries ("" = none) — the
+                                        # ReadingAttribute source
+                                        # (KoreanReadingFormFilter.java)
 
 
 @dataclass
@@ -129,6 +133,9 @@ class KoToken:
     pos: str
     known: bool
     position_increment: int = 1
+    reading: str = ""       # hangul reading ("" = none): DictionaryToken
+                            # carries the dictionary reading, Decompound
+                            # parts carry none (DecompoundToken.java:35)
 
 
 class KoreanTokenizer:
@@ -235,7 +242,8 @@ class KoreanTokenizer:
                 toks = [KoToken(surface, back_pos, pos, "UNKNOWN", False)]
             elif (entry.pos_type == "MORPHEME" or self.mode == "none"
                   or not entry.morphemes):
-                toks = [KoToken(surface, back_pos, pos, entry.pos, True)]
+                toks = [KoToken(surface, back_pos, pos, entry.pos, True,
+                                reading=entry.reading)]
             else:
                 end = pos
                 parts = []
@@ -251,7 +259,8 @@ class KoreanTokenizer:
                         0 if (is_first and self.mode == "mixed") else 1))
                 parts.reverse()
                 if self.mode == "mixed":
-                    toks = [KoToken(surface, back_pos, pos, entry.pos, True)]
+                    toks = [KoToken(surface, back_pos, pos, entry.pos,
+                                    True, reading=entry.reading)]
                     toks += parts
                 else:
                     toks = parts
@@ -266,6 +275,26 @@ class KoreanTokenizer:
 
     def tokens(self, text: str) -> list[str]:
         return [t.surface.lower() for t in self.tokenize(text)]
+
+
+def hanja_entries() -> list:
+    """Hanja NNG entries carrying hangul readings — the ReadingAttribute
+    rows a mecab-ko-dic build populates for Sino-Korean words (public
+    hanja→hangul transcriptions). Includes the
+    TestKoreanReadingFormFilter.java surface forms (車 丞相 → 차 승상).
+    Merged into both seeded lexicons; NNG ids (10) match the generated
+    id space (scripts/gen_ko_lexicon.py)."""
+    E = KoDictEntry
+    return [
+        E("車", 10, 10, 3400, reading="차"),
+        E("丞相", 10, 10, 3300, reading="승상"),
+        E("學校", 10, 10, 3100, reading="학교"),
+        E("韓國", 10, 10, 2950, reading="한국"),
+        E("大學", 10, 10, 3050, reading="대학"),
+        E("新聞", 10, 10, 3150, reading="신문"),
+        E("世界", 10, 10, 3000, reading="세계"),
+        E("經濟", 10, 10, 3200, reading="경제"),
+    ]
 
 
 def demo_dictionary() -> KoDictionary:
@@ -286,6 +315,7 @@ def demo_dictionary() -> KoDictionary:
         E("를", 20, 20, 500, pos="J"),
         E("에", 20, 20, 500, pos="J"),
     ]
+    entries += hanja_entries()
     conn = {(0, 10): 500, (10, 0): 500, (0, 20): 4000, (20, 0): 2500,
             (10, 20): -1500, (20, 10): -1000, (10, 10): 2000}
     return KoDictionary(entries=entries, conn=conn, default_conn=1200)
@@ -322,6 +352,7 @@ def default_dictionary() -> KoDictionary:
                 pos_type=str(pt), morphemes=morphs))
         conn = {(int(k[0]), int(k[1])): int(v)
                 for k, v in zip(z["conn_keys"], z["conn_vals"])}
+        entries += hanja_entries()
         _DEFAULT_DICT = KoDictionary(entries=entries, conn=conn,
                                      default_conn=int(z["default_conn"]))
     return _DEFAULT_DICT
@@ -330,11 +361,33 @@ def default_dictionary() -> KoDictionary:
 _KO_TOK = None
 
 
+def korean_analyzer_tokens(text: str, tokenizer: KoreanTokenizer) -> list[str]:
+    """The COMPLETE KoreanAnalyzer chain (KoreanAnalyzer.java:72-79):
+    KoreanTokenizer DISCARD → KoreanPartOfSpeechStopFilter (the
+    tokenizer's stop_tags) → KoreanReadingFormFilter (term replaced by
+    the hangul reading when present — hanja_entries carry them) →
+    LowerCaseFilter."""
+    return [(t.reading or t.surface).lower()
+            for t in tokenizer.tokenize(text)]
+
+
 def ko_token_lists(content) -> "pd.Series":
     """CUSTOM_TOKENIZERS hook: KoreanAnalyzer chain (tokenizer DISCARD →
-    POS stop → lowercase; reading-form is identity for the seeded
-    lexicon, which carries no hanja readings)."""
+    POS stop → reading form → lowercase) over the demo lexicon."""
     global _KO_TOK
     if _KO_TOK is None:
         _KO_TOK = KoreanTokenizer(demo_dictionary())
-    return content.map(lambda s: _KO_TOK.tokens(s or ""))
+    return content.map(lambda s: korean_analyzer_tokens(s or "", _KO_TOK))
+
+
+_KO_FULL_TOK = None
+
+
+def ko_full_token_lists(content) -> "pd.Series":
+    """CUSTOM_TOKENIZERS hook: the complete KoreanAnalyzer chain over
+    the LARGE seeded lexicon (+ hanja readings)."""
+    global _KO_FULL_TOK
+    if _KO_FULL_TOK is None:
+        _KO_FULL_TOK = KoreanTokenizer(default_dictionary())
+    return content.map(
+        lambda s: korean_analyzer_tokens(s or "", _KO_FULL_TOK))

@@ -146,3 +146,25 @@ def test_large_lexicon_oov_mixed_script():
     # mixed script runs stay unknown single tokens
     surf = t.tokens(nouns[0] + "Spark2026입니다테스트")
     assert "spark" in surf and "2026" in surf
+
+
+def test_reading_form_filter():
+    # TestKoreanReadingFormFilter.java: hanja replaced by hangul reading
+    from lucene_spark.analysis.ko import (KoreanTokenizer, demo_dictionary,
+                                          korean_analyzer_tokens)
+
+    tok = KoreanTokenizer(demo_dictionary())
+    assert korean_analyzer_tokens("車丞相", tok) == ["차", "승상"]
+    # tokens without readings keep their surface
+    assert korean_analyzer_tokens("한국", tok) == ["한국"]
+
+
+def test_reading_attribute_on_tokens():
+    from lucene_spark.analysis.ko import KoreanTokenizer, demo_dictionary
+
+    tok = KoreanTokenizer(demo_dictionary())
+    toks = tok.tokenize("學校")
+    assert toks[0].reading == "학교"
+    # decompound parts carry no reading (DecompoundToken.java:35)
+    parts = tok.tokenize("삼성전자")
+    assert all(t.reading == "" for t in parts)
