@@ -7294,6 +7294,48 @@ FT_KO_USERDICT_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_HUNSPELL_IN = [
+    "reworked queries and indexes", "merging shards while scanning",
+    "the writer writes tokens", "scored searches reworking merges",
+    "query indexing works", "research rescanned", "scans searched",
+    "write merged scores",
+]
+_HUNSPELL_TOKENS = [
+    "work|query|and|index", "merge|shard|while|scan",
+    "the|writer|write|token", "score|search|work|merge",
+    "query|index|work", "search|rescanned", "scan|search",
+    "write|merge|score",
+]
+
+
+def ft_hunspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hunspell dictionary stemming (r5 — analysis/common hunspell:
+    Dictionary.java affix parsing + Stemmer.java cross-product
+    prefix/suffix removal + HunspellStemFilter.java, re-implemented in
+    analysis/hunspell.py with every reference .aff/.dic fixture test
+    pinned in tests/test_hunspell.py): the registered `hunspell`
+    analyzer runs its English demo affix dictionary distributed against
+    frozen vectors (suffix strip+append with conditions, re- prefix via
+    cross-product recursion, unknown words pass through)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _hs(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("hunspell")
+        return a.tokenize_series(
+            vs.map(lambda v: _HUNSPELL_IN[int(v)])).map("|".join)
+
+    return d.select("doc_id", _hs(F.col("v")).alias("tokens"))
+
+
+FT_HUNSPELL_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_HUNSPELL_TOKENS))
+    + "\nEND AS tokens FROM documents")
+
+
 _KO_AN_IN = [
     "韓國의 大學校에서 經濟를 공부한다", "車丞相은 新聞을 읽었다",
     "世界 經濟가 어렵다", "學校에 간다", "삼성전자는 한국 회사다",
@@ -8098,6 +8140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ja_userdict": ft_ja_userdict,
         "ft_ko_userdict": ft_ko_userdict,
         "ft_ko_analyzer": ft_ko_analyzer,
+        "ft_hunspell": ft_hunspell,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8483,6 +8526,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ja_userdict": FT_JA_USERDICT_SQL,
         "ft_ko_userdict": FT_KO_USERDICT_SQL,
         "ft_ko_analyzer": FT_KO_ANALYZER_SQL,
+        "ft_hunspell": FT_HUNSPELL_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,

@@ -1217,6 +1217,54 @@ def _dm_token_lists(content: pd.Series) -> pd.Series:
 
 
 CUSTOM_TOKENIZERS["dm_soundex"] = _dm_token_lists
+
+# Hunspell dictionary stemming (hunspell/HunspellStemFilter.java chain:
+# whitespace tokenize → lowercase → HunspellStemFilter emitting every
+# dictionary stem, stacked at the same position). The demo analyzer
+# carries a small English affix dictionary; arbitrary .aff/.dic pairs
+# load through analysis/hunspell.HunspellDictionary.
+_HUNSPELL_DEMO = None
+
+
+def _hunspell_demo_dict():
+    global _HUNSPELL_DEMO
+    if _HUNSPELL_DEMO is None:
+        from lucene_spark.analysis.hunspell import HunspellDictionary
+
+        aff = (
+            "SET UTF-8\n"
+            "PFX R Y 1\n"
+            "PFX R 0 re .\n"
+            "SFX S Y 3\n"
+            "SFX S 0 s [^sxyh]\n"
+            "SFX S 0 es [sxh]\n"
+            "SFX S y ies y\n"
+            "SFX D Y 3\n"
+            "SFX D 0 ed [^en]\n"
+            "SFX D e ed e\n"
+            "SFX D 0 ned n\n"
+            "SFX G Y 3\n"
+            "SFX G 0 ing [^en]\n"
+            "SFX G e ing e\n"
+            "SFX G 0 ning n\n")
+        dic = ("10\nwork/RSDG\nindex/SDG\nquery/SDG\nsearch/RSDG\n"
+               "merge/SDG\nscan/SDG\nshard/SDG\nscore/SDG\ntoken/SDG\n"
+               "write/SG\n")
+        _HUNSPELL_DEMO = HunspellDictionary(aff, dic)
+    return _HUNSPELL_DEMO
+
+
+def _hunspell_token_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.hunspell import hunspell_stem_tokens
+
+    d = _hunspell_demo_dict()
+    return content.map(lambda s: [
+        t.text for t in hunspell_stem_tokens((s or "").lower().split(), d)])
+
+
+CUSTOM_TOKENIZERS["hunspell_demo"] = _hunspell_token_lists
+register_analyzer(Analyzer(name="hunspell",
+                           custom_tokenizer="hunspell_demo"))
 register_analyzer(Analyzer(name="phonetic_dm", custom_tokenizer="dm_soundex",
                            stopwords=frozenset()))
 register_analyzer(Analyzer(name="standard_folded", stopwords=ENGLISH_STOP_WORDS,
