@@ -7336,6 +7336,50 @@ FT_HUNSPELL_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_KSTEM_IN = [
+    "the amplification of queries was flagrant",
+    "militarily optimal strategies emerged",
+    "calories counted aides crosses",
+    "backfilled indexes and microcoded systems",
+    "italians fled canonic institutions",
+    "immunity definitions compensable",
+    "fingerspelling aging wolves",
+    "dancing policies happiness",
+]
+_KSTEM_TOKENS = [
+    "amplify|query|flagrant", "military|optimum|strategy|emerge",
+    "calorie|count|aide|cross", "backfill|index|microcode|system",
+    "italy|flee|canonical|institution", "immune|definition|compensate",
+    "fingerspell|age|wolve", "dance|policy|happiness",
+]
+
+
+def ft_kstem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStem (r5 — en/KStemFilter.java, Krovetz SIGIR'93; analysis/
+    kstem.py + the dictionary extracted by scripts/gen_kstem_data.py):
+    the `english_kstem` analyzer (tokenize → lowercase → stop →
+    KStem) runs distributed against frozen vectors. The stemmer itself
+    is pinned at 0 mismatches over the reference's entire 12,130-word
+    golden vocabulary (kstemTestData.zip) in tests/test_kstem.py."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _ks(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("english_kstem")
+        return a.tokenize_series(
+            vs.map(lambda v: _KSTEM_IN[int(v)])).map("|".join)
+
+    return d.select("doc_id", _ks(F.col("v")).alias("tokens"))
+
+
+FT_KSTEM_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_KSTEM_TOKENS))
+    + "\nEND AS tokens FROM documents")
+
+
 _KO_AN_IN = [
     "韓國의 大學校에서 經濟를 공부한다", "車丞相은 新聞을 읽었다",
     "世界 經濟가 어렵다", "學校에 간다", "삼성전자는 한국 회사다",
@@ -8141,6 +8185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ko_userdict": ft_ko_userdict,
         "ft_ko_analyzer": ft_ko_analyzer,
         "ft_hunspell": ft_hunspell,
+        "ft_kstem": ft_kstem,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8527,6 +8572,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ko_userdict": FT_KO_USERDICT_SQL,
         "ft_ko_analyzer": FT_KO_ANALYZER_SQL,
         "ft_hunspell": FT_HUNSPELL_SQL,
+        "ft_kstem": FT_KSTEM_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,

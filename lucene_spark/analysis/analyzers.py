@@ -1153,6 +1153,14 @@ register_analyzer(
              stopwords=ENGLISH_STOP_WORDS, stemmer="porter")
 )
 
+# KStemFilter chain (en/KStemFilterFactory.java usage: tokenizer →
+# lowercase → KStem): Krovetz's dictionary-hybrid stemmer, golden-exact
+# vs kstemTestData.zip (analysis/kstem.py)
+register_analyzer(
+    Analyzer(name="english_kstem", token_pattern=r"[A-Za-z0-9_]+",
+             stopwords=ENGLISH_STOP_WORDS, stemmer="kstem")
+)
+
 # Whitespace + bigram shingles (ShingleFilter role): unigrams + space-
 # joined word pairs, exactly reproducible by an external SQL engine.
 register_analyzer(

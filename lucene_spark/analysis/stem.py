@@ -1070,6 +1070,18 @@ def _stempel_pl(word: str) -> str:
 # semantics included (≤3-char words and null stems pass through)
 STEMMERS["stempel_pl"] = _stempel_pl
 
+
+def _kstem(word: str) -> str:
+    from lucene_spark.analysis.kstem import kstem
+
+    return kstem(word)
+
+
+# Krovetz dictionary-hybrid English stemmer (analysis/kstem.py;
+# en/KStemFilter.java role) — 0 mismatches vs the reference's
+# 12,130-word golden vocabulary (kstemTestData.zip)
+STEMMERS["kstem"] = _kstem
+
 # Pre-stop-filter per-token normalizers (Analyzer.normalizer selects here):
 # the {Arabic,Persian,Sorani,Indic}NormalizationFilter roles, chained in
 # each reference analyzer's createComponents order.
