@@ -59,3 +59,26 @@ def test_reusable_instance():
     assert st.stem("indexes") == "index"
     assert st.stem("jumped") == "jump"
     assert st.stem("jumped") == "jump"   # stateless across calls
+
+
+PORTER_GOLDEN = os.path.join(os.path.dirname(__file__), "data",
+                             "porter_golden.txt")
+
+
+def test_porter_golden_vocabulary_zero_mismatch():
+    """The reference's porterTestData.zip (23,531 pairs,
+    TestPorterStemFilter.java) against the registered porter stemmer."""
+    from lucene_spark.analysis.stem import STEMMERS
+
+    porter = STEMMERS["porter"]
+    bad = []
+    with open(PORTER_GOLDEN, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            word, want = line.split("\t")
+            got = porter(word)
+            if got != want:
+                bad.append((word, want, got))
+    assert bad == [], f"{len(bad)} mismatches, first 10: {bad[:10]}"
