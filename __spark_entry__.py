@@ -7336,6 +7336,52 @@ FT_HUNSPELL_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_HSPELL_AFF = ("MAXNGRAMSUGS 0\nREP 2\nREP alot a_lot\n"
+               "REP inspite in_spite\n"
+               "KEY qwertzuiop|asdfghjkl|yxcvbnm|aq\nWORDCHARS .-\n"
+               "FORBIDDENWORD ?\n")
+_HSPELL_DIC = ("13\nNASA\nGandhi\ngrateful\npermanent\nvacation\na\n"
+               "lot\nhave\nwhich\nMcDonald\npermanent-vacation/?\nin\n"
+               "spite\ninspire\n")
+_HSPELL_IN = [
+    "nasa", "Ghandi", "greatful", "permenant",
+    "vacacation", "alot", "inspite", "ahev",
+]
+_HSPELL_OK = [0, 0, 0, 0, 0, 0, 0, 0]
+_HSPELL_SUG = [
+    "NASA", "Gandhi", "grateful", "permanent",
+    "vacation", "a lot,lot", "in spite,inspire", "have",
+]
+
+
+def ft_hunspell_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hunspell spell checking + suggestions (r5 — SpellChecker.java +
+    ModifyingSuggester.java, analysis/hunspell.py): `ok` is the spell
+    verdict, `sug` the ordered suggestion list (capitalization repair,
+    double-swap, doubled-pair removal, REP multi-word splits, KEY
+    neighbor rows) — the reference's own sug.aff fixture vectors,
+    distributed."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _sp(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.hunspell import HunspellDictionary
+
+        hd = HunspellDictionary(_HSPELL_AFF, _HSPELL_DIC)
+        return vs.map(lambda v: "%d|%s" % (
+            int(hd.spell(_HSPELL_IN[int(v)])),
+            ",".join(hd.suggest(_HSPELL_IN[int(v)]))))
+
+    return d.select("doc_id", _sp(F.col("v")).alias("verdict"))
+
+
+FT_HUNSPELL_SPELL_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{o}|{s}'"
+    for i, (o, s) in enumerate(zip(_HSPELL_OK, _HSPELL_SUG)))
+    + "\nEND AS verdict FROM documents")
+
+
 _KSTEM_IN = [
     "the amplification of queries was flagrant",
     "militarily optimal strategies emerged",
@@ -8186,6 +8232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ko_analyzer": ft_ko_analyzer,
         "ft_hunspell": ft_hunspell,
         "ft_kstem": ft_kstem,
+        "ft_hunspell_spell": ft_hunspell_spell,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8573,6 +8620,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ko_analyzer": FT_KO_ANALYZER_SQL,
         "ft_hunspell": FT_HUNSPELL_SQL,
         "ft_kstem": FT_KSTEM_SQL,
+        "ft_hunspell_spell": FT_HUNSPELL_SPELL_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,

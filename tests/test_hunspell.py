@@ -269,3 +269,309 @@ def test_keep_case():
     assert_stems(d, "test", "test")
     assert_stems(d, "baz.", "baz.")
     assert_stems(d, "Quux.", "Quux.")
+
+
+# ---- spell checking (SpellChecker.java fixtures) ----------------------
+
+BREAK_AFF = """\
+SET UTF-8
+
+BREAK 2
+BREAK -
+BREAK –
+
+WORDCHARS -–
+
+FORBIDDENWORD !
+"""
+BREAK_DIC = "6\nfoo\nbar\nbaz\nfox-bax\nfoo-baz/!\ne-mail\n"
+
+
+def test_spell_breaks():
+    d = HunspellDictionary(BREAK_AFF, BREAK_DIC)
+    good = ["foo", "bar", "fox-bax", "foo-bar", "foo–bar",
+            "foo-bar-foo-bar", "foo-bar–foo-bar", "bar-baz",
+            "baz-foo", "foo-bar-foo-bar-foo-bar-foo-bar-foo-bar",
+            "e-mail", "e-mail-foo"]
+    wrong = ["fox", "bax", "-foo", "bar-", "fox-bar", "foo-bax",
+             "foo–bax", "fox–bar", "foo-bar-fox-bar",
+             "foo-bax-foo-bar", "foo-bar–fox-bar",
+             "foo-bax–foo-bar", "foo-baz"]
+    for w in good:
+        assert d.spell(w), w
+    for w in wrong:
+        assert not d.spell(w), w
+
+
+def test_spell_break_default():
+    # breakdefault.aff: no BREAK directive -> "-" everywhere
+    d = HunspellDictionary(
+        "SET UTF-8\nWORDCHARS -\nTRY ot\n",
+        "5\nfoo\nbar\nfree\nscott\nscot-free\n")
+    for w in ("foo", "bar", "foo-", "-foo", "scot-free", "foo-bar",
+              "foo-bar-foo-bar"):
+        assert d.spell(w), w
+    for w in ("scot", "sco-free", "fo-bar", "foo-fo-bar", "foo-foo-fo"):
+        assert not d.spell(w), w
+
+
+def test_spell_break_off():
+    d = HunspellDictionary(
+        "SET UTF-8\nWORDCHARS -\nTRY ot\n\nBREAK 0\n",
+        "5\nfoo\nbar\nfree\nscott\nscot-free\n")
+    for w in ("foo", "bar", "scot-free"):
+        assert d.spell(w), w
+    for w in ("foo-", "-foo", "foo-bar", "foo-bar-foo-bar", "scot"):
+        assert not d.spell(w), w
+
+
+BASE_AFF = """\
+SET ISO8859-1
+TRY esianrtolcdugmphbyfvkwz'
+
+WORDCHARS .'
+
+PFX A Y 1
+PFX A   0     re         .
+
+PFX I Y 1
+PFX I   0     in         .
+
+PFX U Y 1
+PFX U   0     un         .
+
+PFX C Y 1
+PFX C   0     de          .
+
+PFX E Y 1
+PFX E   0     dis         .
+
+PFX F Y 1
+PFX F   0     con         .
+
+PFX K Y 1
+PFX K   0     pro         .
+
+SFX V N 2
+SFX V   e     ive        e
+SFX V   0     ive        [^e]
+
+SFX N Y 3
+SFX N   e     ion        e
+SFX N   y     ication    y
+SFX N   0     en         [^ey]
+
+SFX X Y 3
+SFX X   e     ions       e
+SFX X   y     ications   y
+SFX X   0     ens        [^ey]
+
+SFX H N 2
+SFX H   y     ieth       y
+SFX H   0     th         [^y]
+
+SFX Y Y 1
+SFX Y   0     ly         .
+
+SFX G Y 2
+SFX G   e     ing        e
+SFX G   0     ing        [^e]
+
+SFX J Y 2
+SFX J   e     ings       e
+SFX J   0     ings       [^e]
+
+SFX D Y 4
+SFX D   0     d          e
+SFX D   y     ied        [^aeiou]y
+SFX D   0     ed         [^ey]
+SFX D   0     ed         [aeiou]y
+
+SFX T N 4
+SFX T   0     st         e
+SFX T   y     iest       [^aeiou]y
+SFX T   0     est        [aeiou]y
+SFX T   0     est        [^ey]
+
+SFX R Y 4
+SFX R   0     r          e
+SFX R   y     ier        [^aeiou]y
+SFX R   0     er         [aeiou]y
+SFX R   0     er         [^ey]
+
+SFX Z Y 4
+SFX Z   0     rs         e
+SFX Z   y     iers       [^aeiou]y
+SFX Z   0     ers        [aeiou]y
+SFX Z   0     ers        [^ey]
+
+SFX S Y 4
+SFX S   y     ies        [^aeiou]y
+SFX S   0     s          [aeiou]y
+SFX S   0     es         [sxzh]
+SFX S   0     s          [^sxzhy]
+
+SFX P Y 3
+SFX P   y     iness      [^aeiou]y
+SFX P   0     ness       [aeiou]y
+SFX P   0     ness       [^y]
+
+SFX M Y 1
+SFX M   0     's         .
+
+SFX B Y 3
+SFX B   0     able       [^aeiou]
+SFX B   0     able       ee
+SFX B   e     able       [^aeiou]e
+
+SFX L Y 1
+SFX L   0     ment       .
+"""
+BASE_DIC = """\
+28
+created/U
+create/XKVNGADS
+imply/GNSDX
+natural/PUY
+like/USPBY
+convey/BDGS
+look/GZRDS
+text
+hello
+said
+sawyer
+NASA
+rotten
+day
+tomorrow
+seven
+FAQ/SM
+can't
+doesn't
+etc
+won't
+lip
+text
+horrifying
+speech
+suggest
+uncreate/V
+Hunspell
+"""
+
+
+def test_spell_base_english():
+    # the reference's OpenOffice en_US-derived base fixture
+    # (base.good / base.wrong)
+    d = HunspellDictionary(BASE_AFF, BASE_DIC)
+    good = ["created", "uncreate", "uncreated", "imply", "implied",
+            "unnatural", "conveyed", "sawyer", "NASA", "FAQs", "can't",
+            "doesn't", "won't", "Created", "Hello", "HELLO", "etc.",
+            "etc", "lip.", "text.", "NASA.", "Text.", "TEXT.",
+            "Hunspell.", "HUNSPELL.", "HUNSPELL..."]
+    wrong = ["loooked", "texxt", "hlelo", "seid", "rottenday",
+             "tomorow", "seeeven", "Nasa", "horrorfying", "peech",
+             "sugesst"]
+    for w in good:
+        assert d.spell(w), w
+    for w in wrong:
+        assert not d.spell(w), w
+
+
+# ---- suggestions (ModifyingSuggester fixtures) ------------------------
+
+SUG_AFF = """\
+MAXNGRAMSUGS 0
+REP 2
+REP alot a_lot
+REP inspite in_spite
+KEY qwertzuiop|asdfghjkl|yxcvbnm|aq
+WORDCHARS .-
+FORBIDDENWORD ?
+"""
+SUG_DIC = ("13\nNASA\nGandhi\ngrateful\npermanent\nvacation\na\nlot\n"
+           "have\nwhich\nMcDonald\npermanent-vacation/?\nin\nspite\n"
+           "inspire\n")
+
+
+def test_suggest_sug_fixture():
+    # sug.aff/sug.dic/sug.sug: capitalization, long swap/move, doubled
+    # pair, REP-with-space, mixed-case dot split, KEY neighbor rows
+    d = HunspellDictionary(SUG_AFF, SUG_DIC)
+    assert d.suggest("nasa") == ["NASA"]
+    assert d.suggest("Ghandi") == ["Gandhi"]
+    assert d.suggest("greatful") == ["grateful"]
+    assert d.suggest("permenant") == ["permanent"]
+    assert d.suggest("vacacation") == ["vacation"]
+    assert d.suggest("alot") == ["a lot", "lot"]
+    assert d.suggest("inspite") == ["in spite", "inspire"]
+    assert d.suggest("permanent.Vacation") == ["permanent. Vacation"]
+    # the reference code's own documented double-swap examples
+    # (ModifyingSuggester.java:181)
+    assert d.suggest("ahev") == ["have"]
+    assert d.suggest("hwihc") == ["which"]
+    assert d.suggest("GAndhi") == ["Gandhi"]
+    assert d.suggest("Mcdonald") == ["McDonald"]
+    assert d.suggest("permqnent") == ["permanent"]   # KEY aq row
+    # forbidden word: neither spelled nor suggested
+    assert not d.spell("permanent-vacation")
+    assert d.suggest("permanent-vacation") == []
+
+
+REPSUG_AFF = """\
+MAXNGRAMSUGS 0
+REP 8
+REP f ph
+REP ph f
+REP shun$ tion
+REP ^alot$ a_lot
+REP ^foo$ bar
+REP ' _
+REP ^vinteún$ vinte_e_un
+REP s 's
+
+SFX A Y 1
+SFX A 0 's .
+
+WORDCHARS '
+"""
+REPSUG_DIC = ("14\nform\nphantom\nvacation\nvacations\na\nlot\nun\n"
+              "alunno\nbar\nbarbars\nvinte\ne\nun\nauto/A\n")
+
+
+def test_suggest_rep_fixture():
+    # rep.aff/rep.dic/rep.sug: anchored REPs, _ -> space, multi-word
+    # candidates verified part-by-part, affixed REP results
+    d = HunspellDictionary(REPSUG_AFF, REPSUG_DIC)
+    assert d.suggest("phorm") == ["form"]
+    assert d.suggest("fantom") == ["phantom"]
+    assert d.suggest("vacashun") == ["vacation"]
+    assert d.suggest("vacashuns") == []
+    assert d.suggest("alot") == ["a lot", "lot"]
+    assert d.suggest("un'alunno") == ["un alunno"]
+    assert d.suggest("foo") == ["bar"]
+    assert d.suggest("foobars") == []
+    assert d.suggest("barfoos") == []
+    assert d.suggest("vinteún") == ["vinte e un"]
+    assert d.suggest("autos") == ["auto's", "auto"]
+
+
+def test_suggest_breakdefault_fixture():
+    # breakdefault.sug: TRY-char insertion and dash-chunk repair
+    d = HunspellDictionary(
+        "MAXNGRAMSUGS 0\nWORDCHARS -\nTRY ot\n",
+        "5\nfoo\nbar\nfree\nscott\nscot-free\n")
+    assert d.suggest("scot") == ["scott"]
+    assert d.suggest("sco-free") == ["scot-free"]
+    assert d.suggest("fo-bar") == ["foo-bar"]
+    assert d.suggest("foo-fo-bar") == ["foo-foo-bar"]
+    assert d.suggest("foo-foo-fo") == ["foo-foo-foo"]
+
+
+def test_suggest_nosuggest_flag():
+    # nosuggest.aff (non-compound rows): NOSUGGEST roots are spelled
+    # but never suggested (nosuggest.sug is an empty file)
+    d = HunspellDictionary("NOSUGGEST A\n", "2\nfoo/A\nbar\n")
+    assert d.spell("foo")
+    assert not d.spell("foox")
+    assert d.suggest("foox") == []
