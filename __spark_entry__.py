@@ -7336,6 +7336,146 @@ FT_HUNSPELL_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_PATH_IN = [
+    "/usr/share/doc/readme", "a/b/c", "/a/b/c/", "c:\\a\\b\\c",
+    "/var/log/syslog", "home/user/file.txt", "//", "/opt",
+]
+_PATH_FWD = [
+    "/usr|/usr/share|/usr/share/doc|/usr/share/doc/readme",
+    "a|a/b|a/b/c", "/a|/a/b|/a/b/c|/a/b/c/", "c:\\a\\b\\c",
+    "/var|/var/log|/var/log/syslog",
+    "home|home/user|home/user/file.txt", "/|//", "/opt",
+]
+_PATH_REV = [
+    "/usr/share/doc/readme|usr/share/doc/readme|share/doc/readme|"
+    "doc/readme|readme",
+    "a/b/c|b/c|c", "/a/b/c/|a/b/c/|b/c/|c/", "c:\\a\\b\\c",
+    "/var/log/syslog|var/log/syslog|log/syslog|syslog",
+    "home/user/file.txt|user/file.txt|file.txt", "//|/", "/opt|opt",
+]
+
+
+def ft_path_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path hierarchy tokenization (r5 — analysis/path
+    PathHierarchyTokenizer.java + ReversePathHierarchyTokenizer.java,
+    analysis/pathhierarchy.py): forward ancestor prefixes and reverse
+    suffixes of /-delimited paths, distributed over frozen vectors
+    (all TestPathHierarchyTokenizer offset/posInc cases pinned in
+    tests/test_pathhierarchy.py)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _fwd(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.pathhierarchy import (
+            path_hierarchy_tokens)
+
+        return vs.map(lambda v: "|".join(
+            t.text for t in path_hierarchy_tokens(_PATH_IN[int(v)])))
+
+    @F.pandas_udf("string")
+    def _rev(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.pathhierarchy import (
+            reverse_path_hierarchy_tokens)
+
+        return vs.map(lambda v: "|".join(
+            t.text
+            for t in reverse_path_hierarchy_tokens(_PATH_IN[int(v)])))
+
+    return d.select("doc_id", _fwd(F.col("v")).alias("fwd"),
+                    _rev(F.col("v")).alias("rev"))
+
+
+def _path_sql() -> str:
+    fwd = "\n".join(f"  WHEN {i} THEN '{v}'"
+                    for i, v in enumerate(_PATH_FWD))
+    rev = "\n".join(f"  WHEN {i} THEN '{v}'"
+                    for i, v in enumerate(_PATH_REV))
+    return (f"SELECT doc_id, CASE doc_id % 8\n{fwd}\nEND AS fwd, "
+            f"CASE doc_id % 8\n{rev}\nEND AS rev FROM documents")
+
+
+_DCOMP_IN = [
+    "bildörr bilmotor", "glasögonfodral", "basfiolsfodralmakaregesäll",
+    "vindrutetorkarblad", "skomakare abba", "donaudampfschifffahrt",
+    "slagborr hammarborr", "vindrutetorkare",
+]
+_DCOMP_OUT = [
+    "bildörr|bil|dörr|bilmotor|bil|motor", "glasögonfodral|glas|ögon|fodral",
+    "basfiolsfodralmakaregesäll|bas|fiol|fodral|makare|gesäll",
+    "vindrutetorkarblad|vind|rute|blad", "skomakare|sko|makare|abba",
+    "donaudampfschifffahrt|donau|dampf|schiff|fahrt",
+    "slagborr|slag|borr|hammarborr|hammar|borr",
+    "vindrutetorkare|vind|rute|torkare",
+]
+
+
+def ft_decompound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Germanic compound decomposition (r5 — analysis/compound
+    DictionaryCompoundWordTokenFilter.java brute-force subword scan,
+    analysis/compound.py; the hyphenation-grammar variant with the
+    Danish TeX patterns is pinned in tests/test_compound.py): the
+    `decompound` analyzer splits compounds against the seeded noun set
+    distributed, original + stacked subwords."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _dc(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import get_analyzer
+
+        a = get_analyzer("decompound")
+        return a.tokenize_series(
+            vs.map(lambda v: _DCOMP_IN[int(v)])).map("|".join)
+
+    return d.select("doc_id", _dc(F.col("v")).alias("tokens"))
+
+
+FT_DECOMPOUND_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_DCOMP_OUT))
+    + "\nEND AS tokens FROM documents")
+
+
+_PCAP_IN = [
+    "letsPartyLIKEits1999_dude", "http://www.foo.com/index",
+    "foobarbaz", "camelCaseFilter", "MY_SNAKE_CASE", "abcdefghi",
+    "simpleword", "XMLHttpRequest",
+]
+_PCAP_PATTERNS = ["([A-Z]{2,})", "(?<![A-Z])([A-Z][a-z]+)",
+                  r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)",
+                  "([0-9]+)"]
+
+
+def ft_pattern_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern capture-group tokenization (r5 — analysis/pattern
+    PatternCaptureGroupTokenFilter.java camelCase stack,
+    analysis/patterns.py — min-start-offset merge across patterns;
+    PatternTokenizer/PatternReplaceFilter vectors pinned in
+    tests/test_patterns.py): frozen vectors, distributed."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _pc(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.patterns import pattern_capture_tokens
+
+        return vs.map(lambda v: "|".join(
+            t.text for t in pattern_capture_tokens(
+                [_PCAP_IN[int(v)]], _PCAP_PATTERNS)))
+
+    return d.select("doc_id", _pc(F.col("v")).alias("tokens"))
+
+
+_PCAP_OUT = [
+    "lets|Party|LIKE|its|1999|dude", "http|www|foo|com|index",
+    "foobarbaz", "camel|Case|Filter", "MY|SNAKE|CASE", "abcdefghi",
+    "simpleword", "XMLH|ttp|Request",
+]
+FT_PATTERN_CAPTURE_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_PCAP_OUT))
+    + "\nEND AS tokens FROM documents")
+
+
 _HSPELL_AFF = ("MAXNGRAMSUGS 0\nREP 2\nREP alot a_lot\n"
                "REP inspite in_spite\n"
                "KEY qwertzuiop|asdfghjkl|yxcvbnm|aq\nWORDCHARS .-\n"
@@ -8233,6 +8373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hunspell": ft_hunspell,
         "ft_kstem": ft_kstem,
         "ft_hunspell_spell": ft_hunspell_spell,
+        "ft_path_hierarchy": ft_path_hierarchy,
+        "ft_decompound": ft_decompound,
+        "ft_pattern_capture": ft_pattern_capture,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8621,6 +8764,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_hunspell": FT_HUNSPELL_SQL,
         "ft_kstem": FT_KSTEM_SQL,
         "ft_hunspell_spell": FT_HUNSPELL_SPELL_SQL,
+        "ft_path_hierarchy": _path_sql(),
+        "ft_decompound": FT_DECOMPOUND_SQL,
+        "ft_pattern_capture": FT_PATTERN_CAPTURE_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,

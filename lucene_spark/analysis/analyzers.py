@@ -1273,6 +1273,55 @@ def _hunspell_token_lists(content: pd.Series) -> pd.Series:
 CUSTOM_TOKENIZERS["hunspell_demo"] = _hunspell_token_lists
 register_analyzer(Analyzer(name="hunspell",
                            custom_tokenizer="hunspell_demo"))
+
+
+# PathHierarchyTokenizer (analysis/path; pathhierarchy.py): ancestor
+# prefixes of a /-delimited path, stacked at one position — the Solr
+# path-faceting field type
+def _path_hierarchy_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.pathhierarchy import path_hierarchy_tokens
+
+    return content.map(
+        lambda s: [t.text for t in path_hierarchy_tokens(s or "")])
+
+
+def _rev_path_hierarchy_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.pathhierarchy import (
+        reverse_path_hierarchy_tokens)
+
+    return content.map(
+        lambda s: [t.text for t in reverse_path_hierarchy_tokens(s or "")])
+
+
+CUSTOM_TOKENIZERS["path_hierarchy"] = _path_hierarchy_lists
+CUSTOM_TOKENIZERS["path_hierarchy_reverse"] = _rev_path_hierarchy_lists
+register_analyzer(Analyzer(name="path_hierarchy",
+                           custom_tokenizer="path_hierarchy",
+                           max_token_length=1 << 20))
+register_analyzer(Analyzer(name="path_hierarchy_reverse",
+                           custom_tokenizer="path_hierarchy_reverse",
+                           max_token_length=1 << 20))
+
+
+# German-style dictionary decompounding demo chain
+# (compound/DictionaryCompoundWordTokenFilter.java; compound.py):
+# whitespace → lowercase → decompound with a seeded Germanic noun set
+_DECOMPOUND_DEMO = ("bil dörr motor tak borr slag hammar pelar glas "
+                    "ögon fodral bas fiol makare gesäll sko vind rute "
+                    "torkare blad donau dampf schiff fahrt").split()
+
+
+def _decompound_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.compound import dictionary_decompound
+
+    return content.map(lambda s: [
+        t.text for t in dictionary_decompound((s or "").lower().split(),
+                                              _DECOMPOUND_DEMO)])
+
+
+CUSTOM_TOKENIZERS["decompound_demo"] = _decompound_lists
+register_analyzer(Analyzer(name="decompound",
+                           custom_tokenizer="decompound_demo"))
 register_analyzer(Analyzer(name="phonetic_dm", custom_tokenizer="dm_soundex",
                            stopwords=frozenset()))
 register_analyzer(Analyzer(name="standard_folded", stopwords=ENGLISH_STOP_WORDS,
