@@ -7336,6 +7336,68 @@ FT_HUNSPELL_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_MISC_IN = [
+    "hello thEre my name", "B A B E", "ecologi- cal devel- op",
+    "blaabaersyltetöj räksmörgås", "McKinley visits",
+    "running cats quickly", "reverse me now", "trim  these tokens",
+]
+_MISC_OUT = [
+    "Hello|There|My|Name", "A B E", "ecological|develop",
+    "blåbærsyltetøj|ræksmørgås", "McKinley|Visits",
+    "running|run|cats|cat|quickly|quickli", "esrever|em|won",
+    "trim|these|tokens",
+]
+
+
+def ft_misc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Miscellaneous filter batch (r5 — analysis/miscellaneous,
+    analysis/misc.py; every reference vector pinned in
+    tests/test_misc_filters.py): each frozen input row exercises one
+    filter family distributed — capitalization, fingerprint (sorted
+    unique single token), hyphenated-words rejoin, Scandinavian
+    normalization, okPrefix protection, keywordRepeat+porter+
+    removeDuplicates, reverse, trim."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _mf(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis import misc
+        from lucene_spark.analysis.stem import STEMMERS
+
+        porter = STEMMERS["porter"]
+
+        def run(v: int) -> str:
+            toks = _MISC_IN[v].split()
+            if v == 0:
+                return "|".join(misc.capitalization(
+                    toks, only_first_word=False))
+            if v == 1:
+                return "|".join(misc.fingerprint(toks))
+            if v == 2:
+                return "|".join(misc.hyphenated_words(toks))
+            if v == 3:
+                return "|".join(misc.scandinavian_normalize(toks))
+            if v == 4:
+                return "|".join(misc.capitalization(
+                    toks, only_first_word=False, ok_prefix=("McK",)))
+            if v == 5:
+                return "|".join(t for t, _ in misc.remove_duplicates(
+                    misc.keyword_repeat(toks, porter)))
+            if v == 6:
+                return "|".join(misc.reverse_string(toks))
+            return "|".join(misc.trim(toks))
+
+        return vs.map(lambda v: run(int(v)))
+
+    return d.select("doc_id", _mf(F.col("v")).alias("tokens"))
+
+
+FT_MISC_FILTERS_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_MISC_OUT))
+    + "\nEND AS tokens FROM documents")
+
+
 _PATH_IN = [
     "/usr/share/doc/readme", "a/b/c", "/a/b/c/", "c:\\a\\b\\c",
     "/var/log/syslog", "home/user/file.txt", "//", "/opt",
@@ -8376,6 +8438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_path_hierarchy": ft_path_hierarchy,
         "ft_decompound": ft_decompound,
         "ft_pattern_capture": ft_pattern_capture,
+        "ft_misc_filters": ft_misc_filters,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8767,6 +8830,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_path_hierarchy": _path_sql(),
         "ft_decompound": FT_DECOMPOUND_SQL,
         "ft_pattern_capture": FT_PATTERN_CAPTURE_SQL,
+        "ft_misc_filters": FT_MISC_FILTERS_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
