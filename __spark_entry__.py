@@ -7336,6 +7336,75 @@ FT_HUNSPELL_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_ONLP_IN = [
+    "The dog chased it quickly.", "The dog ran. The cat sat.",
+    "She indexed the documents.", "The problem was fixed by them.",
+    "A student group met in school.", "They queried the index.",
+    "The company tested a case.", "He ran with the dogs.",
+]
+
+
+def ft_opennlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenNLP chain (r5 — lucene/analysis/opennlp filters +
+    tools/NLP*Op, analysis/opennlp_chain.py): sentence-batched POS
+    tags in the token type (`pos`) and chunk labels (`chunk`), via the
+    injectable model protocol with the deterministic seeded English
+    models (trained MaxEnt .bin models are Java artifacts — the model
+    seam is the documented stub, chain mechanics are the reference's;
+    tests/test_opennlp_chain.py pins sentinels and keyword bypass)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _pos(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.opennlp_chain import (
+            SeededEnglishModels, opennlp_pos)
+
+        m = SeededEnglishModels()
+        return vs.map(lambda v: "|".join(
+            f"{t.text}/{t.type}" for t in opennlp_pos(_ONLP_IN[int(v)],
+                                                      m)))
+
+    @F.pandas_udf("string")
+    def _chk(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.opennlp_chain import (
+            SeededEnglishModels, opennlp_chunk)
+
+        m = SeededEnglishModels()
+        return vs.map(lambda v: "|".join(
+            t.type for t in opennlp_chunk(_ONLP_IN[int(v)], m)))
+
+    return d.select("doc_id", _pos(F.col("v")).alias("pos"),
+                    _chk(F.col("v")).alias("chunk"))
+
+
+_ONLP_POS = [
+    "The/DT|dog/NN|chased/VBD|it/PRP|quickly/RB|./.",
+    "The/DT|dog/NN|ran/VB|./.|The/DT|cat/NN|sat/VB|./.",
+    "She/PRP|indexed/VBD|the/DT|documents/NNS|./.",
+    "The/DT|problem/NN|was/VB|fixed/VBD|by/IN|them/NN|./.",
+    "A/DT|student/NN|group/NN|met/VB|in/IN|school/NN|./.",
+    "They/PRP|queried/VBD|the/DT|index/NN|./.",
+    "The/DT|company/NN|tested/VBD|a/DT|case/NN|./.",
+    "He/PRP|ran/VB|with/IN|the/DT|dogs/NNS|./.",
+]
+_ONLP_CHUNK = [
+    "B-NP|I-NP|B-VP|B-NP|O|O",
+    "B-NP|I-NP|B-VP|O|B-NP|I-NP|B-VP|O",
+    "B-NP|B-VP|B-NP|I-NP|O",
+    "B-NP|I-NP|B-VP|I-VP|B-PP|B-NP|O",
+    "B-NP|I-NP|I-NP|B-VP|B-PP|B-NP|O",
+    "B-NP|B-VP|B-NP|I-NP|O",
+    "B-NP|I-NP|B-VP|B-NP|I-NP|O",
+    "B-NP|B-VP|B-PP|B-NP|I-NP|O",
+]
+FT_OPENNLP_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_ONLP_POS))
+    + "\nEND AS pos, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_ONLP_CHUNK))
+    + "\nEND AS chunk FROM documents")
+
+
 _MISC_IN = [
     "hello thEre my name", "B A B E", "ecologi- cal devel- op",
     "blaabaersyltetöj räksmörgås", "McKinley visits",
@@ -8439,6 +8508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_decompound": ft_decompound,
         "ft_pattern_capture": ft_pattern_capture,
         "ft_misc_filters": ft_misc_filters,
+        "ft_opennlp": ft_opennlp,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8831,6 +8901,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_decompound": FT_DECOMPOUND_SQL,
         "ft_pattern_capture": FT_PATTERN_CAPTURE_SQL,
         "ft_misc_filters": FT_MISC_FILTERS_SQL,
+        "ft_opennlp": FT_OPENNLP_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
