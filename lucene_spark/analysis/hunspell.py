@@ -83,6 +83,62 @@ class RepEntry:
         return out
 
 
+class CompoundRulePattern:
+    """One COMPOUNDRULE row (CompoundRule.java): a flag pattern with *
+    and ? quantifiers matched against the per-part flag sets by
+    backtracking; ``fully`` distinguishes the prefix-prunability check
+    (mayMatch) from the terminal full match."""
+
+    _QUANTS = ("*", "?")
+
+    def __init__(self, rule: str):
+        # data = list of flag tokens and quantifier markers; (..) groups
+        # hold one (possibly multi-char, FLAG long/num) flag each
+        out: list[str] = []
+        pos = 0
+        while pos < len(rule):
+            if rule[pos] == "(":
+                rparen = rule.index(")", pos + 1)
+                out.append(rule[pos + 1:rparen])
+                pos = rparen + 1
+                if pos < len(rule) and rule[pos] in self._QUANTS:
+                    out.append(rule[pos])
+                    pos += 1
+            else:
+                out.append(rule[pos])
+                pos += 1
+        self.data = out
+
+    def _match(self, parts: list, pi: int, wi: int, fully: bool) -> bool:
+        data = self.data
+        if pi >= len(data):
+            return wi >= len(parts)
+        if wi >= len(parts) and not fully:
+            return True
+        flag = data[pi]
+        if pi < len(data) - 1 and data[pi + 1] == "*":
+            start = wi
+            while wi < len(parts) and flag in parts[wi]:
+                wi += 1
+            while wi >= start:
+                if self._match(parts, pi + 2, wi, fully):
+                    return True
+                wi -= 1
+            return False
+        cur = wi < len(parts) and flag in parts[wi]
+        if pi < len(data) - 1 and data[pi + 1] == "?":
+            if cur and self._match(parts, pi + 2, wi + 1, fully):
+                return True
+            return self._match(parts, pi + 2, wi, fully)
+        return cur and self._match(parts, pi + 1, wi + 1, fully)
+
+    def may_match(self, parts: list) -> bool:
+        return self._match(parts, 0, 0, False)
+
+    def fully_matches(self, parts: list) -> bool:
+        return self._match(parts, 0, 0, True)
+
+
 def _case_of(word: str) -> str:
     letters = [c for c in word if c.isalpha()]
     if not letters:
@@ -97,7 +153,13 @@ def _case_of(word: str) -> str:
 
 
 def _title_fold(word: str) -> str:
+    """Fold an UPPER word to its Title variant (first char kept)."""
     return word[0] + word[1:].lower() if word else word
+
+
+def _title_case(word: str) -> str:
+    """Dictionary.toTitleCase: first char uppercased, rest lowered."""
+    return word[0].upper() + word[1:].lower() if word else word
 
 
 class HunspellDictionary:
@@ -127,9 +189,26 @@ class HunspellDictionary:
         self.map_table: list[list[str]] = []
         self.enable_split_suggestions = True
         self.max_ngram_suggestions = 4
+        self.max_diff = 5
+        self.only_max_diff = False
         self.nosuggest = FLAG_UNSET
         self.substandard = FLAG_UNSET
         self.forceucase = FLAG_UNSET
+        self.onlyincompound = FLAG_UNSET
+        self.compound_min = 3
+        self.compound_rules: list[CompoundRulePattern] = []
+        self.compound_flag = FLAG_UNSET
+        self.compound_begin = FLAG_UNSET
+        self.compound_middle = FLAG_UNSET
+        self.compound_end = FLAG_UNSET
+        self.compound_max = 2 ** 31 - 1
+        self.compound_permit = FLAG_UNSET
+        self.compound_forbid = FLAG_UNSET
+        self.check_compound_dup = False
+        self.check_compound_case = False
+        self.check_compound_triple = False
+        self.simplified_triple = False
+        self.check_compound_rep = False
         self.prefixes_by_append: dict[str, list[AffixRule]] = {}
         self.suffixes_by_append: dict[str, list[AffixRule]] = {}
         self._parse_aff(aff)
@@ -175,6 +254,38 @@ class HunspellDictionary:
                 self.keepcase = self._one_flag(parts[1])
             elif key == "FORBIDDENWORD" and len(parts) > 1:
                 self.forbiddenword = self._one_flag(parts[1])
+            elif key == "ONLYINCOMPOUND" and len(parts) > 1:
+                self.onlyincompound = self._one_flag(parts[1])
+            elif key == "COMPOUNDFLAG" and len(parts) > 1:
+                self.compound_flag = self._one_flag(parts[1])
+            elif key == "COMPOUNDBEGIN" and len(parts) > 1:
+                self.compound_begin = self._one_flag(parts[1])
+            elif key == "COMPOUNDMIDDLE" and len(parts) > 1:
+                self.compound_middle = self._one_flag(parts[1])
+            elif key == "COMPOUNDEND" and len(parts) > 1:
+                self.compound_end = self._one_flag(parts[1])
+            elif key == "COMPOUNDWORDMAX" and len(parts) > 1:
+                self.compound_max = int(parts[1])
+            elif key == "COMPOUNDPERMITFLAG" and len(parts) > 1:
+                self.compound_permit = self._one_flag(parts[1])
+            elif key == "COMPOUNDFORBIDFLAG" and len(parts) > 1:
+                self.compound_forbid = self._one_flag(parts[1])
+            elif key == "CHECKCOMPOUNDDUP":
+                self.check_compound_dup = True
+            elif key == "CHECKCOMPOUNDCASE":
+                self.check_compound_case = True
+            elif key == "CHECKCOMPOUNDTRIPLE":
+                self.check_compound_triple = True
+            elif key == "SIMPLIFIEDTRIPLE":
+                self.simplified_triple = True
+            elif key == "CHECKCOMPOUNDREP":
+                self.check_compound_rep = True
+            elif key == "COMPOUNDMIN" and len(parts) > 1:
+                self.compound_min = max(1, int(parts[1]))
+            elif key == "COMPOUNDRULE" and len(parts) > 1 \
+                    and not parts[1].isdigit():
+                # rule line (the count header has a numeric operand)
+                self.compound_rules.append(CompoundRulePattern(parts[1]))
             elif key == "TRY" and len(parts) > 1:
                 self.try_chars = parts[1]
             elif key == "KEY" and len(parts) > 1:
@@ -195,6 +306,10 @@ class HunspellDictionary:
                 self.map_table.append(row)
             elif key == "NOSPLITSUGS":
                 self.enable_split_suggestions = False
+            elif key == "MAXDIFF" and len(parts) > 1:
+                self.max_diff = int(parts[1])
+            elif key == "ONLYMAXDIFF":
+                self.only_max_diff = True
             elif key == "MAXNGRAMSUGS" and len(parts) > 1:
                 self.max_ngram_suggestions = int(parts[1])
             elif key == "NOSUGGEST" and len(parts) > 1:
@@ -302,14 +417,41 @@ class HunspellDictionary:
                     or self._appends(previous, self.needaffix))
         return False
 
+    @staticmethod
+    def _has(flags, flag) -> bool:
+        return flag is not FLAG_UNSET and flag in flags
+
+    def _required_flag(self, context: str):
+        # WordContext.requiredFlag
+        return {"begin": self.compound_begin,
+                "middle": self.compound_middle,
+                "end": self.compound_end}.get(context, FLAG_UNSET)
+
     def _compatible(self, rule: AffixRule, prev_flag, depth: int,
-                    previous_was_prefix: bool) -> bool:
-        # Stemmer.isAffixCompatible, non-compound path (java:578-607)
+                    previous_was_prefix: bool,
+                    context: str = "simple") -> bool:
+        # Stemmer.isAffixCompatible (java:578-607)
+        if context != "simple":
+            if not rule.is_prefix \
+                    and self._has(rule.cont, self.compound_forbid):
+                return False
+            allowed = "begin" if rule.is_prefix else "end"
+            if context != allowed \
+                    and not self._has(rule.cont, self.compound_permit):
+                return False
+            if context == "end" and not rule.is_prefix \
+                    and not previous_was_prefix \
+                    and self._has(rule.cont, self.onlyincompound):
+                return False
         if depth == 0:
-            return True
+            return context != "simple" \
+                or not self._has(rule.cont, self.onlyincompound)
         if rule.cross_product:
-            return previous_was_prefix or (
-                prev_flag is not FLAG_UNSET and prev_flag in rule.cont)
+            if context != "simple" \
+                    or not self._has(rule.cont, self.onlyincompound):
+                return previous_was_prefix or (
+                    prev_flag is not FLAG_UNSET
+                    and prev_flag in rule.cont)
         return False
 
     def _accept_case(self, original_case, entry: DicEntry) -> bool:
@@ -320,7 +462,7 @@ class HunspellDictionary:
 
     def _apply(self, stripped: str, rule: AffixRule, previous,
                prefix_rule, depth: int, is_prefix: bool, original_case,
-               out: list) -> None:
+               out: list, context: str = "simple") -> None:
         # Stemmer.applyAffix (java:657-755)
         if not self._needs_another(rule, previous, not is_prefix,
                                    prefix_rule):
@@ -334,6 +476,16 @@ class HunspellDictionary:
                         continue
                 if not self._accept_case(original_case, entry):
                     continue
+                if context == "simple" \
+                        and self._has(entry.flags, self.onlyincompound):
+                    continue
+                if context != "simple":
+                    cflag = self._required_flag(context)
+                    if not (self._has(entry.flags, cflag)
+                            or self._appends(rule, cflag)
+                            or self._has(entry.flags, self.compound_flag)
+                            or self._appends(rule, self.compound_flag)):
+                        continue
                 out.append((stripped, entry))
         if rule.cross_product and depth <= 1:
             if depth == 0:
@@ -345,11 +497,12 @@ class HunspellDictionary:
                 if is_prefix or not self.two_stage:
                     return
             self._walk(stripped, rule, rule.flag, prefix_rule, depth + 1,
-                       False, is_prefix, original_case, out)
+                       False, is_prefix, original_case, out, context)
 
     def _walk(self, word: str, previous, prev_flag, prefix_rule,
               depth: int, do_prefix: bool, previous_was_prefix: bool,
-              original_case, out: list) -> None:
+              original_case, out: list,
+              context: str = "simple") -> None:
         # Stemmer.stem (java:415-535): try prefix removals, then suffix
         n = len(word)
         if do_prefix and self.prefixes_by_append:
@@ -358,14 +511,15 @@ class HunspellDictionary:
                 for rule in self.prefixes_by_append.get(word[:i], ()):
                     if rule is previous:
                         continue
-                    if not self._compatible(rule, prev_flag, depth, False):
+                    if not self._compatible(rule, prev_flag, depth,
+                                            False, context):
                         continue
                     stripped = rule.strip + word[i:]
                     if rule.cond is not None \
                             and not rule.cond.fullmatch(stripped):
                         continue
                     self._apply(stripped, rule, previous, None, depth,
-                                True, original_case, out)
+                                True, original_case, out, context)
         if self.suffixes_by_append:
             limit = 0 if self.full_strip else 1
             for i in range(n, limit - 1, -1):
@@ -373,26 +527,40 @@ class HunspellDictionary:
                     if rule is previous:
                         continue
                     if not self._compatible(rule, prev_flag, depth,
-                                            previous_was_prefix):
+                                            previous_was_prefix, context):
                         continue
                     stripped = word[:i] + rule.strip
                     if rule.cond is not None \
                             and not rule.cond.fullmatch(stripped):
                         continue
                     self._apply(stripped, rule, previous, prefix_rule,
-                                depth, False, original_case, out)
+                                depth, False, original_case, out,
+                                context)
 
-    def _do_stem(self, word: str, original_case, out: list) -> None:
-        # Stemmer.doStem (java:239-294), non-compound
+    def _do_stem(self, word: str, original_case, out: list,
+                 context: str = "simple") -> None:
+        # Stemmer.doStem (java:239-294)
         for entry in self.entries.get(word, ()):
             if not self._accept_case(original_case, entry):
                 continue
             if self.needaffix is not FLAG_UNSET \
                     and self.needaffix in entry.flags:
                 continue
+            if context == "simple":
+                # onlyincompound roots are valid only inside compounds
+                if self._has(entry.flags, self.onlyincompound):
+                    continue
+            else:
+                if context != "end" \
+                        and self._has(entry.flags, self.compound_forbid):
+                    return      # doStem returns false: abort entirely
+                if not (self._has(entry.flags, self.compound_flag)
+                        or self._has(entry.flags,
+                                     self._required_flag(context))):
+                    continue
             out.append((word, entry))
         self._walk(word, None, FLAG_UNSET, None, 0, True, False,
-                   original_case, out)
+                   original_case, out, context)
 
     def _roots(self, word: str) -> list:
         """(stem, entry) pairs in the reference's discovery order."""
@@ -417,9 +585,10 @@ class HunspellDictionary:
 
     # ---- spell checking (SpellChecker.java, non-compound path) -----
 
-    def _first_root(self, word: str, original_case):
+    def _first_root(self, word: str, original_case,
+                    context: str = "simple"):
         out: list = []
-        self._do_stem(word, original_case, out)
+        self._do_stem(word, original_case, out, context)
         return out[0] if out else None
 
     def _check_simple(self, word: str, original_case, accepts=None):
@@ -477,20 +646,174 @@ class HunspellDictionary:
         simple = self._check_simple(word, None)
         if simple is not None:
             return simple
+        if self.compound_rules and self._check_compound_rules(word, []):
+            return True
+        if self._has_compound_flags() \
+                and self._check_compound_flag(word, None):
+            return True
         case = _case_of(word)
+
+        def check_variant(variant: str, oc: str) -> bool:
+            # SpellChecker.checkWord: simple word OR compounds
+            if self._check_simple(variant, oc):
+                return True
+            if self.compound_rules \
+                    and self._check_compound_rules(variant, []):
+                return True
+            return bool(self._has_compound_flags()
+                        and self._check_compound_flag(variant, oc))
+
         if case == "upper":
             title = _title_fold(word)
-            if self._check_simple(title, "upper"):
+            if check_variant(title, "upper"):
                 return True
-            if self._check_simple(title.lower(), "upper"):
+            if check_variant(title.lower(), "upper"):
                 return True
         elif case == "title":
-            if self._check_simple(word.lower(), "title"):
+            if check_variant(word.lower(), "title"):
                 return True
         if (self.breaks_start or self.breaks_end or self.breaks_middle) \
                 and not self._too_many_breaks(word):
             return self._try_breaks(word)
         return False
+
+    def _part_flags(self, part: str):
+        """Union of flags over the homonym entries of `part` (the
+        lookupWord forms an IntsRef covers), or None if absent."""
+        entries = self.entries.get(part)
+        if not entries:
+            return None
+        out = set()
+        for e in entries:
+            out |= e.flags
+        return frozenset(out)
+
+    def _check_compound_rules(self, word: str, parts: list) -> bool:
+        # SpellChecker.checkCompoundRules (java:324-361)
+        if len(parts) >= 100:
+            return False
+        limit = len(word) - self.compound_min + 1
+        for break_pos in range(self.compound_min, limit):
+            flags = self._part_flags(word[:break_pos])
+            if flags is None:
+                continue
+            parts.append(flags)
+            if any(r.may_match(parts) for r in self.compound_rules):
+                rest = word[break_pos:]
+                last = self._part_flags(rest)
+                if last is not None:
+                    parts.append(last)
+                    ok = any(r.fully_matches(parts)
+                             for r in self.compound_rules)
+                    parts.pop()
+                    if ok:
+                        parts.pop()
+                        return True
+                if self._check_compound_rules(rest, parts):
+                    parts.pop()
+                    return True
+            parts.pop()
+        return False
+
+    # ---- COMPOUNDFLAG / BEGIN-MIDDLE-END compounding ----------------
+    # (SpellChecker.checkCompounds + CompoundPart, java:162-322)
+
+    class _CompoundPart:
+        __slots__ = ("prev", "index", "length", "tail", "stem")
+
+        def __init__(self, prev, tail: str, length: int, stem: str):
+            self.prev = prev
+            self.tail = tail
+            self.length = length
+            self.stem = stem
+            self.index = 1 if prev is None else prev.index + 1
+
+    def _has_compound_flags(self) -> bool:
+        return (self.compound_flag is not FLAG_UNSET
+                or self.compound_begin is not FLAG_UNSET)
+
+    def _may_break_compound(self, word: str, break_pos: int) -> bool:
+        # mayBreakIntoCompounds (java:308-322)
+        if self.check_compound_case:
+            if word[break_pos - 1].isupper() or word[break_pos].isupper():
+                return False
+        if self.check_compound_triple \
+                and word[break_pos - 1] == word[break_pos]:
+            if (break_pos > 1 and word[break_pos - 2] == word[break_pos - 1]) \
+                    or (break_pos < len(word) - 1
+                        and word[break_pos] == word[break_pos + 1]):
+                return False
+        return True
+
+    def _may_compound(self, prev, next_stem: str, next_len: int,
+                      original_case) -> bool:
+        # CompoundPart.mayCompound (java:271-292), minus
+        # CHECKCOMPOUNDPATTERN (not parsed)
+        if self.check_compound_rep and self._misspelled_simple(
+                prev.tail[:prev.length + next_len], original_case):
+            return False
+        spaced = prev.tail[:prev.length] + " " \
+            + prev.tail[prev.length:prev.length + next_len]
+        return not (self._check_simple(spaced, None) is True)
+
+    def _misspelled_simple(self, word: str, original_case) -> bool:
+        for entry in self.rep_table:
+            if not entry.must_start and not entry.must_end:
+                for sug in entry.substitute(word):
+                    if self._first_root(sug, original_case) is not None:
+                        return True
+        return False
+
+    def _force_ucase_problem(self, part: str, original_case) -> bool:
+        if self.forceucase is FLAG_UNSET:
+            return False
+        if original_case in ("title", "upper"):
+            return False
+        flags = self._part_flags(part)
+        return flags is not None and self.forceucase in flags
+
+    def _check_compound_flag(self, word: str, original_case,
+                             prev=None) -> bool:
+        if prev is not None and prev.index > self.compound_max - 2:
+            return False
+        limit = len(word) - self.compound_min + 1
+        for break_pos in range(self.compound_min, limit):
+            context = "begin" if prev is None else "middle"
+            if self._may_break_compound(word, break_pos):
+                stem = self._first_root(word[:break_pos], original_case,
+                                        context)
+                if stem is None and self.simplified_triple \
+                        and word[break_pos - 1] == word[break_pos]:
+                    stem = self._first_root(word[:break_pos + 1],
+                                            original_case, context)
+                if stem is not None:
+                    _, entry = stem
+                    if not self._has(entry.flags, self.forbiddenword) \
+                            and (prev is None or self._may_compound(
+                                prev, stem[0], break_pos,
+                                original_case)):
+                        part = self._CompoundPart(prev, word, break_pos,
+                                                  stem[0])
+                        if self._check_compounds_after(original_case,
+                                                       part):
+                            return True
+        return False
+
+    def _check_compounds_after(self, original_case, prev) -> bool:
+        word, break_pos = prev.tail, prev.length
+        rest = word[break_pos:]
+        tail_stem = self._first_root(rest, original_case, "end")
+        if tail_stem is not None:
+            stem_text, entry = tail_stem
+            if not self._has(entry.flags, self.forbiddenword) \
+                    and not (self.check_compound_dup
+                             and prev.stem.lower() == stem_text.lower()) \
+                    and not self._force_ucase_problem(rest,
+                                                      original_case) \
+                    and self._may_compound(prev, stem_text, len(rest),
+                                           original_case):
+                return True
+        return self._check_compound_flag(rest, original_case, prev)
 
     def _too_many_breaks(self, word: str) -> bool:
         n = 0
@@ -532,20 +855,25 @@ class HunspellDictionary:
     # ---- suggestions (SpellChecker.suggest + ModifyingSuggester) ---
 
     def suggest(self, word: str) -> list[str]:
-        """SpellChecker.suggest (java:436-481) minus the n-gram
-        GeneratingSuggester (documented scope cut — the edit-based
-        ModifyingSuggester, REP/MAP/KEY tables, split suggestions, and
-        dash-chunk repair are all implemented)."""
+        """SpellChecker.suggest (java:436-481): the edit-based
+        ModifyingSuggester (REP/MAP/KEY tables, split suggestions,
+        dash-chunk repair) plus the n-gram GeneratingSuggester fallback
+        when no good edit-based suggestion exists."""
         if len(word) >= 100:
             return []
         word = self._clean(word)
         case = _case_of(word)
         if self.forceucase is not FLAG_UNSET and case == "lower":
-            title = _title_fold(word)
+            title = _title_case(word)
             if self.spell(title):
                 return [title]
         modifier = _ModifyingSuggester(self)
         suggestions = modifier.suggest(word, case)
+        if not modifier.has_good and self.max_ngram_suggestions > 0:
+            suggestions = suggestions + [
+                s for s in _GeneratingSuggester(self, modifier._accepts)
+                .suggest(word.lower(), case, suggestions)
+                if s not in suggestions]
         if "-" in word and not any("-" in s for s in suggestions):
             suggestions += [s for s in self._modify_dash_chunks(word)
                             if s not in suggestions]
@@ -682,7 +1010,7 @@ class _ModifyingSuggester:
                 self._variations(word[0].lower() + word[1:])
             self._variations(low)
             if capitalized:
-                self._variations(_title_fold(low))
+                self._variations(_title_case(low))
             return [self._capitalize_after_space(low, s)
                     for s in self.result]
         return self.result
@@ -843,3 +1171,246 @@ class _ModifyingSuggester:
                     if cand not in self._seen:
                         self._seen.add(cand)
                         self.result.append(cand)
+
+
+class _GeneratingSuggester:
+    """GeneratingSuggester.java: n-gram-similarity root search over the
+    whole dictionary, affix expansion of the best roots, similarity
+    re-ranking with the excellent/bad thresholds."""
+
+    MAX_ROOTS = 100
+    MAX_WORDS = 100
+    MAX_GUESSES = 200
+
+    def __init__(self, d: HunspellDictionary, accepts):
+        self.d = d
+        self._accepts = accepts
+
+    # ---- scoring helpers (java:312-397) ----------------------------
+
+    @staticmethod
+    def _common_prefix(s1: str, s2: str) -> int:
+        i = 0
+        while i < min(len(s1), len(s2)) and s1[i] == s2[i]:
+            i += 1
+        return i
+
+    @staticmethod
+    def _ngram(n: int, s1: str, s2: str, weighted=False,
+               longer_worse=False, any_mismatch=False) -> int:
+        l1, l2 = len(s1), len(s2)
+        if l2 == 0:
+            return 0
+        score = 0
+        for j in range(1, n + 1):
+            ns = 0
+            for i in range(l1 - j + 1):
+                if s1[i:i + j] in s2:
+                    ns += 1
+                elif weighted:
+                    ns -= 1
+                    if i == 0 or i == l1 - j:
+                        ns -= 1          # side weight
+            score += ns
+            if ns < 2 and not weighted:
+                break
+        ns = 0
+        if longer_worse:
+            ns = (l2 - l1) - 2
+        if any_mismatch:
+            ns = abs(l2 - l1) - 2
+        return score - max(ns, 0)
+
+    @staticmethod
+    def _lcs(s1: str, s2: str) -> int:
+        lengths = [0] * (len(s2) + 1)
+        for i in range(1, len(s1) + 1):
+            prev = 0
+            for j in range(1, len(s2) + 1):
+                cur = lengths[j]
+                lengths[j] = (prev + 1 if s1[i - 1] == s2[j - 1]
+                              else max(cur, lengths[j - 1]))
+                prev = cur
+        return lengths[len(s2)]
+
+    @staticmethod
+    def _common_char_position_score(s1: str, s2: str) -> int:
+        num = diff = 0
+        dp1 = dp2 = -1
+        i = 0
+        while i < len(s1) and i < len(s2):
+            if s1[i] == s2[i]:
+                num += 1
+            else:
+                if diff == 0:
+                    dp1 = i
+                elif diff == 1:
+                    dp2 = i
+                diff += 1
+            i += 1
+        common = 1 if num > 0 else 0
+        if diff == 2 and i == len(s1) == len(s2) \
+                and s1[dp1] == s2[dp2] and s1[dp2] == s2[dp1]:
+            return common + 10
+        return common
+
+    # ---- pipeline --------------------------------------------------
+
+    def suggest(self, word: str, case, prev: list[str]) -> list[str]:
+        roots = self._similar_roots(word, case)
+        expanded = self._expand_roots(word, roots)
+        ranked = self._rank(word, expanded)
+        return self._most_relevant(ranked, prev)
+
+    def _similar_roots(self, word: str, case):
+        scored = []
+        for root in sorted(self.d.entries):
+            if abs(len(root) - len(word)) > 4:
+                continue
+            entries = [e for e in self.d.entries[root]
+                       if not e.hidden and self._accepts(e)
+                       and not (self.d.forbiddenword is not FLAG_UNSET
+                                and self.d.forbiddenword in e.flags)]
+            if not entries:
+                continue
+            if case == "lower" and _case_of(root) == "title":
+                continue
+            sc = self._ngram(3, word, root.lower(), longer_worse=True) \
+                + self._common_prefix(word, root)
+            for e in entries:
+                scored.append((-sc, root, e))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        return [(e, -neg) for neg, _, e in scored[:self.MAX_ROOTS]]
+
+    def _expand_root(self, entry: DicEntry, misspelled: str) -> list[str]:
+        # expandRoot (java:160-229)
+        result: list[str] = []
+        seen = set()
+
+        def add(w: str) -> None:
+            if w not in seen:
+                seen.add(w)
+                result.append(w)
+
+        d = self.d
+        if not (d.needaffix is not FLAG_UNSET
+                and d.needaffix in entry.flags):
+            add(entry.word)
+        cross_products = []
+        suffix_appends = sorted(d.suffixes_by_append,
+                                key=lambda a: a[::-1])
+        for append in suffix_appends:
+            if not append or len(misspelled) <= len(append) \
+                    or not misspelled.endswith(append):
+                continue
+            for rule in d.suffixes_by_append[append]:
+                if not self._compatible_flags(entry, rule):
+                    continue
+                if not self._condition_ok(rule, entry.word):
+                    continue
+                with_suffix = entry.word[:len(entry.word)
+                                         - len(rule.strip)] + append \
+                    if rule.strip else entry.word + append
+                add(with_suffix)
+                if rule.cross_product:
+                    cross_products.append(with_suffix)
+        for prefix in sorted(d.prefixes_by_append):
+            if not prefix or len(misspelled) <= len(prefix) \
+                    or not misspelled.startswith(prefix):
+                continue
+            for rule in d.prefixes_by_append[prefix]:
+                if rule.flag in entry.flags and rule.cross_product:
+                    for suffixed in cross_products:
+                        if self._condition_ok(rule, suffixed):
+                            add(prefix + suffixed[len(rule.strip):])
+        for prefix in sorted(d.prefixes_by_append):
+            if not prefix or len(misspelled) <= len(prefix) \
+                    or not misspelled.startswith(prefix):
+                continue
+            for rule in d.prefixes_by_append[prefix]:
+                if self._compatible_flags(entry, rule) \
+                        and self._condition_ok(rule, entry.word):
+                    add(prefix + entry.word[len(rule.strip):])
+        return result[:self.MAX_WORDS]
+
+    def _compatible_flags(self, entry: DicEntry, rule: AffixRule) -> bool:
+        if rule.flag not in entry.flags:
+            return False
+        d = self.d
+        for special in (d.needaffix, d.circumfix):
+            if special is not FLAG_UNSET and special in rule.cont:
+                return False
+        return True
+
+    def _condition_ok(self, rule: AffixRule, stem: str) -> bool:
+        return rule.cond is None or bool(rule.cond.fullmatch(stem))
+
+    def _expand_roots(self, misspelled: str, roots):
+        # threshold: mangle the word three ways (java:138-158)
+        thresh = 0
+        for sp in range(1, 4):
+            mw = list(misspelled)
+            for k in range(sp, len(misspelled), 4):
+                mw[k] = "*"
+            thresh += self._ngram(len(misspelled), misspelled,
+                                  "".join(mw), any_mismatch=True)
+        thresh = thresh // 3 - 1
+        scored = []
+        seen = set()
+        for entry, _sc in roots:
+            for guess in self._expand_root(entry, misspelled):
+                lower = guess.lower()
+                sc = self._ngram(len(misspelled), misspelled, lower,
+                                 any_mismatch=True) \
+                    + self._common_prefix(misspelled, guess)
+                if sc > thresh and (guess, sc) not in seen:
+                    seen.add((guess, sc))
+                    scored.append((-sc, guess))
+        scored.sort()
+        return [(g, -neg) for neg, g in scored[:self.MAX_GUESSES]]
+
+    def _rank(self, word: str, expanded):
+        fact = (10.0 - self.d.max_diff) / 5.0
+        ranked = []
+        for guess, sc in expanded:
+            lower = guess.lower()
+            if lower == word:
+                ranked.append((-(sc + 2000), guess))
+                break
+            re_sc = self._ngram(2, word, lower, weighted=True,
+                                any_mismatch=True) \
+                + self._ngram(2, lower, word, weighted=True,
+                              any_mismatch=True)
+            score = (2 * self._lcs(word, lower)
+                     - abs(len(word) - len(lower))
+                     + self._common_char_position_score(word, lower)
+                     + self._common_prefix(word, lower)
+                     + self._ngram(4, word, lower, any_mismatch=True)
+                     + re_sc
+                     + (-1000 if re_sc < (len(word) + len(lower)) * fact
+                        else 0))
+            ranked.append((-score, guess))
+        ranked.sort()
+        return [(g, -neg) for neg, g in ranked]
+
+    def _most_relevant(self, ranked, prev: list[str]) -> list[str]:
+        out: list[str] = []
+        has_excellent = False
+        check = self.d._check_simple
+        for guess, score in ranked:
+            if score > 1000:
+                has_excellent = True
+            elif has_excellent:
+                break       # keep only excellent suggestions, if any
+            bad = score < -100
+            if bad and (out or self.d.only_max_diff):
+                break
+            if all(p not in guess for p in prev) \
+                    and all(p not in guess for p in out) \
+                    and check(guess, None, self._accepts) is True:
+                out.append(guess)
+                if len(out) > self.d.max_ngram_suggestions:
+                    break
+            if bad:
+                break
+        return out

@@ -575,3 +575,181 @@ def test_suggest_nosuggest_flag():
     assert d.spell("foo")
     assert not d.spell("foox")
     assert d.suggest("foox") == []
+
+
+def test_suggest_base_ngram_fixture():
+    """base_utf.sug — the full suggestion stack including the n-gram
+    GeneratingSuggester (horrorfying -> horrifying has no edit-based
+    path), split suggestions, and case restoration."""
+    d = HunspellDictionary(BASE_AFF, BASE_DIC)
+    assert d.suggest("loooked") == ["looked", "look"]
+    assert d.suggest("texxt") == ["text"]
+    assert d.suggest("hlelo") == ["hello"]
+    assert d.suggest("seid") == ["said"]
+    assert d.suggest("rottenday") == ["rotten day", "rotten-day",
+                                      "rotten"]
+    assert d.suggest("tomorow") == ["tomorrow"]
+    assert d.suggest("seeeven") == ["seven"]
+    assert d.suggest("Nasa") == ["NASA"]
+    assert d.suggest("horrorfying") == ["horrifying"]
+    assert d.suggest("peech") == ["speech"]
+    assert d.suggest("sugesst") == ["suggest"]
+
+
+# ---- COMPOUNDRULE (CompoundRule.java + checkCompoundRules) -----------
+
+def run_fixture(aff, dic, good, wrong):
+    d = HunspellDictionary(aff, dic)
+    for w in good:
+        assert d.spell(w), w
+    for w in wrong:
+        assert not d.spell(w), w
+
+
+def test_compoundrule_basic():
+    run_fixture(
+        "COMPOUNDMIN 1\nCOMPOUNDRULE 1\nCOMPOUNDRULE ABC\n",
+        "3\na/A\nb/B\nc/BC\n",
+        ["abc", "acc"],
+        ("ba aaabaaa bbaaa aaaaba bbbbbaa aa aaa aaaa ab aab aaab "
+         "aaaab abb aabb aaabbb bb bbb bbbb abcc abbc abbcc aabc "
+         "aabcc aabbc aabbcc aaabbbccc ac aac aacc aaaccc bc bcc bbc "
+         "bbcc bbbccc cc ccc cccccc").split())
+
+
+def test_compoundrule_star():
+    run_fixture(
+        "COMPOUNDMIN 1\nCOMPOUNDRULE 1\nCOMPOUNDRULE A*B*C*\n",
+        "3\na/A\nb/B\nc/C\n",
+        ("aa aaa aaaa ab aab aaab aaaab abb aabb aaabbb bb bbb bbbb "
+         "abc abcc abbc abbcc aabc aabcc aabbc aabbcc aaabbbccc ac "
+         "acc aac aacc aaaccc bc bcc bbc bbcc bbbccc cc ccc "
+         "cccccc").split(),
+        "ba aaabaaa bbaaa aaaaba bbbbbaa cba cab acb".split())
+
+
+def test_compoundrule_question():
+    run_fixture(
+        "COMPOUNDMIN 1\nCOMPOUNDRULE 1\nCOMPOUNDRULE A?B?C?\n",
+        "3\na/A\nb/B\nc/C\n",
+        "ab abc ac bc".split(),
+        "aa aaa aaaa aab aaab aaaab".split())
+
+
+ORDINAL_DIC = ("22\n0/nm\n1/n1\n2/nm\n3/nm\n4/nm\n5/nm\n6/nm\n7/nm\n"
+               "8/nm\n9/nm\n0th/pt\n1st/p\n1th/tc\n2nd/p\n2th/tc\n"
+               "3rd/p\n3th/tc\n4th/pt\n5th/pt\n6th/pt\n7th/pt\n8th/pt\n"
+               "9th/pt\n")
+
+
+def test_compoundrule_ordinals():
+    # compoundrule4: ONLYINCOMPOUND + two rules + case variant (42ND)
+    run_fixture(
+        "WORDCHARS 0123456789\nCOMPOUNDMIN 1\nONLYINCOMPOUND c\n"
+        "COMPOUNDRULE 2\nCOMPOUNDRULE n*1t\nCOMPOUNDRULE n*mp\n",
+        ORDINAL_DIC,
+        ("1st 2nd 3rd 4th 5th 6th 7th 8th 9th 10th 11th 12th 13th "
+         "14th 15th 16th 17th 18th 19th 20th 21st 22nd 23rd 24th "
+         "25th 100th 1000th 10001st 100001st 1000001st 42ND").split(),
+        "1th 2th 3th 10001th 10011st 11st 12nd 13rd".split())
+
+
+def test_compoundrule_percent():
+    run_fixture(
+        "SET UTF-8\nCOMPOUNDMIN 1\nCOMPOUNDRULE 2\n"
+        "COMPOUNDRULE N*%?\nCOMPOUNDRULE NN*.NN*%?\n"
+        "WORDCHARS 0123456789‰.\n",
+        "13\n" + "\n".join(f"{i}/N" for i in range(10))
+        + "\n./.\n%/%\n‰/%\n",
+        # 10.10. is good via the trailing-dot tolerance
+        "10% 0.2% 0.20% 123.4561‰ 10 0000 10.25 10.10.".split(),
+        ".25 .25% 10.10.% 10..25 10%% 10%‰ 10.%".split())
+
+
+def test_compoundrule_multi():
+    run_fixture(
+        "COMPOUNDMIN 1\nCOMPOUNDRULE 2\nCOMPOUNDRULE A*A\n"
+        "COMPOUNDRULE A*AAB*BBBC*C\n",
+        "3\na/A\nb/B\nc/C\n",
+        "aa aaaaaa aabbbc aaaaabbbbbbcccccc".split(),
+        "abc abbbbbccccccc aabbccccccc aabbbbbbb".split())
+
+
+def test_compoundrule_flag_long_groups():
+    run_fixture(
+        "FLAG long\nWORDCHARS 0123456789\nCOMPOUNDMIN 1\n"
+        "ONLYINCOMPOUND cc\nCOMPOUNDRULE 2\n"
+        "COMPOUNDRULE (nn)*(11)(tt)\nCOMPOUNDRULE (nn)*(mm)(pp)\n",
+        ("22\n0/nnmm\n1/nn11\n2/nnmm\n3/nnmm\n4/nnmm\n5/nnmm\n6/nnmm\n"
+         "7/nnmm\n8/nnmm\n9/nnmm\n0th/pptt\n1st/pp\n1th/ttcc\n2nd/pp\n"
+         "2th/ttcc\n3rd/pp\n3th/ttcc\n4th/pptt\n5th/pptt\n6th/pptt\n"
+         "7th/pptt\n8th/pptt\n9th/pptt\n"),
+        "1st 2nd 3rd 4th 10001st 21st".split(),
+        "1th 2th 3th 10001th 10011st".split())
+
+
+# ---- COMPOUNDFLAG compounding (SpellChecker.checkCompounds) ----------
+
+def test_compoundflag():
+    run_fixture(
+        "COMPOUNDMIN 3\nCOMPOUNDFLAG A\n",
+        "4\nfoo/A\nbar/A\nxy/A\nyz/A\n",
+        "foobar barfoo foobarfoo".split(),
+        "xyyz fooxy xyfoo fooxybar".split())
+
+
+def test_compoundforbid():
+    # affix-generated parts via COMPOUNDPERMITFLAG; COMPOUNDFORBIDFLAG
+    # bans roots from begin/middle positions
+    run_fixture(
+        "COMPOUNDFLAG X\nCOMPOUNDPERMITFLAG Y\nCOMPOUNDFORBIDFLAG Z\n"
+        "SFX S Y 2\nSFX S 0 bar/YX .\nSFX S 0 baz/YX .\n",
+        "3\nfoo/S\nexample/X\nfoobaz/Z\n",
+        "foo example foobar foobaz foobarexample".split(),
+        "fooexample examplefoo foobazexample".split())
+
+
+def test_checkcompoundcase():
+    run_fixture(
+        "CHECKCOMPOUNDCASE\nCOMPOUNDFLAG A\n",
+        "4\nfoo/A\nBar/A\nBAZ/A\n-/A\n",
+        "Barfoo foo-Bar foo-BAZ BAZ-foo BAZ-Bar".split(),
+        "fooBar BAZBar BAZfoo".split())
+
+
+def test_checkcompounddup():
+    run_fixture(
+        "CHECKCOMPOUNDDUP\nCOMPOUNDFLAG A\n",
+        "2\nfoo/A\nbar/A\n",
+        "barfoo foobar foofoobar foobarfoo barfoobarfoo".split(),
+        "foofoo foofoofoo foobarbar".split())
+
+
+def test_checkcompoundtriple():
+    run_fixture(
+        "CHECKCOMPOUNDTRIPLE\nCOMPOUNDFLAG A\n",
+        "4\nfoo/A\nopera/A\neel/A\nbare/A\n",
+        "operafoo operaeel operabare eelbare eelfoo eelopera".split(),
+        "fooopera bareeel".split())
+
+
+def test_checkcompoundrep():
+    # szer+víz forbidden: REP í->i yields the dictionary word szerviz
+    run_fixture(
+        "CHECKCOMPOUNDREP\nCOMPOUNDFLAG A\nREP 1\nREP í i\n",
+        "3\nszer/A\nvíz/A\nszerviz\nkocsi/A\n",
+        "vízszer szerkocsi".split(),
+        "szervíz szervízkocsi kocsiszervíz".split())
+
+
+def test_forceucase_compound():
+    run_fixture(
+        "TRY F\nFORCEUCASE A\nCOMPOUNDFLAG C\n",
+        "3\nfoo/C\nbar/C\nbaz/CA\n",
+        "foo bar baz foobar Foobaz foobazbar Foobarbaz".split(),
+        "foobaz foobarbaz".split())
+    d = HunspellDictionary("TRY F\nFORCEUCASE A\nCOMPOUNDFLAG C\n",
+                           "3\nfoo/C\nbar/C\nbaz/CA\n")
+    # forceucase.sug: the capitalized compound is suggested
+    assert d.suggest("foobaz") == ["Foobaz"]
+    assert d.suggest("foobarbaz") == ["Foobarbaz"]
