@@ -139,6 +139,58 @@ class CompoundRulePattern:
         return self._match(parts, 0, 0, True)
 
 
+class _CheckCompoundPattern:
+    """One CHECKCOMPOUNDPATTERN row (CheckCompoundPattern.java):
+    prohibits compounding when the first part ends with `end_chars`
+    and the next begins with `begin_chars` (a "0" side matches the
+    whole stem instead; optional /flags constrain the stems); an
+    optional replacement re-enables the compound in its modified
+    surface form via expand_replacement."""
+
+    def __init__(self, parts: list, parse_flags):
+        def split(p):
+            if "/" in p:
+                chars, fl = p.split("/", 1)
+                return chars, parse_flags(fl)
+            return p, frozenset()
+
+        self.end_chars, self.end_flags = split(parts[0])
+        self.begin_chars, self.begin_flags = split(parts[1])
+        self.replacement = parts[2] if len(parts) > 2 else None
+
+    def prohibits_compounding(self, tail: str, break_pos: int,
+                              stem_before: str, stem_after: str,
+                              part_flags) -> bool:
+        if self.end_chars == "0":
+            if tail[break_pos - len(stem_before):break_pos] != stem_before:
+                return False
+        elif not tail.startswith(self.end_chars,
+                                 break_pos - len(self.end_chars)) \
+                or break_pos < len(self.end_chars):
+            return False
+        if self.begin_chars == "0":
+            if not tail.startswith(stem_after, break_pos):
+                return False
+        elif not tail.startswith(self.begin_chars, break_pos):
+            return False
+        if self.end_flags:
+            flags = part_flags(stem_before)
+            if flags is None or not self.end_flags <= flags:
+                return False
+        if self.begin_flags:
+            flags = part_flags(stem_after)
+            if flags is None or not self.begin_flags <= flags:
+                return False
+        return True
+
+    def expand_replacement(self, word: str, break_pos: int):
+        if self.replacement is not None \
+                and word.startswith(self.replacement, break_pos):
+            return (word[:break_pos] + self.end_chars + self.begin_chars
+                    + word[break_pos + len(self.replacement):])
+        return None
+
+
 def _case_of(word: str) -> str:
     letters = [c for c in word if c.isalpha()]
     if not letters:
@@ -209,6 +261,9 @@ class HunspellDictionary:
         self.check_compound_triple = False
         self.simplified_triple = False
         self.check_compound_rep = False
+        self.check_compound_patterns: list[_CheckCompoundPattern] = []
+        self.iconv: list[tuple[str, str]] = []
+        self.oconv: list[tuple[str, str]] = []
         self.prefixes_by_append: dict[str, list[AffixRule]] = {}
         self.suffixes_by_append: dict[str, list[AffixRule]] = {}
         self._parse_aff(aff)
@@ -280,6 +335,15 @@ class HunspellDictionary:
                 self.simplified_triple = True
             elif key == "CHECKCOMPOUNDREP":
                 self.check_compound_rep = True
+            elif key == "ICONV" and len(parts) > 2 \
+                    and not parts[1].isdigit():
+                self.iconv.append((parts[1], parts[2]))
+            elif key == "OCONV" and len(parts) > 2 \
+                    and not parts[1].isdigit():
+                self.oconv.append((parts[1], parts[2]))
+            elif key == "CHECKCOMPOUNDPATTERN" and len(parts) > 2:
+                self.check_compound_patterns.append(
+                    _CheckCompoundPattern(parts[1:], self._parse_flags))
             elif key == "COMPOUNDMIN" and len(parts) > 1:
                 self.compound_min = max(1, int(parts[1]))
             elif key == "COMPOUNDRULE" and len(parts) > 1 \
@@ -360,10 +424,29 @@ class HunspellDictionary:
                               else self.suffixes_by_append)
                     target.setdefault(append, []).append(rule)
 
+    @staticmethod
+    def _apply_conv(table, s: str) -> str:
+        # Dictionary.applyMappings: longest match at each position,
+        # advance one char after a replacement (java:947-980)
+        if not table:
+            return s
+        by_len = sorted(table, key=lambda pr: -len(pr[0]))
+        i = 0
+        while i < len(s):
+            for pat, rep in by_len:
+                if s.startswith(pat, i):
+                    s = s[:i] + rep + s[i + len(pat):]
+                    break
+            i += 1
+        return s
+
     def _clean(self, word: str) -> str:
         for ch in self.ignore:
             word = word.replace(ch, "")
-        return word
+        return self._apply_conv(self.iconv, word)
+
+    def _clean_output(self, word: str) -> str:
+        return self._apply_conv(self.oconv, word)
 
     def _parse_dic(self, lines) -> None:
         first = True
@@ -581,7 +664,7 @@ class HunspellDictionary:
         word = self._clean(word)
         if not word:
             return []
-        return [s for s, _ in self._roots(word)]
+        return [self._clean_output(s) for s, _ in self._roots(word)]
 
     # ---- spell checking (SpellChecker.java, non-compound path) -----
 
@@ -719,13 +802,16 @@ class HunspellDictionary:
     # (SpellChecker.checkCompounds + CompoundPart, java:162-322)
 
     class _CompoundPart:
-        __slots__ = ("prev", "index", "length", "tail", "stem")
+        __slots__ = ("prev", "index", "length", "tail", "stem",
+                     "enabling_pattern")
 
-        def __init__(self, prev, tail: str, length: int, stem: str):
+        def __init__(self, prev, tail: str, length: int, stem: str,
+                     enabling_pattern=None):
             self.prev = prev
             self.tail = tail
             self.length = length
             self.stem = stem
+            self.enabling_pattern = enabling_pattern
             self.index = 1 if prev is None else prev.index + 1
 
     def _has_compound_flags(self) -> bool:
@@ -747,8 +833,19 @@ class HunspellDictionary:
 
     def _may_compound(self, prev, next_stem: str, next_len: int,
                       original_case) -> bool:
-        # CompoundPart.mayCompound (java:271-292), minus
-        # CHECKCOMPOUNDPATTERN (not parsed)
+        # CompoundPart.mayCompound (java:271-292)
+        if prev.enabling_pattern is not None:
+            patterns_ok = prev.enabling_pattern.prohibits_compounding(
+                prev.tail, prev.length, prev.stem, next_stem,
+                self._part_flags)
+        else:
+            patterns_ok = not any(
+                p.prohibits_compounding(prev.tail, prev.length,
+                                        prev.stem, next_stem,
+                                        self._part_flags)
+                for p in self.check_compound_patterns)
+        if not patterns_ok:
+            return False
         if self.check_compound_rep and self._misspelled_simple(
                 prev.tail[:prev.length + next_len], original_case):
             return False
@@ -797,6 +894,19 @@ class HunspellDictionary:
                         if self._check_compounds_after(original_case,
                                                        part):
                             return True
+            # checkCompoundPatternReplacements (java:194-212)
+            for pattern in self.check_compound_patterns:
+                expanded = pattern.expand_replacement(word, break_pos)
+                if expanded is None:
+                    continue
+                bp = break_pos + len(pattern.end_chars)
+                stem = self._first_root(expanded[:bp], original_case,
+                                        context)
+                if stem is not None:
+                    part = self._CompoundPart(prev, expanded, bp,
+                                              stem[0], pattern)
+                    if self._check_compounds_after(original_case, part):
+                        return True
         return False
 
     def _check_compounds_after(self, original_case, prev) -> bool:
@@ -879,7 +989,8 @@ class HunspellDictionary:
                             if s not in suggestions]
         out = []
         for cand in suggestions:
-            adj = self._adjust_suggestion_case(cand, case, word)
+            adj = self._clean_output(
+                self._adjust_suggestion_case(cand, case, word))
             if adj not in out:
                 out.append(adj)
         return out

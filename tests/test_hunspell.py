@@ -753,3 +753,61 @@ def test_forceucase_compound():
     # forceucase.sug: the capitalized compound is suggested
     assert d.suggest("foobaz") == ["Foobaz"]
     assert d.suggest("foobarbaz") == ["Foobarbaz"]
+
+
+def test_checkcompoundpattern():
+    # checkcompoundpattern: literal end/begin patterns forbid the bound
+    run_fixture(
+        "COMPOUNDFLAG A\nCHECKCOMPOUNDPATTERN 2\n"
+        "CHECKCOMPOUNDPATTERN nny ny\nCHECKCOMPOUNDPATTERN ssz sz\n",
+        "4\nkönny/A\nnyelés/A\nhossz/A\nszámítás/A\n",
+        "könnyszámítás hossznyelés".split(),
+        ("könnynyelés hosszszámítás hosszkönnynyelés "
+         "könnynyeléshossz").split())
+
+
+def test_checkcompoundpattern_replacement():
+    # checkcompoundpattern2: the replacement form re-enables compounds
+    run_fixture(
+        "COMPOUNDFLAG A\nCHECKCOMPOUNDPATTERN 2\n"
+        "CHECKCOMPOUNDPATTERN o b z\nCHECKCOMPOUNDPATTERN oo ba u\n"
+        "COMPOUNDMIN 1\n",
+        "2\nfoo/A\nbar/A\n",
+        "barfoo fozar fur".split(),
+        ["foobar"])
+
+
+def test_checkcompoundpattern_flags():
+    # checkcompoundpattern3: /X /Y stem-flag constraints
+    run_fixture(
+        "COMPOUNDFLAG A\nCHECKCOMPOUNDPATTERN 1\n"
+        "CHECKCOMPOUNDPATTERN o/X b/Y z\nCOMPOUNDMIN 1\n",
+        "4\nfoo/A\nboo/AX\nbar/A\nban/AY\n",
+        ("bozan barfoo banfoo banbar foobar fooban foobanbar boobar "
+         "boobarfoo").split(),
+        ("booban boobanfoo fozar fozarfoo fozan fozanfoo bozar "
+         "bozarfoo").split())
+
+
+def test_iconv_oconv():
+    # TestConv: ICONV normalizes input, OCONV converts the stems out
+    d = HunspellDictionary(
+        "SET UTF-8\nICONV 4\nICONV A a\nICONV B b\nICONV C c\n"
+        "ICONV I i\nOCONV 4\nOCONV a A\nOCONV b B\nOCONV c C\n"
+        "OCONV i I\nSFX X Y 1\nSFX X 0 able . +ABLE\n",
+        "1\ndrink/X\t[VERB]\n")
+    for w in ("drink", "drInk", "drInkAble", "drInkABle", "drinkABle"):
+        assert "drInk" in d.stems(w), w
+
+
+def test_oconv_suggestions():
+    # oconv fixture: suggestions pass through the output conversion
+    d = HunspellDictionary(
+        "SET UTF-8\nOCONV 7\nOCONV a A\nOCONV á Á\nOCONV b B\n"
+        "OCONV c C\nOCONV d D\nOCONV e E\nOCONV é É\n",
+        "3\nbébé\ndádá\naábcdeé\n")
+    for w in ("bébé", "dádá", "aábcdeé"):
+        assert d.spell(w), w
+    assert d.suggest("béb") == ["BÉBÉ"]
+    assert d.suggest("dád") == ["DÁDÁ"]
+    assert d.suggest("aábcde") == ["AÁBCDEÉ"]
