@@ -264,6 +264,7 @@ class HunspellDictionary:
         self.check_compound_patterns: list[_CheckCompoundPattern] = []
         self.iconv: list[tuple[str, str]] = []
         self.oconv: list[tuple[str, str]] = []
+        self.flag_aliases: list[str] = []
         self.prefixes_by_append: dict[str, list[AffixRule]] = {}
         self.suffixes_by_append: dict[str, list[AffixRule]] = {}
         self._parse_aff(aff)
@@ -281,6 +282,15 @@ class HunspellDictionary:
         if self.flag_mode == "num":
             return frozenset(p.strip() for p in s.split(",") if p.strip())
         return frozenset(s)
+
+    def _parse_flags_or_alias(self, s: str) -> frozenset:
+        """AF compression (Dictionary.java): an all-digit flag field
+        refers to the 1-based alias table row."""
+        if self.flag_aliases and s.isdigit():
+            idx = int(s)
+            if 1 <= idx <= len(self.flag_aliases):
+                return self._parse_flags(self.flag_aliases[idx - 1])
+        return self._parse_flags(s)
 
     def _one_flag(self, s: str) -> str:
         flags = sorted(self._parse_flags(s))
@@ -335,6 +345,11 @@ class HunspellDictionary:
                 self.simplified_triple = True
             elif key == "CHECKCOMPOUNDREP":
                 self.check_compound_rep = True
+            elif key == "AF" and len(parts) > 1 \
+                    and not parts[1].isdigit():
+                # alias table row ("AF 5" header is numeric); stored
+                # raw — FLAG mode may be declared later in the file
+                self.flag_aliases.append(parts[1])
             elif key == "ICONV" and len(parts) > 2 \
                     and not parts[1].isdigit():
                 self.iconv.append((parts[1], parts[2]))
@@ -404,7 +419,7 @@ class HunspellDictionary:
                     append_raw = rule_parts[3]
                     if "/" in append_raw:
                         append, cont_s = append_raw.split("/", 1)
-                        cont = self._parse_flags(cont_s)
+                        cont = self._parse_flags_or_alias(cont_s)
                     else:
                         append, cont = append_raw, frozenset()
                     if append == "0":
@@ -475,11 +490,12 @@ class HunspellDictionary:
             word = self._clean("".join(word_chars))
             if not word:
                 continue
-            flags = self._parse_flags(flags_s) if flags_s else frozenset()
+            flags = (self._parse_flags_or_alias(flags_s) if flags_s
+                     else frozenset())
             self.entries.setdefault(word, []).append(DicEntry(word, flags))
             case = _case_of(word)
             if case == "mixed" or (case == "upper" and flags):
-                hidden = _title_fold(word)
+                hidden = _title_case(word)[0] + word[1:].lower()
                 self.entries.setdefault(hidden, []).append(
                     DicEntry(hidden, flags, hidden=True))
 

@@ -811,3 +811,29 @@ def test_oconv_suggestions():
     assert d.suggest("béb") == ["BÉBÉ"]
     assert d.suggest("dád") == ["DÁDÁ"]
     assert d.suggest("aábcde") == ["AÁBCDEÉ"]
+
+
+def test_af_flag_aliases():
+    """TestCompressed: AF alias table (digit flag fields resolve to
+    1-based alias rows, with FLAG long declared after the table) plus
+    mixed/upper hidden-variant casing."""
+    d = HunspellDictionary(
+        "AF 5\nAF AA\nAF BB\nAF CC\nAF DD\nAF EE\n\nSET UTF-8\n"
+        "FLAG long\n\nSFX AA Y 3\nSFX AA 0 e n\nSFX AA 0 e t\n"
+        "SFX AA 0 e h\n\nSFX CC Y 2\nSFX CC 0 d/3 c\nSFX CC 0 c b\n\n"
+        "SFX DD Y 1\nSFX DD 0 s .\n\nSFX EE Y 1\nSFX EE 0 d o\n\n"
+        "PFX BB Y 1\nPFX BB 0 s o\n",
+        "10\nab/3\napach/1\nfoo/4\nfoo/5\nlucen/1\nlucene\nmahout/1\n"
+        "olr/2\nXYZ/4\nmixedCase\n")
+    assert_stems(d, "ab", "ab")
+    assert_stems(d, "abc", "ab")
+    assert_stems(d, "abcd")                 # no continuation chain
+    assert_stems(d, "apach", "apach")
+    assert_stems(d, "apache", "apach")
+    assert_stems(d, "apachee")
+    assert_stems(d, "XYZ", "XYZ", "Xyz")
+    assert_stems(d, "XYZs", "XYZ")
+    assert_stems(d, "XYZS", "Xyz")
+    assert_stems(d, "xyz")
+    assert_stems(d, "mixedCase", "mixedCase")
+    assert_stems(d, "MIXEDCASE", "Mixedcase")
