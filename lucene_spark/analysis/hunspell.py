@@ -265,6 +265,7 @@ class HunspellDictionary:
         self.iconv: list[tuple[str, str]] = []
         self.oconv: list[tuple[str, str]] = []
         self.flag_aliases: list[str] = []
+        self.complex_prefixes = False
         self.prefixes_by_append: dict[str, list[AffixRule]] = {}
         self.suffixes_by_append: dict[str, list[AffixRule]] = {}
         self._parse_aff(aff)
@@ -345,6 +346,8 @@ class HunspellDictionary:
                 self.simplified_triple = True
             elif key == "CHECKCOMPOUNDREP":
                 self.check_compound_rep = True
+            elif key == "COMPLEXPREFIXES":
+                self.complex_prefixes = True
             elif key == "AF" and len(parts) > 1 \
                     and not parts[1].isdigit():
                 # alias table row ("AF 5" header is numeric); stored
@@ -587,16 +590,25 @@ class HunspellDictionary:
                         continue
                 out.append((stripped, entry))
         if rule.cross_product and depth <= 1:
+            # applyAffix recursion branching (java:712-733), including
+            # the COMPLEXPREFIXES second-prefix path
             if depth == 0:
                 if is_prefix:
                     prefix_rule = rule
-                elif not self.two_stage:
+                    do_prefix = self.complex_prefixes and self.two_stage
+                elif not self.complex_prefixes and self.two_stage:
+                    do_prefix = False
+                else:
                     return
             else:
-                if is_prefix or not self.two_stage:
+                do_prefix = False
+                if is_prefix and self.complex_prefixes:
+                    prefix_rule = rule
+                elif is_prefix or self.complex_prefixes \
+                        or not self.two_stage:
                     return
             self._walk(stripped, rule, rule.flag, prefix_rule, depth + 1,
-                       False, is_prefix, original_case, out, context)
+                       do_prefix, is_prefix, original_case, out, context)
 
     def _walk(self, word: str, previous, prev_flag, prefix_rule,
               depth: int, do_prefix: bool, previous_was_prefix: bool,

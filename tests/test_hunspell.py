@@ -837,3 +837,20 @@ def test_af_flag_aliases():
     assert_stems(d, "xyz")
     assert_stems(d, "mixedCase", "mixedCase")
     assert_stems(d, "MIXEDCASE", "Mixedcase")
+
+
+def test_complex_prefixes():
+    """TestComplexPrefix: COMPLEXPREFIXES allows a second prefix whose
+    continuation class carries the first (pone+ptwo/A), plus a suffix
+    on top; the reverse prefix order fails."""
+    d = HunspellDictionary(
+        "SET UTF-8\nCOMPLEXPREFIXES\nPFX A Y 1\nPFX A 0 pone .\n"
+        "PFX B Y 1\nPFX B 0 ptwo/A .\nSFX C Y 1\nSFX C 0 suf .\n",
+        "1\nfoo/BC\n")
+    assert_stems(d, "ptwofoo", "foo")
+    assert_stems(d, "poneptwofoo", "foo")
+    assert_stems(d, "foosuf", "foo")
+    assert_stems(d, "ptwofoosuf", "foo")
+    assert_stems(d, "poneptwofoosuf", "foo")
+    for w in ("ponefoo", "ponefoosuf", "ptwoponefoo", "ptwoponefoosuf"):
+        assert_stems(d, w)
