@@ -1,9 +1,13 @@
-"""Hunspell dictionary stemming — the lucene/analysis/common hunspell
-role (Dictionary.java + Stemmer.java + HunspellStemFilter.java).
+"""Hunspell — the lucene/analysis/common hunspell role
+(Dictionary.java + Stemmer.java + HunspellStemFilter.java +
+SpellChecker.java + ModifyingSuggester.java + GeneratingSuggester.java
++ CompoundRule.java + CheckCompoundPattern.java).
 
-Re-implements the non-compound analysis path from the reference's
-semantics (no code taken; every behavior below is pinned by the
-reference's own .aff/.dic fixture tests in tests/test_hunspell.py):
+Re-implements the analysis, spell-checking, suggestion, and
+compounding paths from the reference's semantics (no code taken;
+every behavior below is pinned by the reference's own .aff/.dic
+fixture tests in tests/test_hunspell.py — every directive those
+fixtures exercise is implemented):
 
 - .aff parsing (Dictionary.java:640-740): FLAG single/long/num, PFX/SFX
   blocks with strip, append, continuation classes (``append/flags``),
@@ -28,6 +32,20 @@ reference's own .aff/.dic fixture tests in tests/test_hunspell.py):
 - HunspellStemFilter: original term kept when no stems exist; stems
   replace the term with posInc 0 continuation; dedup on by default;
   longestOnly keeps the single longest stem; keyword set bypass.
+- spell checking (SpellChecker.java): FORBIDDENWORD via the first
+  root, BREAK pattern recursion (second-occurrence retry), trailing
+  dots, numbers, UPPER/TITLE case variants, COMPLEXPREFIXES chained
+  prefixes, AF flag aliases, ICONV input cleanup.
+- compounding: COMPOUNDRULE flag patterns (*/? quantifiers, (..)
+  groups) and COMPOUNDFLAG/BEGIN-MIDDLE-END concatenation threaded
+  through the stemmer's word contexts, with COMPOUNDPERMITFLAG
+  affixed parts, COMPOUNDFORBIDFLAG, CHECKCOMPOUNDCASE/DUP/TRIPLE/
+  REP, SIMPLIFIEDTRIPLE, CHECKCOMPOUNDPATTERN (incl. replacement
+  re-expansion), COMPOUNDWORDMAX and FORCEUCASE.
+- suggestions: ModifyingSuggester edit candidates (REP/MAP/KEY,
+  splits, dash-chunk repair, case handling) plus the n-gram
+  GeneratingSuggester fallback, NOSUGGEST filtering, forceUCase
+  capitalized suggestion, OCONV output conversion.
 """
 
 from __future__ import annotations
