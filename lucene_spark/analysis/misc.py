@@ -224,3 +224,19 @@ def remove_duplicates(tokens_with_inc: list[tuple[str, int]]) -> list[tuple[str,
             seen.add(term)
             out.append((term, inc))
     return out
+
+
+def delimited_term_frequency(tokens: list[str],
+                             delimiter: str = "|") -> list[tuple[str, int]]:
+    """DelimitedTermFrequencyTokenFilter.java: "term|N" carries an
+    explicit term frequency (the rightmost delimiter splits); tokens
+    without the delimiter default to tf 1. Non-numeric frequencies
+    raise, as the reference's int parse does."""
+    out = []
+    for t in tokens:
+        pos = t.rfind(delimiter)
+        if pos < 0:
+            out.append((t, 1))
+        else:
+            out.append((t[:pos], int(t[pos + 1:])))
+    return out

@@ -159,3 +159,13 @@ def test_small_filters():
     assert truncate(["abcdefg", "ab"], 3) == ["abc", "ab"]
     assert reverse_string(["abc"]) == ["cba"]
     assert limit_token_count(["a", "b", "c"], 2) == ["a", "b"]
+
+
+def test_delimited_term_frequency():
+    from lucene_spark.analysis.misc import delimited_term_frequency
+
+    assert delimited_term_frequency(["foo|5", "bar", "baz|1"]) == [
+        ("foo", 5), ("bar", 1), ("baz", 1)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        delimited_term_frequency(["foo|bar"])
