@@ -7567,6 +7567,80 @@ FT_DECOMPOUND_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_DHYPH_IN = [
+    "basketballkurv", "læsehest", "min veninde", "scot-free",
+    "basketballkurv basketballkurv", "læsehest basketballkurv",
+    "en læsehest", "basketballkurv læsehest",
+]
+_DHYPH_OUT = [
+    "basketballkurv|basket|sket|ball|lkurv|kurv", "læsehest|læse|hest",
+    "min|veninde|venin|ninde", "scot-free",
+    "basketballkurv|basket|sket|ball|lkurv|kurv|"
+    "basketballkurv|basket|sket|ball|lkurv|kurv",
+    "læsehest|læse|hest|basketballkurv|basket|sket|ball|lkurv|kurv",
+    "en|læsehest|læse|hest",
+    "basketballkurv|basket|sket|ball|lkurv|kurv|læsehest|læse|hest",
+]
+
+
+def ft_decompound_hyph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeX-hyphenation-guided decompounding (r5 —
+    HyphenationCompoundWordTokenFilter.java + the FOP hyphenation
+    engine, analysis/compound.py): Liang pattern matching over the
+    reference's own Danish grammar (data/hyph_da.xml, broadcast-read
+    once per executor) splits compounds at hyphenation points filtered
+    by subword size (min 4 / max 6 — no dictionary: the reference's
+    hyphenation-only mode); dictionary mode adds læse/hest. Frozen
+    vectors, distributed."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _dh(vs: pd.Series) -> pd.Series:
+        import os as _os
+
+        from lucene_spark.analysis.compound import (
+            hyphenation_decompound, parse_hyphenation_xml)
+
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "lucene_spark",
+            "analysis", "data", "hyph_da.xml")
+        with open(path, encoding="utf-8") as f:
+            tree = parse_hyphenation_xml(f.read())
+
+        def run(v: int) -> str:
+            toks = _DHYPH_IN[v].split()
+            if v in (1, 6):     # dictionary-checked mode
+                out = hyphenation_decompound(toks, tree,
+                                             ["læse", "hest"])
+            elif v == 5:
+                out = [t for w in toks for t in (
+                    hyphenation_decompound([w], tree, ["læse", "hest"])
+                    if w == "læsehest" else hyphenation_decompound(
+                        [w], tree, min_subword_size=4,
+                        max_subword_size=6))]
+            elif v == 7:
+                out = [t for w in toks for t in (
+                    hyphenation_decompound([w], tree, ["læse", "hest"])
+                    if w == "læsehest" else hyphenation_decompound(
+                        [w], tree, min_subword_size=4,
+                        max_subword_size=6))]
+            else:               # hyphenation-only, min 4 / max 6
+                out = hyphenation_decompound(toks, tree,
+                                             min_subword_size=4,
+                                             max_subword_size=6)
+            return "|".join(t.text for t in out)
+
+        return vs.map(lambda v: run(int(v)))
+
+    return d.select("doc_id", _dh(F.col("v")).alias("tokens"))
+
+
+FT_DECOMPOUND_HYPH_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_DHYPH_OUT))
+    + "\nEND AS tokens FROM documents")
+
+
 _PCAP_IN = [
     "letsPartyLIKEits1999_dude", "http://www.foo.com/index",
     "foobarbaz", "camelCaseFilter", "MY_SNAKE_CASE", "abcdefghi",
@@ -8509,6 +8583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pattern_capture": ft_pattern_capture,
         "ft_misc_filters": ft_misc_filters,
         "ft_opennlp": ft_opennlp,
+        "ft_decompound_hyph": ft_decompound_hyph,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8902,6 +8977,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_pattern_capture": FT_PATTERN_CAPTURE_SQL,
         "ft_misc_filters": FT_MISC_FILTERS_SQL,
         "ft_opennlp": FT_OPENNLP_SQL,
+        "ft_decompound_hyph": FT_DECOMPOUND_HYPH_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
