@@ -7641,6 +7641,56 @@ FT_DECOMPOUND_HYPH_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_WIKI_IN = [
+    "This is a [[Category:foo]]",
+    "click [[link here again]] click",
+    "[http://lucene.apache.org here again]",
+    "Here is ''italics'' and '''bold''' and '''''five quotes'''''",
+    "==heading== ===sub head===",
+    "<ref>Citation</ref> <sup>martian</sup>",
+    "[[link|display info]] and AT&T I.B.M. 3.50",
+    "[[Category:a b c d]] ''more italics''",
+]
+_WIKI_OUT = [
+    "This/<ALPHANUM>|is/<ALPHANUM>|a/<ALPHANUM>|foo/c",
+    "click/<ALPHANUM>|link/il|here/il|again/il|click/<ALPHANUM>",
+    "http://lucene.apache.org/elu|here/el|again/el",
+    "Here/<ALPHANUM>|is/<ALPHANUM>|italics/i|and/<ALPHANUM>|bold/b|"
+    "and/<ALPHANUM>|five/bi|quotes/bi",
+    "heading/h|sub/sh|head/sh",
+    "Citation/ci|martian/<ALPHANUM>",
+    "link/il|display/il|info/il|and/<ALPHANUM>|AT&T/<COMPANY>|"
+    "I.B.M./<ACRONYM>|3.50/<NUM>",
+    "a/c|b/c|c/c|d/c|more/i|italics/i",
+]
+
+
+def ft_wikipedia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikipedia-syntax tokenization (r5 — analysis/wikipedia
+    WikipediaTokenizerImpl.jflex re-expressed as a longest-match state
+    machine, analysis/wikipedia.py; EVERY TestWikipediaTokenizer
+    vector — the 98-token handwritten gauntlet, UNTOKENIZED collapse
+    offsets, BOTH-mode flags — pinned in tests/test_wikipedia.py):
+    token/type pairs over frozen wiki-markup rows, distributed."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _wk(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.wikipedia import wikipedia_tokens
+
+        return vs.map(lambda v: "|".join(
+            f"{t.text}/{t.type}"
+            for t in wikipedia_tokens(_WIKI_IN[int(v)])))
+
+    return d.select("doc_id", _wk(F.col("v")).alias("tokens"))
+
+
+FT_WIKIPEDIA_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    f"  WHEN {i} THEN '{v}'" for i, v in enumerate(_WIKI_OUT))
+    + "\nEND AS tokens FROM documents")
+
+
 _PCAP_IN = [
     "letsPartyLIKEits1999_dude", "http://www.foo.com/index",
     "foobarbaz", "camelCaseFilter", "MY_SNAKE_CASE", "abcdefghi",
@@ -8584,6 +8634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_misc_filters": ft_misc_filters,
         "ft_opennlp": ft_opennlp,
         "ft_decompound_hyph": ft_decompound_hyph,
+        "ft_wikipedia": ft_wikipedia,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -8978,6 +9029,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_misc_filters": FT_MISC_FILTERS_SQL,
         "ft_opennlp": FT_OPENNLP_SQL,
         "ft_decompound_hyph": FT_DECOMPOUND_HYPH_SQL,
+        "ft_wikipedia": FT_WIKIPEDIA_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
