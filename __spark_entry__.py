@@ -7641,6 +7641,51 @@ FT_DECOMPOUND_HYPH_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_CLASSIC_IN = [
+    "O'Reilly's book on AT&T", "U.S.A. and I.B.M.",
+    "visit www.nutch.org. today", "serial 978-0-94045043-1 mid-20th",
+    "mail first.lastname@example.com now",
+    "R2D2 C3PO 216.239.63.104", "she's got 5000 bones",
+    "78academyawards/rules/rule02.html 62.46",
+]
+_CLASSIC_OUT = [
+    "o'reilly/<APOSTROPHE>|book/<ALPHANUM>|at&t/<COMPANY>",
+    "usa/<ACRONYM>|ibm/<ACRONYM>",
+    "visit/<ALPHANUM>|www.nutch.org/<HOST>|today/<ALPHANUM>",
+    "serial/<ALPHANUM>|978-0-94045043-1/<NUM>|mid-20th/<NUM>",
+    "mail/<ALPHANUM>|first.lastname@example.com/<EMAIL>|now/<ALPHANUM>",
+    "r2d2/<ALPHANUM>|c3po/<ALPHANUM>|216.239.63.104/<HOST>",
+    "she/<APOSTROPHE>|got/<ALPHANUM>|5000/<ALPHANUM>|bones/<ALPHANUM>",
+    "78academyawards/rules/rule02.html/<NUM>|62.46/<HOST>",
+]
+
+
+def ft_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicAnalyzer (r5 — analysis/classic, the pre-3.1
+    StandardAnalyzer jflex grammar as a longest-match scanner,
+    analysis/classic.py; every TestClassicAnalyzer vector incl. the
+    JavaCC-compliance rows pinned in tests/test_classic.py):
+    token/type pairs over frozen rows, distributed."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _cl(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.classic import classic_analyzer_tokens
+
+        return vs.map(lambda v: "|".join(
+            f"{t.text}/{t.type}"
+            for t in classic_analyzer_tokens(_CLASSIC_IN[int(v)])))
+
+    return d.select("doc_id", _cl(F.col("v")).alias("tokens"))
+
+
+FT_CLASSIC_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    "  WHEN {} THEN '{}'".format(i, v.replace("'", "''"))
+    for i, v in enumerate(_CLASSIC_OUT))
+    + "\nEND AS tokens FROM documents")
+
+
 _WIKI_IN = [
     "This is a [[Category:foo]]",
     "click [[link here again]] click",
@@ -8635,6 +8680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_opennlp": ft_opennlp,
         "ft_decompound_hyph": ft_decompound_hyph,
         "ft_wikipedia": ft_wikipedia,
+        "ft_classic": ft_classic,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -9030,6 +9076,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_opennlp": FT_OPENNLP_SQL,
         "ft_decompound_hyph": FT_DECOMPOUND_HYPH_SQL,
         "ft_wikipedia": FT_WIKIPEDIA_SQL,
+        "ft_classic": FT_CLASSIC_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
