@@ -7641,6 +7641,53 @@ FT_DECOMPOUND_HYPH_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+_HSTRIP_IN = [
+    "<div class=\"foo\">text</div> a <a href=\"#b\">link</a>",
+    "&nbsp; &lt;foo&gt; &Uuml;bermensch &#61; &Gamma;",
+    "one<script attr= bare><!-- action('<!-- c -->'); --></script>two",
+    "one<![CDATA[<one><two>]]>two <!-- gone -->",
+    "a <a hr<ef=aa<a>> </close</a>",
+    "one<BR />two<br>three <?xml version=\"1.0\"?>done",
+    " &QUOT;-&COPY;&GT;>&LT;<&REG;&AMP; &#xD86C;&#XdC01;x",
+    "one<sPAn class=\"x\">two<sup>3</sup>.</SpaN>four",
+]
+_HSTRIP_OUT = [
+    "\ntext\n a link", "  <foo> Übermensch = Γ", "one\ntwo",
+    "one<one><two>two ", "a <a hr<ef=aa> </close",
+    "one\ntwo\nthree done", " \"-©>><<®& \U0002B001x",
+    "onetwo3.four",
+]
+
+
+def ft_html_strip_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact HTMLStripCharFilter (r5 — analysis/charfilter
+    HTMLStripCharFilter.jflex as a forward scanner,
+    analysis/htmlstrip.py; EVERY assertHTMLStripsTo vector — the 54
+    malformed-HTML rows, SSI/script/style/CDATA machinery, entity and
+    UTF-16-surrogate forms — pinned in tests/test_htmlstrip.py): frozen
+    rows stripped distributed. The JVM-regex `strip_html` column stays
+    the 100 TB scale path; this is its parity twin."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _hst(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.htmlstrip import html_strip
+
+        return vs.map(lambda v: html_strip(_HSTRIP_IN[int(v)]))
+
+    return d.select("doc_id", _hst(F.col("v")).alias("stripped"))
+
+
+def _hstrip_sql() -> str:
+    arms = "\n".join(
+        "  WHEN {} THEN '{}'".format(
+            i, v.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, v in enumerate(_HSTRIP_OUT))
+    return (f"SELECT doc_id, CASE doc_id % 8\n{arms}\nEND AS stripped "
+            "FROM documents")
+
+
 _CLASSIC_IN = [
     "O'Reilly's book on AT&T", "U.S.A. and I.B.M.",
     "visit www.nutch.org. today", "serial 978-0-94045043-1 mid-20th",
@@ -8681,6 +8728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_decompound_hyph": ft_decompound_hyph,
         "ft_wikipedia": ft_wikipedia,
         "ft_classic": ft_classic,
+        "ft_html_strip_exact": ft_html_strip_exact,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -9077,6 +9125,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_decompound_hyph": FT_DECOMPOUND_HYPH_SQL,
         "ft_wikipedia": FT_WIKIPEDIA_SQL,
         "ft_classic": FT_CLASSIC_SQL,
+        "ft_html_strip_exact": _hstrip_sql(),
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
