@@ -1322,6 +1322,32 @@ def _decompound_lists(content: pd.Series) -> pd.Series:
 CUSTOM_TOKENIZERS["decompound_demo"] = _decompound_lists
 register_analyzer(Analyzer(name="decompound",
                            custom_tokenizer="decompound_demo"))
+
+
+# ClassicAnalyzer (analysis/classic; the pre-3.1 StandardAnalyzer
+# grammar with ClassicFilter + English stops)
+def _classic_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.classic import classic_analyzer_tokens
+
+    return content.map(
+        lambda s: [t.text for t in classic_analyzer_tokens(s or "")])
+
+
+CUSTOM_TOKENIZERS["classic"] = _classic_lists
+register_analyzer(Analyzer(name="classic", custom_tokenizer="classic"))
+
+
+# WikipediaTokenizer (analysis/wikipedia; TOKENS_ONLY mode, lowercased)
+def _wikipedia_lists(content: pd.Series) -> pd.Series:
+    from lucene_spark.analysis.wikipedia import wikipedia_tokens
+
+    return content.map(lambda s: [
+        t.text.lower() for t in wikipedia_tokens(s or "")])
+
+
+CUSTOM_TOKENIZERS["wikipedia"] = _wikipedia_lists
+register_analyzer(Analyzer(name="wikipedia",
+                           custom_tokenizer="wikipedia"))
 register_analyzer(Analyzer(name="phonetic_dm", custom_tokenizer="dm_soundex",
                            stopwords=frozenset()))
 register_analyzer(Analyzer(name="standard_folded", stopwords=ENGLISH_STOP_WORDS,
