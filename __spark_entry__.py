@@ -7727,7 +7727,7 @@ def ft_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _cl(F.col("v")).alias("tokens"))
 
 
-FT_CLASSIC_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+FT_CLASSIC_ANALYZER_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     "  WHEN {} THEN '{}'".format(i, v.replace("'", "''"))
     for i, v in enumerate(_CLASSIC_OUT))
     + "\nEND AS tokens FROM documents")
@@ -9124,7 +9124,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_opennlp": FT_OPENNLP_SQL,
         "ft_decompound_hyph": FT_DECOMPOUND_HYPH_SQL,
         "ft_wikipedia": FT_WIKIPEDIA_SQL,
-        "ft_classic": FT_CLASSIC_SQL,
+        "ft_classic": FT_CLASSIC_ANALYZER_SQL,
         "ft_html_strip_exact": _hstrip_sql(),
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
