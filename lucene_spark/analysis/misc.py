@@ -240,3 +240,50 @@ def delimited_term_frequency(tokens: list[str],
         else:
             out.append((t[:pos], int(t[pos + 1:])))
     return out
+
+
+def date_recognizer(tokens, date_format="%m/%d/%Y"):
+    """DateRecognizerFilter.java: keep only tokens that parse as dates
+    under the format (the SimpleDateFormat role; lenient single-digit
+    fields accepted, as in the reference's 7/11/2006 vector)."""
+    from datetime import datetime
+
+    out = []
+    for t in tokens:
+        try:
+            datetime.strptime(t, date_format)
+            out.append(t)
+        except ValueError:
+            pass
+    return out
+
+
+SEP_LABEL = "\u001f"    # ConcatenateGraphFilter.SEP_LABEL
+
+
+def concatenate_graph(tokens_with_inc,
+                      preserve_sep=True,
+                      max_graph_expansions=100):
+    """ConcatenateGraphFilter.java: the token graph collapses into one
+    output per path — stacked tokens (posInc 0, e.g. synonyms) branch,
+    positions join with SEP_LABEL (or nothing when preserveSep=false);
+    expansion count capped at maxGraphExpansions."""
+    positions = []
+    for term, inc in tokens_with_inc:
+        if inc > 0 or not positions:
+            positions.append([term])
+        else:
+            positions[-1].append(term)
+    sep = SEP_LABEL if preserve_sep else ""
+    paths = [""]
+    first = True
+    for alts in positions:
+        new_paths = []
+        for p in paths:
+            for alt in alts:
+                if len(new_paths) >= max_graph_expansions:
+                    break
+                new_paths.append(alt if first else p + sep + alt)
+        paths = new_paths
+        first = False
+    return paths

@@ -169,3 +169,26 @@ def test_delimited_term_frequency():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         delimited_term_frequency(["foo|bar"])
+
+
+def test_date_recognizer():
+    from lucene_spark.analysis.misc import date_recognizer
+
+    toks = ("The red fox jumped over the lazy dogs on 7/11/2006 The "
+            "dogs finally reacted on 7/12/2006").split()
+    assert date_recognizer(toks) == ["7/11/2006", "7/12/2006"]
+
+
+def test_concatenate_graph():
+    from lucene_spark.analysis.misc import SEP_LABEL, concatenate_graph
+
+    assert concatenate_graph([("mykeyword", 1)]) == ["mykeyword"]
+    assert concatenate_graph(
+        [("mykeyword", 1), ("another", 1), ("keyword", 1)],
+        preserve_sep=False) == ["mykeywordanotherkeyword"]
+    assert concatenate_graph(
+        [("mykeyword", 1), ("another", 1), ("keyword", 1)]) == \
+        [SEP_LABEL.join(["mykeyword", "another", "keyword"])]
+    # synonym branch: two paths
+    assert concatenate_graph([("mykeyword", 1), ("mysynonym", 0)]) == \
+        ["mykeyword", "mysynonym"]
