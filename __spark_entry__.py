@@ -7599,12 +7599,12 @@ def ft_decompound_hyph(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _dh(vs: pd.Series) -> pd.Series:
         import os as _os
 
+        import lucene_spark.analysis as _an
         from lucene_spark.analysis.compound import (
             hyphenation_decompound, parse_hyphenation_xml)
 
-        path = _os.path.join(
-            _os.path.dirname(_os.path.abspath(__file__)), "lucene_spark",
-            "analysis", "data", "hyph_da.xml")
+        path = _os.path.join(_os.path.dirname(_os.path.abspath(
+            _an.__file__)), "data", "hyph_da.xml")
         with open(path, encoding="utf-8") as f:
             tree = parse_hyphenation_xml(f.read())
 
