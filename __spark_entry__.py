@@ -7641,6 +7641,67 @@ FT_DECOMPOUND_HYPH_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
     + "\nEND AS tokens FROM documents")
 
 
+
+_CUSTOM_AN_IN = [
+    "<b>Fächer</b> and Résumé", "The running foxes a jumped",
+    "AAA:BBB:CCC", "aufeinander laufen", "/usr/share/doc",
+    "B A B E", "indexes searching wolves", "abcdef gh ijklm",
+]
+_CUSTOM_AN_OUT = [
+    "facher|fächer|and|resume|résumé", "run|fox|jump",
+    "aaa|bbb|ccc", "aufeinand|lauf", "/usr|/usr/share|/usr/share/doc",
+    "A B E", "index|searching|wolve", "abc|gh|ijk",
+]
+
+
+def ft_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CustomAnalyzer builder (r5 — custom/CustomAnalyzer.java role,
+    analysis/custom.py): factory-name-driven chains (the Solr-schema
+    vocabulary — htmlstrip/classic/asciifolding, stop+porterstem,
+    pattern tokenizer, snowballporter language=German, pathhierarchy,
+    fingerprint, kstem, truncate) built per executor and run
+    distributed against frozen vectors."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("v"))
+
+    @F.pandas_udf("string")
+    def _ca(vs: pd.Series) -> pd.Series:
+        from lucene_spark.analysis.custom import custom_analyzer
+
+        chains = [
+            custom_analyzer("classic", char_filters=["htmlstrip"],
+                            token_filters=[("asciifolding",
+                                            {"preserveOriginal": "true"}),
+                                           "lowercase"]),
+            custom_analyzer("whitespace",
+                            token_filters=[("stop", {"words": "a the",
+                                                     "ignoreCase": "true"}),
+                                           "porterstem"]),
+            custom_analyzer("pattern", token_filters=["lowercase"],
+                            pattern=":"),
+            custom_analyzer("whitespace",
+                            token_filters=[("snowballporter",
+                                            {"language": "German"})]),
+            custom_analyzer("pathhierarchy"),
+            custom_analyzer("whitespace", token_filters=["fingerprint"]),
+            custom_analyzer("whitespace",
+                            token_filters=["lowercase", "kstem"]),
+            custom_analyzer("whitespace",
+                            token_filters=[("truncate",
+                                            {"prefixLength": "3"})]),
+        ]
+        return vs.map(
+            lambda v: "|".join(chains[int(v)](_CUSTOM_AN_IN[int(v)])))
+
+    return d.select("doc_id", _ca(F.col("v")).alias("tokens"))
+
+
+FT_CUSTOM_ANALYZER_SQL = ("SELECT doc_id, CASE doc_id % 8\n" + "\n".join(
+    "  WHEN {} THEN '{}'".format(i, v.replace("'", "''"))
+    for i, v in enumerate(_CUSTOM_AN_OUT))
+    + "\nEND AS tokens FROM documents")
+
+
 _HSTRIP_IN = [
     "<div class=\"foo\">text</div> a <a href=\"#b\">link</a>",
     "&nbsp; &lt;foo&gt; &Uuml;bermensch &#61; &Gamma;",
@@ -8729,6 +8790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wikipedia": ft_wikipedia,
         "ft_classic": ft_classic,
         "ft_html_strip_exact": ft_html_strip_exact,
+        "ft_custom_analyzer": ft_custom_analyzer,
         # --- driver-green regression tail ---
         "ft_common_terms": ft_common_terms,
         "ft_phrase_wildcard": ft_phrase_wildcard,
@@ -9126,6 +9188,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_wikipedia": FT_WIKIPEDIA_SQL,
         "ft_classic": FT_CLASSIC_ANALYZER_SQL,
         "ft_html_strip_exact": _hstrip_sql(),
+        "ft_custom_analyzer": FT_CUSTOM_ANALYZER_SQL,
         "ft_ja_analyzer": _ja_analyzer_sql(),
         "ft_cn_analyzer": _cn_analyzer_sql(),
         "ft_th_tokens": FT_TH_TOKENS_SQL,
